@@ -1,0 +1,221 @@
+"""Distributed fit-time column statistics.
+
+One streaming ``map_batches`` pass emits a tiny partial-stats row per input
+block (count / sum / sumsq / min / max, optional value-counts for vocab and
+exact weighted quantiles); the driver merges the partials. This is the
+partial-aggregate + broadcast pattern: no shuffle, output is O(#blocks), and
+the merged result is broadcast back into transform stages as plain Python
+state (reference analogue: sklearn transformer ``fit`` in StepSklearn,
+reference step.py:393-413 — there a single-process whole-table fit).
+
+Scale notes (100 TB): the moments/minmax path is O(#blocks) rows of a few
+floats — free at any scale. The vocab / quantile path merges per-block
+value-counts; that is exact and cheap for categorical-cardinality columns
+(vocabularies), and for continuous columns it degrades gracefully: when a
+block's distinct count exceeds ``max_exact_distinct`` we bin the block values
+into a fixed-width histogram between the block min/max (deterministic), which
+bounds partial size while keeping quantile error ≤ bin width. A t-digest
+would be the next refinement.
+"""
+
+from __future__ import annotations
+
+import pickle
+from dataclasses import dataclass, field
+from typing import Iterable, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+MOMENTS = "moments"  # count, sum, sumsq → mean/var/std
+MINMAX = "minmax"
+VOCAB = "vocab"  # sorted distinct non-null values
+QUANTILES = "quantiles"  # merged value-counts → weighted percentiles
+
+
+@dataclass
+class ColStats:
+    count: int = 0  # non-null count
+    total: int = 0  # row count incl. nulls
+    sum: float = 0.0
+    sumsq: float = 0.0
+    min: Optional[float] = None
+    max: Optional[float] = None
+    # value → weight (exact when cardinality permits, histogram-binned else)
+    value_counts: Optional[dict] = None
+    exact: bool = True
+
+    # ---------------- derived ----------------
+    @property
+    def n_null(self) -> int:
+        return self.total - self.count
+
+    def mean(self) -> float:
+        return self.sum / self.count if self.count else float("nan")
+
+    def var(self, ddof: int = 0) -> float:
+        if self.count <= ddof:
+            return float("nan")
+        m = self.mean()
+        v = self.sumsq / self.count - m * m
+        v = max(v, 0.0)
+        if ddof:
+            v = v * self.count / (self.count - ddof)
+        return v
+
+    def std(self, ddof: int = 0) -> float:
+        return float(np.sqrt(self.var(ddof)))
+
+    def vocabulary(self) -> list:
+        """Sorted distinct non-null values (sklearn category ordering)."""
+        if self.value_counts is None:
+            return []
+        return sorted(self.value_counts.keys())
+
+    def quantile(self, q) -> np.ndarray:
+        """Weighted percentile with linear interpolation — equals
+        ``np.percentile`` on the expanded multiset when stats are exact."""
+        qs = np.atleast_1d(np.asarray(q, dtype=np.float64))
+        if not self.value_counts:
+            return np.full(len(qs), np.nan)
+        vals = np.array(sorted(self.value_counts.keys()), dtype=np.float64)
+        wts = np.array([self.value_counts[v] for v in vals], dtype=np.float64)
+        cum = np.cumsum(wts)
+        n = cum[-1]
+        if n == 1:
+            return np.full(len(qs), vals[0])
+        # positions of each distinct value in the sorted expanded array:
+        # value i occupies ranks [cum[i-1], cum[i]-1] (0-based)
+        first_rank = cum - wts  # first 0-based rank of each distinct value
+        last_rank = cum - 1
+        out = np.empty(len(qs))
+        for j, qq in enumerate(qs):
+            h = qq * (n - 1)  # fractional rank, numpy 'linear' interpolation
+            lo = int(np.floor(h))
+            hi = int(np.ceil(h))
+            # map ranks to values via searchsorted on last_rank
+            v_lo = vals[np.searchsorted(last_rank, lo)]
+            v_hi = vals[np.searchsorted(last_rank, hi)]
+            out[j] = v_lo + (h - lo) * (v_hi - v_lo)
+        _ = first_rank  # documented invariant; not needed in the lookup
+        return out
+
+
+def _partial_for_column(
+    arr: pa.ChunkedArray | pa.Array,
+    want: set[str],
+    max_exact_distinct: int,
+    hist_bins: int,
+) -> dict:
+    out: dict = {"total": len(arr)}
+    is_num = pa.types.is_integer(arr.type) or pa.types.is_floating(arr.type)
+    out["count"] = len(arr) - arr.null_count
+    if is_num and (MOMENTS in want or MINMAX in want or QUANTILES in want):
+        # nulls become NaN in the numpy view; skip both (sklearn NaN policy)
+        np_arr = arr.cast(pa.float64()).to_numpy(zero_copy_only=False)
+        valid = ~np.isnan(np_arr)
+        out["count"] = int(valid.sum())
+        if MOMENTS in want:
+            out["sum"] = float(np.nansum(np_arr))
+            out["sumsq"] = float(np.nansum(np_arr * np_arr))
+        if (MINMAX in want or QUANTILES in want) and out["count"]:
+            out["min"] = float(np.nanmin(np_arr))
+            out["max"] = float(np.nanmax(np_arr))
+    if VOCAB in want or QUANTILES in want:
+        if pa.types.is_dictionary(arr.type):
+            if isinstance(arr, pa.ChunkedArray):
+                arr2 = arr.combine_chunks()
+            else:
+                arr2 = arr
+            arr2 = arr2.cast(arr.type.value_type)
+        else:
+            arr2 = arr
+        vc = pc.value_counts(arr2.drop_null())
+        values = vc.field("values").to_pylist()
+        counts = vc.field("counts").to_pylist()
+        if QUANTILES in want and is_num and len(values) > max_exact_distinct:
+            # deterministic histogram binning between block min/max
+            lo, hi = out.get("min"), out.get("max")
+            v = np.asarray(values, dtype=np.float64)
+            c = np.asarray(counts, dtype=np.float64)
+            if hi is not None and lo is not None and hi > lo:
+                edges = np.linspace(lo, hi, hist_bins + 1)
+                centers = (edges[:-1] + edges[1:]) / 2
+                idx = np.clip(
+                    np.searchsorted(edges, v, side="right") - 1, 0, hist_bins - 1
+                )
+                binned = np.zeros(hist_bins)
+                np.add.at(binned, idx, c)
+                keep = binned > 0
+                values = centers[keep].tolist()
+                counts = binned[keep].tolist()
+                out["exact"] = False
+        out["value_counts"] = dict(zip(values, counts))
+    return out
+
+
+class _PartialStats:
+    """Per-block partial-stats emitter (plain function → stateless tasks)."""
+
+    def __init__(self, cols, want, max_exact_distinct, hist_bins):
+        self.cols = cols
+        self.want = want
+        self.max_exact_distinct = max_exact_distinct
+        self.hist_bins = hist_bins
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        payload = {
+            c: _partial_for_column(
+                tbl.column(c), self.want, self.max_exact_distinct, self.hist_bins
+            )
+            for c in self.cols
+            if c in tbl.column_names
+        }
+        return pa.table({"partial": pa.array([pickle.dumps(payload)], pa.binary())})
+
+
+def _merge_partial(agg: ColStats, p: dict) -> None:
+    agg.total += p.get("total", 0)
+    agg.count += p.get("count", 0)
+    agg.sum += p.get("sum", 0.0)
+    agg.sumsq += p.get("sumsq", 0.0)
+    for key, fn in (("min", min), ("max", max)):
+        v = p.get(key)
+        if v is not None:
+            cur = getattr(agg, key)
+            setattr(agg, key, v if cur is None else fn(cur, v))
+    vc = p.get("value_counts")
+    if vc is not None:
+        if agg.value_counts is None:
+            agg.value_counts = {}
+        for val, cnt in vc.items():
+            agg.value_counts[val] = agg.value_counts.get(val, 0) + cnt
+    if not p.get("exact", True):
+        agg.exact = False
+
+
+def column_stats(
+    ds,
+    cols: Iterable[str],
+    want: set[str],
+    max_exact_distinct: int = 100_000,
+    hist_bins: int = 4096,
+) -> dict[str, ColStats]:
+    """Compute merged column statistics over a Dataset in one streaming pass."""
+    cols = list(cols)
+    if not cols:
+        return {}
+    partials = ds.select_columns(
+        [c for c in cols]
+    ).map_batches(
+        _PartialStats(cols, set(want), max_exact_distinct, hist_bins),
+        batch_format="pyarrow",
+    )
+    merged = {c: ColStats() for c in cols}
+    # one tiny row per input block — safe to take_all
+    for row in partials.take_all():
+        payload = pickle.loads(row["partial"])
+        for c, p in payload.items():
+            _merge_partial(merged[c], p)
+    return merged

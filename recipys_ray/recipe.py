@@ -1,0 +1,214 @@
+"""Recipe — declarative prep/bake pipeline over a ``ray.data.Dataset``.
+
+Re-expression of the reference Recipe (reference: recipys/recipe.py:16-202)
+with a physical planner designed for Ray Data's streaming executor:
+
+- Consecutive **batch** steps fuse into ONE ``map_batches`` stage
+  (zero-copy Arrow in/out).
+- Consecutive **grouped** (order-dependent) steps sharing the same
+  (group, sequence) key fuse into ONE hash-partition + sorted-scan shuffle
+  (kernels/grouped.py) — the flagship pipeline (ffill → historical × k →
+  lag → sessionize) costs a single all-to-all exchange.
+- A step that **requires fit** forces a flush; the current dataset is
+  materialized once (so the fit aggregate and downstream transforms don't
+  recompute the upstream pipeline), the small fitted state is computed via a
+  streaming partial-aggregate pass, and execution continues lazily.
+
+``prep()`` fits-and-transforms; ``bake()`` transforms with previously fitted
+state (fitting silently on first call, matching reference recipe.py:174-177).
+Both accept new data with the same column set as the original (reference
+recipe.py:121-126). ``cache()`` drops the data reference while keeping
+fitted steps — the serialized FittedRecipe artifact for fit-once /
+bake-elsewhere (reference recipe.py:198-202).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from itertools import chain as _chain
+from typing import Optional, Union
+
+import pyarrow as pa
+
+from recipys_ray.ingredients import Ingredients
+from recipys_ray.kernels.grouped import run_grouped_chain
+from recipys_ray.steps.base import Step
+
+
+class _BatchChain:
+    """Fused chain of stateless batch transforms (one map_batches stage)."""
+
+    def __init__(self, steps: list[Step]):
+        self.steps = steps
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        for s in self.steps:
+            tbl = s.transform_batch(tbl)
+        return tbl
+
+
+class Recipe:
+    def __init__(
+        self,
+        data,
+        outcomes: Union[str, list[str], None] = None,
+        predictors: Union[str, list[str], None] = None,
+        groups: Union[str, list[str], None] = None,
+        sequences: Union[str, list[str], None] = None,
+        roles: Optional[dict[str, list[str]]] = None,
+        partitions: Optional[int] = None,
+        materialize_before_fit: bool = True,
+    ):
+        if not isinstance(data, Ingredients):
+            data = Ingredients(data, roles=roles or {})
+        self.ingredients = data
+        self.steps: list[Step] = []
+        self.original_columns = list(data.columns)
+        self.partitions = partitions
+        self.materialize_before_fit = materialize_before_fit
+
+        for vars_, role in (
+            (outcomes, "outcome"),
+            (predictors, "predictor"),
+            (groups, "group"),
+            (sequences, "sequence"),
+        ):
+            if vars_:
+                self.update_roles(vars_, role)
+
+    # ------------------------------------------------------------------ #
+    # role management (reference recipe.py:62-100)
+    # ------------------------------------------------------------------ #
+    def add_roles(self, vars, new_role: str = "predictor") -> "Recipe":
+        for v in [vars] if isinstance(vars, str) else vars:
+            self.ingredients.add_role(v, new_role)
+        return self
+
+    def update_roles(
+        self, vars, new_role: str = "predictor", old_role: Optional[str] = None
+    ) -> "Recipe":
+        for v in [vars] if isinstance(vars, str) else vars:
+            self.ingredients.update_role(v, new_role, old_role)
+        return self
+
+    def add_step(self, step: Step) -> "Recipe":
+        self.steps.append(step)
+        return self
+
+    # ------------------------------------------------------------------ #
+    def _check_data(self, data) -> Ingredients:
+        if data is None:
+            return self.ingredients.copy_meta()
+        if not isinstance(data, Ingredients):
+            data = Ingredients(
+                data, roles=self.ingredients.roles, check_roles=False
+            )
+        if set(data.columns) != set(self.original_columns):
+            raise ValueError(
+                f"Columns of data argument differs from recipe data: "
+                f"{[x for x in data.columns if x not in self.original_columns]}."
+            )
+        return data.copy_meta()
+
+    def prep(self, data=None, refit: bool = False):
+        """Fit + transform. Returns the resulting (lazy) ``ray.data.Dataset``."""
+        ing = self._check_data(data)
+        return self._run(ing, refit=refit)
+
+    def bake(self, data=None):
+        """Transform with fitted state (fits silently on first call)."""
+        ing = self._check_data(data)
+        return self._run(ing, refit=False)
+
+    # ------------------------------------------------------------------ #
+    def _run(self, ing: Ingredients, refit: bool):
+        ds = ing.dataset
+        pending: list[Step] = []
+        mode: Optional[str] = None
+        chain_key = None
+
+        def flush():
+            nonlocal ds, pending, mode, chain_key
+            if not pending:
+                return
+            if mode == "batch":
+                ds = ds.map_batches(
+                    _BatchChain(list(pending)), batch_format="pyarrow"
+                )
+            else:
+                group_cols, sort_cols = chain_key
+                ds = run_grouped_chain(
+                    ds,
+                    list(group_cols),
+                    list(sort_cols),
+                    [s.transform_frame for s in pending],
+                    num_partitions=self.partitions,
+                )
+            pending = []
+            mode = None
+            chain_key = None
+
+        worklist = list(self.steps)
+        i = 0
+        while i < len(worklist):
+            step = worklist[i]
+            step.resolve(ing)
+            expanded = step.expand(ing)
+            if len(expanded) > 1 or expanded[0] is not step:
+                worklist[i : i + 1] = expanded
+                step = worklist[i]
+                if expanded[0] is step:
+                    pass  # already resolved
+                else:
+                    step.resolve(ing)
+
+            if step.requires_fit and (
+                refit or not step.trained or getattr(step, "always_refit", False)
+            ):
+                flush()
+                if self.materialize_before_fit:
+                    ds = ds.materialize()
+                ing.dataset = ds
+                step.fit(ing)
+            elif not step.trained:
+                step._trained = True  # resolution is the only fit needed
+
+            k = step.kind
+            key = (
+                (tuple(step.group_cols), tuple(step.seq_cols))
+                if k == "grouped"
+                else None
+            )
+            if mode is not None and (k != mode or (k == "grouped" and key != chain_key)):
+                flush()
+            mode = k
+            chain_key = key if k == "grouped" else chain_key
+            pending.append(step)
+
+            ing.apply_schema_delta(step.schema_delta(ing))
+            ing.apply_role_delta(step.role_delta())
+            i += 1
+
+        flush()
+        ing.dataset = ds
+        self._last_ingredients = ing
+        return ds
+
+    # ------------------------------------------------------------------ #
+    def cache(self) -> "Recipe":
+        """Drop the data reference, keep fitted steps (reference
+        recipe.py:198-202) — the picklable FittedRecipe artifact."""
+        self.ingredients = None
+        return self
+
+    def __repr__(self):
+        r = "Recipe\n\nInputs:\n\n"
+        if self.ingredients is not None:
+            num_roles = Counter(
+                _chain.from_iterable(self.ingredients.roles.values())
+            )
+            r += "\n".join(f"  {k}: {v}" for k, v in num_roles.items())
+        r += "\n\nOperations:\n\n"
+        for step in self.steps:
+            r += str(step) + "\n"
+        return r

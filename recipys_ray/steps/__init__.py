@@ -1,0 +1,36 @@
+from recipys_ray.steps.base import Step
+from recipys_ray.steps.function import StepFunction
+from recipys_ray.steps.historical import Accumulator, StepHistorical
+from recipys_ray.steps.impute import (
+    StepImputeFastForwardFill,
+    StepImputeFastZeroFill,
+    StepImputeFill,
+    StepImputeModel,
+)
+from recipys_ray.steps.resample import StepResampling
+from recipys_ray.steps.scale import StepScale
+from recipys_ray.steps.sklearn_step import StepSklearn
+from recipys_ray.steps.temporal import (
+    StepDiff,
+    StepLag,
+    StepLead,
+    StepSessionize,
+)
+
+__all__ = [
+    "Accumulator",
+    "Step",
+    "StepDiff",
+    "StepFunction",
+    "StepHistorical",
+    "StepImputeFastForwardFill",
+    "StepImputeFastZeroFill",
+    "StepImputeFill",
+    "StepImputeModel",
+    "StepLag",
+    "StepLead",
+    "StepResampling",
+    "StepScale",
+    "StepSessionize",
+    "StepSklearn",
+]

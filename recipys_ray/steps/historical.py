@@ -1,0 +1,137 @@
+"""StepHistorical — per-group expanding (point-in-time) aggregates.
+
+Re-expression of the reference's flagship step (reference:
+recipys/step.py:263-363): for each selected numeric column emit
+``<col>_<suffix>`` where row *t* aggregates only rows ≤ *t* of the same group
+(zero temporal leakage by construction). Runs as a frame kernel inside the
+shared hash-partition + sorted-scan shuffle.
+
+Kernels are fully vectorized across ALL groups in a partition:
+- MAX/MIN  → pandas grouped ``cummax``/``cummin`` (C impl; nulls stay null at
+  null positions while the running value skips them — verified identical to
+  polars ``cum_max().over(g)``, SURVEY.md §2.5.1);
+- COUNT    → grouped cumulative count of non-nulls (``notna().cumsum()``);
+- MEAN/VAR → grouped cumulative sums of x and x² with non-null counts
+  (Welford-free closed form; ddof=1 for VAR, null until ≥ 2 samples —
+  matches polars ``rolling_var(window_size=H, min_periods=0)``);
+- MEDIAN   → pandas grouped ``expanding().median()`` (skiplist-based,
+  O(n log n) per group) — the one kernel with superlinear cost; documented.
+
+Divergence from the reference (documented): the reference mutates
+``self.suffix = "_" + self.suffix`` on every transform call (step.py:311), so
+prep-then-bake crashes; here the suffix is applied per invocation.
+"""
+
+from __future__ import annotations
+
+from enum import Enum
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from recipys_ray.ingredients import Ingredients
+from recipys_ray.selector import Selector, all_numeric_predictors
+from recipys_ray.steps.base import Step
+
+
+class Accumulator(Enum):
+    MAX = "max"
+    MIN = "min"
+    MEAN = "mean"
+    MEDIAN = "median"
+    COUNT = "count"
+    VAR = "var"
+    FIRST = "first"
+    LAST = "last"
+
+
+_SUPPORTED = {
+    Accumulator.MAX,
+    Accumulator.MIN,
+    Accumulator.MEAN,
+    Accumulator.MEDIAN,
+    Accumulator.COUNT,
+    Accumulator.VAR,
+}
+
+
+class StepHistorical(Step):
+    def __init__(
+        self,
+        sel: Selector = None,
+        fun: Accumulator = Accumulator.MAX,
+        suffix: str = None,
+        role: str = "predictor",
+    ):
+        super().__init__(sel if sel is not None else all_numeric_predictors())
+        if not isinstance(fun, Accumulator):
+            raise TypeError(
+                f"Expected Accumulator enum for function, got {fun.__class__}"
+            )
+        self.desc = f"Create historical {fun}"
+        self.fun = fun
+        self.suffix = suffix if suffix is not None else fun.value
+        self.role = role
+
+    @property
+    def kind(self) -> str:
+        return "grouped"
+
+    def _new_columns(self) -> list[str]:
+        return [f"{c}_{self.suffix}" for c in self.columns]
+
+    def transform_frame(
+        self, pdf: pd.DataFrame, group_cols: list[str]
+    ) -> pd.DataFrame:
+        if self.fun not in _SUPPORTED:
+            raise TypeError(
+                f"Expected Accumulator enum for function, got {self.fun.__class__}"
+            )
+        gid = pdf["__gid__"]
+        cols = [c for c in self.columns if c in pdf.columns]
+        new_cols = [f"{c}_{self.suffix}" for c in cols]
+        if not cols:
+            return pdf
+        g = pdf.groupby(gid, sort=False, observed=True)
+        if self.fun is Accumulator.MAX:
+            res = g[cols].cummax()
+        elif self.fun is Accumulator.MIN:
+            res = g[cols].cummin()
+        elif self.fun is Accumulator.COUNT:
+            res = pdf[cols].notna().astype(np.int64).groupby(gid, sort=False).cumsum()
+        elif self.fun in (Accumulator.MEAN, Accumulator.VAR):
+            x = pdf[cols].astype(np.float64)
+            notna = x.notna()
+            n = notna.astype(np.float64).groupby(gid, sort=False).cumsum()
+            s1 = x.fillna(0.0).groupby(gid, sort=False).cumsum()
+            if self.fun is Accumulator.MEAN:
+                res = s1 / n.where(n > 0)
+            else:
+                s2 = (x * x).fillna(0.0).groupby(gid, sort=False).cumsum()
+                n_valid = n.where(n > 1)
+                res = (s2 - s1 * s1 / n_valid) / (n_valid - 1.0)
+                # guard tiny negative values from cancellation
+                res = res.clip(lower=0.0).where(n > 1)
+        elif self.fun is Accumulator.MEDIAN:
+            res = (
+                g[cols].expanding(min_periods=1).median().reset_index(drop=True)
+            )
+        res = res.to_numpy() if isinstance(res, pd.DataFrame) else res
+        pdf[new_cols] = res
+        return pdf
+
+    def schema_delta(self, ing: Ingredients) -> dict[str, pa.DataType]:
+        if self.fun is Accumulator.COUNT:
+            t = pa.int64()
+            return {f"{c}_{self.suffix}": t for c in self.columns}
+        if self.fun in (Accumulator.MEAN, Accumulator.MEDIAN, Accumulator.VAR):
+            return {f"{c}_{self.suffix}": pa.float64() for c in self.columns}
+        # MAX/MIN keep the source dtype (floats once nulls appear)
+        return {
+            f"{c}_{self.suffix}": ing.dtypes.get(c, pa.float64())
+            for c in self.columns
+        }
+
+    def role_delta(self) -> dict[str, str]:
+        return {f"{c}_{self.suffix}": self.role for c in self.columns}

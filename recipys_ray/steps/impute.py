@@ -1,0 +1,186 @@
+"""Imputation steps.
+
+Re-expression of the reference imputers (reference: recipys/step.py:121-260)
+for distributed execution:
+
+- constant / zero / one fills are stateless vectorized Arrow ``map_batches``
+  bodies (no shuffle);
+- forward / backward / per-group mean/min/max fills are frame kernels inside
+  the shared hash-partition + sorted-scan shuffle (kernels/grouped.py), using
+  pandas' C-implemented grouped ffill/transform — semantics verified equal to
+  polars ``fill_null(strategy).over(groups)``;
+- whole-column mean/min/max fills (no group role) take a driver-side fit pass
+  (one streaming aggregate) and then a stateless fill.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from recipys_ray.aggregates import MINMAX, MOMENTS, column_stats
+from recipys_ray.ingredients import Ingredients
+from recipys_ray.selector import Selector, all_predictors
+from recipys_ray.steps.base import Step
+
+_GLOBAL_STRATS = {"mean": MOMENTS, "min": MINMAX, "max": MINMAX}
+_ORDER_STRATS = {"forward", "backward"}
+_CONST_STRATS = {"zero", "one"}
+
+
+class StepImputeFill(Step):
+    """Null-fill selected columns with a constant ``value`` or a ``strategy``
+    in {forward, backward, mean, zero, one, min, max}; per group when a group
+    role exists (reference: step.py:121-155, polars ``fill_null`` semantics).
+
+    ``limit`` caps the number of consecutive fills for forward/backward.
+    """
+
+    def __init__(
+        self,
+        sel: Selector = None,
+        value=None,
+        strategy: Optional[str] = None,
+        limit: Optional[int] = None,
+    ):
+        super().__init__(sel if sel is not None else all_predictors())
+        if (value is None) == (strategy is None):
+            raise ValueError("Provide exactly one of value / strategy")
+        if strategy is not None and strategy not in (
+            _ORDER_STRATS | _CONST_STRATS | set(_GLOBAL_STRATS)
+        ):
+            raise ValueError(f"Unknown fill strategy: {strategy}")
+        self.desc = f"Impute with {strategy if strategy else value}"
+        self.value = value
+        self.strategy = strategy
+        self.limit = limit
+        self._fill_values: dict[str, float] = {}
+
+    # ------------------------------------------------------------------ #
+    @property
+    def kind(self) -> str:
+        if self.strategy in _ORDER_STRATS:
+            return "grouped"
+        if self.strategy in _GLOBAL_STRATS and self.group_cols:
+            return "grouped"
+        return "batch"
+
+    @property
+    def requires_fit(self) -> bool:
+        # whole-column mean/min/max need a global aggregate
+        return self.strategy in _GLOBAL_STRATS and not self.group_cols
+
+    def fit(self, ing: Ingredients) -> None:
+        if self.requires_fit:
+            stat = _GLOBAL_STRATS[self.strategy]
+            stats = column_stats(ing.dataset, self.columns, {stat})
+            for c in self.columns:
+                s = stats[c]
+                self._fill_values[c] = (
+                    s.mean() if self.strategy == "mean" else getattr(s, self.strategy)
+                )
+        self._trained = True
+
+    # ------------------------------------------------------------------ #
+    def transform_batch(self, tbl: pa.Table) -> pa.Table:
+        for c in self.columns:
+            if c not in tbl.column_names:
+                continue
+            col = tbl.column(c)
+            if self.strategy is None:
+                fill = self.value
+            elif self.strategy == "zero":
+                fill = 0
+            elif self.strategy == "one":
+                fill = 1
+            else:  # fitted global mean/min/max
+                fill = self._fill_values.get(c)
+            if fill is None:
+                continue
+            try:
+                scalar = pa.scalar(fill, type=col.type)
+            except (pa.ArrowInvalid, pa.ArrowTypeError):
+                col = col.cast(pa.float64())
+                scalar = pa.scalar(float(fill), type=pa.float64())
+            filled = pc.fill_null(col, scalar)
+            tbl = tbl.set_column(tbl.column_names.index(c), c, filled)
+        return tbl
+
+    def transform_frame(
+        self, pdf: pd.DataFrame, group_cols: list[str]
+    ) -> pd.DataFrame:
+        gid = pdf["__gid__"]
+        cols = [c for c in self.columns if c in pdf.columns]
+        if not cols:
+            return pdf
+        g = pdf.groupby(gid, sort=False, observed=True)
+        if self.strategy == "forward":
+            pdf[cols] = g[cols].ffill(limit=self.limit)
+        elif self.strategy == "backward":
+            pdf[cols] = g[cols].bfill(limit=self.limit)
+        else:  # per-group mean/min/max (whole-group stat — matches polars
+            # fill_null(strategy).over(groups), which includes future rows;
+            # reference behavior, see SURVEY.md §2.5.2)
+            stat = g[cols].transform(self.strategy)
+            pdf[cols] = pdf[cols].fillna(stat)
+        return pdf
+
+    def schema_delta(self, ing: Ingredients) -> dict[str, pa.DataType]:
+        # mean-fill promotes ints to float
+        if self.strategy == "mean":
+            return {
+                c: pa.float64()
+                for c in self.columns
+                if pa.types.is_integer(ing.dtypes.get(c, pa.float64()))
+            }
+        return {}
+
+
+class StepImputeFastZeroFill(StepImputeFill):
+    """Ungrouped constant-zero fill (reference: step.py:158-171)."""
+
+    def __init__(self, sel: Selector = None):
+        super().__init__(sel, value=0)
+        self.desc = "Impute quickly with 0"
+
+
+class StepImputeFastForwardFill(StepImputeFill):
+    """Grouped forward-fill without limit (reference: step.py:174-199)."""
+
+    def __init__(self, sel: Selector = None):
+        super().__init__(sel, strategy="forward")
+        self.desc = "Impute with fast ffill"
+
+
+class StepImputeModel(Step):
+    """Impute with a pretrained model callable (reference: step.py:244-260).
+
+    ``model(frame[cols + groups], groups)`` must return a DataFrame of the
+    selected columns with nulls imputed. The model object is pickled into the
+    stage closure — Ray ships it once per worker, not per batch; it sees whole
+    conversations (the kernel runs inside the group-partitioned shuffle), so
+    group-aware models behave as in the reference.
+    """
+
+    def __init__(self, sel: Selector = None, model=None):
+        super().__init__(sel if sel is not None else all_predictors())
+        self.desc = "Impute with pretrained imputation model"
+        self.model = model
+
+    @property
+    def kind(self) -> str:
+        return "grouped"
+
+    def transform_frame(
+        self, pdf: pd.DataFrame, group_cols: list[str]
+    ) -> pd.DataFrame:
+        cols = [c for c in self.columns if c in pdf.columns]
+        out = self.model(pdf[cols + group_cols], group_cols)
+        pdf[cols] = np.asarray(out)[:, : len(cols)] if not isinstance(
+            out, pd.DataFrame
+        ) else out[cols].to_numpy()
+        return pdf

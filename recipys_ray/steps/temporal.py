@@ -1,0 +1,165 @@
+"""Temporal feature steps with no reference counterpart — required by the
+engine's north rule (BASELINE.json): lag/lead, diff, and gap-based
+sessionization. All run as vectorized frame kernels inside the shared
+hash-partition + sorted-scan shuffle, so they fuse with imputation and
+historical steps into one exchange.
+"""
+
+from __future__ import annotations
+
+from typing import Union
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from recipys_ray.dtypes import is_temporal
+from recipys_ray.ingredients import Ingredients
+from recipys_ray.selector import Selector, all_numeric_predictors
+from recipys_ray.steps.base import Step, sequence_or_error
+
+
+class _ShiftStep(Step):
+    _direction = 1
+    _label = "lag"
+
+    def __init__(
+        self,
+        sel: Selector = None,
+        shifts: Union[int, list[int]] = 1,
+        role: str = "predictor",
+    ):
+        super().__init__(sel if sel is not None else all_numeric_predictors())
+        self.shifts = [shifts] if isinstance(shifts, int) else list(shifts)
+        if any(s <= 0 for s in self.shifts):
+            raise ValueError("shifts must be positive integers")
+        self.desc = f"Create {self._label} {self.shifts}"
+        self.role = role
+
+    @property
+    def kind(self) -> str:
+        return "grouped"
+
+    def _names(self, col: str) -> list[str]:
+        return [f"{col}_{self._label}{s}" for s in self.shifts]
+
+    def transform_frame(
+        self, pdf: pd.DataFrame, group_cols: list[str]
+    ) -> pd.DataFrame:
+        gid = pdf["__gid__"]
+        cols = [c for c in self.columns if c in pdf.columns]
+        if not cols:
+            return pdf
+        g = pdf.groupby(gid, sort=False, observed=True)
+        for s in self.shifts:
+            shifted = g[cols].shift(s * self._direction)
+            pdf[[f"{c}_{self._label}{s}" for c in cols]] = shifted.to_numpy()
+        return pdf
+
+    def schema_delta(self, ing: Ingredients) -> dict[str, pa.DataType]:
+        out = {}
+        for c in self.columns:
+            t = ing.dtypes.get(c, pa.float64())
+            # shifting introduces nulls; ints surface as float64 via pandas
+            t = pa.float64() if pa.types.is_integer(t) else t
+            for name in self._names(c):
+                out[name] = t
+        return out
+
+    def role_delta(self) -> dict[str, str]:
+        return {n: self.role for c in self.columns for n in self._names(c)}
+
+
+class StepLag(_ShiftStep):
+    """``<col>_lag{n}`` = value n rows earlier within the group (null-padded)."""
+
+    _direction = 1
+    _label = "lag"
+
+
+class StepLead(_ShiftStep):
+    """``<col>_lead{n}`` = value n rows later within the group (null-padded)."""
+
+    _direction = -1
+    _label = "lead"
+
+
+class StepDiff(_ShiftStep):
+    """``<col>_diff{n}`` = value - value n rows earlier within the group."""
+
+    _direction = 1
+    _label = "diff"
+
+    def transform_frame(
+        self, pdf: pd.DataFrame, group_cols: list[str]
+    ) -> pd.DataFrame:
+        gid = pdf["__gid__"]
+        cols = [c for c in self.columns if c in pdf.columns]
+        if not cols:
+            return pdf
+        g = pdf.groupby(gid, sort=False, observed=True)
+        for s in self.shifts:
+            shifted = g[cols].shift(s)
+            pdf[[f"{c}_diff{s}" for c in cols]] = (
+                pdf[cols].to_numpy(dtype=np.float64)
+                - shifted.to_numpy(dtype=np.float64)
+            )
+        return pdf
+
+    def schema_delta(self, ing: Ingredients) -> dict[str, pa.DataType]:
+        return {n: pa.float64() for c in self.columns for n in self._names(c)}
+
+
+class StepSessionize(Step):
+    """Gap-based sessionization: within each group (ordered by the sequence
+    role), start a new session whenever the time delta to the previous row
+    exceeds ``gap``. Emits an int64 ``name`` column (0-based per group).
+    """
+
+    def __init__(
+        self,
+        gap: Union[str, pd.Timedelta, int, float] = "30m",
+        name: str = "session_id",
+        role: str = "predictor",
+    ):
+        super().__init__(Selector(description="sessionize", names=[]))
+        self.gap = gap
+        self.name = name
+        self.role = role
+        self.desc = f"Sessionize with gap {gap}"
+        self._seq_col: str = None
+        self._seq_temporal = True
+
+    @property
+    def kind(self) -> str:
+        return "grouped"
+
+    def resolve(self, ing: Ingredients) -> None:
+        super().resolve(ing)
+        seq = sequence_or_error(ing, "sessionization")
+        # first temporal sequence column, else first sequence column
+        temporal = [c for c in seq if is_temporal(ing.dtypes[c])]
+        self._seq_col = temporal[0] if temporal else seq[0]
+        self._seq_temporal = bool(temporal)
+
+    def transform_frame(
+        self, pdf: pd.DataFrame, group_cols: list[str]
+    ) -> pd.DataFrame:
+        gid = pdf["__gid__"]
+        s = pdf[self._seq_col]
+        delta = s.groupby(gid, sort=False).diff()
+        gap = pd.Timedelta(self.gap) if self._seq_temporal else self.gap
+        new_session = (delta > gap).to_numpy()
+        sid = (
+            pd.Series(new_session.astype(np.int64), index=pdf.index)
+            .groupby(gid, sort=False)
+            .cumsum()
+        )
+        pdf[self.name] = sid.to_numpy()
+        return pdf
+
+    def schema_delta(self, ing: Ingredients) -> dict[str, pa.DataType]:
+        return {self.name: pa.int64()}
+
+    def role_delta(self) -> dict[str, str]:
+        return {self.name: self.role}

@@ -1,0 +1,573 @@
+"""Native, sklearn-free implementations of the closed-form transformer family
+exercised by the reference's StepSklearn tests (reference:
+tests/test_steps.py:7-26, 228-441).
+
+Each transformer splits sklearn's ``fit`` into (a) a declaration of which
+distributed column statistics it needs (``stats_needed`` — computed in ONE
+streaming partial-aggregate pass, aggregates.column_stats) and (b)
+``fit_from_stats`` which turns the merged stats into small broadcastable
+parameters. ``transform`` is vectorized numpy over a batch — the
+partial-aggregate + broadcast pattern, no shuffle anywhere.
+
+Iterative / model-based transformers (KNNImputer, IterativeImputer,
+PowerTransformer, SplineTransformer) are intentionally NOT closed-form; they
+raise NotImplementedError and are reachable through the StepImputeModel /
+actor-pool escape hatch instead (SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+from recipys_ray.aggregates import MINMAX, MOMENTS, QUANTILES, VOCAB, ColStats
+
+
+def _handle_zeros(scale: np.ndarray) -> np.ndarray:
+    """sklearn's _handle_zeros_in_scale: 0 / nan scale → 1.0."""
+    scale = np.asarray(scale, dtype=np.float64).copy()
+    scale[~np.isfinite(scale)] = 1.0
+    scale[scale == 0.0] = 1.0
+    return scale
+
+
+class NativeTransformer:
+    stats_needed: frozenset = frozenset()
+    accepts_non_numeric = False
+
+    def __init__(self):
+        self.columns_: list[str] = []
+
+    def fit_from_stats(self, stats: dict[str, ColStats], columns: list[str]):
+        self.columns_ = list(columns)
+        self._fit(stats)
+        return self
+
+    def _fit(self, stats: dict[str, ColStats]):
+        pass
+
+    def transform(self, X: pd.DataFrame) -> np.ndarray:
+        raise NotImplementedError
+
+    def _matrix(self, X: pd.DataFrame) -> np.ndarray:
+        return X[self.columns_].to_numpy(dtype=np.float64, na_value=np.nan)
+
+
+# --------------------------------------------------------------------- #
+# scalers
+# --------------------------------------------------------------------- #
+class StandardScaler(NativeTransformer):
+    stats_needed = frozenset({MOMENTS})
+
+    def __init__(self, with_mean: bool = True, with_std: bool = True):
+        super().__init__()
+        self.with_mean = with_mean
+        self.with_std = with_std
+
+    def _fit(self, stats):
+        self.mean_ = np.array([stats[c].mean() for c in self.columns_])
+        self.scale_ = _handle_zeros(
+            np.array([stats[c].std(ddof=0) for c in self.columns_])
+        )
+
+    def transform(self, X):
+        M = self._matrix(X)
+        if self.with_mean:
+            M = M - self.mean_
+        if self.with_std:
+            M = M / self.scale_
+        return M
+
+
+class MinMaxScaler(NativeTransformer):
+    stats_needed = frozenset({MINMAX})
+
+    def __init__(self, feature_range=(0.0, 1.0)):
+        super().__init__()
+        self.feature_range = feature_range
+
+    def _fit(self, stats):
+        dmin = np.array(
+            [np.nan if stats[c].min is None else stats[c].min for c in self.columns_]
+        )
+        dmax = np.array(
+            [np.nan if stats[c].max is None else stats[c].max for c in self.columns_]
+        )
+        lo, hi = self.feature_range
+        self.scale_ = (hi - lo) / _handle_zeros(dmax - dmin)
+        self.min_ = lo - dmin * self.scale_
+
+    def transform(self, X):
+        return self._matrix(X) * self.scale_ + self.min_
+
+
+class MaxAbsScaler(NativeTransformer):
+    stats_needed = frozenset({MINMAX})
+
+    def _fit(self, stats):
+        maxabs = np.array(
+            [
+                max(abs(stats[c].min or 0.0), abs(stats[c].max or 0.0))
+                for c in self.columns_
+            ]
+        )
+        self.scale_ = _handle_zeros(maxabs)
+
+    def transform(self, X):
+        return self._matrix(X) / self.scale_
+
+
+class RobustScaler(NativeTransformer):
+    stats_needed = frozenset({QUANTILES})
+
+    def __init__(
+        self,
+        with_centering: bool = True,
+        with_scaling: bool = True,
+        quantile_range=(25.0, 75.0),
+    ):
+        super().__init__()
+        self.with_centering = with_centering
+        self.with_scaling = with_scaling
+        self.quantile_range = quantile_range
+
+    def _fit(self, stats):
+        lo, hi = self.quantile_range
+        self.center_ = np.array(
+            [stats[c].quantile(0.5)[0] for c in self.columns_]
+        )
+        iqr = np.array(
+            [
+                stats[c].quantile(hi / 100.0)[0] - stats[c].quantile(lo / 100.0)[0]
+                for c in self.columns_
+            ]
+        )
+        self.scale_ = _handle_zeros(iqr)
+
+    def transform(self, X):
+        M = self._matrix(X)
+        if self.with_centering:
+            M = M - self.center_
+        if self.with_scaling:
+            M = M / self.scale_
+        return M
+
+
+# --------------------------------------------------------------------- #
+# imputers / indicators
+# --------------------------------------------------------------------- #
+class SimpleImputer(NativeTransformer):
+    def __init__(self, strategy: str = "mean", fill_value=None):
+        super().__init__()
+        if strategy not in ("mean", "median", "most_frequent", "constant"):
+            raise ValueError(f"Unknown strategy {strategy}")
+        self.strategy = strategy
+        self.fill_value = fill_value
+
+    @property
+    def stats_needed(self):
+        return frozenset(
+            {
+                "mean": {MOMENTS},
+                "median": {QUANTILES},
+                "most_frequent": {VOCAB},
+                "constant": set(),
+            }[self.strategy]
+        )
+
+    accepts_non_numeric = True  # constant / most_frequent work on strings
+
+    def _fit(self, stats):
+        vals = []
+        for c in self.columns_:
+            s = stats[c]
+            if self.strategy == "mean":
+                vals.append(s.mean())
+            elif self.strategy == "median":
+                vals.append(s.quantile(0.5)[0])
+            elif self.strategy == "most_frequent":
+                vc = s.value_counts or {}
+                # sklearn: smallest value among maximally frequent
+                vals.append(
+                    min((v for v, n in vc.items() if n == max(vc.values())))
+                    if vc
+                    else np.nan
+                )
+            else:
+                vals.append(self.fill_value if self.fill_value is not None else 0)
+        self.statistics_ = vals
+
+    def transform(self, X):
+        out = X[self.columns_].copy()
+        for c, v in zip(self.columns_, self.statistics_):
+            out[c] = out[c].fillna(v)
+        return out.to_numpy()
+
+
+class MissingIndicator(NativeTransformer):
+    # null counts come free with any stats pass, but a pass is still needed
+    stats_needed = frozenset({"nullcount"})
+    accepts_non_numeric = True
+
+    def __init__(self, features: str = "missing-only"):
+        super().__init__()
+        self.features = features
+
+    def _fit(self, stats):
+        if self.features == "all":
+            self.features_ = list(self.columns_)
+        else:
+            self.features_ = [c for c in self.columns_ if stats[c].n_null > 0]
+
+    def transform(self, X):
+        return X[self.features_].isna().to_numpy()
+
+
+# --------------------------------------------------------------------- #
+# element-wise / row-wise stateless
+# --------------------------------------------------------------------- #
+class Binarizer(NativeTransformer):
+    stats_needed = frozenset()
+
+    def __init__(self, threshold: float = 0.0):
+        super().__init__()
+        self.threshold = threshold
+
+    def transform(self, X):
+        M = self._matrix(X)
+        return (M > self.threshold).astype(np.float64)
+
+
+class Normalizer(NativeTransformer):
+    stats_needed = frozenset()
+
+    def __init__(self, norm: str = "l2"):
+        super().__init__()
+        if norm not in ("l1", "l2", "max"):
+            raise ValueError(f"Unknown norm {norm}")
+        self.norm = norm
+
+    def transform(self, X):
+        M = self._matrix(X)
+        if self.norm == "l1":
+            denom = np.abs(M).sum(axis=1)
+        elif self.norm == "l2":
+            denom = np.sqrt((M * M).sum(axis=1))
+        else:
+            denom = np.abs(M).max(axis=1)
+        denom = _handle_zeros(denom)
+        return M / denom[:, None]
+
+
+class FunctionTransformer(NativeTransformer):
+    stats_needed = frozenset()
+
+    def __init__(self, func=None):
+        super().__init__()
+        self.func = func
+
+    def transform(self, X):
+        M = self._matrix(X)
+        return M if self.func is None else self.func(M)
+
+
+class PolynomialFeatures(NativeTransformer):
+    stats_needed = frozenset()
+
+    def __init__(
+        self,
+        degree: int = 2,
+        interaction_only: bool = False,
+        include_bias: bool = True,
+    ):
+        super().__init__()
+        self.degree = degree
+        self.interaction_only = interaction_only
+        self.include_bias = include_bias
+
+    def _combinations(self, k: int):
+        from itertools import combinations, combinations_with_replacement
+
+        comb = combinations if self.interaction_only else combinations_with_replacement
+        start = 0 if self.include_bias else 1
+        for d in range(start, self.degree + 1):
+            yield from comb(range(k), d)
+
+    def transform(self, X):
+        M = self._matrix(X)
+        cols = [
+            np.prod(M[:, idx], axis=1) if idx else np.ones(len(M))
+            for idx in self._combinations(M.shape[1])
+        ]
+        return np.column_stack(cols)
+
+
+# --------------------------------------------------------------------- #
+# discretizers / quantile maps
+# --------------------------------------------------------------------- #
+class KBinsDiscretizer(NativeTransformer):
+    def __init__(
+        self, n_bins: int = 5, encode: str = "ordinal", strategy: str = "quantile"
+    ):
+        super().__init__()
+        if encode != "ordinal":
+            raise NotImplementedError(
+                "Only encode='ordinal' is supported natively; one-hot via "
+                "OneHotEncoder after discretizing"
+            )
+        if strategy not in ("uniform", "quantile"):
+            raise NotImplementedError(f"strategy={strategy}")
+        self.n_bins = n_bins
+        self.encode = encode
+        self.strategy = strategy
+
+    @property
+    def stats_needed(self):
+        return frozenset({MINMAX} if self.strategy == "uniform" else {QUANTILES})
+
+    def _fit(self, stats):
+        edges = []
+        for c in self.columns_:
+            s = stats[c]
+            if self.strategy == "uniform":
+                edges.append(np.linspace(s.min, s.max, self.n_bins + 1))
+            else:
+                qs = np.linspace(0, 1, self.n_bins + 1)
+                edges.append(np.unique(s.quantile(qs)))
+        self.bin_edges_ = edges
+
+    def transform(self, X):
+        M = self._matrix(X)
+        out = np.empty_like(M)
+        for j, e in enumerate(self.bin_edges_):
+            x = M[:, j]
+            idx = np.searchsorted(e[1:-1], x, side="right").astype(np.float64)
+            idx[np.isnan(x)] = np.nan
+            out[:, j] = idx
+        return out
+
+
+class QuantileTransformer(NativeTransformer):
+    stats_needed = frozenset({QUANTILES})
+
+    def __init__(
+        self, n_quantiles: int = 1000, output_distribution: str = "uniform"
+    ):
+        super().__init__()
+        if output_distribution not in ("uniform", "normal"):
+            raise ValueError(output_distribution)
+        self.n_quantiles = n_quantiles
+        self.output_distribution = output_distribution
+
+    def _fit(self, stats):
+        self.references_ = np.linspace(0, 1, self.n_quantiles)
+        self.quantiles_ = [
+            stats[c].quantile(self.references_) for c in self.columns_
+        ]
+
+    @staticmethod
+    def _probit(p: np.ndarray) -> np.ndarray:
+        """Acklam's rational approximation of the normal PPF (no scipy)."""
+        p = np.clip(p, 1e-7, 1 - 1e-7)
+        a = [-3.969683028665376e01, 2.209460984245205e02, -2.759285104469687e02,
+             1.383577518672690e02, -3.066479806614716e01, 2.506628277459239e00]
+        b = [-5.447609879822406e01, 1.615858368580409e02, -1.556989798598866e02,
+             6.680131188771972e01, -1.328068155288572e01]
+        c = [-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e00,
+             -2.549732539343734e00, 4.374664141464968e00, 2.938163982698783e00]
+        d = [7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e00,
+             3.754408661907416e00]
+        out = np.empty_like(p)
+        plow, phigh = 0.02425, 1 - 0.02425
+        lo = p < plow
+        hi = p > phigh
+        mid = ~(lo | hi)
+        if lo.any():
+            q = np.sqrt(-2 * np.log(p[lo]))
+            out[lo] = (((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5]) / (
+                (((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1
+            )
+        if hi.any():
+            q = np.sqrt(-2 * np.log(1 - p[hi]))
+            out[hi] = -(((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5]) / (
+                (((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1
+            )
+        if mid.any():
+            q = p[mid] - 0.5
+            r = q * q
+            out[mid] = (((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r + a[5]) * q / (
+                ((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r + 1
+            )
+        return out
+
+    def transform(self, X):
+        M = self._matrix(X)
+        out = np.empty_like(M)
+        for j, qv in enumerate(self.quantiles_):
+            x = M[:, j]
+            # forward/backward interpolation averaged (sklearn's tie handling)
+            fwd = np.interp(x, qv, self.references_)
+            bwd = 1.0 - np.interp(-x, -qv[::-1], self.references_[::-1])
+            res = 0.5 * (fwd + bwd)
+            res[np.isnan(x)] = np.nan
+            if self.output_distribution == "normal":
+                res = self._probit(res)
+            out[:, j] = res
+        return out
+
+
+# --------------------------------------------------------------------- #
+# encoders (distributed vocabulary = sorted distinct values)
+# --------------------------------------------------------------------- #
+class OrdinalEncoder(NativeTransformer):
+    stats_needed = frozenset({VOCAB})
+    accepts_non_numeric = True
+
+    def __init__(self, handle_unknown: str = "error", unknown_value=None):
+        super().__init__()
+        self.handle_unknown = handle_unknown
+        self.unknown_value = unknown_value
+
+    def _fit(self, stats):
+        self.categories_ = [
+            np.array(stats[c].vocabulary()) for c in self.columns_
+        ]
+
+    def _encode_col(self, values: pd.Series, cats: np.ndarray) -> np.ndarray:
+        codes = pd.Categorical(values, categories=list(cats)).codes.astype(
+            np.float64
+        )
+        unknown = (codes == -1) & values.notna().to_numpy()
+        if unknown.any():
+            if self.handle_unknown == "use_encoded_value":
+                codes[unknown] = self.unknown_value
+            else:
+                raise ValueError(
+                    f"Found unknown categories during transform: "
+                    f"{pd.unique(values[unknown])[:5]}"
+                )
+        codes[values.isna().to_numpy()] = np.nan
+        return codes
+
+    def transform(self, X):
+        return np.column_stack(
+            [
+                self._encode_col(X[c].astype(object), cats)
+                for c, cats in zip(self.columns_, self.categories_)
+            ]
+        )
+
+
+class OneHotEncoder(NativeTransformer):
+    stats_needed = frozenset({VOCAB})
+    accepts_non_numeric = True
+
+    def __init__(self, sparse_output: bool = False, handle_unknown: str = "error"):
+        super().__init__()
+        self.sparse_output = sparse_output
+        self.handle_unknown = handle_unknown
+
+    def _fit(self, stats):
+        if self.sparse_output:
+            raise TypeError(
+                "The transformer returns a sparse matrix, but recipes expects "
+                "a dense numpy representation. Set sparse_output=False."
+            )
+        self.categories_ = [
+            np.array(stats[c].vocabulary()) for c in self.columns_
+        ]
+
+    def transform(self, X):
+        blocks = []
+        for c, cats in zip(self.columns_, self.categories_):
+            codes = pd.Categorical(X[c].astype(object), categories=list(cats)).codes
+            unknown = (codes == -1) & X[c].notna().to_numpy()
+            if unknown.any() and self.handle_unknown == "error":
+                raise ValueError(
+                    f"Found unknown categories in column {c} during transform"
+                )
+            eye = np.eye(len(cats), dtype=np.float64)
+            block = np.zeros((len(codes), len(cats)))
+            known = codes >= 0
+            block[known] = eye[codes[known]]
+            blocks.append(block)
+        return np.hstack(blocks) if blocks else np.empty((len(X), 0))
+
+    def output_names(self, prefix_cols: list[str]) -> list[str]:
+        names = []
+        for c, cats in zip(prefix_cols, self.categories_):
+            names.extend([f"{c}_{v}" for v in cats])
+        return names
+
+
+class LabelEncoder(NativeTransformer):
+    """1-D encoder — columnwise only (sklearn raises on 2-D input)."""
+
+    stats_needed = frozenset({VOCAB})
+    accepts_non_numeric = True
+    one_dimensional = True
+
+    def _fit(self, stats):
+        if len(self.columns_) != 1:
+            raise ValueError("should be a 1d array")
+        self.classes_ = np.array(stats[self.columns_[0]].vocabulary())
+
+    def transform(self, X):
+        c = self.columns_[0]
+        codes = pd.Categorical(
+            X[c].astype(object), categories=list(self.classes_)
+        ).codes.astype(np.int64)
+        if (codes == -1).any():
+            raise ValueError("y contains previously unseen labels")
+        return codes.reshape(-1, 1)
+
+
+class LabelBinarizer(NativeTransformer):
+    """1-D binarizer; sklearn quirk: 2 classes → a single 0/1 column."""
+
+    stats_needed = frozenset({VOCAB})
+    accepts_non_numeric = True
+    one_dimensional = True
+
+    def _fit(self, stats):
+        if len(self.columns_) != 1:
+            raise ValueError("should be a 1d array")
+        self.classes_ = np.array(stats[self.columns_[0]].vocabulary())
+
+    def transform(self, X):
+        c = self.columns_[0]
+        codes = pd.Categorical(
+            X[c].astype(object), categories=list(self.classes_)
+        ).codes
+        k = len(self.classes_)
+        if k == 2:
+            return (codes == 1).astype(np.int64).reshape(-1, 1)
+        out = np.zeros((len(codes), k), dtype=np.int64)
+        known = codes >= 0
+        out[np.nonzero(known)[0], codes[known]] = 1
+        return out
+
+
+# --------------------------------------------------------------------- #
+# iterative / model-based — escape hatch only
+# --------------------------------------------------------------------- #
+def _not_closed_form(name: str):
+    class _T(NativeTransformer):
+        def __init__(self, *a, **k):
+            raise NotImplementedError(
+                f"{name} is iterative/model-based and has no closed-form "
+                f"distributed fit; use StepImputeModel / an actor-pool stage "
+                f"with a pretrained model instead (SURVEY.md §2.2)."
+            )
+
+    _T.__name__ = name
+    return _T
+
+
+KNNImputer = _not_closed_form("KNNImputer")
+IterativeImputer = _not_closed_form("IterativeImputer")
+PowerTransformer = _not_closed_form("PowerTransformer")
+SplineTransformer = _not_closed_form("SplineTransformer")
