@@ -18,6 +18,32 @@ import pyarrow as pa
 from recipys_ray.dtypes import matches_type
 
 
+def _to_arrow_schema(ray_schema) -> pa.Schema:
+    """Convert a ray.data Schema (arrow- or pandas-backed blocks) to Arrow."""
+    base = getattr(ray_schema, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    import pandas as pd
+
+    fields = []
+    names = ray_schema.names
+    dtypes = getattr(base, "types", None) or []
+    for name, dt in zip(names, dtypes):
+        if isinstance(dt, pa.DataType):
+            t = dt
+        elif isinstance(dt, pd.CategoricalDtype):
+            t = pa.dictionary(pa.int32(), pa.string())
+        elif dt == object:
+            t = pa.string()
+        else:
+            try:
+                t = pa.from_numpy_dtype(dt)
+            except (TypeError, pa.ArrowNotImplementedError):
+                t = pa.string()
+        fields.append(pa.field(name, t))
+    return pa.schema(fields)
+
+
 class Ingredients:
     """A Dataset + roles wrapper.
 
@@ -39,11 +65,7 @@ class Ingredients:
     ):
         self.dataset = dataset
         if schema is None:
-            s = dataset.schema()
-            # ray.data Schema → arrow
-            schema = pa.schema(
-                [pa.field(n, t) for n, t in zip(s.names, s.types)]
-            )
+            schema = _to_arrow_schema(dataset.schema())
         self._types: dict[str, pa.DataType] = {
             name: schema.field(name).type for name in schema.names
         }

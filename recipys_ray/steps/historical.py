@@ -99,7 +99,12 @@ class StepHistorical(Step):
         elif self.fun is Accumulator.MIN:
             res = g[cols].cummin()
         elif self.fun is Accumulator.COUNT:
-            res = pdf[cols].notna().astype(np.int64).groupby(gid, sort=False).cumsum()
+            # uint32 to mirror polars cum_count (u32) — deliberately excluded
+            # from the numeric-predictor whitelist, so e.g. StepScale skips
+            # count columns exactly like the reference does
+            res = (
+                pdf[cols].notna().astype(np.int64).groupby(gid, sort=False).cumsum()
+            ).astype(np.uint32)
         elif self.fun in (Accumulator.MEAN, Accumulator.VAR):
             x = pdf[cols].astype(np.float64)
             notna = x.notna()
@@ -123,7 +128,7 @@ class StepHistorical(Step):
 
     def schema_delta(self, ing: Ingredients) -> dict[str, pa.DataType]:
         if self.fun is Accumulator.COUNT:
-            t = pa.int64()
+            t = pa.uint32()  # polars cum_count parity (excluded from numeric sel)
             return {f"{c}_{self.suffix}": t for c in self.columns}
         if self.fun in (Accumulator.MEAN, Accumulator.MEDIAN, Accumulator.VAR):
             return {f"{c}_{self.suffix}": pa.float64() for c in self.columns}

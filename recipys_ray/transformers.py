@@ -183,6 +183,9 @@ class SimpleImputer(NativeTransformer):
     def _fit(self, stats):
         vals = []
         for c in self.columns_:
+            if self.strategy == "constant":
+                vals.append(self.fill_value if self.fill_value is not None else 0)
+                continue
             s = stats[c]
             if self.strategy == "mean":
                 vals.append(s.mean())
@@ -196,8 +199,6 @@ class SimpleImputer(NativeTransformer):
                     if vc
                     else np.nan
                 )
-            else:
-                vals.append(self.fill_value if self.fill_value is not None else 0)
         self.statistics_ = vals
 
     def transform(self, X):
@@ -410,7 +411,7 @@ class QuantileTransformer(NativeTransformer):
             x = M[:, j]
             # forward/backward interpolation averaged (sklearn's tie handling)
             fwd = np.interp(x, qv, self.references_)
-            bwd = 1.0 - np.interp(-x, -qv[::-1], self.references_[::-1])
+            bwd = -np.interp(-x, -qv[::-1], -self.references_[::-1])
             res = 0.5 * (fwd + bwd)
             res[np.isnan(x)] = np.nan
             if self.output_distribution == "normal":

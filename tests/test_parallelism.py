@@ -1,0 +1,28 @@
+"""Parallelism-invariance: identical results at different partition counts
+(the in-sandbox stand-in for cluster-size invariance, SURVEY.md §5c)."""
+
+import pandas as pd
+import ray.data as rd
+
+from recipys_ray.pipelines.transcripts import flagship_recipe, make_transcripts
+
+
+def run_flagship(partitions: int) -> pd.DataFrame:
+    tbl = make_transcripts(n_turns=3000, seed=11)
+    rec = flagship_recipe(rd.from_arrow(tbl), partitions=partitions)
+    out = rec.prep().to_pandas()
+    return out.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(
+        drop=True
+    )
+
+
+def test_partition_count_invariance():
+    a = run_flagship(1)
+    b = run_flagship(8)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_repeated_runs_deterministic():
+    a = run_flagship(4)
+    b = run_flagship(4)
+    pd.testing.assert_frame_equal(a, b)

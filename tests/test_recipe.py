@@ -1,0 +1,85 @@
+"""Recipe-level behavior (port of reference tests/test_recipe.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from recipys_ray import (
+    Accumulator,
+    Recipe,
+    StepHistorical,
+    StepImputeFill,
+    StepScale,
+    all_numeric_predictors,
+    all_of,
+)
+
+from .conftest import f1_pandas, make_recipe, sorted_pdf
+
+
+def test_prep_bake_same_result():
+    """Reference test_recipe.py:17-21."""
+    rec = make_recipe(f1_pandas(nan_x1=True))
+    rec.add_step(StepImputeFill(sel=all_of(["x1"]), strategy="forward"))
+    rec.add_step(StepScale(sel=all_of(["x1"])))
+    prepped = sorted_pdf(rec.prep())
+    baked = sorted_pdf(rec.bake())
+    pd.testing.assert_frame_equal(prepped, baked)
+
+
+def test_bake_uses_fitted_state():
+    """Scale fitted on train data must be reused on bake data."""
+    train = f1_pandas()
+    rec = make_recipe(train)
+    rec.add_step(StepScale(sel=all_of(["x1"])))
+    rec.prep()
+    test = f1_pandas()
+    test["x1"] = test["x1"] + 100.0  # shifted distribution
+    out = sorted_pdf(rec.bake(rd.from_pandas(test)))
+    # baked with train mean/std → mean is shifted by 100/std, not ~0
+    assert abs(out["x1"].mean()) > 1
+
+
+def test_roles_init():
+    rec = make_recipe(f1_pandas())
+    assert rec.ingredients.roles["y"] == ["outcome"]
+    assert rec.ingredients.roles["x1"] == ["predictor"]
+    assert rec.ingredients.roles["id"] == ["group"]
+    assert rec.ingredients.roles["time"] == ["sequence"]
+
+
+def test_column_mismatch_raises():
+    rec = make_recipe(f1_pandas())
+    rec.add_step(StepImputeFill(value=0))
+    bad = f1_pandas().rename(columns={"x1": "z1"})
+    with pytest.raises(ValueError, match="differs from recipe data"):
+        rec.bake(rd.from_pandas(bad))
+
+
+def test_cache_keeps_fitted_steps():
+    rec = make_recipe(f1_pandas())
+    rec.add_step(StepScale(sel=all_of(["x1"])))
+    rec.prep()
+    rec.cache()
+    assert rec.ingredients is None
+    assert rec.steps[0].trained
+
+
+def test_no_group_for_group_step():
+    """Reference test_steps.py:55-58 — grouped step without group role runs."""
+    pdf = f1_pandas()
+    ds = rd.from_pandas(pdf)
+    rec = Recipe(ds, outcomes=["y"], predictors=["x1", "x2"])
+    rec.add_step(StepImputeFill(value=0))
+    rec.prep().to_pandas()
+
+
+def test_chained_new_columns_get_roles():
+    """Historical output columns become predictors and feed later steps
+    (matches reference role assignment, step.py:360-362)."""
+    rec = make_recipe(f1_pandas())
+    rec.add_step(StepHistorical(sel=all_of(["x1"]), fun=Accumulator.MAX))
+    rec.add_step(StepHistorical(fun=Accumulator.MEAN))  # picks up x1_max too
+    out = sorted_pdf(rec.prep())
+    assert "x1_max_mean" in out.columns

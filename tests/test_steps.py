@@ -1,0 +1,339 @@
+"""Per-step semantic tests, ported from the reference suite
+(reference: tests/test_steps.py) plus the null-semantics edge fixture
+(FIXTURES.md) and the engine's temporal extensions."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from recipys_ray import (
+    Accumulator,
+    Recipe,
+    StepDiff,
+    StepHistorical,
+    StepImputeFastForwardFill,
+    StepImputeFastZeroFill,
+    StepImputeFill,
+    StepImputeModel,
+    StepLag,
+    StepLead,
+    StepResampling,
+    StepScale,
+    StepSessionize,
+    all_numeric_predictors,
+    all_of,
+)
+
+from .conftest import f1_datetime, f1_pandas, make_recipe, sorted_pdf
+
+
+def null_fixture():
+    pdf = pd.DataFrame(
+        {
+            "id": [1, 1, 1, 1, 2, 2, 2],
+            "t": pd.to_datetime([0, 1, 2, 3, 0, 1, 2], unit="h"),
+            "x": [np.nan, 1.0, np.nan, 4.0, np.nan, 2.0, np.nan],
+        }
+    )
+    return Recipe(
+        rd.from_pandas(pdf),
+        predictors=["x"],
+        groups=["id"],
+        sequences=["t"],
+        partitions=2,
+    )
+
+
+class TestNullSemantics:
+    """FIXTURES.md edge fixture — exact expected outputs."""
+
+    def test_ffill(self):
+        rec = null_fixture().add_step(StepImputeFill(strategy="forward"))
+        out = sorted_pdf(rec.prep(), by=("id", "t"))
+        np.testing.assert_allclose(
+            out["x"], [np.nan, 1, 1, 4, np.nan, 2, 2], equal_nan=True
+        )
+
+    def test_bfill(self):
+        rec = null_fixture().add_step(StepImputeFill(strategy="backward"))
+        out = sorted_pdf(rec.prep(), by=("id", "t"))
+        np.testing.assert_allclose(
+            out["x"], [1, 1, 4, 4, 2, 2, np.nan], equal_nan=True
+        )
+
+    def test_group_mean_fill(self):
+        rec = null_fixture().add_step(StepImputeFill(strategy="mean"))
+        out = sorted_pdf(rec.prep(), by=("id", "t"))
+        np.testing.assert_allclose(out["x"], [2.5, 1, 2.5, 4, 2, 2, 2])
+
+    def test_historical_all(self):
+        rec = null_fixture()
+        for fun in (
+            Accumulator.MAX,
+            Accumulator.MIN,
+            Accumulator.COUNT,
+            Accumulator.MEAN,
+            Accumulator.VAR,
+            Accumulator.MEDIAN,
+        ):
+            rec.add_step(StepHistorical(sel=all_of(["x"]), fun=fun))
+        out = sorted_pdf(rec.prep(), by=("id", "t"))
+        np.testing.assert_allclose(
+            out["x_max"], [np.nan, 1, np.nan, 4, np.nan, 2, np.nan], equal_nan=True
+        )
+        np.testing.assert_allclose(
+            out["x_min"], [np.nan, 1, np.nan, 1, np.nan, 2, np.nan], equal_nan=True
+        )
+        np.testing.assert_allclose(out["x_count"], [0, 1, 1, 2, 0, 1, 1])
+        np.testing.assert_allclose(
+            out["x_mean"], [np.nan, 1, 1, 2.5, np.nan, 2, 2], equal_nan=True
+        )
+        np.testing.assert_allclose(
+            out["x_var"],
+            [np.nan, np.nan, np.nan, 4.5, np.nan, np.nan, np.nan],
+            equal_nan=True,
+        )
+        np.testing.assert_allclose(
+            out["x_median"], [np.nan, 1, 1, 2.5, np.nan, 2, 2], equal_nan=True
+        )
+
+    def test_global_mean_fill_without_groups(self):
+        pdf = pd.DataFrame(
+            {"t": pd.to_datetime(range(7), unit="h"),
+             "x": [np.nan, 1.0, np.nan, 4.0, np.nan, 2.0, np.nan]}
+        )
+        rec = Recipe(rd.from_pandas(pdf), predictors=["x"], sequences=["t"])
+        rec.add_step(StepImputeFill(strategy="mean"))
+        out = sorted_pdf(rec.prep(), by=("t",))
+        m = np.nanmean([1, 4, 2])
+        np.testing.assert_allclose(out["x"], [m, 1, m, 4, m, 2, m])
+
+
+class TestImputeSteps:
+    """Port of reference TestImputeSteps (test_steps.py:157-203)."""
+
+    def test_impute_fill(self):
+        rec = make_recipe(f1_pandas(nan_x2=True))
+        rec.add_step(StepImputeFill(strategy="forward"))
+        out = sorted_pdf(rec.prep())
+        np.testing.assert_allclose(
+            out["x2"], [0, 1, 1, 0, 0, 0, np.nan, 0, 0, 1], equal_nan=True
+        )
+        rec.add_step(StepImputeFill(sel=all_numeric_predictors(), value=0))
+        out = sorted_pdf(rec.prep())
+        np.testing.assert_allclose(out["x2"], [0, 1, 1, 0, 0, 0, 0, 0, 0, 1])
+
+    def test_fast_zero_fill(self):
+        rec = make_recipe(f1_pandas(nan_x2=True))
+        rec.add_step(StepImputeFastZeroFill(sel=all_numeric_predictors()))
+        out = sorted_pdf(rec.prep())
+        np.testing.assert_allclose(out["x2"], [0, 1, 0, 0, 0, 0, 0, 0, 0, 1])
+
+    def test_fast_forward_fill(self):
+        rec = make_recipe(f1_pandas(nan_x2=True))
+        rec.add_step(StepImputeFastForwardFill(sel=all_numeric_predictors()))
+        out = sorted_pdf(rec.prep())
+        np.testing.assert_allclose(
+            out["x2"], [0, 1, 1, 0, 0, 0, np.nan, 0, 0, 1], equal_nan=True
+        )
+
+    def test_impute_model(self):
+        def model(frame, groups):
+            # a "model" that fills with a constant 9
+            return frame.drop(columns=groups).fillna(9.0)
+
+        rec = make_recipe(f1_pandas(nan_x2=True))
+        rec.add_step(StepImputeModel(sel=all_of(["x2"]), model=model))
+        out = sorted_pdf(rec.prep())
+        np.testing.assert_allclose(out["x2"], [0, 1, 9, 0, 9, 0, 9, 0, 0, 1])
+
+
+class TestStepHistorical:
+    def test_last_row_equals_group_aggregate(self):
+        """Reference test_steps.py:128-154."""
+        rec = make_recipe(f1_pandas())
+        for fun, sfx in [
+            (Accumulator.MIN, "min"),
+            (Accumulator.MAX, "max"),
+            (Accumulator.MEAN, "mean"),
+            (Accumulator.MEDIAN, "median"),
+            (Accumulator.COUNT, "count"),
+            (Accumulator.VAR, "var"),
+        ]:
+            rec.add_step(
+                StepHistorical(sel=all_of(["x1", "x2"]), fun=fun, suffix=sfx)
+            )
+        out = sorted_pdf(rec.prep())
+        g2 = out[out["id"] == 2]
+        assert out["x1_min"].iloc[-1] == g2["x1"].min()
+        assert out["x1_max"].iloc[-1] == g2["x1"].max()
+        np.testing.assert_allclose(out["x1_mean"].iloc[-1], g2["x1"].mean())
+        np.testing.assert_allclose(out["x1_median"].iloc[-1], g2["x1"].median())
+        assert out["x1_count"].iloc[-1] == g2["x1"].count()
+        np.testing.assert_allclose(out["x1_var"].iloc[-1], g2["x1"].var())
+
+    def test_rejects_first_last(self):
+        rec = null_fixture().add_step(
+            StepHistorical(sel=all_of(["x"]), fun=Accumulator.LAST)
+        )
+        with pytest.raises(Exception):
+            rec.prep().to_pandas()
+
+
+class TestTemporalSteps:
+    def test_lag_lead_diff(self):
+        rec = null_fixture()
+        rec.add_step(StepLag(sel=all_of(["x"]), shifts=[1, 2]))
+        rec.add_step(StepLead(sel=all_of(["x"]), shifts=[1]))
+        rec.add_step(StepDiff(sel=all_of(["x"]), shifts=[1]))
+        out = sorted_pdf(rec.prep(), by=("id", "t"))
+        np.testing.assert_allclose(
+            out["x_lag1"],
+            [np.nan, np.nan, 1, np.nan, np.nan, np.nan, 2],
+            equal_nan=True,
+        )
+        np.testing.assert_allclose(
+            out["x_lag2"],
+            [np.nan, np.nan, np.nan, 1, np.nan, np.nan, np.nan],
+            equal_nan=True,
+        )
+        np.testing.assert_allclose(
+            out["x_lead1"],
+            [1, np.nan, 4, np.nan, 2, np.nan, np.nan],
+            equal_nan=True,
+        )
+        # x - lag1(x) over [nan,1,nan,4] is null everywhere (nan operands)
+        assert out["x_diff1"].isna().all()
+
+    def test_diff_dense(self):
+        pdf = pd.DataFrame(
+            {
+                "id": [1, 1, 1, 2, 2],
+                "t": pd.to_datetime([0, 1, 2, 0, 1], unit="h"),
+                "x": [1.0, 3.0, 6.0, 10.0, 14.0],
+            }
+        )
+        rec = Recipe(
+            rd.from_pandas(pdf), predictors=["x"], groups=["id"],
+            sequences=["t"], partitions=2,
+        )
+        rec.add_step(StepDiff(sel=all_of(["x"]), shifts=[1]))
+        out = sorted_pdf(rec.prep(), by=("id", "t"))
+        np.testing.assert_allclose(
+            out["x_diff1"], [np.nan, 2, 3, np.nan, 4], equal_nan=True
+        )
+
+    def test_sessionize(self):
+        pdf = pd.DataFrame(
+            {
+                "id": [1, 1, 1, 1, 2, 2],
+                "ts": pd.to_datetime(
+                    ["2020-01-01 00:00", "2020-01-01 00:10",
+                     "2020-01-01 01:00", "2020-01-01 01:05",
+                     "2020-01-01 00:00", "2020-01-01 09:00"]
+                ),
+                "x": [1.0, 2, 3, 4, 5, 6],
+            }
+        )
+        rec = Recipe(
+            rd.from_pandas(pdf), predictors=["x"], groups=["id"],
+            sequences=["ts"], partitions=2,
+        )
+        rec.add_step(StepSessionize(gap="30m"))
+        out = sorted_pdf(rec.prep(), by=("id", "ts"))
+        assert out["session_id"].tolist() == [0, 0, 1, 1, 0, 1]
+
+
+class TestStepResampling:
+    def test_grid_halves_rows(self):
+        """Reference test_steps.py:61-124 — '2h' on hourly data halves rows."""
+        rec = make_recipe(f1_datetime())
+        rec.add_step(
+            StepResampling(
+                "2h", accumulator_dict={all_numeric_predictors(): Accumulator.MEAN}
+            )
+        )
+        out = rec.prep().to_pandas()
+        assert len(out) == 5
+
+    def test_grid_without_selectors(self):
+        rec = make_recipe(f1_datetime())
+        rec.add_step(StepResampling("2h"))
+        out = rec.prep().to_pandas()
+        assert len(out) == 5
+
+    def test_grid_inserts_and_fills(self):
+        # group 1 with a hole at 2h: grid must insert it; LAST → ffill
+        pdf = pd.DataFrame(
+            {
+                "id": [1, 1, 1],
+                "time": pd.to_datetime(["2020-01-01 00:00",
+                                        "2020-01-01 01:00",
+                                        "2020-01-01 04:00"]),
+                "x1": [1.0, 2.0, 5.0],
+            }
+        )
+        rec = Recipe(
+            rd.from_pandas(pdf), predictors=["x1"], groups=["id"],
+            sequences=["time"], partitions=2,
+        )
+        rec.add_step(StepResampling("1h"))  # default LAST
+        out = sorted_pdf(rec.prep(), by=("id", "time"))
+        assert len(out) == 5
+        np.testing.assert_allclose(out["x1"], [1, 2, 2, 2, 5])
+
+    def test_agg_mode(self):
+        pdf = pd.DataFrame(
+            {
+                "id": [1, 1, 1, 1],
+                "time": pd.to_datetime(["2020-01-01 00:00", "2020-01-01 00:30",
+                                        "2020-01-01 01:00", "2020-01-01 01:30"]),
+                "x1": [1.0, 3.0, 5.0, 7.0],
+            }
+        )
+        rec = Recipe(
+            rd.from_pandas(pdf), predictors=["x1"], groups=["id"],
+            sequences=["time"], partitions=2,
+        )
+        rec.add_step(
+            StepResampling(
+                "1h",
+                accumulator_dict={all_of(["x1"]): Accumulator.MEAN},
+                mode="agg",
+            )
+        )
+        out = sorted_pdf(rec.prep(), by=("id", "time"))
+        np.testing.assert_allclose(out["x1"], [2.0, 6.0])
+
+    def test_requires_sequence(self):
+        pdf = f1_pandas().drop(columns=["time"])
+        rec = Recipe(rd.from_pandas(pdf), predictors=["x1"], groups=["id"])
+        rec.add_step(StepResampling("2h"))
+        with pytest.raises(AssertionError):
+            rec.prep()
+
+
+class TestScaleStep:
+    def test_scale_default(self):
+        rec = make_recipe(f1_pandas(nan_x1=True, nan_x2=True))
+        rec.add_step(StepScale(all_numeric_predictors()))
+        out = sorted_pdf(rec.prep())
+        assert abs(np.nanmean(out["x1"])) < 1e-5
+        assert abs(np.nanmean(out["x2"])) < 1e-5
+
+    def test_scale_w_args(self):
+        rec = make_recipe(f1_pandas())
+        rec.add_step(
+            StepScale(all_numeric_predictors(), with_mean=False, with_std=False)
+        )
+        out = sorted_pdf(rec.prep())
+        assert abs(out["x1"].mean()) > 1
+        assert abs(out["x1"].var()) > 1.5
+
+    def test_scale_w_sel(self):
+        rec = make_recipe(f1_pandas())
+        rec.add_step(StepScale(sel=all_of(["x2"])))
+        out = sorted_pdf(rec.prep())
+        assert abs(out["x2"].mean()) < 1e-5
+        assert abs(out["x1"].mean()) > 1

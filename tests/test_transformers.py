@@ -1,0 +1,242 @@
+"""Native transformer family via StepSklearn (conformance surface of the
+reference's sklearn tests, reference tests/test_steps.py:228-441) —
+distributed fit vs numpy-computed expectations."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from recipys_ray import Recipe, StepSklearn, all_of
+from recipys_ray.transformers import (
+    Binarizer,
+    FunctionTransformer,
+    KBinsDiscretizer,
+    KNNImputer,
+    LabelBinarizer,
+    LabelEncoder,
+    MaxAbsScaler,
+    MinMaxScaler,
+    MissingIndicator,
+    Normalizer,
+    OneHotEncoder,
+    OrdinalEncoder,
+    PolynomialFeatures,
+    QuantileTransformer,
+    RobustScaler,
+    SimpleImputer,
+    StandardScaler,
+)
+
+from .conftest import f1_pandas, make_recipe, sorted_pdf
+
+
+def run_step(step, pdf=None, **recipe_kw):
+    rec = make_recipe(pdf if pdf is not None else f1_pandas(), **recipe_kw)
+    rec.add_step(step)
+    return sorted_pdf(rec.prep())
+
+
+def test_standard_scaler_matches_numpy():
+    pdf = f1_pandas(nan_x1=True)
+    out = run_step(StepSklearn(StandardScaler(), sel=all_of(["x1"])), pdf)
+    x = pdf["x1"].to_numpy()
+    exp = (x - np.nanmean(x)) / np.nanstd(x)
+    np.testing.assert_allclose(out["x1"], exp, equal_nan=True)
+
+
+def test_minmax_scaler():
+    pdf = f1_pandas()
+    out = run_step(StepSklearn(MinMaxScaler(), sel=all_of(["x1"])), pdf)
+    x = pdf["x1"].to_numpy()
+    np.testing.assert_allclose(out["x1"], (x - x.min()) / (x.max() - x.min()))
+
+
+def test_maxabs_scaler():
+    pdf = f1_pandas()
+    out = run_step(StepSklearn(MaxAbsScaler(), sel=all_of(["x1"])), pdf)
+    x = pdf["x1"].to_numpy()
+    np.testing.assert_allclose(out["x1"], x / np.abs(x).max())
+
+
+def test_robust_scaler():
+    pdf = f1_pandas()
+    out = run_step(StepSklearn(RobustScaler(), sel=all_of(["x1"])), pdf)
+    x = pdf["x1"].to_numpy()
+    q1, q2, q3 = np.percentile(x, [25, 50, 75])
+    np.testing.assert_allclose(out["x1"], (x - q2) / (q3 - q1))
+
+
+def test_binarizer():
+    pdf = f1_pandas()
+    out = run_step(StepSklearn(Binarizer(threshold=10.0), sel=all_of(["x1"])), pdf)
+    x = pdf["x1"].to_numpy()
+    np.testing.assert_allclose(out["x1"], (x > 10.0).astype(float))
+
+
+def test_normalizer_rowwise():
+    pdf = f1_pandas()
+    out = run_step(
+        StepSklearn(Normalizer(), sel=all_of(["x1", "x2"])), pdf
+    )
+    M = pdf[["x1", "x2"]].to_numpy(dtype=float)
+    exp = M / np.sqrt((M * M).sum(axis=1))[:, None]
+    np.testing.assert_allclose(out[["x1", "x2"]].to_numpy(), exp)
+
+
+def test_simple_imputer_mean_median_mf():
+    pdf = f1_pandas(nan_x1=True)
+    x = pdf["x1"].to_numpy()
+    out = run_step(
+        StepSklearn(SimpleImputer(strategy="mean"), sel=all_of(["x1"])), pdf
+    )
+    np.testing.assert_allclose(
+        out["x1"], np.where(np.isnan(x), np.nanmean(x), x)
+    )
+    out = run_step(
+        StepSklearn(SimpleImputer(strategy="median"), sel=all_of(["x1"])), pdf
+    )
+    np.testing.assert_allclose(
+        out["x1"], np.where(np.isnan(x), np.nanmedian(x), x)
+    )
+    out = run_step(
+        StepSklearn(SimpleImputer(strategy="constant", fill_value=-1.0),
+                    sel=all_of(["x1"])),
+        pdf,
+    )
+    np.testing.assert_allclose(out["x1"], np.where(np.isnan(x), -1.0, x))
+
+
+def test_missing_indicator():
+    pdf = f1_pandas(nan_x1=True)
+    out = run_step(
+        StepSklearn(MissingIndicator(), sel=all_of(["x1", "x2"]),
+                    in_place=False),
+        pdf,
+    )
+    # only x1 has missing values → single output column, reference naming
+    assert "MissingIndicator_1" in out.columns
+    np.testing.assert_array_equal(
+        out["MissingIndicator_1"], pdf["x1"].isna()
+    )
+
+
+def test_kbins_uniform():
+    pdf = f1_pandas()
+    out = run_step(
+        StepSklearn(KBinsDiscretizer(n_bins=3, strategy="uniform"),
+                    sel=all_of(["x1"])),
+        pdf,
+    )
+    x = pdf["x1"].to_numpy()
+    edges = np.linspace(x.min(), x.max(), 4)
+    exp = np.clip(np.searchsorted(edges[1:-1], x, side="right"), 0, 2)
+    np.testing.assert_allclose(out["x1"], exp)
+
+
+def test_quantile_transformer_uniform():
+    pdf = f1_pandas()
+    out = run_step(
+        StepSklearn(QuantileTransformer(n_quantiles=10), sel=all_of(["x1"])),
+        pdf,
+    )
+    # rank-based: min→0, max→1, monotone
+    x = pdf["x1"].to_numpy()
+    assert out["x1"].iloc[np.argsort(x)].is_monotonic_increasing
+    np.testing.assert_allclose(out["x1"].min(), 0.0, atol=1e-9)
+    np.testing.assert_allclose(out["x1"].max(), 1.0, atol=1e-9)
+
+
+def test_ordinal_encoder():
+    pdf = f1_pandas()
+    out = run_step(
+        StepSklearn(OrdinalEncoder(), sel=all_of(["x3", "x4"])), pdf
+    )
+    cats3 = sorted(pdf["x3"].unique())
+    exp3 = pdf["x3"].map({c: i for i, c in enumerate(cats3)}).to_numpy()
+    np.testing.assert_allclose(out["x3"], exp3)
+
+
+def test_one_hot_encoder():
+    pdf = f1_pandas()
+    out = run_step(
+        StepSklearn(OneHotEncoder(), sel=all_of(["x3"]), in_place=False), pdf
+    )
+    # 3 categories → generic naming OneHotEncoder_{i+1}
+    cols = [c for c in out.columns if c.startswith("OneHotEncoder_")]
+    assert len(cols) == 3
+    onehot = out[cols].to_numpy()
+    assert (onehot.sum(axis=1) == 1).all()
+    codes = pd.Categorical(pdf["x3"], categories=sorted(pdf["x3"].unique())).codes
+    np.testing.assert_allclose(np.argmax(onehot, axis=1), codes)
+
+
+def test_one_hot_sparse_raises():
+    with pytest.raises(Exception, match="sparse"):
+        run_step(
+            StepSklearn(OneHotEncoder(sparse_output=True), sel=all_of(["x3"]),
+                        in_place=False)
+        )
+
+
+def test_label_encoder_columnwise():
+    pdf = f1_pandas()
+    out = run_step(
+        StepSklearn(LabelEncoder(), sel=all_of(["x4"]), columnwise=True), pdf
+    )
+    exp = (pdf["x4"] == "y").astype(int).to_numpy()
+    np.testing.assert_allclose(out["x4"], exp)
+
+
+def test_label_encoder_2d_raises():
+    with pytest.raises(ValueError, match="1d array"):
+        run_step(StepSklearn(LabelEncoder(), sel=all_of(["x3", "x4"])))
+
+
+def test_label_binarizer_binary_single_column():
+    pdf = f1_pandas()
+    out = run_step(
+        StepSklearn(LabelBinarizer(), sel=all_of(["x4"]), columnwise=True),
+        pdf,
+    )
+    exp = (pdf["x4"] == "y").astype(int).to_numpy()
+    np.testing.assert_allclose(out["x4"], exp)
+
+
+def test_polynomial_features():
+    pdf = f1_pandas()
+    out = run_step(
+        StepSklearn(
+            PolynomialFeatures(degree=2, include_bias=False),
+            sel=all_of(["x1", "x2"]),
+            in_place=False,
+        ),
+        pdf,
+    )
+    cols = [c for c in out.columns if c.startswith("PolynomialFeatures_")]
+    assert len(cols) == 5  # x1, x2, x1², x1x2, x2²
+    np.testing.assert_allclose(
+        out["PolynomialFeatures_3"],
+        (pdf["x1"] * pdf["x1"]).to_numpy(),
+    )
+
+
+def test_function_transformer_log1p():
+    pdf = f1_pandas()
+    out = run_step(
+        StepSklearn(FunctionTransformer(np.log1p), sel=all_of(["x1"])), pdf
+    )
+    np.testing.assert_allclose(out["x1"], np.log1p(pdf["x1"]))
+
+
+def test_columnwise_in_place_multicol_raises():
+    with pytest.raises(ValueError, match="in_place=False"):
+        run_step(
+            StepSklearn(OneHotEncoder(), sel=all_of(["x3"]), columnwise=True,
+                        in_place=True)
+        )
+
+
+def test_iterative_transformers_not_closed_form():
+    with pytest.raises(NotImplementedError, match="closed-form"):
+        KNNImputer()
