@@ -1,16 +1,7 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (nor in recipys_ray) calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -20,25 +11,40 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship feature-bake over sf0.001 events: ffill → historical
+    min/max/mean/count → lag → sessionize → scale, one grouped shuffle +
+    one fit pass. Returns a (lazy) ray.data.Dataset."""
+    import ray.data as rd
+
+    import recipys_ray as rr
+    from recipys_ray.selector import all_of
+    from recipys_ray.steps.historical import Accumulator
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    rec = rr.Recipe(
+        ds,
+        predictors=["value"],
+        groups=["user_id"],
+        sequences=["ts", "event_id"],
+    )
+    rec.add_step(rr.StepImputeFill(sel=all_of(["value"]), strategy="forward"))
+    rec.add_step(rr.StepHistorical(sel=all_of(["value"]), fun=Accumulator.MIN))
+    rec.add_step(rr.StepHistorical(sel=all_of(["value"]), fun=Accumulator.MAX))
+    rec.add_step(rr.StepHistorical(sel=all_of(["value"]), fun=Accumulator.MEAN))
+    rec.add_step(rr.StepHistorical(sel=all_of(["value"]), fun=Accumulator.COUNT))
+    rec.add_step(rr.StepLag(sel=all_of(["value"]), shifts=[1]))
+    rec.add_step(rr.StepSessionize(gap="30m"))
+    rec.add_step(rr.StepScale(sel=all_of(["value"])))
+    return rec.prep()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from recipys_ray.pipelines.driver_queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from recipys_ray.pipelines.driver_queries import ORACLES
+
+    return dict(ORACLES)

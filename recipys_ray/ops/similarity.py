@@ -1,0 +1,163 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+- :func:`knn_brute_force` — exact baseline: per-batch numpy matmul against a
+  broadcast query matrix, per-batch top-k partials, tiny driver merge. One
+  streaming pass, no shuffle; the query matrix is shipped once per worker
+  (closure capture → Ray object store), not per batch.
+- :func:`knn_ivf` — the scale path: k-means centroids fitted on a sample
+  (driver-side numpy Lloyd iterations), one assignment pass, then the search
+  touches only batches' rows belonging to the nprobe closest centroids per
+  query.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _normalize(M: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(M, axis=1)
+    n[n == 0] = 1.0
+    return M / n[:, None]
+
+
+class _BatchTopK:
+    """Stateful actor: query matrix normalized once per actor."""
+
+    def __init__(self, queries: np.ndarray, k: int, emb_col: str, id_col: str):
+        # float64 so similarity ordering matches double-precision oracles
+        self.Q = _normalize(np.asarray(queries, dtype=np.float64))
+        self.k = k
+        self.emb_col = emb_col
+        self.id_col = id_col
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        emb = np.stack(tbl.column(self.emb_col).to_pandas().to_numpy()).astype(
+            np.float64
+        )
+        ids = tbl.column(self.id_col).to_numpy(zero_copy_only=False)
+        sims = _normalize(emb) @ self.Q.T  # (n, q)
+        k = min(self.k, sims.shape[0])
+        top = np.argpartition(-sims, k - 1, axis=0)[:k]  # (k, q)
+        q_idx = np.repeat(np.arange(self.Q.shape[0]), k)
+        flat = top.T.reshape(-1)
+        return pa.table(
+            {
+                "query_idx": pa.array(q_idx.astype(np.int64)),
+                self.id_col: pa.array(ids[flat]),
+                "sim": pa.array(sims[flat, q_idx].astype(np.float64)),
+            }
+        )
+
+
+def knn_brute_force(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    concurrency: int = 4,
+) -> pd.DataFrame:
+    """Exact cosine top-k: returns (query_idx, id, sim, rank), rank 0 = best."""
+    partials = ds.map_batches(
+        _BatchTopK,
+        fn_constructor_kwargs={
+            "queries": queries,
+            "k": k,
+            "emb_col": emb_col,
+            "id_col": id_col,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    ).to_pandas()  # per-batch top-k only — tiny
+    out = []
+    for q, grp in partials.groupby("query_idx"):
+        grp = grp.sort_values(
+            ["sim", id_col], ascending=[False, True], kind="stable"
+        ).head(k)
+        grp = grp.assign(rank=np.arange(len(grp)))
+        out.append(grp)
+    return pd.concat(out, ignore_index=True)
+
+
+def _kmeans_fit(X: np.ndarray, n_clusters: int, iters: int = 10, seed: int = 3):
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=n_clusters, replace=False)].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(n_clusters):
+            m = assign == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+    return C
+
+
+def knn_ivf(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    sample_size: int = 10_000,
+    seed: int = 3,
+) -> pd.DataFrame:
+    """IVF-style ANN: centroids from a sample, probe nprobe cells per query.
+
+    The centroid model is tiny and broadcast in the stage closure; the
+    filtering happens inside each batch, so only candidate rows pay the
+    matmul. Exactness degrades gracefully with nprobe (recall < 1).
+    """
+    sample = ds.limit(sample_size).to_pandas()
+    X = np.stack(sample[emb_col].to_numpy()).astype(np.float32)
+    C = _kmeans_fit(_normalize(X), n_clusters, seed=seed)
+    Qn = _normalize(np.asarray(queries, dtype=np.float32))
+    probe = np.argsort(-(Qn @ _normalize(C).T), axis=1)[:, :nprobe]  # (q, nprobe)
+    allowed = np.unique(probe)
+
+    class _IVFTopK(_BatchTopK):
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            emb = np.stack(
+                tbl.column(emb_col).to_pandas().to_numpy()
+            ).astype(np.float32)
+            ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+            cell = (_normalize(emb) @ _normalize(C).T).argmax(axis=1)
+            mask = np.isin(cell, allowed)
+            if not mask.any():
+                return pa.table(
+                    {
+                        "query_idx": pa.array([], pa.int64()),
+                        id_col: pa.array([], pa.from_numpy_dtype(ids.dtype)),
+                        "sim": pa.array([], pa.float64()),
+                    }
+                )
+            sub = pa.table(
+                {
+                    id_col: pa.array(ids[mask]),
+                    emb_col: pa.array(list(emb[mask])),
+                }
+            )
+            return super().__call__(sub)
+
+    partials = ds.map_batches(
+        _IVFTopK,
+        fn_constructor_kwargs={
+            "queries": queries,
+            "k": k,
+            "emb_col": emb_col,
+            "id_col": id_col,
+        },
+        batch_format="pyarrow",
+    ).to_pandas()
+    out = []
+    for q, grp in partials.groupby("query_idx"):
+        grp = grp.sort_values(
+            ["sim", id_col], ascending=[False, True], kind="stable"
+        ).head(k)
+        grp = grp.assign(rank=np.arange(len(grp)))
+        out.append(grp)
+    return pd.concat(out, ignore_index=True) if out else partials

@@ -1,0 +1,156 @@
+"""Text analysis stages for large-scale training-data pipelines.
+
+All stages are actor-pool ``map_batches`` callables: regexes/stopword tables
+are compiled ONCE per actor in ``__init__``, each ``__call__`` is a
+vectorized pass over one Arrow batch. Use as::
+
+    ds.map_batches(TextFeaturizer(), batch_format="pyarrow",
+                   concurrency=8, batch_size=4096)
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# tiny per-language stopword lists for the n-gram/stopword language heuristic
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "pas", "pour", "que"},
+    "es": {"el", "la", "los", "y", "es", "un", "una", "no", "por", "que"},
+}
+
+_FNV_OFFSET = np.uint64(1469598103934665603)
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+def fnv1a_u64(strings: "pd.Series") -> np.ndarray:
+    """Vectorized-enough FNV-1a 64-bit hash of a string series (one C-level
+    loop per string via Python hash of bytes would be unstable across runs;
+    FNV is deterministic and cheap)."""
+    out = np.empty(len(strings), dtype=np.uint64)
+    for i, s in enumerate(strings):
+        h = _FNV_OFFSET
+        for b in s.encode("utf-8", "ignore"):
+            h = np.uint64((int(h) ^ b) * int(_FNV_PRIME) & 0xFFFFFFFFFFFFFFFF)
+        out[i] = h
+    return out
+
+
+def fast_str_hash(strings: pd.Series) -> np.ndarray:
+    """Deterministic 64-bit content hash, vectorized via pandas' stable
+    string hashing (same across processes)."""
+    return pd.util.hash_array(strings.to_numpy(dtype=object)).astype(np.uint64)
+
+
+class TextFeaturizer:
+    """Adds language-ID, quality, token-count and fingerprint columns.
+
+    Outputs: n_chars_calc (int64), n_words (int64), token_count (int64,
+    BPE-ish regex tokens), stop_ratio, punct_ratio, upper_ratio, digit_ratio,
+    quality_score (double), lang (string), fingerprint (int64 min-hash of
+    word 3-shingles — document-level rolling fingerprint).
+    """
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.word_re = re.compile(r"\w+", re.UNICODE)
+        # BPE-ish: words, numbers, or single non-space symbols
+        self.token_re = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+        self.punct_re = re.compile(r"[^\w\s]", re.UNICODE)
+        self.stop_tables = {
+            lang: frozenset(words) for lang, words in _STOPWORDS.items()
+        }
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        texts = tbl.column(self.text_col).to_pandas().fillna("")
+        n = len(texts)
+        n_chars = texts.str.len().to_numpy(dtype=np.int64)
+        words_list = [self.word_re.findall(t.lower()) for t in texts]
+        n_words = np.array([len(w) for w in words_list], dtype=np.int64)
+        token_count = np.array(
+            [len(self.token_re.findall(t)) for t in texts], dtype=np.int64
+        )
+        punct = np.array(
+            [len(self.punct_re.findall(t)) for t in texts], dtype=np.int64
+        )
+        upper = texts.str.count(r"[A-Z]").to_numpy(dtype=np.int64)
+        digit = texts.str.count(r"[0-9]").to_numpy(dtype=np.int64)
+
+        denom = np.maximum(n_chars, 1).astype(np.float64)
+        wdenom = np.maximum(n_words, 1).astype(np.float64)
+        punct_ratio = punct / denom
+        upper_ratio = upper / denom
+        digit_ratio = digit / denom
+
+        # language id: argmax stopword hit ratio; "und" if no hits
+        lang_scores = np.zeros((n, len(self.stop_tables)))
+        langs = list(self.stop_tables)
+        for j, lang in enumerate(langs):
+            table = self.stop_tables[lang]
+            lang_scores[:, j] = [
+                sum(1 for w in ws if w in table) for ws in words_list
+            ]
+        best = lang_scores.argmax(axis=1)
+        hit = lang_scores.max(axis=1) > 0
+        lang = np.where(hit, np.array(langs, dtype=object)[best], "und")
+        stop_ratio = lang_scores.max(axis=1) / wdenom
+
+        # quality: bounded heuristic in [0,1] — long enough, low punct/digit
+        # noise, reasonable mean word length
+        mean_wlen = n_chars / wdenom
+        quality = (
+            np.clip(n_words / 20.0, 0, 1) * 0.4
+            + np.clip(1.0 - punct_ratio * 4, 0, 1) * 0.3
+            + np.clip(1.0 - digit_ratio * 4, 0, 1) * 0.2
+            + np.where((mean_wlen > 2) & (mean_wlen < 12), 0.1, 0.0)
+        )
+
+        # fingerprint: min over rolling 3-word shingle hashes (stable int64)
+        fp = np.empty(n, dtype=np.int64)
+        for i, ws in enumerate(words_list):
+            if len(ws) < 3:
+                key = " ".join(ws)
+                fp[i] = np.int64(
+                    int(pd.util.hash_array(np.array([key], dtype=object))[0])
+                    & 0x7FFFFFFFFFFFFFFF
+                )
+            else:
+                shingles = np.array(
+                    [" ".join(ws[k : k + 3]) for k in range(len(ws) - 2)],
+                    dtype=object,
+                )
+                fp[i] = np.int64(
+                    int(pd.util.hash_array(shingles).min()) & 0x7FFFFFFFFFFFFFFF
+                )
+
+        for name, arr in [
+            ("n_chars_calc", pa.array(n_chars)),
+            ("n_words", pa.array(n_words)),
+            ("token_count", pa.array(token_count)),
+            ("stop_ratio", pa.array(stop_ratio)),
+            ("punct_ratio", pa.array(punct_ratio)),
+            ("upper_ratio", pa.array(upper_ratio)),
+            ("digit_ratio", pa.array(digit_ratio)),
+            ("quality_score", pa.array(quality)),
+            ("lang_pred", pa.array(lang.astype(object))),
+            ("fingerprint", pa.array(fp)),
+        ]:
+            tbl = tbl.append_column(name, arr)
+        return tbl
+
+
+def text_features(ds, text_col: str = "text", concurrency: int = 4,
+                  batch_size: int = 4096):
+    """Actor-pool text featurization stage."""
+    return ds.map_batches(
+        TextFeaturizer,
+        fn_constructor_kwargs={"text_col": text_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )

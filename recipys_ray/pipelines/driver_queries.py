@@ -1,0 +1,595 @@
+"""Driver-contract queries: every operator from SURVEY.md §2 exercised over
+the read-only testdata tables, each with a DuckDB-equivalent oracle SQL
+(column names match exactly; non-SQL-expressible ops are rows-only).
+
+The ``events`` table maps onto the engine as group=user_id,
+sequence=(ts, event_id), predictor=value. Since the driver's ``value`` column
+has no nulls, imputation queries derive a deterministic nulled column
+``valn = CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END`` identically on
+both sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+import recipys_ray as rr
+from recipys_ray.selector import all_of
+from recipys_ray.steps.historical import Accumulator
+from recipys_ray.transformers import (
+    Binarizer,
+    KBinsDiscretizer,
+    MinMaxScaler,
+    OneHotEncoder,
+    OrdinalEncoder,
+    RobustScaler,
+)
+
+_VALN_SQL = "CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END"
+_WIN = "PARTITION BY user_id ORDER BY ts, event_id"
+_EXP = f"{_WIN} ROWS UNBOUNDED PRECEDING"
+
+
+def _events(sf_dir: str):
+    return rd.read_parquet(f"{sf_dir}/events.parquet")
+
+
+def _with_valn(ds):
+    def add(tbl: pa.Table) -> pa.Table:
+        eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+        mask = pa.array(eid % 7 == 0)
+        valn = pc.if_else(mask, pa.scalar(None, pa.float64()), tbl.column("value"))
+        return tbl.append_column("valn", valn)
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def _recipe(ds, predictors=("valn",), grouped=True):
+    return rr.Recipe(
+        ds,
+        predictors=list(predictors),
+        groups=["user_id"] if grouped else None,
+        sequences=["ts", "event_id"],
+    )
+
+
+def _select(ds, cols):
+    return ds.select_columns(list(cols))
+
+
+# --------------------------------------------------------------------- #
+# imputation family (StepImputeFill, reference step.py:121-199)
+# --------------------------------------------------------------------- #
+def q_impute_zero(sf_dir):
+    rec = _recipe(_with_valn(_events(sf_dir)))
+    rec.add_step(rr.StepImputeFill(sel=all_of(["valn"]), value=0))
+    return _select(rec.prep(), ["event_id", "valn"])
+
+
+def q_impute_ffill(sf_dir):
+    rec = _recipe(_with_valn(_events(sf_dir)))
+    rec.add_step(rr.StepImputeFill(sel=all_of(["valn"]), strategy="forward"))
+    return _select(rec.prep(), ["event_id", "valn"])
+
+
+def q_impute_bfill(sf_dir):
+    rec = _recipe(_with_valn(_events(sf_dir)))
+    rec.add_step(rr.StepImputeFill(sel=all_of(["valn"]), strategy="backward"))
+    return _select(rec.prep(), ["event_id", "valn"])
+
+
+def q_impute_group_mean(sf_dir):
+    rec = _recipe(_with_valn(_events(sf_dir)))
+    rec.add_step(rr.StepImputeFill(sel=all_of(["valn"]), strategy="mean"))
+    return _select(rec.prep(), ["event_id", "valn"])
+
+
+def q_impute_global_mean(sf_dir):
+    rec = _recipe(_with_valn(_events(sf_dir)), grouped=False)
+    rec.add_step(rr.StepImputeFill(sel=all_of(["valn"]), strategy="mean"))
+    return _select(rec.prep(), ["event_id", "valn"])
+
+
+# --------------------------------------------------------------------- #
+# historical expanding aggregates (StepHistorical, reference step.py:263-363)
+# --------------------------------------------------------------------- #
+def q_historical(sf_dir):
+    rec = _recipe(_with_valn(_events(sf_dir)))
+    for fun in (
+        Accumulator.MIN,
+        Accumulator.MAX,
+        Accumulator.MEAN,
+        Accumulator.COUNT,
+        Accumulator.VAR,
+        Accumulator.MEDIAN,
+    ):
+        rec.add_step(rr.StepHistorical(sel=all_of(["valn"]), fun=fun))
+    out = rec.prep()
+
+    def cast_count(tbl: pa.Table) -> pa.Table:
+        i = tbl.column_names.index("valn_count")
+        return tbl.set_column(
+            i, "valn_count", tbl.column("valn_count").cast(pa.int64())
+        )
+
+    out = out.map_batches(cast_count, batch_format="pyarrow")
+    return _select(
+        out,
+        ["event_id", "valn_min", "valn_max", "valn_mean", "valn_count",
+         "valn_var", "valn_median"],
+    )
+
+
+def q_hist_lineitem(sf_dir):
+    """Volume variant on lineitem (group=l_orderkey, seq=l_linenumber)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+    )
+    # (l_orderkey, l_linenumber) is NOT unique in this synthetic lineitem —
+    # include the aggregated columns in the sort key so any remaining ties
+    # are value-identical and the expanding results are order-invariant
+    rec = rr.Recipe(
+        ds,
+        predictors=["l_quantity", "l_extendedprice"],
+        groups=["l_orderkey"],
+        sequences=["l_linenumber", "l_quantity", "l_extendedprice"],
+    )
+    rec.add_step(
+        rr.StepHistorical(sel=all_of(["l_quantity"]), fun=Accumulator.MEAN)
+    )
+    rec.add_step(
+        rr.StepHistorical(sel=all_of(["l_quantity"]), fun=Accumulator.MAX)
+    )
+    rec.add_step(rr.StepLag(sel=all_of(["l_extendedprice"]), shifts=[1]))
+    return _select(
+        rec.prep(),
+        ["l_orderkey", "l_linenumber", "l_quantity_mean", "l_quantity_max",
+         "l_extendedprice_lag1"],
+    )
+
+
+# --------------------------------------------------------------------- #
+# lag / lead / diff / sessionize (north-rule extensions)
+# --------------------------------------------------------------------- #
+def q_lag_lead(sf_dir):
+    rec = _recipe(_with_valn(_events(sf_dir)))
+    rec.add_step(rr.StepLag(sel=all_of(["valn"]), shifts=[1]))
+    rec.add_step(rr.StepLead(sel=all_of(["valn"]), shifts=[1]))
+    rec.add_step(rr.StepDiff(sel=all_of(["valn"]), shifts=[1]))
+    return _select(
+        rec.prep(), ["event_id", "valn_lag1", "valn_lead1", "valn_diff1"]
+    )
+
+
+def q_sessionize(sf_dir):
+    rec = _recipe(_with_valn(_events(sf_dir)))
+    rec.add_step(rr.StepSessionize(gap="30m"))
+    return _select(rec.prep(), ["event_id", "session_id"])
+
+
+# --------------------------------------------------------------------- #
+# scaling / encoding / discretizing (StepScale + StepSklearn family)
+# --------------------------------------------------------------------- #
+def q_scale_standard(sf_dir):
+    rec = _recipe(_with_valn(_events(sf_dir)))
+    rec.add_step(rr.StepScale(sel=all_of(["valn"])))
+    return _select(rec.prep(), ["event_id", "valn"])
+
+
+def q_scale_minmax(sf_dir):
+    rec = _recipe(_with_valn(_events(sf_dir)))
+    rec.add_step(rr.StepSklearn(MinMaxScaler(), sel=all_of(["valn"])))
+    return _select(rec.prep(), ["event_id", "valn"])
+
+
+def q_scale_robust(sf_dir):
+    rec = _recipe(_with_valn(_events(sf_dir)))
+    rec.add_step(rr.StepSklearn(RobustScaler(), sel=all_of(["valn"])))
+    return _select(rec.prep(), ["event_id", "valn"])
+
+
+def q_binarize(sf_dir):
+    rec = _recipe(_with_valn(_events(sf_dir)))
+    rec.add_step(rr.StepSklearn(Binarizer(threshold=5.0), sel=all_of(["valn"])))
+    return _select(rec.prep(), ["event_id", "valn"])
+
+
+def q_kbins_uniform(sf_dir):
+    rec = _recipe(_with_valn(_events(sf_dir)))
+    rec.add_step(
+        rr.StepSklearn(
+            KBinsDiscretizer(n_bins=4, strategy="uniform"), sel=all_of(["valn"])
+        )
+    )
+    return _select(rec.prep(), ["event_id", "valn"])
+
+
+def q_encode_ordinal(sf_dir):
+    ds = _events(sf_dir)
+    rec = rr.Recipe(ds, predictors=["event_type"], sequences=["ts", "event_id"])
+    rec.add_step(
+        rr.StepSklearn(
+            OrdinalEncoder(), sel=all_of(["event_type"]), in_place=False
+        )
+    )
+    out = rec.prep()
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        code = tbl.column("OrdinalEncoder_event_type").cast(pa.int64())
+        return pa.table(
+            {"event_id": tbl.column("event_id"), "event_type_code": code}
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def q_encode_onehot(sf_dir):
+    ds = _events(sf_dir)
+    rec = rr.Recipe(ds, predictors=["event_type"], sequences=["ts", "event_id"])
+    rec.add_step(
+        rr.StepSklearn(OneHotEncoder(), sel=all_of(["event_type"]), in_place=False)
+    )
+    out = rec.prep()
+    cats = ["click", "error", "purchase", "signup", "view"]
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        data = {"event_id": tbl.column("event_id")}
+        for i, c in enumerate(cats):
+            data[f"et_{c}"] = tbl.column(f"OneHotEncoder_{i + 1}")
+        return pa.table(data)
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------- #
+# resampling (StepResampling, reference step.py:477-578)
+# --------------------------------------------------------------------- #
+def q_resample_agg_1h(sf_dir):
+    ds = _events(sf_dir).select_columns(["user_id", "ts", "value"])
+
+    def dup(tbl: pa.Table) -> pa.Table:
+        v = tbl.column("value")
+        tbl = tbl.append_column("value_mean", v)
+        tbl = tbl.append_column("value_max", v)
+        tbl = tbl.append_column("value_cnt", v)
+        return tbl.drop_columns(["value"])
+
+    ds = ds.map_batches(dup, batch_format="pyarrow")
+    rec = rr.Recipe(
+        ds,
+        predictors=["value_mean", "value_max", "value_cnt"],
+        groups=["user_id"],
+        sequences=["ts"],
+    )
+    rec.add_step(
+        rr.StepResampling(
+            "1h",
+            accumulator_dict={
+                all_of(["value_mean"]): Accumulator.MEAN,
+                all_of(["value_max"]): Accumulator.MAX,
+                all_of(["value_cnt"]): Accumulator.COUNT,
+            },
+            mode="agg",
+        )
+    )
+    out = rec.prep()
+
+    def cast_cnt(tbl: pa.Table) -> pa.Table:
+        i = tbl.column_names.index("value_cnt")
+        return tbl.set_column(
+            i, "value_cnt", tbl.column("value_cnt").cast(pa.int64())
+        )
+
+    return _select(
+        out.map_batches(cast_cnt, batch_format="pyarrow"),
+        ["user_id", "ts", "value_mean", "value_max", "value_cnt"],
+    )
+
+
+def q_resample_grid_1h(sf_dir):
+    ds = _with_valn(_events(sf_dir)).select_columns(
+        ["user_id", "ts", "event_id", "valn"]
+    )
+    rec = rr.Recipe(
+        ds, predictors=["valn"], groups=["user_id"], sequences=["ts", "event_id"]
+    )
+    rec.add_step(rr.StepResampling("1h"))  # default LAST → per-group ffill
+    return _select(rec.prep(), ["user_id", "ts", "valn"])
+
+
+# --------------------------------------------------------------------- #
+# dedup / text / similarity (training-data ops)
+# --------------------------------------------------------------------- #
+def q_dedup_exact(sf_dir):
+    from recipys_ray.ops.dedup import exact_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    out = exact_dedup(ds, text_col="text", id_col="doc_id")
+    return _select(out, ["doc_id", "n_dups"])
+
+
+def q_text_stats(sf_dir):
+    from recipys_ray.ops.text import text_features
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = text_features(ds, concurrency=2)
+    return _select(out, ["doc_id", "n_chars_calc", "n_words", "token_count"])
+
+
+def q_knn_cosine(sf_dir):
+    from recipys_ray.ops.similarity import knn_brute_force
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    queries_pdf = (
+        ds.filter(lambda r: r["vec_id"] < 5).to_pandas().sort_values("vec_id")
+    )
+    Q = np.stack(queries_pdf["embedding"].to_numpy())
+    qids = queries_pdf["vec_id"].to_numpy()
+    res = knn_brute_force(ds, Q, k=4, emb_col="embedding", id_col="vec_id")
+    res["query_id"] = qids[res["query_idx"].to_numpy()]
+    res = res[res["vec_id"] != res["query_id"]]
+    out = []
+    for q, grp in res.groupby("query_id"):
+        grp = grp.sort_values(["sim", "vec_id"], ascending=[False, True]).head(3)
+        grp = grp.assign(rank=np.arange(len(grp), dtype=np.int64))
+        out.append(grp[["query_id", "vec_id", "rank"]])
+    return pd.concat(out, ignore_index=True)
+
+
+def q_dedup_minhash(sf_dir):  # rows-only (non-SQL)
+    from recipys_ray.ops.dedup import minhash_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    out = minhash_dedup(ds, text_col="text", id_col="doc_id")
+    return _select(out, ["doc_id"])
+
+
+def q_dedup_simhash(sf_dir):  # rows-only (non-SQL)
+    from recipys_ray.ops.dedup import simhash_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    out = simhash_dedup(ds, text_col="text", id_col="doc_id")
+    return _select(out, ["doc_id"])
+
+
+def q_dedup_embedding(sf_dir):  # rows-only (non-SQL)
+    from recipys_ray.ops.dedup import embedding_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = embedding_dedup(ds, threshold=0.99)
+    return _select(out, ["vec_id"])
+
+
+def q_langid_quality(sf_dir):  # rows-only (regex semantics not SQL-portable)
+    from recipys_ray.ops.text import text_features
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = text_features(ds, concurrency=2)
+    return _select(out, ["doc_id", "lang_pred", "quality_score", "fingerprint"])
+
+
+def q_quantile_transform(sf_dir):  # rows-only (interp grid ≠ clean SQL)
+    from recipys_ray.transformers import QuantileTransformer
+
+    rec = _recipe(_with_valn(_events(sf_dir)))
+    rec.add_step(
+        rr.StepSklearn(QuantileTransformer(n_quantiles=100), sel=all_of(["valn"]))
+    )
+    return _select(rec.prep(), ["event_id", "valn"])
+
+
+# --------------------------------------------------------------------- #
+# oracle SQL (DuckDB) — names match the Ray outputs 1:1
+# --------------------------------------------------------------------- #
+ORACLES: dict[str, str] = {
+    "impute_zero": f"""
+        SELECT event_id, coalesce({_VALN_SQL}, 0) AS valn FROM events
+    """,
+    "impute_ffill": f"""
+        SELECT event_id,
+               last_value({_VALN_SQL} IGNORE NULLS) OVER ({_EXP}) AS valn
+        FROM events
+    """,
+    "impute_bfill": f"""
+        SELECT event_id,
+               first_value({_VALN_SQL} IGNORE NULLS) OVER
+                 ({_WIN} ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS valn
+        FROM events
+    """,
+    "impute_group_mean": f"""
+        SELECT event_id,
+               coalesce({_VALN_SQL},
+                        avg({_VALN_SQL}) OVER (PARTITION BY user_id)) AS valn
+        FROM events
+    """,
+    "impute_global_mean": f"""
+        SELECT event_id,
+               coalesce({_VALN_SQL}, (SELECT avg({_VALN_SQL}) FROM events)) AS valn
+        FROM events
+    """,
+    "historical": f"""
+        WITH ev AS (SELECT event_id, user_id, ts, {_VALN_SQL} AS v FROM events)
+        SELECT event_id,
+               CASE WHEN v IS NULL THEN NULL ELSE min(v) OVER ({_EXP}) END AS valn_min,
+               CASE WHEN v IS NULL THEN NULL ELSE max(v) OVER ({_EXP}) END AS valn_max,
+               avg(v) OVER ({_EXP}) AS valn_mean,
+               CAST(count(v) OVER ({_EXP}) AS BIGINT) AS valn_count,
+               var_samp(v) OVER ({_EXP}) AS valn_var,
+               median(v) OVER ({_EXP}) AS valn_median
+        FROM ev
+    """,
+    "hist_lineitem": """
+        SELECT l_orderkey, l_linenumber,
+               avg(l_quantity) OVER w AS l_quantity_mean,
+               max(l_quantity) OVER w AS l_quantity_max,
+               lag(l_extendedprice) OVER
+                 (PARTITION BY l_orderkey
+                  ORDER BY l_linenumber, l_quantity, l_extendedprice)
+                 AS l_extendedprice_lag1
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_orderkey
+                     ORDER BY l_linenumber, l_quantity, l_extendedprice
+                     ROWS UNBOUNDED PRECEDING)
+    """,
+    "lag_lead": f"""
+        WITH ev AS (SELECT event_id, user_id, ts, {_VALN_SQL} AS v FROM events)
+        SELECT event_id,
+               lag(v) OVER ({_WIN}) AS valn_lag1,
+               lead(v) OVER ({_WIN}) AS valn_lead1,
+               v - lag(v) OVER ({_WIN}) AS valn_diff1
+        FROM ev
+    """,
+    "sessionize": f"""
+        WITH g AS (
+          SELECT event_id, user_id, ts,
+                 CASE WHEN ts - lag(ts) OVER ({_WIN}) > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS brk
+          FROM events
+        )
+        SELECT event_id,
+               CAST(sum(brk) OVER ({_EXP}) AS BIGINT) AS session_id
+        FROM g
+    """,
+    "scale_standard": f"""
+        WITH s AS (SELECT avg({_VALN_SQL}) AS m, stddev_pop({_VALN_SQL}) AS sd
+                   FROM events)
+        SELECT event_id, ({_VALN_SQL} - s.m) / s.sd AS valn FROM events, s
+    """,
+    "scale_minmax": f"""
+        WITH s AS (SELECT min({_VALN_SQL}) AS lo, max({_VALN_SQL}) AS hi
+                   FROM events)
+        SELECT event_id, ({_VALN_SQL} - s.lo) / (s.hi - s.lo) AS valn
+        FROM events, s
+    """,
+    "scale_robust": f"""
+        WITH s AS (SELECT quantile_cont({_VALN_SQL}, 0.5) AS med,
+                          quantile_cont({_VALN_SQL}, 0.75)
+                            - quantile_cont({_VALN_SQL}, 0.25) AS iqr
+                   FROM events)
+        SELECT event_id, ({_VALN_SQL} - s.med) / s.iqr AS valn FROM events, s
+    """,
+    "binarize": f"""
+        SELECT event_id,
+               CASE WHEN {_VALN_SQL} IS NULL THEN NULL
+                    WHEN {_VALN_SQL} > 5.0 THEN 1.0 ELSE 0.0 END AS valn
+        FROM events
+    """,
+    "kbins_uniform": f"""
+        WITH s AS (SELECT min({_VALN_SQL}) AS lo, max({_VALN_SQL}) AS hi
+                   FROM events)
+        SELECT event_id,
+               CASE WHEN {_VALN_SQL} IS NULL THEN NULL
+                    ELSE least(floor(({_VALN_SQL} - s.lo)
+                               / ((s.hi - s.lo) / 4)), 3) END AS valn
+        FROM events, s
+    """,
+    "encode_ordinal": """
+        SELECT e.event_id, c.code AS event_type_code
+        FROM events e
+        JOIN (SELECT event_type,
+                     CAST(row_number() OVER (ORDER BY event_type) - 1 AS BIGINT)
+                       AS code
+              FROM (SELECT DISTINCT event_type FROM events)) c
+          USING (event_type)
+    """,
+    "encode_onehot": """
+        SELECT event_id,
+               CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END AS et_click,
+               CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END AS et_error,
+               CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS et_purchase,
+               CASE WHEN event_type = 'signup' THEN 1.0 ELSE 0.0 END AS et_signup,
+               CASE WHEN event_type = 'view' THEN 1.0 ELSE 0.0 END AS et_view
+        FROM events
+    """,
+    "resample_agg_1h": """
+        SELECT user_id, date_trunc('hour', ts) AS ts,
+               avg(value) AS value_mean, max(value) AS value_max,
+               CAST(count(value) AS BIGINT) AS value_cnt
+        FROM events GROUP BY 1, 2
+    """,
+    "resample_grid_1h": f"""
+        WITH ev AS (SELECT user_id, ts, event_id, {_VALN_SQL} AS valn
+                    FROM events),
+        bounds AS (SELECT user_id, min(ts) AS mn, max(ts) AS mx
+                   FROM ev GROUP BY user_id),
+        spans AS (SELECT user_id, mn,
+                         CAST(floor(epoch(mx - mn) / 3600) AS BIGINT) AS nsteps
+                  FROM bounds),
+        ks AS (SELECT k FROM generate_series(0, 100000) t(k)),
+        grid AS (SELECT s.user_id, s.mn + to_seconds(k * 3600) AS ts
+                 FROM spans s JOIN ks ON ks.k <= s.nsteps),
+        firsts AS (SELECT user_id, ts, min(event_id) AS eid
+                   FROM ev GROUP BY user_id, ts),
+        joined AS (SELECT g.user_id, g.ts, v.valn
+                   FROM grid g
+                   LEFT JOIN firsts f ON f.user_id = g.user_id AND f.ts = g.ts
+                   LEFT JOIN ev v ON v.user_id = f.user_id AND v.ts = f.ts
+                                  AND v.event_id = f.eid)
+        SELECT user_id, ts,
+               last_value(valn IGNORE NULLS) OVER
+                 (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)
+                 AS valn
+        FROM joined
+    """,
+    "dedup_exact": """
+        SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_dups
+        FROM documents GROUP BY text
+    """,
+    "text_stats": r"""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_calc,
+               CAST(length(regexp_extract_all(text, '\w+')) AS BIGINT) AS n_words,
+               CAST(length(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
+                 AS token_count
+        FROM documents
+    """,
+    "knn_cosine": """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                   FROM embeddings WHERE vec_id < 5),
+        s AS (SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(q.qe, e.embedding) AS sim
+              FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+        r AS (SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, vec_id) AS rk
+              FROM s)
+        SELECT query_id, vec_id, CAST(rk - 1 AS BIGINT) AS rank
+        FROM r WHERE rk <= 3
+    """,
+}
+
+
+QUERIES = {
+    "impute_zero": q_impute_zero,
+    "impute_ffill": q_impute_ffill,
+    "impute_bfill": q_impute_bfill,
+    "impute_group_mean": q_impute_group_mean,
+    "impute_global_mean": q_impute_global_mean,
+    "historical": q_historical,
+    "hist_lineitem": q_hist_lineitem,
+    "lag_lead": q_lag_lead,
+    "sessionize": q_sessionize,
+    "scale_standard": q_scale_standard,
+    "scale_minmax": q_scale_minmax,
+    "scale_robust": q_scale_robust,
+    "binarize": q_binarize,
+    "kbins_uniform": q_kbins_uniform,
+    "encode_ordinal": q_encode_ordinal,
+    "encode_onehot": q_encode_onehot,
+    "resample_agg_1h": q_resample_agg_1h,
+    "resample_grid_1h": q_resample_grid_1h,
+    "dedup_exact": q_dedup_exact,
+    "text_stats": q_text_stats,
+    "knn_cosine": q_knn_cosine,
+    # rows-only (no SQL oracle):
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+    "langid_quality": q_langid_quality,
+    "quantile_transform": q_quantile_transform,
+}

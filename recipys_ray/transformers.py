@@ -239,7 +239,9 @@ class Binarizer(NativeTransformer):
 
     def transform(self, X):
         M = self._matrix(X)
-        return (M > self.threshold).astype(np.float64)
+        out = (M > self.threshold).astype(np.float64)
+        out[np.isnan(M)] = np.nan  # propagate nulls (sklearn would reject NaN)
+        return out
 
 
 class Normalizer(NativeTransformer):
