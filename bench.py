@@ -1,0 +1,178 @@
+"""Benchmark harness.
+
+Headline metric: wall-seconds for the flagship feature-bake pipeline
+(ffill → historical min/max/mean/count → lag → sessionize → scale — one
+grouped shuffle + one fit pass) over a ~2M-turn synthetic transcript table
+(FIXTURES.md F2), consumed via write_parquet (streaming, no driver
+materialization). Also times the driver-contract query families over
+``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": sec, "unit": "sec", "queries": {...},
+   "sf": ..., "num_cpus": N, "turns_per_sec": ...}
+
+``--scaling`` runs the flagship job twice in fresh processes at
+num_cpus=8 and num_cpus=32 on the same input and reports throughputs plus
+scaling efficiency (the two-cluster-size criterion evidenced at two
+parallelism levels per the driver instruction).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_TURNS = int(os.environ.get("BENCH_TURNS", "2000000"))
+TRANSCRIPTS = f"/tmp/bench_transcripts_{BENCH_TURNS}.parquet"
+
+
+def _init_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    return ray
+
+
+def bench_flagship() -> dict:
+    import ray.data as rd
+
+    from recipys_ray.pipelines.transcripts import flagship_recipe, write_transcripts
+
+    write_transcripts(TRANSCRIPTS, n_turns=BENCH_TURNS, seed=42,
+                      mega_conv_turns=20_000)
+    # row count from parquet metadata + warm the page cache (untimed)
+    n = rd.read_parquet(TRANSCRIPTS).count()
+
+    # best of 3 timed runs; explicit del + gc between runs so the previous
+    # run's pinned object-store data is freed before the next one starts
+    # (lingering refs otherwise degrade successive runs significantly)
+    import gc
+
+    best = float("inf")
+    out_dir = "/tmp/bench_flagship_out"
+    for _ in range(4):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.time()
+        ds = rd.read_parquet(TRANSCRIPTS)
+        rec = flagship_recipe(ds)
+        out = rec.prep()
+        out.write_parquet(out_dir)
+        best = min(best, time.time() - t0)
+        del out, rec, ds
+        gc.collect()
+    return {"sec": best, "turns": n, "turns_per_sec": n / best}
+
+
+def bench_queries() -> dict:
+    from recipys_ray.pipelines.driver_queries import QUERIES
+
+    picks = [
+        "impute_ffill",
+        "historical",
+        "hist_lineitem",
+        "lag_lead",
+        "sessionize",
+        "scale_standard",
+        "resample_agg_1h",
+        "resample_grid_1h",
+        "dedup_exact",
+        "dedup_minhash",
+        "text_stats",
+        "knn_cosine",
+    ]
+    out = {}
+    for name in picks:
+        t0 = time.time()
+        res = QUERIES[name](SF_DIR)
+        # consume lazily-built datasets without driver materialization
+        if hasattr(res, "count"):
+            res.count()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def run_once() -> dict:
+    _init_ray()
+    flag = bench_flagship()
+    queries = (
+        {} if os.environ.get("BENCH_SKIP_QUERIES") else bench_queries()
+    )
+    import ray
+
+    ray.shutdown()
+    return {
+        "metric": "flagship feature-bake wall sec (2M-turn transcripts)",
+        "value": round(flag["sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "turns": flag["turns"],
+        "turns_per_sec": round(flag["turns_per_sec"], 1),
+    }
+
+
+def run_scaling():
+    def run(ncpu: int) -> dict:
+        # larger input for the scaling pair so fixed overheads (executor
+        # startup, plan, materialize) don't mask the compute scaling
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            BENCH_TURNS=os.environ.get("SCALING_TURNS", "8000000"),
+            BENCH_SKIP_QUERIES="1",  # flagship only — clean scaling signal
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    # hi first, then a settle pause so the second child doesn't race the
+    # first one's object-store teardown (measured to skew results)
+    r_hi = run(hi)
+    time.sleep(15)
+    r_lo = run(lo)
+    tp_lo, tp_hi = r_lo["turns_per_sec"], r_hi["turns_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency (num_cpus 8 → 32, same input)",
+                "turns_per_sec_8": tp_lo,
+                "turns_per_sec_32": tp_hi,
+                "sec_8": r_lo["value"],
+                "sec_32": r_hi["value"],
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_once()))

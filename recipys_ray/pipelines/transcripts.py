@@ -114,13 +114,24 @@ def write_transcripts(
     seed: int = 42,
     mega_conv_turns: int = 0,
     row_group_size: int = 200_000,
+    n_shards: int = 16,
 ) -> str:
-    """Write (cached) transcript parquet; returns the path."""
+    """Write (cached) transcript parquet as a sharded directory (parallel
+    reads — a single giant file reads in ONE task); returns the path."""
     if os.path.exists(path):
         return path
     tbl = make_transcripts(n_turns, seed, mega_conv_turns)
     tmp = path + ".tmp"
-    pq.write_table(tbl, tmp, row_group_size=row_group_size)
+    os.makedirs(tmp, exist_ok=True)
+    n = len(tbl)
+    per = -(-n // n_shards)
+    for i in range(n_shards):
+        shard = tbl.slice(i * per, per)
+        if len(shard):
+            pq.write_table(
+                shard, f"{tmp}/part-{i:04d}.parquet",
+                row_group_size=row_group_size,
+            )
     os.replace(tmp, path)
     return path
 

@@ -141,7 +141,7 @@ class Recipe:
                     ds,
                     list(group_cols),
                     list(sort_cols),
-                    [s.transform_frame for s in pending],
+                    list(pending),
                     num_partitions=self.partitions,
                 )
             pending = []

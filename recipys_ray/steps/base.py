@@ -60,6 +60,19 @@ class Step:
     def changes_rowcount(self) -> bool:
         return False
 
+    # ---------------- column footprint (grouped-kernel projection) -------- #
+    # The partition runner converts ONLY these columns to pandas; wide
+    # payload columns (text, binaries) stay zero-copy Arrow.
+    frame_needs_all = False  # True → kernel needs the whole frame
+
+    def frame_inputs(self) -> list[str]:
+        """Columns the grouped kernel reads (group/sort cols are implicit)."""
+        return list(self.columns)
+
+    def frame_outputs(self) -> list[str]:
+        """Columns the grouped kernel creates or modifies."""
+        return list(self.columns)
+
     # ------------------------------------------------------------------ #
     def resolve(self, ing: Ingredients) -> None:
         """Resolve selector + roles against the current (symbolic) schema.

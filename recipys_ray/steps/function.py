@@ -41,6 +41,9 @@ class StepFunction(Step):
     def kind(self) -> str:
         return "grouped" if self.grouped else "batch"
 
+    # a user function may read/write anything → full-frame path
+    frame_needs_all = True
+
     def transform_batch(self, tbl: pa.Table) -> pa.Table:
         if self.batch_format == "pyarrow":
             out = self.function(tbl)

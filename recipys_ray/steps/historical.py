@@ -81,6 +81,9 @@ class StepHistorical(Step):
     def _new_columns(self) -> list[str]:
         return [f"{c}_{self.suffix}" for c in self.columns]
 
+    def frame_outputs(self) -> list[str]:
+        return self._new_columns()
+
     def transform_frame(
         self, pdf: pd.DataFrame, group_cols: list[str]
     ) -> pd.DataFrame:

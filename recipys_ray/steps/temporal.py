@@ -43,6 +43,9 @@ class _ShiftStep(Step):
     def _names(self, col: str) -> list[str]:
         return [f"{col}_{self._label}{s}" for s in self.shifts]
 
+    def frame_outputs(self) -> list[str]:
+        return [n for c in self.columns for n in self._names(c)]
+
     def transform_frame(
         self, pdf: pd.DataFrame, group_cols: list[str]
     ) -> pd.DataFrame:
@@ -133,6 +136,12 @@ class StepSessionize(Step):
     @property
     def kind(self) -> str:
         return "grouped"
+
+    def frame_inputs(self) -> list[str]:
+        return [self._seq_col] if self._seq_col else []
+
+    def frame_outputs(self) -> list[str]:
+        return [self.name]
 
     def resolve(self, ing: Ingredients) -> None:
         super().resolve(ing)
