@@ -1,0 +1,316 @@
+"""Skew handling: salted sub-partitioning for mega-groups with a
+boundary-carry merge.
+
+A hash-partitioned grouped scan (kernels/grouped.py) is skew-bounded by the
+largest single group: one 10⁸-turn conversation would blow the memory budget
+of whichever partition its hash lands in. This module bounds that:
+
+1. **Detect** — one cheap column-projected pass emits per-block counts of
+   heavy groups (block-local floor ⇒ a true mega-group is always caught
+   because its rows are dense in at least some blocks); the driver merges
+   them into a broadcast hot-set.
+2. **Salt** — the stamp stage routes hot-group rows to
+   ``hash((group, salt)) % P`` where ``salt = first_sort_col // chunk_span``:
+   contiguous chunks of the conversation scatter across partitions, so every
+   partition stays bounded by ``chunk_span``, not by group size. A
+   ``__salt__`` column keeps chunk identity (two chunks of one group that
+   collide into the same partition must not be treated as contiguous).
+3. **Carry** — order-dependent features for hot groups cannot be computed
+   chunk-locally (a chunk's kernel state depends on every prior chunk). The
+   carry pass computes the exact per-turn features for hot groups on a
+   SKINNY projection (group/sort/kernel columns only — the wide payload
+   stays in the salted main pass): one ``groupby(group).map_groups`` whose
+   groups are mega-conversations × a few numeric columns, which fits where
+   the full-width rows would not.
+4. **Merge** — a final ``groupby((group, salt)).map_groups`` aligns the
+   salted main-pass chunks (full payload, placeholder features) with the
+   carry rows (exact features) by the sort key and swaps the feature
+   columns in. Per-turn text equality under stable turn ordering holds
+   exactly: payload bytes never left the main pass.
+
+Salted ≡ unsalted is property-tested (tests/test_salted.py).
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from recipys_ray.kernels.grouped import (
+    GID,
+    PART,
+    GroupedStage,
+    _hash_mod,
+    _PartitionRunner,
+    assign_gid,
+)
+
+SALT = "__salt__"
+
+
+class SaltConfig:
+    """``threshold``: groups with more rows than this get salted.
+    ``chunk_span``: salt window in units of the FIRST sort column (for a
+    dense ``turn_idx`` this approximates rows per chunk; for a timestamp it
+    is microseconds)."""
+
+    def __init__(self, threshold: int = 2_000_000, chunk_span: int = 250_000):
+        self.threshold = threshold
+        self.chunk_span = chunk_span
+
+
+# --------------------------------------------------------------------- #
+# 1. hot-group detection (cheap partial-count pass, heavy-hitters only)
+# --------------------------------------------------------------------- #
+def find_hot_groups(
+    ds, group_cols: list[str], threshold: int, block_floor: Optional[int] = None
+) -> dict:
+    """{group_key_tuple_or_scalar: total_count} for groups over threshold.
+
+    Per-block partial counts keep only groups with ≥ ``block_floor`` rows in
+    that block, bounding partial size; a group exceeding ``threshold``
+    overall is necessarily over the floor in ≥ 1 block (floor ≤
+    threshold / 2 and mega-group rows are file-contiguous), so true
+    mega-groups are always detected.
+    """
+    floor = block_floor if block_floor is not None else max(1, threshold // 64)
+
+    cols = list(group_cols)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        pdf = tbl.select(cols).to_pandas()
+        vc = pdf.groupby(cols, sort=False, observed=True).size()
+        vc = vc[vc >= min(floor, max(1, len(pdf) // 4))]
+        return pa.table(
+            {"payload": pa.array([pickle.dumps(vc.to_dict())], pa.binary())}
+        )
+
+    merged: dict = {}
+    for row in ds.select_columns(cols).map_batches(
+        partial, batch_format="pyarrow"
+    ).take_all():
+        for k, v in pickle.loads(row["payload"]).items():
+            merged[k] = merged.get(k, 0) + v
+    return {k: v for k, v in merged.items() if v > threshold}
+
+
+# --------------------------------------------------------------------- #
+# 2. salted stamp
+# --------------------------------------------------------------------- #
+class SaltedStamp:
+    def __init__(
+        self,
+        group_cols: list[str],
+        sort_cols: list[str],
+        p: int,
+        hot_keys: set,
+        chunk_span: int,
+    ):
+        self.group_cols = group_cols
+        self.salt_col = sort_cols[0]
+        self.p = p
+        self.hot_keys = hot_keys
+        self.chunk_span = chunk_span
+
+    def _salt_values(self, tbl: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        """(is_hot bool mask, salt int64 per row)."""
+        pdf = tbl.select(self.group_cols).to_pandas()
+        if len(self.group_cols) == 1:
+            keys = pdf[self.group_cols[0]].to_numpy(dtype=object)
+            hot = np.fromiter(
+                (k in self.hot_keys for k in keys), bool, len(keys)
+            )
+        else:
+            keys = list(pdf.itertuples(index=False, name=None))
+            hot = np.fromiter(
+                (k in self.hot_keys for k in keys), bool, len(keys)
+            )
+        sv = tbl.column(self.salt_col)
+        if pa.types.is_timestamp(sv.type) or pa.types.is_duration(sv.type):
+            sv = sv.cast(pa.int64())
+        salt_all = sv.to_numpy(zero_copy_only=False).astype(np.int64)
+        salt = np.where(hot, salt_all // self.chunk_span, 0)
+        return hot, salt
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        pdf = tbl.select(self.group_cols).to_pandas()
+        part = _hash_mod(pdf, self.group_cols, self.p)
+        hot, salt = self._salt_values(tbl)
+        if hot.any():
+            pdf2 = pdf.loc[hot].copy()
+            pdf2[SALT] = salt[hot]
+            part = part.copy()
+            part[hot] = _hash_mod(pdf2, self.group_cols + [SALT], self.p)
+        tbl = tbl.append_column(PART, pa.array(part, pa.int32()))
+        tbl = tbl.append_column(SALT, pa.array(salt, pa.int64()))
+        return tbl
+
+
+# --------------------------------------------------------------------- #
+# 3+4. carry pass and merge
+# --------------------------------------------------------------------- #
+def _hot_mask(tbl: pa.Table, group_cols: list[str], hot_keys: set) -> np.ndarray:
+    pdf = tbl.select(group_cols).to_pandas()
+    if len(group_cols) == 1:
+        keys = pdf[group_cols[0]].to_numpy(dtype=object)
+        return np.fromiter((k in hot_keys for k in keys), bool, len(keys))
+    keys = list(pdf.itertuples(index=False, name=None))
+    return np.fromiter((k in hot_keys for k in keys), bool, len(keys))
+
+
+def run_salted_chain(
+    ds,
+    group_cols: list[str],
+    sort_cols: list[str],
+    steps: Sequence,
+    num_partitions: int,
+    salt: SaltConfig,
+    stamp_batch_rows: int = 262_144,
+):
+    """Grouped chain with mega-group salting (see module docstring)."""
+    stages = [GroupedStage(s) for s in steps]
+    if any(st.needs_all for st in stages):
+        raise ValueError(
+            "Salted execution supports projected kernels only (row-count "
+            "changing or whole-frame steps can't chunk-merge); run without "
+            "salting."
+        )
+    hot = find_hot_groups(ds, group_cols, salt.threshold)
+    if not hot:
+        from recipys_ray.kernels.grouped import run_grouped_chain
+
+        return run_grouped_chain(
+            ds, group_cols, sort_cols, steps,
+            num_partitions=num_partitions, stamp_batch_rows=stamp_batch_rows,
+        )
+
+    hot_keys = set(hot)
+    stamp = SaltedStamp(
+        group_cols, sort_cols, num_partitions, hot_keys, salt.chunk_span
+    )
+    stamped = ds.map_batches(
+        stamp, batch_format="pyarrow", batch_size=stamp_batch_rows
+    )
+
+    # main pass: group identity includes the salt, so a chunk never sees
+    # another chunk's rows; hot-chunk feature values are placeholders
+    runner = _PartitionRunner(group_cols + [SALT], sort_cols, stages)
+
+    def run_partition(tbl: pa.Table) -> pa.Table:
+        return runner(tbl)
+
+    # materialize: the main output is consumed twice (cold + hot split) and
+    # its schema is needed for the union — one pinned copy beats re-running
+    # the whole shuffle per consumer
+    main_out = stamped.groupby(PART).map_groups(
+        run_partition, batch_format="pyarrow"
+    ).materialize()
+
+    # carry pass: exact features for hot groups on the skinny projection
+    feature_cols: list[str] = []
+    for st in stages:
+        for c in st.outputs:
+            if c not in feature_cols:
+                feature_cols.append(c)
+    needed = list(
+        dict.fromkeys(
+            [c for st in stages for c in st.inputs] + group_cols + sort_cols
+        )
+    )
+
+    def pick_hot(tbl: pa.Table) -> pa.Table:
+        mask = _hot_mask(tbl, group_cols, hot_keys)
+        return tbl.select(needed).filter(pa.array(mask))
+
+    conv_runner = _PartitionRunner(group_cols, sort_cols, stages)
+
+    def per_group(tbl: pa.Table) -> pa.Table:
+        out = conv_runner(tbl)
+        keep = list(dict.fromkeys(group_cols + sort_cols + feature_cols))
+        return out.select([c for c in keep if c in out.column_names])
+
+    carry = (
+        ds.map_batches(pick_hot, batch_format="pyarrow")
+        .groupby(group_cols)
+        .map_groups(per_group, batch_format="pyarrow")
+    )
+
+    # merge: swap exact features into the salted main-pass hot rows
+    def split_hot(tbl: pa.Table) -> pa.Table:
+        mask = _hot_mask(tbl, group_cols, hot_keys)
+        return tbl.filter(pa.array(mask))
+
+    def split_cold(tbl: pa.Table) -> pa.Table:
+        mask = _hot_mask(tbl, group_cols, hot_keys)
+        return tbl.filter(pa.array(~mask))
+
+    cold = main_out.map_batches(split_cold, batch_format="pyarrow")
+    hot_main = main_out.map_batches(split_hot, batch_format="pyarrow")
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        src = g["__carry_src__"].to_numpy()
+        main_rows = g[src == 0]
+        carry_rows = g[src == 1]
+        main_rows = main_rows.sort_values(
+            sort_cols, kind="stable", ignore_index=True
+        )
+        carry_rows = carry_rows.sort_values(
+            sort_cols, kind="stable", ignore_index=True
+        )
+        out = main_rows.copy()
+        out[feature_cols] = carry_rows[feature_cols].to_numpy()
+        return out.drop(columns=["__carry_src__"])
+
+    def tag(src_val):
+        def fn(tbl: pa.Table) -> pa.Table:
+            # align carry rows to the main schema (missing payload → null)
+            return tbl.append_column(
+                "__carry_src__", pa.array(np.full(len(tbl), src_val, np.int8))
+            )
+
+        return fn
+
+    # pad the carry rows to the main schema so union() accepts them
+    main_schema_names = None
+
+    def pad_carry(tbl: pa.Table, names, types) -> pa.Table:
+        for n, t in zip(names, types):
+            if n not in tbl.column_names:
+                tbl = tbl.append_column(n, pa.nulls(len(tbl), t))
+        return tbl.select(names)
+
+    main_schema = hot_main.schema()
+    names, types = list(main_schema.names), list(main_schema.types)
+
+    carry_padded = carry.map_batches(
+        lambda t: pad_carry(t, names, types), batch_format="pyarrow"
+    )
+
+    hot_tagged = hot_main.map_batches(tag(0), batch_format="pyarrow")
+    carry_tagged = carry_padded.map_batches(tag(1), batch_format="pyarrow")
+
+    def stamp_salt_for_merge(tbl: pa.Table) -> pa.Table:
+        _, salt_vals = stamp._salt_values(tbl)
+        if SALT in tbl.column_names:
+            return tbl.set_column(
+                tbl.column_names.index(SALT), SALT, pa.array(salt_vals)
+            )
+        return tbl.append_column(SALT, pa.array(salt_vals))
+
+    merged = (
+        hot_tagged.union(carry_tagged)
+        .map_batches(stamp_salt_for_merge, batch_format="pyarrow")
+        .groupby(group_cols + [SALT])
+        .map_groups(merge_group, batch_format="pandas")
+    )
+
+    def drop_salt(tbl: pa.Table) -> pa.Table:
+        return tbl.drop_columns([c for c in (SALT,) if c in tbl.column_names])
+
+    return cold.map_batches(drop_salt, batch_format="pyarrow").union(
+        merged.map_batches(drop_salt, batch_format="pyarrow")
+    )

@@ -58,6 +58,7 @@ class Recipe:
         roles: Optional[dict[str, list[str]]] = None,
         partitions: Optional[int] = None,
         materialize_before_fit: bool = True,
+        salt=None,
     ):
         if not isinstance(data, Ingredients):
             data = Ingredients(data, roles=roles or {})
@@ -66,6 +67,7 @@ class Recipe:
         self.original_columns = list(data.columns)
         self.partitions = partitions
         self.materialize_before_fit = materialize_before_fit
+        self.salt = salt  # SaltConfig → mega-group salted sub-partitioning
 
         for vars_, role in (
             (outcomes, "outcome"),
@@ -137,13 +139,36 @@ class Recipe:
                 )
             else:
                 group_cols, sort_cols = chain_key
-                ds = run_grouped_chain(
-                    ds,
-                    list(group_cols),
-                    list(sort_cols),
-                    list(pending),
-                    num_partitions=self.partitions,
+                saltable = (
+                    self.salt is not None
+                    and group_cols
+                    and sort_cols
+                    and not any(
+                        s.frame_needs_all or s.changes_rowcount
+                        for s in pending
+                    )
                 )
+                if saltable:
+                    from recipys_ray.kernels.grouped import choose_partitions
+                    from recipys_ray.kernels.salted import run_salted_chain
+
+                    ds = run_salted_chain(
+                        ds,
+                        list(group_cols),
+                        list(sort_cols),
+                        list(pending),
+                        num_partitions=self.partitions
+                        or choose_partitions(ds),
+                        salt=self.salt,
+                    )
+                else:
+                    ds = run_grouped_chain(
+                        ds,
+                        list(group_cols),
+                        list(sort_cols),
+                        list(pending),
+                        num_partitions=self.partitions,
+                    )
             pending = []
             mode = None
             chain_key = None

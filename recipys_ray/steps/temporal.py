@@ -150,6 +150,12 @@ class StepSessionize(Step):
         temporal = [c for c in seq if is_temporal(ing.dtypes[c])]
         self._seq_col = temporal[0] if temporal else seq[0]
         self._seq_temporal = bool(temporal)
+        if not self._seq_temporal and isinstance(self.gap, str):
+            raise ValueError(
+                f"Sessionize gap {self.gap!r} is a time string but no "
+                f"temporal sequence column exists (sequences: {seq}); "
+                f"pass a numeric gap or add a timestamp sequence role."
+            )
 
     def transform_frame(
         self, pdf: pd.DataFrame, group_cols: list[str]

@@ -1,0 +1,82 @@
+"""Property test: salted sub-partitioning ≡ unsalted results, including
+per-turn text byte-equality for mega-conversations (SURVEY.md §4, north rule
+boundary-carry guarantee)."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from recipys_ray import (
+    Accumulator,
+    Recipe,
+    StepHistorical,
+    StepImputeFill,
+    StepLag,
+    StepLead,
+    StepSessionize,
+    all_of,
+)
+from recipys_ray.kernels.salted import SaltConfig, find_hot_groups
+from recipys_ray.pipelines.transcripts import make_transcripts
+
+
+def build_recipe(ds, salt=None):
+    rec = Recipe(
+        ds,
+        predictors=["n_chars", "latency_s", "score"],
+        groups=["conv_id"],
+        sequences=["turn_idx", "ts"],
+        partitions=4,
+        salt=salt,
+    )
+    rec.add_step(StepImputeFill(sel=all_of(["latency_s"]), strategy="forward"))
+    rec.add_step(StepHistorical(sel=all_of(["n_chars"]), fun=Accumulator.MAX))
+    rec.add_step(StepHistorical(sel=all_of(["n_chars"]), fun=Accumulator.MEAN))
+    rec.add_step(StepHistorical(sel=all_of(["score"]), fun=Accumulator.COUNT))
+    rec.add_step(StepHistorical(sel=all_of(["score"]), fun=Accumulator.VAR))
+    rec.add_step(StepLag(sel=all_of(["n_chars"]), shifts=[1, 2]))
+    rec.add_step(StepLead(sel=all_of(["n_chars"]), shifts=[1]))
+    rec.add_step(StepSessionize(gap="30m"))
+    return rec
+
+
+def run(salt):
+    tbl = make_transcripts(n_turns=3000, seed=13, mega_conv_turns=1200)
+    out = build_recipe(rd.from_arrow(tbl), salt=salt).prep().to_pandas()
+    return out.sort_values(
+        ["conv_id", "turn_idx"], kind="stable"
+    ).reset_index(drop=True)
+
+
+def test_find_hot_groups():
+    tbl = make_transcripts(n_turns=2000, seed=13, mega_conv_turns=1200)
+    ds = rd.from_arrow(tbl)
+    hot = find_hot_groups(ds, ["conv_id"], threshold=800)
+    # the two forced mega-convs (1200 turns each) and nothing else
+    assert len(hot) == 2
+    assert all(v >= 1200 for v in hot.values())
+
+
+def test_salted_equals_unsalted():
+    unsalted = run(None)
+    salted = run(SaltConfig(threshold=500, chunk_span=200))
+    assert list(unsalted.columns) == list(salted.columns)
+    salted = salted[unsalted.columns]
+    for c in unsalted.columns:
+        a, b = unsalted[c], salted[c]
+        if pd.api.types.is_numeric_dtype(a) and not pd.api.types.is_bool_dtype(a):
+            np.testing.assert_allclose(
+                a.to_numpy(dtype=float),
+                b.to_numpy(dtype=float),
+                equal_nan=True,
+                err_msg=f"column {c}",
+            )
+        else:
+            # per-turn text equality under stable turn ordering
+            assert a.astype(str).tolist() == b.astype(str).tolist(), c
+
+
+def test_salt_noop_when_no_hot_groups():
+    unsalted = run(None)
+    salted_high = run(SaltConfig(threshold=10_000_000, chunk_span=200))
+    pd.testing.assert_frame_equal(unsalted, salted_high)
