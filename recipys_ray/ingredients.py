@@ -18,6 +18,33 @@ import pyarrow as pa
 from recipys_ray.dtypes import matches_type
 
 
+def as_dataset(data):
+    """Accept what the reference Recipe accepts (recipe.py:33-47) and more:
+    a ray.data.Dataset passes through; pandas / polars DataFrames and Arrow
+    tables are wrapped via the zero-copy from_* constructors."""
+    import ray.data as rd
+
+    if isinstance(data, rd.Dataset):
+        return data
+    import pandas as pd
+
+    if isinstance(data, pd.DataFrame):
+        return rd.from_pandas(data)
+    if isinstance(data, pa.Table):
+        return rd.from_arrow(data)
+    try:
+        import polars as pl
+
+        if isinstance(data, pl.DataFrame):
+            return rd.from_arrow(data.to_arrow())
+    except ImportError:
+        pass
+    raise TypeError(
+        f"Expected ray.data.Dataset / pandas / polars / pyarrow table, "
+        f"got {data.__class__}"
+    )
+
+
 def _to_arrow_schema(ray_schema) -> pa.Schema:
     """Convert a ray.data Schema (arrow- or pandas-backed blocks) to Arrow."""
     base = getattr(ray_schema, "base_schema", None)

@@ -23,6 +23,42 @@ def _normalize(M: np.ndarray) -> np.ndarray:
     return M / n[:, None]
 
 
+class _IVFBatchTopK:
+    """IVF search stage: filter each batch to rows whose centroid cell is
+    probed by some query, then brute-force those (module-level class so Ray
+    recognizes it as an actor-pool callable)."""
+
+    def __init__(self, queries, k, emb_col, id_col, centroids, allowed_cells):
+        self.inner = _BatchTopK(queries, k, emb_col, id_col)
+        self.emb_col = emb_col
+        self.id_col = id_col
+        self.Cn = _normalize(np.asarray(centroids, dtype=np.float64))
+        self.allowed = np.asarray(allowed_cells)
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        emb = np.stack(tbl.column(self.emb_col).to_pandas().to_numpy()).astype(
+            np.float64
+        )
+        ids = tbl.column(self.id_col).to_numpy(zero_copy_only=False)
+        cell = (_normalize(emb) @ self.Cn.T).argmax(axis=1)
+        mask = np.isin(cell, self.allowed)
+        if not mask.any():
+            return pa.table(
+                {
+                    "query_idx": pa.array([], pa.int64()),
+                    self.id_col: pa.array([], pa.from_numpy_dtype(ids.dtype)),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        sub = pa.table(
+            {
+                self.id_col: pa.array(ids[mask]),
+                self.emb_col: pa.array(list(emb[mask])),
+            }
+        )
+        return self.inner(sub)
+
+
 class _BatchTopK:
     """Stateful actor: query matrix normalized once per actor."""
 
@@ -119,39 +155,18 @@ def knn_ivf(
     probe = np.argsort(-(Qn @ _normalize(C).T), axis=1)[:, :nprobe]  # (q, nprobe)
     allowed = np.unique(probe)
 
-    class _IVFTopK(_BatchTopK):
-        def __call__(self, tbl: pa.Table) -> pa.Table:
-            emb = np.stack(
-                tbl.column(emb_col).to_pandas().to_numpy()
-            ).astype(np.float32)
-            ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
-            cell = (_normalize(emb) @ _normalize(C).T).argmax(axis=1)
-            mask = np.isin(cell, allowed)
-            if not mask.any():
-                return pa.table(
-                    {
-                        "query_idx": pa.array([], pa.int64()),
-                        id_col: pa.array([], pa.from_numpy_dtype(ids.dtype)),
-                        "sim": pa.array([], pa.float64()),
-                    }
-                )
-            sub = pa.table(
-                {
-                    id_col: pa.array(ids[mask]),
-                    emb_col: pa.array(list(emb[mask])),
-                }
-            )
-            return super().__call__(sub)
-
     partials = ds.map_batches(
-        _IVFTopK,
+        _IVFBatchTopK,
         fn_constructor_kwargs={
             "queries": queries,
             "k": k,
             "emb_col": emb_col,
             "id_col": id_col,
+            "centroids": C,
+            "allowed_cells": allowed,
         },
         batch_format="pyarrow",
+        concurrency=4,
     ).to_pandas()
     out = []
     for q, grp in partials.groupby("query_idx"):

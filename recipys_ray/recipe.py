@@ -61,7 +61,9 @@ class Recipe:
         salt=None,
     ):
         if not isinstance(data, Ingredients):
-            data = Ingredients(data, roles=roles or {})
+            from recipys_ray.ingredients import as_dataset
+
+            data = Ingredients(as_dataset(data), roles=roles or {})
         self.ingredients = data
         self.steps: list[Step] = []
         self.original_columns = list(data.columns)
@@ -102,8 +104,12 @@ class Recipe:
         if data is None:
             return self.ingredients.copy_meta()
         if not isinstance(data, Ingredients):
+            from recipys_ray.ingredients import as_dataset
+
             data = Ingredients(
-                data, roles=self.ingredients.roles, check_roles=False
+                as_dataset(data),
+                roles=self.ingredients.roles,
+                check_roles=False,
             )
         if set(data.columns) != set(self.original_columns):
             raise ValueError(

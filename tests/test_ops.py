@@ -1,0 +1,211 @@
+"""Unit tests for the training-data ops: dedup family, similarity search,
+text analysis, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from recipys_ray.ops.dedup import (
+    embedding_dedup,
+    exact_dedup,
+    minhash_candidate_pairs,
+    minhash_dedup,
+    ngram_jaccard,
+    simhash_dedup,
+    verify_pairs_jaccard,
+)
+from recipys_ray.ops.multimodal import (
+    ByteHistogramFeatures,
+    DecodeImage,
+    SampleFrames,
+    decode_images,
+)
+from recipys_ray.ops.similarity import knn_brute_force, knn_ivf
+from recipys_ray.ops.text import TextFeaturizer, text_features
+
+
+def docs_with_dups():
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again while "
+        "the patient cat watches from the warm windowsill counting birds "
+        "and dreaming of dinner in the golden afternoon light of autumn",
+        "completely different text about ray data pipelines and arrow",
+        "a third document mentioning streaming shuffles and backpressure",
+    ]
+    rows = []
+    i = 0
+    for b in base:
+        for rep in range(3):  # 3 exact copies each
+            rows.append({"doc_id": i, "text": b})
+            i += 1
+    # near-dup of doc 0 (one word changed)
+    rows.append({"doc_id": i, "text": base[0].replace("lazy", "sleepy")})
+    i += 1
+    # unique doc
+    rows.append({"doc_id": i, "text": "entirely unrelated content here xyz"})
+    return pd.DataFrame(rows)
+
+
+class TestDedup:
+    def test_exact(self):
+        pdf = docs_with_dups()
+        out = exact_dedup(rd.from_pandas(pdf)).to_pandas()
+        # 3 groups of 3 + 2 singletons = 5 survivors
+        assert len(out) == 5
+        assert sorted(out["n_dups"]) == [1, 1, 3, 3, 3]
+        # min doc_id survives
+        assert 0 in out["doc_id"].values
+
+    def test_minhash_pairs_and_dedup(self):
+        pdf = docs_with_dups()
+        ds = rd.from_pandas(pdf)
+        pairs = minhash_candidate_pairs(ds).to_pandas()
+        pairset = {tuple(sorted(p)) for p in zip(pairs["a"], pairs["b"])}
+        # exact copies collide; near-dup of doc 0 should collide too
+        assert (0, 1) in pairset or (0, 2) in pairset
+        assert any(9 in p for p in pairset)  # the near-dup doc
+        out = minhash_dedup(ds).to_pandas()
+        assert len(out) < len(pdf)
+        assert 0 in out["doc_id"].values  # min-id representative survives
+
+    def test_jaccard_verify(self):
+        a = "the quick brown fox jumps over the lazy dog"
+        b = "the quick brown fox jumps over the sleepy dog"
+        c = "unrelated words entirely"
+        assert ngram_jaccard(a, a) == 1.0
+        assert ngram_jaccard(a, b) > 0.4
+        assert ngram_jaccard(a, c) == 0.0
+        pdf = docs_with_dups()
+        ds = rd.from_pandas(pdf)
+        pairs = pd.DataFrame({"a": [0, 0], "b": [1, 12]})
+        kept = verify_pairs_jaccard(ds, pairs, threshold=0.5)
+        assert (0, 1) in set(zip(kept["a"], kept["b"]))  # exact dup kept
+        assert (0, 12) not in set(zip(kept["a"], kept["b"]))  # unrelated
+
+    def test_simhash(self):
+        pdf = docs_with_dups()
+        out = simhash_dedup(rd.from_pandas(pdf)).to_pandas()
+        assert len(out) <= 5 + 1  # exact copies definitely collapse
+
+    def test_embedding_dedup(self):
+        rng = np.random.RandomState(0)
+        base = rng.normal(size=(10, 16)).astype(np.float32)
+        emb = np.vstack([base, base[:3] + 1e-4])  # 3 near-exact dups
+        pdf = pd.DataFrame(
+            {"vec_id": np.arange(13), "embedding": list(emb)}
+        )
+        out = embedding_dedup(rd.from_pandas(pdf), threshold=0.999).to_pandas()
+        assert len(out) == 10
+        assert set(range(10)) == set(out["vec_id"])
+
+
+class TestSimilarity:
+    def setup_method(self):
+        rng = np.random.RandomState(1)
+        self.emb = rng.normal(size=(200, 32)).astype(np.float32)
+        self.pdf = pd.DataFrame(
+            {"vec_id": np.arange(200), "embedding": list(self.emb)}
+        )
+
+    def _exact_numpy(self, Q, k):
+        E = self.emb / np.linalg.norm(self.emb, axis=1, keepdims=True)
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        sims = E @ Qn.T
+        return np.argsort(-sims, axis=0)[:k].T  # (q, k)
+
+    def test_brute_force_matches_numpy(self):
+        Q = self.emb[:3]
+        res = knn_brute_force(rd.from_pandas(self.pdf), Q, k=5)
+        expect = self._exact_numpy(Q, 5)
+        for q in range(3):
+            got = res[res["query_idx"] == q].sort_values("rank")["vec_id"]
+            np.testing.assert_array_equal(got.to_numpy(), expect[q])
+
+    def test_ivf_recalls_self(self):
+        Q = self.emb[:3]
+        res = knn_ivf(rd.from_pandas(self.pdf), Q, k=3, n_clusters=8,
+                      nprobe=4, sample_size=200)
+        for q in range(3):
+            top = res[(res["query_idx"] == q) & (res["rank"] == 0)]
+            assert top["vec_id"].iloc[0] == q  # self is its own NN
+
+
+class TestText:
+    def test_featurizer_values(self):
+        tbl = pa.table(
+            {
+                "text": [
+                    "The quick brown fox, and the lazy dog!",
+                    "la maison est un endroit pour le chat",
+                    "",
+                ]
+            }
+        )
+        out = TextFeaturizer()(tbl).to_pandas()
+        assert out["n_words"].tolist() == [8, 8, 0]
+        assert out["n_chars_calc"].tolist() == [38, 37, 0]
+        assert out["token_count"][0] == 10  # 8 words + "," + "!"
+        assert out["lang_pred"][0] == "en"
+        assert out["lang_pred"][1] == "fr"
+        assert out["lang_pred"][2] == "und"
+        assert (out["quality_score"] >= 0).all() and (
+            out["quality_score"] <= 1
+        ).all()
+
+    def test_fingerprint_stability(self):
+        tbl = pa.table({"text": ["one two three four five"] * 2})
+        out1 = TextFeaturizer()(tbl).to_pandas()
+        out2 = TextFeaturizer()(tbl).to_pandas()
+        assert out1["fingerprint"].tolist() == out2["fingerprint"].tolist()
+        assert out1["fingerprint"][0] == out1["fingerprint"][1]
+
+    def test_actor_pool_stage(self):
+        pdf = pd.DataFrame({"doc_id": range(20), "text": ["hello world"] * 20})
+        out = text_features(rd.from_pandas(pdf), concurrency=2).to_pandas()
+        assert len(out) == 20
+        assert (out["n_words"] == 2).all()
+
+
+class TestMultimodal:
+    def payload_table(self):
+        return pa.table(
+            {
+                "img_id": pa.array([1, 2, 3]),
+                "image": pa.array(
+                    [b"\x00\x01" * 100, b"\xff" * 50, None], pa.binary()
+                ),
+            }
+        )
+
+    def test_decode_fake(self):
+        out = DecodeImage(binary_col="image")(self.payload_table()).to_pandas()
+        assert out["img_bytes"].tolist() == [200, 50, 0]
+        assert (out["img_width"] > 0).all()
+
+    def test_decode_real_raises(self):
+        with pytest.raises(NotImplementedError, match="PIL"):
+            DecodeImage(binary_col="image", fake=False)
+
+    def test_byte_histogram_real(self):
+        out = ByteHistogramFeatures(binary_col="image")(
+            self.payload_table()
+        ).to_pandas()
+        h0 = np.asarray(out["byte_hist"][0])
+        np.testing.assert_allclose(h0[0], 1.0)  # all bytes in bins 0 (0x00/0x01)
+        h1 = np.asarray(out["byte_hist"][1])
+        np.testing.assert_allclose(h1[-1], 1.0)  # 0xff → last bin
+        assert np.asarray(out["byte_hist"][2]).sum() == 0
+
+    def test_frame_sampling_plumbing(self):
+        out = SampleFrames(binary_col="image", every_n=1, max_frames=3)(
+            self.payload_table()
+        ).to_pandas()
+        assert len(out) >= 3
+        assert (out.groupby("img_id")["frame_no"].min() == 0).all()
+
+    def test_actor_pool_decode_stage(self):
+        ds = rd.from_arrow(self.payload_table())
+        out = decode_images(ds, concurrency=2, batch_size=2).to_pandas()
+        assert len(out) == 3

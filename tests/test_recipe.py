@@ -75,6 +75,19 @@ def test_no_group_for_group_step():
     rec.prep().to_pandas()
 
 
+def test_accepts_pandas_polars_arrow_inputs():
+    import polars as pl
+    import pyarrow as pa
+
+    pdf = f1_pandas()
+    for data in (pdf, pa.Table.from_pandas(pdf[["id", "y", "x1"]]),
+                 pl.from_pandas(pdf[["id", "y", "x1"]])):
+        rec = Recipe(data, outcomes=["y"], predictors=["x1"], groups=["id"])
+        rec.add_step(StepImputeFill(value=0))
+        out = rec.prep().to_pandas()
+        assert len(out) == 10
+
+
 def test_chained_new_columns_get_roles():
     """Historical output columns become predictors and feed later steps
     (matches reference role assignment, step.py:360-362)."""
