@@ -44,23 +44,52 @@ class _ContentHash:
         return tbl.append_column("__content_hash__", pa.array(h))
 
 
+def partitioned_groupby_map(ds, key_cols: list[str], fn, num_partitions: int = 64):
+    """Hash-partition by key, then apply ``fn`` once per PARTITION (a pandas
+    frame containing every row of its keys) — ``fn`` handles all groups in
+    one vectorized pass. Avoids Ray ``groupby(key).map_groups``'s
+    per-group Python call, which dominates when groups are tiny (e.g. one
+    Python invocation per LSH bucket)."""
+
+    def stamp(tbl: pa.Table) -> pa.Table:
+        pdf = tbl.select(key_cols).to_pandas()
+        h = pd.util.hash_pandas_object(pdf, index=False).to_numpy()
+        part = (h % np.uint64(num_partitions)).astype(np.int32)
+        return tbl.append_column("__pgm_part__", pa.array(part))
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.drop(columns=["__pgm_part__"])
+        return fn(pdf)
+
+    return (
+        ds.map_batches(stamp, batch_format="pyarrow")
+        .groupby("__pgm_part__")
+        .map_groups(run, batch_format="pandas")
+    )
+
+
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Keep the row with the smallest ``id_col`` per exact text content.
 
     hash-partition + per-group first: one vectorized hash pass, one groupby
     on the 8-byte hash (text never shuffles beyond its own block), min-id
-    survivor per group.
+    survivor per group — resolved vectorized across all groups per partition.
     """
     hashed = ds.map_batches(_ContentHash(text_col), batch_format="pyarrow")
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.sort_values(id_col, kind="stable").head(1).copy()
-        out["n_dups"] = len(g)
+    def keep_first(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["__content_hash__", id_col], kind="stable", ignore_index=True
+        )
+        sizes = pdf.groupby("__content_hash__", sort=False)[id_col].transform(
+            "size"
+        )
+        keep = ~pdf.duplicated("__content_hash__", keep="first")
+        out = pdf[keep].copy()
+        out["n_dups"] = sizes[keep].to_numpy()
         return out.drop(columns=["__content_hash__"])
 
-    return hashed.groupby("__content_hash__").map_groups(
-        keep_first, batch_format="pandas"
-    )
+    return partitioned_groupby_map(hashed, ["__content_hash__"], keep_first)
 
 
 # --------------------------------------------------------------------- #
@@ -87,43 +116,58 @@ class _MinHashBands:
         self.a, self.b = _minhash_params(num_perm, seed)
         self.word_re = _WORD_RE
 
-    def signature(self, text: str) -> np.ndarray:
+    def _shingles(self, text: str) -> list[str]:
         ws = self.word_re.findall(text.lower())
         k = self.shingle_k
         if len(ws) < k:
-            shingles = np.array([" ".join(ws)], dtype=object)
-        else:
-            shingles = np.array(
-                [" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)],
-                dtype=object,
-            )
-        h = (pd.util.hash_array(shingles) & np.uint64(_MERSENNE)).astype(np.int64)
-        # (num_perm, n_shingles) universal hashes → min along shingles
-        vals = (np.outer(self.a, h) + self.b[:, None]) % _MERSENNE
-        return vals.min(axis=1)
+            return [" ".join(ws)]
+        return [" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)]
+
+    def signatures(self, texts) -> np.ndarray:
+        """(n_docs, num_perm) minhash matrix — one batched hash call over ALL
+        shingles, permutation hashing in uint64 (deterministic wrap-around
+        arithmetic), segmented min via ``np.minimum.reduceat``."""
+        all_shingles: list[str] = []
+        counts = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            sh = self._shingles(t)
+            counts[i] = len(sh)
+            all_shingles.extend(sh)
+        h = pd.util.hash_array(np.array(all_shingles, dtype=object)).astype(
+            np.uint64
+        )
+        offsets = np.r_[0, np.cumsum(counts)[:-1]]
+        a = self.a.astype(np.uint64)
+        b = self.b.astype(np.uint64)
+        sig = np.empty((len(texts), self.num_perm), dtype=np.uint64)
+        chunk = 16  # permutations at a time — bounds the (perm × shingle) temp
+        for s in range(0, self.num_perm, chunk):
+            vals = a[s : s + chunk, None] * h[None, :] + b[s : s + chunk, None]
+            sig[:, s : s + chunk] = np.minimum.reduceat(vals, offsets, axis=1).T
+        return sig
+
+    def signature(self, text: str) -> np.ndarray:
+        return self.signatures([text])[0]
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
         texts = tbl.column(self.text_col).to_pandas().fillna("")
         ids = tbl.column(self.id_col).to_numpy(zero_copy_only=False)
         n = len(texts)
-        band_ids = np.empty(n * self.bands, dtype=np.int32)
-        band_hashes = np.empty(n * self.bands, dtype=np.int64)
-        doc_ids = np.repeat(ids, self.bands)
+        sig = self.signatures(list(texts))  # (n, num_perm)
         r = self.rows_per_band
-        for i, t in enumerate(texts):
-            sig = self.signature(t)
-            for bnd in range(self.bands):
-                chunk = sig[bnd * r : (bnd + 1) * r]
-                band_ids[i * self.bands + bnd] = bnd
-                band_hashes[i * self.bands + bnd] = (
-                    int(pd.util.hash_array(np.ascontiguousarray(chunk)).sum())
-                    & 0x7FFFFFFFFFFFFFFF
-                )
+        # mix the r rows of each band into one 63-bit key, fully vectorized
+        mixed = np.zeros((n, self.bands), dtype=np.uint64)
+        sig3 = sig.reshape(n, self.bands, r)
+        prime = np.uint64(1099511628211)
+        for j in range(r):
+            mixed = mixed * prime + sig3[:, :, j]
+        band_hashes = (mixed & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+        band_ids = np.tile(np.arange(self.bands, dtype=np.int32), n)
         return pa.table(
             {
                 "band": pa.array(band_ids),
-                "band_hash": pa.array(band_hashes),
-                self.id_col: pa.array(doc_ids),
+                "band_hash": pa.array(band_hashes.reshape(-1)),
+                self.id_col: pa.array(np.repeat(ids, self.bands)),
             }
         )
 
@@ -146,17 +190,22 @@ def minhash_candidate_pairs(
         batch_format="pyarrow",
     )
 
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g[id_col].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
-        # pair every member with the group min — enough for connected
-        # components (star expansion), O(n) not O(n²)
-        return pd.DataFrame({"a": np.full(len(ids) - 1, ids[0]), "b": ids[1:]})
+    def emit_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        # star expansion per bucket (pair each member with the bucket min) —
+        # enough for connected components, O(n) not O(n²), and fully
+        # vectorized across every bucket in the partition
+        pdf = pdf.sort_values(
+            ["band", "band_hash", id_col], kind="stable", ignore_index=True
+        )
+        first = pdf.groupby(["band", "band_hash"], sort=False)[id_col].transform(
+            "first"
+        )
+        mask = (pdf[id_col] != first).to_numpy()
+        return pd.DataFrame(
+            {"a": first[mask].to_numpy(), "b": pdf[id_col][mask].to_numpy()}
+        )
 
-    return exploded.groupby(["band", "band_hash"]).map_groups(
-        emit_pairs, batch_format="pandas"
-    )
+    return partitioned_groupby_map(exploded, ["band", "band_hash"], emit_pairs)
 
 
 def _safe_pairs(pairs) -> pd.DataFrame:
@@ -265,22 +314,41 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 
     thr = hamming_threshold
 
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
+    def emit_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        # pre-filter to buckets with ≥ 2 members (vectorized); only those few
+        # pay the per-bucket O(n²) Hamming verification
+        pdf = pdf.sort_values(
+            ["band", "band_key", id_col], kind="stable", ignore_index=True
+        )
+        sizes = pdf.groupby(["band", "band_key"], sort=False)[id_col].transform(
+            "size"
+        )
+        pdf = pdf[sizes >= 2]
+        out_a, out_b = [], []
+        for _, g in pdf.groupby(["band", "band_key"], sort=False):
+            sims = g["simhash"].to_numpy().astype(np.uint64)
+            ids = g[id_col].to_numpy()
+            x = sims[:, None] ^ sims[None, :]
+            ham = np.unpackbits(
+                x.view(np.uint8).reshape(len(g), len(g), 8), axis=2
+            ).sum(axis=2)
+            ii, jj = np.nonzero(
+                (ham <= thr)
+                & (np.arange(len(g))[:, None] < np.arange(len(g))[None, :])
+            )
+            out_a.append(ids[ii])
+            out_b.append(ids[jj])
+        if not out_a:
             return pd.DataFrame({"a": pd.Series(dtype=np.int64),
                                  "b": pd.Series(dtype=np.int64)})
-        g = g.sort_values(id_col)
-        sims = g["simhash"].to_numpy().astype(np.uint64)
-        ids = g[id_col].to_numpy()
-        x = sims[:, None] ^ sims[None, :]
-        # vectorized popcount via uint8 view
-        ham = np.unpackbits(x.view(np.uint8).reshape(len(g), len(g), 8), axis=2).sum(axis=2)
-        ii, jj = np.nonzero((ham <= thr) & (np.arange(len(g))[:, None] < np.arange(len(g))[None, :]))
-        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
+        return pd.DataFrame(
+            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+        )
 
-    pairs = _safe_pairs(exploded.groupby(["band", "band_key"]).map_groups(
-        emit_pairs, batch_format="pandas"
-    ).to_pandas()).drop_duplicates()
+    pairs = _safe_pairs(
+        partitioned_groupby_map(exploded, ["band", "band_key"], emit_pairs)
+        .to_pandas()
+    ).drop_duplicates()
     roots = _connected_components(pairs)
     losers = {doc for doc, root in roots.items() if root != doc}
 
@@ -364,23 +432,32 @@ def embedding_dedup(
 
     exploded = ds.map_batches(bucketize, batch_format="pyarrow")
 
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
+    def emit_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["bucket", id_col], kind="stable",
+                              ignore_index=True)
+        sizes = pdf.groupby("bucket", sort=False)[id_col].transform("size")
+        pdf = pdf[sizes >= 2]
+        out_a, out_b = [], []
+        for _, g in pdf.groupby("bucket", sort=False):
+            U = np.stack(g["__unit__"].to_numpy())
+            ids = g[id_col].to_numpy()
+            sims = U @ U.T
+            ii, jj = np.nonzero(
+                (sims >= threshold)
+                & (np.arange(len(g))[:, None] < np.arange(len(g))[None, :])
+            )
+            out_a.append(ids[ii])
+            out_b.append(ids[jj])
+        if not out_a:
             return pd.DataFrame({"a": pd.Series(dtype=np.int64),
                                  "b": pd.Series(dtype=np.int64)})
-        g = g.sort_values(id_col)
-        U = np.stack(g["__unit__"].to_numpy())
-        ids = g[id_col].to_numpy()
-        sims = U @ U.T
-        ii, jj = np.nonzero(
-            (sims >= threshold)
-            & (np.arange(len(g))[:, None] < np.arange(len(g))[None, :])
+        return pd.DataFrame(
+            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
         )
-        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
 
-    pairs = _safe_pairs(exploded.groupby("bucket").map_groups(
-        emit_pairs, batch_format="pandas"
-    ).to_pandas()).drop_duplicates()
+    pairs = _safe_pairs(
+        partitioned_groupby_map(exploded, ["bucket"], emit_pairs).to_pandas()
+    ).drop_duplicates()
     roots = _connected_components(pairs)
     losers = {doc for doc, root in roots.items() if root != doc}
 

@@ -96,6 +96,11 @@ class StepHistorical(Step):
         new_cols = [f"{c}_{self.suffix}" for c in cols]
         if not cols:
             return pdf
+        # an all-null Arrow column surfaces as object dtype in pandas; the
+        # selector guaranteed these are numeric, so coerce for the C kernels
+        for c in cols:
+            if pdf[c].dtype == object:
+                pdf[c] = pdf[c].astype(np.float64)
         g = pdf.groupby(gid, sort=False, observed=True)
         if self.fun is Accumulator.MAX:
             res = g[cols].cummax()

@@ -125,6 +125,11 @@ class StepImputeFill(Step):
         else:  # per-group mean/min/max (whole-group stat — matches polars
             # fill_null(strategy).over(groups), which includes future rows;
             # reference behavior, see SURVEY.md §2.5.2)
+            if self.strategy == "mean":
+                for c in cols:
+                    if pdf[c].dtype == object:  # all-null arrow → object
+                        pdf[c] = pdf[c].astype(np.float64)
+                g = pdf.groupby(pdf["__gid__"], sort=False, observed=True)
             stat = g[cols].transform(self.strategy)
             pdf[cols] = pdf[cols].fillna(stat)
         return pdf
