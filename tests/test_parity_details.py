@@ -1,0 +1,137 @@
+"""Fine-grained reference-parity details: fill limits, StepSklearn naming
+rules, ungrouped resampling, refit semantics, reprs."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from recipys_ray import (
+    Accumulator,
+    Recipe,
+    StepHistorical,
+    StepImputeFill,
+    StepResampling,
+    StepScale,
+    StepSklearn,
+    all_numeric_predictors,
+    all_of,
+)
+from recipys_ray.transformers import MinMaxScaler, OneHotEncoder
+
+from .conftest import f1_datetime, f1_pandas, make_recipe, sorted_pdf
+
+
+def test_ffill_limit():
+    pdf = pd.DataFrame(
+        {
+            "id": [1] * 5,
+            "t": pd.to_datetime(range(5), unit="h"),
+            "x": [1.0, np.nan, np.nan, np.nan, 5.0],
+        }
+    )
+    rec = Recipe(rd.from_pandas(pdf), predictors=["x"], groups=["id"],
+                 sequences=["t"], partitions=2)
+    rec.add_step(StepImputeFill(strategy="forward", limit=1))
+    out = sorted_pdf(rec.prep(), by=("id", "t"))
+    np.testing.assert_allclose(
+        out["x"], [1, 1, np.nan, np.nan, 5], equal_nan=True
+    )
+
+
+def test_bfill_limit():
+    pdf = pd.DataFrame(
+        {
+            "id": [1] * 5,
+            "t": pd.to_datetime(range(5), unit="h"),
+            "x": [1.0, np.nan, np.nan, np.nan, 5.0],
+        }
+    )
+    rec = Recipe(rd.from_pandas(pdf), predictors=["x"], groups=["id"],
+                 sequences=["t"], partitions=2)
+    rec.add_step(StepImputeFill(strategy="backward", limit=2))
+    out = sorted_pdf(rec.prep(), by=("id", "t"))
+    np.testing.assert_allclose(
+        out["x"], [1, np.nan, 5, 5, 5], equal_nan=True
+    )
+
+
+def test_sklearn_columnwise_new_column_naming():
+    """Reference naming: columnwise + in_place=False → <Cls>_<col>_<i+1>
+    (step.py:430-434)."""
+    rec = make_recipe(f1_pandas())
+    rec.add_step(
+        StepSklearn(MinMaxScaler(), sel=all_of(["x1", "x2"]),
+                    columnwise=True, in_place=False)
+    )
+    out = sorted_pdf(rec.prep())
+    assert "MinMaxScaler_x1_1" in out.columns
+    assert "MinMaxScaler_x2_1" in out.columns
+    # originals untouched
+    assert out["x1"].equals(f1_pandas().sort_values(["id", "time"])["x1"]
+                            .reset_index(drop=True))
+
+
+def test_sklearn_table_new_column_naming_same_width():
+    """Table mode + in_place=False, output width == input width →
+    <Cls>_<col> (step.py:453-461)."""
+    rec = make_recipe(f1_pandas())
+    rec.add_step(
+        StepSklearn(MinMaxScaler(), sel=all_of(["x1", "x2"]), in_place=False)
+    )
+    out = sorted_pdf(rec.prep())
+    assert "MinMaxScaler_x1" in out.columns and "MinMaxScaler_x2" in out.columns
+
+
+def test_new_columns_receive_role():
+    rec = make_recipe(f1_pandas())
+    step = StepSklearn(
+        OneHotEncoder(), sel=all_of(["x3"]), in_place=False, role="onehot"
+    )
+    rec.add_step(step)
+    rec.prep()
+    roles = rec._last_ingredients.roles
+    assert roles["OneHotEncoder_1"] == ["onehot"]
+
+
+def test_resample_ungrouped():
+    """Reference test_step_ungrouped (test_steps.py:102-124): no group role,
+    dedup'd time column, halves the rows."""
+    pdf = f1_datetime().drop(columns=["id"])
+    pdf = pdf.drop_duplicates(subset="time", keep="first")
+    rec = Recipe(rd.from_pandas(pdf), outcomes=["y"], predictors=["x1", "x2"])
+    rec.update_roles("time", "sequence")
+    rec.add_step(
+        StepResampling(
+            "2h", accumulator_dict={all_numeric_predictors(): Accumulator.MEAN}
+        )
+    )
+    out = rec.prep().to_pandas()
+    assert len(out) == len(pdf) / 2
+
+
+def test_prep_refit_recomputes():
+    rec = make_recipe(f1_pandas())
+    rec.add_step(StepScale(sel=all_of(["x1"])))
+    rec.prep()
+    mean1 = rec.steps[0].transformer.mean_[0]
+    shifted = f1_pandas()
+    shifted["x1"] += 50
+    rec.prep(rd.from_pandas(shifted), refit=True)
+    mean2 = rec.steps[0].transformer.mean_[0]
+    assert abs(mean2 - mean1 - 50) < 1e-9
+
+
+def test_reprs():
+    rec = make_recipe(f1_pandas())
+    step = StepHistorical(sel=all_of(["x1"]), fun=Accumulator.MAX)
+    rec.add_step(step)
+    assert "Create historical" in repr(step)
+    assert "Operations" in repr(rec)
+    rec.prep()
+    assert "[trained]" in repr(step)
+
+
+def test_historical_rejects_non_accumulator():
+    with pytest.raises(TypeError, match="Accumulator"):
+        StepHistorical(fun="max")
