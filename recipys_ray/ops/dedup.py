@@ -7,11 +7,11 @@ All variants follow the same shuffle-lean shape:
    motion;
 2. ONE ``groupby`` on the small key column co-locates collision candidates;
 3. per-group logic picks survivors / emits candidate pairs;
-4. (near-dup only) connected components over the candidate-pair set — the
-   pair set is orders of magnitude smaller than the corpus, so a driver-side
-   union-find is used here; the documented scale path is iterative min-label
-   propagation (a few ``groupby`` rounds) when pairs no longer fit the
-   driver.
+4. (near-dup only) connected components over the candidate-pair set — a
+   driver-side union-find while the pair set is small, switching to
+   distributed iterative min-label propagation
+   (:func:`connected_components_distributed`, a few groupby rounds over the
+   EDGE set only) when it is not.
 
 Only hashes/ids are shuffled — never the text payload.
 """
@@ -240,6 +240,107 @@ def _connected_components(pairs: pd.DataFrame) -> dict:
     return {x: find(x) for x in list(parent)}
 
 
+def connected_components_distributed(
+    pairs_ds, max_rounds: int = 20, num_partitions: int = 64
+):
+    """Connected components over a candidate-pair Dataset via iterative
+    min-label propagation — the scale path when the pair set outgrows the
+    driver (each round is two small shuffles over the EDGE set only, never
+    the corpus). Returns a Dataset (node, root).
+
+    Converges in O(diameter) rounds; LSH-candidate graphs are star-shaped
+    (every member paired with its bucket min), so the diameter is tiny.
+    """
+    import ray.data as rd
+
+    edges_pdf_schema_probe = None  # edges streamed, never collected
+
+    def to_undirected(tbl: pa.Table) -> pa.Table:
+        a = tbl.column("a").to_numpy(zero_copy_only=False)
+        b = tbl.column("b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([a, b])),
+                "dst": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    edges = pairs_ds.map_batches(to_undirected, batch_format="pyarrow")
+
+    def init_state(tbl: pa.Table) -> pa.Table:
+        n = tbl.column("node")
+        return pa.table({"node": n, "label": n})
+
+    def rename_min(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns(["node", "label"])
+
+    state = (
+        edges.map_batches(init_state, batch_format="pyarrow")
+        .groupby("node")
+        .min("label")
+        .map_batches(rename_min, batch_format="pyarrow")
+    )
+
+    prev_sum = None
+    for _ in range(max_rounds):
+        # propagate: each node sends its current label along its edges
+        def tag_edge(tbl: pa.Table) -> pa.Table:
+            return tbl.append_column(
+                "label", pa.nulls(len(tbl), pa.int64())
+            )
+
+        def tag_state(tbl: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": tbl.column("node"),
+                    "dst": pa.nulls(len(tbl), tbl.column("node").type),
+                    "label": tbl.column("label").cast(pa.int64()),
+                }
+            )
+
+        combined = edges.map_batches(
+            tag_edge, batch_format="pyarrow"
+        ).union(state.map_batches(tag_state, batch_format="pyarrow"))
+
+        def propagate(pdf: pd.DataFrame) -> pd.DataFrame:
+            st = pdf[pdf["dst"].isna()][["node", "label"]]
+            ed = pdf[pdf["dst"].notna()][["node", "dst"]]
+            lab = ed.merge(st, on="node", how="left")
+            out = pd.concat(
+                [
+                    st,
+                    lab[["dst", "label"]].rename(columns={"dst": "node"}),
+                ],
+                ignore_index=True,
+            ).dropna(subset=["label"])
+            # nullable ints surface as float64 in pandas; keys must stay
+            # int64 or the next round's hash partition won't co-locate them
+            # with the (int64) edge rows
+            out["node"] = out["node"].astype(np.int64)
+            out["label"] = out["label"].astype(np.int64)
+            return out
+
+        state = (
+            partitioned_groupby_map(combined, ["node"], propagate,
+                                    num_partitions)
+            .groupby("node")
+            .min("label")
+            .map_batches(rename_min, batch_format="pyarrow")
+            .materialize()
+        )
+        cur_sum = state.sum("label")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": tbl.column("node"), "root": tbl.column("label")}
+        )
+
+    return state.map_batches(finish, batch_format="pyarrow")
+
+
 def minhash_dedup(
     ds,
     text_col: str = "text",
@@ -247,13 +348,24 @@ def minhash_dedup(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
+    max_driver_pairs: int = 5_000_000,
 ):
-    """Drop near-duplicates: keep the min-id representative per component."""
-    pairs = _safe_pairs(minhash_candidate_pairs(
+    """Drop near-duplicates: keep the min-id representative per component.
+
+    Components run driver-side (union-find) while the candidate-pair set is
+    below ``max_driver_pairs``; above it, the distributed min-label
+    propagation path takes over — only the edge set ever shuffles.
+    """
+    pairs_ds = minhash_candidate_pairs(
         ds, text_col, id_col, num_perm, bands, shingle_k
-    ).to_pandas())
-    roots = _connected_components(pairs)
-    losers = {doc for doc, root in roots.items() if root != doc}
+    ).materialize()
+    if pairs_ds.count() > max_driver_pairs:
+        cc = connected_components_distributed(pairs_ds).to_pandas()
+        losers = set(cc.loc[cc["node"] != cc["root"], "node"])
+    else:
+        pairs = _safe_pairs(pairs_ds.to_pandas())
+        roots = _connected_components(pairs)
+        losers = {doc for doc, root in roots.items() if root != doc}
 
     def keep(tbl: pa.Table) -> pa.Table:
         ids = tbl.column(id_col).to_numpy(zero_copy_only=False)

@@ -209,3 +209,44 @@ class TestMultimodal:
         ds = rd.from_arrow(self.payload_table())
         out = decode_images(ds, concurrency=2, batch_size=2).to_pandas()
         assert len(out) == 3
+
+
+class TestDistributedComponents:
+    def test_matches_union_find(self):
+        rng = np.random.RandomState(3)
+        # random graph over 60 nodes: a few chains + isolated pairs
+        pairs = pd.DataFrame({
+            "a": rng.randint(0, 60, size=80).astype(np.int64),
+            "b": rng.randint(0, 60, size=80).astype(np.int64),
+        })
+        pairs = pairs[pairs["a"] != pairs["b"]].drop_duplicates()
+        from recipys_ray.ops.dedup import (
+            _connected_components,
+            connected_components_distributed,
+        )
+        roots_uf = _connected_components(pairs)
+        dist = connected_components_distributed(
+            rd.from_pandas(pairs), num_partitions=4
+        ).to_pandas()
+        roots_dist = dict(zip(dist["node"], dist["root"]))
+        # same partition structure: two nodes share a UF root iff they share
+        # a propagated root
+        nodes = sorted(set(pairs["a"]) | set(pairs["b"]))
+        for x in nodes:
+            for y in nodes:
+                same_uf = roots_uf.get(x, x) == roots_uf.get(y, y)
+                same_d = roots_dist.get(x, x) == roots_dist.get(y, y)
+                assert same_uf == same_d, (x, y)
+
+    def test_chain_graph_converges(self):
+        # worst case for label prop: a path graph 0-1-2-...-15
+        pairs = pd.DataFrame({
+            "a": np.arange(15, dtype=np.int64),
+            "b": np.arange(1, 16, dtype=np.int64),
+        })
+        out = connected_components_distributed = __import__(
+            "recipys_ray.ops.dedup", fromlist=["connected_components_distributed"]
+        ).connected_components_distributed(
+            rd.from_pandas(pairs), num_partitions=2
+        ).to_pandas()
+        assert (out["root"] == 0).all()
