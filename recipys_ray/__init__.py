@@ -30,6 +30,7 @@ from recipys_ray.selector import (
 from recipys_ray.steps import (
     Accumulator,
     Step,
+    StepActorPool,
     StepDiff,
     StepFunction,
     StepHistorical,
@@ -51,6 +52,7 @@ __all__ = [
     "Selector",
     "Accumulator",
     "Step",
+    "StepActorPool",
     "StepDiff",
     "StepFunction",
     "StepHistorical",

@@ -131,8 +131,6 @@ def write_resumable(
         bds = rd.read_parquet(bdir)
         m = {"rows": bds.count()}
         if metrics_cols:
-            import pyarrow.compute as pc_
-
             nulls = {c: 0 for c in metrics_cols}
 
             def count_nulls(tbl: pa.Table) -> pa.Table:

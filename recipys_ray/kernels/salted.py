@@ -41,12 +41,10 @@ import pandas as pd
 import pyarrow as pa
 
 from recipys_ray.kernels.grouped import (
-    GID,
     PART,
     GroupedStage,
     _hash_mod,
     _PartitionRunner,
-    assign_gid,
 )
 
 SALT = "__salt__"

@@ -19,7 +19,6 @@ Only hashes/ids are shuffled — never the text payload.
 from __future__ import annotations
 
 import re
-from typing import Optional
 
 import numpy as np
 import pandas as pd
@@ -251,10 +250,6 @@ def connected_components_distributed(
     Converges in O(diameter) rounds; LSH-candidate graphs are star-shaped
     (every member paired with its bucket min), so the diameter is tiny.
     """
-    import ray.data as rd
-
-    edges_pdf_schema_probe = None  # edges streamed, never collected
-
     def to_undirected(tbl: pa.Table) -> pa.Table:
         a = tbl.column("a").to_numpy(zero_copy_only=False)
         b = tbl.column("b").to_numpy(zero_copy_only=False)

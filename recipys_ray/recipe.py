@@ -205,16 +205,23 @@ class Recipe:
                 step._trained = True  # resolution is the only fit needed
 
             k = step.kind
-            key = (
-                (tuple(step.group_cols), tuple(step.seq_cols))
-                if k == "grouped"
-                else None
-            )
-            if mode is not None and (k != mode or (k == "grouped" and key != chain_key)):
+            if k == "actor":
+                # stateful actor-pool stage: its own operator, never fused
                 flush()
-            mode = k
-            chain_key = key if k == "grouped" else chain_key
-            pending.append(step)
+                ds = step.apply(ds)
+            else:
+                key = (
+                    (tuple(step.group_cols), tuple(step.seq_cols))
+                    if k == "grouped"
+                    else None
+                )
+                if mode is not None and (
+                    k != mode or (k == "grouped" and key != chain_key)
+                ):
+                    flush()
+                mode = k
+                chain_key = key if k == "grouped" else chain_key
+                pending.append(step)
 
             ing.apply_schema_delta(step.schema_delta(ing))
             ing.apply_role_delta(step.role_delta())

@@ -1,3 +1,4 @@
+from recipys_ray.steps.actor import StepActorPool
 from recipys_ray.steps.base import Step
 from recipys_ray.steps.function import StepFunction
 from recipys_ray.steps.historical import Accumulator, StepHistorical
@@ -20,6 +21,7 @@ from recipys_ray.steps.temporal import (
 __all__ = [
     "Accumulator",
     "Step",
+    "StepActorPool",
     "StepDiff",
     "StepFunction",
     "StepHistorical",

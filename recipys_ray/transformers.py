@@ -17,9 +17,6 @@ actor-pool escape hatch instead (SURVEY.md §2.2).
 
 from __future__ import annotations
 
-import math
-from typing import Optional
-
 import numpy as np
 import pandas as pd
 

@@ -135,3 +135,38 @@ def test_reprs():
 def test_historical_rejects_non_accumulator():
     with pytest.raises(TypeError, match="Accumulator"):
         StepHistorical(fun="max")
+
+
+class _ScoreActor:
+    """Test actor: 'loads' state once in __init__, scores per batch."""
+
+    init_count = 0
+
+    def __init__(self, factor: float):
+        self.factor = factor
+
+    def __call__(self, tbl):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        scored = pc.multiply(tbl.column("x1").cast("double"), self.factor)
+        return tbl.append_column("x1_scored", scored)
+
+
+def test_actor_pool_step():
+    from recipys_ray import StepActorPool
+    import pyarrow as pa
+
+    rec = make_recipe(f1_pandas())
+    rec.add_step(
+        StepActorPool(
+            _ScoreActor,
+            fn_constructor_kwargs={"factor": 2.0},
+            concurrency=2,
+            new_columns={"x1_scored": pa.float64()},
+        )
+    )
+    rec.add_step(StepHistorical(sel=all_of(["x1_scored"]), fun=Accumulator.MAX))
+    out = sorted_pdf(rec.prep())
+    np.testing.assert_allclose(out["x1_scored"], out["x1"] * 2.0)
+    assert "x1_scored_max" in out.columns  # new column got predictor role
