@@ -41,6 +41,7 @@ from recipys_ray.steps import (
     StepLag,
     StepLead,
     StepResampling,
+    StepRolling,
     StepScale,
     StepSessionize,
     StepSklearn,
@@ -63,6 +64,7 @@ __all__ = [
     "StepLag",
     "StepLead",
     "StepResampling",
+    "StepRolling",
     "StepScale",
     "StepSessionize",
     "StepSklearn",

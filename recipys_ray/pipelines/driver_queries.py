@@ -156,6 +156,25 @@ def q_hist_lineitem(sf_dir):
 # --------------------------------------------------------------------- #
 # lag / lead / diff / sessionize (north-rule extensions)
 # --------------------------------------------------------------------- #
+def q_rolling(sf_dir):
+    rec = _recipe(_with_valn(_events(sf_dir)))
+    rec.add_step(
+        rr.StepRolling(sel=all_of(["valn"]), window=5,
+                       fun=Accumulator.MEAN, suffix="r5mean")
+    )
+    rec.add_step(
+        rr.StepRolling(sel=all_of(["valn"]), window=5,
+                       fun=Accumulator.MAX, suffix="r5max")
+    )
+    rec.add_step(
+        rr.StepRolling(sel=all_of(["valn"]), window=5,
+                       fun=Accumulator.COUNT, suffix="r5cnt")
+    )
+    return _select(
+        rec.prep(), ["event_id", "valn_r5mean", "valn_r5max", "valn_r5cnt"]
+    )
+
+
 def q_lag_lead(sf_dir):
     rec = _recipe(_with_valn(_events(sf_dir)))
     rec.add_step(rr.StepLag(sel=all_of(["valn"]), shifts=[1]))
@@ -302,6 +321,51 @@ def q_resample_grid_1h(sf_dir):
     return _select(rec.prep(), ["user_id", "ts", "valn"])
 
 
+def q_asof_purchase(sf_dir):
+    """Point-in-time join: each event gets the user's most recent prior (or
+    simultaneous) purchase value — the engine's as-of join primitive."""
+    from recipys_ray.ops.asof import asof_join
+
+    ev = _events(sf_dir)
+    left = ev.select_columns(["event_id", "user_id", "ts"])
+
+    def purchases(tbl: pa.Table) -> pa.Table:
+        mask = pc.equal(tbl.column("event_type"), "purchase")
+        sub = tbl.filter(mask)
+        return pa.table(
+            {
+                "user_id": sub.column("user_id"),
+                "ts": sub.column("ts"),
+                "event_id": sub.column("event_id"),
+                "purch_value": sub.column("value"),
+            }
+        )
+
+    right = ev.map_batches(purchases, batch_format="pyarrow")
+
+    # dedup (user_id, ts) keep min event_id so ties are deterministic on
+    # both sides (DuckDB QUALIFY row_number ... = 1 mirrors this)
+    def dedup(pdf):
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        pdf = pdf[~pdf.duplicated(["user_id", "ts"], keep="first")]
+        return pdf.drop(columns=["event_id"])
+
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    right = partitioned_groupby_map(right, ["user_id"], dedup)
+    out = asof_join(left, right, on="ts", by="user_id")
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": tbl.column("event_id").cast(pa.int64()),
+                "purch_value": tbl.column("purch_value"),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------- #
 # dedup / text / similarity (training-data ops)
 # --------------------------------------------------------------------- #
@@ -436,6 +500,15 @@ ORACLES: dict[str, str] = {
                      ORDER BY l_linenumber, l_quantity, l_extendedprice
                      ROWS UNBOUNDED PRECEDING)
     """,
+    "rolling": f"""
+        WITH ev AS (SELECT event_id, user_id, ts, {_VALN_SQL} AS v FROM events)
+        SELECT event_id,
+               avg(v) OVER w AS valn_r5mean,
+               max(v) OVER w AS valn_r5max,
+               CAST(count(v) OVER w AS BIGINT) AS valn_r5cnt
+        FROM ev
+        WINDOW w AS ({_WIN} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
     "lag_lead": f"""
         WITH ev AS (SELECT event_id, user_id, ts, {_VALN_SQL} AS v FROM events)
         SELECT event_id,
@@ -536,6 +609,17 @@ ORACLES: dict[str, str] = {
                  AS valn
         FROM joined
     """,
+    "asof_purchase": """
+        WITH p AS (
+          SELECT user_id, ts, value AS purch_value FROM events
+          WHERE event_type = 'purchase'
+          QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                     ORDER BY event_id) = 1
+        )
+        SELECT e.event_id, p.purch_value
+        FROM events e ASOF LEFT JOIN p
+          ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
     "dedup_exact": """
         SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_dups
         FROM documents GROUP BY text
@@ -572,6 +656,7 @@ QUERIES = {
     "impute_global_mean": q_impute_global_mean,
     "historical": q_historical,
     "hist_lineitem": q_hist_lineitem,
+    "rolling": q_rolling,
     "lag_lead": q_lag_lead,
     "sessionize": q_sessionize,
     "scale_standard": q_scale_standard,
@@ -583,6 +668,7 @@ QUERIES = {
     "encode_onehot": q_encode_onehot,
     "resample_agg_1h": q_resample_agg_1h,
     "resample_grid_1h": q_resample_grid_1h,
+    "asof_purchase": q_asof_purchase,
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
     "knn_cosine": q_knn_cosine,

@@ -9,6 +9,7 @@ from recipys_ray.steps.impute import (
     StepImputeModel,
 )
 from recipys_ray.steps.resample import StepResampling
+from recipys_ray.steps.rolling import StepRolling
 from recipys_ray.steps.scale import StepScale
 from recipys_ray.steps.sklearn_step import StepSklearn
 from recipys_ray.steps.temporal import (
@@ -32,6 +33,7 @@ __all__ = [
     "StepLag",
     "StepLead",
     "StepResampling",
+    "StepRolling",
     "StepScale",
     "StepSessionize",
     "StepSklearn",

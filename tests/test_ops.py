@@ -250,3 +250,67 @@ class TestDistributedComponents:
             rd.from_pandas(pairs), num_partitions=2
         ).to_pandas()
         assert (out["root"] == 0).all()
+
+
+class TestAsofJoin:
+    def test_backward_basic(self):
+        from recipys_ray.ops.asof import asof_join
+
+        left = pd.DataFrame(
+            {
+                "k": [1, 1, 1, 2],
+                "t": pd.to_datetime([10, 20, 30, 10], unit="m"),
+                "lv": [1.0, 2.0, 3.0, 4.0],
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "k": [1, 1, 2],
+                "t": pd.to_datetime([15, 25, 40], unit="m"),
+                "rv": [100.0, 200.0, 300.0],
+            }
+        )
+        out = asof_join(
+            rd.from_pandas(left), rd.from_pandas(right), on="t", by="k",
+            num_partitions=4,
+        ).to_pandas().sort_values(["k", "t"]).reset_index(drop=True)
+        # k=1: t10→none, t20→rv@15, t30→rv@25; k=2: t10→none
+        assert np.isnan(out["rv"][0])
+        assert out["rv"][1] == 100.0
+        assert out["rv"][2] == 200.0
+        assert np.isnan(out["rv"][3])
+
+    def test_forward_and_tolerance(self):
+        from recipys_ray.ops.asof import asof_join
+
+        left = pd.DataFrame(
+            {"k": [1, 1], "t": pd.to_datetime([10, 20], unit="m"),
+             "lv": [1.0, 2.0]}
+        )
+        right = pd.DataFrame(
+            {"k": [1, 1], "t": pd.to_datetime([12, 60], unit="m"),
+             "rv": [5.0, 6.0]}
+        )
+        out = asof_join(
+            rd.from_pandas(left), rd.from_pandas(right), on="t", by="k",
+            direction="forward", tolerance=pd.Timedelta("10m"),
+            num_partitions=2,
+        ).to_pandas().sort_values("t").reset_index(drop=True)
+        assert out["rv"][0] == 5.0          # 10 → forward to 12 (within 10m)
+        assert np.isnan(out["rv"][1])       # 20 → next is 60, beyond tolerance
+
+    def test_collision_suffix(self):
+        from recipys_ray.ops.asof import asof_join
+
+        left = pd.DataFrame(
+            {"k": [1], "t": pd.to_datetime([10], unit="m"), "v": [1.0]}
+        )
+        right = pd.DataFrame(
+            {"k": [1], "t": pd.to_datetime([5], unit="m"), "v": [9.0]}
+        )
+        out = asof_join(
+            rd.from_pandas(left), rd.from_pandas(right), on="t", by="k",
+            num_partitions=2,
+        ).to_pandas()
+        assert out["v"].iloc[0] == 1.0
+        assert out["v_r"].iloc[0] == 9.0

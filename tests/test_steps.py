@@ -337,3 +337,59 @@ class TestScaleStep:
         out = sorted_pdf(rec.prep())
         assert abs(out["x2"].mean()) < 1e-5
         assert abs(out["x1"].mean()) > 1
+
+
+class TestStepRolling:
+    def test_row_window(self):
+        from recipys_ray import StepRolling
+
+        pdf = pd.DataFrame(
+            {
+                "id": [1, 1, 1, 1, 2, 2],
+                "t": pd.to_datetime([0, 1, 2, 3, 0, 1], unit="h"),
+                "x": [1.0, 2.0, 3.0, 4.0, 10.0, 20.0],
+            }
+        )
+        rec = Recipe(rd.from_pandas(pdf), predictors=["x"], groups=["id"],
+                     sequences=["t"], partitions=2)
+        rec.add_step(StepRolling(sel=all_of(["x"]), window=2,
+                                 fun=Accumulator.MEAN, suffix="r2mean"))
+        rec.add_step(StepRolling(sel=all_of(["x"]), window=3,
+                                 fun=Accumulator.MAX, suffix="r3max"))
+        out = sorted_pdf(rec.prep(), by=("id", "t"))
+        np.testing.assert_allclose(out["x_r2mean"], [1, 1.5, 2.5, 3.5, 10, 15])
+        np.testing.assert_allclose(out["x_r3max"], [1, 2, 3, 4, 10, 20])
+
+    def test_time_window(self):
+        from recipys_ray import StepRolling
+
+        pdf = pd.DataFrame(
+            {
+                "id": [1] * 4,
+                "t": pd.to_datetime(["2020-01-01 00:00", "2020-01-01 00:10",
+                                     "2020-01-01 00:50", "2020-01-01 02:00"]),
+                "x": [1.0, 2.0, 3.0, 4.0],
+            }
+        )
+        rec = Recipe(rd.from_pandas(pdf), predictors=["x"], groups=["id"],
+                     sequences=["t"], partitions=2)
+        rec.add_step(StepRolling(sel=all_of(["x"]), window="1h",
+                                 fun=Accumulator.MEAN, suffix="tw"))
+        out = sorted_pdf(rec.prep(), by=("id", "t"))
+        # windows: [1], [1,2], [2,3] (00:50-1h < 00:00 excl? (t-1h, t] → 1,2,3? t=00:50 window (23:50..00:50] includes all 3), [4]
+        np.testing.assert_allclose(out["x_tw"], [1, 1.5, 2, 4])
+
+    def test_leakage_free(self):
+        """row t must not see rows > t."""
+        from recipys_ray import StepRolling
+
+        pdf = pd.DataFrame(
+            {"id": [1, 1], "t": pd.to_datetime([0, 1], unit="h"),
+             "x": [1.0, 100.0]}
+        )
+        rec = Recipe(rd.from_pandas(pdf), predictors=["x"], groups=["id"],
+                     sequences=["t"], partitions=2)
+        rec.add_step(StepRolling(sel=all_of(["x"]), window=5,
+                                 fun=Accumulator.MAX, suffix="m"))
+        out = sorted_pdf(rec.prep(), by=("id", "t"))
+        assert out["x_m"].tolist() == [1.0, 100.0]
