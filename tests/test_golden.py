@@ -158,3 +158,45 @@ class TestGoldenTranscripts:
             ["conv_id", "turn_idx"], kind="stable"
         ).reset_index(drop=True)
         assert (ours["text"] == golden_sorted["text"]).all()
+
+
+class TestGoldenResampleQuirks:
+    def test_resample_mean_fill_global_quirk(self):
+        """The reference fills MEAN-mapped columns with the GLOBAL column
+        mean after upsampling (fill_null without .over — step.py:550-553);
+        verify we reproduce it, holes included."""
+        ref_recipe_mod, ref_step = load_reference()
+        # build a frame with holes so the grid inserts null rows
+        pdf = f1_datetime()
+        pdf = pdf[~pdf.index.isin([2, 8])].reset_index(drop=True)  # drop 2 rows
+        pl_df = pl.from_pandas(pdf)
+        ref = ref_recipe_mod.Recipe(pl_df, ["y"], ["x1", "x2", "x3", "x4"],
+                                    ["id"], ["time"])
+        ref.add_step(
+            ref_step.StepResampling(
+                "1h",
+                accumulator_dict={
+                    ref_sel_all_of(["x1"]): ref_step.Accumulator.MEAN
+                },
+            )
+        )
+        golden = ref.prep().to_pandas()
+
+        rec = rr.Recipe(
+            rd.from_pandas(pdf), outcomes=["y"],
+            predictors=["x1", "x2", "x3", "x4"], groups=["id"],
+            sequences=["time"], partitions=2,
+        )
+        rec.add_step(
+            rr.StepResampling(
+                "1h", accumulator_dict={rr.all_of(["x1"]): rr.Accumulator.MEAN}
+            )
+        )
+        ours = sorted_pdf(rec.prep(), by=("id", "time"))
+        compare(ours, golden, ["id", "time"])
+
+
+def ref_sel_all_of(names):
+    import recipys.selector as rs
+
+    return rs.all_of(names)

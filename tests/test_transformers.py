@@ -240,3 +240,43 @@ def test_columnwise_in_place_multicol_raises():
 def test_iterative_transformers_not_closed_form():
     with pytest.raises(NotImplementedError, match="closed-form"):
         KNNImputer()
+
+
+class _FakeSklearnScaler:
+    """Duck-typed external transformer (fit/transform) — exercises the
+    driver-side escape-hatch fit path for real sklearn objects."""
+
+    def fit(self, X):
+        self.min_ = np.asarray(X, dtype=float).min(axis=0)
+        return self
+
+    def transform(self, X):
+        return np.asarray(X, dtype=float) - self.min_
+
+
+def test_external_transformer_escape_hatch():
+    pdf = f1_pandas()
+    out = run_step(
+        StepSklearn(_FakeSklearnScaler(), sel=all_of(["x1"])), pdf
+    )
+    x = pdf["x1"].to_numpy()
+    np.testing.assert_allclose(out["x1"], x - x.min())
+
+
+def test_quantile_histogram_fallback():
+    """Above max_exact_distinct, quantile stats fall back to deterministic
+    histogram binning — error bounded by bin width."""
+    import ray.data as rd
+
+    from recipys_ray.aggregates import QUANTILES, column_stats
+
+    rng = np.random.RandomState(0)
+    vals = rng.normal(size=20_000)
+    ds = rd.from_pandas(pd.DataFrame({"x": vals}))
+    stats = column_stats(ds, ["x"], {QUANTILES}, max_exact_distinct=1000,
+                         hist_bins=4096)
+    s = stats["x"]
+    assert not s.exact
+    got = s.quantile([0.25, 0.5, 0.75])
+    expect = np.percentile(vals, [25, 50, 75])
+    np.testing.assert_allclose(got, expect, atol=0.01)
