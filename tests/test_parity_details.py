@@ -170,3 +170,76 @@ def test_actor_pool_step():
     out = sorted_pdf(rec.prep())
     np.testing.assert_allclose(out["x1_scored"], out["x1"] * 2.0)
     assert "x1_scored_max" in out.columns  # new column got predictor role
+
+
+def test_flagship_plan_has_single_shuffle():
+    """Fusion evidence: the whole order-dependent chain (ffill + 4×historical
+    + lag + sessionize) must cost exactly ONE all-to-all exchange."""
+    import ray.data as rd
+
+    from recipys_ray.pipelines.transcripts import flagship_recipe, make_transcripts
+
+    tbl = make_transcripts(n_turns=1500, seed=5)
+    rec = flagship_recipe(rd.from_arrow(tbl), partitions=2)
+    out = rec.prep()
+    out.to_pandas()
+    stats = out.stats()
+    # Ray renders each all-to-all exchange as a "Sort" operator; the 7
+    # order-dependent steps must have fused into exactly ONE
+    n_shuffles = sum(
+        1 for line in stats.splitlines()
+        if line.strip().startswith("Operator") and "Sort" in line
+    )
+    assert n_shuffles == 1, stats
+    grouped = [s for s in rec.steps if s.kind == "grouped"]
+    assert len(grouped) == 7
+
+
+def test_step_function_formats():
+    from recipys_ray import StepFunction
+    import pyarrow as pa
+
+    pdf = f1_pandas()
+
+    def add_one_pd(df):
+        df = df.copy()
+        df["x1"] = df["x1"] + 1
+        return df
+
+    rec = make_recipe(pdf)
+    rec.add_step(StepFunction(all_of(["x1"]), add_one_pd, batch_format="pandas"))
+    out = sorted_pdf(rec.prep())
+    np.testing.assert_allclose(
+        out["x1"],
+        f1_pandas().sort_values(["id", "time"])["x1"].to_numpy() + 1,
+    )
+
+    def add_col_arrow(tbl):
+        return tbl.append_column(
+            "flag", pa.array(np.ones(len(tbl), dtype=np.int64))
+        )
+
+    rec = make_recipe(pdf)
+    rec.add_step(StepFunction(all_of(["x1"]), add_col_arrow,
+                              batch_format="pyarrow"))
+    out = sorted_pdf(rec.prep())
+    assert (out["flag"] == 1).all()
+
+    def group_mean_col(frame, group_cols):
+        frame["x1_gmean"] = frame.groupby("__gid__")["x1"].transform("mean")
+        return frame
+
+    rec = make_recipe(pdf)
+    rec.add_step(StepFunction(all_of(["x1"]), group_mean_col, grouped=True))
+    out = sorted_pdf(rec.prep())
+    exp = f1_pandas().groupby("id")["x1"].transform("mean")
+    np.testing.assert_allclose(out["x1_gmean"], exp.to_numpy())
+
+
+def test_resample_on_timedelta_sequence():
+    """F1's native sequence is a timedelta (duration) column; the grid
+    kernel must handle it like polars upsample does temporal types."""
+    rec = make_recipe(f1_pandas())  # time is timedelta64
+    rec.add_step(StepResampling("2h"))
+    out = rec.prep().to_pandas()
+    assert len(out) == 5
