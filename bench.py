@@ -149,7 +149,9 @@ def run_scaling():
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    lo, hi = (
+        int(x) for x in os.environ.get("SCALING_CPUS", "8,32").split(",")
+    )
     # hi first, then a settle pause so the second child doesn't race the
     # first one's object-store teardown (measured to skew results)
     r_hi = run(hi)
@@ -160,11 +162,11 @@ def run_scaling():
     print(
         json.dumps(
             {
-                "metric": "scaling efficiency (num_cpus 8 → 32, same input)",
-                "turns_per_sec_8": tp_lo,
-                "turns_per_sec_32": tp_hi,
-                "sec_8": r_lo["value"],
-                "sec_32": r_hi["value"],
+                "metric": f"scaling efficiency (num_cpus {lo} → {hi}, same input)",
+                f"turns_per_sec_{lo}": tp_lo,
+                f"turns_per_sec_{hi}": tp_hi,
+                f"sec_{lo}": r_lo["value"],
+                f"sec_{hi}": r_hi["value"],
                 "scaling_efficiency": round(eff, 3),
             }
         )
