@@ -336,6 +336,18 @@ def connected_components_distributed(
     return state.map_batches(finish, batch_format="pyarrow")
 
 
+def _losers_from_pairs(pairs_ds, max_driver_pairs: int = 5_000_000) -> set:
+    """Component losers (non-min members) from a candidate-pair Dataset:
+    driver union-find below ``max_driver_pairs``, distributed min-label
+    propagation above it."""
+    if pairs_ds.count() > max_driver_pairs:
+        cc = connected_components_distributed(pairs_ds).to_pandas()
+        return set(cc.loc[cc["node"] != cc["root"], "node"])
+    pairs = _safe_pairs(pairs_ds.to_pandas()).drop_duplicates()
+    roots = _connected_components(pairs)
+    return {doc for doc, root in roots.items() if root != doc}
+
+
 def minhash_dedup(
     ds,
     text_col: str = "text",
@@ -354,13 +366,7 @@ def minhash_dedup(
     pairs_ds = minhash_candidate_pairs(
         ds, text_col, id_col, num_perm, bands, shingle_k
     ).materialize()
-    if pairs_ds.count() > max_driver_pairs:
-        cc = connected_components_distributed(pairs_ds).to_pandas()
-        losers = set(cc.loc[cc["node"] != cc["root"], "node"])
-    else:
-        pairs = _safe_pairs(pairs_ds.to_pandas())
-        roots = _connected_components(pairs)
-        losers = {doc for doc, root in roots.items() if root != doc}
+    losers = _losers_from_pairs(pairs_ds, max_driver_pairs)
 
     def keep(tbl: pa.Table) -> pa.Table:
         ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
@@ -452,12 +458,10 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
             {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
         )
 
-    pairs = _safe_pairs(
-        partitioned_groupby_map(exploded, ["band", "band_key"], emit_pairs)
-        .to_pandas()
-    ).drop_duplicates()
-    roots = _connected_components(pairs)
-    losers = {doc for doc, root in roots.items() if root != doc}
+    pairs_ds = partitioned_groupby_map(
+        exploded, ["band", "band_key"], emit_pairs
+    ).materialize()
+    losers = _losers_from_pairs(pairs_ds)
 
     def keep(tbl: pa.Table) -> pa.Table:
         ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
@@ -562,11 +566,10 @@ def embedding_dedup(
             {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
         )
 
-    pairs = _safe_pairs(
-        partitioned_groupby_map(exploded, ["bucket"], emit_pairs).to_pandas()
-    ).drop_duplicates()
-    roots = _connected_components(pairs)
-    losers = {doc for doc, root in roots.items() if root != doc}
+    pairs_ds = partitioned_groupby_map(
+        exploded, ["bucket"], emit_pairs
+    ).materialize()
+    losers = _losers_from_pairs(pairs_ds)
 
     def keep(tbl: pa.Table) -> pa.Table:
         ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
