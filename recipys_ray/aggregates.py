@@ -92,6 +92,11 @@ class ColStats:
         out = np.empty(len(qs))
         for j, qq in enumerate(qs):
             h = qq * (n - 1)  # fractional rank, numpy 'linear' interpolation
+            # snap ulp-level float error to the integer rank — otherwise a
+            # grid value lands epsilon away from the true data value and
+            # exact-match interpolation (QuantileTransformer ties) breaks
+            if abs(h - round(h)) < 1e-9 * max(1.0, abs(h)):
+                h = float(round(h))
             lo = int(np.floor(h))
             hi = int(np.ceil(h))
             # map ranks to values via searchsorted on last_rank

@@ -437,12 +437,19 @@ def q_langid_quality(sf_dir):  # rows-only (regex semantics not SQL-portable)
     return _select(out, ["doc_id", "lang_pred", "quality_score", "fingerprint"])
 
 
-def q_quantile_transform(sf_dir):  # rows-only (interp grid ≠ clean SQL)
+def q_quantile_transform(sf_dir):
+    """With n_quantiles = #non-null values, the quantile transform equals
+    the tie-averaged percent rank — which is exactly SQL-expressible."""
+    from recipys_ray.aggregates import column_stats
     from recipys_ray.transformers import QuantileTransformer
 
-    rec = _recipe(_with_valn(_events(sf_dir)))
+    ds = _with_valn(_events(sf_dir))
+    n_nonnull = column_stats(ds, ["valn"], set())["valn"].count
+    rec = _recipe(ds)
     rec.add_step(
-        rr.StepSklearn(QuantileTransformer(n_quantiles=100), sel=all_of(["valn"]))
+        rr.StepSklearn(
+            QuantileTransformer(n_quantiles=n_nonnull), sel=all_of(["valn"])
+        )
     )
     return _select(rec.prep(), ["event_id", "valn"])
 
@@ -631,6 +638,21 @@ ORACLES: dict[str, str] = {
                CAST(length(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
                  AS token_count
         FROM documents
+    """,
+    "quantile_transform": f"""
+        WITH ev AS (SELECT event_id, {_VALN_SQL} AS v FROM events),
+        nn AS (SELECT count(v) AS n FROM ev),
+        ranked AS (
+          SELECT event_id, v,
+                 rank() OVER (ORDER BY v) AS r_asc,
+                 rank() OVER (ORDER BY v DESC) AS r_desc
+          FROM ev WHERE v IS NOT NULL
+        )
+        SELECT e.event_id,
+               CASE WHEN e.v IS NULL THEN NULL
+                    ELSE ((r.r_asc + (nn.n - r.r_desc + 1)) / 2.0 - 1)
+                         / (nn.n - 1) END AS valn
+        FROM ev e LEFT JOIN ranked r USING (event_id), nn
     """,
     "knn_cosine": """
         WITH q AS (SELECT vec_id AS query_id, embedding AS qe
