@@ -189,12 +189,26 @@ def run_grouped_chain(
     steps: Sequence,
     num_partitions: Optional[int] = None,
     stamp_batch_rows: int = 262_144,
+    shuffle: str = "sort",
 ):
     """Apply a fused chain of order-dependent steps (see module docstring).
 
     ``steps`` are Step objects exposing ``transform_frame(pdf, group_cols)``
     plus the column-footprint protocol (frame_inputs/frame_outputs/
     frame_needs_all, changes_rowcount).
+
+    ``shuffle`` picks the exchange implementation:
+    - "sort" (default): Ray's ``groupby().map_groups`` — range-sorts blocks
+      by the partition id. The sort is redundant (the runner re-sorts each
+      partition by (group, sequence) anyway) but the operator overlaps with
+      the upstream read in the streaming executor.
+    - "raw": a textbook two-phase hash split/merge on raw Ray tasks (one
+      split task per map block with ``num_returns=P``, one merge+run task
+      per partition). No sort, blocks move exactly twice — but
+      ``to_arrow_refs`` is a barrier that forfeits read/shuffle overlap;
+      measured ≈5% slower single-node at 20M rows, kept as the explicit
+      fallback for environments where Ray's sort shuffle misbehaves.
+      Results are identical (cross-checked in tests).
     """
     p = num_partitions or choose_partitions(ds)
     if not group_cols:
@@ -210,6 +224,9 @@ def run_grouped_chain(
     stages = [GroupedStage(s) for s in steps]
     runner = _PartitionRunner(group_cols, sort_cols, stages)
 
+    if shuffle == "raw":
+        return _raw_shuffle_run(stamped, runner, p)
+
     # map_groups wants a plain function (it reads fn.__name__)
     def run_partition(tbl: pa.Table) -> pa.Table:
         return runner(tbl)
@@ -217,3 +234,63 @@ def run_grouped_chain(
     return stamped.groupby(PART).map_groups(
         run_partition, batch_format="pyarrow"
     )
+
+
+def _raw_shuffle_run(stamped, runner: "_PartitionRunner", p: int):
+    """Two-phase hash shuffle on raw Ray tasks (Dataset in, Dataset out).
+
+    Phase 1 (split): one task per map block slices it into P sub-tables by
+    the pre-computed ``__part__`` column (arrow take — zero-copy views).
+    Phase 2 (merge+run): one task per partition concatenates its shards and
+    runs the fused partition kernel. Blocks move through the object store
+    exactly twice — no global sort, no sampling pass.
+    """
+    import ray
+    import ray.data as rd
+
+    @ray.remote
+    def split_block(tbl: pa.Table, p: int):
+        part = tbl.column(PART).to_numpy(zero_copy_only=False)
+        order = np.argsort(part, kind="stable")
+        sorted_tbl = tbl.take(pa.array(order))
+        sorted_part = part[order]
+        bounds = np.searchsorted(sorted_part, np.arange(p + 1))
+        return [
+            sorted_tbl.slice(bounds[i], bounds[i + 1] - bounds[i])
+            for i in range(p)
+        ]
+
+    @ray.remote
+    def merge_run(runner_obj, *shards):
+        shards = [s for s in shards if s is not None and len(s)]
+        if not shards:
+            return None
+        tbl = pa.concat_tables(shards, promote_options="default")
+        return runner_obj(tbl)
+
+    @ray.remote
+    def nonempty(t) -> bool:
+        return t is not None and len(t) > 0
+
+    block_refs = stamped.to_arrow_refs()
+    if not block_refs:
+        return stamped  # fully empty dataset — nothing to do
+    runner_ref = ray.put(runner)
+    if p == 1:
+        out_refs = [merge_run.remote(runner_ref, *block_refs)]
+    else:
+        split_opts = split_block.options(num_returns=p)
+        shard_refs = [split_opts.remote(b, p) for b in block_refs]
+        out_refs = [
+            merge_run.remote(
+                runner_ref, *[shard_refs[j][i] for j in range(len(shard_refs))]
+            )
+            for i in range(p)
+        ]
+    # filter empty partitions WITHOUT fetching the tables to the driver:
+    # tiny boolean probes read each output in-place in the object store
+    flags = ray.get([nonempty.remote(r) for r in out_refs])
+    done = [r for r, f in zip(out_refs, flags) if f]
+    if not done:
+        return rd.from_arrow(runner(ray.get(block_refs[0])))  # zero rows
+    return rd.from_arrow_refs(done)
