@@ -86,6 +86,8 @@ def bench_queries() -> dict:
     picks = [
         "impute_ffill",
         "historical",
+        "rolling",
+        "asof_purchase",
         "hist_lineitem",
         "lag_lead",
         "sessionize",
