@@ -30,11 +30,19 @@ def asof_join(
     tolerance=None,
     right_suffix: str = "_r",
     num_partitions: int = 64,
+    right_dedup_cols=None,
 ):
     """As-of join two Datasets. Returns a Dataset with all left columns plus
     the matched right value columns (names colliding with left columns get
-    ``right_suffix``; the ``on``/``by`` key columns are not duplicated)."""
+    ``right_suffix``; the ``on``/``by`` key columns are not duplicated).
+
+    ``right_dedup_cols``: optional list of right columns; when given, right
+    rows are deduplicated on (by, on) INSIDE the co-partitioned join (sorted
+    by these columns, keep first — deterministic), and these columns are
+    dropped from the output. Saves the separate dedup shuffle a caller
+    would otherwise need for tie-breaking duplicate right timestamps."""
     by = [by] if isinstance(by, str) else list(by)
+    right_dedup_cols = list(right_dedup_cols or [])
 
     lschema = left.schema()
     rschema = right.schema()
@@ -46,6 +54,7 @@ def asof_join(
     out_names = {
         c: (c + right_suffix if c in lcols else c) for c in r_value_cols
     }
+    dedup_out = [out_names[c] for c in right_dedup_cols]
     out_value_cols = [out_names[c] for c in r_value_cols]
 
     all_cols = lcols + out_value_cols
@@ -84,11 +93,18 @@ def asof_join(
         lf = pdf[src == 0][lcols].sort_values(
             [on], kind="stable", ignore_index=True
         )
-        rf = pdf[src == 1][by + [on] + out_value_cols].sort_values(
-            [on], kind="stable", ignore_index=True
-        )
+        rf = pdf[src == 1][by + [on] + out_value_cols]
+        if dedup_out:
+            rf = rf.sort_values(
+                by + [on] + dedup_out, kind="stable", ignore_index=True
+            )
+            rf = rf[~rf.duplicated(by + [on], keep="first")]
+            rf = rf.drop(columns=dedup_out)
+        rf = rf.sort_values([on], kind="stable", ignore_index=True)
         if len(lf) == 0:
-            return pd.DataFrame(columns=all_cols)
+            return pd.DataFrame(
+                columns=[c for c in all_cols if c not in dedup_out]
+            )
         return pd.merge_asof(
             lf, rf, on=on, by=by, direction=direction, tolerance=tolerance
         )

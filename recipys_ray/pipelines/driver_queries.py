@@ -343,17 +343,12 @@ def q_asof_purchase(sf_dir):
 
     right = ev.map_batches(purchases, batch_format="pyarrow")
 
-    # dedup (user_id, ts) keep min event_id so ties are deterministic on
-    # both sides (DuckDB QUALIFY row_number ... = 1 mirrors this)
-    def dedup(pdf):
-        pdf = pdf.sort_values(["user_id", "ts", "event_id"], kind="stable")
-        pdf = pdf[~pdf.duplicated(["user_id", "ts"], keep="first")]
-        return pdf.drop(columns=["event_id"])
-
-    from recipys_ray.ops.dedup import partitioned_groupby_map
-
-    right = partitioned_groupby_map(right, ["user_id"], dedup)
-    out = asof_join(left, right, on="ts", by="user_id")
+    # ties on (user_id, ts) break by min event_id, resolved inside the
+    # co-partitioned join (DuckDB QUALIFY row_number ... = 1 mirrors this)
+    out = asof_join(
+        left, right, on="ts", by="user_id",
+        right_dedup_cols=["event_id"],
+    )
 
     def finish(tbl: pa.Table) -> pa.Table:
         return pa.table(
