@@ -106,6 +106,7 @@ def q_historical(sf_dir):
         Accumulator.COUNT,
         Accumulator.VAR,
         Accumulator.MEDIAN,
+        Accumulator.SUM,
     ):
         rec.add_step(rr.StepHistorical(sel=all_of(["valn"]), fun=fun))
     out = rec.prep()
@@ -120,7 +121,7 @@ def q_historical(sf_dir):
     return _select(
         out,
         ["event_id", "valn_min", "valn_max", "valn_mean", "valn_count",
-         "valn_var", "valn_median"],
+         "valn_var", "valn_median", "valn_sum"],
     )
 
 
@@ -170,8 +171,13 @@ def q_rolling(sf_dir):
         rr.StepRolling(sel=all_of(["valn"]), window=5,
                        fun=Accumulator.COUNT, suffix="r5cnt")
     )
+    rec.add_step(
+        rr.StepRolling(sel=all_of(["valn"]), window=5,
+                       fun=Accumulator.SUM, suffix="r5sum")
+    )
     return _select(
-        rec.prep(), ["event_id", "valn_r5mean", "valn_r5max", "valn_r5cnt"]
+        rec.prep(),
+        ["event_id", "valn_r5mean", "valn_r5max", "valn_r5cnt", "valn_r5sum"],
     )
 
 
@@ -486,7 +492,8 @@ ORACLES: dict[str, str] = {
                avg(v) OVER ({_EXP}) AS valn_mean,
                CAST(count(v) OVER ({_EXP}) AS BIGINT) AS valn_count,
                var_samp(v) OVER ({_EXP}) AS valn_var,
-               median(v) OVER ({_EXP}) AS valn_median
+               median(v) OVER ({_EXP}) AS valn_median,
+               sum(v) OVER ({_EXP}) AS valn_sum
         FROM ev
     """,
     "hist_lineitem": """
@@ -507,7 +514,8 @@ ORACLES: dict[str, str] = {
         SELECT event_id,
                avg(v) OVER w AS valn_r5mean,
                max(v) OVER w AS valn_r5max,
-               CAST(count(v) OVER w AS BIGINT) AS valn_r5cnt
+               CAST(count(v) OVER w AS BIGINT) AS valn_r5cnt,
+               sum(v) OVER w AS valn_r5sum
         FROM ev
         WINDOW w AS ({_WIN} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
     """,

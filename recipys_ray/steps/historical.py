@@ -44,6 +44,7 @@ class Accumulator(Enum):
     VAR = "var"
     FIRST = "first"
     LAST = "last"
+    SUM = "sum"  # engine extension — not in the reference enum
 
 
 _SUPPORTED = {
@@ -53,6 +54,7 @@ _SUPPORTED = {
     Accumulator.MEDIAN,
     Accumulator.COUNT,
     Accumulator.VAR,
+    Accumulator.SUM,  # engine extension
 }
 
 
@@ -113,12 +115,15 @@ class StepHistorical(Step):
             res = (
                 pdf[cols].notna().astype(np.int64).groupby(gid, sort=False).cumsum()
             ).astype(np.uint32)
-        elif self.fun in (Accumulator.MEAN, Accumulator.VAR):
+        elif self.fun in (Accumulator.MEAN, Accumulator.VAR, Accumulator.SUM):
             x = pdf[cols].astype(np.float64)
             notna = x.notna()
             n = notna.astype(np.float64).groupby(gid, sort=False).cumsum()
             s1 = x.fillna(0.0).groupby(gid, sort=False).cumsum()
-            if self.fun is Accumulator.MEAN:
+            if self.fun is Accumulator.SUM:
+                # null until the first non-null (SQL running-SUM semantics)
+                res = s1.where(n > 0)
+            elif self.fun is Accumulator.MEAN:
                 res = s1 / n.where(n > 0)
             else:
                 s2 = (x * x).fillna(0.0).groupby(gid, sort=False).cumsum()
@@ -138,7 +143,12 @@ class StepHistorical(Step):
         if self.fun is Accumulator.COUNT:
             t = pa.uint32()  # polars cum_count parity (excluded from numeric sel)
             return {f"{c}_{self.suffix}": t for c in self.columns}
-        if self.fun in (Accumulator.MEAN, Accumulator.MEDIAN, Accumulator.VAR):
+        if self.fun in (
+            Accumulator.MEAN,
+            Accumulator.MEDIAN,
+            Accumulator.VAR,
+            Accumulator.SUM,
+        ):
             return {f"{c}_{self.suffix}": pa.float64() for c in self.columns}
         # MAX/MIN keep the source dtype (floats once nulls appear)
         return {

@@ -32,6 +32,7 @@ _FUNS = {
     Accumulator.MEDIAN: "median",
     Accumulator.COUNT: "count",
     Accumulator.VAR: "var",
+    Accumulator.SUM: "sum",
 }
 
 

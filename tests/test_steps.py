@@ -393,3 +393,29 @@ class TestStepRolling:
                                  fun=Accumulator.MAX, suffix="m"))
         out = sorted_pdf(rec.prep(), by=("id", "t"))
         assert out["x_m"].tolist() == [1.0, 100.0]
+
+
+class TestAccumulatorSum:
+    def test_historical_sum(self):
+        rec = null_fixture().add_step(
+            StepHistorical(sel=all_of(["x"]), fun=Accumulator.SUM)
+        )
+        out = sorted_pdf(rec.prep(), by=("id", "t"))
+        # null until first non-null, then running sum (SQL semantics)
+        np.testing.assert_allclose(
+            out["x_sum"], [np.nan, 1, 1, 5, np.nan, 2, 2], equal_nan=True
+        )
+
+    def test_rolling_sum(self):
+        from recipys_ray import StepRolling
+
+        pdf = pd.DataFrame(
+            {"id": [1] * 4, "t": pd.to_datetime(range(4), unit="h"),
+             "x": [1.0, 2.0, np.nan, 4.0]}
+        )
+        rec = Recipe(rd.from_pandas(pdf), predictors=["x"], groups=["id"],
+                     sequences=["t"], partitions=2)
+        rec.add_step(StepRolling(sel=all_of(["x"]), window=2,
+                                 fun=Accumulator.SUM, suffix="r2sum"))
+        out = sorted_pdf(rec.prep(), by=("id", "t"))
+        np.testing.assert_allclose(out["x_r2sum"], [1, 3, 2, 4])
