@@ -119,17 +119,24 @@ class StepHistorical(Step):
             x = pdf[cols].astype(np.float64)
             notna = x.notna()
             n = notna.astype(np.float64).groupby(gid, sort=False).cumsum()
-            s1 = x.fillna(0.0).groupby(gid, sort=False).cumsum()
+            # Anchor-shift: subtract each group's first non-null value before
+            # the cumulative sums. VAR is shift-invariant and MEAN/SUM add the
+            # anchor back exactly, but the shifted deviations are small, so the
+            # closed-form (s2 - s1^2/n)/(n-1) no longer cancels catastrophically
+            # at large-magnitude inputs (e.g. epoch seconds).
+            anchor = x.groupby(gid, sort=False).transform("first")
+            xs = x - anchor
+            s1 = xs.fillna(0.0).groupby(gid, sort=False).cumsum()
             if self.fun is Accumulator.SUM:
                 # null until the first non-null (SQL running-SUM semantics)
-                res = s1.where(n > 0)
+                res = (s1 + anchor * n).where(n > 0)
             elif self.fun is Accumulator.MEAN:
-                res = s1 / n.where(n > 0)
+                res = s1 / n.where(n > 0) + anchor
             else:
-                s2 = (x * x).fillna(0.0).groupby(gid, sort=False).cumsum()
+                s2 = (xs * xs).fillna(0.0).groupby(gid, sort=False).cumsum()
                 n_valid = n.where(n > 1)
                 res = (s2 - s1 * s1 / n_valid) / (n_valid - 1.0)
-                # guard tiny negative values from cancellation
+                # guard tiny negative values from residual rounding
                 res = res.clip(lower=0.0).where(n > 1)
         elif self.fun is Accumulator.MEDIAN:
             res = (

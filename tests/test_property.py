@@ -88,7 +88,7 @@ def test_grouped_kernels_match_pandas(pdf):
     np.testing.assert_allclose(
         ours["x_var"],
         g["x"].expanding().var().reset_index(drop=True),
-        equal_nan=True, atol=1e-6,
+        equal_nan=True, atol=1e-12,
     )
     np.testing.assert_allclose(
         ours["x_count"],
