@@ -43,10 +43,11 @@ class _ContentHash:
         return tbl.append_column("__content_hash__", pa.array(h))
 
 
-def partitioned_groupby_map(ds, key_cols: list[str], fn, num_partitions: int = 64):
+def partitioned_groupby_map(ds, key_cols: list[str], fn, num_partitions: int = 64,
+                            batch_format: str = "pandas"):
     """Hash-partition by key, then apply ``fn`` once per PARTITION (a pandas
-    frame containing every row of its keys) — ``fn`` handles all groups in
-    one vectorized pass. Avoids Ray ``groupby(key).map_groups``'s
+    frame or Arrow table containing every row of its keys) — ``fn`` handles
+    all groups in one vectorized pass. Avoids Ray ``groupby(key).map_groups``'s
     per-group Python call, which dominates when groups are tiny (e.g. one
     Python invocation per LSH bucket)."""
 
@@ -60,10 +61,16 @@ def partitioned_groupby_map(ds, key_cols: list[str], fn, num_partitions: int = 6
         pdf = pdf.drop(columns=["__pgm_part__"])
         return fn(pdf)
 
+    def run_arrow(tbl: pa.Table) -> pa.Table:
+        return fn(tbl.drop_columns(["__pgm_part__"]))
+
     return (
         ds.map_batches(stamp, batch_format="pyarrow")
         .groupby("__pgm_part__")
-        .map_groups(run, batch_format="pandas")
+        .map_groups(
+            run_arrow if batch_format == "pyarrow" else run,
+            batch_format=batch_format,
+        )
     )
 
 
@@ -77,13 +84,17 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     hashed = ds.map_batches(_ContentHash(text_col), batch_format="pyarrow")
 
     def keep_first(pdf: pd.DataFrame) -> pd.DataFrame:
+        # group on (hash, text): the hash routes rows (same text ⇒ same
+        # partition) but the TEXT value decides duplicate identity, so a
+        # 64-bit hash collision can't merge two distinct documents
+        keys = ["__content_hash__", text_col]
         pdf = pdf.sort_values(
-            ["__content_hash__", id_col], kind="stable", ignore_index=True
+            keys + [id_col], kind="stable", ignore_index=True
         )
-        sizes = pdf.groupby("__content_hash__", sort=False)[id_col].transform(
+        sizes = pdf.groupby(keys, sort=False, dropna=False)[id_col].transform(
             "size"
         )
-        keep = ~pdf.duplicated("__content_hash__", keep="first")
+        keep = ~pdf.duplicated(keys, keep="first")
         out = pdf[keep].copy()
         out["n_dups"] = sizes[keep].to_numpy()
         return out.drop(columns=["__content_hash__"])
@@ -336,16 +347,183 @@ def connected_components_distributed(
     return state.map_batches(finish, batch_format="pyarrow")
 
 
-def _losers_from_pairs(pairs_ds, max_driver_pairs: int = 5_000_000) -> set:
-    """Component losers (non-min members) from a candidate-pair Dataset:
-    driver union-find below ``max_driver_pairs``, distributed min-label
-    propagation above it."""
+def losers_from_pairs(pairs_ds, max_driver_pairs: int = 5_000_000):
+    """Component losers (non-min members) from a candidate-pair Dataset.
+
+    Below ``max_driver_pairs`` → driver union-find, returning a SORTED int64
+    numpy array (broadcast once via ``ray.put`` by :func:`drop_ids`).
+    Above it → distributed min-label propagation, returning a **Dataset** of
+    loser ids (column ``node``) that never touches the driver — the anti-join
+    in :func:`drop_ids` stays distributed too.
+    """
     if pairs_ds.count() > max_driver_pairs:
-        cc = connected_components_distributed(pairs_ds).to_pandas()
-        return set(cc.loc[cc["node"] != cc["root"], "node"])
+        cc = connected_components_distributed(pairs_ds)
+
+        def pick_losers(tbl: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            mask = pc.not_equal(tbl.column("node"), tbl.column("root"))
+            return tbl.filter(mask).select(["node"])
+
+        return cc.map_batches(pick_losers, batch_format="pyarrow")
     pairs = _safe_pairs(pairs_ds.to_pandas()).drop_duplicates()
     roots = _connected_components(pairs)
-    return {doc for doc, root in roots.items() if root != doc}
+    arr = np.fromiter(
+        (doc for doc, root in roots.items() if root != doc), dtype=np.int64
+    )
+    arr.sort()
+    return arr
+
+
+def _in_sorted(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Vectorized membership test against a pre-sorted array — O(n log m)
+    per batch with no per-batch set/array rebuild."""
+    if len(sorted_arr) == 0:
+        return np.zeros(len(vals), dtype=bool)
+    idx = np.searchsorted(sorted_arr, vals)
+    idx[idx == len(sorted_arr)] = 0
+    return sorted_arr[idx] == vals
+
+
+# ---- distributed anti-join (Bloom broadcast + exact second pass) -------- #
+def _bloom_positions(ids: np.ndarray, k: int, mask: int) -> np.ndarray:
+    """k bit positions per id via double hashing (splitmix64-style mixes)."""
+    x = ids.astype(np.uint64)
+    h1 = x * np.uint64(0x9E3779B97F4A7C15)
+    h1 ^= h1 >> np.uint64(31)
+    h1 *= np.uint64(0xBF58476D1CE4E5B9)
+    h2 = (x ^ np.uint64(0x94D049BB133111EB)) * np.uint64(0xFF51AFD7ED558CCD)
+    h2 ^= h2 >> np.uint64(33)
+    h2 |= np.uint64(1)  # odd stride
+    ks = np.arange(k, dtype=np.uint64)
+    return ((h1[:, None] + ks[None, :] * h2[:, None]) & np.uint64(mask)).reshape(-1)
+
+
+def _build_bloom(ids_ds, n_keys: int, bits_per_key: int = 32, k: int = 3):
+    """Byte-array Bloom filter over a Dataset of ids (column ``node``).
+
+    Built by streaming per-block *bit positions* (k ints per id) to the
+    driver — driver memory is bounded by the filter itself (m/8 bytes =
+    ``bits_per_key/8`` per loser), never the id list as Python objects.
+    """
+    m = 1 << max(6, int(np.ceil(np.log2(max(1, n_keys) * bits_per_key))))
+    mask = m - 1
+    bloom = np.zeros(m // 8, dtype=np.uint8)
+
+    def positions(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("node").to_numpy(zero_copy_only=False)
+        pos = np.unique(_bloom_positions(ids, k, mask))
+        return pa.table({"pos": pa.array(pos.astype(np.int64))})
+
+    for batch in ids_ds.map_batches(
+        positions, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        pos = batch.column("pos").to_numpy()
+        np.bitwise_or.at(
+            bloom, pos >> 3, (1 << (pos & 7)).astype(np.uint8)
+        )
+    return bloom, mask, k
+
+
+def _bloom_maybe(bloom: np.ndarray, mask: int, k: int, ids: np.ndarray):
+    """True where id is POSSIBLY in the filter (false ⇒ definitely not)."""
+    pos = _bloom_positions(ids, k, mask).reshape(len(ids), k)
+    hits = (bloom[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+    return hits.all(axis=1)
+
+
+def _arrow_schema_of(ds) -> pa.Schema:
+    """Arrow schema of a Dataset. ``ds.schema().types`` surfaces Python
+    classes for pandas-backed blocks, so fall back to materializing ONE
+    batch (cheap: a single upstream block) when needed."""
+    sch = ds.schema()
+    base = getattr(sch, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    return ds.take_batch(1, batch_format="pyarrow").schema
+
+
+def drop_ids(ds, id_col: str, losers, num_partitions: int = 64):
+    """Filter out rows whose ``id_col`` is in ``losers``.
+
+    - ``losers`` is a sorted numpy array (driver path): broadcast ONCE via
+      ``ray.put``; each batch does a zero-copy ``ray.get`` + searchsorted.
+    - ``losers`` is a Dataset (scale path): broadcast a Bloom filter of the
+      loser ids (bytes ≪ ids-as-set), pass definite-keeps through untouched,
+      and resolve the Bloom-positive sliver with an exact hash-partitioned
+      anti-join — the full corpus never shuffles and the driver never holds
+      the id set.
+    """
+    import ray
+
+    if isinstance(losers, np.ndarray):
+        if len(losers) == 0:
+            return ds
+        ref = ray.put(losers)
+
+        def keep(tbl: pa.Table) -> pa.Table:
+            arr = ray.get(ref)  # zero-copy plasma read, cached per node
+            ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+            return tbl.filter(pa.array(~_in_sorted(arr, ids)))
+
+        return ds.map_batches(keep, batch_format="pyarrow")
+
+    losers = losers.materialize()
+    n_losers = losers.count()
+    if n_losers == 0:
+        return ds
+    bloom, mask, k = _build_bloom(losers, n_losers)
+    bloom_ref = ray.put(bloom)
+
+    def split(positive: bool):
+        def fn(tbl: pa.Table) -> pa.Table:
+            b = ray.get(bloom_ref)
+            ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+            maybe = _bloom_maybe(b, mask, k, ids)
+            return tbl.filter(pa.array(maybe if positive else ~maybe))
+
+        return fn
+
+    definite_keep = ds.map_batches(split(False), batch_format="pyarrow")
+    suspects = ds.map_batches(split(True), batch_format="pyarrow")
+
+    # exact second pass: co-partition suspects with loser ids by hash(id),
+    # drop suspects whose id appears in the partition's loser slice
+    schema = _arrow_schema_of(ds)
+    names, types = list(schema.names), list(schema.types)
+
+    def pad_losers(tbl: pa.Table) -> pa.Table:
+        id_type = types[names.index(id_col)]
+        cols = {}
+        for n, t in zip(names, types):
+            cols[n] = (
+                tbl.column("node").cast(id_type)
+                if n == id_col
+                else pa.nulls(len(tbl), t)
+            )
+        cols["__aj_src__"] = pa.array(np.ones(len(tbl), dtype=np.int8))
+        return pa.table(cols)
+
+    def tag_corpus(tbl: pa.Table) -> pa.Table:
+        return tbl.append_column(
+            "__aj_src__", pa.array(np.zeros(len(tbl), dtype=np.int8))
+        )
+
+    combined = suspects.map_batches(tag_corpus, batch_format="pyarrow").union(
+        losers.map_batches(pad_losers, batch_format="pyarrow")
+    )
+
+    def anti(tbl: pa.Table) -> pa.Table:
+        src = tbl.column("__aj_src__").to_numpy(zero_copy_only=False)
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        loser_ids = np.unique(ids[src == 1])
+        keep_mask = (src == 0) & ~_in_sorted(loser_ids, ids)
+        return tbl.filter(pa.array(keep_mask)).drop_columns(["__aj_src__"])
+
+    survivors = partitioned_groupby_map(
+        combined, [id_col], anti, num_partitions, batch_format="pyarrow"
+    )
+    return definite_keep.union(survivors)
 
 
 def minhash_dedup(
@@ -366,14 +544,8 @@ def minhash_dedup(
     pairs_ds = minhash_candidate_pairs(
         ds, text_col, id_col, num_perm, bands, shingle_k
     ).materialize()
-    losers = _losers_from_pairs(pairs_ds, max_driver_pairs)
-
-    def keep(tbl: pa.Table) -> pa.Table:
-        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
-        mask = ~np.isin(ids, np.fromiter(losers, dtype=ids.dtype, count=len(losers))) if losers else np.ones(len(ids), bool)
-        return tbl.filter(pa.array(mask))
-
-    return ds.map_batches(keep, batch_format="pyarrow")
+    losers = losers_from_pairs(pairs_ds, max_driver_pairs)
+    return drop_ids(ds, id_col, losers)
 
 
 # --------------------------------------------------------------------- #
@@ -386,22 +558,40 @@ class _SimHash:
         self.word_re = _WORD_RE
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
+        """Batch-wide: hash ALL words of the batch in one call, per-bit sign
+        votes via segmented ``np.add.reduceat`` — no per-document Python work
+        beyond the regex tokenization itself."""
         texts = tbl.column(self.text_col).to_pandas().fillna("")
-        out = np.empty(len(texts), dtype=np.int64)
+        all_words: list[str] = []
+        counts = np.empty(len(texts), dtype=np.int64)
         for i, t in enumerate(texts):
-            ws = np.array(self.word_re.findall(t.lower()) or [""], dtype=object)
-            h = pd.util.hash_array(ws)
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
-            votes = (bits.astype(np.int64) * 2 - 1).sum(axis=0)
-            sim = np.uint64(0)
-            for j in np.flatnonzero(votes > 0):
-                sim |= np.uint64(1) << np.uint64(j)
-            out[i] = np.int64(sim & np.uint64(0x7FFFFFFFFFFFFFFF))
+            ws = self.word_re.findall(t.lower()) or [""]
+            counts[i] = len(ws)
+            all_words.extend(ws)
+        h = pd.util.hash_array(np.array(all_words, dtype=object)).astype(
+            np.uint64
+        )
+        # (total_words, 64) bit matrix, segment-summed per doc; sign vote
+        # 2*ones - count > 0 ⇔ ones*2 > count
+        bits = (
+            (h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        ).astype(np.int32)
+        offsets = np.r_[0, np.cumsum(counts)[:-1]]
+        ones = np.add.reduceat(bits, offsets, axis=0)
+        positive = ones * 2 > counts[:, None]
+        powers = np.left_shift(
+            np.uint64(1), np.arange(64, dtype=np.uint64)
+        )
+        sim = (positive.astype(np.uint64) * powers[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        out = (sim & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
         return tbl.append_column("simhash", pa.array(out))
 
 
 def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
-                  hamming_threshold: int = 3):
+                  hamming_threshold: int = 3,
+                  max_driver_pairs: int = 5_000_000):
     """SimHash near-dup: 4×16-bit band buckets, verify Hamming distance
     in-bucket, min-id survivor per component."""
     hashed = ds.map_batches(_SimHash(text_col), batch_format="pyarrow")
@@ -461,14 +651,8 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     pairs_ds = partitioned_groupby_map(
         exploded, ["band", "band_key"], emit_pairs
     ).materialize()
-    losers = _losers_from_pairs(pairs_ds)
-
-    def keep(tbl: pa.Table) -> pa.Table:
-        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
-        mask = ~np.isin(ids, np.fromiter(losers, dtype=ids.dtype, count=len(losers))) if losers else np.ones(len(ids), bool)
-        return tbl.filter(pa.array(mask))
-
-    return hashed.map_batches(keep, batch_format="pyarrow")
+    losers = losers_from_pairs(pairs_ds, max_driver_pairs)
+    return drop_ids(hashed, id_col, losers)
 
 
 # --------------------------------------------------------------------- #
@@ -519,6 +703,7 @@ def embedding_dedup(
     threshold: float = 0.98,
     n_planes: int = 12,
     seed: int = 5,
+    max_driver_pairs: int = 5_000_000,
 ):
     """Near-dup by embedding cosine: random-hyperplane LSH buckets, exact
     in-bucket pairwise cosine, min-id survivor per component."""
@@ -569,11 +754,5 @@ def embedding_dedup(
     pairs_ds = partitioned_groupby_map(
         exploded, ["bucket"], emit_pairs
     ).materialize()
-    losers = _losers_from_pairs(pairs_ds)
-
-    def keep(tbl: pa.Table) -> pa.Table:
-        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
-        mask = ~np.isin(ids, np.fromiter(losers, dtype=ids.dtype, count=len(losers))) if losers else np.ones(len(ids), bool)
-        return tbl.filter(pa.array(mask))
-
-    return ds.map_batches(keep, batch_format="pyarrow")
+    losers = losers_from_pairs(pairs_ds, max_driver_pairs)
+    return drop_ids(ds, id_col, losers)

@@ -48,6 +48,8 @@ class _BatchChain:
 
 
 class Recipe:
+    _roles_snapshot: Optional[dict] = None  # set by cache()
+
     def __init__(
         self,
         data,
@@ -102,13 +104,23 @@ class Recipe:
     # ------------------------------------------------------------------ #
     def _check_data(self, data) -> Ingredients:
         if data is None:
+            if self.ingredients is None:
+                raise ValueError(
+                    "Recipe was cache()d (data reference dropped); "
+                    "prep/bake now require a data argument."
+                )
             return self.ingredients.copy_meta()
+        roles = (
+            self.ingredients.roles
+            if self.ingredients is not None
+            else self._roles_snapshot
+        )
         if not isinstance(data, Ingredients):
             from recipys_ray.ingredients import as_dataset
 
             data = Ingredients(
                 as_dataset(data),
-                roles=self.ingredients.roles,
+                roles=roles,
                 check_roles=False,
             )
         if set(data.columns) != set(self.original_columns):
@@ -235,7 +247,12 @@ class Recipe:
     # ------------------------------------------------------------------ #
     def cache(self) -> "Recipe":
         """Drop the data reference, keep fitted steps (reference
-        recipe.py:198-202) — the picklable FittedRecipe artifact."""
+        recipe.py:198-202) — the picklable FittedRecipe artifact. Roles are
+        snapshotted so ``bake(new_data)`` still works after caching."""
+        if self.ingredients is not None:
+            self._roles_snapshot = {
+                k: list(v) for k, v in self.ingredients.roles.items()
+            }
         self.ingredients = None
         return self
 

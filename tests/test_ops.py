@@ -89,6 +89,44 @@ class TestDedup:
         out = simhash_dedup(rd.from_pandas(pdf)).to_pandas()
         assert len(out) <= 5 + 1  # exact copies definitely collapse
 
+    def test_distributed_losers_match_driver_path(self):
+        """Forcing max_driver_pairs=0 exercises the distributed min-label
+        components + Bloom/anti-join path end-to-end; survivors must be
+        IDENTICAL to the driver union-find path."""
+        pdf = docs_with_dups()
+        ds = rd.from_pandas(pdf)
+        small = minhash_dedup(ds).to_pandas()
+        big = minhash_dedup(ds, max_driver_pairs=0).to_pandas()
+        assert sorted(big["doc_id"]) == sorted(small["doc_id"])
+        small_s = simhash_dedup(ds).to_pandas()
+        big_s = simhash_dedup(ds, max_driver_pairs=0).to_pandas()
+        assert sorted(big_s["doc_id"]) == sorted(small_s["doc_id"])
+
+    def test_exact_dedup_hash_collision(self):
+        """Two distinct texts forced into one hash bucket must NOT merge:
+        duplicate identity is the text value, the hash only routes."""
+        from recipys_ray.ops import dedup as dd
+
+        pdf = pd.DataFrame(
+            {"doc_id": [0, 1, 2], "text": ["aaa", "bbb", "aaa"]}
+        )
+
+        class CollidingHash(dd._ContentHash):
+            def __call__(self, tbl):
+                out = super().__call__(tbl)
+                i = out.column_names.index("__content_hash__")
+                const = pa.array(np.zeros(len(out), dtype=np.int64))
+                return out.set_column(i, "__content_hash__", const)
+
+        orig = dd._ContentHash
+        dd._ContentHash = CollidingHash
+        try:
+            out = exact_dedup(rd.from_pandas(pdf)).to_pandas()
+        finally:
+            dd._ContentHash = orig
+        assert sorted(out["doc_id"]) == [0, 1]
+        assert sorted(out["n_dups"]) == [1, 2]
+
     def test_embedding_dedup(self):
         rng = np.random.RandomState(0)
         base = rng.normal(size=(10, 16)).astype(np.float32)

@@ -66,6 +66,26 @@ def test_cache_keeps_fitted_steps():
     assert rec.steps[0].trained
 
 
+def test_cache_then_bake_new_data():
+    """cache() is the fit-once / bake-elsewhere artifact: baking NEW data
+    after cache() must reuse the fitted state, not crash."""
+    import pickle
+
+    train = f1_pandas()
+    rec = make_recipe(train)
+    rec.add_step(StepScale(sel=all_of(["x1"])))
+    rec.prep()
+    rec.cache()
+    rec = pickle.loads(pickle.dumps(rec))  # round-trip the artifact
+    test = f1_pandas()
+    test["x1"] = test["x1"] + 100.0
+    out = sorted_pdf(rec.bake(rd.from_pandas(test)))
+    # baked with the TRAIN mean/std → mean is shifted, not ~0
+    assert abs(out["x1"].mean()) > 1
+    with pytest.raises(ValueError, match="cache"):
+        rec.bake()  # no data after cache() is a clean error
+
+
 def test_no_group_for_group_step():
     """Reference test_steps.py:55-58 — grouped step without group role runs."""
     pdf = f1_pandas()
