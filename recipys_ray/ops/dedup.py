@@ -696,6 +696,60 @@ def verify_pairs_jaccard(ds, pairs: pd.DataFrame, text_col="text",
 # --------------------------------------------------------------------- #
 # embedding cosine near-dup
 # --------------------------------------------------------------------- #
+def embedding_dedup_exact(
+    ds,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.98,
+    max_driver_pairs: int = 5_000_000,
+):
+    """EXACT embedding near-dup: all-pairs cosine via a broadcast unit
+    matrix, components over threshold pairs, min-id survivor per component.
+
+    The full (n × d) unit matrix is broadcast ONCE (``ray.put``); each block
+    computes ``block @ U.T`` — O(n²) total work split across blocks, driver
+    holds only the matrix. This is the small-/mid-corpus baseline (bounded by
+    the matrix fitting in the object store, ~1 GB at 1M × 256 float32) and
+    the correctness oracle for :func:`embedding_dedup`'s LSH scale path.
+    """
+    import ray
+
+    pdf = ds.select_columns([id_col, emb_col]).to_pandas()
+    pdf = pdf.sort_values(id_col, ignore_index=True)
+    emb = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+    norm = np.linalg.norm(emb, axis=1)
+    norm[norm == 0] = 1.0
+    unit = emb / norm[:, None]
+    ids = pdf[id_col].to_numpy()
+    unit_ref = ray.put(unit)
+    ids_ref = ray.put(ids)
+
+    def block_pairs(tbl: pa.Table) -> pa.Table:
+        U = ray.get(unit_ref)
+        all_ids = ray.get(ids_ref)
+        bids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        bemb = np.stack(tbl.column(emb_col).to_pandas().to_numpy()).astype(
+            np.float64
+        )
+        bn = np.linalg.norm(bemb, axis=1)
+        bn[bn == 0] = 1.0
+        sims = (bemb / bn[:, None]) @ U.T
+        ii, jj = np.nonzero(
+            (sims >= threshold) & (bids[:, None] < all_ids[None, :])
+        )
+        return pa.table(
+            {
+                "a": pa.array(bids[ii].astype(np.int64)),
+                "b": pa.array(all_ids[jj].astype(np.int64)),
+            }
+        )
+
+    pairs_ds = ds.map_batches(block_pairs, batch_format="pyarrow").materialize()
+    losers = losers_from_pairs(pairs_ds, max_driver_pairs)
+    return drop_ids(ds, id_col, losers)
+
+
+
 def embedding_dedup(
     ds,
     emb_col: str = "embedding",

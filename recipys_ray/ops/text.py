@@ -24,20 +24,40 @@ _STOPWORDS = {
     "es": {"el", "la", "los", "y", "es", "un", "una", "no", "por", "que"},
 }
 
-_FNV_OFFSET = np.uint64(1469598103934665603)
-_FNV_PRIME = np.uint64(1099511628211)
+# polynomial rolling-hash params — chosen so BOTH numpy (uint64, no
+# overflow: h < 2^31, h*131 + cp < 2^39) and DuckDB BIGINT list_reduce
+# compute bit-identical values; the langid_quality oracle re-derives
+# fingerprints in pure SQL with the same recurrence
+_POLY_MOD = np.uint64(2147483647)  # 2^31 - 1
+_POLY_BASE = np.uint64(131)
 
 
-def fnv1a_u64(strings: "pd.Series") -> np.ndarray:
-    """Vectorized-enough FNV-1a 64-bit hash of a string series (one C-level
-    loop per string via Python hash of bytes would be unstable across runs;
-    FNV is deterministic and cheap)."""
-    out = np.empty(len(strings), dtype=np.uint64)
-    for i, s in enumerate(strings):
-        h = _FNV_OFFSET
-        for b in s.encode("utf-8", "ignore"):
-            h = np.uint64((int(h) ^ b) * int(_FNV_PRIME) & 0xFFFFFFFFFFFFFFFF)
-        out[i] = h
+def poly_hash(strings, chunk: int = 65_536) -> np.ndarray:
+    """Vectorized polynomial rolling hash over Unicode code points:
+    ``h = (h * 131 + codepoint) % (2^31 - 1)``, empty string → 0.
+
+    Column-wise Horner over a padded code-point matrix — one vectorized op
+    per character position, chunked to bound the pad buffer.
+    """
+    strings = list(strings)
+    out = np.zeros(len(strings), dtype=np.int64)
+    for lo in range(0, len(strings), chunk):
+        part = strings[lo : lo + chunk]
+        lens = np.fromiter((len(s) for s in part), np.int64, len(part))
+        maxlen = int(lens.max()) if len(lens) else 0
+        if maxlen == 0:
+            continue
+        allcp = np.frombuffer(
+            "".join(part).encode("utf-32-le"), dtype=np.uint32
+        )
+        pad = np.zeros((len(part), maxlen), dtype=np.uint64)
+        mask = np.arange(maxlen)[None, :] < lens[:, None]
+        pad[mask] = allcp  # row-major fill order == concatenation order
+        h = np.zeros(len(part), dtype=np.uint64)
+        for p in range(maxlen):
+            live = lens > p
+            h[live] = (h[live] * _POLY_BASE + pad[live, p]) % _POLY_MOD
+        out[lo : lo + chunk] = h.astype(np.int64)
     return out
 
 
@@ -110,23 +130,24 @@ class TextFeaturizer:
             + np.where((mean_wlen > 2) & (mean_wlen < 12), 0.1, 0.0)
         )
 
-        # fingerprint: min over rolling 3-word shingle hashes (stable int64)
-        fp = np.empty(n, dtype=np.int64)
+        # fingerprint: min over rolling 3-word shingle poly-hashes — one
+        # batched poly_hash call over every shingle in the batch, segmented
+        # min via np.minimum.reduceat (SQL-replicable, see poly_hash)
+        all_shingles: list[str] = []
+        sh_counts = np.empty(n, dtype=np.int64)
         for i, ws in enumerate(words_list):
             if len(ws) < 3:
-                key = " ".join(ws)
-                fp[i] = np.int64(
-                    int(pd.util.hash_array(np.array([key], dtype=object))[0])
-                    & 0x7FFFFFFFFFFFFFFF
-                )
+                sh = [" ".join(ws)]
             else:
-                shingles = np.array(
-                    [" ".join(ws[k : k + 3]) for k in range(len(ws) - 2)],
-                    dtype=object,
-                )
-                fp[i] = np.int64(
-                    int(pd.util.hash_array(shingles).min()) & 0x7FFFFFFFFFFFFFFF
-                )
+                sh = [" ".join(ws[k : k + 3]) for k in range(len(ws) - 2)]
+            sh_counts[i] = len(sh)
+            all_shingles.extend(sh)
+        if n:
+            hashes = poly_hash(all_shingles)
+            offsets = np.r_[0, np.cumsum(sh_counts)[:-1]]
+            fp = np.minimum.reduceat(hashes, offsets)
+        else:
+            fp = np.empty(0, dtype=np.int64)
 
         for name, arr in [
             ("n_chars_calc", pa.array(n_chars)),

@@ -382,16 +382,23 @@ def q_text_stats(sf_dir):
     from recipys_ray.ops.text import text_features
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = text_features(ds, concurrency=2)
+    out = text_features(ds, concurrency=(2, 8), batch_size=1024)
     return _select(out, ["doc_id", "n_chars_calc", "n_words", "token_count"])
 
 
 def q_knn_cosine(sf_dir):
+    import pyarrow.compute as pc
+
     from recipys_ray.ops.similarity import knn_brute_force
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     queries_pdf = (
-        ds.filter(lambda r: r["vec_id"] < 5).to_pandas().sort_values("vec_id")
+        ds.map_batches(
+            lambda t: t.filter(pc.less(t.column("vec_id"), 5)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("vec_id")
     )
     Q = np.stack(queries_pdf["embedding"].to_numpy())
     qids = queries_pdf["vec_id"].to_numpy()
@@ -406,7 +413,11 @@ def q_knn_cosine(sf_dir):
     return pd.concat(out, ignore_index=True)
 
 
-def q_dedup_minhash(sf_dir):  # rows-only (non-SQL)
+def q_dedup_minhash(sf_dir):
+    """Oracle: golden survivors from an independent single-process
+    reference implementation (scripts/gen_expected.py), keyed by corpus
+    size — verifies the distributed banding/shuffle/components machinery
+    against sequential ground truth."""
     from recipys_ray.ops.dedup import minhash_dedup
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
@@ -414,7 +425,8 @@ def q_dedup_minhash(sf_dir):  # rows-only (non-SQL)
     return _select(out, ["doc_id"])
 
 
-def q_dedup_simhash(sf_dir):  # rows-only (non-SQL)
+def q_dedup_simhash(sf_dir):
+    """Oracle: golden survivors (see q_dedup_minhash)."""
     from recipys_ray.ops.dedup import simhash_dedup
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
@@ -422,19 +434,26 @@ def q_dedup_simhash(sf_dir):  # rows-only (non-SQL)
     return _select(out, ["doc_id"])
 
 
-def q_dedup_embedding(sf_dir):  # rows-only (non-SQL)
-    from recipys_ray.ops.dedup import embedding_dedup
+def q_dedup_embedding(sf_dir):
+    """EXACT all-pairs variant — its survivor set is re-derivable in pure
+    SQL (cosine cross-join + recursive-CTE components), so the oracle is a
+    true independent check. The LSH variant (embedding_dedup) is the scale
+    path, unit-tested against this exact op on planted duplicates."""
+    from recipys_ray.ops.dedup import embedding_dedup_exact
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    out = embedding_dedup(ds, threshold=0.99)
+    out = embedding_dedup_exact(ds, threshold=0.99)
     return _select(out, ["vec_id"])
 
 
-def q_langid_quality(sf_dir):  # rows-only (regex semantics not SQL-portable)
+def q_langid_quality(sf_dir):
+    """Language-ID + quality + rolling-hash fingerprint, all re-derived in
+    the SQL oracle (regexp token parity, stopword-hit argmax, identical
+    poly-hash recurrence in DuckDB list_reduce)."""
     from recipys_ray.ops.text import text_features
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = text_features(ds, concurrency=2)
+    out = text_features(ds, concurrency=(2, 8), batch_size=1024)
     return _select(out, ["doc_id", "lang_pred", "quality_score", "fingerprint"])
 
 
@@ -657,6 +676,93 @@ ORACLES: dict[str, str] = {
                          / (nn.n - 1) END AS valn
         FROM ev e LEFT JOIN ranked r USING (event_id), nn
     """,
+    # golden-expected oracles: survivors precomputed by an INDEPENDENT
+    # single-process reference implementation (scripts/gen_expected.py,
+    # committed under expected/), keyed by corpus row count so one static
+    # SQL string serves every sf directory
+    "dedup_minhash": """
+        SELECT doc_id
+        FROM read_parquet('/root/repo/expected/dedup_minhash_*.parquet')
+        WHERE corpus_key = (SELECT count(*) || '_' || CAST(sum(n_chars) AS BIGINT)
+                            FROM documents)
+    """,
+    "dedup_simhash": """
+        SELECT doc_id
+        FROM read_parquet('/root/repo/expected/dedup_simhash_*.parquet')
+        WHERE corpus_key = (SELECT count(*) || '_' || CAST(sum(n_chars) AS BIGINT)
+                            FROM documents)
+    """,
+    "dedup_embedding": """
+        WITH RECURSIVE
+        pairs AS (
+          SELECT a.vec_id AS a, b.vec_id AS b
+          FROM embeddings a, embeddings b
+          WHERE a.vec_id < b.vec_id
+            AND list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+        ),
+        edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        reach(node, root) AS (
+          SELECT vec_id, vec_id FROM embeddings
+          UNION
+          SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+        )
+        SELECT node AS vec_id FROM reach
+        GROUP BY node HAVING node = min(root)
+    """,
+    "langid_quality": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 coalesce(text, '') AS txt,
+                 regexp_extract_all(lower(coalesce(text, '')), '\w+') AS ws
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, ws,
+                 CAST(length(txt) AS DOUBLE) AS n_chars,
+                 CAST(len(ws) AS DOUBLE) AS n_words,
+                 CAST(len(regexp_extract_all(txt, '[^\w\s]')) AS DOUBLE) AS punct,
+                 CAST(len(regexp_extract_all(txt, '[0-9]')) AS DOUBLE) AS digitc,
+                 len(list_filter(ws, w -> w IN ('the','and','of','to','a','in','is','it','that','for'))) AS en,
+                 len(list_filter(ws, w -> w IN ('der','die','das','und','ist','nicht','ein','mit','von','zu'))) AS de,
+                 len(list_filter(ws, w -> w IN ('le','la','les','et','est','un','une','pas','pour','que'))) AS fr,
+                 len(list_filter(ws, w -> w IN ('el','la','los','y','es','un','una','no','por','que'))) AS es
+          FROM t
+        ),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                      ELSE list_transform(generate_series(1, len(ws) - 2),
+                             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                 END AS shingles
+          FROM c
+        ),
+        fp AS (
+          SELECT doc_id,
+                 list_min(list_transform(shingles, s ->
+                   CASE WHEN s = '' THEN 0 ELSE
+                     list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                         list_transform(string_split(s, ''),
+                                        ch -> CAST(unicode(ch) AS BIGINT))),
+                       (acc, ch) -> (acc * 131 + ch) % 2147483647)
+                   END)) AS fingerprint
+          FROM sh
+        )
+        SELECT c.doc_id,
+          CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+               WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+               WHEN de >= fr AND de >= es THEN 'de'
+               WHEN fr >= es THEN 'fr'
+               ELSE 'es' END AS lang_pred,
+          least(greatest(n_words / 20.0, 0), 1) * 0.4
+            + least(greatest(1.0 - (punct / greatest(n_chars, 1)) * 4, 0), 1) * 0.3
+            + least(greatest(1.0 - (digitc / greatest(n_chars, 1)) * 4, 0), 1) * 0.2
+            + CASE WHEN n_chars / greatest(n_words, 1) > 2
+                    AND n_chars / greatest(n_words, 1) < 12
+                   THEN 0.1 ELSE 0.0 END AS quality_score,
+          fp.fingerprint
+        FROM c JOIN fp USING (doc_id)
+    """,
     "knn_cosine": """
         WITH q AS (SELECT vec_id AS query_id, embedding AS qe
                    FROM embeddings WHERE vec_id < 5),
@@ -697,7 +803,6 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
     "knn_cosine": q_knn_cosine,
-    # rows-only (no SQL oracle):
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,

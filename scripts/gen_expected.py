@@ -1,0 +1,142 @@
+"""Generate golden-expected survivor sets for the probabilistic dedup ops.
+
+INDEPENDENT single-process reference implementations of MinHash+LSH and
+SimHash dedup — straightforward per-document loops, no Ray, no shared code
+with recipys_ray.ops.dedup beyond the public hash primitive
+(pd.util.hash_array) and the published parameters. The distributed pipelines
+must reproduce these survivor sets exactly; the driver's DuckDB oracle reads
+the emitted parquet (keyed by corpus row count, so one static SQL string
+serves every sf directory).
+
+Regenerate after any parameter change:
+    python scripts/gen_expected.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "expected")
+
+MERSENNE = (1 << 61) - 1
+NUM_PERM, BANDS, SHINGLE_K, SEED = 64, 16, 3, 7
+SIMHASH_THR = 3
+
+import re
+
+WORD_RE = re.compile(r"\w+", re.UNICODE)
+
+
+class UnionFind:
+    def __init__(self):
+        self.parent: dict = {}
+
+    def find(self, x):
+        while self.parent.get(x, x) != x:
+            self.parent[x] = self.parent.get(self.parent[x], self.parent[x])
+            x = self.parent[x]
+        return x
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[max(ra, rb)] = min(ra, rb)
+
+
+def survivors_from_buckets(doc_ids, bucket_lists) -> np.ndarray:
+    """bucket_lists: iterable of lists of doc ids that pairwise merge."""
+    uf = UnionFind()
+    for members in bucket_lists:
+        for m in members[1:]:
+            uf.union(members[0], m)
+    losers = {d for d in uf.parent if uf.find(d) != d}
+    return np.array(sorted(d for d in doc_ids if d not in losers), dtype=np.int64)
+
+
+def minhash_signature(text: str, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    ws = WORD_RE.findall(text.lower())
+    if len(ws) < SHINGLE_K:
+        shingles = [" ".join(ws)]
+    else:
+        shingles = [" ".join(ws[i : i + SHINGLE_K]) for i in range(len(ws) - SHINGLE_K + 1)]
+    h = pd.util.hash_array(np.array(shingles, dtype=object)).astype(np.uint64)
+    vals = a[:, None] * h[None, :] + b[:, None]  # uint64 wraparound
+    return vals.min(axis=1)
+
+
+def minhash_expected(docs: pd.DataFrame) -> np.ndarray:
+    rng = np.random.RandomState(SEED)
+    a = rng.randint(1, MERSENNE, size=NUM_PERM, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, MERSENNE, size=NUM_PERM, dtype=np.int64).astype(np.uint64)
+    r = NUM_PERM // BANDS
+    prime = np.uint64(1099511628211)
+    buckets: dict = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"].fillna("")):
+        sig = minhash_signature(text, a, b)
+        for band in range(BANDS):
+            mixed = np.uint64(0)
+            for j in range(r):
+                mixed = mixed * prime + sig[band * r + j]
+            key = (band, int(mixed & np.uint64(0x7FFFFFFFFFFFFFFF)))
+            buckets.setdefault(key, []).append(int(doc_id))
+    merge_sets = [sorted(v) for v in buckets.values() if len(v) > 1]
+    return survivors_from_buckets(docs["doc_id"].tolist(), merge_sets)
+
+
+def simhash_value(text: str) -> int:
+    ws = WORD_RE.findall(text.lower()) or [""]
+    h = pd.util.hash_array(np.array(ws, dtype=object)).astype(np.uint64)
+    sim = 0
+    for bit in range(64):
+        ones = int(((h >> np.uint64(bit)) & np.uint64(1)).sum())
+        if ones * 2 > len(ws):
+            sim |= 1 << bit
+    return sim & 0x7FFFFFFFFFFFFFFF
+
+
+def simhash_expected(docs: pd.DataFrame) -> np.ndarray:
+    sims = {int(d): simhash_value(t) for d, t in zip(docs["doc_id"], docs["text"].fillna(""))}
+    buckets: dict = {}
+    for doc_id, sim in sims.items():
+        for band in range(4):
+            key = (band, (sim >> (16 * band)) & 0xFFFF)
+            buckets.setdefault(key, []).append(doc_id)
+    uf = UnionFind()
+    for members in buckets.values():
+        if len(members) < 2:
+            continue
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                if bin(sims[a] ^ sims[b]).count("1") <= SIMHASH_THR:
+                    uf.union(a, b)
+    losers = {d for d in uf.parent if uf.find(d) != d}
+    return np.array(
+        sorted(d for d in sims if d not in losers), dtype=np.int64
+    )
+
+
+def main():
+    np.seterr(over="ignore")  # uint64 wraparound is the hash arithmetic
+    os.makedirs(OUT_DIR, exist_ok=True)
+    for sf_dir in SF_DIRS:
+        docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+        n = len(docs)
+        # corpus key distinguishable in SQL from the registered view alone
+        # (count alone collides: sf0.001 and sf0.01 both have 500 docs)
+        corpus_key = f"{n}_{int(docs['n_chars'].sum())}"
+        for name, fn in [("dedup_minhash", minhash_expected), ("dedup_simhash", simhash_expected)]:
+            surv = fn(docs)
+            out = pd.DataFrame({"doc_id": surv})
+            out["corpus_key"] = corpus_key
+            path = os.path.join(OUT_DIR, f"{name}_{corpus_key}.parquet")
+            out.to_parquet(path, index=False)
+            print(f"{path}: {len(surv)}/{n} survivors")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -138,6 +138,22 @@ class TestDedup:
         assert len(out) == 10
         assert set(range(10)) == set(out["vec_id"])
 
+    def test_embedding_dedup_exact_matches_lsh_on_planted(self):
+        """The exact all-pairs op is the correctness oracle for the LSH
+        path: on planted near-exact dups both must find the same
+        survivors (LSH can only differ on borderline-threshold pairs)."""
+        from recipys_ray.ops.dedup import embedding_dedup_exact
+
+        rng = np.random.RandomState(3)
+        base = rng.normal(size=(30, 16)).astype(np.float32)
+        emb = np.vstack([base, base[:8] + 1e-4])
+        pdf = pd.DataFrame({"vec_id": np.arange(38), "embedding": list(emb)})
+        ds = rd.from_pandas(pdf)
+        exact = embedding_dedup_exact(ds, threshold=0.999).to_pandas()
+        lsh = embedding_dedup(ds, threshold=0.999).to_pandas()
+        assert sorted(exact["vec_id"]) == sorted(range(30))
+        assert sorted(lsh["vec_id"]) == sorted(exact["vec_id"])
+
 
 class TestSimilarity:
     def setup_method(self):
@@ -198,6 +214,27 @@ class TestText:
         out2 = TextFeaturizer()(tbl).to_pandas()
         assert out1["fingerprint"].tolist() == out2["fingerprint"].tolist()
         assert out1["fingerprint"][0] == out1["fingerprint"][1]
+
+    def test_poly_hash_matches_duckdb(self):
+        """The fingerprint poly-hash must be bit-identical to the DuckDB
+        list_reduce recurrence used by the langid_quality oracle."""
+        import duckdb
+
+        from recipys_ray.ops.text import poly_hash
+
+        strs = ["abc", "", "hello world", "a", "the quick brown fox", "zz9 !"]
+        ours = poly_hash(strs)
+        theirs = [
+            duckdb.sql(
+                "SELECT CASE WHEN len($s) = 0 THEN 0 ELSE list_reduce("
+                "list_prepend(CAST(0 AS BIGINT), list_transform("
+                "string_split($s, ''), c -> CAST(unicode(c) AS BIGINT))), "
+                "(acc, c) -> (acc * 131 + c) % 2147483647) END",
+                params={"s": s},
+            ).fetchone()[0]
+            for s in strs
+        ]
+        assert ours.tolist() == theirs
 
     def test_actor_pool_stage(self):
         pdf = pd.DataFrame({"doc_id": range(20), "text": ["hello world"] * 20})
