@@ -474,6 +474,39 @@ def q_quantile_transform(sf_dir):
     return _select(rec.prep(), ["event_id", "valn"])
 
 
+def q_power_yj(sf_dir):
+    """Yeo-Johnson with the distributed 3-stage grid λ fit; the oracle
+    re-derives the SAME argmax cascade in SQL (identical grids, identical
+    llf formula), then applies ψ + standardization at λ*."""
+    from recipys_ray.transformers import PowerTransformer
+
+    rec = _recipe(_with_valn(_events(sf_dir)))
+    rec.add_step(
+        rr.StepSklearn(PowerTransformer(), sel=all_of(["valn"]), in_place=False)
+    )
+    return _select(rec.prep(), ["event_id", "PowerTransformer_valn"])
+
+
+def q_spline_basis(sf_dir):
+    """Degree-1 B-spline basis (hat functions) over uniform knots — exactly
+    SQL-expressible; higher degrees share the same de Boor evaluator and are
+    unit-tested against a naive Cox-de Boor reference."""
+    from recipys_ray.transformers import SplineTransformer
+
+    rec = _recipe(_with_valn(_events(sf_dir)))
+    rec.add_step(
+        rr.StepSklearn(
+            SplineTransformer(n_knots=5, degree=1),
+            sel=all_of(["valn"]),
+            in_place=False,
+        )
+    )
+    return _select(
+        rec.prep(),
+        ["event_id"] + [f"SplineTransformer_{i}" for i in range(1, 6)],
+    )
+
+
 # --------------------------------------------------------------------- #
 # oracle SQL (DuckDB) — names match the Ray outputs 1:1
 # --------------------------------------------------------------------- #
@@ -676,6 +709,103 @@ ORACLES: dict[str, str] = {
                          / (nn.n - 1) END AS valn
         FROM ev e LEFT JOIN ranked r USING (event_id), nn
     """,
+    "power_yj": f"""
+        WITH ev AS (SELECT event_id, {_VALN_SQL} AS v FROM events),
+        c AS (SELECT sum(sign(v) * ln(1 + abs(v))) AS cterm, count(v) AS n
+              FROM ev),
+        psi1 AS (
+          SELECT g.lam, CASE WHEN v >= 0 THEN
+                   CASE WHEN abs(g.lam) < 1e-12 THEN ln(1 + v)
+                        ELSE (pow(v + 1, g.lam) - 1) / g.lam END
+                 ELSE
+                   CASE WHEN abs(2 - g.lam) < 1e-12 THEN -ln(1 - v)
+                        ELSE -(pow(1 - v, 2 - g.lam) - 1) / (2 - g.lam) END
+                 END AS psi
+          FROM ev, (SELECT k * 0.25 AS lam FROM range(-20, 21) t(k)) g
+          WHERE v IS NOT NULL
+        ),
+        b1 AS (SELECT lam FROM psi1, c
+               GROUP BY lam, c.n, c.cterm
+               ORDER BY -c.n / 2.0 * ln(sum(psi * psi) / c.n
+                          - (sum(psi) / c.n) ^ 2)
+                        + (lam - 1) * c.cterm DESC, lam ASC
+               LIMIT 1),
+        psi2 AS (
+          SELECT g.lam, CASE WHEN v >= 0 THEN
+                   CASE WHEN abs(g.lam) < 1e-12 THEN ln(1 + v)
+                        ELSE (pow(v + 1, g.lam) - 1) / g.lam END
+                 ELSE
+                   CASE WHEN abs(2 - g.lam) < 1e-12 THEN -ln(1 - v)
+                        ELSE -(pow(1 - v, 2 - g.lam) - 1) / (2 - g.lam) END
+                 END AS psi
+          FROM ev, (SELECT b1.lam + k * 0.025 AS lam
+                    FROM range(-10, 11) t(k), b1) g
+          WHERE v IS NOT NULL
+        ),
+        b2 AS (SELECT lam FROM psi2, c
+               GROUP BY lam, c.n, c.cterm
+               ORDER BY -c.n / 2.0 * ln(sum(psi * psi) / c.n
+                          - (sum(psi) / c.n) ^ 2)
+                        + (lam - 1) * c.cterm DESC, lam ASC
+               LIMIT 1),
+        psi3 AS (
+          SELECT g.lam, CASE WHEN v >= 0 THEN
+                   CASE WHEN abs(g.lam) < 1e-12 THEN ln(1 + v)
+                        ELSE (pow(v + 1, g.lam) - 1) / g.lam END
+                 ELSE
+                   CASE WHEN abs(2 - g.lam) < 1e-12 THEN -ln(1 - v)
+                        ELSE -(pow(1 - v, 2 - g.lam) - 1) / (2 - g.lam) END
+                 END AS psi
+          FROM ev, (SELECT b2.lam + k * 0.0025 AS lam
+                    FROM range(-10, 11) t(k), b2) g
+          WHERE v IS NOT NULL
+        ),
+        b3 AS (SELECT lam FROM psi3, c
+               GROUP BY lam, c.n, c.cterm
+               ORDER BY -c.n / 2.0 * ln(sum(psi * psi) / c.n
+                          - (sum(psi) / c.n) ^ 2)
+                        + (lam - 1) * c.cterm DESC, lam ASC
+               LIMIT 1),
+        fin AS (
+          SELECT ev.event_id, b3.lam,
+                 CASE WHEN v IS NULL THEN NULL
+                      WHEN v >= 0 THEN
+                   CASE WHEN abs(b3.lam) < 1e-12 THEN ln(1 + v)
+                        ELSE (pow(v + 1, b3.lam) - 1) / b3.lam END
+                 ELSE
+                   CASE WHEN abs(2 - b3.lam) < 1e-12 THEN -ln(1 - v)
+                        ELSE -(pow(1 - v, 2 - b3.lam) - 1) / (2 - b3.lam) END
+                 END AS psi
+          FROM ev, b3
+        ),
+        m AS (SELECT sum(psi) / count(psi) AS mu,
+                     sqrt(sum(psi * psi) / count(psi)
+                          - (sum(psi) / count(psi)) ^ 2) AS sd
+              FROM fin)
+        SELECT event_id, (psi - m.mu) / m.sd AS "PowerTransformer_valn"
+        FROM fin, m
+    """,
+    "spline_basis": f"""
+        WITH ev AS (SELECT event_id, {_VALN_SQL} AS v FROM events),
+        s AS (SELECT min(v) AS lo, max(v) AS hi FROM ev),
+        p AS (SELECT event_id,
+                     CASE WHEN v IS NULL THEN NULL
+                          ELSE least(greatest(v, s.lo), s.hi) END AS x,
+                     s.lo, (s.hi - s.lo) / 4 AS h
+              FROM ev, s)
+        SELECT event_id,
+          CASE WHEN x IS NULL THEN NULL ELSE
+            greatest(0, 1 - abs(x - (lo + 0 * h)) / h) END AS "SplineTransformer_1",
+          CASE WHEN x IS NULL THEN NULL ELSE
+            greatest(0, 1 - abs(x - (lo + 1 * h)) / h) END AS "SplineTransformer_2",
+          CASE WHEN x IS NULL THEN NULL ELSE
+            greatest(0, 1 - abs(x - (lo + 2 * h)) / h) END AS "SplineTransformer_3",
+          CASE WHEN x IS NULL THEN NULL ELSE
+            greatest(0, 1 - abs(x - (lo + 3 * h)) / h) END AS "SplineTransformer_4",
+          CASE WHEN x IS NULL THEN NULL ELSE
+            greatest(0, 1 - abs(x - (lo + 4 * h)) / h) END AS "SplineTransformer_5"
+        FROM p
+    """,
     # golden-expected oracles: survivors precomputed by an INDEPENDENT
     # single-process reference implementation (scripts/gen_expected.py,
     # committed under expected/), keyed by corpus row count so one static
@@ -808,4 +938,6 @@ QUERIES = {
     "dedup_embedding": q_dedup_embedding,
     "langid_quality": q_langid_quality,
     "quantile_transform": q_quantile_transform,
+    "power_yj": q_power_yj,
+    "spline_basis": q_spline_basis,
 }

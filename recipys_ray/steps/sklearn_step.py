@@ -79,6 +79,19 @@ class StepSklearn(Step):
         self._trained = True
 
     def _fit_native(self, ing: Ingredients) -> None:
+        if getattr(self.transformer, "needs_dataset", False):
+            # multi-pass distributed fit (e.g. PowerTransformer λ search)
+            if self.columnwise:
+                self._transformers = {
+                    col: deepcopy(self.transformer).distributed_fit(
+                        ing.dataset, [col]
+                    )
+                    for col in self.columns
+                }
+            else:
+                self.transformer.distributed_fit(ing.dataset, self.columns)
+            self._compute_out_cols(ing)
+            return
         want = set(self.transformer.stats_needed)
         stats = (
             column_stats(ing.dataset, self.columns, want) if want else {}

@@ -9,10 +9,12 @@ streaming partial-aggregate pass, aggregates.column_stats) and (b)
 parameters. ``transform`` is vectorized numpy over a batch — the
 partial-aggregate + broadcast pattern, no shuffle anywhere.
 
-Iterative / model-based transformers (KNNImputer, IterativeImputer,
-PowerTransformer, SplineTransformer) are intentionally NOT closed-form; they
-raise NotImplementedError and are reachable through the StepImputeModel /
-actor-pool escape hatch instead (SURVEY.md §2.2).
+PowerTransformer (Yeo-Johnson) extends the pattern with a ``needs_dataset``
+multi-pass fit: three deterministic λ-grid refinement passes (each one
+streaming partial aggregate) plus a standardization pass; SplineTransformer
+is one stats pass (min/max or quantile knots) + a vectorized de Boor basis.
+Only the truly iterative KNNImputer / IterativeImputer remain
+NotImplementedError escape hatches (SURVEY.md §2.2).
 """
 
 from __future__ import annotations
@@ -552,6 +554,263 @@ class LabelBinarizer(NativeTransformer):
 
 
 # --------------------------------------------------------------------- #
+# PowerTransformer (Yeo-Johnson) — distributed grid-refined λ fit
+# --------------------------------------------------------------------- #
+def _yeo_johnson(x: np.ndarray, lam: np.ndarray) -> np.ndarray:
+    """ψ(x, λ) for x (n,) and lam (G,) → (n, G); NaN propagates."""
+    x = np.asarray(x, dtype=np.float64)[:, None]
+    lam = np.asarray(lam, dtype=np.float64)[None, :]
+    pos = x >= 0
+    with np.errstate(invalid="ignore"):
+        lam_nz = np.where(np.abs(lam) < 1e-12, 1.0, lam)
+        p = (np.power(x + 1.0, lam_nz) - 1.0) / lam_nz
+        p0 = np.log1p(x)
+        two = 2.0 - lam
+        two_nz = np.where(np.abs(two) < 1e-12, 1.0, two)
+        m = -(np.power(1.0 - x, two_nz) - 1.0) / two_nz
+        m2 = -np.log1p(-x)
+        out = np.where(
+            pos,
+            np.where(np.abs(lam) < 1e-12, p0, p),
+            np.where(np.abs(two) < 1e-12, m2, m),
+        )
+    return out
+
+
+# deterministic 3-stage λ grid (mirrored exactly by the SQL oracle):
+# stage 1: -5..5 step 0.25; stage 2: best ± 0.25 step 0.025;
+# stage 3: best ± 0.025 step 0.0025 → final resolution 2.5e-3
+_YJ_STAGES = [
+    (5.0, 0.25),  # (half-span, step) around 0 for stage 1
+    (0.25, 0.025),
+    (0.025, 0.0025),
+]
+
+
+class PowerTransformer(NativeTransformer):
+    """Yeo-Johnson power transform with a distributed maximum-likelihood λ
+    fit: three deterministic grid-refinement passes (each ONE streaming
+    partial-aggregate over the data, all columns × all grid λ vectorized),
+    then one standardization pass at λ*. llf(λ) = -n/2·ln(var₀(ψ)) +
+    (λ-1)·Σ sign(x)·ln(1+|x|). Resolution 2.5e-3 in λ — the same argmax
+    cascade is re-derivable in SQL (see the power_yj oracle).
+    Only method="yeo-johnson" (works for negative values; box-cox omitted).
+    """
+
+    needs_dataset = True
+
+    def __init__(self, method: str = "yeo-johnson", standardize: bool = True):
+        super().__init__()
+        if method != "yeo-johnson":
+            raise NotImplementedError(
+                "only method='yeo-johnson' is implemented (box-cox requires "
+                "strictly positive data; use yeo-johnson instead)"
+            )
+        self.standardize = standardize
+        self.lambdas_: np.ndarray | None = None
+
+    # ---- distributed fit ------------------------------------------------
+    def _grid_moments(self, ds, columns, grids: dict[str, np.ndarray]):
+        """One pass: per column, per grid λ → (n, Σψ, Σψ²) + Σ sign·log1p."""
+        import pickle
+
+        import pyarrow as pa
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            out = {}
+            for c in columns:
+                x = tbl.column(c).to_numpy(zero_copy_only=False).astype(
+                    np.float64
+                )
+                x = x[~np.isnan(x)]
+                lam = grids[c]
+                psi = _yeo_johnson(x, lam)
+                out[c] = (
+                    len(x),
+                    psi.sum(axis=0),
+                    (psi * psi).sum(axis=0),
+                    float(np.sign(x) @ np.log1p(np.abs(x))),
+                )
+            return pa.table(
+                {"payload": pa.array([pickle.dumps(out)], pa.binary())}
+            )
+
+        merged = {c: [0, 0.0, 0.0, 0.0] for c in columns}
+        for row in ds.select_columns(list(columns)).map_batches(
+            partial, batch_format="pyarrow"
+        ).take_all():
+            part = pickle.loads(row["payload"])
+            for c, (n, s1, s2, cterm) in part.items():
+                m = merged[c]
+                m[0] += n
+                m[1] = m[1] + s1
+                m[2] = m[2] + s2
+                m[3] += cterm
+        return merged
+
+    @staticmethod
+    def _llf(n, s1, s2, cterm, lam):
+        var = s2 / n - (s1 / n) ** 2
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return -n / 2.0 * np.log(var) + (lam - 1.0) * cterm
+
+    def distributed_fit(self, ds, columns: list[str]):
+        self.columns_ = list(columns)
+        best = {c: 0.0 for c in columns}
+        for stage, (span, step) in enumerate(_YJ_STAGES):
+            k = int(round(span / step))
+            offsets = np.arange(-k, k + 1) * step
+            grids = {c: best[c] + offsets for c in columns}
+            mom = self._grid_moments(ds, columns, grids)
+            for c in columns:
+                n, s1, s2, cterm = mom[c]
+                if n == 0:
+                    best[c] = 1.0
+                    continue
+                llf = self._llf(n, np.asarray(s1), np.asarray(s2), cterm,
+                                grids[c])
+                best[c] = float(grids[c][int(np.argmax(llf))])
+        self.lambdas_ = np.array([best[c] for c in columns])
+        if self.standardize:
+            grids = {c: np.array([best[c]]) for c in columns}
+            mom = self._grid_moments(ds, columns, grids)
+            mean, scale = [], []
+            for c in columns:
+                n, s1, s2, _ = mom[c]
+                if n == 0:
+                    mean.append(0.0)
+                    scale.append(1.0)
+                    continue
+                mu = float(s1[0]) / n
+                var = float(s2[0]) / n - mu * mu
+                mean.append(mu)
+                scale.append(np.sqrt(var) if var > 0 else 1.0)
+            self.mean_ = np.array(mean)
+            self.scale_ = _handle_zeros(np.array(scale))
+        return self
+
+    def transform(self, X):
+        M = self._matrix(X)
+        out = np.empty_like(M)
+        for j, lam in enumerate(self.lambdas_):
+            out[:, j] = _yeo_johnson(M[:, j], np.array([lam]))[:, 0]
+        if self.standardize:
+            out = (out - self.mean_) / self.scale_
+        return out
+
+
+# --------------------------------------------------------------------- #
+# SplineTransformer — B-spline basis expansion (vectorized de Boor)
+# --------------------------------------------------------------------- #
+def _bspline_basis(x: np.ndarray, t: np.ndarray, k: int) -> np.ndarray:
+    """(n, len(t)-k-1) design matrix of degree-k B-splines over knot vector
+    ``t``; evaluates only the k+1 non-zero basis functions per point via the
+    standard de Boor triangular recurrence, vectorized across points.
+    Points must lie within [t[k], t[-k-1]] (caller clips for constant
+    extrapolation)."""
+    n = len(x)
+    n_basis = len(t) - k - 1
+    out = np.zeros((n, n_basis))
+    if n == 0:
+        return out
+    nan = np.isnan(x)
+    xc = np.where(nan, t[k], x)
+    mu = np.searchsorted(t, xc, side="right") - 1
+    mu = np.clip(mu, k, n_basis - 1)
+    # "basisfuns" triangular recurrence (Piegl & Tiller, The NURBS Book,
+    # alg. A2.2): after round d, N[:, j] = B_{mu-d+j, d}(x)
+    N = np.zeros((n, k + 1))
+    N[:, 0] = 1.0
+    left = np.zeros((n, k + 1))
+    right = np.zeros((n, k + 1))
+    for d in range(1, k + 1):
+        left[:, d] = xc - t[mu + 1 - d]
+        right[:, d] = t[mu + d] - xc
+        saved = np.zeros(n)
+        for r in range(d):
+            den = right[:, r + 1] + left[:, d - r]
+            temp = np.where(den != 0, N[:, r] / np.where(den == 0, 1.0, den), 0.0)
+            N[:, r] = saved + right[:, r + 1] * temp
+            saved = left[:, d - r] * temp
+        N[:, d] = saved
+    rows = np.arange(n)
+    for j in range(k + 1):
+        out[rows, mu - k + j] = N[:, j]
+    out[nan] = np.nan
+    return out
+
+
+class SplineTransformer(NativeTransformer):
+    """B-spline basis expansion (uniform or quantile knots, constant
+    extrapolation). Fit = ONE stats pass (min/max or quantiles); transform
+    is a stateless vectorized de Boor evaluation. Output: n_knots+degree-1
+    basis columns per feature (minus one when include_bias=False), feature
+    blocks consecutive."""
+
+    def __init__(
+        self,
+        n_knots: int = 5,
+        degree: int = 3,
+        knots: str = "uniform",
+        extrapolation: str = "constant",
+        include_bias: bool = True,
+    ):
+        super().__init__()
+        if knots not in ("uniform", "quantile"):
+            raise ValueError("knots must be 'uniform' or 'quantile'")
+        if extrapolation != "constant":
+            raise NotImplementedError(
+                "only extrapolation='constant' is implemented"
+            )
+        if n_knots < 2:
+            raise ValueError("n_knots must be >= 2")
+        self.n_knots = n_knots
+        self.degree = degree
+        self.knots = knots
+        self.extrapolation = extrapolation
+        self.include_bias = include_bias
+
+    @property
+    def stats_needed(self):
+        return frozenset({QUANTILES if self.knots == "quantile" else MINMAX})
+
+    def _fit(self, stats):
+        self.knot_vectors_ = []
+        for c in self.columns_:
+            st = stats[c]
+            if self.knots == "uniform":
+                base = np.linspace(st.min, st.max, self.n_knots)
+            else:
+                qs = np.linspace(0.0, 1.0, self.n_knots)
+                base = np.asarray(st.quantile(qs), dtype=np.float64)
+                base = np.maximum.accumulate(base)  # monotone under sketch
+            d0 = base[1] - base[0]
+            d1 = base[-1] - base[-2]
+            if d0 <= 0:
+                d0 = 1.0  # constant column — degenerate but non-crashing
+            if d1 <= 0:
+                d1 = 1.0
+            deg = self.degree
+            pre = base[0] - d0 * np.arange(deg, 0, -1)
+            post = base[-1] + d1 * np.arange(1, deg + 1)
+            self.knot_vectors_.append(
+                (np.r_[pre, base, post], base[0], base[-1])
+            )
+
+    def transform(self, X):
+        M = self._matrix(X)
+        blocks = []
+        for j, (t, lo, hi) in enumerate(self.knot_vectors_):
+            x = np.clip(M[:, j], lo, hi)  # constant extrapolation
+            x[np.isnan(M[:, j])] = np.nan
+            B = _bspline_basis(x, t, self.degree)
+            if not self.include_bias:
+                B = B[:, :-1]
+            blocks.append(B)
+        return np.hstack(blocks) if blocks else np.empty((len(M), 0))
+
+
+# --------------------------------------------------------------------- #
 # iterative / model-based — escape hatch only
 # --------------------------------------------------------------------- #
 def _not_closed_form(name: str):
@@ -569,5 +828,3 @@ def _not_closed_form(name: str):
 
 KNNImputer = _not_closed_form("KNNImputer")
 IterativeImputer = _not_closed_form("IterativeImputer")
-PowerTransformer = _not_closed_form("PowerTransformer")
-SplineTransformer = _not_closed_form("SplineTransformer")

@@ -280,3 +280,163 @@ def test_quantile_histogram_fallback():
     got = s.quantile([0.25, 0.5, 0.75])
     expect = np.percentile(vals, [25, 50, 75])
     np.testing.assert_allclose(got, expect, atol=0.01)
+
+
+# --------------------------------------------------------------------- #
+# PowerTransformer (Yeo-Johnson) + SplineTransformer
+# --------------------------------------------------------------------- #
+def _yj_ref(x, lam):
+    """Scalar reference Yeo-Johnson (textbook piecewise definition)."""
+    out = np.empty_like(x, dtype=np.float64)
+    for i, v in enumerate(x):
+        if np.isnan(v):
+            out[i] = np.nan
+        elif v >= 0:
+            out[i] = np.log1p(v) if abs(lam) < 1e-12 else ((v + 1) ** lam - 1) / lam
+        else:
+            out[i] = (
+                -np.log1p(-v)
+                if abs(2 - lam) < 1e-12
+                else -(((1 - v) ** (2 - lam)) - 1) / (2 - lam)
+            )
+    return out
+
+
+class TestPowerTransformer:
+    def test_lambda_matches_driver_brute_force(self):
+        """The distributed grid fit must pick the same λ as a single-process
+        brute-force llf over the identical grid cascade."""
+        from recipys_ray.transformers import PowerTransformer, _YJ_STAGES
+
+        rng = np.random.RandomState(7)
+        x = np.exp(rng.normal(size=400))  # right-skewed → λ well below 1
+        ds = rd.from_pandas(pd.DataFrame({"x": x}))
+        t = PowerTransformer(standardize=False).distributed_fit(ds, ["x"])
+        lam_dist = t.lambdas_[0]
+
+        cterm = float(np.sign(x) @ np.log1p(np.abs(x)))
+        best = 0.0
+        for span, step in _YJ_STAGES:
+            k = int(round(span / step))
+            grid = best + np.arange(-k, k + 1) * step
+            llfs = []
+            for lam in grid:
+                psi = _yj_ref(x, lam)
+                llfs.append(-len(x) / 2 * np.log(psi.var()) + (lam - 1) * cterm)
+            best = grid[int(np.argmax(llfs))]
+        assert lam_dist == pytest.approx(best, abs=1e-12)
+        assert lam_dist < 0.7  # skewed data pulls λ down
+
+    def test_normal_data_lambda_near_one_and_standardized(self):
+        from recipys_ray.transformers import PowerTransformer
+
+        rng = np.random.RandomState(1)
+        x = rng.normal(loc=3, scale=2, size=2000)
+        ds = rd.from_pandas(pd.DataFrame({"x": x}))
+        t = PowerTransformer().distributed_fit(ds, ["x"])
+        assert abs(t.lambdas_[0] - 1.0) < 0.25
+        out = t.transform(pd.DataFrame({"x": x}))[:, 0]
+        assert abs(out.mean()) < 1e-9
+        assert abs(out.std() - 1.0) < 1e-9
+
+    def test_transform_matches_reference_and_nan(self):
+        from recipys_ray.transformers import PowerTransformer
+
+        rng = np.random.RandomState(2)
+        x = np.r_[rng.normal(size=50), -3.5, 0.0, np.nan]
+        ds = rd.from_pandas(pd.DataFrame({"x": x}))
+        t = PowerTransformer(standardize=False).distributed_fit(ds, ["x"])
+        got = t.transform(pd.DataFrame({"x": x}))[:, 0]
+        want = _yj_ref(x, t.lambdas_[0])
+        np.testing.assert_allclose(got, want, equal_nan=True)
+
+    def test_step_output_name(self):
+        """Reference test_steps.py:420-425: PowerTransformer_x1 exists."""
+        from recipys_ray.transformers import PowerTransformer
+
+        out = run_step(
+            StepSklearn(
+                PowerTransformer(), sel=all_of(["x1"]), in_place=False
+            )
+        )
+        assert "PowerTransformer_x1" in out.columns
+        assert out["PowerTransformer_x1"].notna().all()
+
+
+def _cox_de_boor_ref(x, t, i, k):
+    """Naive recursive Cox-de Boor B_{i,k}(x) — independent reference."""
+    if k == 0:
+        return 1.0 if t[i] <= x < t[i + 1] else 0.0
+    a = 0.0
+    if t[i + k] > t[i]:
+        a = (x - t[i]) / (t[i + k] - t[i]) * _cox_de_boor_ref(x, t, i, k - 1)
+    b = 0.0
+    if t[i + k + 1] > t[i + 1]:
+        b = (t[i + k + 1] - x) / (t[i + k + 1] - t[i + 1]) * _cox_de_boor_ref(
+            x, t, i + 1, k - 1
+        )
+    return a + b
+
+
+class TestSplineTransformer:
+    def test_basis_matches_naive_cox_de_boor(self):
+        from recipys_ray.transformers import _bspline_basis
+
+        t = np.array([-3.0, -2, -1, 0, 1, 2, 3, 4, 5, 6, 7])
+        k = 3
+        x = np.linspace(0.0, 3.999, 37)  # inside [t[k], t[-k-1])
+        B = _bspline_basis(x, t, k)
+        for i in range(len(t) - k - 1):
+            ref = np.array([_cox_de_boor_ref(v, t, i, k) for v in x])
+            np.testing.assert_allclose(B[:, i], ref, atol=1e-12)
+        np.testing.assert_allclose(B.sum(axis=1), 1.0)  # partition of unity
+
+    def test_fit_transform_basics(self):
+        from recipys_ray.transformers import SplineTransformer
+
+        rng = np.random.RandomState(0)
+        x = rng.uniform(0, 10, size=200)
+        ds = rd.from_pandas(pd.DataFrame({"x": x}))
+        from recipys_ray.aggregates import column_stats
+
+        st = SplineTransformer()  # n_knots=5, degree=3
+        stats = column_stats(ds, ["x"], set(st.stats_needed))
+        st.fit_from_stats(stats, ["x"])
+        B = st.transform(pd.DataFrame({"x": x}))
+        assert B.shape == (200, 5 + 3 - 1)
+        np.testing.assert_allclose(B.sum(axis=1), 1.0)  # partition of unity
+        # constant extrapolation: outside points equal boundary values
+        Bout = st.transform(pd.DataFrame({"x": [-5.0, 0.0, 10.0, 25.0]}))
+        np.testing.assert_allclose(Bout[0], Bout[1])
+        np.testing.assert_allclose(Bout[2], Bout[3])
+        # include_bias=False drops one column
+        st2 = SplineTransformer(include_bias=False)
+        st2.fit_from_stats(stats, ["x"])
+        assert st2.transform(pd.DataFrame({"x": x})).shape == (200, 7 - 1)
+
+    def test_quantile_knots_monotone(self):
+        from recipys_ray.aggregates import column_stats
+        from recipys_ray.transformers import SplineTransformer
+
+        rng = np.random.RandomState(5)
+        x = rng.exponential(size=500)
+        ds = rd.from_pandas(pd.DataFrame({"x": x}))
+        st = SplineTransformer(knots="quantile")
+        stats = column_stats(ds, ["x"], set(st.stats_needed))
+        st.fit_from_stats(stats, ["x"])
+        t, lo, hi = st.knot_vectors_[0]
+        assert (np.diff(t) >= 0).all()
+        B = st.transform(pd.DataFrame({"x": x}))
+        np.testing.assert_allclose(B.sum(axis=1), 1.0)
+
+    def test_step_output_name(self):
+        """Reference test_steps.py:406-411: SplineTransformer_1 exists."""
+        from recipys_ray.transformers import SplineTransformer
+
+        out = run_step(
+            StepSklearn(
+                SplineTransformer(), sel=all_of(["x1"]), in_place=False
+            )
+        )
+        assert "SplineTransformer_1" in out.columns
+        assert out["SplineTransformer_1"].notna().all()
