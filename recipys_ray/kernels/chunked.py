@@ -1,0 +1,277 @@
+"""Chunk-local salted execution — the SURVEY.md §4 carry design.
+
+The legacy salted path (kernels/salted.py) computes exact features for a hot
+group by materializing the whole (skinny) group in ONE task — unbounded
+under extreme skew. This module bounds every task by the salt chunk size:
+
+1. **Stamp** — rows of hot groups route to ``hash((group, salt)) % P``
+   (kernels/salted.py SaltedStamp); each partition holds whole CHUNKS.
+2. **State passes** — for each dependency level of the step chain, a skinny
+   pass over the hot rows computes ONE small state row per (group, salt)
+   chunk per step (``Step.chunk_state``: last non-null for ffill, anchored
+   moments for mean/var, tail values for lag, boundary timestamps for
+   sessionize). Steps whose inputs were written by earlier steps run in a
+   later level, with the earlier prefixes applied first, so states are
+   measured on globally-correct inputs.
+3. **Driver fold** — per group, chunk states fold in salt order into
+   per-chunk PREFIX states (``Step.fold_chunk_states``) — O(#chunks) tiny
+   rows, never row data.
+4. **Main pass** — ONE full-payload shuffle: each partition runs the fused
+   chain chunk-locally and immediately corrects each step's outputs with
+   the broadcast prefix states (``Step.apply_chunk_prefix``). No second
+   payload shuffle, no sort-alignment merge, no whole-group task.
+
+Falls back to the legacy whole-group carry path when any step is not
+``chunk_mergeable`` (MEDIAN, backward fill, lead, fill limits, …).
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from recipys_ray.kernels.grouped import GID, PART, GroupedStage, assign_gid
+
+SALT = "__salt__"
+
+
+def step_levels(steps: Sequence) -> list[int]:
+    """Dependency levels: a step that READS a column an earlier step WROTE
+    must measure its chunk state after that step's prefixes are known."""
+    writer_level: dict[str, int] = {}
+    levels = []
+    for s in steps:
+        deps = [
+            writer_level[c] for c in s.frame_inputs() if c in writer_level
+        ]
+        lv = (max(deps) + 1) if deps else 0
+        levels.append(lv)
+        for c in s.frame_outputs():
+            writer_level[c] = lv
+    return levels
+
+
+class _ChunkedRunner:
+    """Shared partition kernel for the state passes and the main pass.
+
+    mode="state": runs steps of level < ``state_level`` (transform + apply),
+    then returns one pickled row of per-chunk states for the level's steps.
+    mode="run": runs the whole chain with per-step prefix application and
+    returns the corrected Arrow table (payload untouched).
+    """
+
+    def __init__(
+        self,
+        group_cols: list[str],
+        sort_cols: list[str],
+        stages: Sequence[GroupedStage],
+        levels: list[int],
+        prefixes: dict[int, pd.DataFrame],
+        mode: str = "run",
+        state_level: Optional[int] = None,
+    ):
+        self.group_cols = group_cols
+        self.sort_cols = sort_cols
+        self.stages = list(stages)
+        self.levels = list(levels)
+        self.prefixes = prefixes
+        self.mode = mode
+        self.state_level = state_level
+        self.kcols = group_cols + [SALT]
+        needed: list[str] = []
+        produced: set = set()
+        for s in self.stages:
+            for c in s.inputs:
+                if c not in produced and c not in needed:
+                    needed.append(c)
+            produced.update(s.outputs)
+        for c in self.kcols + sort_cols:
+            if c not in needed:
+                needed.append(c)
+        self.needed = needed
+
+    def _local_prefix(self, pdf: pd.DataFrame, k: int):
+        """Reindex step k's global prefix table to this partition's gids."""
+        glob = self.prefixes.get(k)
+        if glob is None or glob.empty:
+            return None
+        first = ~pdf[GID].duplicated()
+        keys = pdf.loc[first, self.kcols + [GID]]
+        if len(self.kcols) == 1:
+            idx = pd.Index(keys[self.kcols[0]])
+        else:
+            idx = pd.MultiIndex.from_frame(keys[self.kcols])
+        local = glob.reindex(idx)
+        local.index = keys[GID].to_numpy()
+        local = local.dropna(how="all")
+        return local if len(local) else None
+
+    def __call__(self, tbl: pa.Table):
+        if PART in tbl.column_names:
+            tbl = tbl.drop_columns([PART])
+        by = self.kcols + self.sort_cols
+        idx = pc.sort_indices(tbl, sort_keys=[(c, "ascending") for c in by])
+        tbl = tbl.take(idx)
+        cols = [c for c in self.needed if c in tbl.column_names]
+        pdf = tbl.select(cols).to_pandas()
+        pdf = assign_gid(pdf, self.kcols)
+        gid = pdf[GID]
+
+        upto = (
+            self.state_level if self.mode == "state" else len(self.stages)
+        )
+        states: dict[int, pd.DataFrame] = {}
+        for k, stage in enumerate(self.stages):
+            if self.mode == "state" and self.levels[k] >= upto:
+                if self.levels[k] == self.state_level and getattr(
+                    stage.step, "chunk_mergeable", False
+                ):
+                    st = stage.step.chunk_state(pdf, gid)
+                    keys = pdf.loc[
+                        ~gid.duplicated(), self.kcols + [GID]
+                    ].set_index(GID)
+                    states[k] = keys.join(st)
+                continue
+            pdf = stage.step.transform_frame(pdf, self.group_cols)
+            local = self._local_prefix(pdf, k)
+            if local is not None:
+                pdf = stage.step.apply_chunk_prefix(pdf, pdf[GID], local)
+
+        if self.mode == "state":
+            return pa.table(
+                {"payload": pa.array([pickle.dumps(states)], pa.binary())}
+            )
+
+        for s in self.stages:
+            for name in s.outputs:
+                if name not in pdf.columns:
+                    continue
+                arr = pa.array(pdf[name], from_pandas=True)
+                if name in tbl.column_names:
+                    tbl = tbl.set_column(
+                        tbl.column_names.index(name), name, arr
+                    )
+                else:
+                    tbl = tbl.append_column(name, arr)
+        return tbl
+
+
+def _fold_global(step, states_df: pd.DataFrame, group_cols: list[str],
+                 kcols: list[str]) -> pd.DataFrame:
+    """Per-group salt-ordered fold → prefix table indexed by (group…, salt)."""
+    state_cols = [c for c in states_df.columns if c not in kcols]
+    out = []
+    for _, grp in states_df.groupby(group_cols, sort=False):
+        grp = grp.sort_values(SALT)
+        pref = step.fold_chunk_states(grp[state_cols])
+        pref.index = (
+            pd.Index(grp[kcols[0]])
+            if len(kcols) == 1
+            else pd.MultiIndex.from_frame(grp[kcols])
+        )
+        out.append(pref)
+    return pd.concat(out) if out else pd.DataFrame()
+
+
+def run_salted_chunked(
+    ds,
+    group_cols: list[str],
+    sort_cols: list[str],
+    steps: Sequence,
+    num_partitions: int,
+    salt,
+    stamp_batch_rows: int = 262_144,
+):
+    """Salted grouped chain with chunk-local execution (module docstring).
+    Caller guarantees every step is grouped + chunk_mergeable."""
+    from recipys_ray.kernels.salted import (
+        SaltedStamp,
+        _hot_mask,
+        find_hot_groups,
+    )
+
+    hot = find_hot_groups(ds, group_cols, salt.threshold)
+    if not hot:
+        from recipys_ray.kernels.grouped import run_grouped_chain
+
+        return run_grouped_chain(
+            ds, group_cols, sort_cols, steps,
+            num_partitions=num_partitions, stamp_batch_rows=stamp_batch_rows,
+        )
+    hot_keys = set(hot)
+    stamp = SaltedStamp(
+        group_cols, sort_cols, num_partitions, hot_keys, salt.chunk_span
+    )
+    stamped = ds.map_batches(
+        stamp, batch_format="pyarrow", batch_size=stamp_batch_rows
+    )
+
+    stages = [GroupedStage(s) for s in steps]
+    levels = step_levels(steps)
+    kcols = group_cols + [SALT]
+
+    # skinny hot subset, reused by every state pass
+    probe = _ChunkedRunner(group_cols, sort_cols, stages, levels, {})
+    skinny = [
+        c for c in dict.fromkeys(probe.needed + [PART]) if c != GID
+    ]
+
+    def pick_hot(tbl: pa.Table) -> pa.Table:
+        mask = _hot_mask(tbl, group_cols, hot_keys)
+        return tbl.select(
+            [c for c in skinny if c in tbl.column_names]
+        ).filter(pa.array(mask))
+
+    hot_skinny = stamped.map_batches(
+        pick_hot, batch_format="pyarrow"
+    ).materialize()
+
+    prefixes: dict[int, pd.DataFrame] = {}
+    for lv in sorted(set(levels)):
+        if not any(
+            levels[k] == lv and getattr(st.step, "chunk_mergeable", False)
+            for k, st in enumerate(stages)
+        ):
+            continue
+        runner = _ChunkedRunner(
+            group_cols, sort_cols, stages, levels, dict(prefixes),
+            mode="state", state_level=lv,
+        )
+
+        def run_state(tbl: pa.Table, _r=runner) -> pa.Table:
+            return _r(tbl)
+
+        merged: dict[int, list] = {}
+        for row in hot_skinny.groupby(PART).map_groups(
+            run_state, batch_format="pyarrow"
+        ).take_all():
+            for k, df in pickle.loads(row["payload"]).items():
+                merged.setdefault(k, []).append(df)
+        for k, dfs in merged.items():
+            states_df = pd.concat(dfs, ignore_index=True)
+            prefixes[k] = _fold_global(
+                stages[k].step, states_df, group_cols, kcols
+            )
+
+    runner = _ChunkedRunner(
+        group_cols, sort_cols, stages, levels, prefixes, mode="run"
+    )
+
+    def run_partition(tbl: pa.Table) -> pa.Table:
+        return runner(tbl)
+
+    out = stamped.groupby(PART).map_groups(
+        run_partition, batch_format="pyarrow"
+    )
+
+    def drop_salt(tbl: pa.Table) -> pa.Table:
+        return tbl.drop_columns(
+            [c for c in (SALT, PART) if c in tbl.column_names]
+        )
+
+    return out.map_batches(drop_salt, batch_format="pyarrow")

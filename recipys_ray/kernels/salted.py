@@ -169,13 +169,28 @@ def run_salted_chain(
     salt: SaltConfig,
     stamp_batch_rows: int = 262_144,
 ):
-    """Grouped chain with mega-group salting (see module docstring)."""
+    """Grouped chain with mega-group salting (see module docstring).
+
+    When EVERY step supports the chunk-merge protocol, execution routes to
+    the chunk-local path (kernels/chunked.py): per-chunk states + driver
+    fold + in-place prefix correction — every task bounded by the chunk
+    span, one payload shuffle total. Otherwise this legacy whole-group
+    carry path runs (exact, but one task per mega-group on the skinny
+    projection)."""
     stages = [GroupedStage(s) for s in steps]
     if any(st.needs_all for st in stages):
         raise ValueError(
             "Salted execution supports projected kernels only (row-count "
             "changing or whole-frame steps can't chunk-merge); run without "
             "salting."
+        )
+    if all(getattr(s, "chunk_mergeable", False) for s in steps):
+        from recipys_ray.kernels.chunked import run_salted_chunked
+
+        return run_salted_chunked(
+            ds, group_cols, sort_cols, steps,
+            num_partitions=num_partitions, salt=salt,
+            stamp_batch_rows=stamp_batch_rows,
         )
     hot = find_hot_groups(ds, group_cols, salt.threshold)
     if not hot:
@@ -253,6 +268,16 @@ def run_salted_chain(
         src = g["__carry_src__"].to_numpy()
         main_rows = g[src == 0]
         carry_rows = g[src == 1]
+        # alignment is by independent stable sorts on the sort key: requires
+        # one carry row per main row; (group, sort) ties within a chunk would
+        # allow order-dependent features to swap payload rows, so this path
+        # documents/requires effectively-unique sort keys per chunk (the
+        # chunk-merge path in kernels/chunked.py has no such constraint)
+        if len(main_rows) != len(carry_rows):
+            raise ValueError(
+                f"salted carry merge misalignment: {len(main_rows)} main vs "
+                f"{len(carry_rows)} carry rows for one (group, salt) chunk"
+            )
         main_rows = main_rows.sort_values(
             sort_cols, kind="stable", ignore_index=True
         )

@@ -29,7 +29,7 @@ def asof_join(
     direction: str = "backward",
     tolerance=None,
     right_suffix: str = "_r",
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
     right_dedup_cols=None,
 ):
     """As-of join two Datasets. Returns a Dataset with all left columns plus
@@ -43,6 +43,11 @@ def asof_join(
     would otherwise need for tie-breaking duplicate right timestamps."""
     by = [by] if isinstance(by, str) else list(by)
     right_dedup_cols = list(right_dedup_cols or [])
+    if num_partitions is None:
+        # size to the LEFT side (the big one); right co-partitions with it
+        from recipys_ray.kernels.grouped import choose_partitions
+
+        num_partitions = choose_partitions(left)
 
     lschema = left.schema()
     rschema = right.schema()

@@ -93,6 +93,35 @@ class Step:
         (called after resolve; e.g. resampling adds a global-fill node)."""
         return [self]
 
+    # ---------------- chunk-merge protocol (salted mega-groups) ---------- #
+    # A chunk-mergeable grouped step can run on salt-chunked mega-groups
+    # without ever materializing the whole group in one task: a cheap skinny
+    # pass collects one small state row per chunk, the driver folds them in
+    # salt order into per-chunk PREFIX states (kernels/chunked.py), and the
+    # main pass corrects its chunk-local outputs in place. SURVEY.md §4.
+    @property
+    def chunk_mergeable(self) -> bool:
+        return False
+
+    def chunk_state(self, pdf: pd.DataFrame, gid: pd.Series) -> pd.DataFrame:
+        """One state row per chunk (gid) in this partition, computed on the
+        columns this step READS, in sorted row order."""
+        raise NotImplementedError
+
+    def fold_chunk_states(self, states: pd.DataFrame) -> pd.DataFrame:
+        """``states``: this group's chunk states in salt order. Returns the
+        PREFIX state visible to each chunk (aligned to states.index) — i.e.
+        the fold of all strictly-earlier chunks."""
+        raise NotImplementedError
+
+    def apply_chunk_prefix(
+        self, pdf: pd.DataFrame, gid: pd.Series, prefix: pd.DataFrame
+    ) -> pd.DataFrame:
+        """Correct this step's chunk-local outputs using per-chunk prefix
+        states (``prefix`` indexed by gid values; absent gids are cold
+        groups and must stay untouched). Runs AFTER transform_frame."""
+        raise NotImplementedError
+
     # ------------------------------------------------------------------ #
     def transform_batch(self, tbl: pa.Table) -> pa.Table:  # batch kind
         raise NotImplementedError

@@ -146,6 +146,133 @@ class StepHistorical(Step):
         pdf[new_cols] = res
         return pdf
 
+    # ---------------- chunk-merge protocol (kernels/chunked.py) ----------- #
+    @property
+    def chunk_mergeable(self) -> bool:
+        # MEDIAN needs the full history — no O(1) mergeable state
+        return self.fun is not Accumulator.MEDIAN
+
+    def _state_cols(self, pdf) -> list[str]:
+        return [c for c in self.columns if c in pdf.columns]
+
+    def chunk_state(self, pdf, gid):
+        cols = self._state_cols(pdf)
+        x = pdf[cols].astype(np.float64)
+        g = x.groupby(gid, sort=False, observed=True)
+        if self.fun is Accumulator.MAX:
+            return g.max().rename(columns=lambda c: f"m_{c}")
+        if self.fun is Accumulator.MIN:
+            return g.min().rename(columns=lambda c: f"m_{c}")
+        if self.fun is Accumulator.COUNT:
+            return g.count().rename(columns=lambda c: f"n_{c}")
+        if self.fun is Accumulator.SUM:
+            n = g.count().rename(columns=lambda c: f"n_{c}")
+            s = g.sum().rename(columns=lambda c: f"s_{c}")
+            return pd.concat([n, s], axis=1)
+        # MEAN / VAR: anchored moments (see transform_frame)
+        a = g.transform("first")
+        xs = x - a
+        n = g.count()
+        s1 = xs.fillna(0.0).groupby(gid, sort=False, observed=True).sum()
+        s2 = (xs * xs).fillna(0.0).groupby(gid, sort=False, observed=True).sum()
+        anchor = g.first()
+        return pd.concat(
+            [
+                n.rename(columns=lambda c: f"n_{c}"),
+                s1.rename(columns=lambda c: f"s1_{c}"),
+                s2.rename(columns=lambda c: f"s2_{c}"),
+                anchor.rename(columns=lambda c: f"a_{c}"),
+            ],
+            axis=1,
+        )
+
+    def fold_chunk_states(self, states):
+        if self.fun is Accumulator.MAX:
+            return states.cummax().shift(1)
+        if self.fun is Accumulator.MIN:
+            return states.cummin().shift(1)
+        if self.fun is Accumulator.COUNT:
+            return states.cumsum().shift(1).fillna(0.0)
+        if self.fun is Accumulator.SUM:
+            return states.cumsum().shift(1).fillna(0.0)
+        out = pd.DataFrame(index=states.index)
+        cols = sorted({c[2:] for c in states.columns if c.startswith("n_")})
+        for c in cols:
+            n = states[f"n_{c}"]
+            a = states[f"a_{c}"]
+            nonnull = a.dropna()
+            a_star = nonnull.iloc[0] if len(nonnull) else np.nan
+            d = (a - a_star).fillna(0.0)
+            s1 = states[f"s1_{c}"] + n * d
+            s2 = states[f"s2_{c}"] + 2 * d * states[f"s1_{c}"] + n * d * d
+            out[f"n_{c}"] = n.cumsum().shift(1).fillna(0.0)
+            out[f"s1_{c}"] = s1.cumsum().shift(1).fillna(0.0)
+            out[f"s2_{c}"] = s2.cumsum().shift(1).fillna(0.0)
+            out[f"a_{c}"] = a_star  # group anchor, constant per group
+        return out
+
+    def apply_chunk_prefix(self, pdf, gid, prefix):
+        cols = self._state_cols(pdf)
+        for c in cols:
+            oc = f"{c}_{self.suffix}"
+            if oc not in pdf.columns:
+                continue
+            if self.fun in (Accumulator.MAX, Accumulator.MIN):
+                pm = gid.map(prefix[f"m_{c}"])
+                mask = pdf[oc].notna() & pm.notna()
+                if mask.any():
+                    vals = (
+                        np.maximum(pdf.loc[mask, oc], pm[mask])
+                        if self.fun is Accumulator.MAX
+                        else np.minimum(pdf.loc[mask, oc], pm[mask])
+                    )
+                    pdf.loc[mask, oc] = vals.astype(pdf[oc].dtype, copy=False)
+            elif self.fun is Accumulator.COUNT:
+                add = gid.map(prefix[f"n_{c}"]).fillna(0.0)
+                pdf[oc] = (
+                    pdf[oc].astype(np.int64) + add.astype(np.int64)
+                ).astype(np.uint32)
+            elif self.fun is Accumulator.SUM:
+                ps = gid.map(prefix[f"s_{c}"])
+                pn = gid.map(prefix[f"n_{c}"]).fillna(0.0)
+                m1 = pdf[oc].notna() & ps.notna()
+                pdf.loc[m1, oc] = pdf.loc[m1, oc] + ps[m1]
+                m2 = pdf[oc].isna() & (pn > 0)
+                pdf.loc[m2, oc] = ps[m2]
+            else:  # MEAN / VAR: recompute from inputs + prefix moments
+                hot = gid.isin(prefix.index)
+                if not hot.any():
+                    continue
+                sub = pdf.loc[hot, c].astype(np.float64)
+                sgid = gid[hot]
+                a = sgid.map(prefix[f"a_{c}"])
+                pn = sgid.map(prefix[f"n_{c}"]).fillna(0.0)
+                ps1 = sgid.map(prefix[f"s1_{c}"]).fillna(0.0)
+                ps2 = sgid.map(prefix[f"s2_{c}"]).fillna(0.0)
+                # chunks with no group values at all: anchor NaN → use the
+                # chunk-local anchor so the arithmetic stays finite
+                ca = sub.groupby(sgid, sort=False).transform("first")
+                a = a.fillna(ca)
+                xs = sub - a
+                n_t = (
+                    sub.notna().astype(np.float64)
+                    .groupby(sgid, sort=False).cumsum() + pn
+                )
+                s1_t = xs.fillna(0.0).groupby(sgid, sort=False).cumsum() + ps1
+                if self.fun is Accumulator.MEAN:
+                    val = s1_t / n_t.where(n_t > 0) + a
+                else:
+                    s2_t = (
+                        (xs * xs).fillna(0.0).groupby(sgid, sort=False).cumsum()
+                        + ps2
+                    )
+                    nv = n_t.where(n_t > 1)
+                    val = ((s2_t - s1_t * s1_t / nv) / (nv - 1.0)).clip(
+                        lower=0.0
+                    ).where(n_t > 1)
+                pdf.loc[hot, oc] = val
+        return pdf
+
     def schema_delta(self, ing: Ingredients) -> dict[str, pa.DataType]:
         if self.fun is Accumulator.COUNT:
             t = pa.uint32()  # polars cum_count parity (excluded from numeric sel)

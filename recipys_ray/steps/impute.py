@@ -134,6 +134,41 @@ class StepImputeFill(Step):
             pdf[cols] = pdf[cols].fillna(stat)
         return pdf
 
+    # ---------------- chunk-merge protocol (kernels/chunked.py) ----------- #
+    @property
+    def chunk_mergeable(self) -> bool:
+        # forward fill only: after a chunk-local ffill the remaining nulls
+        # are exactly the leading ones, so the prefix (last value of prior
+        # chunks) completes the fill. backward/limit need suffix/row state;
+        # per-group mean/min/max fill values chunk-locally (the original
+        # null mask is consumed) — those fall back to the whole-group path.
+        return (
+            self.kind == "grouped"
+            and self.strategy == "forward"
+            and self.limit is None
+        )
+
+    def chunk_state(self, pdf, gid):
+        cols = [c for c in self.columns if c in pdf.columns]
+        g = pdf.groupby(gid, sort=False, observed=True)
+        st = g[cols].last()  # last non-null per chunk
+        return st.rename(columns={c: f"v_{c}" for c in cols})
+
+    def fold_chunk_states(self, states):
+        return states.ffill().shift(1)  # last value over PRIOR chunks
+
+    def apply_chunk_prefix(self, pdf, gid, prefix):
+        for c in self.columns:
+            col = f"v_{c}"
+            if c not in pdf.columns or col not in prefix.columns:
+                continue
+            fill = gid.map(prefix[col])
+            if fill.notna().any():
+                if pdf[c].dtype == object:
+                    pdf[c] = pdf[c].astype(np.float64)
+                pdf[c] = pdf[c].fillna(fill)
+        return pdf
+
     def schema_delta(self, ing: Ingredients) -> dict[str, pa.DataType]:
         # mean-fill promotes ints to float
         if self.strategy == "mean":

@@ -72,6 +72,80 @@ class _ShiftStep(Step):
     def role_delta(self) -> dict[str, str]:
         return {n: self.role for c in self.columns for n in self._names(c)}
 
+    # ---------------- chunk-merge protocol (kernels/chunked.py) ----------- #
+    @property
+    def chunk_mergeable(self) -> bool:
+        return self._direction == 1  # lag/diff; lead needs suffix state
+
+    def chunk_state(self, pdf, gid):
+        """State: chunk row count + the last K raw values per column
+        (POSITIONAL — lag shifts the raw sequence, nulls included)."""
+        cols = [c for c in self.columns if c in pdf.columns]
+        K = max(self.shifts)
+        g = pdf.groupby(gid, sort=False, observed=True)
+        out = g.size().to_frame("rows").astype(np.float64)
+        pos = g.cumcount(ascending=False)  # 0 = last row of chunk
+        for j in range(1, K + 1):
+            sel = pos == (j - 1)
+            tail = pdf.loc[sel, cols].set_axis(gid[sel], axis=0)
+            for c in cols:
+                out[f"t{j}_{c}"] = tail[c].astype(np.float64)
+        return out
+
+    def fold_chunk_states(self, states):
+        """Sequential tail merge: the K values immediately before each
+        chunk, plus how many history rows exist (avail)."""
+        cols = sorted({c.split("_", 1)[1] for c in states.columns
+                       if c.startswith("t1_")})
+        K = max(self.shifts)
+        out = pd.DataFrame(index=states.index, dtype=np.float64)
+        tails = {c: [np.nan] * K for c in cols}  # tails[c][j-1] = j-th back
+        hist = 0
+        rows_list = states["rows"].to_numpy()
+        prefix_rows = []
+        for i, idx in enumerate(states.index):
+            prefix_rows.append((idx, hist, {c: list(tails[c]) for c in cols}))
+            r = int(rows_list[i])
+            for c in cols:
+                newtail = []
+                for j in range(1, K + 1):
+                    if j <= r:
+                        newtail.append(states.at[idx, f"t{j}_{c}"])
+                    else:
+                        newtail.append(tails[c][j - r - 1])
+                tails[c] = newtail
+            hist += r
+        out["avail"] = [min(h, K) for _, h, _ in prefix_rows]
+        for c in cols:
+            for j in range(1, K + 1):
+                out[f"t{j}_{c}"] = [t[c][j - 1] for _, _, t in prefix_rows]
+        return out
+
+    def apply_chunk_prefix(self, pdf, gid, prefix):
+        cols = [c for c in self.columns if c in pdf.columns]
+        hot = gid.isin(prefix.index)
+        if not hot.any():
+            return pdf
+        pos = pdf.loc[hot].groupby(gid[hot], sort=False).cumcount()
+        avail = gid[hot].map(prefix["avail"])
+        for s in self.shifts:
+            for i in range(s):
+                back = s - i  # how far back into the previous chunks
+                rows = hot.copy()
+                rows[hot] = (pos == i) & (back <= avail)
+                if not rows.any():
+                    continue
+                for c in cols:
+                    oc = f"{c}_{self._label}{s}"
+                    carried = gid[rows].map(prefix[f"t{back}_{c}"])
+                    if self._label == "diff":
+                        pdf.loc[rows, oc] = (
+                            pdf.loc[rows, c].astype(np.float64) - carried
+                        )
+                    else:
+                        pdf.loc[rows, oc] = carried
+        return pdf
+
 
 class StepLag(_ShiftStep):
     """``<col>_lag{n}`` = value n rows earlier within the group (null-padded)."""
@@ -178,3 +252,34 @@ class StepSessionize(Step):
 
     def role_delta(self) -> dict[str, str]:
         return {self.name: self.role}
+
+    # ---------------- chunk-merge protocol (kernels/chunked.py) ----------- #
+    @property
+    def chunk_mergeable(self) -> bool:
+        return True
+
+    def chunk_state(self, pdf, gid):
+        s = pdf[self._seq_col]
+        g = s.groupby(gid, sort=False, observed=True)
+        gap = pd.Timedelta(self.gap) if self._seq_temporal else self.gap
+        brk = (g.diff() > gap).groupby(gid, sort=False).sum()
+        out = pd.DataFrame(
+            {"first": g.first(), "last": g.last(),
+             "brk": brk.astype(np.float64)}
+        )
+        return out
+
+    def fold_chunk_states(self, states):
+        gap = pd.Timedelta(self.gap) if self._seq_temporal else self.gap
+        # boundary break between consecutive chunks of the group
+        prev_last = states["last"].shift(1)
+        boundary = ((states["first"] - prev_last) > gap).astype(np.float64)
+        offset = (
+            states["brk"].cumsum().shift(1).fillna(0.0) + boundary.cumsum()
+        )
+        return pd.DataFrame({"off": offset}, index=states.index)
+
+    def apply_chunk_prefix(self, pdf, gid, prefix):
+        off = gid.map(prefix["off"]).fillna(0.0)
+        pdf[self.name] = (pdf[self.name] + off).astype(np.int64)
+        return pdf

@@ -80,3 +80,123 @@ def test_salt_noop_when_no_hot_groups():
     unsalted = run(None)
     salted_high = run(SaltConfig(threshold=10_000_000, chunk_span=200))
     pd.testing.assert_frame_equal(unsalted, salted_high)
+
+
+def build_mergeable_recipe(ds, salt=None):
+    """Chain where EVERY step supports the chunk-merge protocol — routes to
+    kernels/chunked.py (no whole-group task anywhere)."""
+    from recipys_ray import StepDiff
+
+    rec = Recipe(
+        ds,
+        predictors=["n_chars", "latency_s", "score"],
+        groups=["conv_id"],
+        sequences=["turn_idx", "ts"],
+        partitions=4,
+        salt=salt,
+    )
+    rec.add_step(StepImputeFill(sel=all_of(["latency_s"]), strategy="forward"))
+    rec.add_step(StepHistorical(sel=all_of(["n_chars"]), fun=Accumulator.MAX))
+    rec.add_step(StepHistorical(sel=all_of(["n_chars"]), fun=Accumulator.MIN))
+    rec.add_step(StepHistorical(sel=all_of(["n_chars"]), fun=Accumulator.MEAN))
+    rec.add_step(StepHistorical(sel=all_of(["latency_s"]), fun=Accumulator.VAR))
+    rec.add_step(StepHistorical(sel=all_of(["score"]), fun=Accumulator.COUNT))
+    rec.add_step(StepHistorical(sel=all_of(["score"]), fun=Accumulator.SUM))
+    rec.add_step(StepLag(sel=all_of(["n_chars"]), shifts=[1, 3]))
+    rec.add_step(StepDiff(sel=all_of(["score"]), shifts=[1]))
+    rec.add_step(StepSessionize(gap="30m"))
+    return rec
+
+
+def run_mergeable(salt):
+    tbl = make_transcripts(n_turns=3000, seed=13, mega_conv_turns=1200)
+    out = build_mergeable_recipe(rd.from_arrow(tbl), salt=salt).prep().to_pandas()
+    return out.sort_values(
+        ["conv_id", "turn_idx"], kind="stable"
+    ).reset_index(drop=True)
+
+
+def test_chunked_path_is_selected(monkeypatch):
+    """An all-mergeable chain must route to run_salted_chunked."""
+    import recipys_ray.kernels.chunked as chunked
+    import recipys_ray.kernels.salted as salted_mod
+
+    calls = []
+    orig = chunked.run_salted_chunked
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(chunked, "run_salted_chunked", spy)
+    run_mergeable(SaltConfig(threshold=500, chunk_span=200))
+    assert calls, "chunk-merge path was not taken"
+    _ = salted_mod
+
+
+def test_chunked_salted_equals_unsalted():
+    """Salted ≡ unsalted through the chunk-local path: ffill, historical
+    max/min/mean/var/count/sum, lag 1+3, diff, sessionize — with chunks
+    far smaller than the mega-conversations (chunk_span=200 vs 1200 turns,
+    so each mega-group spans ≥6 chunks)."""
+    unsalted = run_mergeable(None)
+    salted = run_mergeable(SaltConfig(threshold=500, chunk_span=200))
+    assert list(unsalted.columns) == list(salted.columns)
+    salted = salted[unsalted.columns]
+    for c in unsalted.columns:
+        a, b = unsalted[c], salted[c]
+        if pd.api.types.is_numeric_dtype(a) and not pd.api.types.is_bool_dtype(a):
+            np.testing.assert_allclose(
+                a.to_numpy(dtype=float),
+                b.to_numpy(dtype=float),
+                equal_nan=True,
+                err_msg=f"column {c}",
+                atol=1e-10,
+            )
+        else:
+            assert a.astype(str).tolist() == b.astype(str).tolist(), c
+
+
+def test_chunked_tiny_chunks_many_boundaries():
+    """Stress the fold with very small chunks (every chunk boundary hits
+    the lag/ffill/sessionize carry logic)."""
+    unsalted = run_mergeable(None)
+    salted = run_mergeable(SaltConfig(threshold=300, chunk_span=37))
+    salted = salted[unsalted.columns]
+    for c in unsalted.columns:
+        a, b = unsalted[c], salted[c]
+        if pd.api.types.is_numeric_dtype(a) and not pd.api.types.is_bool_dtype(a):
+            np.testing.assert_allclose(
+                a.to_numpy(dtype=float), b.to_numpy(dtype=float),
+                equal_nan=True, err_msg=f"column {c}", atol=1e-10,
+            )
+        else:
+            assert a.astype(str).tolist() == b.astype(str).tolist(), c
+
+
+def test_chunked_chunk_smaller_than_lag():
+    """chunk_span=2 with lag shift 3: every carried value crosses MULTIPLE
+    chunk boundaries — exercises the tail merge where a chunk has fewer
+    rows than the max shift."""
+    tbl = make_transcripts(n_turns=800, seed=5, mega_conv_turns=300)
+    ds = rd.from_arrow(tbl)
+
+    def mk(salt):
+        rec = Recipe(
+            ds, predictors=["n_chars", "score"], groups=["conv_id"],
+            sequences=["turn_idx", "ts"], partitions=4, salt=salt,
+        )
+        rec.add_step(StepLag(sel=all_of(["n_chars"]), shifts=[3]))
+        return (
+            rec.prep().to_pandas()
+            .sort_values(["conv_id", "turn_idx"], kind="stable")
+            .reset_index(drop=True)
+        )
+
+    a = mk(None)
+    b = mk(SaltConfig(threshold=100, chunk_span=2))[a.columns]
+    np.testing.assert_allclose(
+        a["n_chars_lag3"].to_numpy(dtype=float),
+        b["n_chars_lag3"].to_numpy(dtype=float),
+        equal_nan=True,
+    )
