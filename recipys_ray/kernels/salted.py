@@ -69,31 +69,69 @@ def find_hot_groups(
 ) -> dict:
     """{group_key_tuple_or_scalar: total_count} for groups over threshold.
 
-    Per-block partial counts keep only groups with ≥ ``block_floor`` rows in
-    that block, bounding partial size; a group exceeding ``threshold``
-    overall is necessarily over the floor in ≥ 1 block (floor ≤
-    threshold / 2 and mega-group rows are file-contiguous), so true
-    mega-groups are always detected.
+    EXACT detection regardless of row layout: per-block partial counts (the
+    combiner — one row per distinct group per 256k-row batch) feed a small
+    distributed ``groupby(group).sum()``; only groups over the threshold
+    ever reach the driver. An earlier per-block floor heuristic missed
+    mega-groups whose rows are scattered across blocks (each block's share
+    under the floor) — a real failure mode on shuffled 100-TB layouts.
+    ``block_floor`` is retained for API compatibility and ignored.
     """
-    floor = block_floor if block_floor is not None else max(1, threshold // 64)
-
+    _ = block_floor
     cols = list(group_cols)
 
     def partial(tbl: pa.Table) -> pa.Table:
         pdf = tbl.select(cols).to_pandas()
-        vc = pdf.groupby(cols, sort=False, observed=True).size()
-        vc = vc[vc >= min(floor, max(1, len(pdf) // 4))]
-        return pa.table(
-            {"payload": pa.array([pickle.dumps(vc.to_dict())], pa.binary())}
+        vc = (
+            pdf.groupby(cols, sort=False, observed=True)
+            .size()
+            .reset_index(name="__cnt__")
         )
+        return pa.Table.from_pandas(vc, preserve_index=False)
 
-    merged: dict = {}
-    for row in ds.select_columns(cols).map_batches(
-        partial, batch_format="pyarrow"
-    ).take_all():
-        for k, v in pickle.loads(row["payload"]).items():
-            merged[k] = merged.get(k, 0) + v
-    return {k: v for k, v in merged.items() if v > threshold}
+    counts = ds.select_columns(cols).map_batches(
+        partial, batch_format="pyarrow", batch_size=262_144
+    ).materialize()
+
+    cap = 20_000_000  # partial rows the driver merges directly
+    if counts.count() <= cap:
+        pdf = counts.to_pandas()
+        tot = pdf.groupby(cols, sort=False, observed=True)["__cnt__"].sum()
+        tot = tot[tot > threshold]
+        return {k: int(v) for k, v in tot.items()}
+
+    # corpus with more distinct (group, block) partials than the driver
+    # should hold: hash-partition the skinny count rows, sum + filter
+    # inside each partition — only hot survivors reach the driver
+    def stamp(tbl: pa.Table) -> pa.Table:
+        pdf = tbl.select(cols).to_pandas()
+        part = _hash_mod(pdf, cols, 256)
+        return tbl.append_column("__hgp__", pa.array(part, pa.int32()))
+
+    def reduce_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        tot = (
+            pdf.groupby(cols, sort=False, observed=True)["__cnt__"]
+            .sum()
+            .reset_index()
+        )
+        return tot[tot["__cnt__"] > threshold]
+
+    hot_rows = (
+        counts.map_batches(stamp, batch_format="pyarrow")
+        .groupby("__hgp__")
+        .map_groups(
+            lambda p: reduce_part(p.drop(columns=["__hgp__"])),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    if hot_rows.empty:
+        return {}
+    if len(cols) == 1:
+        keys = hot_rows[cols[0]].tolist()
+    else:
+        keys = list(hot_rows[cols].itertuples(index=False, name=None))
+    return dict(zip(keys, hot_rows["__cnt__"].astype(int).tolist()))
 
 
 # --------------------------------------------------------------------- #
@@ -117,16 +155,7 @@ class SaltedStamp:
     def _salt_values(self, tbl: pa.Table) -> tuple[np.ndarray, np.ndarray]:
         """(is_hot bool mask, salt int64 per row)."""
         pdf = tbl.select(self.group_cols).to_pandas()
-        if len(self.group_cols) == 1:
-            keys = pdf[self.group_cols[0]].to_numpy(dtype=object)
-            hot = np.fromiter(
-                (k in self.hot_keys for k in keys), bool, len(keys)
-            )
-        else:
-            keys = list(pdf.itertuples(index=False, name=None))
-            hot = np.fromiter(
-                (k in self.hot_keys for k in keys), bool, len(keys)
-            )
+        hot = _hot_mask_pdf(pdf, self.group_cols, self.hot_keys)
         sv = tbl.column(self.salt_col)
         if pa.types.is_timestamp(sv.type) or pa.types.is_duration(sv.type):
             sv = sv.cast(pa.int64())
@@ -151,13 +180,19 @@ class SaltedStamp:
 # --------------------------------------------------------------------- #
 # 3+4. carry pass and merge
 # --------------------------------------------------------------------- #
-def _hot_mask(tbl: pa.Table, group_cols: list[str], hot_keys: set) -> np.ndarray:
-    pdf = tbl.select(group_cols).to_pandas()
+def _hot_mask_pdf(
+    pdf: pd.DataFrame, group_cols: list[str], hot_keys: set
+) -> np.ndarray:
+    """Vectorized hot-group membership (pandas C isin, never a row loop)."""
     if len(group_cols) == 1:
-        keys = pdf[group_cols[0]].to_numpy(dtype=object)
-        return np.fromiter((k in hot_keys for k in keys), bool, len(keys))
-    keys = list(pdf.itertuples(index=False, name=None))
-    return np.fromiter((k in hot_keys for k in keys), bool, len(keys))
+        return pdf[group_cols[0]].isin(hot_keys).to_numpy()
+    return (
+        pd.MultiIndex.from_frame(pdf[group_cols]).isin(hot_keys)
+    )
+
+
+def _hot_mask(tbl: pa.Table, group_cols: list[str], hot_keys: set) -> np.ndarray:
+    return _hot_mask_pdf(tbl.select(group_cols).to_pandas(), group_cols, hot_keys)
 
 
 def run_salted_chain(
