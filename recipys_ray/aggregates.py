@@ -34,6 +34,68 @@ VOCAB = "vocab"  # sorted distinct non-null values
 QUANTILES = "quantiles"  # merged value-counts → weighted percentiles
 
 
+class TDigest:
+    """Merging t-digest (Dunning & Ertl) with the k1 arcsine scale function,
+    built and merged fully vectorized: sorted (value, weight) pairs are
+    clustered at FIXED quantile boundaries q_j = (1 + sin(2πj/δ))/2 — the
+    uniform-k-step inverse of k1(q) = (δ/2π)·asin(2q−1) — so tails get
+    proportionally finer centroids. Size ≤ δ centroids; rank error is
+    O(q(1−q)/δ) (validated in tests/test_aggregates_tdigest.py).
+    """
+
+    __slots__ = ("means", "weights", "vmin", "vmax", "delta")
+
+    def __init__(self, means, weights, vmin, vmax, delta=256):
+        self.means = np.asarray(means, dtype=np.float64)
+        self.weights = np.asarray(weights, dtype=np.float64)
+        self.vmin = float(vmin)
+        self.vmax = float(vmax)
+        self.delta = delta
+
+    @staticmethod
+    def _boundaries(delta: int) -> np.ndarray:
+        j = np.arange(-delta // 4, delta // 4 + 1)
+        return (1.0 + np.sin(2.0 * np.pi * j / delta)) / 2.0
+
+    @classmethod
+    def from_weighted(cls, values, weights, delta: int = 256) -> "TDigest":
+        v = np.asarray(values, dtype=np.float64)
+        w = np.asarray(weights, dtype=np.float64)
+        order = np.argsort(v, kind="stable")
+        v, w = v[order], w[order]
+        total = w.sum()
+        qmid = (np.cumsum(w) - w / 2.0) / total
+        bounds = cls._boundaries(delta)
+        bucket = np.searchsorted(bounds, qmid, side="right")
+        nb = len(bounds) + 1
+        bw = np.zeros(nb)
+        bs = np.zeros(nb)
+        np.add.at(bw, bucket, w)
+        np.add.at(bs, bucket, v * w)
+        keep = bw > 0
+        return cls(bs[keep] / bw[keep], bw[keep], v[0], v[-1], delta)
+
+    def merged_with(self, other: "TDigest") -> "TDigest":
+        d = self.from_weighted(
+            np.r_[self.means, other.means],
+            np.r_[self.weights, other.weights],
+            self.delta,
+        )
+        d.vmin = min(self.vmin, other.vmin)
+        d.vmax = max(self.vmax, other.vmax)
+        return d
+
+    def quantile(self, q) -> np.ndarray:
+        """Linear interpolation between centroid midpoints, clamped to the
+        observed [min, max]."""
+        qs = np.atleast_1d(np.asarray(q, dtype=np.float64))
+        total = self.weights.sum()
+        centers = (np.cumsum(self.weights) - self.weights / 2.0) / total
+        xs = np.r_[0.0, centers, 1.0]
+        ys = np.r_[self.vmin, self.means, self.vmax]
+        return np.interp(qs, xs, ys)
+
+
 @dataclass
 class ColStats:
     count: int = 0  # non-null count
@@ -45,6 +107,9 @@ class ColStats:
     # value → weight (exact when cardinality permits, histogram-binned else)
     value_counts: Optional[dict] = None
     exact: bool = True
+    # merged t-digest — the quantile source once cardinality exceeds the
+    # exact threshold (tighter tail bounds than the histogram fallback)
+    tdigest: Optional[TDigest] = None
 
     # ---------------- derived ----------------
     @property
@@ -75,8 +140,11 @@ class ColStats:
 
     def quantile(self, q) -> np.ndarray:
         """Weighted percentile with linear interpolation — equals
-        ``np.percentile`` on the expanded multiset when stats are exact."""
+        ``np.percentile`` on the expanded multiset when stats are exact;
+        t-digest interpolation (rank error O(q(1−q)/δ)) when not."""
         qs = np.atleast_1d(np.asarray(q, dtype=np.float64))
+        if not self.exact and self.tdigest is not None:
+            return self.tdigest.quantile(qs)
         if not self.value_counts:
             return np.full(len(qs), np.nan)
         vals = np.array(sorted(self.value_counts.keys()), dtype=np.float64)
@@ -139,11 +207,19 @@ def _partial_for_column(
         vc = pc.value_counts(arr2.drop_null())
         values = vc.field("values").to_pylist()
         counts = vc.field("counts").to_pylist()
+        if QUANTILES in want and is_num and len(values):
+            # t-digest partial from EVERY block (cheap, ≤ δ centroids): the
+            # merged digest must cover all rows even when only some blocks
+            # exceed the exact-cardinality threshold
+            v0 = np.asarray(values, dtype=np.float64)
+            c0 = np.asarray(counts, dtype=np.float64)
+            td = TDigest.from_weighted(v0, c0)
+            out["tdigest"] = (td.means, td.weights, td.vmin, td.vmax)
         if QUANTILES in want and is_num and len(values) > max_exact_distinct:
-            # deterministic histogram binning between block min/max
-            lo, hi = out.get("min"), out.get("max")
+            # deterministic histogram binning for value_counts compatibility
             v = np.asarray(values, dtype=np.float64)
             c = np.asarray(counts, dtype=np.float64)
+            lo, hi = out.get("min"), out.get("max")
             if hi is not None and lo is not None and hi > lo:
                 edges = np.linspace(lo, hi, hist_bins + 1)
                 centers = (edges[:-1] + edges[1:]) / 2
@@ -198,6 +274,10 @@ def _merge_partial(agg: ColStats, p: dict) -> None:
             agg.value_counts[val] = agg.value_counts.get(val, 0) + cnt
     if not p.get("exact", True):
         agg.exact = False
+    td = p.get("tdigest")
+    if td is not None:
+        d = TDigest(*td)
+        agg.tdigest = d if agg.tdigest is None else agg.tdigest.merged_with(d)
 
 
 def column_stats(
