@@ -178,6 +178,117 @@ def _fold_global(step, states_df: pd.DataFrame, group_cols: list[str],
     return pd.concat(out) if out else pd.DataFrame()
 
 
+GLOBAL_GROUP = "__global_g__"
+
+
+def run_global_chunked(
+    ds,
+    sort_cols: list[str],
+    steps: Sequence,
+    num_partitions: int,
+    stamp_batch_rows: int = 262_144,
+):
+    """Parallel execution of a GLOBAL (ungrouped) order-dependent chain.
+
+    A global sequential scan was previously a single-partition task. With
+    the chunk-merge protocol the whole dataset is ONE mega-group: rows are
+    range-chunked on the first sort column, chunk states fold on the driver
+    (O(#chunks)), and every partition computes exact global features — the
+    same machinery as salted mega-groups with a constant group key.
+    """
+    import ray.data.aggregate as agg_mod
+
+    s0 = sort_cols[0]
+    mm = ds.aggregate(agg_mod.Min(s0), agg_mod.Max(s0))
+    lo, hi = mm[f"min({s0})"], mm[f"max({s0})"]
+
+    def to_i64(v):
+        if hasattr(v, "value"):  # pandas Timestamp
+            return int(v.value)
+        return int(v)
+
+    lo_i, hi_i = to_i64(lo), to_i64(hi)
+    n_chunks = max(1, 4 * num_partitions)
+    span = max((hi_i - lo_i) // n_chunks + 1, 1)
+
+    def stamp(tbl: pa.Table) -> pa.Table:
+        sv = tbl.column(s0)
+        if pa.types.is_timestamp(sv.type) or pa.types.is_duration(sv.type):
+            sv = sv.cast(pa.int64())
+        v = sv.to_numpy(zero_copy_only=False).astype(np.int64)
+        salt = (v - lo_i) // span
+        part = (salt % num_partitions).astype(np.int32)
+        tbl = tbl.append_column(
+            GLOBAL_GROUP, pa.array(np.zeros(len(tbl), np.int64))
+        )
+        tbl = tbl.append_column(SALT, pa.array(salt, pa.int64()))
+        return tbl.append_column(PART, pa.array(part))
+
+    stamped = ds.map_batches(
+        stamp, batch_format="pyarrow", batch_size=stamp_batch_rows
+    )
+
+    group_cols = [GLOBAL_GROUP]
+    stages = [GroupedStage(s) for s in steps]
+    levels = step_levels(steps)
+    kcols = group_cols + [SALT]
+
+    probe = _ChunkedRunner(group_cols, sort_cols, stages, levels, {})
+    skinny = [c for c in dict.fromkeys(probe.needed + [PART]) if c != GID]
+
+    def pick_skinny(tbl: pa.Table) -> pa.Table:
+        return tbl.select([c for c in skinny if c in tbl.column_names])
+
+    hot_skinny = stamped.map_batches(
+        pick_skinny, batch_format="pyarrow"
+    ).materialize()
+
+    prefixes: dict[int, pd.DataFrame] = {}
+    for lv in sorted(set(levels)):
+        if not any(
+            levels[k] == lv and getattr(st.step, "chunk_mergeable", False)
+            for k, st in enumerate(stages)
+        ):
+            continue
+        runner = _ChunkedRunner(
+            group_cols, sort_cols, stages, levels, dict(prefixes),
+            mode="state", state_level=lv,
+        )
+
+        def run_state(tbl: pa.Table, _r=runner) -> pa.Table:
+            return _r(tbl)
+
+        merged: dict[int, list] = {}
+        for row in hot_skinny.groupby(PART).map_groups(
+            run_state, batch_format="pyarrow"
+        ).take_all():
+            for k, df in pickle.loads(row["payload"]).items():
+                merged.setdefault(k, []).append(df)
+        for k, dfs in merged.items():
+            states_df = pd.concat(dfs, ignore_index=True)
+            prefixes[k] = _fold_global(
+                stages[k].step, states_df, group_cols, kcols
+            )
+
+    runner = _ChunkedRunner(
+        group_cols, sort_cols, stages, levels, prefixes, mode="run"
+    )
+
+    def run_partition(tbl: pa.Table) -> pa.Table:
+        return runner(tbl)
+
+    out = stamped.groupby(PART).map_groups(
+        run_partition, batch_format="pyarrow"
+    )
+
+    def drop_helpers(tbl: pa.Table) -> pa.Table:
+        return tbl.drop_columns(
+            [c for c in (SALT, PART, GLOBAL_GROUP) if c in tbl.column_names]
+        )
+
+    return out.map_batches(drop_helpers, batch_format="pyarrow")
+
+
 def run_salted_chunked(
     ds,
     group_cols: list[str],

@@ -212,9 +212,22 @@ def run_grouped_chain(
     """
     p = num_partitions or choose_partitions(ds)
     if not group_cols:
-        # global order-dependent op: single partition (documented limitation —
-        # a global sequential scan is inherently serial; at scale callers
-        # should always carry a group role).
+        if (
+            sort_cols
+            and p > 1
+            and all(getattr(s, "chunk_mergeable", False) for s in steps)
+        ):
+            # global order-dependent chain, parallelized: range-chunk on the
+            # first sort column + driver-folded carry states — the whole
+            # dataset is one mega-group (kernels/chunked.py)
+            from recipys_ray.kernels.chunked import run_global_chunked
+
+            return run_global_chunked(
+                ds, sort_cols, steps, num_partitions=p,
+                stamp_batch_rows=stamp_batch_rows,
+            )
+        # non-mergeable global chain: single partition (a global sequential
+        # scan of e.g. an expanding MEDIAN is inherently serial)
         p = 1
     stamped = ds.map_batches(
         _StampPartition(group_cols, p),

@@ -200,3 +200,50 @@ def test_chunked_chunk_smaller_than_lag():
         b["n_chars_lag3"].to_numpy(dtype=float),
         equal_nan=True,
     )
+
+
+def test_global_ungrouped_chain_parallel_equals_serial():
+    """Ungrouped order-dependent chains now range-chunk on the sort column
+    and run in parallel (run_global_chunked); results must equal the
+    single-partition serial scan."""
+    from recipys_ray import StepDiff
+
+    tbl = make_transcripts(n_turns=4000, seed=9)
+    import pyarrow as pa
+
+    # drop conv grouping: one global ordered sequence by ts
+    def mk(partitions):
+        ds = rd.from_arrow(tbl)
+        rec = Recipe(
+            ds, predictors=["n_chars", "latency_s", "score"],
+            sequences=["ts", "turn_idx"], partitions=partitions,
+        )
+        rec.add_step(
+            StepImputeFill(sel=all_of(["latency_s"]), strategy="forward")
+        )
+        rec.add_step(
+            StepHistorical(sel=all_of(["n_chars"]), fun=Accumulator.MEAN)
+        )
+        rec.add_step(
+            StepHistorical(sel=all_of(["score"]), fun=Accumulator.VAR)
+        )
+        rec.add_step(StepLag(sel=all_of(["n_chars"]), shifts=[2]))
+        rec.add_step(StepDiff(sel=all_of(["score"]), shifts=[1]))
+        rec.add_step(StepSessionize(gap="30m"))
+        out = rec.prep().to_pandas()
+        return out.sort_values(
+            ["ts", "turn_idx", "conv_id"], kind="stable"
+        ).reset_index(drop=True)
+
+    serial = mk(1)
+    parallel = mk(8)[serial.columns]
+    assert len(parallel) == len(serial)
+    for c in serial.columns:
+        a, b = serial[c], parallel[c]
+        if pd.api.types.is_numeric_dtype(a) and not pd.api.types.is_bool_dtype(a):
+            np.testing.assert_allclose(
+                a.to_numpy(dtype=float), b.to_numpy(dtype=float),
+                equal_nan=True, err_msg=f"column {c}", atol=1e-10,
+            )
+        else:
+            assert a.astype(str).tolist() == b.astype(str).tolist(), c
