@@ -757,10 +757,17 @@ def embedding_dedup(
     threshold: float = 0.98,
     n_planes: int = 12,
     seed: int = 5,
+    n_probes: int = 3,
     max_driver_pairs: int = 5_000_000,
 ):
-    """Near-dup by embedding cosine: random-hyperplane LSH buckets, exact
-    in-bucket pairwise cosine, min-id survivor per component."""
+    """Near-dup by embedding cosine: random-hyperplane LSH buckets with
+    MULTI-PROBE (each vector additionally lands in the ``n_probes`` buckets
+    reached by flipping its lowest-|margin| hyperplane bits — the planes
+    most likely to split a true near-dup pair), exact in-bucket pairwise
+    cosine, min-id survivor per component. Multi-probe raises recall from
+    ~(1-θ/π)^planes toward 1 at the cost of (1+n_probes)× bucket
+    membership; duplicate pair emissions collapse in the components fold.
+    """
     first = ds.take(1)[0]
     dim = len(first[emb_col])
     rng = np.random.RandomState(seed)
@@ -768,15 +775,29 @@ def embedding_dedup(
 
     def bucketize(tbl: pa.Table) -> pa.Table:
         emb = np.stack(tbl.column(emb_col).to_pandas().to_numpy())
-        signs = (emb @ planes) > 0
-        key = (signs * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
         norm = np.linalg.norm(emb, axis=1)
         norm[norm == 0] = 1.0
+        unit = (emb / norm[:, None]).astype(np.float64)
+        proj = unit @ planes
+        signs = proj > 0
+        key = (signs * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        n = len(ids)
+        reps = 1 + min(n_probes, n_planes)
+        keys_out = np.empty((n, reps), dtype=np.int64)
+        keys_out[:, 0] = key
+        if reps > 1:
+            # flip the lowest-margin planes, one per probe
+            order = np.argsort(np.abs(proj), axis=1)[:, : reps - 1]
+            for p in range(reps - 1):
+                keys_out[:, p + 1] = key ^ (1 << order[:, p]).astype(np.int64)
         return pa.table(
             {
-                "bucket": pa.array(key),
-                id_col: tbl.column(id_col),
-                "__unit__": pa.array(list((emb / norm[:, None]).astype(np.float32))),
+                "bucket": pa.array(keys_out.reshape(-1)),
+                id_col: pa.array(np.repeat(ids, reps)),
+                "__unit__": pa.array(
+                    list(np.repeat(unit.astype(np.float32), reps, axis=0))
+                ),
             }
         )
 

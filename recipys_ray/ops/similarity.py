@@ -148,7 +148,17 @@ def knn_ivf(
     filtering happens inside each batch, so only candidate rows pay the
     matmul. Exactness degrades gracefully with nprobe (recall < 1).
     """
-    sample = ds.limit(sample_size).to_pandas()
+    n_rows = ds.count()
+    if n_rows > sample_size:
+        frac = min(1.0, 1.5 * sample_size / n_rows)
+        sample = (
+            ds.select_columns([emb_col])
+            .random_sample(frac, seed=seed)
+            .limit(sample_size)
+            .to_pandas()
+        )
+    else:
+        sample = ds.select_columns([emb_col]).to_pandas()
     X = np.stack(sample[emb_col].to_numpy()).astype(np.float32)
     C = _kmeans_fit(_normalize(X), n_clusters, seed=seed)
     Qn = _normalize(np.asarray(queries, dtype=np.float32))

@@ -389,3 +389,32 @@ class TestAsofJoin:
         ).to_pandas()
         assert out["v"].iloc[0] == 1.0
         assert out["v_r"].iloc[0] == 9.0
+
+
+class TestMultiProbe:
+    def test_multiprobe_raises_recall(self):
+        """Planted near-dup pairs at cosine ~0.992 (θ≈7°): single-probe
+        hyperplane LSH misses a chunk of them ((1-θ/π)^12 ≈ 0.76 per
+        pair); multi-probe must find at least as many and land closer to
+        the exact all-pairs result."""
+        from recipys_ray.ops.dedup import embedding_dedup, embedding_dedup_exact
+
+        rng = np.random.RandomState(11)
+        base = rng.normal(size=(150, 32)).astype(np.float64)
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        dups = base + rng.normal(scale=0.04, size=base.shape)  # ~0.99 cosine
+        emb = np.vstack([base, dups]).astype(np.float32)
+        pdf = pd.DataFrame({"vec_id": np.arange(len(emb)), "embedding": list(emb)})
+        ds = rd.from_pandas(pdf)
+        thr = 0.98
+        exact = len(embedding_dedup_exact(ds, threshold=thr).to_pandas())
+        single = len(
+            embedding_dedup(ds, threshold=thr, n_probes=0).to_pandas()
+        )
+        multi = len(
+            embedding_dedup(ds, threshold=thr, n_probes=4).to_pandas()
+        )
+        # fewer survivors = more true dups found; exact is the floor
+        assert exact <= multi <= single
+        assert multi < single  # multi-probe finds pairs single-probe missed
+        assert (multi - exact) <= (single - exact) / 2  # closes >=half the gap
