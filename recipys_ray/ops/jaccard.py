@@ -1,0 +1,275 @@
+"""EXACT n-gram Jaccard near-duplicate detection via prefix filtering.
+
+The probabilistic dedup family (MinHash/SimHash, ops/dedup.py) trades
+recall for speed. This operator is EXACT: every document pair with
+shingle-set Jaccard ≥ t is found, using the prefix-filtering principle of
+the AllPairs/PPJoin family (Bayardo et al. 2007; Xiao et al. 2008 — public
+algorithms): under ANY fixed global token order, two sets A, B with
+J(A,B) ≥ t must share at least one token among the first
+``|X| - ⌈t·|X|⌉ + 1`` tokens of each. Emitting only those prefix tokens
+bounds the candidate space; exact verification then filters.
+
+Distributed shape (all skinny-column shuffles, text never moves twice):
+1. one pass: doc → sorted unique shingle-hash set (uint64);
+2. heavy-hitter pass: the globally most frequent shingles get demoted to
+   the END of the canonical order (rank, then hash) so they never enter a
+   prefix — this keeps candidate buckets small without affecting
+   exactness (order is still global and fixed);
+3. prefix tokens → hash-partitioned buckets → all-pairs per bucket
+   (deduplicated per a-partition);
+4. two co-partitioned joins attach both shingle sets to each candidate
+   pair; exact Jaccard via sorted-array intersection; pairs ≥ t feed the
+   shared components → min-id survivor machinery.
+
+64-bit shingle hashing makes the verification exact up to hash collisions
+(P ≈ n_pairs·2⁻⁶⁴); the driver oracle recomputes true string-set Jaccard
+in SQL and has matched at every tested scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from recipys_ray.ops.dedup import (
+    _WORD_RE,
+    drop_ids,
+    losers_from_pairs,
+    partitioned_groupby_map,
+)
+
+
+class _ShingleSets:
+    """doc → sorted unique uint64 shingle-hash set (one batched hash call)."""
+
+    def __init__(self, text_col: str, id_col: str, k: int):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.k = k
+        self.word_re = _WORD_RE
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        texts = tbl.column(self.text_col).to_pandas().fillna("")
+        ids = tbl.column(self.id_col).to_numpy(zero_copy_only=False)
+        all_sh: list[str] = []
+        counts = np.empty(len(texts), dtype=np.int64)
+        k = self.k
+        for i, t in enumerate(texts):
+            ws = self.word_re.findall(t.lower())
+            if len(ws) < k:
+                sh = [" ".join(ws)]
+            else:
+                sh = [" ".join(ws[j : j + k]) for j in range(len(ws) - k + 1)]
+            counts[i] = len(sh)
+            all_sh.extend(sh)
+        h = pd.util.hash_array(np.array(all_sh, dtype=object)).astype(np.uint64)
+        offsets = np.r_[0, np.cumsum(counts)]
+        sets = [
+            np.unique(h[offsets[i] : offsets[i + 1]])
+            for i in range(len(texts))
+        ]
+        return pa.table(
+            {
+                self.id_col: pa.array(ids),
+                "shset": pa.array(
+                    [s.astype(np.uint64) for s in sets], pa.list_(pa.uint64())
+                ),
+            }
+        )
+
+
+def _top_common(sets_ds, id_col: str, top_m: int) -> dict:
+    """{shingle_hash: rank} for the globally most frequent shingles —
+    per-block partial top-(4·top_m) counts, driver merge."""
+    keep = 4 * top_m
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        flat = pa.compute.list_flatten(tbl.column("shset")).to_numpy(
+            zero_copy_only=False
+        )
+        vals, cnts = np.unique(flat, return_counts=True)
+        if len(vals) > keep:
+            top = np.argpartition(-cnts, keep - 1)[:keep]
+            vals, cnts = vals[top], cnts[top]
+        return pa.table(
+            {
+                "h": pa.array(vals.astype(np.uint64)),
+                "c": pa.array(cnts.astype(np.int64)),
+            }
+        )
+
+    merged = (
+        sets_ds.select_columns(["shset"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("h")["c"]
+        .sum()
+        .sort_values(ascending=False)
+        .head(top_m)
+    )
+    return {int(h): r for r, h in enumerate(merged.index)}
+
+
+def jaccard_dedup(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    k: int = 3,
+    top_m: int = 20_000,
+    num_partitions: int = 64,
+    max_driver_pairs: int = 5_000_000,
+):
+    """Drop near-duplicates with EXACT shingle-set Jaccard ≥ ``threshold``;
+    keep the min-id representative per connected component."""
+    import ray
+
+    sets = ds.map_batches(
+        _ShingleSets(text_col, id_col, k), batch_format="pyarrow"
+    ).materialize()
+    common = _top_common(sets, id_col, top_m) if top_m > 0 else {}
+    common_ref = ray.put(common)
+
+    def emit_prefix(tbl: pa.Table) -> pa.Table:
+        cm = ray.get(common_ref)
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        shsets = tbl.column("shset").to_pylist()
+        out_tok: list[int] = []
+        out_id: list[int] = []
+        big = len(cm)
+        for i, s in enumerate(shsets):
+            arr = np.asarray(s, dtype=np.uint64)
+            n = len(arr)
+            p = n - int(np.ceil(threshold * n)) + 1
+            if p >= n:
+                chosen = arr
+            else:
+                # canonical order: demoted commons last, then by hash
+                ranks = np.fromiter(
+                    (cm.get(int(v), big) for v in arr), np.int64, n
+                )
+                order = np.lexsort((arr, ranks))
+                chosen = arr[order[:p]]
+            out_tok.extend(int(v) for v in chosen)
+            out_id.extend([int(ids[i])] * len(chosen))
+        return pa.table(
+            {
+                "tok": pa.array(np.array(out_tok, dtype=np.uint64)),
+                id_col: pa.array(np.array(out_id, dtype=np.int64)),
+            }
+        )
+
+    exploded = sets.map_batches(emit_prefix, batch_format="pyarrow")
+
+    def emit_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["tok", id_col], kind="stable",
+                              ignore_index=True)
+        sizes = pdf.groupby("tok", sort=False)[id_col].transform("size")
+        pdf = pdf[sizes >= 2]
+        out_a, out_b = [], []
+        for _, g in pdf.groupby("tok", sort=False):
+            v = g[id_col].to_numpy()
+            ii, jj = np.triu_indices(len(v), k=1)
+            out_a.append(v[ii])
+            out_b.append(v[jj])
+        if not out_a:
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                 "b": pd.Series(dtype=np.int64)})
+        return pd.DataFrame(
+            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+        ).drop_duplicates(ignore_index=True)
+
+    cand = partitioned_groupby_map(
+        exploded, ["tok"], emit_pairs, num_partitions
+    )
+
+    # attach both shingle sets via two co-partitioned unions, then verify.
+    # Union schema: (__aj_id__ int64, a int64, b int64, set_a list<u64>,
+    # shset list<u64>) — pair rows have shset null; set rows have a/b null.
+    LIST_T = pa.list_(pa.uint64())
+    SCHEMA = ["__aj_id__", "a", "b", "set_a", "shset"]
+
+    def _mk(n, **given) -> pa.Table:
+        cols = {}
+        for name in SCHEMA:
+            if name in given:
+                cols[name] = given[name]
+            elif name in ("set_a", "shset"):
+                cols[name] = pa.nulls(n, LIST_T)
+            else:
+                cols[name] = pa.nulls(n, pa.int64())
+        return pa.table(cols)
+
+    def tag_pairs1(tbl: pa.Table) -> pa.Table:
+        return _mk(
+            len(tbl),
+            __aj_id__=tbl.column("a").cast(pa.int64()),
+            a=tbl.column("a").cast(pa.int64()),
+            b=tbl.column("b").cast(pa.int64()),
+        )
+
+    def tag_sets_stage(tbl: pa.Table) -> pa.Table:
+        return _mk(
+            len(tbl),
+            __aj_id__=tbl.column(id_col).cast(pa.int64()),
+            shset=tbl.column("shset").cast(LIST_T),
+        )
+
+    def _split(pdf: pd.DataFrame):
+        is_set = pdf["shset"].notna()
+        lookup = dict(zip(pdf.loc[is_set, "__aj_id__"],
+                          pdf.loc[is_set, "shset"]))
+        return pdf[~is_set], lookup
+
+    def attach_a(tbl: pa.Table) -> pa.Table:
+        pairs, lookup = _split(tbl.to_pandas())
+        sa = pairs["__aj_id__"].map(lookup)
+        keep = sa.notna().to_numpy()
+        return _mk(
+            int(keep.sum()),
+            __aj_id__=pa.array(pairs["b"][keep].astype(np.int64)),
+            a=pa.array(pairs["a"][keep].astype(np.int64)),
+            b=pa.array(pairs["b"][keep].astype(np.int64)),
+            set_a=pa.array(
+                [np.asarray(x, np.uint64) for x in sa[keep]], LIST_T
+            ),
+        )
+
+    u1 = cand.map_batches(tag_pairs1, batch_format="pyarrow").union(
+        sets.map_batches(tag_sets_stage, batch_format="pyarrow")
+    )
+    with_a = partitioned_groupby_map(
+        u1, ["__aj_id__"], attach_a, num_partitions, batch_format="pyarrow"
+    )
+
+    def verify(tbl: pa.Table) -> pa.Table:
+        pairs, lookup = _split(tbl.to_pandas())
+        out_a, out_b = [], []
+        for a, b, sa in zip(pairs["a"], pairs["b"], pairs["set_a"]):
+            sb = lookup.get(b)
+            if sb is None or sa is None:
+                continue
+            sa = np.asarray(sa, dtype=np.uint64)
+            sb = np.asarray(sb, dtype=np.uint64)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            if union and inter / union >= threshold:
+                out_a.append(int(a))
+                out_b.append(int(b))
+        return pa.table(
+            {
+                "a": pa.array(np.array(out_a, dtype=np.int64)),
+                "b": pa.array(np.array(out_b, dtype=np.int64)),
+            }
+        )
+
+    u2 = with_a.union(
+        sets.map_batches(tag_sets_stage, batch_format="pyarrow")
+    )
+    pairs_ds = partitioned_groupby_map(
+        u2, ["__aj_id__"], verify, num_partitions, batch_format="pyarrow"
+    ).materialize()
+
+    losers = losers_from_pairs(pairs_ds, max_driver_pairs)
+    return drop_ids(ds, id_col, losers)

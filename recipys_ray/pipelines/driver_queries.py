@@ -446,6 +446,17 @@ def q_dedup_embedding(sf_dir):
     return _select(out, ["vec_id"])
 
 
+def q_dedup_jaccard(sf_dir):
+    """EXACT n-gram-Jaccard near-dup (prefix-filtered similarity self-join,
+    ops/jaccard.py); the oracle recomputes true shingle-set Jaccard over
+    all pairs in SQL plus recursive-CTE components."""
+    from recipys_ray.ops.jaccard import jaccard_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    out = jaccard_dedup(ds, text_col="text", id_col="doc_id", threshold=0.6)
+    return _select(out, ["doc_id"])
+
+
 def q_langid_quality(sf_dir):
     """Language-ID + quality + rolling-hash fingerprint, all re-derived in
     the SQL oracle (regexp token parity, stopword-hit argmax, identical
@@ -822,6 +833,38 @@ ORACLES: dict[str, str] = {
         WHERE corpus_key = (SELECT count(*) || '_' || CAST(sum(n_chars) AS BIGINT)
                             FROM documents)
     """,
+    "dedup_jaccard": r"""
+        WITH RECURSIVE t AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(coalesce(text, '')), '\w+') AS ws
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(
+                   CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                        ELSE list_transform(generate_series(1, len(ws) - 2),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                   END) AS s
+          FROM t
+        ),
+        pairs AS (
+          SELECT x.doc_id AS a, y.doc_id AS b
+          FROM sh x, sh y
+          WHERE x.doc_id < y.doc_id
+            AND CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+                / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)))
+                >= 0.6
+        ),
+        edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        reach(node, root) AS (
+          SELECT doc_id, doc_id FROM sh
+          UNION
+          SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+        )
+        SELECT node AS doc_id FROM reach
+        GROUP BY node HAVING node = min(root)
+    """,
     "dedup_embedding": """
         WITH RECURSIVE
         pairs AS (
@@ -934,6 +977,7 @@ QUERIES = {
     "text_stats": q_text_stats,
     "knn_cosine": q_knn_cosine,
     "dedup_minhash": q_dedup_minhash,
+    "dedup_jaccard": q_dedup_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
     "langid_quality": q_langid_quality,

@@ -418,3 +418,58 @@ class TestMultiProbe:
         assert exact <= multi <= single
         assert multi < single  # multi-probe finds pairs single-probe missed
         assert (multi - exact) <= (single - exact) / 2  # closes >=half the gap
+
+
+class TestJaccardDedup:
+    def test_exact_matches_bruteforce(self):
+        """jaccard_dedup must find EXACTLY the pairs a brute-force
+        all-pairs shingle-set Jaccard finds (prefix filtering is lossless)."""
+        from recipys_ray.ops.jaccard import jaccard_dedup
+
+        pdf = docs_with_dups()
+        thr = 0.6
+
+        def shingles(t):
+            ws = __import__("re").findall(r"\w+", t.lower())
+            if len(ws) < 3:
+                return {" ".join(ws)}
+            return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+        sets = {r.doc_id: shingles(r.text) for r in pdf.itertuples()}
+        # brute-force union-find
+        parent = {d: d for d in sets}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        ids = sorted(sets)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                inter = len(sets[a] & sets[b])
+                uni = len(sets[a] | sets[b])
+                if uni and inter / uni >= thr:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        expect = sorted(d for d in ids if find(d) == d)
+
+        out = jaccard_dedup(rd.from_pandas(pdf), threshold=thr).to_pandas()
+        assert sorted(out["doc_id"]) == expect
+        # the near-dup of doc 0 (one word changed, J≈0.93) must be dropped
+        assert 9 not in out["doc_id"].values
+
+    def test_common_shingle_demotion_stays_exact(self):
+        """Demoting frequent shingles to the order's tail (smaller prefix
+        buckets) must not change results — any fixed global order is
+        correct."""
+        from recipys_ray.ops.jaccard import jaccard_dedup
+
+        pdf = docs_with_dups()
+        a = jaccard_dedup(rd.from_pandas(pdf), threshold=0.6,
+                          top_m=0).to_pandas()
+        b = jaccard_dedup(rd.from_pandas(pdf), threshold=0.6,
+                          top_m=20_000).to_pandas()
+        assert sorted(a["doc_id"]) == sorted(b["doc_id"])
