@@ -40,6 +40,52 @@ from recipys_ray.kernels.grouped import GID, PART, GroupedStage, assign_gid
 SALT = "__salt__"
 
 
+def boundary_chunk_state(
+    pdf: pd.DataFrame, gid: pd.Series, cols: list[str], K: int,
+    from_end: bool = True,
+) -> pd.DataFrame:
+    """Per-chunk boundary rows: chunk row count + the K raw values closest
+    to the chunk's end (``from_end=True``, for lag/rolling carries) or start
+    (for lead carries). Positional — nulls included."""
+    g = pdf.groupby(gid, sort=False, observed=True)
+    out = g.size().to_frame("rows").astype(np.float64)
+    pos = g.cumcount(ascending=not from_end)
+    for j in range(1, K + 1):
+        sel = pos == (j - 1)
+        vals = pdf.loc[sel, cols].set_axis(gid[sel], axis=0)
+        for c in cols:
+            out[f"t{j}_{c}"] = vals[c].astype(np.float64)
+    return out
+
+
+def fold_boundary_states(states: pd.DataFrame, K: int) -> pd.DataFrame:
+    """Sequential boundary merge: for each chunk (in the order given —
+    salt-ascending for prefix carries, descending for suffix carries), the
+    K values immediately across its leading boundary, plus how many
+    history rows exist (``avail``)."""
+    cols = sorted({c.split("_", 1)[1] for c in states.columns
+                   if c.startswith("t1_")})
+    out = pd.DataFrame(index=states.index, dtype=np.float64)
+    tails = {c: [np.nan] * K for c in cols}
+    hist = 0
+    rows_list = states["rows"].to_numpy()
+    rec = []
+    for i, idx in enumerate(states.index):
+        rec.append((hist, {c: list(tails[c]) for c in cols}))
+        r = int(rows_list[i])
+        for c in cols:
+            tails[c] = [
+                states.at[idx, f"t{j}_{c}"] if j <= r else tails[c][j - r - 1]
+                for j in range(1, K + 1)
+            ]
+        hist += r
+    out["avail"] = [min(h, K) for h, _ in rec]
+    for c in cols:
+        for j in range(1, K + 1):
+            out[f"t{j}_{c}"] = [t[c][j - 1] for _, t in rec]
+    return out
+
+
 def step_levels(steps: Sequence) -> list[int]:
     """Dependency levels: a step that READS a column an earlier step WROTE
     must measure its chunk state after that step's prefixes are known."""
@@ -165,9 +211,12 @@ def _fold_global(step, states_df: pd.DataFrame, group_cols: list[str],
                  kcols: list[str]) -> pd.DataFrame:
     """Per-group salt-ordered fold → prefix table indexed by (group…, salt)."""
     state_cols = [c for c in states_df.columns if c not in kcols]
+    # suffix-carry steps (lead, backward fill) fold over LATER chunks:
+    # feed the fold in salt-descending order
+    reverse = getattr(step, "chunk_fold_reverse", False)
     out = []
     for _, grp in states_df.groupby(group_cols, sort=False):
-        grp = grp.sort_values(SALT)
+        grp = grp.sort_values(SALT, ascending=not reverse)
         pref = step.fold_chunk_states(grp[state_cols])
         pref.index = (
             pd.Index(grp[kcols[0]])

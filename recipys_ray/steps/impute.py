@@ -137,25 +137,33 @@ class StepImputeFill(Step):
     # ---------------- chunk-merge protocol (kernels/chunked.py) ----------- #
     @property
     def chunk_mergeable(self) -> bool:
-        # forward fill only: after a chunk-local ffill the remaining nulls
-        # are exactly the leading ones, so the prefix (last value of prior
-        # chunks) completes the fill. backward/limit need suffix/row state;
-        # per-group mean/min/max fill values chunk-locally (the original
-        # null mask is consumed) — those fall back to the whole-group path.
+        # after a chunk-local ffill (bfill) the remaining nulls are exactly
+        # the leading (trailing) ones, so the carried boundary value
+        # completes the fill — forward uses the prefix fold, backward the
+        # suffix fold. ``limit`` needs row distances; per-group mean/min/max
+        # fill values chunk-locally (the original null mask is consumed) —
+        # those fall back to the whole-group path.
         return (
             self.kind == "grouped"
-            and self.strategy == "forward"
+            and self.strategy in ("forward", "backward")
             and self.limit is None
         )
+
+    @property
+    def chunk_fold_reverse(self) -> bool:
+        return self.strategy == "backward"
 
     def chunk_state(self, pdf, gid):
         cols = [c for c in self.columns if c in pdf.columns]
         g = pdf.groupby(gid, sort=False, observed=True)
-        st = g[cols].last()  # last non-null per chunk
+        # boundary non-null: last for forward carry, first for backward
+        st = g[cols].last() if self.strategy == "forward" else g[cols].first()
         return st.rename(columns={c: f"v_{c}" for c in cols})
 
     def fold_chunk_states(self, states):
-        return states.ffill().shift(1)  # last value over PRIOR chunks
+        # chunks arrive boundary-ordered (_fold_global reverses for
+        # backward): the carried value is the nearest non-null across it
+        return states.ffill().shift(1)
 
     def apply_chunk_prefix(self, pdf, gid, prefix):
         for c in self.columns:

@@ -119,5 +119,70 @@ class StepRolling(Step):
             return {c: pa.int64() for c in self._new_columns()}
         return {c: pa.float64() for c in self._new_columns()}
 
+    # ---------------- chunk-merge protocol (kernels/chunked.py) ----------- #
+    @property
+    def chunk_mergeable(self) -> bool:
+        # row windows carry the previous window-1 raw values; time windows
+        # would need a time-span carry (unbuilt) → whole-group fallback
+        return isinstance(self.window, int)
+
+    def chunk_state(self, pdf, gid):
+        from recipys_ray.kernels.chunked import boundary_chunk_state
+
+        cols = [c for c in self.columns if c in pdf.columns]
+        return boundary_chunk_state(
+            pdf, gid, cols, max(1, self.window - 1), from_end=True
+        )
+
+    def fold_chunk_states(self, states):
+        from recipys_ray.kernels.chunked import fold_boundary_states
+
+        return fold_boundary_states(states, max(1, self.window - 1))
+
+    def apply_chunk_prefix(self, pdf, gid, prefix):
+        """Recompute the first window−1 rows of each hot chunk over the
+        carried tail + chunk head (same pandas rolling kernel, so the
+        semantics — min_periods=1, ddof — match exactly)."""
+        w = self.window
+        if w <= 1:
+            return pdf
+        cols = [c for c in self.columns if c in pdf.columns]
+        hot = gid.isin(prefix.index)
+        if not hot.any():
+            return pdf
+        fn = {
+            Accumulator.MAX: "max", Accumulator.MIN: "min",
+            Accumulator.MEAN: "mean", Accumulator.MEDIAN: "median",
+            Accumulator.COUNT: "count", Accumulator.VAR: "var",
+            Accumulator.SUM: "sum",
+        }[self.fun]
+        pos = pdf.loc[hot].groupby(gid[hot], sort=False).cumcount()
+        head = hot.copy()
+        head[hot] = pos < (w - 1)
+        if not head.any():
+            return pdf
+        for key, idx in pdf.index[head].to_series().groupby(
+            gid[head], sort=False
+        ).groups.items():
+            avail = int(prefix.at[key, "avail"])
+            if avail == 0:
+                continue
+            nh = len(idx)
+            for c in cols:
+                tail = np.array(
+                    [prefix.at[key, f"t{j}_{c}"] for j in range(avail, 0, -1)]
+                )
+                seq = pd.Series(
+                    np.r_[tail, pdf.loc[idx, c].astype(np.float64).to_numpy()]
+                )
+                res = getattr(
+                    seq.rolling(window=w, min_periods=1), fn
+                )().to_numpy()[-nh:]
+                oc = f"{c}_{self.suffix}"
+                if self.fun is Accumulator.COUNT:
+                    res = res.astype(np.int64)
+                pdf.loc[idx, oc] = res
+        return pdf
+
     def role_delta(self) -> dict[str, str]:
         return {c: self.role for c in self._new_columns()}

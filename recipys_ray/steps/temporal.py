@@ -75,62 +75,44 @@ class _ShiftStep(Step):
     # ---------------- chunk-merge protocol (kernels/chunked.py) ----------- #
     @property
     def chunk_mergeable(self) -> bool:
-        return self._direction == 1  # lag/diff; lead needs suffix state
+        return True
+
+    @property
+    def chunk_fold_reverse(self) -> bool:
+        return self._direction == -1  # lead carries come from LATER chunks
 
     def chunk_state(self, pdf, gid):
-        """State: chunk row count + the last K raw values per column
-        (POSITIONAL — lag shifts the raw sequence, nulls included)."""
+        """State: chunk row count + the K raw boundary values per column
+        (POSITIONAL — shifts move the raw sequence, nulls included); the
+        boundary is the chunk end for lag/diff, the chunk start for lead."""
+        from recipys_ray.kernels.chunked import boundary_chunk_state
+
         cols = [c for c in self.columns if c in pdf.columns]
-        K = max(self.shifts)
-        g = pdf.groupby(gid, sort=False, observed=True)
-        out = g.size().to_frame("rows").astype(np.float64)
-        pos = g.cumcount(ascending=False)  # 0 = last row of chunk
-        for j in range(1, K + 1):
-            sel = pos == (j - 1)
-            tail = pdf.loc[sel, cols].set_axis(gid[sel], axis=0)
-            for c in cols:
-                out[f"t{j}_{c}"] = tail[c].astype(np.float64)
-        return out
+        return boundary_chunk_state(
+            pdf, gid, cols, max(self.shifts), from_end=(self._direction == 1)
+        )
 
     def fold_chunk_states(self, states):
-        """Sequential tail merge: the K values immediately before each
-        chunk, plus how many history rows exist (avail)."""
-        cols = sorted({c.split("_", 1)[1] for c in states.columns
-                       if c.startswith("t1_")})
-        K = max(self.shifts)
-        out = pd.DataFrame(index=states.index, dtype=np.float64)
-        tails = {c: [np.nan] * K for c in cols}  # tails[c][j-1] = j-th back
-        hist = 0
-        rows_list = states["rows"].to_numpy()
-        prefix_rows = []
-        for i, idx in enumerate(states.index):
-            prefix_rows.append((idx, hist, {c: list(tails[c]) for c in cols}))
-            r = int(rows_list[i])
-            for c in cols:
-                newtail = []
-                for j in range(1, K + 1):
-                    if j <= r:
-                        newtail.append(states.at[idx, f"t{j}_{c}"])
-                    else:
-                        newtail.append(tails[c][j - r - 1])
-                tails[c] = newtail
-            hist += r
-        out["avail"] = [min(h, K) for _, h, _ in prefix_rows]
-        for c in cols:
-            for j in range(1, K + 1):
-                out[f"t{j}_{c}"] = [t[c][j - 1] for _, _, t in prefix_rows]
-        return out
+        from recipys_ray.kernels.chunked import fold_boundary_states
+
+        return fold_boundary_states(states, max(self.shifts))
 
     def apply_chunk_prefix(self, pdf, gid, prefix):
         cols = [c for c in self.columns if c in pdf.columns]
         hot = gid.isin(prefix.index)
         if not hot.any():
             return pdf
-        pos = pdf.loc[hot].groupby(gid[hot], sort=False).cumcount()
+        # distance from the carried boundary: chunk start for lag/diff,
+        # chunk end for lead
+        pos = (
+            pdf.loc[hot]
+            .groupby(gid[hot], sort=False)
+            .cumcount(ascending=(self._direction == 1))
+        )
         avail = gid[hot].map(prefix["avail"])
         for s in self.shifts:
             for i in range(s):
-                back = s - i  # how far back into the previous chunks
+                back = s - i  # distance across the boundary
                 rows = hot.copy()
                 rows[hot] = (pos == i) & (back <= avail)
                 if not rows.any():

@@ -34,6 +34,9 @@ def build_recipe(ds, salt=None):
     rec.add_step(StepHistorical(sel=all_of(["n_chars"]), fun=Accumulator.MEAN))
     rec.add_step(StepHistorical(sel=all_of(["score"]), fun=Accumulator.COUNT))
     rec.add_step(StepHistorical(sel=all_of(["score"]), fun=Accumulator.VAR))
+    # MEDIAN is NOT chunk-mergeable — keeps this chain on the legacy
+    # whole-group carry path so both salted paths stay covered
+    rec.add_step(StepHistorical(sel=all_of(["score"]), fun=Accumulator.MEDIAN))
     rec.add_step(StepLag(sel=all_of(["n_chars"]), shifts=[1, 2]))
     rec.add_step(StepLead(sel=all_of(["n_chars"]), shifts=[1]))
     rec.add_step(StepSessionize(gap="30m"))
@@ -103,7 +106,21 @@ def build_mergeable_recipe(ds, salt=None):
     rec.add_step(StepHistorical(sel=all_of(["score"]), fun=Accumulator.COUNT))
     rec.add_step(StepHistorical(sel=all_of(["score"]), fun=Accumulator.SUM))
     rec.add_step(StepLag(sel=all_of(["n_chars"]), shifts=[1, 3]))
+    rec.add_step(StepLead(sel=all_of(["n_chars"]), shifts=[1, 2]))
     rec.add_step(StepDiff(sel=all_of(["score"]), shifts=[1]))
+    rec.add_step(
+        StepImputeFill(sel=all_of(["score"]), strategy="backward")
+    )
+    from recipys_ray import StepRolling
+
+    rec.add_step(
+        StepRolling(sel=all_of(["n_chars"]), window=7, fun=Accumulator.MEAN,
+                    suffix="r7mean")
+    )
+    rec.add_step(
+        StepRolling(sel=all_of(["n_chars"]), window=4, fun=Accumulator.MAX,
+                    suffix="r4max")
+    )
     rec.add_step(StepSessionize(gap="30m"))
     return rec
 
