@@ -46,6 +46,7 @@ class StepSklearn(Step):
         columnwise: bool = False,
         in_place: bool = True,
         role: str = "predictor",
+        fit_sample_rows: int = None,
     ):
         super().__init__(sel if sel is not None else all_predictors())
         self.desc = (
@@ -55,6 +56,11 @@ class StepSklearn(Step):
         self.columnwise = columnwise
         self.in_place = in_place
         self.role = role
+        # external (non-native) transformers only: fit on a seeded random
+        # sample of at most this many rows instead of erroring above the
+        # driver collect cap — an explicit opt-in, since sample-fitting
+        # changes semantics for non-IID layouts
+        self.fit_sample_rows = fit_sample_rows
         self._transformers: dict = {}
         self._out_cols: list[str] = []
 
@@ -113,15 +119,21 @@ class StepSklearn(Step):
         self._compute_out_cols(ing)
 
     def _fit_external(self, ing: Ingredients) -> None:
-        """Escape hatch for real sklearn-like objects: driver-side fit."""
+        """Escape hatch for real sklearn-like objects: driver-side fit,
+        optionally on a seeded random sample (``fit_sample_rows``)."""
         n = ing.dataset.count()
-        if n > _COLLECT_CAP:
+        cap = self.fit_sample_rows or _COLLECT_CAP
+        if n > cap and self.fit_sample_rows is None:
             raise ValueError(
                 f"External transformer fit would collect {n} rows to the "
-                f"driver (cap {_COLLECT_CAP}). Use a NativeTransformer or "
-                f"fit on a sample."
+                f"driver (cap {_COLLECT_CAP}). Use a NativeTransformer, or "
+                f"pass fit_sample_rows=N to sample-fit."
             )
-        pdf = ing.dataset.select_columns(self.columns).to_pandas()
+        src = ing.dataset.select_columns(self.columns)
+        if self.fit_sample_rows is not None and n > self.fit_sample_rows:
+            frac = min(1.0, 1.5 * self.fit_sample_rows / n)
+            src = src.random_sample(frac, seed=17).limit(self.fit_sample_rows)
+        pdf = src.to_pandas()
         if self.columnwise:
             self._transformers = {
                 col: deepcopy(self.transformer.fit(pdf[col]))

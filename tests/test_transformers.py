@@ -263,6 +263,28 @@ def test_external_transformer_escape_hatch():
     np.testing.assert_allclose(out["x1"], x - x.min())
 
 
+def test_external_transformer_sample_fit():
+    """fit_sample_rows opts the external escape hatch into a seeded random
+    sample-fit instead of a full driver collect."""
+    rng = np.random.RandomState(4)
+    pdf = f1_pandas()
+    big = pd.concat([pdf] * 30, ignore_index=True)
+    big["id"] = np.arange(len(big)) % 5
+    big["x1"] = rng.uniform(10, 20, size=len(big))
+    out = run_step(
+        StepSklearn(
+            _FakeSklearnScaler(), sel=all_of(["x1"]), fit_sample_rows=50
+        ),
+        big,
+    )
+    # fitted min_ comes from a 50-row sample → within the data range, and
+    # the transform applied to all rows
+    assert len(out) == len(big)
+    shift = big["x1"].sort_values().to_numpy() - out["x1"].sort_values().to_numpy()
+    assert np.allclose(shift, shift[0])  # constant shift = sampled min
+    assert 10 <= shift[0] <= 20
+
+
 def test_quantile_histogram_fallback():
     """Above max_exact_distinct, quantile stats fall back to deterministic
     histogram binning — error bounded by bin width."""
