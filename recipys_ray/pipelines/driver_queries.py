@@ -413,6 +413,37 @@ def q_knn_cosine(sf_dir):
     return pd.concat(out, ignore_index=True)
 
 
+def q_knn_ivf(sf_dir):
+    """IVF ANN with full-data centroid fit (sample_size ≥ table size keeps
+    the fit deterministic regardless of block layout). Oracle: golden
+    results from an independent sequential IVF implementation
+    (scripts/gen_expected.py) — verifies the distributed cell-assignment +
+    filtered search machinery."""
+    from recipys_ray.ops.similarity import knn_ivf
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    queries_pdf = (
+        ds.map_batches(
+            lambda t: t.filter(pc.less(t.column("vec_id"), 5)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    Q = np.stack(queries_pdf["embedding"].to_numpy())
+    qids = queries_pdf["vec_id"].to_numpy()
+    res = knn_ivf(ds, Q, k=4, emb_col="embedding", id_col="vec_id",
+                  n_clusters=8, nprobe=3, sample_size=1_000_000)
+    res["query_id"] = qids[res["query_idx"].to_numpy()]
+    res = res[res["vec_id"] != res["query_id"]]
+    out = []
+    for q, grp in res.groupby("query_id"):
+        grp = grp.sort_values(["sim", "vec_id"], ascending=[False, True]).head(3)
+        grp = grp.assign(rank=np.arange(len(grp), dtype=np.int64))
+        out.append(grp[["query_id", "vec_id", "rank"]])
+    return pd.concat(out, ignore_index=True)
+
+
 def q_dedup_minhash(sf_dir):
     """Oracle: golden survivors from an independent single-process
     reference implementation (scripts/gen_expected.py), keyed by corpus
@@ -833,6 +864,12 @@ ORACLES: dict[str, str] = {
         WHERE corpus_key = (SELECT count(*) || '_' || CAST(sum(n_chars) AS BIGINT)
                             FROM documents)
     """,
+    "knn_ivf": """
+        SELECT query_id, vec_id, rank
+        FROM read_parquet('/root/repo/expected/knn_ivf_*.parquet')
+        WHERE corpus_key = (SELECT count(*) || '_' || CAST(sum(label) AS BIGINT)
+                            FROM embeddings)
+    """,
     "dedup_jaccard": r"""
         WITH RECURSIVE t AS (
           SELECT doc_id,
@@ -976,6 +1013,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
     "knn_cosine": q_knn_cosine,
+    "knn_ivf": q_knn_ivf,
     "dedup_minhash": q_dedup_minhash,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_simhash": q_dedup_simhash,

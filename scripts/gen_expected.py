@@ -120,9 +120,54 @@ def simhash_expected(docs: pd.DataFrame) -> np.ndarray:
     )
 
 
+def ivf_expected(emb_df: pd.DataFrame) -> pd.DataFrame:
+    """Sequential IVF reference mirroring q_knn_ivf's parameters: full-data
+    centroid fit (shared deterministic _kmeans_fit), union-of-probes
+    candidate set, float64 cosine top-k, self-filtered top-3 ranks."""
+    sys.path.insert(0, os.path.dirname(OUT_DIR))
+    from recipys_ray.ops.similarity import _kmeans_fit, _normalize
+
+    ids = emb_df["vec_id"].to_numpy()
+    X = np.stack(emb_df["embedding"].to_numpy()).astype(np.float32)
+    C = _kmeans_fit(_normalize(X), n_clusters=8, seed=3)
+    Cn = _normalize(np.asarray(C, dtype=np.float64))
+    q_mask = ids < 5
+    Xq = X[q_mask]
+    order_q = np.argsort(ids[q_mask])
+    Q = Xq[order_q]
+    q_order = ids[q_mask][order_q]
+    Qn = _normalize(np.asarray(Q, dtype=np.float64))
+    probe = np.argsort(-(
+        _normalize(Q.astype(np.float32)) @ _normalize(C).T
+    ), axis=1)[:, :3]
+    allowed = np.unique(probe)
+    Xd = np.asarray(X, dtype=np.float64)
+    cell = (_normalize(Xd) @ Cn.T).argmax(axis=1)
+    cand = np.isin(cell, allowed)
+    sims = _normalize(Xd[cand]) @ Qn.T  # (n_cand, q)
+    cand_ids = ids[cand]
+    rows = []
+    for qi, qid in enumerate(q_order):
+        order = np.lexsort((cand_ids, -sims[:, qi]))
+        picked = [
+            int(cand_ids[j]) for j in order if cand_ids[j] != qid
+        ][:3]
+        for r, vid in enumerate(picked):
+            rows.append((int(qid), vid, r))
+    return pd.DataFrame(rows, columns=["query_id", "vec_id", "rank"])
+
+
 def main():
     np.seterr(over="ignore")  # uint64 wraparound is the hash arithmetic
     os.makedirs(OUT_DIR, exist_ok=True)
+    for sf_dir in SF_DIRS:
+        emb = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        key = f"{len(emb)}_{int(emb['label'].sum())}"
+        out = ivf_expected(emb)
+        out["corpus_key"] = key
+        path = os.path.join(OUT_DIR, f"knn_ivf_{key}.parquet")
+        out.to_parquet(path, index=False)
+        print(f"{path}: {len(out)} rows")
     for sf_dir in SF_DIRS:
         docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
         n = len(docs)
