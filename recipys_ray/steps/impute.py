@@ -137,16 +137,14 @@ class StepImputeFill(Step):
     # ---------------- chunk-merge protocol (kernels/chunked.py) ----------- #
     @property
     def chunk_mergeable(self) -> bool:
-        # after a chunk-local ffill (bfill) the remaining nulls are exactly
-        # the leading (trailing) ones, so the carried boundary value
-        # completes the fill — forward uses the prefix fold, backward the
-        # suffix fold. ``limit`` needs row distances; per-group mean/min/max
-        # fill values chunk-locally (the original null mask is consumed) —
-        # those fall back to the whole-group path.
-        return (
-            self.kind == "grouped"
-            and self.strategy in ("forward", "backward")
-            and self.limit is None
+        # after a chunk-local ffill (bfill) the remaining nulls on the
+        # leading (trailing) edge are completed from the carried boundary
+        # value; with ``limit`` the carry also tracks the value's AGE (rows
+        # between it and the boundary) so the distance cap holds across
+        # chunks. per-group mean/min/max fill values chunk-locally (the
+        # original null mask is consumed) — those fall back.
+        return self.kind == "grouped" and self.strategy in (
+            "forward", "backward",
         )
 
     @property
@@ -154,27 +152,83 @@ class StepImputeFill(Step):
         return self.strategy == "backward"
 
     def chunk_state(self, pdf, gid):
+        """Per chunk and column: boundary non-null value ``v_c`` (last for
+        forward, first for backward) and its AGE ``age_c`` = rows between
+        it and the carrying boundary (NaN value → age = chunk rows)."""
         cols = [c for c in self.columns if c in pdf.columns]
-        g = pdf.groupby(gid, sort=False, observed=True)
-        # boundary non-null: last for forward carry, first for backward
-        st = g[cols].last() if self.strategy == "forward" else g[cols].first()
-        return st.rename(columns={c: f"v_{c}" for c in cols})
+        g0 = pdf.groupby(gid, sort=False, observed=True)
+        fwd = self.strategy == "forward"
+        out = g0.size().to_frame("rows").astype(np.float64)
+        pos = g0.cumcount(ascending=not fwd)  # 0 = carrying boundary row
+        for c in cols:
+            x = pdf[c]
+            if x.dtype == object:
+                x = x.astype(np.float64)
+            st = g0[c].last() if fwd else g0[c].first()
+            out[f"v_{c}"] = st.astype(np.float64)
+            near = pos.where(x.notna())
+            age = near.groupby(gid, sort=False).min()
+            out[f"age_{c}"] = age.reindex(out.index).fillna(out["rows"])
+        return out
 
     def fold_chunk_states(self, states):
-        # chunks arrive boundary-ordered (_fold_global reverses for
-        # backward): the carried value is the nearest non-null across it
-        return states.ffill().shift(1)
+        """Chunks arrive boundary-ordered (_fold_global reverses for
+        backward). Carried state per chunk: nearest non-null across its
+        leading boundary plus that value's age in rows."""
+        cols = sorted(c[2:] for c in states.columns if c.startswith("v_"))
+        rows = states["rows"].to_numpy()
+        out = pd.DataFrame(index=states.index, dtype=np.float64)
+        for c in cols:
+            vs = states[f"v_{c}"].to_numpy()
+            ages = states[f"age_{c}"].to_numpy()
+            cv, ca = np.nan, np.inf
+            pv, pa = [], []
+            for i in range(len(states)):
+                pv.append(cv)
+                pa.append(ca)
+                if not np.isnan(vs[i]):
+                    cv, ca = vs[i], ages[i]
+                else:
+                    ca = ca + rows[i]
+            out[f"v_{c}"] = pv
+            out[f"age_{c}"] = pa
+        return out
 
     def apply_chunk_prefix(self, pdf, gid, prefix):
+        fwd = self.strategy == "forward"
+        hot = gid.isin(prefix.index)
+        if not hot.any():
+            return pdf
+        sgid = gid[hot]
+        pos = pdf.loc[hot].groupby(sgid, sort=False).cumcount(
+            ascending=fwd
+        )
         for c in self.columns:
-            col = f"v_{c}"
-            if c not in pdf.columns or col not in prefix.columns:
+            if c not in pdf.columns or f"v_{c}" not in prefix.columns:
                 continue
-            fill = gid.map(prefix[col])
-            if fill.notna().any():
-                if pdf[c].dtype == object:
-                    pdf[c] = pdf[c].astype(np.float64)
-                pdf[c] = pdf[c].fillna(fill)
+            if pdf[c].dtype == object:
+                pdf[c] = pdf[c].astype(np.float64)
+            v = sgid.map(prefix[f"v_{c}"])
+            if not v.notna().any():
+                continue
+            fill_ok = v.notna()
+            if self.limit is not None:
+                age = sgid.map(prefix[f"age_{c}"])
+                fill_ok &= (pos + 1 + age) <= self.limit
+            # remaining nulls after the chunk-local fill on the leading
+            # (forward) / trailing (backward) edge are exactly the ones the
+            # carry can complete
+            mask = hot.copy()
+            mask[hot] = pdf.loc[hot, c].isna() & fill_ok
+            # only the edge run: positions before the first non-null input
+            edge = pdf.loc[hot, c].notna().groupby(sgid, sort=False).cummax()
+            if not fwd:
+                # reversed cumcount ordering — recompute in boundary order
+                rev = pdf.loc[hot, c].iloc[::-1]
+                edge = rev.notna().groupby(sgid[::-1], sort=False).cummax()
+                edge = edge.iloc[::-1]
+            mask[hot] &= ~edge
+            pdf.loc[mask, c] = v[mask[hot].reindex(v.index, fill_value=False)]
         return pdf
 
     def schema_delta(self, ing: Ingredients) -> dict[str, pa.DataType]:

@@ -99,6 +99,9 @@ def build_mergeable_recipe(ds, salt=None):
         salt=salt,
     )
     rec.add_step(StepImputeFill(sel=all_of(["latency_s"]), strategy="forward"))
+    rec.add_step(
+        StepImputeFill(sel=all_of(["score"]), strategy="forward", limit=2)
+    )
     rec.add_step(StepHistorical(sel=all_of(["n_chars"]), fun=Accumulator.MAX))
     rec.add_step(StepHistorical(sel=all_of(["n_chars"]), fun=Accumulator.MIN))
     rec.add_step(StepHistorical(sel=all_of(["n_chars"]), fun=Accumulator.MEAN))
@@ -264,3 +267,32 @@ def test_global_ungrouped_chain_parallel_equals_serial():
             )
         else:
             assert a.astype(str).tolist() == b.astype(str).tolist(), c
+
+
+def test_chunked_limited_ffill_ages_across_chunks():
+    """ffill(limit=3) with chunk_span=2: the carried value's AGE must
+    accumulate across chunk boundaries so the distance cap holds exactly."""
+    tbl = make_transcripts(n_turns=600, seed=21, mega_conv_turns=250)
+    ds = rd.from_arrow(tbl)
+
+    def mk(salt):
+        rec = Recipe(
+            ds, predictors=["score"], groups=["conv_id"],
+            sequences=["turn_idx", "ts"], partitions=4, salt=salt,
+        )
+        rec.add_step(
+            StepImputeFill(sel=all_of(["score"]), strategy="forward", limit=3)
+        )
+        return (
+            rec.prep().to_pandas()
+            .sort_values(["conv_id", "turn_idx"], kind="stable")
+            .reset_index(drop=True)
+        )
+
+    a = mk(None)
+    b = mk(SaltConfig(threshold=100, chunk_span=2))[a.columns]
+    np.testing.assert_allclose(
+        a["score"].to_numpy(dtype=float),
+        b["score"].to_numpy(dtype=float),
+        equal_nan=True,
+    )
