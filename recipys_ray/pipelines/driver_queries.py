@@ -191,6 +191,43 @@ def q_lag_lead(sf_dir):
     )
 
 
+def q_pack_sequences(sf_dir):
+    """Offset-quantized sequence packing over the documents table: a
+    global cumulative token offset (parallel chunk-carry cumsum) quantized
+    to a 2000-token budget — one window sum in the SQL oracle."""
+    from recipys_ray.ops.packing import pack_sequences
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    out = pack_sequences(ds, "n_chars", budget=2000, sort_cols=["doc_id"])
+    return _select(out, ["doc_id", "bin_id", "bin_offset"])
+
+
+def q_historical_salted(sf_dir):
+    """The historical family executed THROUGH the salted chunk-local path:
+    threshold 30 makes nearly every user a 'mega' group and a 5-day chunk
+    span splits each into ~6 chunks, so the per-chunk state fold + prefix
+    correction machinery computes every value; the oracle is the plain
+    window SQL — salted must be indistinguishable."""
+    from recipys_ray.kernels.salted import SaltConfig
+
+    rec = _recipe(_with_valn(_events(sf_dir)))
+    rec.salt = SaltConfig(threshold=30, chunk_span=5 * 86_400_000_000)
+    rec.add_step(rr.StepImputeFill(sel=all_of(["valn"]), strategy="forward"))
+    rec.add_step(rr.StepHistorical(sel=all_of(["valn"]), fun=Accumulator.MIN))
+    rec.add_step(rr.StepHistorical(sel=all_of(["valn"]), fun=Accumulator.MAX))
+    rec.add_step(rr.StepHistorical(sel=all_of(["valn"]), fun=Accumulator.MEAN))
+    rec.add_step(rr.StepHistorical(sel=all_of(["valn"]), fun=Accumulator.VAR))
+    rec.add_step(rr.StepLag(sel=all_of(["valn"]), shifts=[1]))
+    rec.add_step(rr.StepSessionize(gap="30m"))
+    return _select(
+        rec.prep(),
+        ["event_id", "valn", "valn_min", "valn_max", "valn_mean",
+         "valn_var", "valn_lag1", "session_id"],
+    )
+
+
 def q_sessionize(sf_dir):
     rec = _recipe(_with_valn(_events(sf_dir)))
     rec.add_step(rr.StepSessionize(gap="30m"))
@@ -864,6 +901,38 @@ ORACLES: dict[str, str] = {
         WHERE corpus_key = (SELECT count(*) || '_' || CAST(sum(n_chars) AS BIGINT)
                             FROM documents)
     """,
+    "pack_sequences": """
+        WITH c AS (
+          SELECT doc_id, n_chars,
+                 sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                   - n_chars AS st
+          FROM documents)
+        SELECT doc_id,
+               CAST(floor(st / 2000) AS BIGINT) AS bin_id,
+               CAST(st % 2000 AS BIGINT) AS bin_offset
+        FROM c
+    """,
+    "historical_salted": f"""
+        WITH ev AS (SELECT event_id, user_id, ts, {_VALN_SQL} AS v0
+                    FROM events),
+        f AS (SELECT event_id, user_id, ts,
+                     last_value(v0 IGNORE NULLS) OVER ({_EXP}) AS v
+              FROM ev),
+        g AS (SELECT *, CASE WHEN ts - lag(ts) OVER ({_WIN})
+                              > INTERVAL 30 MINUTE
+                             THEN 1 ELSE 0 END AS brk
+              FROM f)
+        SELECT event_id, v AS valn,
+               CASE WHEN v IS NULL THEN NULL
+                    ELSE min(v) OVER ({_EXP}) END AS valn_min,
+               CASE WHEN v IS NULL THEN NULL
+                    ELSE max(v) OVER ({_EXP}) END AS valn_max,
+               avg(v) OVER ({_EXP}) AS valn_mean,
+               var_samp(v) OVER ({_EXP}) AS valn_var,
+               lag(v) OVER ({_WIN}) AS valn_lag1,
+               CAST(sum(brk) OVER ({_EXP}) AS BIGINT) AS session_id
+        FROM g
+    """,
     "knn_ivf": """
         SELECT query_id, vec_id, rank
         FROM read_parquet('/root/repo/expected/knn_ivf_*.parquet')
@@ -1000,6 +1069,8 @@ QUERIES = {
     "rolling": q_rolling,
     "lag_lead": q_lag_lead,
     "sessionize": q_sessionize,
+    "pack_sequences": q_pack_sequences,
+    "historical_salted": q_historical_salted,
     "scale_standard": q_scale_standard,
     "scale_minmax": q_scale_minmax,
     "scale_robust": q_scale_robust,
