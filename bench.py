@@ -96,8 +96,12 @@ def bench_queries() -> dict:
         "resample_grid_1h",
         "dedup_exact",
         "dedup_minhash",
+        "dedup_jaccard",
         "text_stats",
         "knn_cosine",
+        "power_yj",
+        "pack_sequences",
+        "historical_salted",
     ]
     out = {}
     for name in picks:

@@ -86,6 +86,32 @@ def fold_boundary_states(states: pd.DataFrame, K: int) -> pd.DataFrame:
     return out
 
 
+def fold_boundary_states_grouped(
+    states: pd.DataFrame, gkey: pd.Series, K: int
+) -> pd.DataFrame:
+    """Vectorized across ALL groups when every chunk has ≥ K rows (the
+    overwhelmingly common case — chunk spans ≫ shift/window sizes): the
+    carried boundary values are simply the previous chunk's state row.
+    Groups containing a short chunk fall back to the sequential merge."""
+    g = states.groupby(gkey.to_numpy(), sort=False)
+    short = states["rows"] < K
+    short_groups = set(gkey[short]) if short.any() else set()
+    out = states.drop(columns=["rows"]).pipe(
+        lambda df: g[df.columns].shift(1)
+    )
+    cum = g["rows"].cumsum() - states["rows"]
+    out["avail"] = cum.clip(upper=K)
+    if short_groups:
+        mask = gkey.isin(short_groups).to_numpy()
+        sub = states[mask]
+        fixed = []
+        for _, grp in sub.groupby(gkey[mask].to_numpy(), sort=False):
+            fixed.append(fold_boundary_states(grp, K))
+        patch = pd.concat(fixed)
+        out.loc[patch.index, patch.columns] = patch
+    return out
+
+
 def step_levels(steps: Sequence) -> list[int]:
     """Dependency levels: a step that READS a column an earlier step WROTE
     must measure its chunk state after that step's prefixes are known."""
@@ -209,11 +235,36 @@ class _ChunkedRunner:
 
 def _fold_global(step, states_df: pd.DataFrame, group_cols: list[str],
                  kcols: list[str]) -> pd.DataFrame:
-    """Per-group salt-ordered fold → prefix table indexed by (group…, salt)."""
+    """Per-group salt-ordered fold → prefix table indexed by (group…, salt).
+
+    Steps providing ``fold_chunk_states_grouped`` fold ALL groups in one
+    vectorized call (grouped prefix scans) — per-group Python folding
+    measured 50+ s on 10k (group × step) folds at sf0.1."""
     state_cols = [c for c in states_df.columns if c not in kcols]
     # suffix-carry steps (lead, backward fill) fold over LATER chunks:
     # feed the fold in salt-descending order
     reverse = getattr(step, "chunk_fold_reverse", False)
+    grouped_fold = getattr(step, "fold_chunk_states_grouped", None)
+    if grouped_fold is not None:
+        df = states_df.sort_values(
+            group_cols + [SALT],
+            ascending=[True] * len(group_cols) + [not reverse],
+            kind="stable",
+            ignore_index=True,
+        )
+        gkey = (
+            df[group_cols[0]]
+            if len(group_cols) == 1
+            else pd.Series(list(df[group_cols].itertuples(index=False,
+                                                          name=None)))
+        )
+        pref = grouped_fold(df[state_cols], gkey)
+        pref.index = (
+            pd.Index(df[kcols[0]])
+            if len(kcols) == 1
+            else pd.MultiIndex.from_frame(df[kcols])
+        )
+        return pref
     out = []
     for _, grp in states_df.groupby(group_cols, sort=False):
         grp = grp.sort_values(SALT, ascending=not reverse)

@@ -187,27 +187,36 @@ class StepHistorical(Step):
         )
 
     def fold_chunk_states(self, states):
+        gkey = pd.Series(np.zeros(len(states), dtype=np.int64),
+                         index=states.index)
+        return self.fold_chunk_states_grouped(states, gkey)
+
+    def fold_chunk_states_grouped(self, states, gkey):
+        """Vectorized across ALL groups: grouped cummax/cumsum scans."""
+        key = gkey.to_numpy()
+        g = states.groupby(key, sort=False)
         if self.fun is Accumulator.MAX:
-            return states.cummax().shift(1)
+            return g.cummax().pipe(
+                lambda df: df.groupby(key, sort=False).shift(1)
+            )
         if self.fun is Accumulator.MIN:
-            return states.cummin().shift(1)
-        if self.fun is Accumulator.COUNT:
-            return states.cumsum().shift(1).fillna(0.0)
-        if self.fun is Accumulator.SUM:
-            return states.cumsum().shift(1).fillna(0.0)
+            return g.cummin().pipe(
+                lambda df: df.groupby(key, sort=False).shift(1)
+            )
+        if self.fun in (Accumulator.COUNT, Accumulator.SUM):
+            return (g.cumsum() - states).fillna(0.0)
         out = pd.DataFrame(index=states.index)
         cols = sorted({c[2:] for c in states.columns if c.startswith("n_")})
         for c in cols:
             n = states[f"n_{c}"]
             a = states[f"a_{c}"]
-            nonnull = a.dropna()
-            a_star = nonnull.iloc[0] if len(nonnull) else np.nan
+            a_star = a.groupby(key, sort=False).transform("first")
             d = (a - a_star).fillna(0.0)
             s1 = states[f"s1_{c}"] + n * d
             s2 = states[f"s2_{c}"] + 2 * d * states[f"s1_{c}"] + n * d * d
-            out[f"n_{c}"] = n.cumsum().shift(1).fillna(0.0)
-            out[f"s1_{c}"] = s1.cumsum().shift(1).fillna(0.0)
-            out[f"s2_{c}"] = s2.cumsum().shift(1).fillna(0.0)
+            out[f"n_{c}"] = n.groupby(key, sort=False).cumsum() - n
+            out[f"s1_{c}"] = s1.groupby(key, sort=False).cumsum() - s1
+            out[f"s2_{c}"] = s2.groupby(key, sort=False).cumsum() - s2
             out[f"a_{c}"] = a_star  # group anchor, constant per group
         return out
 

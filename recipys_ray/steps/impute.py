@@ -172,26 +172,31 @@ class StepImputeFill(Step):
         return out
 
     def fold_chunk_states(self, states):
+        gkey = pd.Series(np.zeros(len(states), dtype=np.int64),
+                         index=states.index)
+        return self.fold_chunk_states_grouped(states, gkey)
+
+    def fold_chunk_states_grouped(self, states, gkey):
         """Chunks arrive boundary-ordered (_fold_global reverses for
         backward). Carried state per chunk: nearest non-null across its
-        leading boundary plus that value's age in rows."""
+        leading boundary plus that value's age in rows. Vectorized across
+        all groups: with cumR the inclusive grouped row cumsum, the age of
+        the carry at chunk i is (A_j − cumR_j) + cumR_{i−1} for the latest
+        non-null chunk j ≤ i−1 — a grouped ffill + shift."""
+        key = gkey.to_numpy()
         cols = sorted(c[2:] for c in states.columns if c.startswith("v_"))
-        rows = states["rows"].to_numpy()
+        cumR = states["rows"].groupby(key, sort=False).cumsum()
+        prevR = cumR - states["rows"]
         out = pd.DataFrame(index=states.index, dtype=np.float64)
         for c in cols:
-            vs = states[f"v_{c}"].to_numpy()
-            ages = states[f"age_{c}"].to_numpy()
-            cv, ca = np.nan, np.inf
-            pv, pa = [], []
-            for i in range(len(states)):
-                pv.append(cv)
-                pa.append(ca)
-                if not np.isnan(vs[i]):
-                    cv, ca = vs[i], ages[i]
-                else:
-                    ca = ca + rows[i]
-            out[f"v_{c}"] = pv
-            out[f"age_{c}"] = pa
+            v = states[f"v_{c}"]
+            vf = v.groupby(key, sort=False).ffill()
+            out[f"v_{c}"] = vf.groupby(key, sort=False).shift(1)
+            s = (states[f"age_{c}"] - cumR).where(v.notna())
+            f = s.groupby(key, sort=False).ffill().groupby(
+                key, sort=False
+            ).shift(1)
+            out[f"age_{c}"] = (f + prevR).fillna(np.inf)
         return out
 
     def apply_chunk_prefix(self, pdf, gid, prefix):

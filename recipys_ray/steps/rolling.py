@@ -139,6 +139,13 @@ class StepRolling(Step):
 
         return fold_boundary_states(states, max(1, self.window - 1))
 
+    def fold_chunk_states_grouped(self, states, gkey):
+        from recipys_ray.kernels.chunked import fold_boundary_states_grouped
+
+        return fold_boundary_states_grouped(
+            states, gkey, max(1, self.window - 1)
+        )
+
     def apply_chunk_prefix(self, pdf, gid, prefix):
         """Recompute the first window−1 rows of each hot chunk over the
         carried tail + chunk head (same pandas rolling kernel, so the

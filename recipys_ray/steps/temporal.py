@@ -97,6 +97,11 @@ class _ShiftStep(Step):
 
         return fold_boundary_states(states, max(self.shifts))
 
+    def fold_chunk_states_grouped(self, states, gkey):
+        from recipys_ray.kernels.chunked import fold_boundary_states_grouped
+
+        return fold_boundary_states_grouped(states, gkey, max(self.shifts))
+
     def apply_chunk_prefix(self, pdf, gid, prefix):
         cols = [c for c in self.columns if c in pdf.columns]
         hot = gid.isin(prefix.index)
@@ -252,12 +257,20 @@ class StepSessionize(Step):
         return out
 
     def fold_chunk_states(self, states):
+        gkey = pd.Series(np.zeros(len(states), dtype=np.int64),
+                         index=states.index)
+        return self.fold_chunk_states_grouped(states, gkey)
+
+    def fold_chunk_states_grouped(self, states, gkey):
+        key = gkey.to_numpy()
         gap = pd.Timedelta(self.gap) if self._seq_temporal else self.gap
         # boundary break between consecutive chunks of the group
-        prev_last = states["last"].shift(1)
+        prev_last = states["last"].groupby(key, sort=False).shift(1)
         boundary = ((states["first"] - prev_last) > gap).astype(np.float64)
+        brk = states["brk"]
         offset = (
-            states["brk"].cumsum().shift(1).fillna(0.0) + boundary.cumsum()
+            brk.groupby(key, sort=False).cumsum() - brk
+            + boundary.groupby(key, sort=False).cumsum()
         )
         return pd.DataFrame({"off": offset}, index=states.index)
 
