@@ -120,6 +120,7 @@ def jaccard_dedup(
     top_m: int = 20_000,
     num_partitions: int = 64,
     max_driver_pairs: int = 5_000_000,
+    broadcast_bytes: int = 500_000_000,
 ):
     """Drop near-duplicates with EXACT shingle-set Jaccard ≥ ``threshold``;
     keep the min-id representative per connected component."""
@@ -132,31 +133,45 @@ def jaccard_dedup(
     common_ref = ray.put(common)
 
     def emit_prefix(tbl: pa.Table) -> pa.Table:
+        """Fully vectorized: one flat hash array for the whole batch,
+        commons-rank lookup via a single pandas map, per-doc canonical
+        order via one lexsort keyed on segment ids, prefix selection via
+        segment-relative positions."""
+        import pyarrow.compute as pac
+
         cm = ray.get(common_ref)
         ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
-        shsets = tbl.column("shset").to_pylist()
-        out_tok: list[int] = []
-        out_id: list[int] = []
+        col = tbl.column("shset")
+        flat = pac.list_flatten(col).to_numpy(zero_copy_only=False)
+        lens = pac.list_value_length(col).to_numpy(zero_copy_only=False)
+        lens = lens.astype(np.int64)
+        n_docs = len(ids)
+        total = int(lens.sum())
+        if total == 0:
+            return pa.table(
+                {"tok": pa.array([], pa.uint64()),
+                 id_col: pa.array([], pa.int64())}
+            )
+        p = lens - np.ceil(threshold * lens).astype(np.int64) + 1
+        p = np.minimum(np.maximum(p, 1), lens)
         big = len(cm)
-        for i, s in enumerate(shsets):
-            arr = np.asarray(s, dtype=np.uint64)
-            n = len(arr)
-            p = n - int(np.ceil(threshold * n)) + 1
-            if p >= n:
-                chosen = arr
-            else:
-                # canonical order: demoted commons last, then by hash
-                ranks = np.fromiter(
-                    (cm.get(int(v), big) for v in arr), np.int64, n
-                )
-                order = np.lexsort((arr, ranks))
-                chosen = arr[order[:p]]
-            out_tok.extend(int(v) for v in chosen)
-            out_id.extend([int(ids[i])] * len(chosen))
+        ranks = (
+            pd.Series(flat).map(cm).fillna(big).to_numpy(dtype=np.int64)
+            if cm
+            else np.zeros(total, dtype=np.int64)
+        )
+        segid = np.repeat(np.arange(n_docs), lens)
+        order = np.lexsort((flat, ranks, segid))
+        starts = np.r_[0, np.cumsum(lens)[:-1]]
+        pos_in_seg = np.arange(total) - np.repeat(starts, lens)
+        keep = pos_in_seg < np.repeat(p, lens)
         return pa.table(
             {
-                "tok": pa.array(np.array(out_tok, dtype=np.uint64)),
-                id_col: pa.array(np.array(out_id, dtype=np.int64)),
+                "tok": pa.array(flat[order][keep]),
+                id_col: pa.array(
+                    np.repeat(ids, lens)[keep].astype(np.int64)
+                ),
+                "len": pa.array(np.repeat(lens, lens)[keep]),
             }
         )
 
@@ -170,9 +185,13 @@ def jaccard_dedup(
         out_a, out_b = [], []
         for _, g in pdf.groupby("tok", sort=False):
             v = g[id_col].to_numpy()
+            ln = g["len"].to_numpy()
             ii, jj = np.triu_indices(len(v), k=1)
-            out_a.append(v[ii])
-            out_b.append(v[jj])
+            # PPJoin length filter: J ≥ t requires t·|A| ≤ |B| ≤ |A|/t
+            la, lb = ln[ii], ln[jj]
+            ok = np.minimum(la, lb) >= threshold * np.maximum(la, lb)
+            out_a.append(v[ii][ok])
+            out_b.append(v[jj][ok])
         if not out_a:
             return pd.DataFrame({"a": pd.Series(dtype=np.int64),
                                  "b": pd.Series(dtype=np.int64)})
@@ -180,9 +199,81 @@ def jaccard_dedup(
             {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
         ).drop_duplicates(ignore_index=True)
 
-    cand = partitioned_groupby_map(
-        exploded, ["tok"], emit_pairs, num_partitions
+    import os
+    import time as _time
+
+    timing = bool(os.environ.get("JACCARD_TIMING"))
+
+    def _t(label, d):
+        if timing:
+            t0 = _time.time()
+            d = d.materialize()
+            print(f"[jaccard] {label}: {_time.time() - t0:.2f}s "
+                  f"rows={d.count()}")
+        return d
+
+    cand = _t(
+        "cand",
+        partitioned_groupby_map(exploded, ["tok"], emit_pairs,
+                                num_partitions),
     )
+
+    # ---- verification: broadcast fast path vs co-partitioned joins ------ #
+    # When the (id → hash set) table fits comfortably in the object store,
+    # broadcast it once and verify candidates in a single stateless pass —
+    # no set payload ever shuffles. The co-partitioned join path below
+    # remains the 100-TB route (sets move at most twice, by hash of id).
+    try:
+        sets_bytes = sets.size_bytes()
+    except Exception:
+        sets_bytes = None
+    if sets_bytes is not None and sets_bytes <= broadcast_bytes:
+        pdf_sets = sets.to_pandas()
+        lookup_all = {
+            int(i): np.asarray(s, dtype=np.uint64)
+            for i, s in zip(pdf_sets[id_col], pdf_sets["shset"])
+        }
+        lookup_ref = ray.put(lookup_all)
+
+        def verify_broadcast(tbl: pa.Table) -> pa.Table:
+            lk = ray.get(lookup_ref)
+            a = tbl.column("a").to_numpy(zero_copy_only=False)
+            b = tbl.column("b").to_numpy(zero_copy_only=False)
+            # dedupe within the batch; cross-batch dupes collapse in the
+            # components fold
+            ab = pd.DataFrame({"a": a, "b": b}).drop_duplicates()
+            a, b = ab["a"].to_numpy(), ab["b"].to_numpy()
+            sas = [lk[int(x)] for x in a]
+            sbl = [lk[int(x)] for x in b]
+            la = np.fromiter((len(x) for x in sas), np.int64, len(sas))
+            lb = np.fromiter((len(x) for x in sbl), np.int64, len(sbl))
+            pidx = np.repeat(np.arange(len(sas)), la + lb)
+            vals = (
+                np.concatenate([v for p in zip(sas, sbl) for v in p])
+                if len(sas)
+                else np.array([], dtype=np.uint64)
+            )
+            order = np.lexsort((vals, pidx))
+            sv, sp = vals[order], pidx[order]
+            dup = (sp[1:] == sp[:-1]) & (sv[1:] == sv[:-1])
+            inter = np.bincount(sp[1:][dup], minlength=len(sas))
+            union = la + lb - inter
+            keep = (union > 0) & (
+                inter / np.maximum(union, 1) >= threshold
+            )
+            return pa.table(
+                {
+                    "a": pa.array(a[keep].astype(np.int64)),
+                    "b": pa.array(b[keep].astype(np.int64)),
+                }
+            )
+
+        pairs_ds = _t(
+            "verify_broadcast",
+            cand.map_batches(verify_broadcast, batch_format="pyarrow"),
+        ).materialize()
+        losers = losers_from_pairs(pairs_ds, max_driver_pairs)
+        return drop_ids(ds, id_col, losers)
 
     # attach both shingle sets via two co-partitioned unions, then verify.
     # Union schema: (__aj_id__ int64, a int64, b int64, set_a list<u64>,
@@ -224,6 +315,10 @@ def jaccard_dedup(
 
     def attach_a(tbl: pa.Table) -> pa.Table:
         pairs, lookup = _split(tbl.to_pandas())
+        # GLOBAL pair dedup: every copy of (a,b) — emitted once per shared
+        # prefix token — lands in a's partition; drop them here before the
+        # expensive set attach/verify stages
+        pairs = pairs.drop_duplicates(subset=["a", "b"])
         sa = pairs["__aj_id__"].map(lookup)
         keep = sa.notna().to_numpy()
         return _mk(
@@ -239,36 +334,60 @@ def jaccard_dedup(
     u1 = cand.map_batches(tag_pairs1, batch_format="pyarrow").union(
         sets.map_batches(tag_sets_stage, batch_format="pyarrow")
     )
-    with_a = partitioned_groupby_map(
-        u1, ["__aj_id__"], attach_a, num_partitions, batch_format="pyarrow"
+    with_a = _t(
+        "attach_a",
+        partitioned_groupby_map(
+            u1, ["__aj_id__"], attach_a, num_partitions,
+            batch_format="pyarrow",
+        ),
     )
 
     def verify(tbl: pa.Table) -> pa.Table:
+        """Exact Jaccard for every candidate pair in the partition with ONE
+        segment sort: concatenate each pair's two (already-unique) hash
+        sets, count in-segment duplicates = |A∩B|."""
         pairs, lookup = _split(tbl.to_pandas())
-        out_a, out_b = [], []
-        for a, b, sa in zip(pairs["a"], pairs["b"], pairs["set_a"]):
-            sb = lookup.get(b)
-            if sb is None or sa is None:
-                continue
-            sa = np.asarray(sa, dtype=np.uint64)
-            sb = np.asarray(sb, dtype=np.uint64)
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            union = len(sa) + len(sb) - inter
-            if union and inter / union >= threshold:
-                out_a.append(int(a))
-                out_b.append(int(b))
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        )
+        if not len(pairs):
+            return empty
+        sbs = pairs["b"].map(lookup)
+        ok = sbs.notna() & pairs["set_a"].notna()
+        pairs = pairs[ok]
+        if not len(pairs):
+            return empty
+        sas = [np.asarray(x, dtype=np.uint64) for x in pairs["set_a"]]
+        sbl = [np.asarray(x, dtype=np.uint64) for x in sbs[ok]]
+        la = np.fromiter((len(x) for x in sas), np.int64, len(sas))
+        lb = np.fromiter((len(x) for x in sbl), np.int64, len(sbl))
+        seg_len = la + lb
+        pidx = np.repeat(np.arange(len(sas)), seg_len)
+        vals = np.concatenate(
+            [v for ab in zip(sas, sbl) for v in ab]
+        )
+        order = np.lexsort((vals, pidx))
+        sv, sp = vals[order], pidx[order]
+        dup = (sp[1:] == sp[:-1]) & (sv[1:] == sv[:-1])
+        inter = np.bincount(sp[1:][dup], minlength=len(sas))
+        union = la + lb - inter
+        keep = (union > 0) & (inter / np.maximum(union, 1) >= threshold)
         return pa.table(
             {
-                "a": pa.array(np.array(out_a, dtype=np.int64)),
-                "b": pa.array(np.array(out_b, dtype=np.int64)),
+                "a": pa.array(pairs["a"].to_numpy()[keep].astype(np.int64)),
+                "b": pa.array(pairs["b"].to_numpy()[keep].astype(np.int64)),
             }
         )
 
     u2 = with_a.union(
         sets.map_batches(tag_sets_stage, batch_format="pyarrow")
     )
-    pairs_ds = partitioned_groupby_map(
-        u2, ["__aj_id__"], verify, num_partitions, batch_format="pyarrow"
+    pairs_ds = _t(
+        "verify",
+        partitioned_groupby_map(
+            u2, ["__aj_id__"], verify, num_partitions,
+            batch_format="pyarrow",
+        ),
     ).materialize()
 
     losers = losers_from_pairs(pairs_ds, max_driver_pairs)

@@ -473,3 +473,15 @@ class TestJaccardDedup:
         b = jaccard_dedup(rd.from_pandas(pdf), threshold=0.6,
                           top_m=20_000).to_pandas()
         assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+
+    def test_jaccard_broadcast_equals_join_path(self):
+        """Forcing broadcast_bytes=0 exercises the co-partitioned join
+        (100-TB) verification path; survivors must equal the broadcast
+        fast path."""
+        from recipys_ray.ops.jaccard import jaccard_dedup
+
+        pdf = docs_with_dups()
+        ds = rd.from_pandas(pdf)
+        a = jaccard_dedup(ds, threshold=0.6).to_pandas()
+        b = jaccard_dedup(ds, threshold=0.6, broadcast_bytes=0).to_pandas()
+        assert sorted(a["doc_id"]) == sorted(b["doc_id"])
