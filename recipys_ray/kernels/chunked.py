@@ -209,8 +209,27 @@ class _ChunkedRunner:
                     ].set_index(GID)
                     states[k] = keys.join(st)
                 continue
-            pdf = stage.step.transform_frame(pdf, self.group_cols)
             local = self._local_prefix(pdf, k)
+            if getattr(stage.step, "chunk_transform_defer", False):
+                # whole-group-stat steps (e.g. per-group mean fill): running
+                # the chunk-local transform would bake CHUNK stats into the
+                # data. Hot chunks instead fill from the folded group TOTALS
+                # (apply_chunk_prefix); cold groups — fully present in this
+                # partition — get the ordinary transform.
+                hot = (
+                    pdf[GID].isin(local.index)
+                    if local is not None
+                    else pd.Series(False, index=pdf.index)
+                )
+                if (~hot).any():
+                    cold_part = stage.step.transform_frame(
+                        pdf.loc[~hot].copy(), self.group_cols
+                    )
+                    pdf.loc[~hot, cold_part.columns] = cold_part
+                if local is not None and hot.any():
+                    pdf = stage.step.apply_chunk_prefix(pdf, pdf[GID], local)
+                continue
+            pdf = stage.step.transform_frame(pdf, self.group_cols)
             if local is not None:
                 pdf = stage.step.apply_chunk_prefix(pdf, pdf[GID], local)
 

@@ -137,25 +137,41 @@ class StepImputeFill(Step):
     # ---------------- chunk-merge protocol (kernels/chunked.py) ----------- #
     @property
     def chunk_mergeable(self) -> bool:
-        # after a chunk-local ffill (bfill) the remaining nulls on the
-        # leading (trailing) edge are completed from the carried boundary
-        # value; with ``limit`` the carry also tracks the value's AGE (rows
-        # between it and the boundary) so the distance cap holds across
-        # chunks. per-group mean/min/max fill values chunk-locally (the
-        # original null mask is consumed) — those fall back.
+        # forward/backward: after a chunk-local fill the remaining nulls on
+        # the leading (trailing) edge are completed from the carried
+        # boundary value; ``limit`` additionally carries the value's AGE.
+        # per-group mean/min/max: whole-group stats fold as TOTALS and the
+        # transform is DEFERRED (chunk_transform_defer) — hot chunks fill
+        # straight from the folded group stat, never from chunk stats.
         return self.kind == "grouped" and self.strategy in (
-            "forward", "backward",
+            "forward", "backward", "mean", "min", "max",
         )
+
+    @property
+    def chunk_transform_defer(self) -> bool:
+        return self.strategy in ("mean", "min", "max")
 
     @property
     def chunk_fold_reverse(self) -> bool:
         return self.strategy == "backward"
 
     def chunk_state(self, pdf, gid):
-        """Per chunk and column: boundary non-null value ``v_c`` (last for
-        forward, first for backward) and its AGE ``age_c`` = rows between
-        it and the carrying boundary (NaN value → age = chunk rows)."""
+        """Forward/backward: boundary non-null value ``v_c`` (last/first)
+        and its AGE ``age_c`` = rows between it and the carrying boundary
+        (NaN value → age = chunk rows). Whole-group stats: per-chunk
+        partials (count+sum, or min/max)."""
         cols = [c for c in self.columns if c in pdf.columns]
+        if self.strategy in ("mean", "min", "max"):
+            num = pdf[cols].apply(
+                lambda s: s.astype(np.float64) if s.dtype == object else s
+            )
+            g = num.groupby(gid, sort=False, observed=True)
+            if self.strategy == "mean":
+                n = g.count().rename(columns=lambda c: f"n_{c}")
+                s = g.sum().rename(columns=lambda c: f"s_{c}")
+                return pd.concat([n, s], axis=1)
+            agg = g.min() if self.strategy == "min" else g.max()
+            return agg.rename(columns=lambda c: f"v_{c}")
         g0 = pdf.groupby(gid, sort=False, observed=True)
         fwd = self.strategy == "forward"
         out = g0.size().to_frame("rows").astype(np.float64)
@@ -177,13 +193,27 @@ class StepImputeFill(Step):
         return self.fold_chunk_states_grouped(states, gkey)
 
     def fold_chunk_states_grouped(self, states, gkey):
-        """Chunks arrive boundary-ordered (_fold_global reverses for
-        backward). Carried state per chunk: nearest non-null across its
-        leading boundary plus that value's age in rows. Vectorized across
-        all groups: with cumR the inclusive grouped row cumsum, the age of
-        the carry at chunk i is (A_j − cumR_j) + cumR_{i−1} for the latest
-        non-null chunk j ≤ i−1 — a grouped ffill + shift."""
+        """Forward/backward (chunks boundary-ordered; _fold_global reverses
+        for backward): carried value = nearest non-null across the leading
+        boundary, age = (A_j − cumR_j) + cumR_{i−1} for the latest
+        non-null chunk j ≤ i−1 — a grouped ffill + shift. Whole-group
+        stats: fold to the group TOTAL, broadcast to every chunk."""
         key = gkey.to_numpy()
+        if self.strategy in ("mean", "min", "max"):
+            out = pd.DataFrame(index=states.index, dtype=np.float64)
+            if self.strategy == "mean":
+                for sc in [c for c in states.columns if c.startswith("s_")]:
+                    c = sc[2:]
+                    n_tot = states[f"n_{c}"].groupby(key, sort=False
+                                                     ).transform("sum")
+                    s_tot = states[sc].groupby(key, sort=False
+                                               ).transform("sum")
+                    out[f"v_{c}"] = (s_tot / n_tot.where(n_tot > 0))
+                return out
+            fn = "min" if self.strategy == "min" else "max"
+            for vc in [c for c in states.columns if c.startswith("v_")]:
+                out[vc] = states[vc].groupby(key, sort=False).transform(fn)
+            return out
         cols = sorted(c[2:] for c in states.columns if c.startswith("v_"))
         cumR = states["rows"].groupby(key, sort=False).cumsum()
         prevR = cumR - states["rows"]
@@ -200,6 +230,17 @@ class StepImputeFill(Step):
         return out
 
     def apply_chunk_prefix(self, pdf, gid, prefix):
+        if self.strategy in ("mean", "min", "max"):
+            # deferred whole-group fill: hot rows fill from the group TOTAL
+            for c in self.columns:
+                if c not in pdf.columns or f"v_{c}" not in prefix.columns:
+                    continue
+                if pdf[c].dtype == object:
+                    pdf[c] = pdf[c].astype(np.float64)
+                fill = gid.map(prefix[f"v_{c}"])
+                if fill.notna().any():
+                    pdf[c] = pdf[c].fillna(fill)
+            return pdf
         fwd = self.strategy == "forward"
         hot = gid.isin(prefix.index)
         if not hot.any():

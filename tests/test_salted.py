@@ -296,3 +296,34 @@ def test_chunked_limited_ffill_ages_across_chunks():
         b["score"].to_numpy(dtype=float),
         equal_nan=True,
     )
+
+
+def test_chunked_group_mean_fill_defers_to_totals():
+    """Per-group mean/min/max fills under salting: hot chunks must fill
+    from the GROUP total (incl. future chunks), never from chunk stats."""
+    tbl = make_transcripts(n_turns=1500, seed=8, mega_conv_turns=600)
+    ds = rd.from_arrow(tbl)
+
+    def mk(salt, strategy):
+        rec = Recipe(
+            ds, predictors=["score", "latency_s"], groups=["conv_id"],
+            sequences=["turn_idx", "ts"], partitions=4, salt=salt,
+        )
+        rec.add_step(StepImputeFill(sel=all_of(["score"]), strategy=strategy))
+        rec.add_step(
+            StepHistorical(sel=all_of(["score"]), fun=Accumulator.MEAN)
+        )
+        return (
+            rec.prep().to_pandas()
+            .sort_values(["conv_id", "turn_idx"], kind="stable")
+            .reset_index(drop=True)
+        )
+
+    for strategy in ("mean", "min", "max"):
+        a = mk(None, strategy)
+        b = mk(SaltConfig(threshold=300, chunk_span=100), strategy)[a.columns]
+        for c in ("score", "score_mean"):
+            np.testing.assert_allclose(
+                a[c].to_numpy(dtype=float), b[c].to_numpy(dtype=float),
+                equal_nan=True, err_msg=f"{strategy}/{c}", atol=1e-10,
+            )
