@@ -1,34 +1,30 @@
-"""Skew handling: salted sub-partitioning for mega-groups with a
-boundary-carry merge.
+"""Skew handling: salted sub-partitioning for mega-groups.
 
 A hash-partitioned grouped scan (kernels/grouped.py) is skew-bounded by the
 largest single group: one 10⁸-turn conversation would blow the memory budget
 of whichever partition its hash lands in. This module bounds that:
 
-1. **Detect** — one cheap column-projected pass emits per-block counts of
-   heavy groups (block-local floor ⇒ a true mega-group is always caught
-   because its rows are dense in at least some blocks); the driver merges
-   them into a broadcast hot-set.
+1. **Detect** — :func:`find_hot_groups`: EXACT hot-group detection for any
+   row layout (per-block combiner counts; driver merge under a cap, hash-
+   partitioned distributed sum+filter above it).
 2. **Salt** — the stamp stage routes hot-group rows to
    ``hash((group, salt)) % P`` where ``salt = first_sort_col // chunk_span``:
    contiguous chunks of the conversation scatter across partitions, so every
    partition stays bounded by ``chunk_span``, not by group size. A
    ``__salt__`` column keeps chunk identity (two chunks of one group that
    collide into the same partition must not be treated as contiguous).
-3. **Carry** — order-dependent features for hot groups cannot be computed
-   chunk-locally (a chunk's kernel state depends on every prior chunk). The
-   carry pass computes the exact per-turn features for hot groups on a
-   SKINNY projection (group/sort/kernel columns only — the wide payload
-   stays in the salted main pass): one ``groupby(group).map_groups`` whose
-   groups are mega-conversations × a few numeric columns, which fits where
-   the full-width rows would not.
-4. **Merge** — a final ``groupby((group, salt)).map_groups`` aligns the
-   salted main-pass chunks (full payload, placeholder features) with the
-   carry rows (exact features) by the sort key and swaps the feature
-   columns in. Per-turn text equality under stable turn ordering holds
-   exactly: payload bytes never left the main pass.
+3. **Execute** — when every step supports the chunk-merge protocol, the
+   chunk-local path runs (kernels/chunked.py: per-chunk carry states →
+   driver fold → in-place prefix correction; ONE payload shuffle, every
+   task bounded by the chunk span). Otherwise this module's LEGACY path
+   runs: exact features for each hot group in one task over a SKINNY
+   projection (group/sort/kernel columns only), merged back into the
+   salted main pass by a ``groupby((group, salt))`` sort alignment —
+   correct but bounded by the largest group, kept as the fallback for
+   MEDIAN / time-windowed rolling / fill limits on the legacy protocol.
 
-Salted ≡ unsalted is property-tested (tests/test_salted.py).
+Salted ≡ unsalted is property-tested for BOTH paths (tests/test_salted.py)
+and driver-verified (historical_salted query).
 """
 
 from __future__ import annotations
@@ -65,7 +61,9 @@ class SaltConfig:
 # 1. hot-group detection (cheap partial-count pass, heavy-hitters only)
 # --------------------------------------------------------------------- #
 def find_hot_groups(
-    ds, group_cols: list[str], threshold: int, block_floor: Optional[int] = None
+    ds, group_cols: list[str], threshold: int,
+    block_floor: Optional[int] = None,
+    driver_merge_cap: int = 20_000_000,
 ) -> dict:
     """{group_key_tuple_or_scalar: total_count} for groups over threshold.
 
@@ -93,7 +91,7 @@ def find_hot_groups(
         partial, batch_format="pyarrow", batch_size=262_144
     ).materialize()
 
-    cap = 20_000_000  # partial rows the driver merges directly
+    cap = driver_merge_cap  # partial rows the driver merges directly
     if counts.count() <= cap:
         pdf = counts.to_pandas()
         tot = pdf.groupby(cols, sort=False, observed=True)["__cnt__"].sum()

@@ -327,3 +327,13 @@ def test_chunked_group_mean_fill_defers_to_totals():
                 a[c].to_numpy(dtype=float), b[c].to_numpy(dtype=float),
                 equal_nan=True, err_msg=f"{strategy}/{c}", atol=1e-10,
             )
+
+
+def test_find_hot_groups_distributed_fallback():
+    """Forcing driver_merge_cap=0 exercises the hash-partitioned
+    distributed sum+filter path; results must equal the driver merge."""
+    tbl = make_transcripts(n_turns=2000, seed=13, mega_conv_turns=1200)
+    ds = rd.from_arrow(tbl)
+    a = find_hot_groups(ds, ["conv_id"], threshold=800)
+    b = find_hot_groups(ds, ["conv_id"], threshold=800, driver_merge_cap=0)
+    assert a == b and len(a) == 2
