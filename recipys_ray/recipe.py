@@ -180,6 +180,16 @@ class Recipe:
                         salt=self.salt,
                     )
                 else:
+                    first = pending[0]
+                    if getattr(first, "combinable", False):
+                        # shuffle combiner (e.g. agg-mode resampling): one
+                        # partial row per (group, bucket) leaves each read
+                        # block; the in-partition kernel merges partials —
+                        # partition memory bounds at #buckets, not #rows
+                        ds = ds.map_batches(
+                            first.pre_aggregate_batch,
+                            batch_format="pyarrow",
+                        )
                     ds = run_grouped_chain(
                         ds,
                         list(group_cols),

@@ -171,13 +171,108 @@ class StepResampling(Step):
             self._expansion = [self] + ([_PostGlobalFill(post)] if post else [])
         return self._expansion
 
+    # ---------------- shuffle combiner (agg mode) ------------------------ #
+    @property
+    def combinable(self) -> bool:
+        """agg-mode with distributive/algebraic accumulators only: rows are
+        pre-aggregated per (group, bucket) INSIDE each read block, so the
+        shuffle moves one partial row per bucket instead of every raw row —
+        the memory bound per partition becomes #buckets, not #rows."""
+        return self.mode == "agg" and bool(self._col_acc) and all(
+            acc in (Accumulator.MEAN, Accumulator.MAX, Accumulator.MIN,
+                    Accumulator.COUNT, Accumulator.VAR)
+            for acc in self._col_acc.values()
+        )
+
+    def pre_aggregate_batch(self, tbl: pa.Table) -> pa.Table:
+        """Raw block → one partial row per (group, bucket): MAX/MIN keep the
+        column (same merge fn), MEAN carries (Σx, n), VAR (Σx, Σx², n),
+        COUNT n."""
+        seq = self._seq_col
+        res = pd.Timedelta(self.new_resolution)
+        cols = [
+            c for c in self._col_acc
+            if c not in self.group_cols and c != seq
+        ]
+        pdf = tbl.select(
+            [c for c in dict.fromkeys(
+                self.group_cols + self.seq_cols + [seq] + cols
+            ) if c in tbl.column_names]
+        ).to_pandas()
+        pdf[seq] = pdf[seq].dt.floor(res)
+        g = pdf.groupby(self.group_cols + [seq], sort=False, observed=True,
+                        dropna=False)
+        pieces = {}
+        # carry any extra sequence (sort) columns as per-bucket minima —
+        # they only order rows downstream, the accumulators don't read them
+        for extra in self.seq_cols:
+            if extra != seq and extra in pdf.columns:
+                pieces[extra] = g[extra].min()
+        for c in cols:
+            if c not in pdf.columns:
+                continue
+            acc = self._col_acc[c]
+            if acc is Accumulator.MAX:
+                pieces[c] = g[c].max()
+            elif acc is Accumulator.MIN:
+                pieces[c] = g[c].min()
+            elif acc is Accumulator.COUNT:
+                pieces[f"__pn_{c}"] = g[c].count()
+            elif acc is Accumulator.MEAN:
+                pieces[f"__ps_{c}"] = g[c].sum()
+                pieces[f"__pn_{c}"] = g[c].count()
+            else:  # VAR
+                x = pdf[c].astype(np.float64)
+                pieces[f"__ps_{c}"] = x.groupby(
+                    [pdf[k] for k in self.group_cols + [seq]], sort=False,
+                    dropna=False,
+                ).sum()
+                pieces[f"__p2_{c}"] = (x * x).groupby(
+                    [pdf[k] for k in self.group_cols + [seq]], sort=False,
+                    dropna=False,
+                ).sum()
+                pieces[f"__pn_{c}"] = g[c].count()
+        out = pd.DataFrame(pieces).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     # ------------------------------------------------------------------ #
     def transform_frame(
         self, pdf: pd.DataFrame, group_cols: list[str]
     ) -> pd.DataFrame:
         if self.mode == "grid":
             return self._grid_frame(pdf, group_cols)
+        if any(c.startswith("__pn_") for c in pdf.columns):
+            return self._agg_merge_partials(pdf, group_cols)
         return self._agg_frame(pdf, group_cols)
+
+    def _agg_merge_partials(
+        self, pdf: pd.DataFrame, group_cols: list[str]
+    ) -> pd.DataFrame:
+        """Merge the per-block partials emitted by pre_aggregate_batch."""
+        seq = self._seq_col
+        keys = ["__gid__", seq] + group_cols
+        g = pdf.groupby(keys, sort=False, observed=True, dropna=False)
+        out = pd.DataFrame(index=g.size().index)
+        for c, acc in self._col_acc.items():
+            if acc is Accumulator.MAX and c in pdf.columns:
+                out[c] = g[c].max()
+            elif acc is Accumulator.MIN and c in pdf.columns:
+                out[c] = g[c].min()
+            elif acc is Accumulator.COUNT and f"__pn_{c}" in pdf.columns:
+                out[c] = g[f"__pn_{c}"].sum().astype(np.int64)
+            elif acc is Accumulator.MEAN and f"__ps_{c}" in pdf.columns:
+                n = g[f"__pn_{c}"].sum()
+                out[c] = g[f"__ps_{c}"].sum() / n.where(n > 0)
+            elif acc is Accumulator.VAR and f"__p2_{c}" in pdf.columns:
+                n = g[f"__pn_{c}"].sum()
+                s1 = g[f"__ps_{c}"].sum()
+                s2 = g[f"__p2_{c}"].sum()
+                nv = n.where(n > 1)
+                out[c] = ((s2 - s1 * s1 / nv) / (nv - 1.0)).clip(lower=0.0)
+        out = out.reset_index()
+        out = out.sort_values(["__gid__", seq], kind="stable",
+                              ignore_index=True)
+        return out
 
     def _grid_frame(
         self, pdf: pd.DataFrame, group_cols: list[str]

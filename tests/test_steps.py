@@ -419,3 +419,69 @@ class TestAccumulatorSum:
                                  fun=Accumulator.SUM, suffix="r2sum"))
         out = sorted_pdf(rec.prep(), by=("id", "t"))
         np.testing.assert_allclose(out["x_r2sum"], [1, 3, 2, 4])
+
+
+def test_resample_agg_combiner_engages_and_matches():
+    """agg-mode resampling pre-aggregates per (group, bucket) inside each
+    block (shuffle combiner); results must equal the uncombined kernel."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    import recipys_ray as rr
+    from recipys_ray.selector import all_of
+    from recipys_ray.steps.historical import Accumulator
+    from recipys_ray.steps.resample import StepResampling
+
+    rng = np.random.RandomState(0)
+    n = 4000
+    pdf = pd.DataFrame(
+        {
+            "g": rng.randint(0, 20, n),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.randint(0, 3 * 86400, n), unit="s"),
+            "v_mean": rng.normal(size=n),
+            "v_max": rng.normal(size=n),
+            "v_cnt": np.where(rng.rand(n) < 0.1, np.nan, rng.normal(size=n)),
+            "v_var": rng.normal(size=n),
+        }
+    )
+
+    def run(force_uncombined):
+        step = StepResampling(
+            "1h",
+            accumulator_dict={
+                all_of(["v_mean"]): Accumulator.MEAN,
+                all_of(["v_max"]): Accumulator.MAX,
+                all_of(["v_cnt"]): Accumulator.COUNT,
+                all_of(["v_var"]): Accumulator.VAR,
+            },
+            mode="agg",
+        )
+        if force_uncombined:
+            type(step).combinable.fget  # noqa: B018 — sanity the prop exists
+            step.__class__ = type(
+                "Uncombined", (StepResampling,), {"combinable": False}
+            )
+        rec = rr.Recipe(
+            rd.from_pandas(pdf).repartition(8),
+            predictors=["v_mean", "v_max", "v_cnt", "v_var"],
+            groups=["g"],
+            sequences=["ts"],
+        )
+        rec.add_step(step)
+        return (
+            rec.prep().to_pandas()
+            .sort_values(["g", "ts"], kind="stable")
+            .reset_index(drop=True)
+        )
+
+    a = run(False)
+    b = run(True)[["g", "ts", "v_mean", "v_max", "v_cnt", "v_var"]]
+    a = a[b.columns]
+    assert len(a) == len(b)
+    for c in ("v_mean", "v_max", "v_cnt", "v_var"):
+        np.testing.assert_allclose(
+            a[c].to_numpy(dtype=float), b[c].to_numpy(dtype=float),
+            equal_nan=True, err_msg=c, rtol=1e-9, atol=1e-12,
+        )
