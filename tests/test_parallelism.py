@@ -56,3 +56,41 @@ def test_raw_shuffle_equals_sort_shuffle():
         pd.testing.assert_frame_equal(outs["sort"], outs["raw"])
     finally:
         R.run_grouped_chain = orig
+
+
+def test_pack_sequences_partition_invariance():
+    """Global offset-quantized packing must not depend on partitioning."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from recipys_ray.ops.packing import pack_sequences
+
+    rng = np.random.RandomState(2)
+    pdf = pd.DataFrame(
+        {"doc_id": np.arange(2000), "tokens": rng.randint(1, 500, 2000)}
+    )
+
+    def run(parts):
+        ds = rd.from_pandas(pdf).repartition(parts)
+        return (
+            pack_sequences(ds, "tokens", budget=1000, sort_cols=["doc_id"],
+                           num_partitions=max(parts, 2))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+
+    a, b = run(1), run(16)
+    pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+def test_jaccard_partition_invariance():
+    import ray.data as rd
+
+    from recipys_ray.ops.jaccard import jaccard_dedup
+
+    from .test_ops import docs_with_dups
+
+    ds = rd.from_pandas(docs_with_dups())
+    a = jaccard_dedup(ds, threshold=0.6, num_partitions=4).to_pandas()
+    b = jaccard_dedup(ds, threshold=0.6, num_partitions=64).to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
