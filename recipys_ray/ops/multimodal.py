@@ -127,3 +127,63 @@ def decode_images(ds, binary_col: str = "image", concurrency: int = 4,
         concurrency=concurrency,
         batch_size=batch_size,
     )
+
+
+# --------------------------------------------------------------------- #
+# WebDataset-style tar shard source
+# --------------------------------------------------------------------- #
+def read_webdataset(paths, suffixes=None, meta_suffixes=("txt", "json", "cls")):
+    """Read WebDataset-style tar shards into a Dataset of samples.
+
+    The WebDataset convention (public format): a shard is a POSIX tar whose
+    members are named ``<key>.<suffix>`` — all members sharing a key form
+    one sample (e.g. ``000123.jpg`` + ``000123.txt``). This reader composes
+    Ray's ``read_binary_files`` (one task per shard, streams shard bytes
+    through the object store) with a stdlib ``tarfile`` flat_map: each task
+    parses ITS shard only, so shards are the unit of parallelism and
+    resume, exactly like the sharded-parquet layout elsewhere in the repo.
+
+    Output columns: ``__key__`` (string), ``__shard__`` (source path), one
+    ``binary`` column per payload suffix, one ``string`` column per
+    ``meta_suffixes`` entry found. Missing members are null.
+
+    ``suffixes``: restrict which payload suffixes become columns (default:
+    every suffix encountered in the shard).
+    """
+    import io as _io
+    import tarfile
+
+    import ray.data as rd
+
+    src = rd.read_binary_files(paths, include_paths=True)
+
+    def parse_shard(row: dict):
+        shard_path = row["path"]
+        samples: dict[str, dict] = {}
+        with tarfile.open(fileobj=_io.BytesIO(row["bytes"])) as tf:
+            for member in tf.getmembers():
+                if not member.isfile():
+                    continue
+                name = member.name.rsplit("/", 1)[-1]
+                if "." not in name:
+                    continue
+                key, suffix = name.split(".", 1)
+                suffix = suffix.lower()
+                if suffixes is not None and suffix not in set(
+                    suffixes
+                ) | set(meta_suffixes):
+                    continue
+                data = tf.extractfile(member).read()
+                samples.setdefault(key, {})[suffix] = data
+        out = []
+        for key in sorted(samples):
+            rec = {"__key__": key, "__shard__": shard_path}
+            for suffix, data in samples[key].items():
+                if suffix in meta_suffixes:
+                    rec[suffix] = data.decode("utf-8", "replace")
+                else:
+                    rec[suffix] = data
+            out.append(rec)
+        return out
+
+    return src.flat_map(parse_shard)

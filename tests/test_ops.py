@@ -485,3 +485,40 @@ class TestJaccardDedup:
         a = jaccard_dedup(ds, threshold=0.6).to_pandas()
         b = jaccard_dedup(ds, threshold=0.6, broadcast_bytes=0).to_pandas()
         assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+
+
+class TestWebDataset:
+    def test_read_webdataset_tar_shards(self, tmp_path):
+        """Two tar shards in the WebDataset layout round-trip into samples
+        with binary payload + text metadata columns."""
+        import io as _io
+        import tarfile
+
+        from recipys_ray.ops.multimodal import read_webdataset
+
+        def make_shard(path, start):
+            with tarfile.open(path, "w") as tf:
+                for i in range(start, start + 3):
+                    key = f"{i:06d}"
+                    payload = bytes([i % 256]) * (10 + i)
+                    for suffix, data in (
+                        ("jpg", payload),
+                        ("txt", f"caption {i}".encode()),
+                    ):
+                        info = tarfile.TarInfo(f"{key}.{suffix}")
+                        info.size = len(data)
+                        tf.addfile(info, _io.BytesIO(data))
+
+        make_shard(str(tmp_path / "shard-000.tar"), 0)
+        make_shard(str(tmp_path / "shard-001.tar"), 3)
+        out = (
+            read_webdataset(str(tmp_path))
+            .to_pandas()
+            .sort_values("__key__")
+            .reset_index(drop=True)
+        )
+        assert len(out) == 6
+        assert out["__key__"].tolist() == [f"{i:06d}" for i in range(6)]
+        assert out["txt"].tolist() == [f"caption {i}" for i in range(6)]
+        assert [len(b) for b in out["jpg"]] == [10 + i for i in range(6)]
+        assert out["__shard__"].nunique() == 2
