@@ -297,6 +297,279 @@ def _fold_global(step, states_df: pd.DataFrame, group_cols: list[str],
     return pd.concat(out) if out else pd.DataFrame()
 
 
+def run_salted_resample_grid(
+    ds,
+    group_cols: list[str],
+    sort_cols: list[str],
+    step,
+    num_partitions: int,
+    salt,
+    stamp_batch_rows: int = 262_144,
+):
+    """Grid-mode resampling over salted mega-groups — bounded tasks.
+
+    Grid semantics (steps/resample.py): per group, slots at
+    ``gmin + k·res``; keep the first original row landing exactly on a
+    slot; forward-fill LAST-mapped columns. Chunked execution:
+
+    1. state pass A (skinny): per (group, salt) chunk → min/max ts;
+    2. driver fold: per group → grid anchor ``gmin``, slot count, and each
+       chunk's OWNED slot range ``[k_lo, k_end)`` — chunk i owns every slot
+       from its salt window start up to the next chunk's window start, so
+       event-less gap windows are covered by the preceding chunk;
+    3. state pass B (skinny, needs gmin): per chunk per LAST column → the
+       last non-null value among its ON-GRID rows (post keep-first dedup);
+       driver grouped ffill+shift → the ffill seed carried into each chunk;
+    4. main pass: each partition emits its chunks' slots, joins its own
+       rows, forward-fills seeded with the carry. Cold groups run the
+       ordinary whole-group kernel. ONE payload shuffle; every task
+       bounded by chunk span (+ its share of the slot grid).
+    """
+    from recipys_ray.kernels.salted import (
+        SaltedStamp,
+        _hot_mask,
+        find_hot_groups,
+    )
+
+    hot = find_hot_groups(ds, group_cols, salt.threshold)
+    if not hot:
+        from recipys_ray.kernels.grouped import run_grouped_chain
+
+        return run_grouped_chain(
+            ds, group_cols, sort_cols, [step],
+            num_partitions=num_partitions, stamp_batch_rows=stamp_batch_rows,
+        )
+    hot_keys = set(hot)
+    stamp = SaltedStamp(
+        group_cols, sort_cols, num_partitions, hot_keys, salt.chunk_span
+    )
+    stamped = ds.map_batches(
+        stamp, batch_format="pyarrow", batch_size=stamp_batch_rows
+    )
+    seq = step._seq_col
+    last_cols = [
+        c for c, acc in step._col_acc.items() if acc.value == "last"
+    ]
+    kcols = group_cols + [SALT]
+    skinny = list(dict.fromkeys(
+        kcols + sort_cols + [seq] + last_cols + [PART]
+    ))
+
+    def pick_hot(tbl: pa.Table) -> pa.Table:
+        mask = _hot_mask(tbl, group_cols, hot_keys)
+        return tbl.select(
+            [c for c in skinny if c in tbl.column_names]
+        ).filter(pa.array(mask))
+
+    hot_skinny = stamped.map_batches(
+        pick_hot, batch_format="pyarrow"
+    ).materialize()
+
+    # ---- pass A: per-chunk ts bounds -------------------------------- #
+    def bounds_state(tbl: pa.Table) -> pa.Table:
+        pdf = tbl.to_pandas()
+        g = pdf.groupby(kcols, sort=False, observed=True)
+        out = g[seq].agg(["min", "max"]).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    bounds = hot_skinny.groupby(PART).map_groups(
+        lambda p, _f=bounds_state: _f(p), batch_format="pyarrow"
+    ).to_pandas()
+
+    res64 = np.timedelta64(pd.Timedelta(step.new_resolution).to_timedelta64())
+    unit = np.datetime_data(bounds["min"].dtype)[0]
+    res_i = res64.astype(f"timedelta64[{unit}]").astype(np.int64)
+    span = salt.chunk_span
+
+    bounds = bounds.sort_values(group_cols + [SALT], ignore_index=True)
+    key = (
+        bounds[group_cols[0]]
+        if len(group_cols) == 1
+        else pd.Series(list(bounds[group_cols].itertuples(index=False,
+                                                          name=None)))
+    )
+    karr = key.to_numpy()
+    tmin = bounds["min"].astype(np.int64).to_numpy()
+    gfirst = np.r_[True, karr[1:] != karr[:-1]]
+    glast = np.r_[karr[1:] != karr[:-1], True]
+    gmin = pd.Series(tmin).groupby(karr, sort=False).transform(
+        "min"
+    ).to_numpy()
+    gmax = bounds["max"].astype(np.int64).groupby(karr).transform("max"
+                                                                  ).to_numpy()
+    k_total = (gmax - gmin) // res_i  # max slot index (inclusive)
+    # chunk i's window start (first chunk: gmin); next chunk's start bounds it
+    wstart = np.where(gfirst, gmin, bounds[SALT].to_numpy() * span)
+    nxt = np.roll(wstart, -1)
+    k_lo = np.where(gfirst, 0, -(-(wstart - gmin) // res_i))
+    k_end = np.where(glast, k_total + 1, -(-(nxt - gmin) // res_i))
+    k_end = np.maximum(k_end, k_lo)
+    prefixA = pd.DataFrame(
+        {
+            "k_lo": k_lo, "k_end": k_end, "gmin": gmin, "res": res_i,
+        },
+        index=pd.MultiIndex.from_frame(bounds[kcols])
+        if len(kcols) > 1
+        else pd.Index(bounds[kcols[0]]),
+    )
+    gmin_map = {
+        k: int(v) for k, v in zip(
+            (karr if len(group_cols) == 1
+             else key), gmin,
+        )
+    }
+
+    # ---- pass B: last non-null on-grid value per chunk per LAST col -- #
+    import ray
+
+    gmin_ref = ray.put(gmin_map)
+
+    def carry_state(tbl: pa.Table) -> pa.Table:
+        gm = ray.get(gmin_ref)
+        pdf = tbl.to_pandas().sort_values(
+            kcols + sort_cols, kind="stable", ignore_index=True
+        )
+        pdf = pdf.drop_duplicates(subset=group_cols + [seq], keep="first")
+        if len(group_cols) == 1:
+            gkey = pdf[group_cols[0]]
+        else:
+            gkey = pd.Series(
+                list(pdf[group_cols].itertuples(index=False, name=None))
+            )
+        anchor = gkey.map(gm).to_numpy()
+        ts = pdf[seq].astype(np.int64).to_numpy()
+        ongrid = (ts - anchor) % res_i == 0
+        # EVERY chunk must emit a state row (chunks with no on-grid rows
+        # still need the carry chain to flow through them): mask off-grid
+        # values to null, then per-chunk last-non-null
+        sub = pdf.copy()
+        for c in last_cols:
+            sub.loc[~ongrid, c] = (
+                np.nan
+                if pd.api.types.is_numeric_dtype(sub[c])
+                else None
+            )
+        g = sub.groupby(kcols, sort=False, observed=True)
+        out = (
+            g[last_cols].last().reset_index()
+            if last_cols
+            else g.size().to_frame("n").reset_index()
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    carries = hot_skinny.groupby(PART).map_groups(
+        lambda p, _f=carry_state: _f(p), batch_format="pyarrow"
+    ).to_pandas()
+    carries = carries.sort_values(group_cols + [SALT], ignore_index=True)
+    ck = (
+        carries[group_cols[0]]
+        if len(group_cols) == 1
+        else pd.Series(list(carries[group_cols].itertuples(index=False,
+                                                           name=None)))
+    ).to_numpy()
+    prefixB = pd.DataFrame(index=(
+        pd.MultiIndex.from_frame(carries[kcols])
+        if len(kcols) > 1
+        else pd.Index(carries[kcols[0]])
+    ))
+    for c in last_cols:
+        v = carries[c] if c in carries.columns else pd.Series(
+            np.nan, index=carries.index
+        )
+        prefixB[f"carry_{c}"] = (
+            v.groupby(ck, sort=False).ffill().groupby(ck, sort=False)
+            .shift(1).to_numpy()
+        )
+    prefix = prefixA.join(prefixB, how="left")
+    prefix_ref = ray.put(prefix)
+
+    # ---- main pass --------------------------------------------------- #
+    runner_group_cols = list(group_cols)
+    runner_sort = list(sort_cols)
+    col_acc_last = list(last_cols)
+
+    def run_partition(tbl: pa.Table) -> pa.Table:
+        pref = ray.get(prefix_ref)
+        if PART in tbl.column_names:
+            tbl = tbl.drop_columns([PART])
+        by = kcols + runner_sort
+        idx = pc.sort_indices(tbl, sort_keys=[(c, "ascending") for c in by])
+        tbl = tbl.take(idx)
+        pdf = tbl.to_pandas()
+        if len(kcols) == 1:
+            kidx = pd.Index(pdf[kcols[0]])
+        else:
+            kidx = pd.MultiIndex.from_frame(pdf[kcols])
+        hot_rows = kidx.isin(pref.index)
+        outs = []
+        if (~hot_rows).any():
+            cold = pdf.loc[~hot_rows].copy()
+            cold = assign_gid(cold, runner_group_cols)
+            cold_out = step._grid_frame(cold, runner_group_cols)
+            outs.append(cold_out.drop(
+                columns=[c for c in (GID, SALT) if c in cold_out.columns]
+            ))
+        if hot_rows.any():
+            hotp = pdf.loc[hot_rows].copy()
+            hotp = assign_gid(hotp, kcols)
+            gid = hotp[GID]
+            first = ~gid.duplicated()
+            keys = hotp.loc[first, kcols + [GID]]
+            lidx = (
+                pd.Index(keys[kcols[0]])
+                if len(kcols) == 1
+                else pd.MultiIndex.from_frame(keys[kcols])
+            )
+            local = pref.reindex(lidx)
+            local.index = keys[GID].to_numpy()
+            counts = (
+                (local["k_end"] - local["k_lo"]).astype(np.int64).to_numpy()
+            )
+            gmin_l = local["gmin"].to_numpy()
+            klo_l = local["k_lo"].to_numpy()
+            total = int(counts.sum())
+            offs = np.arange(total) - np.repeat(
+                np.r_[0, np.cumsum(counts)[:-1]], counts
+            )
+            slot_ts_int = (
+                np.repeat(gmin_l, counts)
+                + (np.repeat(klo_l, counts) + offs) * res_i
+            )
+            grid = pd.DataFrame({GID: np.repeat(keys[GID].to_numpy(), counts)})
+            grid[seq] = pd.Series(slot_ts_int).astype(
+                f"datetime64[{unit}]"
+            )
+            for c in runner_group_cols:
+                grid[c] = np.repeat(
+                    hotp.loc[first, c].to_numpy(), counts
+                )
+            right = hotp.drop_duplicates(
+                subset=runner_group_cols + [seq], keep="first"
+            )
+            right = right.drop(columns=[c for c in runner_group_cols])
+            merged = grid.merge(right, on=[GID, seq], how="left")
+            if col_acc_last:
+                merged[col_acc_last] = merged.groupby(GID, sort=False)[
+                    col_acc_last
+                ].ffill()
+                for c in col_acc_last:
+                    carry = merged[GID].map(local[f"carry_{c}"])
+                    merged[c] = merged[c].fillna(carry)
+            outs.append(merged.drop(
+                columns=[c for c in (GID, SALT) if c in merged.columns]
+            ))
+        if not outs:
+            return pa.table({})
+        out = pd.concat(outs, ignore_index=True)
+        cols = [c for c in pdf.columns if c in out.columns and c != GID
+                and c != SALT]
+        return pa.Table.from_pandas(out[cols], preserve_index=False)
+
+    return stamped.groupby(PART).map_groups(
+        run_partition, batch_format="pyarrow"
+    )
+
+
 GLOBAL_GROUP = "__global_g__"
 
 

@@ -210,6 +210,14 @@ def run_salted_chain(
     span, one payload shuffle total. Otherwise this legacy whole-group
     carry path runs (exact, but one task per mega-group on the skinny
     projection)."""
+    if len(steps) == 1 and getattr(steps[0], "salt_grid_capable", False):
+        from recipys_ray.kernels.chunked import run_salted_resample_grid
+
+        return run_salted_resample_grid(
+            ds, group_cols, sort_cols, steps[0],
+            num_partitions=num_partitions, salt=salt,
+            stamp_batch_rows=stamp_batch_rows,
+        )
     stages = [GroupedStage(s) for s in steps]
     if any(st.needs_all for st in stages):
         raise ValueError(

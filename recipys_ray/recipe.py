@@ -161,9 +161,17 @@ class Recipe:
                     self.salt is not None
                     and group_cols
                     and sort_cols
-                    and not any(
-                        s.frame_needs_all or s.changes_rowcount
-                        for s in pending
+                    and (
+                        not any(
+                            s.frame_needs_all or s.changes_rowcount
+                            for s in pending
+                        )
+                        or (
+                            len(pending) == 1
+                            and getattr(
+                                pending[0], "salt_grid_capable", False
+                            )
+                        )
                     )
                 )
                 if saltable:

@@ -139,6 +139,13 @@ class StepResampling(Step):
     def changes_rowcount(self) -> bool:
         return True
 
+    @property
+    def salt_grid_capable(self) -> bool:
+        """Grid mode has a dedicated chunk-merge path
+        (kernels/chunked.run_salted_resample_grid) when it is the only step
+        in its grouped chain."""
+        return self.mode == "grid"
+
     # ------------------------------------------------------------------ #
     def resolve(self, ing: Ingredients) -> None:
         super().resolve(ing)

@@ -80,18 +80,23 @@ def test_grouped_kernels_match_pandas(pdf):
     g = ref.groupby("g")
     np.testing.assert_allclose(
         ours["x_max"], g["x"].cummax(), equal_nan=True)
-    # atol floors the comparison at denormal scale: the anchor-shifted
-    # kernel carries absolute error ~eps·|anchor|, which for subnormal
-    # inputs (~1e-309) is total relative error but numerically nil
+    # atol is eps-scaled to the data magnitude: any summation order
+    # (pandas' included) carries absolute error ~eps·max|x|, so a mean
+    # whose true value is near zero from large-magnitude cancelling inputs
+    # is only defined to that absolute precision — and for subnormal
+    # inputs (~1e-309) relative error is meaningless entirely
+    with np.errstate(all="ignore"):
+        max_abs = np.nanmax(np.abs(np.r_[ref["x"].to_numpy(dtype=float), 0]))
+    tol = max(1e-12, 1e-14 * float(max_abs))
     np.testing.assert_allclose(
         ours["x_mean"],
         g["x"].expanding().mean().reset_index(drop=True),
-        equal_nan=True, atol=1e-12,
+        equal_nan=True, atol=tol,
     )
     np.testing.assert_allclose(
         ours["x_var"],
         g["x"].expanding().var().reset_index(drop=True),
-        equal_nan=True, atol=1e-12,
+        equal_nan=True, atol=max(tol, 1e-14 * max_abs * max_abs),
     )
     np.testing.assert_allclose(
         ours["x_count"],

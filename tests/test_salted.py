@@ -337,3 +337,88 @@ def test_find_hot_groups_distributed_fallback():
     a = find_hot_groups(ds, ["conv_id"], threshold=800)
     b = find_hot_groups(ds, ["conv_id"], threshold=800, driver_merge_cap=0)
     assert a == b and len(a) == 2
+
+
+def test_chunked_grid_resample_equals_unsalted():
+    """Grid-mode resampling through the dedicated salted chunk path: slot
+    ownership per chunk + ffill value carry (incl. text columns) must
+    reproduce the whole-group kernel exactly."""
+    from recipys_ray.steps.resample import StepResampling
+
+    tbl = make_transcripts(n_turns=2500, seed=17, mega_conv_turns=1000)
+
+    def mk(salt):
+        rec = Recipe(
+            rd.from_arrow(tbl),
+            predictors=["n_chars", "latency_s", "score"],
+            groups=["conv_id"],
+            sequences=["ts"],
+            partitions=4,
+            salt=salt,
+        )
+        rec.add_step(StepResampling("5min"))
+        out = rec.prep().to_pandas()
+        return out.sort_values(
+            ["conv_id", "ts"], kind="stable"
+        ).reset_index(drop=True)
+
+    a = mk(None)
+    b = mk(SaltConfig(threshold=400, chunk_span=20 * 60 * 1_000_000))
+    assert list(a.columns) == sorted(b.columns, key=list(a.columns).index)
+    b = b[a.columns]
+    assert len(a) == len(b), (len(a), len(b))
+    for c in a.columns:
+        x, y = a[c], b[c]
+        if pd.api.types.is_numeric_dtype(x) and not pd.api.types.is_bool_dtype(x):
+            np.testing.assert_allclose(
+                x.to_numpy(dtype=float), y.to_numpy(dtype=float),
+                equal_nan=True, err_msg=f"column {c}",
+            )
+        else:
+            assert x.astype(str).tolist() == y.astype(str).tolist(), c
+
+
+def test_chunked_grid_resample_tiny_chunks_and_postfill():
+    """Small chunk spans (many boundaries + event-less gap windows) with a
+    MEAN-mapped column (global post-fill node) and LAST text carry."""
+    from recipys_ray.steps.historical import Accumulator
+    from recipys_ray.steps.resample import StepResampling
+
+    tbl = make_transcripts(n_turns=1200, seed=23, mega_conv_turns=500)
+
+    def mk(salt):
+        rec = Recipe(
+            rd.from_arrow(tbl),
+            predictors=["n_chars", "latency_s", "score"],
+            groups=["conv_id"],
+            sequences=["ts"],
+            partitions=4,
+            salt=salt,
+        )
+        rec.add_step(
+            StepResampling(
+                "3min",
+                accumulator_dict={
+                    all_of(["score"]): Accumulator.MEAN,
+                    all_of(["n_chars"]): Accumulator.MAX,
+                },
+            )
+        )
+        return (
+            rec.prep().to_pandas()
+            .sort_values(["conv_id", "ts"], kind="stable")
+            .reset_index(drop=True)
+        )
+
+    a = mk(None)
+    b = mk(SaltConfig(threshold=300, chunk_span=7 * 60 * 1_000_000))[a.columns]
+    assert len(a) == len(b)
+    for c in a.columns:
+        x, y = a[c], b[c]
+        if pd.api.types.is_numeric_dtype(x) and not pd.api.types.is_bool_dtype(x):
+            np.testing.assert_allclose(
+                x.to_numpy(dtype=float), y.to_numpy(dtype=float),
+                equal_nan=True, err_msg=f"column {c}",
+            )
+        else:
+            assert x.astype(str).tolist() == y.astype(str).tolist(), c
