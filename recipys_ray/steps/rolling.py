@@ -44,6 +44,7 @@ class StepRolling(Step):
         fun: Accumulator = Accumulator.MEAN,
         suffix: str = None,
         role: str = "predictor",
+        max_carry_rows: int = 4096,
     ):
         super().__init__(sel if sel is not None else all_numeric_predictors())
         if not isinstance(fun, Accumulator) or fun not in _FUNS:
@@ -51,6 +52,10 @@ class StepRolling(Step):
                 f"Expected a supported Accumulator, got {fun!r}"
             )
         self.window = window
+        # time-window chunk carry: rows inside one window span at a chunk
+        # boundary are carried as state; this caps that state (a clear
+        # error beats silent memory blowup on pathological densities)
+        self.max_carry_rows = max_carry_rows
         self.fun = fun
         self.suffix = (
             suffix if suffix is not None else f"roll_{fun.value}_{window}"
@@ -123,10 +128,13 @@ class StepRolling(Step):
     @property
     def chunk_mergeable(self) -> bool:
         # row windows carry the previous window-1 raw values; time windows
-        # would need a time-span carry (unbuilt) → whole-group fallback
-        return isinstance(self.window, int)
+        # carry the rows inside one window span at each boundary (capped by
+        # max_carry_rows — a clean error on pathological densities)
+        return True
 
     def chunk_state(self, pdf, gid):
+        if isinstance(self.window, str):
+            return self._chunk_state_time(pdf, gid)
         from recipys_ray.kernels.chunked import boundary_chunk_state
 
         cols = [c for c in self.columns if c in pdf.columns]
@@ -134,12 +142,141 @@ class StepRolling(Step):
             pdf, gid, cols, max(1, self.window - 1), from_end=True
         )
 
+    def _chunk_state_time(self, pdf, gid):
+        """Per chunk: the trailing rows with ts within one window span of
+        the chunk's end — (ts, value…) arrays as object cells."""
+        seq = self._seq_col
+        W = pd.Timedelta(self.window)
+        cols = [c for c in self.columns if c in pdf.columns]
+        g = pdf.groupby(gid, sort=False, observed=True)
+        cmax = g[seq].transform("max")
+        tail = pdf[pdf[seq] > (cmax - W)]
+        if len(tail) and tail.groupby(
+            gid[tail.index], sort=False
+        ).size().max() > self.max_carry_rows:
+            raise ValueError(
+                f"time-window rolling carry exceeds max_carry_rows="
+                f"{self.max_carry_rows} for a salted chunk boundary; raise "
+                f"max_carry_rows or disable salting for this step"
+            )
+        out = pd.DataFrame(index=g.size().index)
+        cts_map: dict = {}
+        cv_maps: dict = {c: {} for c in cols}
+        for k, grp in tail.groupby(gid[tail.index], sort=False):
+            cts_map[k] = grp[seq].astype(np.int64).to_numpy()
+            for c in cols:
+                cv_maps[c][k] = grp[c].astype(np.float64).to_numpy()
+        out["cts"] = pd.Series(cts_map, dtype=object).reindex(out.index)
+        for c in cols:
+            out[f"cv_{c}"] = pd.Series(
+                cv_maps[c], dtype=object
+            ).reindex(out.index)
+        out["cmin"] = g[seq].min().astype(np.int64)
+        out["cmax"] = g[seq].max().astype(np.int64)
+        out["unit"] = pdf[seq].dtype.str  # e.g. <M8[us] / <m8[us]
+        return out
+
     def fold_chunk_states(self, states):
+        if isinstance(self.window, str):
+            return self._fold_time(states)
         from recipys_ray.kernels.chunked import fold_boundary_states
 
         return fold_boundary_states(states, max(1, self.window - 1))
 
+    def _fold_time(self, states):
+        """Sequential buffer of rows within one window span of the running
+        frontier; each chunk's prefix is the buffer filtered to its own
+        relevance window (ts > chunk_min − W)."""
+        dt_str = states["unit"].iloc[0]
+        unit = np.datetime_data(np.dtype(dt_str))[0]
+        W = np.timedelta64(
+            pd.Timedelta(self.window).to_timedelta64()
+        ).astype(f"timedelta64[{unit}]").astype(np.int64)
+        vcols = [c for c in states.columns if c.startswith("cv_")]
+        buf_ts = np.array([], dtype=np.int64)
+        buf_v = {c: np.array([], dtype=np.float64) for c in vcols}
+        out_rows = []
+        for idx in states.index:
+            cmin = int(states.at[idx, "cmin"])
+            keep = buf_ts > (cmin - W)
+            out_rows.append(
+                (buf_ts[keep],
+                 {c: buf_v[c][keep] for c in vcols})
+            )
+            cts = states.at[idx, "cts"]
+            cmax = int(states.at[idx, "cmax"])
+            if cts is None or (isinstance(cts, float) and np.isnan(cts)):
+                cts = np.array([], dtype=np.int64)
+                cvals = {c: np.array([]) for c in vcols}
+            else:
+                cvals = {c: np.asarray(states.at[idx, c]) for c in vcols}
+            buf_ts = np.r_[buf_ts, np.asarray(cts, dtype=np.int64)]
+            for c in vcols:
+                buf_v[c] = np.r_[buf_v[c], cvals[c]]
+            live = buf_ts > (cmax - W)
+            buf_ts = buf_ts[live]
+            for c in vcols:
+                buf_v[c] = buf_v[c][live]
+        out = pd.DataFrame(index=states.index)
+        out["pts"] = [r[0] for r in out_rows]
+        for c in vcols:
+            out[f"p{c}"] = [r[1][c] for r in out_rows]
+        out["unit"] = dt_str
+        return out
+
+    def _apply_time(self, pdf, gid, prefix):
+        seq = self._seq_col
+        W = pd.Timedelta(self.window)
+        cols = [c for c in self.columns if c in pdf.columns]
+        fn = _FUNS[self.fun]
+        hot = gid.isin(prefix.index)
+        if not hot.any():
+            return pdf
+        dt_str = prefix["unit"].iloc[0]
+        cmin = pdf.loc[hot].groupby(gid[hot], sort=False)[seq].transform(
+            "min"
+        )
+        head = hot.copy()
+        head[hot] = pdf.loc[hot, seq] < (cmin + W)
+        if not head.any():
+            return pdf
+        for key, idx in pdf.index[head].to_series().groupby(
+            gid[head], sort=False
+        ).groups.items():
+            pts = prefix.at[key, "pts"]
+            if pts is None or len(np.atleast_1d(pts)) == 0:
+                continue
+            carried_ts = pd.Series(np.asarray(pts)).astype(
+                np.dtype(dt_str)
+            )
+            nh = len(idx)
+            for c in cols:
+                cv = np.asarray(prefix.at[key, f"pcv_{c}"])
+                seq_vals = pd.concat(
+                    [
+                        pd.Series(cv, index=pd.Index(carried_ts)),
+                        pd.Series(
+                            pdf.loc[idx, c].astype(np.float64).to_numpy(),
+                            index=pd.Index(pdf.loc[idx, seq]),
+                        ),
+                    ]
+                )
+                res = getattr(
+                    seq_vals.rolling(window=W, min_periods=1), fn
+                )().to_numpy()[-nh:]
+                oc = f"{c}_{self.suffix}"
+                if self.fun is Accumulator.COUNT:
+                    res = res.astype(np.int64)
+                pdf.loc[idx, oc] = res
+        return pdf
+
     def fold_chunk_states_grouped(self, states, gkey):
+        if isinstance(self.window, str):
+            # variable-width state → per-group sequential fold
+            parts = []
+            for _, grp in states.groupby(gkey.to_numpy(), sort=False):
+                parts.append(self._fold_time(grp))
+            return pd.concat(parts)
         from recipys_ray.kernels.chunked import fold_boundary_states_grouped
 
         return fold_boundary_states_grouped(
@@ -147,9 +284,11 @@ class StepRolling(Step):
         )
 
     def apply_chunk_prefix(self, pdf, gid, prefix):
-        """Recompute the first window−1 rows of each hot chunk over the
-        carried tail + chunk head (same pandas rolling kernel, so the
-        semantics — min_periods=1, ddof — match exactly)."""
+        """Recompute each hot chunk's boundary rows over the carried tail +
+        chunk head (same pandas rolling kernel, so the semantics —
+        min_periods=1, ddof, window closure — match exactly)."""
+        if isinstance(self.window, str):
+            return self._apply_time(pdf, gid, prefix)
         w = self.window
         if w <= 1:
             return pdf

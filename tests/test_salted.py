@@ -422,3 +422,45 @@ def test_chunked_grid_resample_tiny_chunks_and_postfill():
             )
         else:
             assert x.astype(str).tolist() == y.astype(str).tolist(), c
+
+
+def test_chunked_time_rolling_equals_unsalted():
+    """Time-windowed rolling under salting: the carried window-span rows
+    (variable-width state) must reproduce the whole-group kernel, with
+    chunk spans smaller than the rolling window so carries span multiple
+    boundaries."""
+    from recipys_ray import StepRolling
+
+    tbl = make_transcripts(n_turns=1500, seed=31, mega_conv_turns=600)
+
+    def mk(salt):
+        rec = Recipe(
+            rd.from_arrow(tbl),
+            predictors=["n_chars", "score"],
+            groups=["conv_id"],
+            sequences=["ts"],
+            partitions=4,
+            salt=salt,
+        )
+        rec.add_step(
+            StepRolling(sel=all_of(["n_chars"]), window="10min",
+                        fun=Accumulator.MEAN, suffix="t10mean")
+        )
+        rec.add_step(
+            StepRolling(sel=all_of(["score"]), window="10min",
+                        fun=Accumulator.MAX, suffix="t10max")
+        )
+        return (
+            rec.prep().to_pandas()
+            .sort_values(["conv_id", "turn_idx"], kind="stable")
+            .reset_index(drop=True)
+        )
+
+    a = mk(None)
+    # chunk span 4 min < window 10 min → every carry crosses >1 boundary
+    b = mk(SaltConfig(threshold=400, chunk_span=4 * 60 * 1_000_000))[a.columns]
+    for c in ("n_chars_t10mean", "score_t10max"):
+        np.testing.assert_allclose(
+            a[c].to_numpy(dtype=float), b[c].to_numpy(dtype=float),
+            equal_nan=True, err_msg=c, atol=1e-10,
+        )
