@@ -24,6 +24,8 @@ _STOPWORDS = {
     "es": {"el", "la", "los", "y", "es", "un", "una", "no", "por", "que"},
 }
 
+_WORD_RE = re.compile(r"\w+", re.UNICODE)
+
 # polynomial rolling-hash params — chosen so BOTH numpy (uint64, no
 # overflow: h < 2^31, h*131 + cp < 2^39) and DuckDB BIGINT list_reduce
 # compute bit-identical values; the langid_quality oracle re-derives
@@ -175,3 +177,69 @@ def text_features(ds, text_col: str = "text", concurrency: int = 4,
         concurrency=concurrency,
         batch_size=batch_size,
     )
+
+
+def build_vocab(
+    ds,
+    text_col: str = "text",
+    top_k: int = 1000,
+    num_partitions: int = 64,
+) -> pd.DataFrame:
+    """EXACT top-K vocabulary with term and document frequencies.
+
+    Combiner shape: each block emits one (token, count, doc_freq) partial
+    row per distinct token (never raw tokens); partials hash-partition by
+    token, each partition totals ITS tokens completely and keeps its local
+    top-K; the driver merges ≤ partitions×K candidate rows — exact because
+    every token lives in exactly one partition. Deterministic order:
+    count desc, token asc; ``rank`` is 0-based.
+    """
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        texts = tbl.column(text_col).to_pandas().fillna("")
+        toks: list[str] = []
+        counts = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            ws = _WORD_RE.findall(t.lower())
+            counts[i] = len(ws)
+            toks.extend(ws)
+        arr = np.array(toks, dtype=object)
+        vals, cnt = np.unique(arr, return_counts=True)
+        # doc_freq: distinct (doc, token) pairs
+        doc_ids = np.repeat(np.arange(len(texts)), counts)
+        pair_df = pd.DataFrame({"d": doc_ids, "t": arr}).drop_duplicates()
+        df_cnt = pair_df.groupby("t", sort=True).size()
+        return pa.table(
+            {
+                "token": pa.array(vals.astype(object)),
+                "count": pa.array(cnt.astype(np.int64)),
+                "doc_freq": pa.array(
+                    df_cnt.reindex(vals).to_numpy(dtype=np.int64)
+                ),
+            }
+        )
+
+    partials = ds.select_columns([text_col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=4096
+    )
+
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    def local_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        tot = pdf.groupby("token", sort=False, observed=True).agg(
+            count=("count", "sum"), doc_freq=("doc_freq", "sum")
+        ).reset_index()
+        tot = tot.sort_values(
+            ["count", "token"], ascending=[False, True], kind="stable"
+        )
+        return tot.head(top_k)
+
+    cand = partitioned_groupby_map(
+        partials, ["token"], local_topk, num_partitions
+    ).to_pandas()
+    out = cand.sort_values(
+        ["count", "token"], ascending=[False, True], kind="stable",
+        ignore_index=True,
+    ).head(top_k)
+    out["rank"] = np.arange(len(out), dtype=np.int64)
+    return out

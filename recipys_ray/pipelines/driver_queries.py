@@ -525,6 +525,18 @@ def q_dedup_jaccard(sf_dir):
     return _select(out, ["doc_id"])
 
 
+def q_vocab_top100(sf_dir):
+    """Exact top-100 vocabulary (term + document frequencies) via the
+    combiner → hash-partition → local-top-K plan; oracle is one SQL
+    unnest + group + window rank."""
+    from recipys_ray.ops.text import build_vocab
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return build_vocab(ds, top_k=100)
+
+
 def q_langid_quality(sf_dir):
     """Language-ID + quality + rolling-hash fingerprint, all re-derived in
     the SQL oracle (regexp token parity, stopword-hit argmax, identical
@@ -901,6 +913,23 @@ ORACLES: dict[str, str] = {
         WHERE corpus_key = (SELECT count(*) || '_' || CAST(sum(n_chars) AS BIGINT)
                             FROM documents)
     """,
+    "vocab_top100": r"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                           '\w+')) AS token
+          FROM documents
+        ),
+        tot AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS count,
+                 CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+          FROM tok GROUP BY token
+        )
+        SELECT token, count, doc_freq,
+               CAST(row_number() OVER (ORDER BY count DESC, token ASC) - 1
+                    AS BIGINT) AS "rank"
+        FROM tot ORDER BY count DESC, token ASC LIMIT 100
+    """,
     "pack_sequences": """
         WITH c AS (
           SELECT doc_id, n_chars,
@@ -1083,6 +1112,7 @@ QUERIES = {
     "asof_purchase": q_asof_purchase,
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
+    "vocab_top100": q_vocab_top100,
     "knn_cosine": q_knn_cosine,
     "knn_ivf": q_knn_ivf,
     "dedup_minhash": q_dedup_minhash,

@@ -522,3 +522,34 @@ class TestWebDataset:
         assert out["txt"].tolist() == [f"caption {i}" for i in range(6)]
         assert [len(b) for b in out["jpg"]] == [10 + i for i in range(6)]
         assert out["__shard__"].nunique() == 2
+
+
+class TestVocab:
+    def test_build_vocab_exact(self):
+        from recipys_ray.ops.text import build_vocab
+
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "the cat and the dog",
+                    "the dog runs",
+                    "a cat sleeps",
+                ],
+            }
+        )
+        out = build_vocab(rd.from_pandas(pdf), top_k=3)
+        assert out["token"].tolist() == ["the", "cat", "dog"]
+        assert out["count"].tolist() == [3, 2, 2]
+        assert out["doc_freq"].tolist() == [2, 2, 2]
+        assert out["rank"].tolist() == [0, 1, 2]
+
+    def test_build_vocab_partition_invariant(self):
+        from recipys_ray.ops.text import build_vocab
+
+        pdf = docs_with_dups()
+        a = build_vocab(rd.from_pandas(pdf), top_k=20, num_partitions=4)
+        b = build_vocab(
+            rd.from_pandas(pdf).repartition(6), top_k=20, num_partitions=64
+        )
+        pd.testing.assert_frame_equal(a, b)
