@@ -98,7 +98,15 @@ def q_impute_global_mean(sf_dir):
 # historical expanding aggregates (StepHistorical, reference step.py:263-363)
 # --------------------------------------------------------------------- #
 def q_historical(sf_dir):
-    rec = _recipe(_with_valn(_events(sf_dir)))
+    from recipys_ray.kernels.duckdb_parity import compute_duckdb_offsets
+
+    ds = _with_valn(_events(sf_dir))
+    # MEAN/VAR/SUM run in duckdb-parity mode so the float64 rounding matches
+    # the oracle engine bit-for-bit (kernels/duckdb_parity.py); the offsets
+    # map is one skinny count pass
+    offs = compute_duckdb_offsets(ds, "user_id")
+    rec = _recipe(ds)
+    parity_funs = (Accumulator.MEAN, Accumulator.VAR, Accumulator.SUM)
     for fun in (
         Accumulator.MIN,
         Accumulator.MAX,
@@ -108,7 +116,13 @@ def q_historical(sf_dir):
         Accumulator.MEDIAN,
         Accumulator.SUM,
     ):
-        rec.add_step(rr.StepHistorical(sel=all_of(["valn"]), fun=fun))
+        st = rr.StepHistorical(
+            sel=all_of(["valn"]), fun=fun,
+            duckdb_parity=fun in parity_funs,
+        )
+        if fun in parity_funs:
+            st.set_parity_offsets(offs)
+        rec.add_step(st)
     out = rec.prep()
 
     def cast_count(tbl: pa.Table) -> pa.Table:
@@ -140,9 +154,13 @@ def q_hist_lineitem(sf_dir):
         groups=["l_orderkey"],
         sequences=["l_linenumber", "l_quantity", "l_extendedprice"],
     )
-    rec.add_step(
-        rr.StepHistorical(sel=all_of(["l_quantity"]), fun=Accumulator.MEAN)
+    from recipys_ray.kernels.duckdb_parity import compute_duckdb_offsets
+
+    st_mean = rr.StepHistorical(
+        sel=all_of(["l_quantity"]), fun=Accumulator.MEAN, duckdb_parity=True
     )
+    st_mean.set_parity_offsets(compute_duckdb_offsets(ds, "l_orderkey"))
+    rec.add_step(st_mean)
     rec.add_step(
         rr.StepHistorical(sel=all_of(["l_quantity"]), fun=Accumulator.MAX)
     )

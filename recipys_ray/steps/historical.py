@@ -65,6 +65,7 @@ class StepHistorical(Step):
         fun: Accumulator = Accumulator.MAX,
         suffix: str = None,
         role: str = "predictor",
+        duckdb_parity: bool = False,
     ):
         super().__init__(sel if sel is not None else all_numeric_predictors())
         if not isinstance(fun, Accumulator):
@@ -75,6 +76,17 @@ class StepHistorical(Step):
         self.fun = fun
         self.suffix = suffix if suffix is not None else fun.value
         self.role = role
+        # duckdb_parity=True makes MEAN/VAR/SUM reproduce DuckDB 1.0's
+        # windowed-aggregate float64 rounding BIT-EXACTLY (verification mode
+        # for the driver's value-hash gate; kernels/duckdb_parity.py). The
+        # default path uses longdouble segmented cumsums — numerically
+        # tighter and cheaper, but rounded differently from any SQL engine.
+        self.duckdb_parity = duckdb_parity
+        self._parity_offsets: dict | None = None
+
+    def set_parity_offsets(self, offsets: dict) -> None:
+        """key -> duckdb hash-group row offset (compute_duckdb_offsets)."""
+        self._parity_offsets = offsets
 
     @property
     def kind(self) -> str:
@@ -116,28 +128,25 @@ class StepHistorical(Step):
                 pdf[cols].notna().astype(np.int64).groupby(gid, sort=False).cumsum()
             ).astype(np.uint32)
         elif self.fun in (Accumulator.MEAN, Accumulator.VAR, Accumulator.SUM):
-            x = pdf[cols].astype(np.float64)
-            notna = x.notna()
-            n = notna.astype(np.float64).groupby(gid, sort=False).cumsum()
-            # Anchor-shift: subtract each group's first non-null value before
-            # the cumulative sums. VAR is shift-invariant and MEAN/SUM add the
-            # anchor back exactly, but the shifted deviations are small, so the
-            # closed-form (s2 - s1^2/n)/(n-1) no longer cancels catastrophically
-            # at large-magnitude inputs (e.g. epoch seconds).
-            anchor = x.groupby(gid, sort=False).transform("first")
-            xs = x - anchor
-            s1 = xs.fillna(0.0).groupby(gid, sort=False).cumsum()
-            if self.fun is Accumulator.SUM:
-                # null until the first non-null (SQL running-SUM semantics)
-                res = (s1 + anchor * n).where(n > 0)
-            elif self.fun is Accumulator.MEAN:
-                res = s1 / n.where(n > 0) + anchor
+            if self.duckdb_parity and len(group_cols) == 1:
+                from recipys_ray.kernels.duckdb_parity import (
+                    prefix_frame_duckdb,
+                )
+
+                fmap = {
+                    Accumulator.MEAN: "mean",
+                    Accumulator.VAR: "var",
+                    Accumulator.SUM: "sum",
+                }
+                vals = prefix_frame_duckdb(
+                    pdf, cols, gid, pdf[group_cols[0]],
+                    self._parity_offsets or {}, [fmap[self.fun]],
+                )
+                res = np.column_stack(
+                    [vals[(c, fmap[self.fun])] for c in cols]
+                )
             else:
-                s2 = (xs * xs).fillna(0.0).groupby(gid, sort=False).cumsum()
-                n_valid = n.where(n > 1)
-                res = (s2 - s1 * s1 / n_valid) / (n_valid - 1.0)
-                # guard tiny negative values from residual rounding
-                res = res.clip(lower=0.0).where(n > 1)
+                res = self._msv_longdouble(pdf, cols, gid)
         elif self.fun is Accumulator.MEDIAN:
             res = (
                 g[cols].expanding(min_periods=1).median().reset_index(drop=True)
@@ -145,6 +154,71 @@ class StepHistorical(Step):
         res = res.to_numpy() if isinstance(res, pd.DataFrame) else res
         pdf[new_cols] = res
         return pdf
+
+    # -------------- extended-precision expanding moments ------------------ #
+    def _msv_longdouble(self, pdf, cols, gid) -> np.ndarray:
+        """MEAN/VAR/SUM via anchored cumulative sums accumulated in
+        ``np.longdouble`` (80-bit) over the contiguous sorted group
+        segments, cast to float64 at the end: residual drift vs exact
+        arithmetic ~1e-15 relative, dominated by the oracle engine's own
+        rounding rather than ours. Falls back to float64 pandas kernels if
+        the frame isn't group-contiguous (never the case inside the
+        partition runner, which sorts by (group, seq))."""
+        x = pdf[cols].astype(np.float64)
+        notna = x.notna()
+        n = notna.astype(np.float64).groupby(gid, sort=False).cumsum()
+        anchor = x.groupby(gid, sort=False).transform("first")
+        codes = gid.to_numpy()
+        if len(codes) and (np.diff(codes) < 0).any():
+            return self._msv_float64(x, n, anchor, gid)
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        reps = np.diff(np.r_[starts, len(codes)])
+
+        def seg_cumsum(mat: np.ndarray) -> np.ndarray:
+            c = np.cumsum(mat, axis=0, dtype=np.longdouble)
+            if len(starts) > 1:
+                off = np.repeat(c[starts[1:] - 1], reps[1:], axis=0)
+                c[starts[1]:] -= off
+            return c
+
+        xs = x.to_numpy().astype(np.longdouble) - anchor.to_numpy()
+        np.nan_to_num(xs, copy=False, nan=0.0)
+        nn = n.to_numpy()
+        av = anchor.to_numpy()
+        s1 = seg_cumsum(xs)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            if self.fun is Accumulator.SUM:
+                # null until the first non-null (SQL running-SUM semantics)
+                res = np.asarray(s1 + av * nn, dtype=np.float64)
+                res[nn <= 0] = np.nan
+            elif self.fun is Accumulator.MEAN:
+                res = np.asarray(
+                    s1 / np.where(nn > 0, nn, np.nan) + av, dtype=np.float64
+                )
+            else:
+                s2 = seg_cumsum(xs * xs)
+                nv = np.where(nn > 1, nn, np.nan).astype(np.longdouble)
+                res = np.asarray(
+                    (s2 - s1 * s1 / nv) / (nv - 1.0), dtype=np.float64
+                )
+                # guard tiny negative values from residual rounding
+                res = np.where(nn > 1, np.maximum(res, 0.0), np.nan)
+        return res
+
+    def _msv_float64(self, x, n, anchor, gid):
+        """Float64 pandas fallback (anchor-shifted closed form)."""
+        xs = x - anchor
+        s1 = xs.fillna(0.0).groupby(gid, sort=False).cumsum()
+        if self.fun is Accumulator.SUM:
+            res = (s1 + anchor * n).where(n > 0)
+        elif self.fun is Accumulator.MEAN:
+            res = s1 / n.where(n > 0) + anchor
+        else:
+            s2 = (xs * xs).fillna(0.0).groupby(gid, sort=False).cumsum()
+            n_valid = n.where(n > 1)
+            res = (s2 - s1 * s1 / n_valid) / (n_valid - 1.0)
+            res = res.clip(lower=0.0).where(n > 1)
+        return res.to_numpy()
 
     # ---------------- chunk-merge protocol (kernels/chunked.py) ----------- #
     @property
@@ -169,18 +243,40 @@ class StepHistorical(Step):
             n = g.count().rename(columns=lambda c: f"n_{c}")
             s = g.sum().rename(columns=lambda c: f"s_{c}")
             return pd.concat([n, s], axis=1)
-        # MEAN / VAR: anchored moments (see transform_frame)
+        # MEAN / VAR: anchored moments (see transform_frame), accumulated in
+        # longdouble so the chunk-merged result drifts ≤~1e-15 relative from
+        # the unsalted longdouble kernel (float128 survives pandas concat /
+        # pickle through the fold round-trip)
         a = g.transform("first")
-        xs = x - a
         n = g.count()
-        s1 = xs.fillna(0.0).groupby(gid, sort=False, observed=True).sum()
-        s2 = (xs * xs).fillna(0.0).groupby(gid, sort=False, observed=True).sum()
         anchor = g.first()
+        codes = gid.to_numpy()
+        xs = x.to_numpy().astype(np.longdouble) - a.to_numpy()
+        np.nan_to_num(xs, copy=False, nan=0.0)
+        if len(codes) and (np.diff(codes) < 0).any():
+            # non-contiguous groups (never inside the chunked runner, which
+            # sorts by (group, salt, seq)) — order rows by group first
+            order = np.argsort(codes, kind="stable")
+            codes = codes[order]
+            xs = xs[order]
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]]) if len(
+            codes
+        ) else np.array([], dtype=np.int64)
+        out = {}
+        for ci, c in enumerate(cols):
+            out[f"s1_{c}"] = (
+                np.add.reduceat(xs[:, ci], starts)
+                if len(starts) else np.zeros(0, dtype=np.longdouble)
+            )
+            out[f"s2_{c}"] = (
+                np.add.reduceat(xs[:, ci] * xs[:, ci], starts)
+                if len(starts) else np.zeros(0, dtype=np.longdouble)
+            )
+        st = pd.DataFrame(out, index=n.index)
         return pd.concat(
             [
                 n.rename(columns=lambda c: f"n_{c}"),
-                s1.rename(columns=lambda c: f"s1_{c}"),
-                s2.rename(columns=lambda c: f"s2_{c}"),
+                st,
                 anchor.rename(columns=lambda c: f"a_{c}"),
             ],
             axis=1,
@@ -195,28 +291,58 @@ class StepHistorical(Step):
         """Vectorized across ALL groups: grouped cummax/cumsum scans."""
         key = gkey.to_numpy()
         g = states.groupby(key, sort=False)
-        if self.fun is Accumulator.MAX:
-            return g.cummax().pipe(
-                lambda df: df.groupby(key, sort=False).shift(1)
-            )
-        if self.fun is Accumulator.MIN:
-            return g.cummin().pipe(
-                lambda df: df.groupby(key, sort=False).shift(1)
-            )
+        if self.fun in (Accumulator.MAX, Accumulator.MIN):
+            # an all-NaN chunk leaves NaN at its state row after the grouped
+            # cumulative scan; forward-fill WITHIN the group before shifting
+            # so the carried running max/min flows across the NaN hole
+            # (otherwise the next chunk would compute from local values only)
+            scan = g.cummax() if self.fun is Accumulator.MAX else g.cummin()
+            scan = scan.groupby(key, sort=False).ffill()
+            return scan.groupby(key, sort=False).shift(1)
         if self.fun in (Accumulator.COUNT, Accumulator.SUM):
             return (g.cumsum() - states).fillna(0.0)
+        # MEAN / VAR: re-anchor each chunk's longdouble moments to the
+        # group's first chunk anchor, then per-group EXCLUSIVE prefix sums —
+        # all in longdouble numpy (pandas groupby C kernels don't take
+        # float128). ``states`` arrives sorted by (group, salt): runs are
+        # contiguous.
         out = pd.DataFrame(index=states.index)
         cols = sorted({c[2:] for c in states.columns if c.startswith("n_")})
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]]) if len(
+            key
+        ) else np.array([], dtype=np.int64)
+        reps = np.diff(np.r_[starts, len(key)])
+
+        def seg_excl_cumsum(vec: np.ndarray) -> np.ndarray:
+            c = np.cumsum(vec, dtype=np.longdouble)
+            if len(starts) > 1:
+                off = np.repeat(c[starts[1:] - 1], reps[1:])
+                c[starts[1]:] -= off
+            return c - vec
+
         for c in cols:
-            n = states[f"n_{c}"]
-            a = states[f"a_{c}"]
-            a_star = a.groupby(key, sort=False).transform("first")
-            d = (a - a_star).fillna(0.0)
-            s1 = states[f"s1_{c}"] + n * d
-            s2 = states[f"s2_{c}"] + 2 * d * states[f"s1_{c}"] + n * d * d
-            out[f"n_{c}"] = n.groupby(key, sort=False).cumsum() - n
-            out[f"s1_{c}"] = s1.groupby(key, sort=False).cumsum() - s1
-            out[f"s2_{c}"] = s2.groupby(key, sort=False).cumsum() - s2
+            n = states[f"n_{c}"].to_numpy().astype(np.longdouble)
+            a = states[f"a_{c}"].to_numpy(dtype=np.float64)
+            a_star = np.repeat(
+                pd.Series(a).groupby(key, sort=False).first().to_numpy(),
+                reps,
+            ) if len(key) else a
+            # groupby.first skips NaN: a_star = first chunk WITH data
+            d = (a - a_star).astype(np.longdouble)
+            np.nan_to_num(d, copy=False, nan=0.0)
+            s1 = np.asarray(states[f"s1_{c}"], dtype=np.longdouble)
+            s2_shift = (
+                np.asarray(states[f"s2_{c}"], dtype=np.longdouble)
+                + 2 * d * s1 + n * d * d
+            )
+            s1_shift = s1 + n * d
+            out[f"n_{c}"] = np.asarray(seg_excl_cumsum(n), dtype=np.float64)
+            out[f"s1_{c}"] = pd.Series(
+                seg_excl_cumsum(s1_shift), index=states.index
+            )
+            out[f"s2_{c}"] = pd.Series(
+                seg_excl_cumsum(s2_shift), index=states.index
+            )
             out[f"a_{c}"] = a_star  # group anchor, constant per group
         return out
 
@@ -254,31 +380,56 @@ class StepHistorical(Step):
                     continue
                 sub = pdf.loc[hot, c].astype(np.float64)
                 sgid = gid[hot]
-                a = sgid.map(prefix[f"a_{c}"])
-                pn = sgid.map(prefix[f"n_{c}"]).fillna(0.0)
-                ps1 = sgid.map(prefix[f"s1_{c}"]).fillna(0.0)
-                ps2 = sgid.map(prefix[f"s2_{c}"]).fillna(0.0)
+                sg = sgid.to_numpy()
+                # gather longdouble prefix states via positional reindex
+                # (Series.map would round float128 through object boxing)
+                pre = prefix.reindex(sg)
+                a = pre[f"a_{c}"].to_numpy(dtype=np.float64)
+                pn = np.asarray(pre[f"n_{c}"], dtype=np.longdouble)
+                ps1 = np.asarray(pre[f"s1_{c}"], dtype=np.longdouble)
+                ps2 = np.asarray(pre[f"s2_{c}"], dtype=np.longdouble)
+                np.nan_to_num(pn, copy=False, nan=0.0)
+                np.nan_to_num(ps1, copy=False, nan=0.0)
+                np.nan_to_num(ps2, copy=False, nan=0.0)
                 # chunks with no group values at all: anchor NaN → use the
                 # chunk-local anchor so the arithmetic stays finite
                 ca = sub.groupby(sgid, sort=False).transform("first")
-                a = a.fillna(ca)
-                xs = sub - a
-                n_t = (
-                    sub.notna().astype(np.float64)
-                    .groupby(sgid, sort=False).cumsum() + pn
-                )
-                s1_t = xs.fillna(0.0).groupby(sgid, sort=False).cumsum() + ps1
-                if self.fun is Accumulator.MEAN:
-                    val = s1_t / n_t.where(n_t > 0) + a
-                else:
-                    s2_t = (
-                        (xs * xs).fillna(0.0).groupby(sgid, sort=False).cumsum()
-                        + ps2
-                    )
-                    nv = n_t.where(n_t > 1)
-                    val = ((s2_t - s1_t * s1_t / nv) / (nv - 1.0)).clip(
-                        lower=0.0
-                    ).where(n_t > 1)
+                a = np.where(np.isnan(a), ca.to_numpy(), a)
+                xv = sub.to_numpy()
+                xs = xv.astype(np.longdouble) - a
+                np.nan_to_num(xs, copy=False, nan=0.0)
+                starts = np.flatnonzero(np.r_[True, sg[1:] != sg[:-1]])
+                reps = np.diff(np.r_[starts, len(sg)])
+
+                def seg_cumsum(vec):
+                    cc = np.cumsum(vec, dtype=np.longdouble)
+                    if len(starts) > 1:
+                        off = np.repeat(cc[starts[1:] - 1], reps[1:])
+                        cc[starts[1]:] -= off
+                    return cc
+
+                n_t = seg_cumsum(
+                    (~np.isnan(xv)).astype(np.longdouble)
+                ) + pn
+                s1_t = seg_cumsum(xs) + ps1
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    if self.fun is Accumulator.MEAN:
+                        val = np.asarray(
+                            s1_t / np.where(n_t > 0, n_t, np.nan) + a,
+                            dtype=np.float64,
+                        )
+                    else:
+                        s2_t = seg_cumsum(xs * xs) + ps2
+                        nv = np.where(n_t > 1, n_t, np.nan).astype(
+                            np.longdouble
+                        )
+                        val = np.asarray(
+                            (s2_t - s1_t * s1_t / nv) / (nv - 1.0),
+                            dtype=np.float64,
+                        )
+                        val = np.where(
+                            n_t > 1, np.maximum(val, 0.0), np.nan
+                        )
                 pdf.loc[hot, oc] = val
         return pdf
 

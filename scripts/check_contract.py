@@ -2,7 +2,17 @@
 oracle_sql() side-by-side over a testdata sf dir, compare row count, column
 names, and (sorted) values with allclose.
 
-Usage: python scripts/check_contract.py [sf_dir] [query ...]
+--strict additionally emulates the driver's value-hash gate: for every float
+column it reports max-abs drift, the bit-exact fraction, and the number of
+rows whose value would ROUND differently from the oracle at 6..9 decimal
+places (the driver's hash granularity is in that family — measured round 3:
+queries that passed the r02 hash exclude finer granularities). A query FAILS
+strict mode if any rounding family has a crossing, i.e. exactly when the
+driver's hash could flip. Round 2 shipped a red oracle because the default
+rtol=1e-9 check here was looser than the driver's hash — strict mode closes
+that gap.
+
+Usage: python scripts/check_contract.py [--strict] [sf_dir] [query ...]
 """
 
 import sys
@@ -13,6 +23,8 @@ import pandas as pd
 import ray
 
 sys.path.insert(0, "/root/repo")
+
+STRICT = False
 
 
 def to_pandas(res) -> pd.DataFrame:
@@ -58,15 +70,48 @@ def compare(name: str, ours: pd.DataFrame, ref: pd.DataFrame) -> list[str]:
             if not np.allclose(a[c], b[c], equal_nan=True, rtol=1e-9, atol=1e-12):
                 bad = np.nanmax(np.abs(a[c].to_numpy() - b[c].to_numpy()))
                 problems.append(f"values differ in {c} (max abs {bad})")
+            elif STRICT:
+                problems.extend(strict_float_check(name, c, a[c], b[c]))
         else:
             if not (a[c].astype(str).to_numpy() == b[c].astype(str).to_numpy()).all():
                 problems.append(f"values differ in {c}")
     return problems
 
 
+def strict_float_check(name, col, av, bv) -> list[str]:
+    """Emulate the driver hash: any rounding crossing at 6..9 decimals fails."""
+    a, b = av.to_numpy(), bv.to_numpy()
+    nan_a, nan_b = np.isnan(a), np.isnan(b)
+    if (nan_a != nan_b).any():
+        return [f"{col}: NaN-mask mismatch in strict mode"]
+    m = ~nan_a
+    if not m.any():
+        return []
+    a, b = a[m], b[m]
+    drift = float(np.max(np.abs(a - b))) if len(a) else 0.0
+    exact = float(np.mean(a == b))
+    crossings = {
+        d: int(np.sum(np.round(a, d) != np.round(b, d))) for d in (6, 7, 8, 9)
+    }
+    worst = max(crossings.values())
+    if worst or drift > 0:
+        print(
+            f"    [strict] {name}.{col}: maxabs={drift:.3e} "
+            f"bitexact={exact:.3f} round-crossings={crossings}"
+        )
+    if worst:
+        return [f"{col}: {worst} hash-rounding crossings {crossings}"]
+    return []
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    global STRICT
+    args = sys.argv[1:]
+    if "--strict" in args:
+        STRICT = True
+        args.remove("--strict")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False,
                  logging_level="ERROR")

@@ -1,0 +1,122 @@
+"""kernels/duckdb_parity must reproduce DuckDB 1.0's windowed prefix
+SUM/AVG/VAR_SAMP bit-for-bit (the driver's value-hash contract)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from recipys_ray.kernels.duckdb_parity import (
+    duckdb_hash_group,
+    finalize_mean,
+    finalize_sum,
+    finalize_var_samp,
+    murmurhash64,
+    offsets_from_counts,
+    prefix_agg_duckdb,
+)
+
+
+def _validate(df):
+    """df: columns p (int partition key), i (order), v — returns mismatch
+    counts per aggregate vs duckdb."""
+    con = duckdb.connect()
+    con.register("t", df)
+    ref = con.execute(
+        """SELECT p, v, sum(v) OVER w AS s, avg(v) OVER w AS m,
+                  var_samp(v) OVER w AS va
+           FROM t WINDOW w AS (PARTITION BY p ORDER BY i
+                               ROWS UNBOUNDED PRECEDING)
+           ORDER BY p, i"""
+    ).df()
+    keys_arr = ref["p"].to_numpy()
+    change = np.r_[True, keys_arr[1:] != keys_arr[:-1]]
+    codes = np.cumsum(change) - 1
+    ukeys = keys_arr[np.flatnonzero(change)]
+    counts = np.bincount(codes)
+    offs = offsets_from_counts(ukeys, counts)
+    o_g = np.array([offs[int(k)] for k in ukeys], dtype=np.int64)
+    cnt, s, mean, dsq = prefix_agg_duckdb(
+        ref["v"].to_numpy(), codes, o_g, True
+    )
+    bad = {}
+    for name, ours in [
+        ("s", finalize_sum(cnt, s)),
+        ("m", finalize_mean(cnt, s)),
+        ("va", finalize_var_samp(cnt, dsq)),
+    ]:
+        b = ref[name].to_numpy()
+        bad[name] = int(
+            np.sum(~((ours == b) | (np.isnan(ours) & np.isnan(b))))
+        )
+    return bad
+
+
+def test_hash_matches_duckdb():
+    con = duckdb.connect()
+    h = con.execute(
+        "SELECT k, hash(k) AS h FROM (SELECT unnest(range(-500, 5000)) AS k)"
+    ).df()
+    got = murmurhash64(h["k"].to_numpy().astype(np.int64))
+    assert np.array_equal(got, h["h"].to_numpy().astype(np.uint64))
+
+
+def test_bit_exact_multi_partition():
+    rng = np.random.default_rng(42)
+    P, G = 60, 85
+    n = P * G
+    v = rng.standard_normal(n) * (10.0 ** rng.integers(-6, 6, n))
+    v[rng.random(n) < 0.14] = np.nan
+    df = pd.DataFrame(
+        {"p": np.repeat(np.arange(P), G), "i": np.tile(np.arange(G), P),
+         "v": v}
+    )
+    assert _validate(df) == {"s": 0, "m": 0, "va": 0}
+
+
+def test_bit_exact_size_torture():
+    rng = np.random.default_rng(9)
+    rows = []
+    for p, sz in enumerate([1, 15, 16, 17, 255, 256, 257, 4096, 50]):
+        vv = rng.standard_normal(sz) * (10.0 ** rng.integers(-5, 5, sz))
+        vv[rng.random(sz) < 0.3] = np.nan
+        if p == 3:
+            vv[:] = np.nan  # all-NULL partition
+        rows.append(pd.DataFrame({"p": p, "i": np.arange(sz), "v": vv}))
+    df = pd.concat(rows, ignore_index=True)
+    assert _validate(df) == {"s": 0, "m": 0, "va": 0}
+
+
+def test_bit_exact_same_hash_group_offsets():
+    """Two keys landing in the same duckdb hash group: the second partition
+    starts at an unaligned offset, exercising left fragments."""
+    ks = np.arange(200)
+    g = duckdb_hash_group(ks)
+    same = [int(k) for k in ks if g[k] == g[0]][:3]
+    assert len(same) >= 3
+    rng = np.random.default_rng(3)
+    sizes = [137, 2003, 77]
+    rows = []
+    for k, sz in zip(same, sizes):
+        vv = rng.standard_normal(sz) * (10.0 ** rng.integers(-5, 5, sz))
+        vv[rng.random(sz) < 0.2] = np.nan
+        rows.append(pd.DataFrame({"p": k, "i": np.arange(sz), "v": vv}))
+    df = pd.concat(rows, ignore_index=True)
+    assert _validate(df) == {"s": 0, "m": 0, "va": 0}
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_bit_exact_events(sf):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('/root/testdata/{sf}/events.parquet')"
+    )
+    df = con.execute(
+        """SELECT user_id AS p, ts, event_id AS i,
+                  CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+           FROM events ORDER BY user_id, ts, event_id"""
+    ).df()
+    # _validate re-orders by (p, i); use a synthetic strictly-increasing i
+    df["i"] = df.groupby("p", sort=False).cumcount()
+    assert _validate(df[["p", "i", "v"]]) == {"s": 0, "m": 0, "va": 0}

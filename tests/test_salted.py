@@ -464,3 +464,46 @@ def test_chunked_time_rolling_equals_unsalted():
             a[c].to_numpy(dtype=float), b[c].to_numpy(dtype=float),
             equal_nan=True, err_msg=c, atol=1e-10,
         )
+
+
+def test_salted_minmax_all_nan_chunk():
+    """ADVICE r2 regression: a hot group with an ALL-NaN chunk must carry
+    the running max/min ACROSS the NaN hole (the grouped cummax/cummin fold
+    leaves NaN at that chunk's state row; without the in-group ffill the
+    next chunk computed from local values only)."""
+    rng = np.random.default_rng(5)
+    n_hot, n_cold = 600, 80
+    rows = []
+    val_hot = rng.normal(10.0, 4.0, n_hot)
+    val_hot[100:200] = np.nan          # chunk 1 (span=100) entirely NaN
+    val_hot[rng.random(n_hot) < 0.1] = np.nan
+    val_hot[0] = 99.5                  # early extreme that must survive
+    val_hot[5] = -99.5
+    rows.append(pd.DataFrame({
+        "conv_id": "mega", "turn_idx": np.arange(n_hot), "val": val_hot}))
+    for c in range(3):
+        rows.append(pd.DataFrame({
+            "conv_id": f"c{c}", "turn_idx": np.arange(n_cold),
+            "val": rng.normal(0, 1, n_cold)}))
+    pdf = pd.concat(rows, ignore_index=True)
+
+    def run_minmax(salt):
+        rec = Recipe(
+            rd.from_pandas(pdf), predictors=["val"], groups=["conv_id"],
+            sequences=["turn_idx"], partitions=4, salt=salt,
+        )
+        rec.add_step(StepHistorical(sel=all_of(["val"]), fun=Accumulator.MAX))
+        rec.add_step(StepHistorical(sel=all_of(["val"]), fun=Accumulator.MIN))
+        out = rec.prep().to_pandas()
+        return out.sort_values(
+            ["conv_id", "turn_idx"], kind="stable"
+        ).reset_index(drop=True)
+
+    unsalted = run_minmax(None)
+    salted = run_minmax(SaltConfig(threshold=300, chunk_span=100))
+    for c in ("val_max", "val_min"):
+        np.testing.assert_allclose(
+            unsalted[c].to_numpy(dtype=float),
+            salted[c].to_numpy(dtype=float),
+            rtol=0, atol=0, equal_nan=True, err_msg=c,
+        )
