@@ -681,6 +681,47 @@ def run_global_chunked(
     return out.map_batches(drop_helpers, batch_format="pyarrow")
 
 
+def _parity_prepass(stamped, group_cols, parity_steps):
+    """duckdb-parity salted mode: one skinny (group, salt) count pass →
+    per-group duckdb hash-group offsets + per-chunk row offsets, stashed on
+    the parity steps. Driver state is O(#groups + #chunks) — parity is the
+    oracle-verification mode, not the 100-TB default path."""
+    from recipys_ray.kernels.duckdb_parity import offsets_from_counts
+
+    if len(group_cols) != 1:
+        raise ValueError(
+            "duckdb_parity salted mode needs a single integer group column"
+        )
+    gcol = group_cols[0]
+
+    def counts(tbl: pa.Table) -> pa.Table:
+        pdf = tbl.select([gcol, SALT]).to_pandas()
+        vc = (
+            pdf.groupby([gcol, SALT], sort=False, observed=True)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.Table.from_pandas(vc, preserve_index=False)
+
+    pdf = (
+        stamped.select_columns([gcol, SALT])
+        .map_batches(counts, batch_format="pyarrow")
+        .to_pandas()
+    )
+    pdf = pdf.groupby([gcol, SALT], sort=False)["n"].sum().reset_index()
+    tot = pdf.groupby(gcol, sort=False)["n"].sum()
+    offsets = offsets_from_counts(tot.index.to_numpy(), tot.to_numpy())
+    pdf = pdf.sort_values([gcol, SALT], kind="stable", ignore_index=True)
+    r0 = pdf.groupby(gcol, sort=False)["n"].cumsum() - pdf["n"]
+    cmap = {
+        (int(k), int(s)): (int(offsets[int(k)]), int(r))
+        for k, s, r in zip(pdf[gcol], pdf[SALT], r0)
+    }
+    for st in parity_steps:
+        st.set_parity_offsets({int(k): int(v) for k, v in offsets.items()})
+        st.set_parity_chunk_offsets(gcol, cmap)
+
+
 def run_salted_chunked(
     ds,
     group_cols: list[str],
@@ -713,6 +754,12 @@ def run_salted_chunked(
     stamped = ds.map_batches(
         stamp, batch_format="pyarrow", batch_size=stamp_batch_rows
     )
+
+    parity_steps = [
+        s for s in steps if getattr(s, "_parity_chunked", False)
+    ]
+    if parity_steps:
+        _parity_prepass(stamped, group_cols, parity_steps)
 
     stages = [GroupedStage(s) for s in steps]
     levels = step_levels(steps)

@@ -433,3 +433,393 @@ def prefix_frame_duckdb(
             else:
                 out[(c, f)] = finalize_var_samp(cnt, dsq)
     return out
+
+
+# ===================================================================== #
+# Chunked (salted) parity: bit-exact duckdb prefix aggregates when a hot
+# group is split into bounded salt chunks (kernels/chunked.py).
+#
+# A chunk holding group rows [r0, r1) can evaluate every frame [o, o+e'),
+# e' in [r0, r1), from a BOUNDED carried context:
+#   - raws:  raw values at positions [max(o, 16*floor((o+r0)/16)), o+r0) —
+#     the ragged tail of the previous chunks (≤15 values). Prepending them
+#     makes the chunk's extended rows start 16-ALIGNED, so every node that
+#     straddles the chunk boundary is rebuilt LOCALLY by the ordinary
+#     level build — no special straddler logic at eval time.
+#   - win[l]: the "spine window" — complete level-l nodes with index in
+#     [16*floor(n0/16), n0), n0 = floor((o+r0)/16^l) (≤15 states). These
+#     are exactly the completed children of the open level-(l+1) parent,
+#     which by induction makes every higher straddler locally buildable.
+#   - sl: the group's ragged-head state over rows [o, A) (left leaf).
+#   - lf[l]: the begin-side left-fragment nodes [b_l, parent_end) near o.
+# Fragments reference ONLY win ∪ lf ∪ locally-built nodes (proof sketch in
+# round-3 notes); the driver fold walks chunks in salt order maintaining
+# rolling raws + windows, completing boundary-straddling nodes from each
+# chunk's shipped edge nodes and head raws.
+# ===================================================================== #
+
+
+def _z() -> tuple:
+    return (0.0, 0.0, 0.0, 0.0)
+
+
+def _upd(st: tuple, x: float) -> tuple:
+    """duckdb aggregate update (sum state + Welford var state)."""
+    if np.isnan(x):
+        return st
+    cnt, s, mean, dsq = st
+    cnt = cnt + 1.0
+    s = s + x
+    delta = x - mean
+    mean = mean + delta / cnt
+    dsq = dsq + delta * (x - mean)
+    return (cnt, s, mean, dsq)
+
+
+def _comb(t: tuple, o: tuple) -> tuple:
+    """target ∘ source in duckdb Combine order (STDDevBaseOperation)."""
+    if o[0] == 0.0:
+        return t
+    if t[0] == 0.0:
+        return o
+    tc, ts, tm, td = t
+    oc, os_, om, od = o
+    c = tc + oc
+    mean = (oc * om + tc * tm) / c
+    delta = om - tm
+    dsq = td + od + delta * delta * oc * tc / c
+    return (c, ts + os_, mean, dsq)
+
+
+def _build_single(v: np.ndarray, o_ext: int, win: dict):
+    """Levels of complete nodes over one extended row run starting at
+    global position o_ext. win[l] = (start_j, list_of_states) prepends
+    carried spine nodes before building level l+1. Returns
+    [(j0, [states...]), ...] (level 1 first). States are 4-tuples."""
+    n = len(v)
+    levels = []
+    j0 = -(-o_ext // F)
+    j1 = (o_ext + n) // F
+    nodes = []
+    for j in range(j0, j1):
+        st = _z()
+        lo = j * F - o_ext
+        for x in v[lo:lo + F]:
+            st = _upd(st, x)
+        nodes.append(st)
+    if 1 in win and win[1][1]:
+        ws, wst = win[1]
+        if ws + len(wst) != j0:
+            raise RuntimeError(
+                f"parity ctx: level-1 spine [{ws},{ws + len(wst)}) not "
+                f"contiguous with local j0={j0}"
+            )
+        j0 = ws
+        nodes = list(wst) + nodes
+    levels.append((j0, nodes))
+    max_win = max((l for l in win if win[l][1]), default=0)
+    while len(levels) < 16:
+        pj0, pnodes = levels[-1]
+        lvl = len(levels) + 1
+        cj0 = -(-pj0 // F)
+        cj1 = (pj0 + len(pnodes)) // F
+        cur = []
+        for j in range(cj0, max(cj1, cj0)):
+            st = _z()
+            for ch in pnodes[j * F - pj0:(j + 1) * F - pj0]:
+                st = _comb(st, ch)
+            cur.append(st)
+        if lvl in win and win[lvl][1]:
+            ws, wst = win[lvl]
+            if ws + len(wst) != cj0:
+                raise RuntimeError(
+                    f"parity ctx: level-{lvl} spine [{ws},{ws + len(wst)}) "
+                    f"not contiguous with local j0={cj0}"
+                )
+            cj0 = ws
+            cur = list(wst) + cur
+        if not cur and lvl > max_win:
+            break
+        levels.append((cj0, cur))
+    return levels
+
+
+def _eval_rows(v_local, o, o2, levels, sl, lf, raws, want_var):
+    """Per-row duckdb eval for one chunk: rows at global [o2, o2+len).
+    levels from _build_single over raws+v_local; sl = group head state;
+    lf[l] = (b_l, [states]); raws prepended values. Row-sequential python
+    over ≤16-node fragments — parity/verification mode, not the hot path.
+    Returns (cnt, s, mean, dsq) arrays per local row."""
+    nloc = len(v_local)
+    out = np.empty((4, nloc))
+    A = (o // F) * F + F if o % F else o
+
+    def node(lv, j):
+        if lv in lf:
+            b_l, sts = lf[lv]
+            if b_l <= j < b_l + len(sts):
+                st = sts[j - b_l]
+                if st is not None:
+                    return st
+        j0, sts = levels[lv - 1]
+        if j0 <= j < j0 + len(sts):
+            return sts[j - j0]
+        raise KeyError(f"parity chunk eval: missing node level={lv} j={j}")
+
+    ext = np.concatenate([raws, v_local]) if len(raws) else v_local
+    ext_lo = o2 - len(raws)
+    if sl is None:
+        if ext_lo != o:
+            raise RuntimeError("parity chunk eval: missing head state")
+        # group head [o, A) still inside the carried raws + local rows
+        st0 = _z()
+        for x in ext[: max(0, min(A, o2 + nloc) - o)]:
+            st0 = _upd(st0, x)
+        sl = st0
+    # block-shared base states: for each leaf block J touched by this
+    # chunk, base = eval [o, 16J); rows then update sequentially.
+    Jlo = o2 // F
+    Jhi = (o2 + nloc - 1) // F + 1  # + possible aligned-end extra block
+    bases = {}
+    for J in range(Jlo, Jhi + 1):
+        e = J * F
+        if e <= o or e > o2 + nloc:
+            continue
+        if J == o // F:
+            bases[J] = None  # frame [o, 16J) empty or sub-head
+            continue
+        st = sl if sl is not None else _z()
+        # digit loop: begin=o, end=16J
+        b, en = o, e
+        lvl = 0
+        lefts, rights, top = [], [], None
+        while True:
+            pb, pe = b // F, en // F
+            if pb == pe:
+                if lvl > 0 and b < en:
+                    top = (lvl, b, en)
+                break
+            if b % F:
+                if lvl > 0:
+                    lefts.append((lvl, b, (b // F) * F + F))
+                pb += 1
+            if en % F:
+                if lvl > 0:
+                    rights.append((lvl, (en // F) * F, en))
+            b, en = pb, en // F
+            lvl += 1
+        for (lv, lo, hi) in lefts:
+            for j in range(lo, hi):
+                st = _comb(st, node(lv, j))
+        if top is not None:
+            lv, lo, hi = top
+            for j in range(lo, hi):
+                st = _comb(st, node(lv, j))
+        for (lv, lo, hi) in reversed(rights):
+            for j in range(lo, hi):
+                st = _comb(st, node(lv, j))
+        bases[J] = st
+
+    for i in range(nloc):
+        g = o2 + i          # global row position
+        e = g + 1           # frame end
+        if e % F == 0 and (e // F) in bases and bases[e // F] is not None:
+            st = bases[e // F]
+        else:
+            J = g // F
+            base = bases.get(J)
+            if base is None:
+                # frame [o, e) entirely within the ragged head block:
+                # sequential from o
+                st = _z()
+                lo = o - ext_lo
+            else:
+                st = base
+                lo = J * F - ext_lo
+            for x in ext[lo:e - ext_lo]:
+                st = _upd(st, x)
+        out[0, i], out[1, i], out[2, i], out[3, i] = st
+    return out[0], out[1], out[2], out[3]
+
+
+def chunk_parity_payload(v_local: np.ndarray, o: int, r0: int) -> dict:
+    """What a chunk ships to the driver fold: head/tail raws and the
+    per-level edge-node states the walk needs (≤ ~32 states per level)."""
+    n = len(v_local)
+    o2 = o + r0
+    o3 = o2 + n
+    head = v_local[: min(F, n)].copy()
+    tail_lo = max((o3 // F) * F, o2)
+    tail = v_local[tail_lo - o2:].copy()
+    levels = _build_single(v_local, o2, {})
+    nodes = {}
+    for li, (j0, sts) in enumerate(levels):
+        lv = li + 1
+        if not sts:
+            continue
+        step = F ** lv
+        keep = {}
+        # head-side: from the first complete node to the end of its parent
+        # window (all inner children of the boundary-straddling parent)
+        h_hi = ((j0 // F) + 1) * F
+        # tail-side: the spine window of the chunk's end
+        n1 = o3 // step
+        t_lo = (n1 // F) * F
+        for j in range(j0, j0 + len(sts)):
+            if j < h_hi or t_lo <= j < n1:
+                keep[j] = sts[j - j0]
+        if keep:
+            nodes[lv] = keep
+    return {"n": n, "head": head, "tail": tail, "tail_lo": tail_lo,
+            "nodes": nodes}
+
+
+def fold_parity_payloads(payloads: list, o: int) -> list:
+    """Driver walk over one group's chunk payloads (salt order) → carried
+    context per chunk (None for the first). O(#chunks × levels × 16)."""
+    A = (o // F) * F + F if o % F else o
+    pos = o
+    raw_lo = o
+    raws: list = []
+    sl = _z()
+    cand: dict = {}          # level -> {j: state}
+    lf_spec: dict = {}       # level -> (b_l, width)
+    b_l = o
+    lvl = 1
+    while True:
+        b_l = -(-b_l // F)
+        if b_l % F:
+            lf_spec[lvl] = (b_l, F - (b_l % F))
+        lvl += 1
+        if b_l < F and b_l % F == 0:
+            break
+        if lvl > 16:
+            break
+    ctxs = []
+    for p in payloads:
+        n = p["n"]
+        o2 = pos
+        if o2 == o:
+            ctxs.append(None)
+        else:
+            win = {}
+            maxlv = 1
+            while F ** maxlv <= max(o2, 1):
+                maxlv += 1
+            for lv in range(1, maxlv + 1):
+                step = F ** lv
+                n0 = o2 // step
+                lo = max((n0 // F) * F, -(-o // step))
+                states = []
+                okwin = True
+                for j in range(lo, n0):
+                    st = cand.get(lv, {}).get(j)
+                    if st is None:
+                        okwin = False
+                        break
+                    states.append(st)
+                if not okwin:
+                    raise RuntimeError(
+                        f"parity fold: spine hole at level {lv} "
+                        f"pos={o2} lo={lo} n0={n0}"
+                    )
+                if states:
+                    win[lv] = (lo, states)
+            lf = {}
+            for lv, (b0, width) in lf_spec.items():
+                sts = [cand.get(lv, {}).get(j) for j in
+                       range(b0, b0 + width)]
+                if any(s is not None for s in sts):
+                    lf[lv] = (b0, sts)
+            ctxs.append({
+                "raws": np.asarray(raws, dtype=np.float64),
+                "raw_lo": raw_lo,
+                "sl": sl if o2 >= A else None,
+                "win": win,
+                "lf": lf,
+            })
+        # ---------------- advance past this chunk ------------------------ #
+        head = p["head"]
+        if pos < A:
+            take = min(A, pos + n) - pos
+            for x in head[:take]:
+                sl = _upd(sl, x)
+        cand.setdefault(1, {})
+        for lv, nd in p["nodes"].items():
+            cand.setdefault(lv, {}).update(nd)
+        # complete the leaf node straddling this boundary from rolling raws
+        jb = pos // F
+        if pos % F and jb * F >= o and (jb + 1) * F <= pos + n \
+                and jb not in cand[1]:
+            vals = list(raws[jb * F - raw_lo:]) + list(
+                head[: (jb + 1) * F - pos]
+            )
+            st = _z()
+            for x in vals:
+                st = _upd(st, x)
+            cand[1][jb] = st
+        # upward completion of straddling parents
+        chlv = 1
+        while chlv in cand and cand[chlv]:
+            step_up = F ** (chlv + 1)
+            parents = sorted({j // F for j in cand[chlv]})
+            done_any = False
+            for pj in parents:
+                if pj in cand.get(chlv + 1, {}):
+                    continue
+                if pj * step_up < o or (pj + 1) * step_up > pos + n:
+                    continue
+                kids = [cand[chlv].get(j) for j in
+                        range(pj * F, pj * F + F)]
+                if any(k is None for k in kids):
+                    continue
+                st = _z()
+                for k in kids:
+                    st = _comb(st, k)
+                cand.setdefault(chlv + 1, {})[pj] = st
+                done_any = True
+            if not done_any and chlv + 1 not in cand:
+                break
+            chlv += 1
+        pos += n
+        # rolling raws for the next boundary: positions [new_lo, pos)
+        new_lo = max((pos // F) * F, o)
+        tail_lo = p["tail_lo"]  # global position of the first tail value
+        new_raws = []
+        for q in range(new_lo, pos):
+            if q < o2:
+                new_raws.append(float(raws[q - raw_lo]))
+            elif q >= tail_lo:
+                new_raws.append(float(p["tail"][q - tail_lo]))
+            elif q - o2 < len(head):
+                new_raws.append(float(head[q - o2]))
+            else:
+                raise RuntimeError(
+                    f"parity fold: raw value at {q} not shipped "
+                    f"(chunk [{o2},{o2 + n}), tail_lo={tail_lo})"
+                )
+        raws = new_raws
+        raw_lo = new_lo
+    return ctxs
+
+
+def eval_chunk_with_ctx(v_local: np.ndarray, o: int, r0: int, ctx,
+                        want_var: bool = True):
+    """Bit-exact duckdb prefix aggregates for one chunk given its carried
+    context (None → plain whole-prefix evaluation)."""
+    v_local = np.ascontiguousarray(v_local, dtype=np.float64)
+    if ctx is None:
+        codes = np.zeros(len(v_local), dtype=np.int64)
+        return prefix_agg_duckdb(
+            v_local, codes, np.array([o], dtype=np.int64), want_var
+        )
+    raws = ctx["raws"]
+    o2 = o + r0
+    win = ctx["win"]
+    levels = _build_single(
+        np.concatenate([raws, v_local]) if len(raws) else v_local,
+        o2 - len(raws), win,
+    )
+    return _eval_rows(
+        v_local, o, o2, levels, ctx["sl"], ctx.get("lf", {}), raws, want_var
+    )

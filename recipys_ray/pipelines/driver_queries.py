@@ -235,8 +235,14 @@ def q_historical_salted(sf_dir):
     rec.add_step(rr.StepImputeFill(sel=all_of(["valn"]), strategy="forward"))
     rec.add_step(rr.StepHistorical(sel=all_of(["valn"]), fun=Accumulator.MIN))
     rec.add_step(rr.StepHistorical(sel=all_of(["valn"]), fun=Accumulator.MAX))
-    rec.add_step(rr.StepHistorical(sel=all_of(["valn"]), fun=Accumulator.MEAN))
-    rec.add_step(rr.StepHistorical(sel=all_of(["valn"]), fun=Accumulator.VAR))
+    # MEAN/VAR run in duckdb-parity mode THROUGH the chunked path: chunks
+    # ship segment-tree boundary payloads, the driver fold assembles carried
+    # contexts, and each chunk evaluates bit-exactly vs the plain window SQL
+    # oracle (kernels/duckdb_parity.py chunked section)
+    rec.add_step(rr.StepHistorical(
+        sel=all_of(["valn"]), fun=Accumulator.MEAN, duckdb_parity=True))
+    rec.add_step(rr.StepHistorical(
+        sel=all_of(["valn"]), fun=Accumulator.VAR, duckdb_parity=True))
     rec.add_step(rr.StepLag(sel=all_of(["valn"]), shifts=[1]))
     rec.add_step(rr.StepSessionize(gap="30m"))
     return _select(

@@ -83,6 +83,8 @@ class StepHistorical(Step):
         # tighter and cheaper, but rounded differently from any SQL engine.
         self.duckdb_parity = duckdb_parity
         self._parity_offsets: dict | None = None
+        self._parity_chunk_offsets: dict | None = None
+        self._parity_group_col: str | None = None
 
     def set_parity_offsets(self, offsets: dict) -> None:
         """key -> duckdb hash-group row offset (compute_duckdb_offsets)."""
@@ -226,10 +228,32 @@ class StepHistorical(Step):
         # MEDIAN needs the full history — no O(1) mergeable state
         return self.fun is not Accumulator.MEDIAN
 
+    @property
+    def _parity_chunked(self) -> bool:
+        return self.duckdb_parity and self.fun in (
+            Accumulator.MEAN, Accumulator.VAR, Accumulator.SUM
+        )
+
+    @property
+    def chunk_transform_defer(self) -> bool:
+        # parity mode: the chunk-local transform would produce values the
+        # prefix correction cannot repair bit-exactly; cold groups get the
+        # ordinary (whole-group parity) transform, hot chunks are computed
+        # entirely in apply_chunk_prefix from the carried tree context
+        return self._parity_chunked
+
+    def set_parity_chunk_offsets(self, group_col: str, chunk_map: dict):
+        """(key, salt) -> (group duckdb offset o, chunk row offset r0);
+        stashed by run_salted_chunked's parity pre-pass."""
+        self._parity_group_col = group_col
+        self._parity_chunk_offsets = chunk_map
+
     def _state_cols(self, pdf) -> list[str]:
         return [c for c in self.columns if c in pdf.columns]
 
     def chunk_state(self, pdf, gid):
+        if self._parity_chunked:
+            return self._parity_chunk_state(pdf, gid)
         cols = self._state_cols(pdf)
         x = pdf[cols].astype(np.float64)
         g = x.groupby(gid, sort=False, observed=True)
@@ -282,6 +306,111 @@ class StepHistorical(Step):
             axis=1,
         )
 
+    # -------- duckdb-parity chunked protocol (kernels/duckdb_parity) ------ #
+    def _parity_chunk_state(self, pdf, gid):
+        """Per (group, salt) chunk: the bounded segment-tree boundary
+        payload (head/tail raws + per-level edge nodes) the driver walk
+        assembles carried contexts from."""
+        from recipys_ray.kernels.chunked import SALT
+        from recipys_ray.kernels.duckdb_parity import chunk_parity_payload
+
+        cols = self._state_cols(pdf)
+        codes = gid.to_numpy()
+        first = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]]) if len(
+            codes
+        ) else np.array([], dtype=np.int64)
+        bounds = np.r_[first, len(codes)]
+        keys = pdf[self._parity_group_col].to_numpy()[first]
+        salts = pdf[SALT].to_numpy()[first]
+        cmap = self._parity_chunk_offsets or {}
+        out: dict = {f"ctx_{c}": [] for c in cols}
+        for i in range(len(first)):
+            lo, hi = bounds[i], bounds[i + 1]
+            key = keys[i]
+            o, r0 = cmap[(int(key), int(salts[i]))]
+            for c in cols:
+                v = pdf[c].to_numpy(dtype=np.float64, na_value=np.nan)[lo:hi]
+                out[f"ctx_{c}"].append(chunk_parity_payload(v, o, r0))
+        idx = pd.Index(codes[first]) if len(first) else pd.Index([])
+        return pd.DataFrame(out, index=idx)
+
+    def _parity_fold_grouped(self, states, gkey):
+        """Driver walk per group (salt order): payloads -> carried ctx per
+        chunk. O(#chunks × levels × 16) scalar work on tiny states."""
+        from recipys_ray.kernels.duckdb_parity import fold_parity_payloads
+
+        key = gkey.to_numpy()
+        cols = sorted(c[4:] for c in states.columns if c.startswith("ctx_"))
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]]) if len(
+            key
+        ) else np.array([], dtype=np.int64)
+        bounds = np.r_[starts, len(key)]
+        offsets = self._parity_offsets or {}
+        out = pd.DataFrame(index=states.index)
+        for c in cols:
+            payloads_all = states[f"ctx_{c}"].tolist()
+            ctx_col: list = []
+            for i in range(len(starts)):
+                lo, hi = bounds[i], bounds[i + 1]
+                o = int(offsets.get(key[lo], 0))
+                ctxs = fold_parity_payloads(payloads_all[lo:hi], o)
+                r0 = 0
+                for j, ctx in enumerate(ctxs):
+                    n = payloads_all[lo + j]["n"]
+                    if ctx is None:
+                        ctx = {"first": True}
+                    ctx["r0"] = r0
+                    ctx["o"] = o
+                    ctx_col.append(ctx)
+                    r0 += n
+            out[f"ctx_{c}"] = ctx_col
+        return out
+
+    def _parity_apply_chunks(self, pdf, gid, prefix):
+        """Hot chunks: bit-exact duckdb eval from the carried tree ctx."""
+        from recipys_ray.kernels.duckdb_parity import (
+            eval_chunk_with_ctx,
+            finalize_mean,
+            finalize_sum,
+            finalize_var_samp,
+        )
+
+        cols = self._state_cols(pdf)
+        hot = gid.isin(prefix.index)
+        if not hot.any():
+            return pdf
+        codes = gid.to_numpy()
+        hotm = hot.to_numpy()
+        idx_hot = np.flatnonzero(hotm)
+        hcodes = codes[idx_hot]
+        first = np.flatnonzero(np.r_[True, hcodes[1:] != hcodes[:-1]])
+        bounds = np.r_[first, len(hcodes)]
+        want_var = self.fun is Accumulator.VAR
+        for c in cols:
+            oc = f"{c}_{self.suffix}"
+            ctx_ser = prefix[f"ctx_{c}"]
+            vals_full = pdf[c].to_numpy(dtype=np.float64, na_value=np.nan)
+            res = np.empty(len(idx_hot))
+            for i in range(len(first)):
+                lo, hi = bounds[i], bounds[i + 1]
+                rows = idx_hot[lo:hi]
+                ctx = ctx_ser.loc[hcodes[lo]]
+                o, r0 = int(ctx["o"]), int(ctx["r0"])
+                cc = None if ctx.get("first") else ctx
+                cnt, s, mean, dsq = eval_chunk_with_ctx(
+                    vals_full[rows], o, r0, cc, want_var
+                )
+                if self.fun is Accumulator.SUM:
+                    res[lo:hi] = finalize_sum(cnt, s)
+                elif self.fun is Accumulator.MEAN:
+                    res[lo:hi] = finalize_mean(cnt, s)
+                else:
+                    res[lo:hi] = finalize_var_samp(cnt, dsq)
+            if oc not in pdf.columns:
+                pdf[oc] = np.nan
+            pdf.loc[hotm, oc] = res
+        return pdf
+
     def fold_chunk_states(self, states):
         gkey = pd.Series(np.zeros(len(states), dtype=np.int64),
                          index=states.index)
@@ -289,6 +418,8 @@ class StepHistorical(Step):
 
     def fold_chunk_states_grouped(self, states, gkey):
         """Vectorized across ALL groups: grouped cummax/cumsum scans."""
+        if self._parity_chunked:
+            return self._parity_fold_grouped(states, gkey)
         key = gkey.to_numpy()
         g = states.groupby(key, sort=False)
         if self.fun in (Accumulator.MAX, Accumulator.MIN):
@@ -347,6 +478,8 @@ class StepHistorical(Step):
         return out
 
     def apply_chunk_prefix(self, pdf, gid, prefix):
+        if self._parity_chunked:
+            return self._parity_apply_chunks(pdf, gid, prefix)
         cols = self._state_cols(pdf)
         for c in cols:
             oc = f"{c}_{self.suffix}"

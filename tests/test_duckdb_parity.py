@@ -120,3 +120,70 @@ def test_bit_exact_events(sf):
     # _validate re-orders by (p, i); use a synthetic strictly-increasing i
     df["i"] = df.groupby("p", sort=False).cumcount()
     assert _validate(df[["p", "i", "v"]]) == {"s": 0, "m": 0, "va": 0}
+
+
+def _chunked_roundtrip(v, o, bounds):
+    from recipys_ray.kernels.duckdb_parity import (
+        chunk_parity_payload,
+        eval_chunk_with_ctx,
+        fold_parity_payloads,
+    )
+
+    payloads = [
+        chunk_parity_payload(v[bounds[i]:bounds[i + 1]], o, int(bounds[i]))
+        for i in range(len(bounds) - 1)
+    ]
+    ctxs = fold_parity_payloads(payloads, o)
+    parts = [
+        eval_chunk_with_ctx(
+            v[bounds[i]:bounds[i + 1]], o, int(bounds[i]), ctxs[i], True
+        )
+        for i in range(len(bounds) - 1)
+    ]
+    return tuple(np.concatenate([p[k] for p in parts]) for k in range(4))
+
+
+def test_chunked_parity_equals_whole_group():
+    """The salted chunk-merge parity path (payload → driver fold → carried
+    tree ctx → per-chunk eval) must BIT-match the whole-group kernel for
+    random groups, offsets, and chunkings — including all-NaN groups and
+    degenerate 1-row chunks."""
+    rng = np.random.default_rng(11)
+    for trial in range(40):
+        n = int(rng.integers(2, 1500))
+        o = int(rng.integers(0, 5000))
+        v = rng.standard_normal(n) * (10.0 ** rng.integers(-5, 5, n))
+        v[rng.random(n) < 0.25] = np.nan
+        if trial % 7 == 0:
+            v[:] = np.nan
+        nch = int(rng.integers(1, min(12, n) + 1))
+        cuts = (
+            np.sort(rng.choice(np.arange(1, n), size=nch - 1, replace=False))
+            if nch > 1 else np.array([], dtype=int)
+        )
+        bounds = np.r_[0, cuts, n]
+        if trial % 5 == 0 and n > 8:
+            bounds = np.unique(np.r_[0, 1, 2, 4, bounds])
+        codes = np.zeros(n, dtype=np.int64)
+        cnt, s, mean, dsq = prefix_agg_duckdb(v, codes, np.array([o]), True)
+        c2, s2, m2, d2 = _chunked_roundtrip(v, o, bounds)
+        for a, b in [(c2, cnt), (s2, s), (d2, dsq)]:
+            assert np.all(
+                (a == b) | (np.isnan(a) & np.isnan(b))
+            ), f"trial {trial} n={n} o={o} bounds={bounds.tolist()}"
+
+
+def test_chunked_parity_deep_tree():
+    """Large group (multi-level tree) across many chunks."""
+    rng = np.random.default_rng(5)
+    n, o = 30_000, 12345
+    v = rng.standard_normal(n) * (10.0 ** rng.integers(-5, 5, n))
+    v[rng.random(n) < 0.15] = np.nan
+    cuts = np.sort(rng.choice(np.arange(1, n), size=60, replace=False))
+    bounds = np.r_[0, 1, 3, cuts[cuts > 3], n]
+    codes = np.zeros(n, dtype=np.int64)
+    cnt, s, mean, dsq = prefix_agg_duckdb(v, codes, np.array([o]), True)
+    c2, s2, m2, d2 = _chunked_roundtrip(v, o, np.unique(bounds))
+    assert np.all((c2 == cnt))
+    assert np.all((s2 == s) | (np.isnan(s2) & np.isnan(s)))
+    assert np.all((d2 == dsq) | (np.isnan(d2) & np.isnan(dsq)))
