@@ -562,6 +562,9 @@ class _SimHash:
         votes via segmented ``np.add.reduceat`` — no per-document Python work
         beyond the regex tokenization itself."""
         texts = tbl.column(self.text_col).to_pandas().fillna("")
+        if len(texts) == 0:
+            # np.add.reduceat raises on zero segments — empty block in, out
+            return tbl.append_column("simhash", pa.array([], pa.uint64()))
         all_words: list[str] = []
         counts = np.empty(len(texts), dtype=np.int64)
         for i, t in enumerate(texts):

@@ -150,16 +150,23 @@ def jaccard_dedup(
         if total == 0:
             return pa.table(
                 {"tok": pa.array([], pa.uint64()),
-                 id_col: pa.array([], pa.int64())}
+                 id_col: pa.array([], pa.int64()),
+                 "len": pa.array([], pa.int64())}
             )
         p = lens - np.ceil(threshold * lens).astype(np.int64) + 1
         p = np.minimum(np.maximum(p, 1), lens)
-        big = len(cm)
-        ranks = (
-            pd.Series(flat).map(cm).fillna(big).to_numpy(dtype=np.int64)
-            if cm
-            else np.zeros(total, dtype=np.int64)
-        )
+        # canonical order: rare shingles FIRST, the top_m hottest demoted to
+        # the END (most frequent last) so they never enter a prefix — any
+        # fixed global order preserves exactness, but this one keeps the
+        # candidate buckets off the stop-word shingles
+        top_m_eff = len(cm)
+        if cm:
+            mapped = pd.Series(flat).map(cm)
+            ranks = np.where(
+                mapped.isna(), 0, top_m_eff + 1 - mapped.fillna(0).to_numpy()
+            ).astype(np.int64)
+        else:
+            ranks = np.zeros(total, dtype=np.int64)
         segid = np.repeat(np.arange(n_docs), lens)
         order = np.lexsort((flat, ranks, segid))
         starts = np.r_[0, np.cumsum(lens)[:-1]]
@@ -178,31 +185,52 @@ def jaccard_dedup(
     exploded = sets.map_batches(emit_prefix, batch_format="pyarrow")
 
     def emit_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Batch-wide vectorized pair expansion: every element at bucket
+        position j pairs with the j earlier elements of its bucket — one
+        np.repeat/arange construction over the concatenated buckets, no
+        Python loop per token bucket."""
         pdf = pdf.sort_values(["tok", id_col], kind="stable",
                               ignore_index=True)
         sizes = pdf.groupby("tok", sort=False)[id_col].transform("size")
-        pdf = pdf[sizes >= 2]
-        out_a, out_b = [], []
-        for _, g in pdf.groupby("tok", sort=False):
-            v = g[id_col].to_numpy()
-            ln = g["len"].to_numpy()
-            ii, jj = np.triu_indices(len(v), k=1)
-            # PPJoin length filter: J ≥ t requires t·|A| ≤ |B| ≤ |A|/t
-            la, lb = ln[ii], ln[jj]
-            ok = np.minimum(la, lb) >= threshold * np.maximum(la, lb)
-            out_a.append(v[ii][ok])
-            out_b.append(v[jj][ok])
-        if not out_a:
+        pdf = pdf[sizes >= 2].reset_index(drop=True)
+        if not len(pdf):
             return pd.DataFrame({"a": pd.Series(dtype=np.int64),
                                  "b": pd.Series(dtype=np.int64)})
+        tok = pdf["tok"].to_numpy()
+        v = pdf[id_col].to_numpy()
+        ln = pdf["len"].to_numpy()
+        new_bucket = np.r_[True, tok[1:] != tok[:-1]]
+        bstart = np.flatnonzero(new_bucket)
+        widths = np.diff(np.r_[bstart, len(tok)])
+        pos = np.arange(len(tok)) - np.repeat(bstart, widths)
+        sec = np.flatnonzero(pos >= 1)          # "second" element of a pair
+        rep = pos[sec]                          # pairs contributed by each
+        total = int(rep.sum())
+        if total == 0:
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                 "b": pd.Series(dtype=np.int64)})
+        seg_off = np.repeat(np.cumsum(rep) - rep, rep)
+        a_off = np.arange(total) - seg_off      # 0..rep-1 within segment
+        sec_start = np.repeat(
+            np.repeat(bstart, widths)[sec], rep
+        )
+        a_idx = sec_start + a_off
+        b_idx = np.repeat(sec, rep)
+        la, lb = ln[a_idx], ln[b_idx]
+        # PPJoin length filter: J ≥ t requires t·|A| ≤ |B| ≤ |A|/t
+        ok = np.minimum(la, lb) >= threshold * np.maximum(la, lb)
         return pd.DataFrame(
-            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+            {"a": v[a_idx][ok], "b": v[b_idx][ok]}
         ).drop_duplicates(ignore_index=True)
 
     import os
     import time as _time
 
     timing = bool(os.environ.get("JACCARD_TIMING"))
+    if timing:
+        # no-silent-caps: demotion never drops pairs (verification is
+        # exact), it only reorders the canonical prefix order
+        print(f"[jaccard] demoted shingles: {len(common)} (top_m={top_m})")
 
     def _t(label, d):
         if timing:

@@ -71,15 +71,35 @@ class ByteHistogramFeatures:
         self.bins = bins
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
-        payloads = tbl.column(self.binary_col).to_pylist()
-        out = np.zeros((len(payloads), self.bins), dtype=np.float32)
+        col = tbl.column(self.binary_col).combine_chunks()
+        chunk = col.chunk(0) if isinstance(col, pa.ChunkedArray) else col
+        n = len(chunk)
+        out = np.zeros((n, self.bins), dtype=np.float32)
         width = 256 // self.bins
-        for i, p in enumerate(payloads):
-            if p:
-                arr = np.frombuffer(p, dtype=np.uint8)
-                out[i] = np.bincount(arr // width, minlength=self.bins)[
-                    : self.bins
-                ] / max(1, len(arr))
+        if n:
+            # zero-copy over the Arrow buffers: one frombuffer for the whole
+            # batch + a segmented bincount via np.add.at on (row, bin) —
+            # never boxes payload bytes into Python objects
+            odt = (
+                np.int64 if pa.types.is_large_binary(chunk.type)
+                else np.int32
+            )
+            offs = np.frombuffer(
+                chunk.buffers()[1], dtype=odt, count=n + 1 + chunk.offset
+            )[chunk.offset:].astype(np.int64)
+            data_buf = chunk.buffers()[2]
+            if data_buf is not None and offs[-1] > offs[0]:
+                data = np.frombuffer(data_buf, dtype=np.uint8)[
+                    offs[0]:offs[-1]
+                ]
+                lens = np.diff(offs)
+                rows = np.repeat(np.arange(n), lens)
+                flat = rows * self.bins + (data // width)
+                counts = np.bincount(flat, minlength=n * self.bins)
+                out = (
+                    counts.reshape(n, self.bins).astype(np.float32)
+                    / np.maximum(lens, 1)[:, None]
+                )
         return tbl.append_column(
             "byte_hist", pa.array(list(out))
         )

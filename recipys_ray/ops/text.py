@@ -87,6 +87,14 @@ class TextFeaturizer:
         self.stop_tables = {
             lang: frozenset(words) for lang, words in _STOPWORDS.items()
         }
+        # word -> bitmask of languages containing it: ONE dict lookup per
+        # word replaces a per-doc-per-language Python membership loop
+        self.lang_list = list(_STOPWORDS)
+        masks: dict = {}
+        for j, lang in enumerate(self.lang_list):
+            for w in _STOPWORDS[lang]:
+                masks[w] = masks.get(w, 0) | (1 << j)
+        self.stop_masks = masks
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
         texts = tbl.column(self.text_col).to_pandas().fillna("")
@@ -109,14 +117,31 @@ class TextFeaturizer:
         upper_ratio = upper / denom
         digit_ratio = digit / denom
 
-        # language id: argmax stopword hit ratio; "und" if no hits
-        lang_scores = np.zeros((n, len(self.stop_tables)))
-        langs = list(self.stop_tables)
-        for j, lang in enumerate(langs):
-            table = self.stop_tables[lang]
-            lang_scores[:, j] = [
-                sum(1 for w in ws if w in table) for ws in words_list
-            ]
+        # language id: argmax stopword hit ratio; "und" if no hits.
+        # Vectorized: flatten the batch's words once, one dict map to a
+        # per-word language bitmask, then a segmented np.add.reduceat per
+        # language over the extracted bit (no per-doc Python scoring loop).
+        langs = self.lang_list
+        lang_scores = np.zeros((n, len(langs)))
+        total_words = int(n_words.sum())
+        if total_words:
+            import itertools
+
+            flat = list(itertools.chain.from_iterable(words_list))
+            mapped = (
+                pd.Series(flat, dtype=object)
+                .map(self.stop_masks)
+                .fillna(0)
+                .to_numpy(dtype=np.int64)
+            )
+            offsets = np.r_[0, np.cumsum(n_words)[:-1]]
+            safe = np.minimum(offsets, total_words - 1)
+            empty = n_words == 0
+            for j in range(len(langs)):
+                member = ((mapped >> j) & 1).astype(np.float64)
+                sc = np.add.reduceat(member, safe)
+                sc[empty] = 0.0
+                lang_scores[:, j] = sc
         best = lang_scores.argmax(axis=1)
         hit = lang_scores.max(axis=1) > 0
         lang = np.where(hit, np.array(langs, dtype=object)[best], "und")
