@@ -681,11 +681,14 @@ def run_global_chunked(
     return out.map_batches(drop_helpers, batch_format="pyarrow")
 
 
-def _parity_prepass(stamped, group_cols, parity_steps):
-    """duckdb-parity salted mode: one skinny (group, salt) count pass →
-    per-group duckdb hash-group offsets + per-chunk row offsets, stashed on
-    the parity steps. Driver state is O(#groups + #chunks) — parity is the
+def _parity_prepass(hot_skinny, all_counts, group_cols, parity_steps):
+    """duckdb-parity salted mode: per-group duckdb hash-group offsets (from
+    the exact counts find_hot_groups already computed — no extra full-data
+    pass) + per-chunk row offsets from the materialized hot skinny subset.
+    Driver state is O(#groups + #hot chunks) — parity is the
     oracle-verification mode, not the 100-TB default path."""
+    import numpy as np
+
     from recipys_ray.kernels.duckdb_parity import offsets_from_counts
 
     if len(group_cols) != 1:
@@ -693,6 +696,9 @@ def _parity_prepass(stamped, group_cols, parity_steps):
             "duckdb_parity salted mode needs a single integer group column"
         )
     gcol = group_cols[0]
+    keys = np.array(list(all_counts.keys()))
+    cnts = np.array(list(all_counts.values()), dtype=np.int64)
+    offsets = offsets_from_counts(keys, cnts)
 
     def counts(tbl: pa.Table) -> pa.Table:
         pdf = tbl.select([gcol, SALT]).to_pandas()
@@ -704,13 +710,9 @@ def _parity_prepass(stamped, group_cols, parity_steps):
         return pa.Table.from_pandas(vc, preserve_index=False)
 
     pdf = (
-        stamped.select_columns([gcol, SALT])
-        .map_batches(counts, batch_format="pyarrow")
-        .to_pandas()
+        hot_skinny.map_batches(counts, batch_format="pyarrow").to_pandas()
     )
     pdf = pdf.groupby([gcol, SALT], sort=False)["n"].sum().reset_index()
-    tot = pdf.groupby(gcol, sort=False)["n"].sum()
-    offsets = offsets_from_counts(tot.index.to_numpy(), tot.to_numpy())
     pdf = pdf.sort_values([gcol, SALT], kind="stable", ignore_index=True)
     r0 = pdf.groupby(gcol, sort=False)["n"].cumsum() - pdf["n"]
     cmap = {
@@ -739,7 +741,16 @@ def run_salted_chunked(
         find_hot_groups,
     )
 
-    hot = find_hot_groups(ds, group_cols, salt.threshold)
+    parity_steps = [
+        s for s in steps if getattr(s, "_parity_chunked", False)
+    ]
+    if parity_steps:
+        hot, all_counts = find_hot_groups(
+            ds, group_cols, salt.threshold, return_all_counts=True
+        )
+    else:
+        hot = find_hot_groups(ds, group_cols, salt.threshold)
+        all_counts = None
     if not hot:
         from recipys_ray.kernels.grouped import run_grouped_chain
 
@@ -754,12 +765,6 @@ def run_salted_chunked(
     stamped = ds.map_batches(
         stamp, batch_format="pyarrow", batch_size=stamp_batch_rows
     )
-
-    parity_steps = [
-        s for s in steps if getattr(s, "_parity_chunked", False)
-    ]
-    if parity_steps:
-        _parity_prepass(stamped, group_cols, parity_steps)
 
     stages = [GroupedStage(s) for s in steps]
     levels = step_levels(steps)
@@ -780,6 +785,9 @@ def run_salted_chunked(
     hot_skinny = stamped.map_batches(
         pick_hot, batch_format="pyarrow"
     ).materialize()
+
+    if parity_steps:
+        _parity_prepass(hot_skinny, all_counts, group_cols, parity_steps)
 
     prefixes: dict[int, pd.DataFrame] = {}
     for lv in sorted(set(levels)):

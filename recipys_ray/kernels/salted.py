@@ -64,6 +64,7 @@ def find_hot_groups(
     ds, group_cols: list[str], threshold: int,
     block_floor: Optional[int] = None,
     driver_merge_cap: int = 20_000_000,
+    return_all_counts: bool = False,
 ) -> dict:
     """{group_key_tuple_or_scalar: total_count} for groups over threshold.
 
@@ -95,8 +96,22 @@ def find_hot_groups(
     if counts.count() <= cap:
         pdf = counts.to_pandas()
         tot = pdf.groupby(cols, sort=False, observed=True)["__cnt__"].sum()
+        if return_all_counts:
+            # duckdb-parity pre-pass reuses this pass's exact counts (the
+            # offsets map needs EVERY group, hot and cold)
+            hot = tot[tot > threshold]
+            return (
+                {k: int(v) for k, v in hot.items()},
+                {k: int(v) for k, v in tot.items()},
+            )
         tot = tot[tot > threshold]
         return {k: int(v) for k, v in tot.items()}
+    if return_all_counts:
+        raise ValueError(
+            "duckdb-parity mode needs the full per-group count map on the "
+            "driver; the corpus exceeds driver_merge_cap partial rows — "
+            "parity is a verification mode, run it at oracle scale"
+        )
 
     # corpus with more distinct (group, block) partials than the driver
     # should hold: hash-partition the skinny count rows, sum + filter

@@ -59,9 +59,23 @@ class Recipe:
         sequences: Union[str, list[str], None] = None,
         roles: Optional[dict[str, list[str]]] = None,
         partitions: Optional[int] = None,
-        materialize_before_fit: bool = True,
+        materialize_before_fit: Union[bool, str] = True,
         salt=None,
     ):
+        """``materialize_before_fit`` controls how the pipeline-so-far is
+        pinned before a fitted step's aggregate pass(es):
+
+        - True / "memory": ``ds.materialize()`` — fastest single-node, but
+          pins the WHOLE dataset in the object store once per fit flush
+          (at 100 TB that spills everything through the object store).
+        - "disk": checkpoint to parquet under ``$RECIPYS_CKPT_DIR`` (default
+          /tmp/recipys_ckpt) and re-read — one streaming execution, bounded
+          memory, each fit pass re-reads the compressed artifact; the right
+          mode at cluster scale and for multi-pass fits (quantile/power).
+        - False: no pinning — the lazy pipeline re-executes for every fit
+          pass AND the downstream transform (only sensible when the
+          upstream is a trivial read).
+        """
         if not isinstance(data, Ingredients):
             from recipys_ray.ingredients import as_dataset
 
@@ -141,16 +155,33 @@ class Recipe:
         return self._run(ing, refit=False)
 
     # ------------------------------------------------------------------ #
+    @staticmethod
+    def _disk_checkpoint(ds):
+        """Write the pipeline-so-far to parquet and stream it back — pins
+        nothing in the object store; fit passes re-read the artifact."""
+        import os
+        import uuid
+
+        import ray.data as rd
+
+        root = os.environ.get("RECIPYS_CKPT_DIR", "/tmp/recipys_ckpt")
+        path = os.path.join(root, uuid.uuid4().hex)
+        os.makedirs(path, exist_ok=True)
+        ds.write_parquet(path)
+        return rd.read_parquet(path)
+
     def _run(self, ing: Ingredients, refit: bool):
         ds = ing.dataset
         pending: list[Step] = []
         mode: Optional[str] = None
         chain_key = None
+        pinned = False  # ds already materialized/checkpointed, no ops since
 
         def flush():
-            nonlocal ds, pending, mode, chain_key
+            nonlocal ds, pending, mode, chain_key, pinned
             if not pending:
                 return
+            pinned = False
             if mode == "batch":
                 ds = ds.map_batches(
                     _BatchChain(list(pending)), batch_format="pyarrow"
@@ -227,8 +258,14 @@ class Recipe:
                 refit or not step.trained or getattr(step, "always_refit", False)
             ):
                 flush()
-                if self.materialize_before_fit:
-                    ds = ds.materialize()
+                mbf = self.materialize_before_fit
+                if not pinned:
+                    if mbf in (True, "memory"):
+                        ds = ds.materialize()
+                        pinned = True
+                    elif mbf == "disk":
+                        ds = self._disk_checkpoint(ds)
+                        pinned = True
                 ing.dataset = ds
                 step.fit(ing)
             elif not step.trained:
@@ -239,6 +276,7 @@ class Recipe:
                 # stateful actor-pool stage: its own operator, never fused
                 flush()
                 ds = step.apply(ds)
+                pinned = False
             else:
                 key = (
                     (tuple(step.group_cols), tuple(step.seq_cols))

@@ -116,3 +116,36 @@ def test_chained_new_columns_get_roles():
     rec.add_step(StepHistorical(fun=Accumulator.MEAN))  # picks up x1_max too
     out = sorted_pdf(rec.prep())
     assert "x1_max_mean" in out.columns
+
+
+def test_fit_pin_modes_identical(ray_session):
+    """materialize_before_fit memory/disk/False must produce identical
+    output (disk = parquet checkpoint + re-read; False = re-execution)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    import recipys_ray as rr
+    from recipys_ray.selector import all_of
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame({
+        "g": np.repeat(np.arange(8), 50),
+        "t": np.tile(np.arange(50), 8),
+        "v": rng.normal(size=400),
+    })
+    pdf.loc[::5, "v"] = np.nan
+    outs = {}
+    for mode in ["memory", "disk", False]:
+        rec = rr.Recipe(
+            rd.from_pandas(pdf), predictors=["v"], groups=["g"],
+            sequences=["t"], materialize_before_fit=mode,
+        )
+        rec.add_step(rr.StepImputeFill(sel=all_of(["v"]), strategy="forward"))
+        rec.add_step(rr.StepScale(sel=all_of(["v"])))
+        out = rec.prep().to_pandas().sort_values(
+            ["g", "t"], ignore_index=True
+        )
+        outs[mode] = out
+    for mode in ["disk", False]:
+        pd.testing.assert_frame_equal(outs["memory"], outs[mode])
