@@ -151,6 +151,9 @@ class _ChunkedRunner:
         self.sort_cols = sort_cols
         self.stages = list(stages)
         self.levels = list(levels)
+        # dict OR ray.ObjectRef of one: callers ray.put the folded prefixes
+        # so the task-submission payload stays flat as chunk counts grow
+        # (a closure-captured dict is re-pickled into EVERY partition task)
         self.prefixes = prefixes
         self.mode = mode
         self.state_level = state_level
@@ -167,9 +170,16 @@ class _ChunkedRunner:
                 needed.append(c)
         self.needed = needed
 
+    def _resolved_prefixes(self) -> dict:
+        if not isinstance(self.prefixes, dict):
+            import ray
+
+            self.prefixes = ray.get(self.prefixes)
+        return self.prefixes
+
     def _local_prefix(self, pdf: pd.DataFrame, k: int):
         """Reindex step k's global prefix table to this partition's gids."""
-        glob = self.prefixes.get(k)
+        glob = self._resolved_prefixes().get(k)
         if glob is None or glob.empty:
             return None
         first = ~pdf[GID].duplicated()
@@ -642,8 +652,10 @@ def run_global_chunked(
             for k, st in enumerate(stages)
         ):
             continue
+        import ray as _ray
+
         runner = _ChunkedRunner(
-            group_cols, sort_cols, stages, levels, dict(prefixes),
+            group_cols, sort_cols, stages, levels, _ray.put(dict(prefixes)),
             mode="state", state_level=lv,
         )
 
@@ -662,8 +674,11 @@ def run_global_chunked(
                 stages[k].step, states_df, group_cols, kcols
             )
 
+    import ray as _ray
+
     runner = _ChunkedRunner(
-        group_cols, sort_cols, stages, levels, prefixes, mode="run"
+        group_cols, sort_cols, stages, levels, _ray.put(prefixes),
+        mode="run",
     )
 
     def run_partition(tbl: pa.Table) -> pa.Table:
@@ -796,8 +811,10 @@ def run_salted_chunked(
             for k, st in enumerate(stages)
         ):
             continue
+        import ray as _ray
+
         runner = _ChunkedRunner(
-            group_cols, sort_cols, stages, levels, dict(prefixes),
+            group_cols, sort_cols, stages, levels, _ray.put(dict(prefixes)),
             mode="state", state_level=lv,
         )
 
@@ -816,8 +833,11 @@ def run_salted_chunked(
                 stages[k].step, states_df, group_cols, kcols
             )
 
+    import ray as _ray
+
     runner = _ChunkedRunner(
-        group_cols, sort_cols, stages, levels, prefixes, mode="run"
+        group_cols, sort_cols, stages, levels, _ray.put(prefixes),
+        mode="run",
     )
 
     def run_partition(tbl: pa.Table) -> pa.Table:
