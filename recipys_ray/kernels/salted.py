@@ -50,11 +50,22 @@ class SaltConfig:
     """``threshold``: groups with more rows than this get salted.
     ``chunk_span``: salt window in units of the FIRST sort column (for a
     dense ``turn_idx`` this approximates rows per chunk; for a timestamp it
-    is microseconds)."""
+    is microseconds).
+    ``max_carry_rows``: hard bound on the legacy whole-group carry path
+    (non-chunk-mergeable chains: expanding MEDIAN, whole-frame functions).
+    That path materializes each hot group's skinny projection in ONE task;
+    a group larger than this errors cleanly at planning time instead of
+    OOMing a worker mid-shuffle."""
 
-    def __init__(self, threshold: int = 2_000_000, chunk_span: int = 250_000):
+    def __init__(
+        self,
+        threshold: int = 2_000_000,
+        chunk_span: int = 250_000,
+        max_carry_rows: int = 50_000_000,
+    ):
         self.threshold = threshold
         self.chunk_span = chunk_span
+        self.max_carry_rows = max_carry_rows
 
 
 # --------------------------------------------------------------------- #
@@ -256,6 +267,24 @@ def run_salted_chain(
             ds, group_cols, sort_cols, steps,
             num_partitions=num_partitions, stamp_batch_rows=stamp_batch_rows,
         )
+
+    cap = getattr(salt, "max_carry_rows", None)
+    if cap is not None:
+        biggest_key, biggest = max(hot.items(), key=lambda kv: kv[1])
+        if biggest > cap:
+            nonmerge = [
+                type(s).__name__ for s in steps
+                if not getattr(s, "chunk_mergeable", False)
+            ]
+            raise ValueError(
+                f"salted whole-group carry: hot group {biggest_key!r} has "
+                f"{biggest} rows > SaltConfig.max_carry_rows={cap}. The "
+                f"chain contains non-chunk-mergeable step(s) {nonmerge} "
+                f"(e.g. expanding MEDIAN), which require materializing each "
+                f"hot group in one task. Raise max_carry_rows if a single "
+                f"worker can hold the skinny group, or drop the "
+                f"non-mergeable steps so the bounded chunk-local path runs."
+            )
 
     hot_keys = set(hot)
     stamp = SaltedStamp(

@@ -447,6 +447,35 @@ def q_text_stats(sf_dir):
     return _select(out, ["doc_id", "n_chars_calc", "n_words", "token_count"])
 
 
+def q_knn_impute(sf_dir):
+    """Native KNNImputer (reference tests/test_steps.py:249): impute valn as
+    the uniform mean of the 5 nearest donors under nan-euclidean distance
+    over (value, valn, f3); golden oracle from an independent sequential
+    implementation (scripts/gen_expected.py knn_impute_expected)."""
+    from recipys_ray.transformers import KNNImputer
+
+    def add(tbl: pa.Table) -> pa.Table:
+        eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+        f3 = (
+            (eid.astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(1000003)
+        ).astype(np.float64) / 1000003.0
+        mask = pa.array(eid % 7 == 0)
+        valn = pc.if_else(
+            mask, pa.scalar(None, pa.float64()), tbl.column("value")
+        )
+        return tbl.append_column("valn", valn).append_column(
+            "f3", pa.array(f3)
+        )
+
+    ds = _events(sf_dir).map_batches(add, batch_format="pyarrow")
+    rec = rr.Recipe(ds, predictors=["value", "valn", "f3"])
+    rec.add_step(
+        rr.StepSklearn(KNNImputer(), sel=all_of(["value", "valn", "f3"]))
+    )
+    return _select(rec.prep(), ["event_id", "valn"])
+
+
 def q_knn_cosine(sf_dir):
     import pyarrow.compute as pc
 
@@ -1095,6 +1124,12 @@ ORACLES: dict[str, str] = {
           fp.fingerprint
         FROM c JOIN fp USING (doc_id)
     """,
+    "knn_impute": """
+        SELECT event_id, valn
+        FROM read_parquet('/root/repo/expected/knn_impute_*.parquet')
+        WHERE corpus_key = (SELECT count(*) || '_' ||
+                            CAST(sum(user_id) AS BIGINT) FROM events)
+    """,
     "knn_cosine": """
         WITH q AS (SELECT vec_id AS query_id, embedding AS qe
                    FROM embeddings WHERE vec_id < 5),
@@ -1139,6 +1174,7 @@ QUERIES = {
     "vocab_top100": q_vocab_top100,
     "knn_cosine": q_knn_cosine,
     "knn_ivf": q_knn_ivf,
+    "knn_impute": q_knn_impute,
     "dedup_minhash": q_dedup_minhash,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_simhash": q_dedup_simhash,

@@ -810,9 +810,152 @@ class SplineTransformer(NativeTransformer):
         return np.hstack(blocks) if blocks else np.empty((len(M), 0))
 
 
-# --------------------------------------------------------------------- #
-# iterative / model-based — escape hatch only
-# --------------------------------------------------------------------- #
+class KNNImputer(NativeTransformer):
+    """sklearn-semantics KNN imputation (reference tests/test_steps.py:249)
+    re-expressed for Ray Data: the fitted state is a BOUNDED donor sample
+    (deterministic content-hash thinning above ``fit_sample_rows``), and
+    ``transform`` imputes each missing cell as the uniform mean of the
+    ``n_neighbors`` nearest donors under the nan-euclidean distance
+    ``sqrt(d / n_common * Σ_common (x_j - f_j)²)`` — vectorized mask
+    algebra (three matmuls per batch slice), never a per-row Python scan.
+
+    Distances against the donor sample are computed per bounded row slice
+    (``slice_rows`` × donors), the same broadcast-small-side pattern as
+    ops/similarity.knn_cosine; an IVF-bucketed donor index (ops/similarity
+    ``_kmeans_fit``) is the growth path when the donor sample itself must
+    scale. Cells with no usable donor fall back to the donor-sample column
+    mean (sklearn behavior)."""
+
+    needs_dataset = True
+
+    def __init__(
+        self,
+        n_neighbors: int = 5,
+        weights: str = "uniform",
+        fit_sample_rows: int = 100_000,
+        slice_rows: int = 1024,
+    ):
+        super().__init__()
+        if weights not in ("uniform", "distance"):
+            raise ValueError("weights must be 'uniform' or 'distance'")
+        self.n_neighbors = n_neighbors
+        self.weights = weights
+        self.fit_sample_rows = fit_sample_rows
+        self.slice_rows = slice_rows
+
+    def distributed_fit(self, ds, columns: list[str]):
+        self.columns_ = list(columns)
+        cap = self.fit_sample_rows
+
+        def pick(tbl):
+            import pyarrow as pa
+
+            pdf = tbl.select(columns).to_pandas()
+            keep = pdf.notna().any(axis=1)  # all-nan rows can't donate
+            return pa.Table.from_pandas(
+                pdf.loc[keep], preserve_index=False
+            )
+
+        sample = ds.map_batches(pick, batch_format="pyarrow")
+        n = sample.count()
+        if n > cap:
+            frac = cap / n
+
+            def thin(tbl):
+                import pyarrow as pa
+
+                pdf = tbl.to_pandas()
+                h = pd.util.hash_pandas_object(pdf, index=False).to_numpy()
+                keep = (h / np.float64(2**64)) < frac
+                return pa.Table.from_pandas(
+                    pdf.loc[keep], preserve_index=False
+                )
+
+            sample = sample.map_batches(thin, batch_format="pyarrow")
+        F = sample.to_pandas()[columns].to_numpy(
+            dtype=np.float64, na_value=np.nan
+        )
+        self.fit_data_ = F
+        with np.errstate(invalid="ignore"):
+            self.fallback_mean_ = np.nanmean(F, axis=0)
+        self.fallback_mean_ = np.nan_to_num(self.fallback_mean_, nan=0.0)
+        return self
+
+    def transform(self, X):
+        M = self._matrix(X)
+        miss_rows = np.flatnonzero(np.isnan(M).any(axis=1))
+        if len(miss_rows) == 0:
+            return M
+        F = self.fit_data_
+        Fm = (~np.isnan(F)).astype(np.float64)
+        F0 = np.nan_to_num(F, nan=0.0)
+        d = M.shape[1]
+        donors_by_col = [np.flatnonzero(Fm[:, j] > 0) for j in range(d)]
+        out = M.copy()
+        for lo in range(0, len(miss_rows), self.slice_rows):
+            rows = miss_rows[lo:lo + self.slice_rows]
+            Xs = M[rows]
+            Xm = (~np.isnan(Xs)).astype(np.float64)
+            X0 = np.nan_to_num(Xs, nan=0.0)
+            sq = (
+                (X0 * X0) @ Fm.T + Xm @ (F0 * F0).T - 2.0 * (X0 @ F0.T)
+            )
+            np.maximum(sq, 0.0, out=sq)
+            common = Xm @ Fm.T
+            with np.errstate(invalid="ignore", divide="ignore"):
+                dist = np.sqrt(d * sq / common)
+            dist[common == 0] = np.inf  # no shared coords → unusable donor
+            for j in range(d):
+                need = np.flatnonzero(np.isnan(Xs[:, j]))
+                if len(need) == 0:
+                    continue
+                dj = donors_by_col[j]
+                if len(dj) == 0:
+                    out[rows[need], j] = self.fallback_mean_[j]
+                    continue
+                Dsub = dist[np.ix_(need, dj)]
+                k = min(self.n_neighbors, len(dj))
+                if len(dj) > k:
+                    part = np.argpartition(Dsub, k - 1, axis=1)[:, :k]
+                    # canonical k-set under distance ties at the boundary:
+                    # strictly-nearer donors, then smallest donor indices
+                    # among the tied (rare path, per-row only where needed)
+                    kth = np.take_along_axis(Dsub, part, axis=1).max(axis=1)
+                    ambig = np.flatnonzero(
+                        (Dsub == kth[:, None]).sum(axis=1)
+                        + (Dsub < kth[:, None]).sum(axis=1) > k
+                    )
+                    for r in ambig:
+                        row = Dsub[r]
+                        strict = np.flatnonzero(row < kth[r])
+                        eq = np.flatnonzero(row == kth[r])
+                        part[r] = np.r_[strict, eq[: k - len(strict)]]
+                else:
+                    part = np.tile(np.arange(len(dj)), (len(need), 1))
+                # donor-index order: canonical float summation order so the
+                # imputed mean is bit-reproducible
+                part = np.sort(part, axis=1)
+                sel_d = np.take_along_axis(Dsub, part, axis=1)
+                finite = np.isfinite(sel_d)
+                vals = F[dj[part], j]
+                if self.weights == "uniform":
+                    w = finite.astype(np.float64)
+                else:
+                    with np.errstate(divide="ignore"):
+                        w = np.where(finite, 1.0 / sel_d, 0.0)
+                    zero = finite & (sel_d == 0.0)
+                    has_zero = zero.any(axis=1)
+                    w[has_zero] = zero[has_zero].astype(np.float64)
+                wsum = w.sum(axis=1)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    imput = (vals * w).sum(axis=1) / wsum
+                imput = np.where(
+                    wsum > 0, imput, self.fallback_mean_[j]
+                )
+                out[rows[need], j] = imput
+        return out
+
+
 def _not_closed_form(name: str):
     class _T(NativeTransformer):
         def __init__(self, *a, **k):
@@ -826,5 +969,4 @@ def _not_closed_form(name: str):
     return _T
 
 
-KNNImputer = _not_closed_form("KNNImputer")
 IterativeImputer = _not_closed_form("IterativeImputer")

@@ -157,6 +157,33 @@ def ivf_expected(emb_df: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "vec_id", "rank"])
 
 
+def knn_impute_expected(events: pd.DataFrame) -> pd.DataFrame:
+    """Sequential reference for q_knn_impute: impute valn (NULL where
+    event_id %% 7 == 0) as the uniform mean of the 5 nearest rows with valn
+    observed under nan-euclidean distance over (value, valn, f3), with
+    f3 = ((event_id * 2654435761) %% 1000003) / 1000003. Donor set chosen by
+    (distance, donor row) lexicographic order; mean over donor-index-sorted
+    values (canonical float summation)."""
+    eid = events["event_id"].to_numpy()
+    value = events["value"].to_numpy(dtype=np.float64)
+    f3 = ((eid.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1000003)
+          ).astype(np.float64) / 1000003.0
+    missing = eid % 7 == 0
+    valn = np.where(missing, np.nan, value)
+    donors = np.flatnonzero(~missing)
+    dv, df3, dvaln = value[donors], f3[donors], valn[donors]
+    out = valn.copy()
+    d = 3
+    for i in np.flatnonzero(missing):
+        # common observed coords = (value, f3); weight d / 2
+        ssq = (dv - value[i]) ** 2 + (df3 - f3[i]) ** 2
+        dist = np.sqrt(d * ssq / 2.0)
+        order = np.lexsort((donors, dist))
+        sel = np.sort(donors[order[:5]])
+        out[i] = np.mean(valn[sel])
+    return pd.DataFrame({"event_id": eid, "valn": out})
+
+
 def main():
     np.seterr(over="ignore")  # uint64 wraparound is the hash arithmetic
     os.makedirs(OUT_DIR, exist_ok=True)
@@ -166,6 +193,14 @@ def main():
         out = ivf_expected(emb)
         out["corpus_key"] = key
         path = os.path.join(OUT_DIR, f"knn_ivf_{key}.parquet")
+        out.to_parquet(path, index=False)
+        print(f"{path}: {len(out)} rows")
+    for sf_dir in SF_DIRS:
+        ev = pd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+        key = f"{len(ev)}_{int(ev['user_id'].sum())}"
+        out = knn_impute_expected(ev)
+        out["corpus_key"] = key
+        path = os.path.join(OUT_DIR, f"knn_impute_{key}.parquet")
         out.to_parquet(path, index=False)
         print(f"{path}: {len(out)} rows")
     for sf_dir in SF_DIRS:

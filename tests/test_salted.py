@@ -507,3 +507,29 @@ def test_salted_minmax_all_nan_chunk():
             salted[c].to_numpy(dtype=float),
             rtol=0, atol=0, equal_nan=True, err_msg=c,
         )
+
+
+def test_median_mega_group_carry_cap():
+    """A non-chunk-mergeable chain (expanding MEDIAN) over a hot group
+    larger than SaltConfig.max_carry_rows must error CLEANLY at planning
+    time — never an unbounded single task."""
+    import pytest
+
+    tbl = make_transcripts(n_turns=3000, seed=13, mega_conv_turns=1200)
+
+    def run(cap):
+        rec = Recipe(
+            rd.from_arrow(tbl), predictors=["score"], groups=["conv_id"],
+            sequences=["turn_idx", "ts"], partitions=4,
+            salt=SaltConfig(threshold=500, chunk_span=200,
+                            max_carry_rows=cap),
+        )
+        rec.add_step(
+            StepHistorical(sel=all_of(["score"]), fun=Accumulator.MEDIAN)
+        )
+        return rec.prep().to_pandas()
+
+    with pytest.raises(ValueError, match="max_carry_rows"):
+        run(cap=1000)
+    out = run(cap=10_000)  # big enough: legacy carry path runs exactly
+    assert "score_median" in out.columns and len(out) == len(tbl)

@@ -238,8 +238,83 @@ def test_columnwise_in_place_multicol_raises():
 
 
 def test_iterative_transformers_not_closed_form():
+    from recipys_ray.transformers import IterativeImputer
+
     with pytest.raises(NotImplementedError, match="closed-form"):
-        KNNImputer()
+        IterativeImputer()
+
+
+def _knn_impute_reference(X, F, k=5):
+    """Independent per-row/per-cell reference of sklearn KNNImputer
+    semantics (uniform weights, nan-euclidean, donor-index-sorted mean)."""
+    out = X.copy()
+    d = X.shape[1]
+    fallback = np.nanmean(F, axis=0)
+    for i in range(len(X)):
+        for j in range(d):
+            if not np.isnan(X[i, j]):
+                continue
+            dists = []
+            for r in range(len(F)):
+                if np.isnan(F[r, j]):
+                    continue
+                com = ~np.isnan(X[i]) & ~np.isnan(F[r])
+                if not com.any():
+                    continue
+                diff = X[i][com] - F[r][com]
+                dist = np.sqrt(d * float(diff @ diff) / com.sum())
+                dists.append((dist, r))
+            dists.sort()
+            sel = sorted(r for _, r in dists[:k])
+            if not sel:
+                out[i, j] = fallback[j]
+            else:
+                out[i, j] = np.mean([F[r, j] for r in sel])
+    return out
+
+
+def test_knn_imputer_matches_reference():
+    rng = np.random.default_rng(7)
+    n, d = 120, 4
+    F = rng.normal(size=(n, d)) * [1, 3, 0.5, 10]
+    F[rng.random((n, d)) < 0.25] = np.nan
+    F[5] = np.nan  # all-nan row (excluded donor)
+    pdf = pd.DataFrame(F, columns=list("abcd"))
+    imp = KNNImputer(n_neighbors=5)
+    imp.columns_ = list("abcd")
+    keep = pdf.notna().any(axis=1)
+    imp.fit_data_ = pdf.loc[keep].to_numpy()
+    imp.fallback_mean_ = np.nan_to_num(
+        np.nanmean(imp.fit_data_, axis=0), nan=0.0
+    )
+    got = imp.transform(pdf)
+    want = _knn_impute_reference(
+        pdf.to_numpy(), imp.fit_data_, k=5
+    )
+    np.testing.assert_allclose(got, want, rtol=0, atol=0, equal_nan=True)
+
+
+def test_knn_imputer_step_end_to_end(ray_session):
+    import ray.data as rd
+
+    from recipys_ray import Recipe
+    from recipys_ray.selector import all_numeric_predictors
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame({
+        "x1": rng.normal(size=200),
+        "x2": rng.normal(size=200),
+        "x3": rng.normal(size=200),
+    })
+    pdf.loc[rng.random(200) < 0.2, "x2"] = np.nan
+    pdf.loc[rng.random(200) < 0.1, "x1"] = np.nan
+    rec = Recipe(rd.from_pandas(pdf), predictors=["x1", "x2", "x3"])
+    rec.add_step(StepSklearn(KNNImputer(), sel=all_numeric_predictors()))
+    out = rec.prep().to_pandas()
+    assert not out[["x1", "x2", "x3"]].isna().any().any()
+    # observed values untouched
+    obs = pdf["x3"].to_numpy()
+    np.testing.assert_array_equal(out["x3"].to_numpy(), obs)
 
 
 class _FakeSklearnScaler:
