@@ -188,6 +188,14 @@ class Recipe:
                 )
             else:
                 group_cols, sort_cols = chain_key
+                clean_tail = not any(
+                    s.frame_needs_all or s.changes_rowcount
+                    for s in pending[1:]
+                )
+                grid_head = (
+                    getattr(pending[0], "salt_grid_capable", False)
+                    and clean_tail
+                )
                 saltable = (
                     self.salt is not None
                     and group_cols
@@ -197,27 +205,46 @@ class Recipe:
                             s.frame_needs_all or s.changes_rowcount
                             for s in pending
                         )
-                        or (
-                            len(pending) == 1
-                            and getattr(
-                                pending[0], "salt_grid_capable", False
-                            )
-                        )
+                        or grid_head
                     )
                 )
                 if saltable:
                     from recipys_ray.kernels.grouped import choose_partitions
                     from recipys_ray.kernels.salted import run_salted_chain
 
-                    ds = run_salted_chain(
-                        ds,
-                        list(group_cols),
-                        list(sort_cols),
-                        list(pending),
-                        num_partitions=self.partitions
-                        or choose_partitions(ds),
-                        salt=self.salt,
-                    )
+                    if grid_head and len(pending) > 1:
+                        # resample→downstream under salting: split at the
+                        # row-count-changing head — the salted grid resample
+                        # runs solo (bounded slot-ownership chunks), then
+                        # the downstream chain re-salts over the RESAMPLED
+                        # rows (hot-group detection re-runs: resampling
+                        # changes row counts). Two bounded payload shuffles;
+                        # single-shuffle fusion would need resampled-row
+                        # state passes (documented future work).
+                        ds = run_salted_chain(
+                            ds, list(group_cols), list(sort_cols),
+                            [pending[0]],
+                            num_partitions=self.partitions
+                            or choose_partitions(ds),
+                            salt=self.salt,
+                        )
+                        ds = run_salted_chain(
+                            ds, list(group_cols), list(sort_cols),
+                            list(pending[1:]),
+                            num_partitions=self.partitions
+                            or choose_partitions(ds),
+                            salt=self.salt,
+                        )
+                    else:
+                        ds = run_salted_chain(
+                            ds,
+                            list(group_cols),
+                            list(sort_cols),
+                            list(pending),
+                            num_partitions=self.partitions
+                            or choose_partitions(ds),
+                            salt=self.salt,
+                        )
                 else:
                     first = pending[0]
                     if getattr(first, "combinable", False):

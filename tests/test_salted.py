@@ -533,3 +533,51 @@ def test_median_mega_group_carry_cap():
         run(cap=1000)
     out = run(cap=10_000)  # big enough: legacy carry path runs exactly
     assert "score_median" in out.columns and len(out) == len(tbl)
+
+
+def test_salted_resample_then_historical_chain():
+    """ROUND2 gap #2 / r2-VERDICT #8: a fused resample_grid → historical →
+    lag chain under FORCED salting must equal the unsalted run. The planner
+    splits at the row-count-changing head: salted grid resample (bounded
+    slot-ownership chunks), then the salted chunk-local chain re-salted
+    over the RESAMPLED rows."""
+    from recipys_ray.steps.resample import StepResampling
+
+    tbl = make_transcripts(n_turns=2000, seed=31, mega_conv_turns=900)
+
+    def mk(salt):
+        rec = Recipe(
+            rd.from_arrow(tbl),
+            predictors=["n_chars", "latency_s", "score"],
+            groups=["conv_id"],
+            sequences=["ts"],
+            partitions=4,
+            salt=salt,
+        )
+        rec.add_step(StepResampling("5min"))
+        rec.add_step(
+            StepHistorical(sel=all_of(["n_chars"]), fun=Accumulator.MAX)
+        )
+        rec.add_step(
+            StepHistorical(sel=all_of(["score"]), fun=Accumulator.MEAN)
+        )
+        rec.add_step(StepLag(sel=all_of(["n_chars"]), shifts=[1]))
+        return (
+            rec.prep().to_pandas()
+            .sort_values(["conv_id", "ts"], kind="stable")
+            .reset_index(drop=True)
+        )
+
+    a = mk(None)
+    b = mk(SaltConfig(threshold=300, chunk_span=20 * 60 * 1_000_000))
+    assert len(a) == len(b)
+    b = b[a.columns]
+    for c in a.columns:
+        x, y = a[c], b[c]
+        if pd.api.types.is_numeric_dtype(x) and not pd.api.types.is_bool_dtype(x):
+            np.testing.assert_allclose(
+                x.to_numpy(dtype=float), y.to_numpy(dtype=float),
+                equal_nan=True, err_msg=f"column {c}",
+            )
+        else:
+            assert x.astype(str).tolist() == y.astype(str).tolist(), c
