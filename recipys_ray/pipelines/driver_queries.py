@@ -476,6 +476,37 @@ def q_knn_impute(sf_dir):
     return _select(rec.prep(), ["event_id", "valn"])
 
 
+def q_iterative_impute(sf_dir):
+    """Native distributed IterativeImputer (reference tests/test_steps.py:259):
+    3 fixed round-robin BayesianRidge rounds over (value, valn, f3); golden
+    oracle from the sequential replay in scripts/gen_expected.py."""
+    from recipys_ray.transformers import IterativeImputer
+
+    def add(tbl: pa.Table) -> pa.Table:
+        eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+        f3 = (
+            (eid.astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(1000003)
+        ).astype(np.float64) / 1000003.0
+        mask = pa.array(eid % 7 == 0)
+        valn = pc.if_else(
+            mask, pa.scalar(None, pa.float64()), tbl.column("value")
+        )
+        return tbl.append_column("valn", valn).append_column(
+            "f3", pa.array(f3)
+        )
+
+    ds = _events(sf_dir).map_batches(add, batch_format="pyarrow")
+    rec = rr.Recipe(ds, predictors=["value", "valn", "f3"])
+    rec.add_step(
+        rr.StepSklearn(
+            IterativeImputer(max_iter=3, tol=0.0),
+            sel=all_of(["value", "valn", "f3"]),
+        )
+    )
+    return _select(rec.prep(), ["event_id", "valn"])
+
+
 def q_knn_cosine(sf_dir):
     import pyarrow.compute as pc
 
@@ -1124,6 +1155,12 @@ ORACLES: dict[str, str] = {
           fp.fingerprint
         FROM c JOIN fp USING (doc_id)
     """,
+    "iterative_impute": """
+        SELECT event_id, valn
+        FROM read_parquet('/root/repo/expected/iterative_impute_*.parquet')
+        WHERE corpus_key = (SELECT count(*) || '_' ||
+                            CAST(sum(user_id) AS BIGINT) FROM events)
+    """,
     "knn_impute": """
         SELECT event_id, valn
         FROM read_parquet('/root/repo/expected/knn_impute_*.parquet')
@@ -1175,6 +1212,7 @@ QUERIES = {
     "knn_cosine": q_knn_cosine,
     "knn_ivf": q_knn_ivf,
     "knn_impute": q_knn_impute,
+    "iterative_impute": q_iterative_impute,
     "dedup_minhash": q_dedup_minhash,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_simhash": q_dedup_simhash,

@@ -956,17 +956,235 @@ class KNNImputer(NativeTransformer):
         return out
 
 
-def _not_closed_form(name: str):
-    class _T(NativeTransformer):
-        def __init__(self, *a, **k):
-            raise NotImplementedError(
-                f"{name} is iterative/model-based and has no closed-form "
-                f"distributed fit; use StepImputeModel / an actor-pool stage "
-                f"with a pretrained model instead (SURVEY.md §2.2)."
+def _bayesian_ridge_from_stats(
+    n: float,
+    sx: np.ndarray,
+    sy: float,
+    xtx: np.ndarray,
+    xty: np.ndarray,
+    yty: float,
+    n_iter: int = 300,
+    tol: float = 1e-3,
+    a1: float = 1e-6,
+    a2: float = 1e-6,
+    l1: float = 1e-6,
+    l2: float = 1e-6,
+):
+    """BayesianRidge (sklearn defaults, fit_intercept=True) solved entirely
+    from sufficient statistics [n, Σx, Σy, X'X, X'y, y'y] — the evidence
+    iterations run on the eigendecomposition of the centered Gram matrix,
+    all driver-side d×d work. Returns (coef, intercept)."""
+    d = len(sx)
+    if n < 2:
+        return np.zeros(d), (sy / n if n > 0 else 0.0)
+    xbar = sx / n
+    ybar = sy / n
+    S = xtx - n * np.outer(xbar, xbar)
+    Sy = xty - n * xbar * ybar
+    yy = max(yty - n * ybar * ybar, 0.0)
+    e, V = np.linalg.eigh((S + S.T) / 2.0)
+    e = np.maximum(e, 0.0)
+    q = V.T @ Sy
+    var_y = yy / n
+    alpha = 1.0 / var_y if var_y > 0 else 1.0
+    lam = 1.0
+    coef_old = None
+    for _ in range(n_iter):
+        cv = q * (alpha / (lam + alpha * e))
+        coef = V @ cv
+        if coef_old is not None and np.sum(np.abs(coef - coef_old)) < tol:
+            break
+        coef_old = coef
+        gamma = float(np.sum(alpha * e / (lam + alpha * e)))
+        lam = (gamma + 2.0 * l1) / (float(np.sum(cv * cv)) + 2.0 * l2)
+        rss = float(yy - 2.0 * cv @ q + cv * cv @ e)
+        alpha = (n - gamma + 2.0 * a1) / (max(rss, 0.0) + 2.0 * a2)
+    cv = q * (alpha / (lam + alpha * e))
+    coef = V @ cv
+    intercept = ybar - float(xbar @ coef)
+    return coef, intercept
+
+
+class IterativeImputer(NativeTransformer):
+    """sklearn-semantics round-robin model-based imputation (reference
+    tests/test_steps.py:259), DISTRIBUTED: every per-(iteration, column)
+    estimator fit is ONE streaming sufficient-statistics pass (longdouble
+    partials — order/blocking-independent to ~1e-18, so the fitted sequence
+    is reproducible bit-for-bit against a sequential reference), and the
+    BayesianRidge evidence iterations run driver-side on the d×d Gram.
+    ``transform`` replays the fitted (column, coef, intercept) sequence
+    vectorized per batch — missing cells of each target column are
+    re-predicted from the other columns' current values, exactly the
+    sklearn round-robin.
+
+    Scale note: fit cost is max_iter × d streaming passes over the pinned
+    pipeline (Recipe's materialize_before_fit); each pass moves only d²
+    floats to the driver."""
+
+    needs_dataset = True
+
+    def __init__(self, max_iter: int = 10, tol: float = 1e-3):
+        super().__init__()
+        self.max_iter = max_iter
+        self.tol = tol
+
+    # ------------------------- replay helpers -------------------------- #
+    def _replay(self, M: np.ndarray, miss: np.ndarray, upto: int) -> np.ndarray:
+        """Initial mean fill + the first ``upto`` fitted predictions."""
+        X = M.copy()
+        for j in range(X.shape[1]):
+            X[miss[:, j], j] = self.initial_means_[j]
+        for (j, coef, intercept) in self.seq_[:upto]:
+            if not miss[:, j].any():
+                continue
+            others = [c for c in range(X.shape[1]) if c != j]
+            pred = X[:, others] @ coef + intercept
+            X[miss[:, j], j] = pred[miss[:, j]]
+        return X
+
+    def _suffstats(self, ds, j: int, upto: int):
+        """One streaming pass: longdouble partials of the BayesianRidge
+        sufficient stats for target column j, features = other columns with
+        the imputation sequence so far replayed per batch."""
+        import pickle
+
+        import pyarrow as pa
+
+        cols = self.columns_
+        outer = self
+
+        def partial(tbl: "pa.Table") -> "pa.Table":
+            pdf = tbl.select(cols).to_pandas()
+            M = pdf.to_numpy(dtype=np.float64, na_value=np.nan)
+            miss = np.isnan(M)
+            X = outer._replay(M, miss, upto)
+            obs = ~miss[:, j]
+            others = [c for c in range(len(cols)) if c != j]
+            Xo = X[np.ix_(obs, others)].astype(np.longdouble)
+            yo = X[obs, j].astype(np.longdouble)
+            payload = (
+                np.longdouble(len(yo)),
+                Xo.sum(axis=0),
+                yo.sum(),
+                Xo.T @ Xo,
+                Xo.T @ yo,
+                yo @ yo,
+            )
+            return pa.table(
+                {"payload": pa.array([pickle.dumps(payload)], pa.binary())}
             )
 
-    _T.__name__ = name
-    return _T
+        parts = ds.map_batches(
+            partial, batch_format="pyarrow"
+        ).take_all()
 
+        dd = len(cols) - 1
+        n = np.longdouble(0.0)
+        sx = np.zeros(dd, dtype=np.longdouble)
+        sy = np.longdouble(0.0)
+        xtx = np.zeros((dd, dd), dtype=np.longdouble)
+        xty = np.zeros(dd, dtype=np.longdouble)
+        yty = np.longdouble(0.0)
+        for row in parts:
+            pn, psx, psy, pxtx, pxty, pyty = pickle.loads(row["payload"])
+            n += pn
+            sx += psx
+            sy += psy
+            xtx += pxtx
+            xty += pxty
+            yty += pyty
+        return (
+            float(n), np.asarray(sx, dtype=np.float64), float(sy),
+            np.asarray(xtx, dtype=np.float64),
+            np.asarray(xty, dtype=np.float64), float(yty),
+        )
 
-IterativeImputer = _not_closed_form("IterativeImputer")
+    def distributed_fit(self, ds, columns: list[str]):
+        import pyarrow as pa
+
+        self.columns_ = list(columns)
+        cols = self.columns_
+
+        def base_stats(tbl: "pa.Table") -> "pa.Table":
+            pdf = tbl.select(cols).to_pandas()
+            M = pdf.to_numpy(dtype=np.float64, na_value=np.nan)
+            obs = ~np.isnan(M)
+            s = np.where(obs, M, 0.0).astype(np.longdouble).sum(axis=0)
+            cnt = obs.sum(axis=0).astype(np.float64)
+            miss = (~obs).sum(axis=0).astype(np.float64)
+            mx = np.max(np.abs(np.where(obs, M, 0.0)), axis=0, initial=0.0)
+            import pickle
+
+            return pa.table({
+                "payload": pa.array([pickle.dumps((s, cnt, miss, mx))],
+                                    pa.binary())
+            })
+
+        import pickle
+
+        d = len(cols)
+        s = np.zeros(d, dtype=np.longdouble)
+        cnt = np.zeros(d)
+        missing = np.zeros(d)
+        mx = np.zeros(d)
+        for row in ds.map_batches(
+            base_stats, batch_format="pyarrow"
+        ).take_all():
+            ps, pc, pm, px = pickle.loads(row["payload"])
+            s += ps
+            cnt += pc
+            missing += pm
+            mx = np.maximum(mx, px)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            means = np.asarray(s, dtype=np.float64) / cnt
+        self.initial_means_ = np.nan_to_num(means, nan=0.0)
+        self.max_abs_known_ = float(mx.max()) if d else 0.0
+        # sklearn imputation_order="ascending": fewest missing first,
+        # stable by column index; columns without missing are skipped
+        has_missing = np.flatnonzero(missing > 0)
+        order = has_missing[np.argsort(missing[has_missing],
+                                       kind="stable")]
+        self.order_ = [int(j) for j in order]
+        self.seq_: list = []
+        if not self.order_ or d < 2:
+            self.n_rounds_ = 0
+            return self
+        prev_end = 0
+        for _ in range(self.max_iter):
+            for j in self.order_:
+                stats = self._suffstats(ds, j, len(self.seq_))
+                coef, intercept = _bayesian_ridge_from_stats(*stats)
+                self.seq_.append((j, coef, intercept))
+            if self.tol > 0 and prev_end > 0:
+                delta = self._max_round_delta(ds, prev_end, len(self.seq_))
+                if delta < self.tol * max(self.max_abs_known_, 1e-300):
+                    break
+            prev_end = len(self.seq_)
+        self.n_rounds_ = len(self.seq_) // max(len(self.order_), 1)
+        return self
+
+    def _max_round_delta(self, ds, upto_a: int, upto_b: int) -> float:
+        import pyarrow as pa
+
+        cols = self.columns_
+        outer = self
+
+        def partial(tbl: "pa.Table") -> "pa.Table":
+            pdf = tbl.select(cols).to_pandas()
+            M = pdf.to_numpy(dtype=np.float64, na_value=np.nan)
+            miss = np.isnan(M)
+            A = outer._replay(M, miss, upto_a)
+            B = outer._replay(M, miss, upto_b)
+            return pa.table(
+                {"d": pa.array([float(np.max(np.abs(A - B), initial=0.0))])}
+            )
+
+        rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+        return max((r["d"] for r in rows), default=0.0)
+
+    def transform(self, X):
+        M = self._matrix(X)
+        miss = np.isnan(M)
+        if not miss.any():
+            return M
+        return self._replay(M, miss, len(self.seq_))

@@ -184,6 +184,50 @@ def knn_impute_expected(events: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"event_id": eid, "valn": out})
 
 
+def iterative_impute_expected(events: pd.DataFrame) -> pd.DataFrame:
+    """Sequential reference for q_iterative_impute: 3 fixed round-robin
+    BayesianRidge rounds over (value, valn, f3) — the same published
+    evidence-maximization solver as the engine (shared deterministic
+    primitive, like _kmeans_fit for knn_ivf), but a plain single-process
+    replay loop with one longdouble Gram per fit."""
+    sys.path.insert(0, os.path.dirname(OUT_DIR))
+    from recipys_ray.transformers import _bayesian_ridge_from_stats
+
+    eid = events["event_id"].to_numpy()
+    value = events["value"].to_numpy(dtype=np.float64)
+    f3 = ((eid.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1000003)
+          ).astype(np.float64) / 1000003.0
+    missing = eid % 7 == 0
+    valn = np.where(missing, np.nan, value)
+    M = np.column_stack([value, valn, f3])
+    miss = np.isnan(M)
+    cnt = (~miss).sum(axis=0).astype(np.float64)
+    means = np.asarray(
+        np.where(miss, 0.0, M).astype(np.longdouble).sum(axis=0), np.float64
+    ) / cnt
+    X = M.copy()
+    for j in range(3):
+        X[miss[:, j], j] = means[j]
+    for _ in range(3):
+        for j in [1]:  # only valn has missing values
+            obs = ~miss[:, j]
+            others = [0, 2]
+            Xo = X[np.ix_(obs, others)].astype(np.longdouble)
+            yo = X[obs, j].astype(np.longdouble)
+            stats = (
+                float(len(yo)),
+                np.asarray(Xo.sum(axis=0), np.float64),
+                float(yo.sum()),
+                np.asarray(Xo.T @ Xo, np.float64),
+                np.asarray(Xo.T @ yo, np.float64),
+                float(yo @ yo),
+            )
+            coef, b = _bayesian_ridge_from_stats(*stats)
+            pred = X[:, others] @ coef + b
+            X[miss[:, j], j] = pred[miss[:, j]]
+    return pd.DataFrame({"event_id": eid, "valn": X[:, 1]})
+
+
 def main():
     np.seterr(over="ignore")  # uint64 wraparound is the hash arithmetic
     os.makedirs(OUT_DIR, exist_ok=True)
@@ -201,6 +245,11 @@ def main():
         out = knn_impute_expected(ev)
         out["corpus_key"] = key
         path = os.path.join(OUT_DIR, f"knn_impute_{key}.parquet")
+        out.to_parquet(path, index=False)
+        print(f"{path}: {len(out)} rows")
+        out = iterative_impute_expected(ev)
+        out["corpus_key"] = key
+        path = os.path.join(OUT_DIR, f"iterative_impute_{key}.parquet")
         out.to_parquet(path, index=False)
         print(f"{path}: {len(out)} rows")
     for sf_dir in SF_DIRS:

@@ -237,13 +237,6 @@ def test_columnwise_in_place_multicol_raises():
         )
 
 
-def test_iterative_transformers_not_closed_form():
-    from recipys_ray.transformers import IterativeImputer
-
-    with pytest.raises(NotImplementedError, match="closed-form"):
-        IterativeImputer()
-
-
 def _knn_impute_reference(X, F, k=5):
     """Independent per-row/per-cell reference of sklearn KNNImputer
     semantics (uniform weights, nan-euclidean, donor-index-sorted mean)."""
@@ -537,3 +530,62 @@ class TestSplineTransformer:
         )
         assert "SplineTransformer_1" in out.columns
         assert out["SplineTransformer_1"].notna().all()
+
+
+def test_iterative_imputer_distributed(ray_session):
+    """Round-robin BayesianRidge imputation: recovers strongly-linear
+    structure far better than mean fill, deterministic across runs, leaves
+    observed values untouched."""
+    import ray.data as rd
+
+    from recipys_ray.transformers import IterativeImputer
+
+    rng = np.random.default_rng(0)
+    n = 1500
+    x1 = rng.normal(size=n)
+    x2 = 2.0 * x1 + 0.1 * rng.normal(size=n)
+    x3 = -x1 + 3.0 + 0.1 * rng.normal(size=n)
+    pdf = pd.DataFrame({"x1": x1, "x2": x2, "x3": x3})
+    truth = pdf.copy()
+    pdf.loc[rng.random(n) < 0.2, "x2"] = np.nan
+    pdf.loc[rng.random(n) < 0.1, "x3"] = np.nan
+
+    imp = IterativeImputer(max_iter=10, tol=1e-3)
+    imp.distributed_fit(rd.from_pandas(pdf), ["x1", "x2", "x3"])
+    out = imp.transform(pdf)
+    assert not np.isnan(out).any()
+    m2 = pdf["x2"].isna().to_numpy()
+    err = np.abs(out[m2, 1] - truth["x2"].to_numpy()[m2]).mean()
+    naive = np.abs(
+        truth["x2"].to_numpy()[m2] - np.nanmean(pdf["x2"])
+    ).mean()
+    assert err < 0.2 * naive
+    # observed cells untouched
+    obs1 = ~pdf["x1"].isna().to_numpy()
+    np.testing.assert_array_equal(out[obs1, 0], pdf["x1"].to_numpy()[obs1])
+    imp2 = IterativeImputer(max_iter=10, tol=1e-3)
+    imp2.distributed_fit(rd.from_pandas(pdf), ["x1", "x2", "x3"])
+    np.testing.assert_array_equal(out, imp2.transform(pdf))
+
+
+def test_iterative_imputer_step_end_to_end(ray_session):
+    import ray.data as rd
+
+    from recipys_ray import Recipe
+    from recipys_ray.selector import all_numeric_predictors
+    from recipys_ray.transformers import IterativeImputer
+
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame({
+        "a": rng.normal(size=300),
+        "b": rng.normal(size=300),
+        "c": rng.normal(size=300),
+    })
+    pdf.loc[rng.random(300) < 0.25, "b"] = np.nan
+    rec = Recipe(rd.from_pandas(pdf), predictors=["a", "b", "c"])
+    rec.add_step(
+        StepSklearn(IterativeImputer(max_iter=3),
+                    sel=all_numeric_predictors())
+    )
+    out = rec.prep().to_pandas()
+    assert not out[["a", "b", "c"]].isna().any().any()
