@@ -268,3 +268,98 @@ def build_vocab(
     ).head(top_k)
     out["rank"] = np.arange(len(out), dtype=np.int64)
     return out
+
+
+class RepetitionStats:
+    """Gopher/MassiveText-style within-document repetition measures
+    (Rae et al. 2021, §A1.1) — the standard LLM training-data quality
+    filters for repetitive documents:
+
+    - ``dup_word_frac``:   1 − (#distinct words / #words)
+    - ``top{n}gram_char_frac`` (n ∈ top_ns): max over word n-grams of
+      ``count × len(gram) / len(text)`` (tie-free reformulation of
+      "fraction of characters in the most common n-gram")
+    - ``dup{n}gram_char_frac`` (n ∈ dup_ns): Σ over n-grams occurring
+      more than once of ``count × len(gram) / len(text)``
+
+    Actor-pool stage; per batch the grams of ALL docs are counted in one
+    pandas groupby (C hash aggregation), never per-doc Python counting.
+    Filter downstream with e.g. ``dup5gram_char_frac <= 0.30`` (the Gopher
+    thresholds are published per measure)."""
+
+    def __init__(self, text_col: str = "text", top_ns=(2, 3), dup_ns=(5,)):
+        self.text_col = text_col
+        self.top_ns = tuple(top_ns)
+        self.dup_ns = tuple(dup_ns)
+        self.word_re = _WORD_RE
+
+    def _gram_metric(self, words_list, n, n_chars, want_top: bool):
+        segs: list[int] = []
+        grams: list[str] = []
+        for i, ws in enumerate(words_list):
+            if len(ws) < n:
+                continue
+            for k in range(len(ws) - n + 1):
+                segs.append(i)
+                grams.append(" ".join(ws[k:k + n]))
+        out = np.zeros(len(words_list), dtype=np.float64)
+        if not grams:
+            return out
+        df = pd.DataFrame({"s": np.asarray(segs, dtype=np.int64),
+                           "g": grams})
+        cnt = df.groupby(["s", "g"], sort=False).size().reset_index(
+            name="c"
+        )
+        glen = cnt["g"].str.len().to_numpy(dtype=np.int64)
+        val = cnt["c"].to_numpy(dtype=np.int64) * glen
+        seg = cnt["s"].to_numpy()
+        if want_top:
+            agg = pd.Series(val).groupby(seg, sort=False).max()
+        else:
+            dup = cnt["c"].to_numpy() > 1
+            agg = pd.Series(np.where(dup, val, 0)).groupby(
+                seg, sort=False
+            ).sum()
+        out[agg.index.to_numpy()] = agg.to_numpy(dtype=np.float64)
+        denom = np.maximum(n_chars, 1).astype(np.float64)
+        return np.where(n_chars > 0, out / denom, 0.0)
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        texts = tbl.column(self.text_col).to_pandas().fillna("")
+        n_docs = len(texts)
+        n_chars = texts.str.len().to_numpy(dtype=np.int64)
+        words_list = [self.word_re.findall(t.lower()) for t in texts]
+        n_words = np.array([len(w) for w in words_list], dtype=np.int64)
+        if n_docs:
+            flat = []
+            segs = []
+            for i, ws in enumerate(words_list):
+                flat.extend(ws)
+                segs.extend([i] * len(ws))
+            if flat:
+                uniq = (
+                    pd.DataFrame({"s": segs, "w": flat})
+                    .groupby("s", sort=False)["w"].nunique()
+                )
+                nuniq = np.zeros(n_docs, dtype=np.float64)
+                nuniq[uniq.index.to_numpy()] = uniq.to_numpy()
+            else:
+                nuniq = np.zeros(n_docs, dtype=np.float64)
+        else:
+            nuniq = np.zeros(0, dtype=np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            dup_word = np.where(
+                n_words > 0, 1.0 - nuniq / n_words, 0.0
+            )
+        tbl = tbl.append_column("dup_word_frac", pa.array(dup_word))
+        for n in self.top_ns:
+            tbl = tbl.append_column(
+                f"top{n}gram_char_frac",
+                pa.array(self._gram_metric(words_list, n, n_chars, True)),
+            )
+        for n in self.dup_ns:
+            tbl = tbl.append_column(
+                f"dup{n}gram_char_frac",
+                pa.array(self._gram_metric(words_list, n, n_chars, False)),
+            )
+        return tbl

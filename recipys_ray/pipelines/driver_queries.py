@@ -447,6 +447,55 @@ def q_text_stats(sf_dir):
     return _select(out, ["doc_id", "n_chars_calc", "n_words", "token_count"])
 
 
+def q_repetition_stats(sf_dir):
+    """Gopher-style within-document repetition measures (ops/text.py
+    RepetitionStats): duplicate-word fraction, top-{2,3}-gram char
+    fraction, duplicate-5-gram char fraction."""
+    from recipys_ray.ops.text import RepetitionStats
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = docs.map_batches(
+        RepetitionStats,
+        fn_constructor_args=("text", (2, 3), (5,)),
+        batch_format="pyarrow",
+        concurrency=(2, 8),
+    )
+    return _select(
+        out,
+        ["doc_id", "dup_word_frac", "top2gram_char_frac",
+         "top3gram_char_frac", "dup5gram_char_frac"],
+    )
+
+
+def q_decontaminate(sf_dir):
+    """Benchmark decontamination (GPT-3/PaLM n-gram-overlap protocol,
+    ops/decontaminate.py): benchmark = documents with doc_id % 97 == 0;
+    flag every document sharing any word 5-gram with it. Broadcast sorted
+    hash array + vectorized searchsorted membership."""
+    from recipys_ray.ops.decontaminate import decontaminate
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def pick_bench(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        return tbl.filter(pa.array(ids % 97 == 0))
+
+    bench = docs.map_batches(pick_bench, batch_format="pyarrow")
+    out = decontaminate(docs, bench, text_col="text", n=5, mode="flag")
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": tbl.column("doc_id"),
+            "contaminated": tbl.column("contaminated").cast(pa.int64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def q_knn_impute(sf_dir):
     """Native KNNImputer (reference tests/test_steps.py:249): impute valn as
     the uniform mean of the 5 nearest donors under nan-euclidean distance
@@ -1155,6 +1204,65 @@ ORACLES: dict[str, str] = {
           fp.fingerprint
         FROM c JOIN fp USING (doc_id)
     """,
+    "repetition_stats": """
+        WITH t AS (SELECT doc_id, length(coalesce(text, '')) AS nc,
+                   regexp_extract_all(lower(coalesce(text, '')), '\\w+') AS ws
+                   FROM documents),
+        base AS (SELECT doc_id, nc, len(ws) AS nw,
+                 CASE WHEN len(ws) = 0 THEN 0.0
+                      ELSE 1.0 - CAST(len(list_distinct(ws)) AS DOUBLE)
+                           / len(ws) END AS dup_word_frac
+                 FROM t),
+        g2 AS (SELECT doc_id, unnest(list_transform(
+                 generate_series(1, len(ws) - 1),
+                 i -> array_to_string(ws[i:i+1], ' '))) AS gram FROM t
+               WHERE len(ws) >= 2),
+        g3 AS (SELECT doc_id, unnest(list_transform(
+                 generate_series(1, len(ws) - 2),
+                 i -> array_to_string(ws[i:i+2], ' '))) AS gram FROM t
+               WHERE len(ws) >= 3),
+        g5 AS (SELECT doc_id, unnest(list_transform(
+                 generate_series(1, len(ws) - 4),
+                 i -> array_to_string(ws[i:i+4], ' '))) AS gram FROM t
+               WHERE len(ws) >= 5),
+        a2 AS (SELECT doc_id, max(c * length(gram)) AS v FROM
+               (SELECT doc_id, gram, count(*) AS c FROM g2
+                GROUP BY doc_id, gram) GROUP BY doc_id),
+        a3 AS (SELECT doc_id, max(c * length(gram)) AS v FROM
+               (SELECT doc_id, gram, count(*) AS c FROM g3
+                GROUP BY doc_id, gram) GROUP BY doc_id),
+        a5 AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c * length(gram)
+                                       ELSE 0 END) AS v FROM
+               (SELECT doc_id, gram, count(*) AS c FROM g5
+                GROUP BY doc_id, gram) GROUP BY doc_id)
+        SELECT b.doc_id, b.dup_word_frac,
+               CASE WHEN b.nc > 0 THEN CAST(coalesce(a2.v, 0) AS DOUBLE)
+                    / b.nc ELSE 0.0 END AS top2gram_char_frac,
+               CASE WHEN b.nc > 0 THEN CAST(coalesce(a3.v, 0) AS DOUBLE)
+                    / b.nc ELSE 0.0 END AS top3gram_char_frac,
+               CASE WHEN b.nc > 0 THEN CAST(coalesce(a5.v, 0) AS DOUBLE)
+                    / b.nc ELSE 0.0 END AS dup5gram_char_frac
+        FROM base b LEFT JOIN a2 USING (doc_id)
+        LEFT JOIN a3 USING (doc_id) LEFT JOIN a5 USING (doc_id)
+    """,
+    "decontaminate": """
+        WITH t AS (SELECT doc_id,
+                   regexp_extract_all(lower(coalesce(text, '')), '\\w+') AS ws
+                   FROM documents),
+        g AS (SELECT doc_id,
+              CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+                   ELSE list_transform(generate_series(1, len(ws) - 4),
+                                       i -> array_to_string(ws[i:i+4], ' '))
+              END AS grams FROM t),
+        bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+                  WHERE doc_id % 97 = 0),
+        docg AS (SELECT doc_id, unnest(grams) AS gram FROM g)
+        SELECT d.doc_id,
+               CAST(max(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS contaminated
+        FROM docg d LEFT JOIN bench b ON d.gram = b.gram
+        GROUP BY d.doc_id
+    """,
     "iterative_impute": """
         SELECT event_id, valn
         FROM read_parquet('/root/repo/expected/iterative_impute_*.parquet')
@@ -1212,6 +1320,8 @@ QUERIES = {
     "knn_cosine": q_knn_cosine,
     "knn_ivf": q_knn_ivf,
     "knn_impute": q_knn_impute,
+    "decontaminate": q_decontaminate,
+    "repetition_stats": q_repetition_stats,
     "iterative_impute": q_iterative_impute,
     "dedup_minhash": q_dedup_minhash,
     "dedup_jaccard": q_dedup_jaccard,

@@ -553,3 +553,87 @@ class TestVocab:
             rd.from_pandas(pdf).repartition(6), top_k=20, num_partitions=64
         )
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestDecontaminate:
+    def test_planted_overlap_flag_and_drop(self, ray_session):
+        import ray.data as rd
+
+        from recipys_ray.ops.decontaminate import decontaminate
+
+        bench_txt = "alpha beta gamma delta epsilon zeta eta theta"
+        docs = pd.DataFrame({
+            "doc_id": range(6),
+            "text": [
+                "totally unrelated words here nothing shared at all",
+                # contains a 5-gram of the benchmark
+                "prefix alpha beta gamma delta epsilon suffix",
+                "alpha beta gamma NOPE delta epsilon zeta",  # broken gram
+                "",  # empty
+                "short one",  # < n words, whole-text gram, no match
+                bench_txt,  # the benchmark text itself
+            ],
+        })
+        bench = pd.DataFrame({"doc_id": [99], "text": [bench_txt]})
+        out = decontaminate(
+            rd.from_pandas(docs), rd.from_pandas(bench),
+            text_col="text", n=5, mode="flag",
+        ).to_pandas().sort_values("doc_id")
+        assert out["contaminated"].tolist() == [
+            False, True, False, False, False, True
+        ]
+        kept = decontaminate(
+            rd.from_pandas(docs), rd.from_pandas(bench),
+            text_col="text", n=5, mode="drop",
+        ).to_pandas()
+        assert sorted(kept["doc_id"].tolist()) == [0, 2, 3, 4]
+        assert "contaminated" not in kept.columns
+
+    def test_benchmark_size_cap(self, ray_session):
+        import pytest
+        import ray.data as rd
+
+        from recipys_ray.ops.decontaminate import decontaminate
+
+        docs = pd.DataFrame({"doc_id": [0], "text": ["a b c d e f g"]})
+        with pytest.raises(ValueError, match="max_benchmark_grams"):
+            decontaminate(
+                rd.from_pandas(docs), rd.from_pandas(docs),
+                text_col="text", n=2, mode="flag",
+                max_benchmark_grams=2,
+            )
+
+
+class TestRepetitionStats:
+    def test_hand_computed(self):
+        import pyarrow as pa
+
+        from recipys_ray.ops.text import RepetitionStats
+
+        # "a b a b a b": 6 words, 2 distinct -> dup_word = 1 - 2/6
+        # 2-grams: "a b"×3 (len 3), "b a"×2 -> top2 = 3*3/11 chars
+        # 5-grams: "a b a b a"×1, "b a b a b"×1 -> dup5 = 0
+        t1 = "a b a b a b"
+        # no repetition at all
+        t2 = "one two three four five six"
+        tbl = pa.table({"doc_id": [0, 1, 2], "text": [t1, t2, ""]})
+        out = RepetitionStats("text", top_ns=(2,), dup_ns=(5,))(tbl)
+        dup_word = out.column("dup_word_frac").to_pylist()
+        top2 = out.column("top2gram_char_frac").to_pylist()
+        dup5 = out.column("dup5gram_char_frac").to_pylist()
+        assert abs(dup_word[0] - (1 - 2 / 6)) < 1e-15
+        assert abs(top2[0] - 9 / len(t1)) < 1e-15
+        assert dup5[0] == 0.0
+        assert dup_word[1] == 0.0
+        assert abs(top2[1] - len("three four") / len(t2)) < 1e-15
+        assert dup_word[2] == 0.0 and top2[2] == 0.0 and dup5[2] == 0.0
+
+    def test_dup_ngram_detects_repeats(self):
+        import pyarrow as pa
+
+        from recipys_ray.ops.text import RepetitionStats
+
+        rep = "alpha beta gamma delta epsilon " * 4  # 5-gram repeated
+        tbl = pa.table({"doc_id": [0], "text": [rep.strip()]})
+        out = RepetitionStats("text", top_ns=(), dup_ns=(5,))(tbl)
+        assert out.column("dup5gram_char_frac").to_pylist()[0] > 0.5
