@@ -76,6 +76,23 @@ def choose_partitions(
     return int(np.clip(-(-nbytes // target_partition_bytes), lo, max(lo, hi)))
 
 
+def adaptive_stamp_rows(ds, requested: int = 262_144) -> int:
+    """Stamp/coalesce batch size: the stamp stage's output block count sets
+    the sorted-scan kernel stage's parallelism, so small inputs need smaller
+    batches (2M rows at 262k-row batches = 8 blocks on 32 CPUs = a 4×
+    under-parallelized kernel stage). Measured sweet spots (BASELINE.md):
+    2M rows → 16 blocks, 8M → 30, 20M+ → the 262k default. Rule: at least
+    16 blocks when the row count is knowable from metadata (pure reads);
+    derived datasets keep the requested value."""
+    try:
+        n = ds._meta_count()
+    except Exception:
+        n = None
+    if not n:
+        return requested
+    return int(np.clip(n // 16, 16_384, requested))
+
+
 def _hash_mod(pdf: pd.DataFrame, group_cols: list[str], p: int) -> np.ndarray:
     h = pd.util.hash_pandas_object(pdf[group_cols], index=False).to_numpy()
     return (h % np.uint64(p)).astype(np.int32)
@@ -211,6 +228,7 @@ def run_grouped_chain(
       Results are identical (cross-checked in tests).
     """
     p = num_partitions or choose_partitions(ds)
+    stamp_batch_rows = adaptive_stamp_rows(ds, stamp_batch_rows)
     if not group_cols:
         if (
             sort_cols
