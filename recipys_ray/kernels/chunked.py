@@ -335,12 +335,14 @@ def run_salted_resample_grid(
        ordinary whole-group kernel. ONE payload shuffle; every task
        bounded by chunk span (+ its share of the slot grid).
     """
+    from recipys_ray.kernels.grouped import adaptive_stamp_rows
     from recipys_ray.kernels.salted import (
         SaltedStamp,
         _hot_mask,
         find_hot_groups,
     )
 
+    stamp_batch_rows = adaptive_stamp_rows(ds, stamp_batch_rows)
     hot = find_hot_groups(ds, group_cols, salt.threshold)
     if not hot:
         from recipys_ray.kernels.grouped import run_grouped_chain
@@ -600,6 +602,9 @@ def run_global_chunked(
     """
     import ray.data.aggregate as agg_mod
 
+    from recipys_ray.kernels.grouped import adaptive_stamp_rows
+
+    stamp_batch_rows = adaptive_stamp_rows(ds, stamp_batch_rows)
     s0 = sort_cols[0]
     mm = ds.aggregate(agg_mod.Min(s0), agg_mod.Max(s0))
     lo, hi = mm[f"min({s0})"], mm[f"max({s0})"]
@@ -756,6 +761,9 @@ def run_salted_chunked(
         find_hot_groups,
     )
 
+    from recipys_ray.kernels.grouped import adaptive_stamp_rows
+
+    stamp_batch_rows = adaptive_stamp_rows(ds, stamp_batch_rows)
     parity_steps = [
         s for s in steps if getattr(s, "_parity_chunked", False)
     ]

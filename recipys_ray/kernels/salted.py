@@ -236,6 +236,9 @@ def run_salted_chain(
     span, one payload shuffle total. Otherwise this legacy whole-group
     carry path runs (exact, but one task per mega-group on the skinny
     projection)."""
+    from recipys_ray.kernels.grouped import adaptive_stamp_rows
+
+    stamp_batch_rows = adaptive_stamp_rows(ds, stamp_batch_rows)
     if len(steps) == 1 and getattr(steps[0], "salt_grid_capable", False):
         from recipys_ray.kernels.chunked import run_salted_resample_grid
 
