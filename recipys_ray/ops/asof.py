@@ -88,8 +88,19 @@ def asof_join(
 
         return fn
 
-    combined = left.map_batches(pad(0, {}), batch_format="pyarrow").union(
-        right.map_batches(pad(1, out_names), batch_format="pyarrow")
+    # coalesce while stamping: Ray's sort pays a fixed cost per input block
+    # (128 ~800-row blocks measured 3.7s of a 4.3s join at sf0.1) — the pad
+    # stage doubles as the block coalescer, same as the grouped-chain stamp
+    from recipys_ray.kernels.grouped import adaptive_stamp_rows
+
+    combined = left.map_batches(
+        pad(0, {}), batch_format="pyarrow",
+        batch_size=adaptive_stamp_rows(left),
+    ).union(
+        right.map_batches(
+            pad(1, out_names), batch_format="pyarrow",
+            batch_size=adaptive_stamp_rows(right),
+        )
     )
 
     def join_partition(pdf: pd.DataFrame) -> pd.DataFrame:
