@@ -123,6 +123,9 @@ def bench_queries() -> dict:
         "knn_cosine",
         "power_yj",
         "pack_sequences",
+        "iterative_impute",
+        "decontaminate",
+        "repetition_stats",
         "historical_salted",
     ]
     out = {}

@@ -89,14 +89,24 @@ def benchmark_gram_set(
 
 
 class _Contaminated:
-    """Actor-pool stage: broadcast benchmark hashes resolved once per actor."""
+    """Broadcast-membership stage. Works as a plain task function (the
+    ray.get of the broadcast array is a zero-copy plasma read per task) or
+    as an actor class via map_batches(concurrency=(lo, hi)) when payloads
+    are large enough to amortize actor startup."""
 
     def __init__(self, text_col: str, n: int, bench_ref):
-        import ray
-
         self.text_col = text_col
         self.n = n
-        self.bench = ray.get(bench_ref)
+        self._bench_ref = bench_ref
+        self._bench = None
+
+    @property
+    def bench(self):
+        if self._bench is None:
+            import ray
+
+            self._bench = ray.get(self._bench_ref)
+        return self._bench
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
         texts = tbl.column(self.text_col).to_pandas().fillna("")
@@ -139,11 +149,12 @@ def decontaminate(
         )
         bench_ref = ray.put(bench)
     out = ds.map_batches(
-        _Contaminated,
-        fn_constructor_args=(text_col, n, bench_ref),
+        _Contaminated(text_col, n, bench_ref),
         batch_format="pyarrow",
-        concurrency=concurrency,
     )
+    _ = concurrency  # kept for API compatibility; tasks amortize better
+    # than a fresh actor pool until batches are large (actor path: pass the
+    # class via map_batches(_Contaminated, fn_constructor_args=...))
     if mode == "drop":
         def keep(tbl: pa.Table) -> pa.Table:
             import pyarrow.compute as pc

@@ -457,10 +457,8 @@ def q_repetition_stats(sf_dir):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     out = docs.map_batches(
-        RepetitionStats,
-        fn_constructor_args=("text", (2, 3), (5,)),
+        RepetitionStats("text", top_ns=(2, 3), dup_ns=(5,)),
         batch_format="pyarrow",
-        concurrency=(2, 8),
     )
     return _select(
         out,

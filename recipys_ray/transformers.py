@@ -833,8 +833,10 @@ class KNNImputer(NativeTransformer):
         n_neighbors: int = 5,
         weights: str = "uniform",
         fit_sample_rows: int = 100_000,
-        slice_rows: int = 1024,
+        slice_rows: int = 256,
     ):
+        # slice_rows bounds the per-task distance matrix: 256 x 100k donors
+        # x 8B = 205 MB + matmul temporaries, safe under many parallel tasks
         super().__init__()
         if weights not in ("uniform", "distance"):
             raise ValueError("weights must be 'uniform' or 'distance'")
