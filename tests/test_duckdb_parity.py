@@ -187,3 +187,52 @@ def test_chunked_parity_deep_tree():
     assert np.all((c2 == cnt))
     assert np.all((s2 == s) | (np.isnan(s2) & np.isnan(s)))
     assert np.all((d2 == dsq) | (np.isnan(d2) & np.isnan(dsq)))
+
+
+def test_salted_parity_mixed_hot_cold_bit_exact(ray_session):
+    """The chunked salted parity path with BOTH salted (hot) and unsalted
+    (cold) groups in the same partitions must be bit-exact vs duckdb:
+    hot chunks evaluate from carried tree contexts, cold groups take the
+    whole-group parity transform in the defer branch."""
+    import ray.data as rd
+
+    import recipys_ray as rr
+    from recipys_ray.kernels.salted import SaltConfig
+    from recipys_ray.selector import all_of
+    from recipys_ray.steps.historical import Accumulator
+
+    rng = np.random.default_rng(21)
+    rows = []
+    sizes = {1: 400, 2: 350, 3: 20, 4: 15, 5: 8, 6: 300}  # hot: >60 rows
+    for g, sz in sizes.items():
+        v = rng.standard_normal(sz) * (10.0 ** rng.integers(-4, 4, sz))
+        v[rng.random(sz) < 0.2] = np.nan
+        rows.append(pd.DataFrame({
+            "g": g, "t": np.arange(sz, dtype=np.int64), "v": v
+        }))
+    pdf_in = pd.concat(rows, ignore_index=True)
+
+    rec = rr.Recipe(
+        rd.from_pandas(pdf_in), predictors=["v"], groups=["g"],
+        sequences=["t"], partitions=4,
+        salt=SaltConfig(threshold=60, chunk_span=50),
+    )
+    rec.add_step(rr.StepHistorical(
+        sel=all_of(["v"]), fun=Accumulator.MEAN, duckdb_parity=True))
+    rec.add_step(rr.StepHistorical(
+        sel=all_of(["v"]), fun=Accumulator.VAR, duckdb_parity=True))
+    out = rec.prep().to_pandas().sort_values(
+        ["g", "t"], ignore_index=True
+    )
+
+    con = duckdb.connect()
+    con.register("t_in", pdf_in)
+    ref = con.execute("""
+        SELECT g, t, avg(v) OVER w AS v_mean, var_samp(v) OVER w AS v_var
+        FROM t_in WINDOW w AS (PARTITION BY g ORDER BY t
+                               ROWS UNBOUNDED PRECEDING)
+        ORDER BY g, t""").df()
+    for col in ["v_mean", "v_var"]:
+        a = out[col].to_numpy()
+        b = ref[col].to_numpy()
+        assert np.all((a == b) | (np.isnan(a) & np.isnan(b))), col
