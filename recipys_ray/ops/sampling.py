@@ -1,0 +1,99 @@
+"""Deterministic hash-based sampling, splitting and source mixing.
+
+The primitives every large training-data pipeline needs and that must be
+REPRODUCIBLE across runs, engines and machines: assignment is a pure
+function of the key — ``murmurhash64(key)`` (bit-identical to DuckDB's
+``hash()``, verified in kernels/duckdb_parity.py), compared against integer
+thresholds ``floor(fraction * 2^64)``. No RNG state, no order dependence,
+no shuffle: every stage is a stateless vectorized ``map_batches`` filter,
+so the ops stream at any scale and re-runs / retries / different
+partitionings always select the same rows.
+
+- ``hash_sample``:   keep a deterministic ``fraction`` of rows by key.
+- ``hash_split``:    label rows train/val/test/... by consecutive hash
+  ranges (a row's split never changes when other fractions are edited
+  upstream of it in the dict order).
+- ``mix_sources``:   per-stratum sampling rates (data-mixture control:
+  e.g. keep 100% of wiki, 25% of crawl) via one vectorized rate lookup.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from recipys_ray.kernels.duckdb_parity import murmurhash64
+
+_U64 = float(2**64)
+
+
+def _threshold(fraction: float) -> np.uint64:
+    f = min(max(float(fraction), 0.0), 1.0)
+    return np.uint64(min(int(f * _U64), 2**64 - 1))
+
+
+def hash_sample(ds, key_col: str, fraction: float):
+    """Keep rows with ``hash(key) < fraction * 2^64`` — deterministic,
+    order-independent, engine-reproducible (DuckDB: the same predicate)."""
+    thr = _threshold(fraction)
+
+    def pick(tbl: pa.Table) -> pa.Table:
+        keys = tbl.column(key_col).to_numpy(zero_copy_only=False)
+        keep = murmurhash64(keys) < thr
+        return tbl.filter(pa.array(keep))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def hash_split(ds, key_col: str, fractions: dict,
+               out_col: str = "split"):
+    """Append a split label by consecutive hash ranges. ``fractions`` maps
+    label -> fraction; they must sum to ≤ 1 (any remainder gets the last
+    label). Dict order defines the ranges, so a row's assignment is stable
+    under changes to LATER entries."""
+    labels = list(fractions)
+    if not labels:
+        raise ValueError("fractions must not be empty")
+    cum = np.cumsum([float(fractions[k]) for k in labels])
+    if cum[-1] > 1.0 + 1e-12:
+        raise ValueError(f"fractions sum to {cum[-1]} > 1")
+    bounds = np.array(
+        [np.uint64(min(int(c * _U64), 2**64 - 1)) for c in cum],
+        dtype=np.uint64,
+    )
+    bounds[-1] = np.uint64(2**64 - 1)  # remainder → last label
+    lab_arr = np.array(labels, dtype=object)
+
+    def assign(tbl: pa.Table) -> pa.Table:
+        keys = tbl.column(key_col).to_numpy(zero_copy_only=False)
+        h = murmurhash64(keys)
+        idx = np.searchsorted(bounds, h, side="right")
+        idx = np.minimum(idx, len(labels) - 1)
+        return tbl.append_column(
+            out_col, pa.array(lab_arr[idx], pa.string())
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def mix_sources(ds, key_col: str, strata_col: str, rates: dict,
+                default_rate: float = 1.0):
+    """Per-stratum deterministic sampling (data-mixture control): keep a
+    row iff ``hash(key) < rate[stratum] * 2^64``. Rates are a small
+    broadcast dict; unknown strata use ``default_rate``."""
+    thr = {k: _threshold(v) for k, v in rates.items()}
+    dthr = _threshold(default_rate)
+
+    def pick(tbl: pa.Table) -> pa.Table:
+        keys = tbl.column(key_col).to_numpy(zero_copy_only=False)
+        svals = tbl.column(strata_col).to_numpy(zero_copy_only=False)
+        # masked assignment per stratum: uint64 thresholds must never pass
+        # through a float (2^64-1 would round and wrap)
+        lim = np.full(len(svals), dthr, dtype=np.uint64)
+        for k, t in thr.items():
+            lim[svals == k] = t
+        keep = murmurhash64(keys) < lim
+        return tbl.filter(pa.array(keep))
+
+    return ds.map_batches(pick, batch_format="pyarrow")

@@ -447,6 +447,36 @@ def q_text_stats(sf_dir):
     return _select(out, ["doc_id", "n_chars_calc", "n_words", "token_count"])
 
 
+def q_hash_split(sf_dir):
+    """Deterministic train/val/test assignment by murmurhash64 ranges
+    (ops/sampling.py) — bit-identical to DuckDB's hash(), so the oracle is
+    the same predicate with the thresholds inlined as exact integers."""
+    from recipys_ray.ops.sampling import hash_split
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    out = hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return _select(out, ["doc_id", "split"])
+
+
+def q_mix_sources(sf_dir):
+    """Per-source deterministic mixture sampling (ops/sampling.py): keep
+    100% of src0, 50% of src1, 25% of src2, 10% of everything else."""
+    from recipys_ray.ops.sampling import mix_sources
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    out = mix_sources(
+        docs, "doc_id", "source",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25}, default_rate=0.1,
+    )
+    return _select(out, ["doc_id", "source"])
+
+
 def q_repetition_stats(sf_dir):
     """Gopher-style within-document repetition measures (ops/text.py
     RepetitionStats): duplicate-word fraction, top-{2,3}-gram char
@@ -1202,6 +1232,22 @@ ORACLES: dict[str, str] = {
           fp.fingerprint
         FROM c JOIN fp USING (doc_id)
     """,
+    "hash_split": """
+        SELECT doc_id,
+               CASE WHEN hash(doc_id) < 14757395258967642112 THEN 'train'
+                    WHEN hash(doc_id) < 16602069666338596864 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
+    "mix_sources": """
+        SELECT doc_id, source FROM documents
+        WHERE hash(doc_id) <
+              CASE source
+                   WHEN 'src0' THEN 18446744073709551615
+                   WHEN 'src1' THEN 9223372036854775808
+                   WHEN 'src2' THEN 4611686018427387904
+                   ELSE 1844674407370955264 END
+    """,
     "repetition_stats": """
         WITH t AS (SELECT doc_id, length(coalesce(text, '')) AS nc,
                    regexp_extract_all(lower(coalesce(text, '')), '\\w+') AS ws
@@ -1320,6 +1366,8 @@ QUERIES = {
     "knn_impute": q_knn_impute,
     "decontaminate": q_decontaminate,
     "repetition_stats": q_repetition_stats,
+    "hash_split": q_hash_split,
+    "mix_sources": q_mix_sources,
     "iterative_impute": q_iterative_impute,
     "dedup_minhash": q_dedup_minhash,
     "dedup_jaccard": q_dedup_jaccard,

@@ -637,3 +637,55 @@ class TestRepetitionStats:
         tbl = pa.table({"doc_id": [0], "text": [rep.strip()]})
         out = RepetitionStats("text", top_ns=(), dup_ns=(5,))(tbl)
         assert out.column("dup5gram_char_frac").to_pylist()[0] > 0.5
+
+
+class TestHashSampling:
+    def test_split_deterministic_and_partition_invariant(self, ray_session):
+        import ray.data as rd
+
+        from recipys_ray.ops.sampling import hash_split
+
+        pdf = pd.DataFrame({"k": np.arange(5000, dtype=np.int64)})
+        fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+        a = hash_split(rd.from_pandas(pdf), "k", fr).to_pandas()
+        b = hash_split(
+            rd.from_pandas(pdf).repartition(13), "k", fr
+        ).to_pandas().sort_values("k", ignore_index=True)
+        a = a.sort_values("k", ignore_index=True)
+        pd.testing.assert_frame_equal(a, b)
+        frac = a["split"].value_counts(normalize=True)
+        assert abs(frac["train"] - 0.8) < 0.03
+        assert abs(frac["val"] - 0.1) < 0.02
+
+    def test_sample_subset_property(self, ray_session):
+        """hash_sample(f1) ⊆ hash_sample(f2) for f1 < f2 — threshold
+        sampling gives nested samples (the property RNG sampling lacks)."""
+        import ray.data as rd
+
+        from recipys_ray.ops.sampling import hash_sample
+
+        pdf = pd.DataFrame({"k": np.arange(3000, dtype=np.int64)})
+        small = set(
+            hash_sample(rd.from_pandas(pdf), "k", 0.1).to_pandas()["k"]
+        )
+        big = set(
+            hash_sample(rd.from_pandas(pdf), "k", 0.4).to_pandas()["k"]
+        )
+        assert small <= big
+        assert 0.05 < len(small) / 3000 < 0.15
+
+    def test_mix_rates_and_full_keep(self, ray_session):
+        import ray.data as rd
+
+        from recipys_ray.ops.sampling import mix_sources
+
+        pdf = pd.DataFrame({
+            "k": np.arange(4000, dtype=np.int64),
+            "s": np.where(np.arange(4000) % 2 == 0, "keepall", "half"),
+        })
+        out = mix_sources(
+            rd.from_pandas(pdf), "k", "s", {"keepall": 1.0, "half": 0.5}
+        ).to_pandas()
+        kept = out["s"].value_counts()
+        assert kept["keepall"] == 2000  # rate 1.0 must keep every row
+        assert 800 < kept["half"] < 1200
