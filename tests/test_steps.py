@@ -485,3 +485,42 @@ def test_resample_agg_combiner_engages_and_matches():
             a[c].to_numpy(dtype=float), b[c].to_numpy(dtype=float),
             equal_nan=True, err_msg=c, rtol=1e-9, atol=1e-12,
         )
+
+
+def test_historical_production_longdouble_close_to_oracle(ray_session):
+    """Guard for the PRODUCTION (non-parity) MEAN/VAR/SUM path: longdouble
+    segmented cumsums must stay within 1e-11 of DuckDB's expanding
+    aggregates (the parity mode is bit-exact; this pins the default)."""
+    import duckdb
+    import ray.data as rd
+
+    import recipys_ray as rr
+    from recipys_ray.selector import all_of
+    from recipys_ray.steps.historical import Accumulator
+
+    rng = np.random.default_rng(17)
+    n = 4000
+    pdf = pd.DataFrame({
+        "g": np.sort(rng.integers(0, 40, n)),
+        "t": np.arange(n, dtype=np.int64),
+        "v": rng.standard_normal(n) * (10.0 ** rng.integers(-3, 4, n)),
+    })
+    pdf.loc[rng.random(n) < 0.15, "v"] = np.nan
+    rec = rr.Recipe(rd.from_pandas(pdf), predictors=["v"], groups=["g"],
+                    sequences=["t"])
+    for fun in (Accumulator.MEAN, Accumulator.VAR, Accumulator.SUM):
+        rec.add_step(rr.StepHistorical(sel=all_of(["v"]), fun=fun))
+    out = rec.prep().to_pandas().sort_values(["g", "t"], ignore_index=True)
+    con = duckdb.connect()
+    con.register("t_in", pdf)
+    ref = con.execute("""
+        SELECT g, t, avg(v) OVER w AS v_mean, var_samp(v) OVER w AS v_var,
+               sum(v) OVER w AS v_sum
+        FROM t_in WINDOW w AS (PARTITION BY g ORDER BY t
+                               ROWS UNBOUNDED PRECEDING)
+        ORDER BY g, t""").df()
+    for c in ("v_mean", "v_var", "v_sum"):
+        np.testing.assert_allclose(
+            out[c].to_numpy(), ref[c].to_numpy(),
+            rtol=1e-11, atol=1e-11, equal_nan=True, err_msg=c,
+        )
