@@ -328,6 +328,82 @@ class Recipe:
         return ds
 
     # ------------------------------------------------------------------ #
+    def explain(self, data=None) -> str:
+        """Physical-plan preview WITHOUT executing anything: how steps fuse
+        into map_batches chains and grouped shuffles, where fit flushes pin
+        the pipeline, and how salting routes. Mirrors ``_run``'s chaining
+        rules (same resolution pass); one line per physical stage."""
+        ing = self._check_data(data)
+        lines: list[str] = []
+        pending: list[str] = []
+        mode: Optional[str] = None
+        chain_key = None
+        n_shuffles = 0
+
+        def flush():
+            nonlocal pending, mode, chain_key, n_shuffles
+            if not pending:
+                return
+            if mode == "batch":
+                lines.append(
+                    f"map_batches (fused x{len(pending)}): "
+                    + " -> ".join(pending)
+                )
+            else:
+                n_shuffles += 1
+                g, s = chain_key
+                salted = " [salted]" if self.salt is not None and g else ""
+                lines.append(
+                    f"grouped shuffle #{n_shuffles}{salted} "
+                    f"(group={list(g)}, sort={list(s)}; fused "
+                    f"x{len(pending)}): " + " -> ".join(pending)
+                )
+            pending.clear()
+            mode = None
+            chain_key = None
+
+        worklist = list(self.steps)
+        i = 0
+        while i < len(worklist):
+            step = worklist[i]
+            step.resolve(ing)
+            expanded = step.expand(ing)
+            if len(expanded) > 1 or expanded[0] is not step:
+                worklist[i:i + 1] = expanded
+                step = worklist[i]
+                if expanded[0] is not step:
+                    step.resolve(ing)
+            name = type(step).__name__
+            if step.requires_fit and not step.trained:
+                flush()
+                mbf = self.materialize_before_fit
+                pin = {True: "materialize", "memory": "materialize",
+                       "disk": "parquet checkpoint"}.get(mbf, "no pin")
+                lines.append(f"fit flush ({pin}): fit {name}")
+            k = step.kind
+            if k == "actor":
+                flush()
+                lines.append(f"actor-pool stage: {name}")
+            else:
+                key = (
+                    (tuple(step.group_cols), tuple(step.seq_cols))
+                    if k == "grouped" else None
+                )
+                if mode is not None and (
+                    k != mode or (k == "grouped" and key != chain_key)
+                ):
+                    flush()
+                mode = k
+                chain_key = key if k == "grouped" else chain_key
+                pending.append(name)
+            ing.apply_schema_delta(step.schema_delta(ing))
+            ing.apply_role_delta(step.role_delta())
+            i += 1
+        flush()
+        lines.append(f"total grouped shuffles: {n_shuffles}")
+        return "\n".join(lines)
+
+    # ------------------------------------------------------------------ #
     def cache(self) -> "Recipe":
         """Drop the data reference, keep fitted steps (reference
         recipe.py:198-202) — the picklable FittedRecipe artifact. Roles are

@@ -149,3 +149,27 @@ def test_fit_pin_modes_identical(ray_session):
         outs[mode] = out
     for mode in ["disk", False]:
         pd.testing.assert_frame_equal(outs["memory"], outs[mode])
+
+
+def test_explain_physical_plan(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    import recipys_ray as rr
+    from recipys_ray.pipelines.transcripts import flagship_recipe
+
+    pdf = pd.DataFrame({
+        "conv_id": np.repeat([1, 2], 30),
+        "turn_idx": np.tile(np.arange(30), 2),
+        "ts": pd.date_range("2024-01-01", periods=60, freq="min"),
+        "n_chars": np.arange(60), "latency_s": np.arange(60.0),
+        "score": np.arange(60.0),
+    })
+    rec = flagship_recipe(rd.from_pandas(pdf))
+    plan = rec.explain()
+    assert "total grouped shuffles: 1" in plan  # the single-shuffle claim
+    assert "fit flush" in plan and "StepScale" in plan
+    # explain must not execute or break a subsequent prep
+    out = rec.prep().to_pandas()
+    assert len(out) == 60
