@@ -834,9 +834,16 @@ class KNNImputer(NativeTransformer):
         weights: str = "uniform",
         fit_sample_rows: int = 100_000,
         slice_rows: int = 256,
+        ivf_clusters: int = 0,
+        ivf_probes: int = 3,
     ):
         # slice_rows bounds the per-task distance matrix: 256 x 100k donors
-        # x 8B = 205 MB + matmul temporaries, safe under many parallel tasks
+        # x 8B = 205 MB + matmul temporaries, safe under many parallel tasks.
+        # ivf_clusters > 0 switches donor search to an IVF index (euclidean
+        # k-means over mean-filled donors): each row searches only its
+        # ivf_probes nearest cells' donors — the scale path when the donor
+        # sample is large. Approximate; rows whose probed cells hold no
+        # usable donor for a column retry against the full donor set.
         super().__init__()
         if weights not in ("uniform", "distance"):
             raise ValueError("weights must be 'uniform' or 'distance'")
@@ -844,6 +851,9 @@ class KNNImputer(NativeTransformer):
         self.weights = weights
         self.fit_sample_rows = fit_sample_rows
         self.slice_rows = slice_rows
+        self.ivf_clusters = ivf_clusters
+        self.ivf_probes = ivf_probes
+        self.centroids_ = None
 
     def distributed_fit(self, ds, columns: list[str]):
         self.columns_ = list(columns)
@@ -881,22 +891,35 @@ class KNNImputer(NativeTransformer):
         with np.errstate(invalid="ignore"):
             self.fallback_mean_ = np.nanmean(F, axis=0)
         self.fallback_mean_ = np.nan_to_num(self.fallback_mean_, nan=0.0)
+        self.centroids_ = None
+        if self.ivf_clusters and len(F) >= 8 * self.ivf_clusters:
+            from recipys_ray.ops.similarity import _kmeans_fit
+
+            Fz = np.where(np.isnan(F), self.fallback_mean_, F)
+            self.centroids_ = _kmeans_fit(Fz, self.ivf_clusters, seed=3)
+            d2 = ((Fz[:, None, :] - self.centroids_[None]) ** 2).sum(axis=2)
+            self.donor_cell_ = d2.argmin(axis=1)
+            self.cell_members_ = [
+                np.flatnonzero(self.donor_cell_ == c)
+                for c in range(len(self.centroids_))
+            ]
         return self
 
-    def transform(self, X):
-        M = self._matrix(X)
-        miss_rows = np.flatnonzero(np.isnan(M).any(axis=1))
-        if len(miss_rows) == 0:
-            return M
+    def _impute_block(self, M, out, rows, donor_idx=None):
+        """Impute the missing cells of ``rows`` against a donor universe
+        (``donor_idx`` restricts it; None = all donors). Returns row indices
+        that found NO usable donor for some column (IVF retry path)."""
         F = self.fit_data_
+        if donor_idx is not None:
+            F = F[donor_idx]
         Fm = (~np.isnan(F)).astype(np.float64)
         F0 = np.nan_to_num(F, nan=0.0)
         d = M.shape[1]
         donors_by_col = [np.flatnonzero(Fm[:, j] > 0) for j in range(d)]
-        out = M.copy()
-        for lo in range(0, len(miss_rows), self.slice_rows):
-            rows = miss_rows[lo:lo + self.slice_rows]
-            Xs = M[rows]
+        retry: set = set()
+        for lo in range(0, len(rows), self.slice_rows):
+            srows = rows[lo:lo + self.slice_rows]
+            Xs = M[srows]
             Xm = (~np.isnan(Xs)).astype(np.float64)
             X0 = np.nan_to_num(Xs, nan=0.0)
             sq = (
@@ -913,7 +936,10 @@ class KNNImputer(NativeTransformer):
                     continue
                 dj = donors_by_col[j]
                 if len(dj) == 0:
-                    out[rows[need], j] = self.fallback_mean_[j]
+                    if donor_idx is not None:
+                        retry.update(srows[need].tolist())
+                    else:
+                        out[srows[need], j] = self.fallback_mean_[j]
                     continue
                 Dsub = dist[np.ix_(need, dj)]
                 k = min(self.n_neighbors, len(dj))
@@ -951,10 +977,60 @@ class KNNImputer(NativeTransformer):
                 wsum = w.sum(axis=1)
                 with np.errstate(invalid="ignore", divide="ignore"):
                     imput = (vals * w).sum(axis=1) / wsum
-                imput = np.where(
-                    wsum > 0, imput, self.fallback_mean_[j]
+                if donor_idx is not None:
+                    bad = wsum <= 0
+                    if bad.any():
+                        retry.update(srows[need[bad]].tolist())
+                    good = ~bad
+                    out[srows[need[good]], j] = imput[good]
+                else:
+                    imput = np.where(
+                        wsum > 0, imput, self.fallback_mean_[j]
+                    )
+                    out[srows[need], j] = imput
+        return retry
+
+    def transform(self, X):
+        M = self._matrix(X)
+        miss_rows = np.flatnonzero(np.isnan(M).any(axis=1))
+        if len(miss_rows) == 0:
+            return M
+        out = M.copy()
+        if self.centroids_ is None:
+            self._impute_block(M, out, miss_rows, donor_idx=None)
+            return out
+        # IVF: probe the nearest cells per row (mean-filled representation),
+        # group rows by probe signature, search only those cells' donors
+        C = self.centroids_
+        probes_n = min(self.ivf_probes, len(C))
+        Q = M[miss_rows]
+        Q = np.where(np.isnan(Q), self.fallback_mean_, Q)
+        retries: set = set()
+        for lo in range(0, len(miss_rows), self.slice_rows):
+            rows = miss_rows[lo:lo + self.slice_rows]
+            Qs = Q[lo:lo + self.slice_rows]
+            d2 = ((Qs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            pr = np.sort(
+                np.argpartition(d2, probes_n - 1, axis=1)[:, :probes_n],
+                axis=1,
+            )
+            sigs, inv = np.unique(pr, axis=0, return_inverse=True)
+            for s in range(len(sigs)):
+                sub = rows[inv == s]
+                cand = np.unique(
+                    np.concatenate(
+                        [self.cell_members_[c] for c in sigs[s]]
+                    )
                 )
-                out[rows[need], j] = imput
+                if len(cand) == 0:
+                    retries.update(sub.tolist())
+                    continue
+                retries |= self._impute_block(M, out, sub, donor_idx=cand)
+        if retries:
+            self._impute_block(
+                M, out, np.array(sorted(retries), dtype=np.int64),
+                donor_idx=None,
+            )
         return out
 
 

@@ -589,3 +589,37 @@ def test_iterative_imputer_step_end_to_end(ray_session):
     )
     out = rec.prep().to_pandas()
     assert not out[["a", "b", "c"]].isna().any().any()
+
+
+def test_knn_imputer_ivf_close_to_brute(ray_session):
+    """IVF donor search (the scale path) must agree with the brute-force
+    donor search on the vast majority of cells for clustered data, and
+    exactly when probes cover all cells."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(6, 3)) * 20
+    rowsl = []
+    for c in centers:
+        rowsl.append(c + rng.normal(size=(300, 3)))
+    pdf = pd.DataFrame(np.vstack(rowsl), columns=["a", "b", "c"])
+    pdf.loc[rng.random(len(pdf)) < 0.15, "b"] = np.nan
+
+    def run(**kw):
+        imp = KNNImputer(n_neighbors=5, **kw)
+        imp.distributed_fit(rd.from_pandas(pdf), ["a", "b", "c"])
+        return imp.transform(pdf)
+
+    brute = run()
+    ivf = run(ivf_clusters=12, ivf_probes=3)
+    m = pdf["b"].isna().to_numpy()
+    same = np.mean(ivf[m, 1] == brute[m, 1])
+    assert same > 0.7, f"only {same:.2%} of imputed cells match brute force"
+    # where donor sets differ the imputations must still be close (probed
+    # cells hold near-neighbors): small error relative to the data spread
+    err = np.abs(ivf[m, 1] - brute[m, 1])
+    assert np.median(err) == 0.0
+    assert err.mean() < 0.05 * np.nanstd(pdf["b"])
+    # probes covering every cell ⇒ identical to brute force
+    allprobe = run(ivf_clusters=4, ivf_probes=4)
+    np.testing.assert_array_equal(allprobe, brute)
