@@ -126,6 +126,8 @@ def bench_queries() -> dict:
         "iterative_impute",
         "decontaminate",
         "repetition_stats",
+        "hash_split",
+        "mix_sources",
         "historical_salted",
     ]
     out = {}
