@@ -447,6 +447,19 @@ def q_text_stats(sf_dir):
     return _select(out, ["doc_id", "n_chars_calc", "n_words", "token_count"])
 
 
+def q_profile(sf_dir):
+    """One-pass dataset profiling (ops/profile.py): per-column counts,
+    nulls, moments, min/max from a single streaming partial-aggregate pass."""
+    from recipys_ray.ops.profile import profile
+
+    pdf = profile(_with_valn(_events(sf_dir)), columns=["value", "valn"])
+    out = pdf[["column", "rows_total", "nulls", "mean", "min", "max"]].copy()
+    out = out.rename(columns={"column": "col_name"})
+    out["rows_total"] = out["rows_total"].astype(np.int64)
+    out["nulls"] = out["nulls"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_hash_split(sf_dir):
     """Deterministic train/val/test assignment by murmurhash64 ranges
     (ops/sampling.py) — bit-identical to DuckDB's hash(), so the oracle is
@@ -1232,6 +1245,18 @@ ORACLES: dict[str, str] = {
           fp.fingerprint
         FROM c JOIN fp USING (doc_id)
     """,
+    "profile": """
+        WITH ev AS (SELECT value, CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS valn FROM events)
+        SELECT 'value' AS col_name, count(*) AS rows_total,
+               count(*) - count(value) AS nulls, avg(value) AS mean,
+               CAST(min(value) AS DOUBLE) AS min,
+               CAST(max(value) AS DOUBLE) AS max
+        FROM ev
+        UNION ALL
+        SELECT 'valn', count(*), count(*) - count(valn), avg(valn),
+               CAST(min(valn) AS DOUBLE), CAST(max(valn) AS DOUBLE)
+        FROM ev
+    """,
     "hash_split": """
         SELECT doc_id,
                CASE WHEN hash(doc_id) < 14757395258967642112 THEN 'train'
@@ -1366,6 +1391,7 @@ QUERIES = {
     "knn_impute": q_knn_impute,
     "decontaminate": q_decontaminate,
     "repetition_stats": q_repetition_stats,
+    "profile": q_profile,
     "hash_split": q_hash_split,
     "mix_sources": q_mix_sources,
     "iterative_impute": q_iterative_impute,

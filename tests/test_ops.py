@@ -689,3 +689,28 @@ class TestHashSampling:
         kept = out["s"].value_counts()
         assert kept["keepall"] == 2000  # rate 1.0 must keep every row
         assert 800 < kept["half"] < 1200
+
+
+def test_profile_one_pass(ray_session):
+    import ray.data as rd
+
+    from recipys_ray.ops.profile import profile
+
+    rng = np.random.default_rng(2)
+    pdf = pd.DataFrame({
+        "a": rng.normal(10, 2, 1000),
+        "b": rng.integers(0, 5, 1000),
+        "s": ["x"] * 1000,
+    })
+    pdf.loc[::10, "a"] = np.nan
+    out = profile(rd.from_pandas(pdf)).set_index("column")
+    assert out.loc["a", "nulls"] == 100
+    assert out.loc["a", "rows_total"] == 1000
+    np.testing.assert_allclose(
+        out.loc["a", "mean"], np.nanmean(pdf["a"]), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        out.loc["a", "q0.5"], np.nanmedian(pdf["a"]), rtol=0.05
+    )
+    assert out.loc["s", "dtype"] == "string"
+    assert np.isnan(out.loc["s", "mean"])
