@@ -31,10 +31,15 @@ def profile(
     types = dict(zip(schema.names, schema.types))
     if columns is not None:
         names = [c for c in names if c in set(columns)]
-    numeric = [
-        c for c in names
-        if pa.types.is_integer(types[c]) or pa.types.is_floating(types[c])
-    ]
+
+    def _is_num(t) -> bool:
+        try:
+            return pa.types.is_integer(t) or pa.types.is_floating(t)
+        except AttributeError:
+            # pandas-block datasets expose numpy dtypes
+            return np.issubdtype(t, np.number)
+
+    numeric = [c for c in names if _is_num(types[c])]
     stats = column_stats(ds, numeric, {MOMENTS, MINMAX, QUANTILES})
     rows = []
     for c in names:

@@ -703,7 +703,11 @@ def test_profile_one_pass(ray_session):
         "s": ["x"] * 1000,
     })
     pdf.loc[::10, "a"] = np.nan
-    out = profile(rd.from_pandas(pdf)).set_index("column")
+    import pyarrow as pa
+
+    out = profile(
+        rd.from_arrow(pa.Table.from_pandas(pdf))
+    ).set_index("column")
     assert out.loc["a", "nulls"] == 100
     assert out.loc["a", "rows_total"] == 1000
     np.testing.assert_allclose(
