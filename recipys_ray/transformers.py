@@ -868,7 +868,9 @@ class KNNImputer(NativeTransformer):
                 pdf.loc[keep], preserve_index=False
             )
 
-        sample = ds.map_batches(pick, batch_format="pyarrow")
+        # materialize once: count() and the collection below would otherwise
+        # each re-execute the pick pass
+        sample = ds.map_batches(pick, batch_format="pyarrow").materialize()
         n = sample.count()
         if n > cap:
             frac = cap / n
