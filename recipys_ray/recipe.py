@@ -413,6 +413,10 @@ class Recipe:
                 k: list(v) for k, v in self.ingredients.roles.items()
             }
         self.ingredients = None
+        # the last prep/bake output also pins data (its Dataset lineage can
+        # reference fit-pass closures and pinned blocks) — a cached recipe
+        # must hold fitted state only
+        self._last_ingredients = None
         return self
 
     def __repr__(self):

@@ -623,3 +623,35 @@ def test_knn_imputer_ivf_close_to_brute(ray_session):
     # probes covering every cell ⇒ identical to brute force
     allprobe = run(ivf_clusters=4, ivf_probes=4)
     np.testing.assert_array_equal(allprobe, brute)
+
+
+def test_imputers_cache_then_bake(ray_session):
+    """Fit-once / bake-elsewhere: KNN and Iterative imputers must carry
+    their fitted state through cache() (pickle) and impute NEW data from
+    the ORIGINAL donor/coefficient state."""
+    import pickle
+
+    import ray.data as rd
+
+    from recipys_ray import Recipe
+    from recipys_ray.transformers import IterativeImputer
+
+    rng = np.random.default_rng(9)
+    train = pd.DataFrame({
+        "x": rng.normal(size=500),
+        "y": rng.normal(size=500),
+    })
+    train["y"] = 2 * train["x"] + 0.01 * rng.normal(size=500)
+    train.loc[rng.random(500) < 0.2, "y"] = np.nan
+    for transformer in (KNNImputer(), IterativeImputer(max_iter=3)):
+        rec = Recipe(rd.from_pandas(train), predictors=["x", "y"])
+        rec.add_step(StepSklearn(transformer, sel=all_of(["x", "y"])))
+        rec.prep().to_pandas()
+        rec.cache()
+        rec2 = pickle.loads(pickle.dumps(rec))
+        new = pd.DataFrame({"x": [0.0, 1.0], "y": [np.nan, np.nan]})
+        out = rec2.bake(rd.from_pandas(new)).to_pandas()
+        assert not out["y"].isna().any()
+        # y ≈ 2x from the TRAINED state, not from the 2-row bake data
+        assert abs(out.sort_values("x")["y"].iloc[1]
+                   - out.sort_values("x")["y"].iloc[0] - 2.0) < 0.5
