@@ -221,6 +221,8 @@ def test_salted_parity_mixed_hot_cold_bit_exact(ray_session):
         sel=all_of(["v"]), fun=Accumulator.MEAN, duckdb_parity=True))
     rec.add_step(rr.StepHistorical(
         sel=all_of(["v"]), fun=Accumulator.VAR, duckdb_parity=True))
+    rec.add_step(rr.StepHistorical(
+        sel=all_of(["v"]), fun=Accumulator.SUM, duckdb_parity=True))
     out = rec.prep().to_pandas().sort_values(
         ["g", "t"], ignore_index=True
     )
@@ -228,11 +230,12 @@ def test_salted_parity_mixed_hot_cold_bit_exact(ray_session):
     con = duckdb.connect()
     con.register("t_in", pdf_in)
     ref = con.execute("""
-        SELECT g, t, avg(v) OVER w AS v_mean, var_samp(v) OVER w AS v_var
+        SELECT g, t, avg(v) OVER w AS v_mean, var_samp(v) OVER w AS v_var,
+               sum(v) OVER w AS v_sum
         FROM t_in WINDOW w AS (PARTITION BY g ORDER BY t
                                ROWS UNBOUNDED PRECEDING)
         ORDER BY g, t""").df()
-    for col in ["v_mean", "v_var"]:
+    for col in ["v_mean", "v_var", "v_sum"]:
         a = out[col].to_numpy()
         b = ref[col].to_numpy()
         assert np.all((a == b) | (np.isnan(a) & np.isnan(b))), col
