@@ -173,3 +173,15 @@ def test_explain_physical_plan(ray_session):
     # explain must not execute or break a subsequent prep
     out = rec.prep().to_pandas()
     assert len(out) == 60
+
+
+def test_migration_example_runs(ray_session):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "migrate_example", "/root/repo/examples/migrate_from_recipys.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.main()
+    assert len(out) == 10
