@@ -64,8 +64,17 @@ def partitioned_groupby_map(ds, key_cols: list[str], fn, num_partitions: int = 6
     def run_arrow(tbl: pa.Table) -> pa.Table:
         return fn(tbl.drop_columns(["__pgm_part__"]))
 
+    # the stamp doubles as a block coalescer when the row count is knowable
+    # (Ray's sort pays a fixed cost per input block; many tiny blocks
+    # dominate small corpora) — unknown counts keep per-block batches
+    try:
+        n = ds._meta_count()
+    except Exception:
+        n = None
+    bs = int(np.clip(n // 16, 16_384, 262_144)) if n else None
+
     return (
-        ds.map_batches(stamp, batch_format="pyarrow")
+        ds.map_batches(stamp, batch_format="pyarrow", batch_size=bs)
         .groupby("__pgm_part__")
         .map_groups(
             run_arrow if batch_format == "pyarrow" else run,
