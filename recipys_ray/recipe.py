@@ -336,6 +336,7 @@ class Recipe:
         ing = self._check_data(data)
         lines: list[str] = []
         pending: list[str] = []
+        pending_steps: list = []
         mode: Optional[str] = None
         chain_key = None
         n_shuffles = 0
@@ -344,21 +345,45 @@ class Recipe:
             nonlocal pending, mode, chain_key, n_shuffles
             if not pending:
                 return
+            head_grid = (
+                getattr(pending_steps[0], "salt_grid_capable", False)
+                and not any(
+                    st.frame_needs_all or st.changes_rowcount
+                    for st in pending_steps[1:]
+                )
+            )
             if mode == "batch":
                 lines.append(
                     f"map_batches (fused x{len(pending)}): "
                     + " -> ".join(pending)
                 )
             else:
-                n_shuffles += 1
                 g, s = chain_key
-                salted = " [salted]" if self.salt is not None and g else ""
-                lines.append(
-                    f"grouped shuffle #{n_shuffles}{salted} "
-                    f"(group={list(g)}, sort={list(s)}; fused "
-                    f"x{len(pending)}): " + " -> ".join(pending)
-                )
+                salted = self.salt is not None and g and s
+                tag = " [salted]" if salted else ""
+                if salted and len(pending) > 1 and head_grid:
+                    # mirrors the planner's grid-head split (two bounded
+                    # salted shuffles)
+                    n_shuffles += 2
+                    lines.append(
+                        f"grouped shuffle #{n_shuffles - 1}{tag} "
+                        f"(group={list(g)}, sort={list(s)}): {pending[0]} "
+                        f"(grid slot-ownership chunks)"
+                    )
+                    lines.append(
+                        f"grouped shuffle #{n_shuffles}{tag} "
+                        f"(re-salted over resampled rows; fused "
+                        f"x{len(pending) - 1}): " + " -> ".join(pending[1:])
+                    )
+                else:
+                    n_shuffles += 1
+                    lines.append(
+                        f"grouped shuffle #{n_shuffles}{tag} "
+                        f"(group={list(g)}, sort={list(s)}; fused "
+                        f"x{len(pending)}): " + " -> ".join(pending)
+                    )
             pending.clear()
+            pending_steps.clear()
             mode = None
             chain_key = None
 
@@ -396,6 +421,7 @@ class Recipe:
                 mode = k
                 chain_key = key if k == "grouped" else chain_key
                 pending.append(name)
+                pending_steps.append(step)
             ing.apply_schema_delta(step.schema_delta(ing))
             ing.apply_role_delta(step.role_delta())
             i += 1
