@@ -558,7 +558,9 @@ def q_knn_impute(sf_dir):
             "f3", pa.array(f3)
         )
 
-    ds = _events(sf_dir).map_batches(add, batch_format="pyarrow")
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    ).map_batches(add, batch_format="pyarrow")
     rec = rr.Recipe(ds, predictors=["value", "valn", "f3"])
     rec.add_step(
         rr.StepSklearn(KNNImputer(), sel=all_of(["value", "valn", "f3"]))
@@ -586,7 +588,9 @@ def q_iterative_impute(sf_dir):
             "f3", pa.array(f3)
         )
 
-    ds = _events(sf_dir).map_batches(add, batch_format="pyarrow")
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    ).map_batches(add, batch_format="pyarrow")
     rec = rr.Recipe(ds, predictors=["value", "valn", "f3"])
     rec.add_step(
         rr.StepSklearn(
