@@ -568,6 +568,41 @@ def q_knn_impute(sf_dir):
     return _select(rec.prep(), ["event_id", "valn"])
 
 
+def q_knn_impute_ivf(sf_dir):
+    """KNNImputer with the IVF-bucketed donor search (the scale path:
+    euclidean k-means cells over mean-filled donors, 3-probe candidate
+    restriction, full-donor retry when a probed cell set has no usable
+    donor); golden oracle from the independent sequential implementation
+    (scripts/gen_expected.py knn_impute_ivf_expected)."""
+    from recipys_ray.transformers import KNNImputer
+
+    def add(tbl: pa.Table) -> pa.Table:
+        eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+        f3 = (
+            (eid.astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(1000003)
+        ).astype(np.float64) / 1000003.0
+        mask = pa.array(eid % 7 == 0)
+        valn = pc.if_else(
+            mask, pa.scalar(None, pa.float64()), tbl.column("value")
+        )
+        return tbl.append_column("valn", valn).append_column(
+            "f3", pa.array(f3)
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    ).map_batches(add, batch_format="pyarrow")
+    rec = rr.Recipe(ds, predictors=["value", "valn", "f3"])
+    rec.add_step(
+        rr.StepSklearn(
+            KNNImputer(ivf_clusters=64, ivf_probes=3),
+            sel=all_of(["value", "valn", "f3"]),
+        )
+    )
+    return _select(rec.prep(), ["event_id", "valn"])
+
+
 def q_iterative_impute(sf_dir):
     """Native distributed IterativeImputer (reference tests/test_steps.py:259):
     3 fixed round-robin BayesianRidge rounds over (value, valn, f3); golden
@@ -1344,7 +1379,13 @@ ORACLES: dict[str, str] = {
     """,
     "knn_impute": """
         SELECT event_id, valn
-        FROM read_parquet('/root/repo/expected/knn_impute_*.parquet')
+        FROM read_parquet('/root/repo/expected/knn_impute_[0-9]*.parquet')
+        WHERE corpus_key = (SELECT count(*) || '_' ||
+                            CAST(sum(user_id) AS BIGINT) FROM events)
+    """,
+    "knn_impute_ivf": """
+        SELECT event_id, valn
+        FROM read_parquet('/root/repo/expected/knn_impute_ivf_*.parquet')
         WHERE corpus_key = (SELECT count(*) || '_' ||
                             CAST(sum(user_id) AS BIGINT) FROM events)
     """,
@@ -1393,6 +1434,7 @@ QUERIES = {
     "knn_cosine": q_knn_cosine,
     "knn_ivf": q_knn_ivf,
     "knn_impute": q_knn_impute,
+    "knn_impute_ivf": q_knn_impute_ivf,
     "decontaminate": q_decontaminate,
     "repetition_stats": q_repetition_stats,
     "profile": q_profile,

@@ -889,6 +889,15 @@ class KNNImputer(NativeTransformer):
         F = sample.to_pandas()[columns].to_numpy(
             dtype=np.float64, na_value=np.nan
         )
+        # Canonical donor order: Ray's streaming executor does not guarantee
+        # block output order (preserve_order=False), so the collected sample
+        # is an arbitrary block permutation run-to-run. Everything downstream
+        # that is donor-ORDER-sensitive — the seeded k-means init of the IVF
+        # index, donor-index tie-breaks, and the fixed float summation order
+        # of the imputed means — must key off a deterministic order, not the
+        # collection order. Lexsort by the feature values themselves (ties =
+        # identical rows = indistinguishable donors).
+        F = F[np.lexsort(tuple(F[:, j] for j in range(F.shape[1] - 1, -1, -1)))]
         self.fit_data_ = F
         with np.errstate(invalid="ignore"):
             self.fallback_mean_ = np.nanmean(F, axis=0)

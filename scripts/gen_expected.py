@@ -171,16 +171,80 @@ def knn_impute_expected(events: pd.DataFrame) -> pd.DataFrame:
     missing = eid % 7 == 0
     valn = np.where(missing, np.nan, value)
     donors = np.flatnonzero(~missing)
-    dv, df3, dvaln = value[donors], f3[donors], valn[donors]
+    # canonical donor order (value, valn, f3): the engine sorts its collected
+    # donor sample the same way because Ray block collection order is not
+    # deterministic — tie-breaks and mean-summation order key off this order
+    ck = np.lexsort((f3[donors], valn[donors], value[donors]))
+    donors = donors[ck]
+    dv, df3 = value[donors], f3[donors]
     out = valn.copy()
     d = 3
     for i in np.flatnonzero(missing):
         # common observed coords = (value, f3); weight d / 2
         ssq = (dv - value[i]) ** 2 + (df3 - f3[i]) ** 2
         dist = np.sqrt(d * ssq / 2.0)
-        order = np.lexsort((donors, dist))
-        sel = np.sort(donors[order[:5]])
-        out[i] = np.mean(valn[sel])
+        order = np.argsort(dist, kind="stable")  # ties → lowest canon pos
+        sel = np.sort(order[:5])  # positions in canonical donor order
+        out[i] = np.mean(valn[donors[sel]])
+    return pd.DataFrame({"event_id": eid, "valn": out})
+
+
+def knn_impute_ivf_expected(events: pd.DataFrame) -> pd.DataFrame:
+    """Sequential reference for q_knn_impute_ivf: KNN imputation with the
+    IVF-bucketed donor search (64 euclidean k-means cells over mean-filled
+    donors — shared deterministic _kmeans_fit, like knn_ivf — 3 probes,
+    up-to-5 nearest candidate donors, full-donor retry when a probed cell
+    set has no usable donor)."""
+    sys.path.insert(0, os.path.dirname(OUT_DIR))
+    from recipys_ray.ops.similarity import _kmeans_fit
+
+    eid = events["event_id"].to_numpy()
+    value = events["value"].to_numpy(dtype=np.float64)
+    f3 = ((eid.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1000003)
+          ).astype(np.float64) / 1000003.0
+    missing = eid % 7 == 0
+    valn = np.where(missing, np.nan, value)
+    Fq = np.column_stack([value, valn, f3])  # query frame, event order
+    # canonical donor order (see knn_impute_expected): the seeded k-means
+    # init, probe cells, tie-breaks and mean-summation order all key off it
+    F = Fq[np.lexsort((f3, valn, value))]
+    d = 3
+    fallback = np.nan_to_num(np.nanmean(F, axis=0), nan=0.0)
+    Fz = np.where(np.isnan(F), fallback, F)
+    C = _kmeans_fit(Fz, 64, seed=3)
+    cell = ((Fz[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    donors_obs = ~np.isnan(F[:, 1])
+
+    def impute_row(i, cand):
+        dj = cand[donors_obs[cand]]
+        if len(dj) == 0:
+            return None
+        x = Fq[i]
+        Fc = F[dj]
+        cm = (~np.isnan(x))[None, :] & ~np.isnan(Fc)
+        ncom = cm.sum(axis=1)
+        ok = ncom > 0
+        if not ok.any():
+            return None
+        dj, Fc, cm, ncom = dj[ok], Fc[ok], cm[ok], ncom[ok]
+        diff = np.where(cm, Fc - x[None, :], 0.0)
+        dist = np.sqrt(d * (diff * diff).sum(axis=1) / ncom)
+        order = np.lexsort((dj, dist))  # ties → lowest canonical position
+        sel = np.sort(dj[order[:5]])
+        return float(np.mean(F[sel, 1]))
+
+    out = valn.copy()
+    all_idx = np.arange(len(F))
+    pn = min(3, len(C))
+    for i in np.flatnonzero(missing):
+        q = np.where(np.isnan(Fq[i]), fallback, Fq[i])
+        d2 = ((C - q) ** 2).sum(axis=1)
+        probes = np.sort(np.argpartition(d2, pn - 1)[:pn])
+        cand = np.flatnonzero(np.isin(cell, probes))
+        v = impute_row(i, cand)
+        if v is None:
+            v = impute_row(i, all_idx)
+        out[i] = v if v is not None else fallback[1]
     return pd.DataFrame({"event_id": eid, "valn": out})
 
 
@@ -250,6 +314,11 @@ def main():
         out = iterative_impute_expected(ev)
         out["corpus_key"] = key
         path = os.path.join(OUT_DIR, f"iterative_impute_{key}.parquet")
+        out.to_parquet(path, index=False)
+        print(f"{path}: {len(out)} rows")
+        out = knn_impute_ivf_expected(ev)
+        out["corpus_key"] = key
+        path = os.path.join(OUT_DIR, f"knn_impute_ivf_{key}.parquet")
         out.to_parquet(path, index=False)
         print(f"{path}: {len(out)} rows")
     for sf_dir in SF_DIRS:
