@@ -625,6 +625,48 @@ def test_knn_imputer_ivf_close_to_brute(ray_session):
     np.testing.assert_array_equal(allprobe, brute)
 
 
+def test_knn_imputer_fit_order_invariant(ray_session):
+    """Ray's streaming executor does not guarantee block output order, so
+    the fitted donor state (and everything donor-ORDER-sensitive downstream:
+    seeded k-means IVF init, tie-breaks, mean summation order) must be
+    bit-identical no matter how the input rows/blocks are permuted —
+    distributed_fit canonicalizes by lexsorting the donor sample on its
+    feature values. Regression for the knn_impute_ivf golden-oracle
+    divergence this caused at 1000 rows."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(23)
+    pdf = pd.DataFrame({
+        "a": rng.normal(size=400),
+        "b": rng.normal(size=400),
+        "c": rng.normal(size=400),
+    })
+    pdf.loc[rng.random(400) < 0.2, "b"] = np.nan
+    perm = pdf.iloc[rng.permutation(400)].reset_index(drop=True)
+
+    def fit(frame, **kw):
+        imp = KNNImputer(n_neighbors=5, **kw)
+        imp.distributed_fit(
+            rd.from_pandas(frame, override_num_blocks=7), ["a", "b", "c"]
+        )
+        return imp
+
+    for kw in ({}, {"ivf_clusters": 8, "ivf_probes": 2}):
+        base, shuf = fit(pdf, **kw), fit(perm, **kw)
+        np.testing.assert_array_equal(base.fit_data_, shuf.fit_data_)
+        np.testing.assert_array_equal(
+            base.fallback_mean_, shuf.fallback_mean_
+        )
+        if kw:
+            np.testing.assert_array_equal(
+                base.centroids_, shuf.centroids_
+            )
+        # end-to-end: imputations of the SAME query rows are bit-identical
+        np.testing.assert_array_equal(
+            base.transform(pdf), shuf.transform(pdf)
+        )
+
+
 def test_imputers_cache_then_bake(ray_session):
     """Fit-once / bake-elsewhere: KNN and Iterative imputers must carry
     their fitted state through cache() (pickle) and impute NEW data from
