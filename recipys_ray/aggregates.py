@@ -175,6 +175,125 @@ class ColStats:
         return out
 
 
+def digest_of(values: np.ndarray, delta: int = 256) -> Optional[TDigest]:
+    """TDigest over the non-NaN values; None when no observations (the
+    carry representation for an all-null chunk)."""
+    v = np.asarray(values, dtype=np.float64)
+    v = v[~np.isnan(v)]
+    if len(v) == 0:
+        return None
+    return TDigest.from_weighted(v, np.ones(len(v)), delta)
+
+
+def merge_digests(a: Optional[TDigest], b: Optional[TDigest]):
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return a.merged_with(b)
+
+
+def expanding_median_approx(
+    values: np.ndarray,
+    seed: Optional[TDigest] = None,
+    delta: int = 256,
+    block: int = 1024,
+) -> np.ndarray:
+    """Approximate per-row expanding median with a bounded carry — the
+    chunk-mergeable formulation expanding MEDIAN lacks exactly.
+
+    Row *i* gets the (weighted, interpolated) q=0.5 point of the multiset
+    ``seed ∪ values[:i+1]`` (NaNs skipped; rows with an empty history get
+    NaN), where ``seed`` is a t-digest of everything before this chunk.
+    Exactness within a block of ``block`` rows, t-digest compression
+    (rank error O(q(1−q)/δ)) across blocks and chunks.
+
+    Vectorized per block: the combined CDF is (digest interpolated rank) +
+    (exact rank among the block prefix, from one (block × obs) dominance
+    table), and the per-row median is a 60-step vectorized bisection on
+    that monotone CDF. Memory and state are O(block² + δ) regardless of
+    total history length — a 10⁸-row group streams through in bounded
+    tasks instead of one unbounded carry."""
+    v = np.asarray(values, dtype=np.float64)
+    out = np.full(len(v), np.nan)
+    D = seed
+    for lo in range(0, len(v), block):
+        b = v[lo:lo + block]
+        K = len(b)
+        obs = ~np.isnan(b)
+        m = int(obs.sum())
+        w_d = float(D.weights.sum()) if D is not None else 0.0
+        cnt = np.cumsum(obs)
+        wtot = w_d + cnt
+        have = wtot > 0
+        if not have.any():
+            continue
+        if m:
+            pos_obs = np.flatnonzero(obs)
+            order = np.argsort(b[pos_obs], kind="stable")
+            sv = b[pos_obs][order]
+            orig = pos_obs[order]
+            pr = np.zeros((K, m + 1), dtype=np.int32)
+            np.cumsum(
+                orig[None, :] <= np.arange(K)[:, None], axis=1, out=pr[:, 1:]
+            )
+        else:
+            sv = np.empty(0)
+            pr = np.zeros((K, 1), dtype=np.int32)
+        if D is not None:
+            # inverse of TDigest.quantile's piecewise-linear map: value →
+            # cumulative weight in the digest
+            centers = (
+                np.cumsum(D.weights) - D.weights / 2.0
+            ) / w_d
+            xs_d = np.r_[D.vmin, D.means, D.vmax]
+            ys_d = np.r_[0.0, centers, 1.0]
+            x_lo = min(D.vmin, sv[0]) if m else D.vmin
+            x_hi = max(D.vmax, sv[-1]) if m else D.vmax
+        else:
+            x_lo, x_hi = sv[0], sv[-1]
+        rows = np.arange(K)
+        target = wtot / 2.0
+        # median = midpoint of x1 = inf{x: C(x) ≥ W/2} and x2 = inf{x:
+        # C(x) > W/2}: on the exact step-CDF part this reproduces pandas'
+        # average-of-two-middles for even counts (x1 = lower middle, x2 =
+        # upper middle) and the single middle value for odd counts
+        if D is None:
+            # no digest yet → C is a pure step CDF over the block prefix:
+            # read x1/x2 straight off the rank table (argmax over the
+            # nondecreasing pr rows), bit-exact incl. median == min value
+            j1 = (pr >= target[:, None]).argmax(axis=1)
+            j2 = (pr > target[:, None]).argmax(axis=1)
+            res = 0.5 * (
+                sv[np.maximum(j1, 1) - 1] + sv[np.maximum(j2, 1) - 1]
+            )
+        else:
+            # digest present → mixed step + piecewise-linear CDF; a 60-step
+            # vectorized bisection (error ≤ range·2⁻⁶⁰, far below the
+            # digest's own rank error) finds both infima
+            lo1 = np.full(K, x_lo)
+            hi1 = np.full(K, x_hi)
+            lo2 = lo1.copy()
+            hi2 = hi1.copy()
+            for _ in range(60):
+                for blo, bhi, strict in ((lo1, hi1, False), (lo2, hi2, True)):
+                    mid = 0.5 * (blo + bhi)
+                    rank = pr[
+                        rows, np.searchsorted(sv, mid, side="right")
+                    ].astype(np.float64)
+                    rank += w_d * np.interp(mid, xs_d, ys_d)
+                    go_hi = (rank <= target) if strict else (rank < target)
+                    np.copyto(blo, mid, where=go_hi)
+                    np.copyto(bhi, mid, where=~go_hi)
+            res = 0.25 * (lo1 + hi1 + lo2 + hi2)
+        out[lo:lo + K][have] = res[have]
+        if m:
+            D = merge_digests(
+                D, TDigest.from_weighted(sv, np.ones(m), delta)
+            )
+    return out
+
+
 def _partial_for_column(
     arr: pa.ChunkedArray | pa.Array,
     want: set[str],

@@ -285,8 +285,10 @@ def run_salted_chain(
                 f"chain contains non-chunk-mergeable step(s) {nonmerge} "
                 f"(e.g. expanding MEDIAN), which require materializing each "
                 f"hot group in one task. Raise max_carry_rows if a single "
-                f"worker can hold the skinny group, or drop the "
-                f"non-mergeable steps so the bounded chunk-local path runs."
+                f"worker can hold the skinny group, drop the non-mergeable "
+                f"steps so the bounded chunk-local path runs, or — for "
+                f"expanding MEDIAN — opt into the bounded approximate carry "
+                f"with StepHistorical(approx_median_chunked=True)."
             )
 
     hot_keys = set(hot)

@@ -66,6 +66,7 @@ class StepHistorical(Step):
         suffix: str = None,
         role: str = "predictor",
         duckdb_parity: bool = False,
+        approx_median_chunked: bool = False,
     ):
         super().__init__(sel if sel is not None else all_numeric_predictors())
         if not isinstance(fun, Accumulator):
@@ -82,6 +83,14 @@ class StepHistorical(Step):
         # default path uses longdouble segmented cumsums — numerically
         # tighter and cheaper, but rounded differently from any SQL engine.
         self.duckdb_parity = duckdb_parity
+        # approx_median_chunked=True opts expanding MEDIAN into the bounded
+        # chunk-local salted path with a t-digest carry (aggregates.
+        # expanding_median_approx): hot mega-groups stream through bounded
+        # tasks at rank error O(q(1−q)/δ) instead of requiring one
+        # whole-group task (or hitting SaltConfig.max_carry_rows). Cold
+        # groups and unsalted execution stay EXACT — only hot chunks of a
+        # salted run are approximated.
+        self.approx_median_chunked = approx_median_chunked
         self._parity_offsets: dict | None = None
         self._parity_chunk_offsets: dict | None = None
         self._parity_group_col: str | None = None
@@ -225,8 +234,11 @@ class StepHistorical(Step):
     # ---------------- chunk-merge protocol (kernels/chunked.py) ----------- #
     @property
     def chunk_mergeable(self) -> bool:
-        # MEDIAN needs the full history — no O(1) mergeable state
-        return self.fun is not Accumulator.MEDIAN
+        # MEDIAN needs the full history — no exact O(1) mergeable state;
+        # approx_median_chunked opts into a t-digest carry instead
+        if self.fun is Accumulator.MEDIAN:
+            return self.approx_median_chunked
+        return True
 
     @property
     def _parity_chunked(self) -> bool:
@@ -239,8 +251,13 @@ class StepHistorical(Step):
         # parity mode: the chunk-local transform would produce values the
         # prefix correction cannot repair bit-exactly; cold groups get the
         # ordinary (whole-group parity) transform, hot chunks are computed
-        # entirely in apply_chunk_prefix from the carried tree context
-        return self._parity_chunked
+        # entirely in apply_chunk_prefix from the carried tree context.
+        # Approx-median: same shape — a chunk-local expanding median can't
+        # be "corrected" by a prefix, so hot chunks are computed whole in
+        # apply_chunk_prefix from the carried digest; cold groups stay exact
+        return self._parity_chunked or (
+            self.fun is Accumulator.MEDIAN and self.approx_median_chunked
+        )
 
     def set_parity_chunk_offsets(self, group_col: str, chunk_map: dict):
         """(key, salt) -> (group duckdb offset o, chunk row offset r0);
@@ -254,6 +271,8 @@ class StepHistorical(Step):
     def chunk_state(self, pdf, gid):
         if self._parity_chunked:
             return self._parity_chunk_state(pdf, gid)
+        if self.fun is Accumulator.MEDIAN:
+            return self._median_chunk_state(pdf, gid)
         cols = self._state_cols(pdf)
         x = pdf[cols].astype(np.float64)
         g = x.groupby(gid, sort=False, observed=True)
@@ -305,6 +324,83 @@ class StepHistorical(Step):
             ],
             axis=1,
         )
+
+    # -------- approx-median chunked protocol (aggregates t-digest) -------- #
+    def _median_chunk_state(self, pdf, gid):
+        """Per (group, salt) chunk: one t-digest of the chunk's non-null
+        values per column — the bounded (≤ δ centroids) mergeable carry."""
+        from recipys_ray.aggregates import digest_of
+
+        cols = self._state_cols(pdf)
+        codes = gid.to_numpy()
+        first = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]]) if len(
+            codes
+        ) else np.array([], dtype=np.int64)
+        bounds = np.r_[first, len(codes)]
+        out: dict = {f"td_{c}": [] for c in cols}
+        for c in cols:
+            v = pdf[c].to_numpy(dtype=np.float64, na_value=np.nan)
+            for i in range(len(first)):
+                out[f"td_{c}"].append(
+                    digest_of(v[bounds[i]:bounds[i + 1]])
+                )
+        idx = pd.Index(codes[first]) if len(first) else pd.Index([])
+        return pd.DataFrame(out, index=idx)
+
+    def _median_fold_grouped(self, states, gkey):
+        """Per group in salt order: EXCLUSIVE prefix merge of the chunk
+        digests — chunk k carries the digest of everything before it
+        (None for the first chunk). O(#chunks × δ) driver work."""
+        from recipys_ray.aggregates import merge_digests
+
+        key = gkey.to_numpy()
+        cols = sorted(c[3:] for c in states.columns if c.startswith("td_"))
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]]) if len(
+            key
+        ) else np.array([], dtype=np.int64)
+        bounds = np.r_[starts, len(key)]
+        out = pd.DataFrame(index=states.index)
+        for c in cols:
+            chunk_ds = states[f"td_{c}"].tolist()
+            pref: list = []
+            for i in range(len(starts)):
+                acc = None
+                for j in range(bounds[i], bounds[i + 1]):
+                    pref.append(acc)
+                    acc = merge_digests(acc, chunk_ds[j])
+            out[f"td_{c}"] = pref
+        return out
+
+    def _median_apply_chunks(self, pdf, gid, prefix):
+        """Hot chunks: approximate expanding median seeded with the carried
+        prefix digest (aggregates.expanding_median_approx)."""
+        from recipys_ray.aggregates import expanding_median_approx
+
+        cols = self._state_cols(pdf)
+        hot = gid.isin(prefix.index)
+        if not hot.any():
+            return pdf
+        codes = gid.to_numpy()
+        hotm = hot.to_numpy()
+        idx_hot = np.flatnonzero(hotm)
+        hcodes = codes[idx_hot]
+        first = np.flatnonzero(np.r_[True, hcodes[1:] != hcodes[:-1]])
+        bounds = np.r_[first, len(hcodes)]
+        for c in cols:
+            oc = f"{c}_{self.suffix}"
+            seed_ser = prefix[f"td_{c}"]
+            vals_full = pdf[c].to_numpy(dtype=np.float64, na_value=np.nan)
+            res = np.empty(len(idx_hot))
+            for i in range(len(first)):
+                lo, hi = bounds[i], bounds[i + 1]
+                rows = idx_hot[lo:hi]
+                res[lo:hi] = expanding_median_approx(
+                    vals_full[rows], seed=seed_ser.loc[hcodes[lo]]
+                )
+            if oc not in pdf.columns:
+                pdf[oc] = np.nan
+            pdf.loc[hotm, oc] = res
+        return pdf
 
     # -------- duckdb-parity chunked protocol (kernels/duckdb_parity) ------ #
     def _parity_chunk_state(self, pdf, gid):
@@ -420,6 +516,8 @@ class StepHistorical(Step):
         """Vectorized across ALL groups: grouped cummax/cumsum scans."""
         if self._parity_chunked:
             return self._parity_fold_grouped(states, gkey)
+        if self.fun is Accumulator.MEDIAN:
+            return self._median_fold_grouped(states, gkey)
         key = gkey.to_numpy()
         g = states.groupby(key, sort=False)
         if self.fun in (Accumulator.MAX, Accumulator.MIN):
@@ -480,6 +578,8 @@ class StepHistorical(Step):
     def apply_chunk_prefix(self, pdf, gid, prefix):
         if self._parity_chunked:
             return self._parity_apply_chunks(pdf, gid, prefix)
+        if self.fun is Accumulator.MEDIAN:
+            return self._median_apply_chunks(pdf, gid, prefix)
         cols = self._state_cols(pdf)
         for c in cols:
             oc = f"{c}_{self.suffix}"

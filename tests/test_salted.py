@@ -581,3 +581,99 @@ def test_salted_resample_then_historical_chain():
             )
         else:
             assert x.astype(str).tolist() == y.astype(str).tolist(), c
+
+
+def test_approx_median_chunked_close_to_exact(ray_session, monkeypatch):
+    """StepHistorical(MEDIAN, approx_median_chunked=True) routes a hot
+    group through the bounded chunk-local path (t-digest carry) and stays
+    within the documented rank-error band of the exact expanding median;
+    cold groups remain bit-exact (defer mode runs the ordinary transform
+    for them)."""
+    import recipys_ray.kernels.chunked as chunked
+
+    calls = []
+    orig = chunked.run_salted_chunked
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(chunked, "run_salted_chunked", spy)
+
+    tbl = make_transcripts(n_turns=4000, seed=21, mega_conv_turns=2500)
+
+    def mk(salt, approx):
+        rec = Recipe(
+            rd.from_arrow(tbl),
+            predictors=["score"],
+            groups=["conv_id"],
+            sequences=["turn_idx", "ts"],
+            partitions=4,
+            salt=salt,
+        )
+        rec.add_step(StepHistorical(
+            sel=all_of(["score"]), fun=Accumulator.MEDIAN,
+            approx_median_chunked=approx,
+        ))
+        return rec.prep().to_pandas().sort_values(
+            ["conv_id", "turn_idx"], kind="stable"
+        ).reset_index(drop=True)
+
+    exact = mk(None, False)
+    salted = mk(SaltConfig(threshold=500, chunk_span=300), True)
+    assert calls, "approx MEDIAN did not take the chunk-merge path"
+
+    hot = find_hot_groups(
+        rd.from_arrow(tbl), ["conv_id"], threshold=500
+    )
+    assert hot, "fixture must contain a mega-group"
+    hot_ids = set(hot)
+    is_hot = exact["conv_id"].isin(hot_ids).to_numpy()
+
+    e = exact["score_median"].to_numpy()
+    a = salted["score_median"].to_numpy()
+    # cold groups: fully local, bit-exact
+    np.testing.assert_array_equal(a[~is_hot], e[~is_hot])
+    # hot group: approximate — assert RANK closeness per row (the t-digest
+    # guarantee), measured against the row's own expanding history
+    sub = exact.loc[is_hot]
+    for conv in sorted(hot_ids):
+        g = sub[sub["conv_id"] == conv]
+        vals = g["score"].to_numpy(dtype=float)
+        approx_m = salted.loc[g.index, "score_median"].to_numpy()
+        hist = np.sort(vals[~np.isnan(vals)])
+        # per-row: rank of the approx median within the full history prefix
+        import bisect
+        running = []
+        errs = []
+        for v, m in zip(vals, approx_m):
+            if not np.isnan(v):
+                bisect.insort(running, v)
+            if len(running) >= 50 and not np.isnan(m):
+                r = bisect.bisect_left(running, m) / len(running)
+                errs.append(abs(r - 0.5))
+        _ = hist
+        assert errs and np.quantile(errs, 0.99) < 0.02, (
+            f"conv {conv}: p99 rank error {np.quantile(errs, 0.99):.4f}"
+        )
+    # values must also be finite wherever the exact path is finite
+    np.testing.assert_array_equal(np.isnan(a), np.isnan(e))
+
+
+def test_median_without_approx_still_errors_over_cap(ray_session):
+    """The hard max_carry_rows cap still guards the legacy whole-group
+    carry when approximation is NOT opted into."""
+    import pytest
+
+    tbl = make_transcripts(n_turns=3000, seed=13, mega_conv_turns=1200)
+    rec = Recipe(
+        rd.from_arrow(tbl),
+        predictors=["score"],
+        groups=["conv_id"],
+        sequences=["turn_idx", "ts"],
+        partitions=4,
+        salt=SaltConfig(threshold=500, chunk_span=200, max_carry_rows=1000),
+    )
+    rec.add_step(StepHistorical(sel=all_of(["score"]), fun=Accumulator.MEDIAN))
+    with pytest.raises(ValueError, match="approx_median_chunked"):
+        rec.prep().to_pandas()
