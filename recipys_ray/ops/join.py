@@ -1,0 +1,229 @@
+"""Distributed equi-join over Ray Datasets — broadcast and co-partitioned
+shuffle strategies.
+
+The engine's recipes mostly avoid joins (features are computed inside one
+grouped shuffle), but a real pipeline joins dimension tables (metadata,
+licences, source manifests) onto the fact stream constantly. Two physical
+plans, chosen by ``strategy`` (default ``auto`` by right-side size):
+
+- **broadcast** — the right side is collected ONCE on the driver (guarded
+  by ``broadcast_max_bytes``), ``ray.put`` into the object store, and every
+  map task joins its batch against the shared copy (zero-copy plasma read,
+  one pandas C hash-merge per batch). No shuffle at all: the right plan at
+  100 TB facts × 10 MB dims.
+- **shuffle** — both sides are stamped with the same deterministic
+  ``hash(key) % P`` partitioner, padded to a common schema with a source
+  tag, unioned, and co-shuffled ONCE (the asof-join plan, ops/asof.py);
+  each partition then runs one pandas merge over its rows. Both sides may
+  be arbitrarily large; only the one all-to-all exchange moves data.
+
+Supported: ``how`` in {"inner", "left"}; differing key names via
+``right_on``; duplicate right keys multiply rows (standard SQL semantics).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+# a dim table above this is a mistake to broadcast — force the shuffle plan
+DEFAULT_BROADCAST_MAX_BYTES = 256 << 20
+
+
+def _pa_type(t) -> pa.DataType:
+    """Dataset.schema() yields Arrow types for Arrow-backed blocks but
+    numpy dtypes for pandas-backed ones — normalize to Arrow (object → string,
+    the pandas convention)."""
+    if isinstance(t, pa.DataType):
+        return t
+    dt = np.dtype(t) if not isinstance(t, np.dtype) else t
+    if dt.kind == "O":
+        return pa.string()
+    if dt.kind == "M":
+        return pa.timestamp("ns")
+    return pa.from_numpy_dtype(dt)
+
+
+def _plan_columns(left, right, left_on, right_on, right_suffix):
+    lschema, rschema = left.schema(), right.schema()
+    lcols = list(lschema.names)
+    r_value_cols = [c for c in rschema.names if c not in right_on]
+    out_names = {
+        c: (c + right_suffix if c in lcols else c) for c in r_value_cols
+    }
+    return lschema, rschema, lcols, r_value_cols, out_names
+
+
+class _BroadcastJoiner:
+    """Actor-pool stage: resolves the broadcast right side once per actor
+    (plasma shared read), then one pandas hash-merge per batch."""
+
+    def __init__(self, right_ref, left_on, right_on, rename, how):
+        rf = ray.get(right_ref)
+        rf = rf.rename(columns=rename)
+        self.rf = rf
+        self.left_on = left_on
+        self.right_on = right_on
+        self.how = how
+
+    def __call__(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.merge(
+            self.rf,
+            how=self.how,
+            left_on=self.left_on,
+            right_on=self.right_on,
+            sort=False,
+        )
+        drop = [c for c in self.right_on if c not in pdf.columns]
+        if drop:
+            out = out.drop(columns=drop)
+        return out
+
+
+def hash_join(
+    left,
+    right,
+    on,
+    right_on=None,
+    how: str = "inner",
+    right_suffix: str = "_r",
+    strategy: str = "auto",
+    num_partitions: int | None = None,
+    broadcast_max_bytes: int = DEFAULT_BROADCAST_MAX_BYTES,
+    concurrency=None,
+):
+    """Equi-join two Datasets on ``on`` (left) = ``right_on`` (right,
+    defaults to ``on``). Returns a Dataset with all left columns plus the
+    right value columns (collisions suffixed, right key columns dropped).
+
+    ``strategy``: "broadcast" | "shuffle" | "auto" (broadcast iff the
+    right side's reported ``size_bytes`` fits ``broadcast_max_bytes``)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    left_on = [on] if isinstance(on, str) else list(on)
+    right_on = (
+        left_on if right_on is None
+        else ([right_on] if isinstance(right_on, str) else list(right_on))
+    )
+    if len(left_on) != len(right_on):
+        raise ValueError("on and right_on must have the same length")
+
+    if strategy == "auto":
+        sz = right.size_bytes()
+        strategy = (
+            "broadcast"
+            if sz is not None and sz <= broadcast_max_bytes
+            else "shuffle"
+        )
+    if strategy == "broadcast":
+        return _broadcast_join(
+            left, right, left_on, right_on, how, right_suffix,
+            broadcast_max_bytes, concurrency,
+        )
+    if strategy == "shuffle":
+        return _shuffle_join(
+            left, right, left_on, right_on, how, right_suffix,
+            num_partitions,
+        )
+    raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def _broadcast_join(left, right, left_on, right_on, how, right_suffix,
+                    broadcast_max_bytes, concurrency):
+    _, _, lcols, r_value_cols, out_names = _plan_columns(
+        left, right, left_on, right_on, right_suffix
+    )
+    sz = right.size_bytes()
+    if sz is not None and sz > broadcast_max_bytes:
+        raise ValueError(
+            f"broadcast join: right side is {sz} bytes > "
+            f"broadcast_max_bytes={broadcast_max_bytes}; use "
+            f"strategy='shuffle' (co-partitioned, both sides unbounded)."
+        )
+    rf = right.to_pandas()
+    right_ref = ray.put(rf)
+    kwargs = dict(
+        fn_constructor_kwargs=dict(
+            right_ref=right_ref,
+            left_on=left_on,
+            right_on=right_on,
+            rename=out_names,
+            how=how,
+        ),
+        batch_format="pandas",
+        # callable-class stage → autoscaling actor pool; each actor resolves
+        # the broadcast once in __init__
+        concurrency=concurrency if concurrency is not None else (2, 8),
+    )
+    return left.map_batches(_BroadcastJoiner, **kwargs)
+
+
+def _shuffle_join(left, right, left_on, right_on, how, right_suffix,
+                  num_partitions):
+    lschema, rschema, lcols, r_value_cols, out_names = _plan_columns(
+        left, right, left_on, right_on, right_suffix
+    )
+    if num_partitions is None:
+        from recipys_ray.kernels.grouped import choose_partitions
+
+        num_partitions = choose_partitions(left)
+
+    ltypes = {n: _pa_type(t) for n, t in zip(lschema.names, lschema.types)}
+    rtypes = {n: _pa_type(t) for n, t in zip(rschema.names, rschema.types)}
+    out_value_cols = [out_names[c] for c in r_value_cols]
+    all_cols = lcols + out_value_cols
+    all_types = {**{c: ltypes[c] for c in lcols},
+                 **{out_names[c]: rtypes[c] for c in r_value_cols}}
+
+    from recipys_ray.kernels.grouped import adaptive_stamp_rows
+
+    def pad(tag: int, key_cols, rename: dict):
+        def fn(tbl: pa.Table) -> pa.Table:
+            pdf = tbl.select(key_cols).to_pandas()
+            pdf.columns = left_on  # hash identically on both sides
+            h = pd.util.hash_pandas_object(pdf, index=False).to_numpy()
+            part = (h % np.uint64(num_partitions)).astype(np.int32)
+            if rename:
+                tbl = tbl.rename_columns(
+                    [rename.get(c, c) for c in tbl.column_names]
+                )
+            for c in all_cols:
+                if c not in tbl.column_names:
+                    tbl = tbl.append_column(
+                        c, pa.nulls(len(tbl), all_types[c])
+                    )
+            tbl = tbl.select(all_cols)
+            tbl = tbl.append_column(
+                "__join_src__", pa.array(np.full(len(tbl), tag, np.int8))
+            )
+            return tbl.append_column("__join_part__", pa.array(part))
+
+        return fn
+
+    # the right key columns ride along under the LEFT key names so the
+    # in-partition merge is a plain same-name merge
+    r_rename = {**dict(zip(right_on, left_on)), **out_names}
+    combined = left.map_batches(
+        pad(0, left_on, {}), batch_format="pyarrow",
+        batch_size=adaptive_stamp_rows(left),
+    ).union(
+        right.map_batches(
+            pad(1, right_on, r_rename), batch_format="pyarrow",
+            batch_size=adaptive_stamp_rows(right),
+        )
+    )
+
+    def join_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.drop(columns=["__join_part__"])
+        src = pdf["__join_src__"].to_numpy()
+        lf = pdf[src == 0][lcols]
+        rf = pdf[src == 1][left_on + out_value_cols]
+        if len(lf) == 0:
+            return pd.DataFrame(columns=all_cols)
+        return lf.merge(rf, how=how, on=left_on, sort=False)
+
+    return combined.groupby("__join_part__").map_groups(
+        join_partition, batch_format="pandas"
+    )

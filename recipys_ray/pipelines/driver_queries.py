@@ -811,6 +811,55 @@ def q_spline_basis(sf_dir):
     )
 
 
+def q_join_orders_customer(sf_dir):
+    """Broadcast equi-join (ops/join.py): orders (fact) × customer (dim).
+    The dim side is collected once, ``ray.put`` into the object store, and
+    every map task hash-merges its batch against the shared copy — zero
+    shuffle, the 100-TB-facts × small-dim plan."""
+    from recipys_ray.ops.join import hash_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    customer = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal"],
+    )
+    out = hash_join(
+        orders, customer, on="o_custkey", right_on="c_custkey",
+        strategy="broadcast",
+    )
+    return _select(
+        out, ["o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_acctbal"]
+    )
+
+
+def q_join_lineitem_orders(sf_dir):
+    """Co-partitioned shuffle equi-join (ops/join.py): lineitem × orders,
+    both sides stamped with the same hash(key)%P, unioned, co-shuffled ONCE,
+    then one pandas merge per partition — both sides unbounded."""
+    from recipys_ray.ops.join import hash_join
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderpriority"],
+    )
+    out = hash_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+        strategy="shuffle",
+    )
+    return _select(
+        out,
+        ["l_orderkey", "l_linenumber", "l_extendedprice", "o_totalprice",
+         "o_orderpriority"],
+    )
+
+
 # --------------------------------------------------------------------- #
 # oracle SQL (DuckDB) — names match the Ray outputs 1:1
 # --------------------------------------------------------------------- #
@@ -1389,6 +1438,15 @@ ORACLES: dict[str, str] = {
         WHERE corpus_key = (SELECT count(*) || '_' ||
                             CAST(sum(user_id) AS BIGINT) FROM events)
     """,
+    "join_orders_customer": """
+        SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_acctbal
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    "join_lineitem_orders": """
+        SELECT l_orderkey, l_linenumber, l_extendedprice, o_totalprice,
+               o_orderpriority
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
     "knn_cosine": """
         WITH q AS (SELECT vec_id AS query_id, embedding AS qe
                    FROM embeddings WHERE vec_id < 5),
@@ -1428,6 +1486,8 @@ QUERIES = {
     "resample_agg_1h": q_resample_agg_1h,
     "resample_grid_1h": q_resample_grid_1h,
     "asof_purchase": q_asof_purchase,
+    "join_orders_customer": q_join_orders_customer,
+    "join_lineitem_orders": q_join_lineitem_orders,
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
     "vocab_top100": q_vocab_top100,
