@@ -270,6 +270,55 @@ def build_vocab(
     return out
 
 
+# normalization patterns — RE2 syntax, valid (and byte-identical in effect)
+# for BOTH pyarrow.compute and DuckDB regexp_replace (probed on testdata)
+URL_RE = r"https?://[^\s]+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_WS_RUN_RE = r"\s+"
+
+
+def normalize_text(
+    ds,
+    text_col: str = "text",
+    out_col: str = "norm_text",
+    lowercase: bool = True,
+    mask_urls: bool = True,
+    mask_emails: bool = True,
+    collapse_whitespace: bool = True,
+    batch_size: int = 4096,
+):
+    """Vectorized text normalization: lowercase → mask URLs (``<URL>``) →
+    mask emails (``<EMAIL>``) → collapse whitespace runs → trim. Nulls pass
+    through as null.
+
+    Pure Arrow kernels (``pyarrow.compute`` RE2) over zero-copy batches — a
+    stateless task-pool stage, no actor needed. The op order is part of the
+    contract (the driver oracle replays the identical chain in DuckDB SQL);
+    keep any new pattern appended to the END."""
+    import pyarrow.compute as pc
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        arr = tbl.column(text_col)
+        if lowercase:
+            arr = pc.utf8_lower(arr)
+        if mask_urls:
+            arr = pc.replace_substring_regex(
+                arr, pattern=URL_RE, replacement="<URL>"
+            )
+        if mask_emails:
+            arr = pc.replace_substring_regex(
+                arr, pattern=EMAIL_RE, replacement="<EMAIL>"
+            )
+        if collapse_whitespace:
+            arr = pc.replace_substring_regex(
+                arr, pattern=_WS_RUN_RE, replacement=" "
+            )
+            arr = pc.utf8_trim_whitespace(arr)
+        return tbl.append_column(out_col, arr)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
 class RepetitionStats:
     """Gopher/MassiveText-style within-document repetition measures
     (Rae et al. 2021, §A1.1) — the standard LLM training-data quality

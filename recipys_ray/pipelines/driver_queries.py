@@ -811,6 +811,38 @@ def q_spline_basis(sf_dir):
     )
 
 
+def q_normalize_text(sf_dir):
+    """Vectorized text normalization (ops/text.py normalize_text): the
+    testdata text is already clean, so both sides first synthesize an
+    identical dirty prefix (mixed case, a URL and an email keyed by doc_id,
+    whitespace runs) and the oracle replays the exact kernel chain
+    (lower → mask URL → mask email → collapse \\s+ → trim) in DuckDB —
+    same RE2 regex family on both engines."""
+    from recipys_ray.ops.text import normalize_text
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def dirty(tbl: pa.Table) -> pa.Table:
+        sid = pc.cast(tbl.column("doc_id"), pa.string())
+        d = pc.binary_join_element_wise(
+            pa.array(["Visit HTTPS://ex.com/"] * len(tbl)),
+            sid,
+            pa.array([" or  mail Bob."] * len(tbl)),
+            sid,
+            pa.array(["@Mail-Host.org  NOW.\t"] * len(tbl)),
+            tbl.column("text"),
+            "",
+        )
+        return tbl.append_column("dirty", d)
+
+    out = normalize_text(
+        docs.map_batches(dirty, batch_format="pyarrow"), text_col="dirty"
+    )
+    return _select(out, ["doc_id", "norm_text"])
+
+
 def q_join_orders_customer(sf_dir):
     """Broadcast equi-join (ops/join.py): orders (fact) × customer (dim).
     The dim side is collected once, ``ray.put`` into the object store, and
@@ -1438,6 +1470,23 @@ ORACLES: dict[str, str] = {
         WHERE corpus_key = (SELECT count(*) || '_' ||
                             CAST(sum(user_id) AS BIGINT) FROM events)
     """,
+    "normalize_text": r"""
+        WITH d AS (
+          SELECT doc_id,
+                 'Visit HTTPS://ex.com/' || doc_id || ' or  mail Bob.'
+                   || doc_id || '@Mail-Host.org  NOW.' || chr(9) || text
+                   AS dirty
+          FROM documents
+        )
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(regexp_replace(
+                    lower(dirty),
+                    'https?://[^\s]+', '<URL>', 'g'),
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                    '<EMAIL>', 'g'),
+                    '\s+', ' ', 'g')) AS norm_text
+        FROM d
+    """,
     "join_orders_customer": """
         SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_acctbal
         FROM orders JOIN customer ON o_custkey = c_custkey
@@ -1486,6 +1535,7 @@ QUERIES = {
     "resample_agg_1h": q_resample_agg_1h,
     "resample_grid_1h": q_resample_grid_1h,
     "asof_purchase": q_asof_purchase,
+    "normalize_text": q_normalize_text,
     "join_orders_customer": q_join_orders_customer,
     "join_lineitem_orders": q_join_lineitem_orders,
     "dedup_exact": q_dedup_exact,

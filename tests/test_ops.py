@@ -242,6 +242,32 @@ class TestText:
         assert len(out) == 20
         assert (out["n_words"] == 2).all()
 
+    def test_normalize_text(self):
+        from recipys_ray.ops.text import normalize_text
+
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    "Visit HTTPS://Example.COM/path?q=1 NOW",
+                    "mail Me at Bob.Smith+x@Mail-Host.org please",
+                    "lots\t of   space\n\nhere ",
+                    None,
+                ],
+            }
+        )
+        out = (
+            normalize_text(rd.from_pandas(pdf))
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert out["norm_text"].tolist()[:3] == [
+            "visit <URL> now",
+            "mail me at <EMAIL> please",
+            "lots of space here",
+        ]
+        assert out["norm_text"].isna().tolist() == [False, False, False, True]
+
 
 class TestMultimodal:
     def payload_table(self):
