@@ -642,6 +642,80 @@ def _eval_rows(v_local, o, o2, levels, sl, lf, raws, want_var):
     return out[0], out[1], out[2], out[3]
 
 
+def _states_from_tuples(tups: list) -> "_States":
+    st = _States(len(tups), True)
+    for i, t in enumerate(tups):
+        st.cnt[i], st.s[i], st.mean[i], st.dsq[i] = t
+    return st
+
+
+def _concat_states(a: "_States", b: "_States") -> "_States":
+    out = _States(0, True)
+    out.cnt = np.concatenate([a.cnt, b.cnt])
+    out.s = np.concatenate([a.s, b.s])
+    out.mean = np.concatenate([a.mean, b.mean])
+    out.dsq = np.concatenate([a.dsq, b.dsq])
+    return out
+
+
+def _build_levels_vec(ext: np.ndarray, ext_lo: int, win: dict) -> list:
+    """Vectorized `_build_single`: complete segment-tree levels over one
+    extended row run starting at global position ext_lo, win[l] spine
+    states prepended before building level l+1. Returns [(j0, _States),
+    ...] (level 1 first) — bit-identical states to the scalar builder
+    (same update/combine op order, k = 0..15 across all nodes)."""
+    n = len(ext)
+    levels = []
+    j0 = -(-ext_lo // F)
+    j1 = (ext_lo + n) // F
+    m = max(j1 - j0, 0)
+    st = _States(m, True)
+    if m:
+        base = j0 * F - ext_lo + np.arange(m, dtype=np.int64) * F
+        for k in range(F):
+            x = ext[base + k]
+            ok = ~np.isnan(x)
+            if ok.any():
+                st.update(np.flatnonzero(ok), x[ok])
+    if 1 in win and win[1][1]:
+        ws, wst = win[1]
+        if ws + len(wst) != j0:
+            raise RuntimeError(
+                f"parity ctx: level-1 spine [{ws},{ws + len(wst)}) not "
+                f"contiguous with local j0={j0}"
+            )
+        st = _concat_states(_states_from_tuples(wst), st)
+        j0 = ws
+    levels.append((j0, st))
+    max_win = max((l for l in win if win[l][1]), default=0)
+    while len(levels) < 16:
+        pj0, pst = levels[-1]
+        pn = len(pst.cnt)
+        lvl = len(levels) + 1
+        cj0 = -(-pj0 // F)
+        cj1 = (pj0 + pn) // F
+        mm = max(cj1 - cj0, 0)
+        cur = _States(mm, True)
+        if mm:
+            child0 = cj0 * F - pj0 + np.arange(mm, dtype=np.int64) * F
+            idx = np.arange(mm)
+            for k in range(F):
+                cur.combine_from(idx, pst, child0 + k)
+        if lvl in win and win[lvl][1]:
+            ws, wst = win[lvl]
+            if ws + len(wst) != cj0:
+                raise RuntimeError(
+                    f"parity ctx: level-{lvl} spine [{ws},{ws + len(wst)}) "
+                    f"not contiguous with local j0={cj0}"
+                )
+            cur = _concat_states(_states_from_tuples(wst), cur)
+            cj0 = ws
+        if len(cur.cnt) == 0 and lvl > max_win:
+            break
+        levels.append((cj0, cur))
+    return levels
+
+
 def chunk_parity_payload(v_local: np.ndarray, o: int, r0: int) -> dict:
     """What a chunk ships to the driver fold: head/tail raws and the
     per-level edge-node states the walk needs (≤ ~32 states per level)."""
@@ -651,11 +725,14 @@ def chunk_parity_payload(v_local: np.ndarray, o: int, r0: int) -> dict:
     head = v_local[: min(F, n)].copy()
     tail_lo = max((o3 // F) * F, o2)
     tail = v_local[tail_lo - o2:].copy()
-    levels = _build_single(v_local, o2, {})
+    levels = _build_levels_vec(
+        np.ascontiguousarray(v_local, dtype=np.float64), o2, {}
+    )
     nodes = {}
     for li, (j0, sts) in enumerate(levels):
         lv = li + 1
-        if not sts:
+        nst = len(sts.cnt)
+        if not nst:
             continue
         step = F ** lv
         keep = {}
@@ -665,9 +742,11 @@ def chunk_parity_payload(v_local: np.ndarray, o: int, r0: int) -> dict:
         # tail-side: the spine window of the chunk's end
         n1 = o3 // step
         t_lo = (n1 // F) * F
-        for j in range(j0, j0 + len(sts)):
+        for j in range(j0, j0 + nst):
             if j < h_hi or t_lo <= j < n1:
-                keep[j] = sts[j - j0]
+                i = j - j0
+                keep[j] = (float(sts.cnt[i]), float(sts.s[i]),
+                           float(sts.mean[i]), float(sts.dsq[i]))
         if keep:
             nodes[lv] = keep
     return {"n": n, "head": head, "tail": tail, "tail_lo": tail_lo,
@@ -803,10 +882,10 @@ def fold_parity_payloads(payloads: list, o: int) -> list:
     return ctxs
 
 
-def eval_chunk_with_ctx(v_local: np.ndarray, o: int, r0: int, ctx,
-                        want_var: bool = True):
-    """Bit-exact duckdb prefix aggregates for one chunk given its carried
-    context (None → plain whole-prefix evaluation)."""
+def eval_chunk_with_ctx_ref(v_local: np.ndarray, o: int, r0: int, ctx,
+                            want_var: bool = True):
+    """Scalar reference for `eval_chunk_with_ctx` (row-sequential python,
+    kept as the bit-exactness oracle for the vectorized path)."""
     v_local = np.ascontiguousarray(v_local, dtype=np.float64)
     if ctx is None:
         codes = np.zeros(len(v_local), dtype=np.int64)
@@ -823,3 +902,220 @@ def eval_chunk_with_ctx(v_local: np.ndarray, o: int, r0: int, ctx,
     return _eval_rows(
         v_local, o, o2, levels, ctx["sl"], ctx.get("lf", {}), raws, want_var
     )
+
+
+def _apply_frag_vec(bst: "_States", bidx: np.ndarray, lv: int,
+                    lo: np.ndarray, hi: np.ndarray, merged: dict) -> None:
+    """Combine nodes [lo, hi) at level lv into bst rows bidx, node index
+    ascending — vectorized across blocks via ≤15 sub-iterations."""
+    ent = merged.get(lv)
+    if ent is None:
+        raise KeyError(f"parity chunk eval: missing node level={lv}")
+    mj0, mst, mval = ent
+    width = hi - lo
+    wmax = int(width.max()) if len(width) else 0
+    for k in range(wmax):
+        m = width > k
+        bs = bidx[m]
+        sidx = lo[m] + k - mj0
+        if len(sidx) and (
+            sidx.min() < 0 or sidx.max() >= len(mval) or not mval[sidx].all()
+        ):
+            raise KeyError(f"parity chunk eval: missing node level={lv}")
+        bst.combine_from(bs, mst, sidx)
+
+
+def eval_chunk_with_ctx(v_local: np.ndarray, o: int, r0: int, ctx,
+                        want_var: bool = True):
+    """Bit-exact duckdb prefix aggregates for one chunk given its carried
+    context (None → plain whole-prefix evaluation).
+
+    Vectorized re-expression of the scalar `_eval_rows` protocol with the
+    same `_States` SoA machinery as `prefix_agg_duckdb`: one level build
+    over raws+local rows (carried spine windows prepended), block base
+    states assembled from the identical fragment decomposition (left
+    fragments ascending level → top → right fragments descending), then
+    per-row emission evolving one state per leaf block. Op order matches
+    the scalar reference exactly — see test_chunk_eval_vec_matches_scalar."""
+    v_local = np.ascontiguousarray(v_local, dtype=np.float64)
+    if ctx is None:
+        codes = np.zeros(len(v_local), dtype=np.int64)
+        return prefix_agg_duckdb(
+            v_local, codes, np.array([o], dtype=np.int64), want_var
+        )
+    nloc = len(v_local)
+    if nloc == 0:
+        z = np.zeros(0)
+        return z, z.copy(), z.copy(), z.copy()
+    raws = np.asarray(ctx["raws"], dtype=np.float64)
+    o2 = o + r0
+    ext = np.concatenate([raws, v_local]) if len(raws) else v_local
+    ext_lo = o2 - len(raws)
+    levels = _build_levels_vec(ext, ext_lo, ctx["win"])
+    lf = ctx.get("lf", {})
+    A = (o // F) * F + F if o % F else o
+    sl = ctx["sl"]
+    if sl is None:
+        if ext_lo != o:
+            raise RuntimeError("parity chunk eval: missing head state")
+        st0 = _z()
+        for x in ext[: max(0, min(A, o2 + nloc) - o)]:
+            st0 = _upd(st0, x)
+        sl = st0
+
+    # merged per-level node lookup: built levels overlaid by lf (lf wins,
+    # matching the scalar node() resolution order); validity tracked so a
+    # genuinely missing node still raises instead of silently no-opping.
+    merged: dict = {}
+    for li, (j0, st) in enumerate(levels):
+        lv = li + 1
+        if lv in lf:
+            b0, sts = lf[lv]
+            lo_j = min(b0, j0)
+            hi_j = max(b0 + len(sts), j0 + len(st.cnt))
+            big = _States(hi_j - lo_j, True)
+            bval = np.zeros(hi_j - lo_j, dtype=bool)
+            s0 = j0 - lo_j
+            nst = len(st.cnt)
+            big.cnt[s0:s0 + nst] = st.cnt
+            big.s[s0:s0 + nst] = st.s
+            big.mean[s0:s0 + nst] = st.mean
+            big.dsq[s0:s0 + nst] = st.dsq
+            bval[s0:s0 + nst] = True
+            for t, tup in enumerate(sts):
+                if tup is not None:
+                    p = b0 - lo_j + t
+                    big.cnt[p], big.s[p], big.mean[p], big.dsq[p] = tup
+                    bval[p] = True
+            merged[lv] = (lo_j, big, bval)
+        else:
+            merged[lv] = (j0, st, np.ones(len(st.cnt), dtype=bool))
+    for lv, (b0, sts) in lf.items():
+        if lv not in merged:
+            big = _States(len(sts), True)
+            bval = np.zeros(len(sts), dtype=bool)
+            for t, tup in enumerate(sts):
+                if tup is not None:
+                    big.cnt[t], big.s[t], big.mean[t], big.dsq[t] = tup
+                    bval[t] = True
+            merged[lv] = (b0, big, bval)
+
+    # ---------------- phase 1: block base states ----------------------- #
+    # Js covers every leaf block touched by the chunk plus the possible
+    # aligned-end extra block whose base serves the last aligned row.
+    Jlo = o2 // F
+    Jhi = (o2 + nloc - 1) // F + 1
+    Js = np.arange(Jlo, Jhi + 1, dtype=np.int64)
+    nB = len(Js)
+    e_blk = Js * F
+    has_base = (e_blk > o) & (e_blk <= o2 + nloc) & (Js != o // F)
+    bst = _States(nB, True)
+    hb = np.flatnonzero(has_base)
+    bst.cnt[hb], bst.s[hb], bst.mean[hb], bst.dsq[hb] = sl
+
+    if len(hb):
+        # fragment decomposition, identical digit loop to the scalar path,
+        # vectorized across blocks (begin = o for all, end = 16J).
+        b_cur = np.full(len(hb), o, dtype=np.int64)
+        e_cur = e_blk[hb].copy()
+        active = np.ones(len(hb), dtype=bool)
+        lvl = 0
+        left_ops, top_ops, right_ops = [], [], []
+        while active.any():
+            pb = b_cur // F
+            pe = e_cur // F
+            top_m = active & (pb == pe)
+            if lvl > 0:
+                t = np.flatnonzero(top_m & (b_cur < e_cur))
+                if len(t):
+                    top_ops.append((lvl, t, b_cur[t].copy(), e_cur[t].copy()))
+            active = active & ~top_m
+            if not active.any():
+                break
+            if lvl > 0:
+                lsel = np.flatnonzero(active & (b_cur % F != 0))
+                if len(lsel):
+                    left_ops.append((lvl, lsel, b_cur[lsel].copy(),
+                                     (b_cur[lsel] // F) * F + F))
+                rsel = np.flatnonzero(active & (e_cur % F != 0))
+                if len(rsel):
+                    right_ops.append((lvl, rsel, (e_cur[rsel] // F) * F,
+                                      e_cur[rsel].copy()))
+            b_cur = np.where(b_cur % F != 0, b_cur // F + 1, b_cur // F)
+            e_cur = e_cur // F
+            lvl += 1
+            if lvl > 24:
+                raise RuntimeError("parity chunk eval: digit loop runaway")
+        for (lv, sel, lo, hi) in left_ops:
+            _apply_frag_vec(bst, hb[sel], lv, lo, hi, merged)
+        for (lv, sel, lo, hi) in top_ops:
+            _apply_frag_vec(bst, hb[sel], lv, lo, hi, merged)
+        for (lv, sel, lo, hi) in reversed(right_ops):
+            _apply_frag_vec(bst, hb[sel], lv, lo, hi, merged)
+
+    # aligned-end rows snapshot the NEXT block's base (pre-phase-2 copy)
+    base_cnt = bst.cnt.copy()
+    base_s = bst.s.copy()
+    base_mean = bst.mean.copy()
+    base_dsq = bst.dsq.copy()
+
+    # first block starting mid-block: advance its state through the carried
+    # raw values [16*Jlo, o2) before the chunk's own rows (≤ 15 values).
+    if has_base[0] and Js[0] * F < o2:
+        st = (bst.cnt[0], bst.s[0], bst.mean[0], bst.dsq[0])
+        for x in ext[Js[0] * F - ext_lo: o2 - ext_lo]:
+            st = _upd(st, x)
+        bst.cnt[0], bst.s[0], bst.mean[0], bst.dsq[0] = st
+
+    # ---------------- phase 2: per-row emission ------------------------ #
+    out = np.empty((4, nloc))
+    nRB = nB - 1  # row blocks are Js[:-1]
+    rb = np.arange(nRB, dtype=np.int64)
+    row_lo = np.maximum(Js[:-1] * F, o2)
+    row_hi = np.minimum(Js[:-1] * F + F, o2 + nloc)
+    width = row_hi - row_lo
+    head_rows = []
+    for k in range(int(width.max()) if nRB else 0):
+        m = width > k
+        bsel = rb[m]
+        g = row_lo[m] + k
+        li = g - o2
+        x = v_local[li]
+        headm = ~has_base[bsel]
+        upd = np.flatnonzero(~headm)
+        if len(upd):
+            xu = x[upd]
+            ok = ~np.isnan(xu)
+            if ok.any():
+                bst.update(bsel[upd][ok], xu[ok])
+        aligned = (g % F) == (F - 1)
+        if aligned.any():
+            nb_idx = bsel[aligned] + 1
+            if not has_base[nb_idx].all():
+                raise RuntimeError(
+                    "parity chunk eval: aligned row missing next base"
+                )
+            r = li[aligned]
+            out[0, r] = base_cnt[nb_idx]
+            out[1, r] = base_s[nb_idx]
+            out[2, r] = base_mean[nb_idx]
+            out[3, r] = base_dsq[nb_idx]
+        rest = ~aligned & ~headm
+        if rest.any():
+            br = bsel[rest]
+            r = li[rest]
+            out[0, r] = bst.cnt[br]
+            out[1, r] = bst.s[br]
+            out[2, r] = bst.mean[br]
+            out[3, r] = bst.dsq[br]
+        hrest = ~aligned & headm
+        if hrest.any():
+            head_rows.extend(li[hrest].tolist())
+    # rows whose frame [o, g+1) lies inside the group's ragged head block:
+    # sequential from o over ext (≤ 16 rows × ≤ 16 values)
+    for i in sorted(head_rows):
+        st = _z()
+        for x in ext[o - ext_lo: (o2 + i + 1) - ext_lo]:
+            st = _upd(st, x)
+        out[0, i], out[1, i], out[2, i], out[3, i] = st
+    return out[0], out[1], out[2], out[3]

@@ -173,6 +173,52 @@ def test_chunked_parity_equals_whole_group():
             ), f"trial {trial} n={n} o={o} bounds={bounds.tolist()}"
 
 
+def test_chunk_eval_vec_matches_scalar():
+    """The vectorized eval_chunk_with_ctx must BIT-match the scalar
+    reference (eval_chunk_with_ctx_ref) on every state component across
+    random groups/offsets/chunkings — same coverage shapes as the
+    whole-group torture, compared chunk-by-chunk."""
+    from recipys_ray.kernels.duckdb_parity import (
+        chunk_parity_payload,
+        eval_chunk_with_ctx,
+        eval_chunk_with_ctx_ref,
+        fold_parity_payloads,
+    )
+
+    rng = np.random.default_rng(77)
+    for trial in range(40):
+        n = int(rng.integers(2, 1500))
+        o = int(rng.integers(0, 5000))
+        v = rng.standard_normal(n) * (10.0 ** rng.integers(-5, 5, n))
+        v[rng.random(n) < 0.25] = np.nan
+        if trial % 9 == 0:
+            v[:] = np.nan
+        nch = int(rng.integers(1, min(12, n) + 1))
+        cuts = (
+            np.sort(rng.choice(np.arange(1, n), size=nch - 1, replace=False))
+            if nch > 1 else np.array([], dtype=int)
+        )
+        bounds = np.r_[0, cuts, n]
+        if trial % 5 == 0 and n > 8:
+            bounds = np.unique(np.r_[0, 1, 2, 4, bounds])
+        payloads = [
+            chunk_parity_payload(v[bounds[i]:bounds[i + 1]], o,
+                                 int(bounds[i]))
+            for i in range(len(bounds) - 1)
+        ]
+        ctxs = fold_parity_payloads(payloads, o)
+        for i in range(len(bounds) - 1):
+            vv = v[bounds[i]:bounds[i + 1]]
+            got = eval_chunk_with_ctx(vv, o, int(bounds[i]), ctxs[i], True)
+            ref = eval_chunk_with_ctx_ref(vv, o, int(bounds[i]), ctxs[i],
+                                          True)
+            for a, b in zip(got, ref):
+                assert np.all((a == b) | (np.isnan(a) & np.isnan(b))), (
+                    f"trial {trial} chunk {i} n={n} o={o} "
+                    f"bounds={bounds.tolist()}"
+                )
+
+
 def test_chunked_parity_deep_tree():
     """Large group (multi-level tree) across many chunks."""
     rng = np.random.default_rng(5)
