@@ -202,8 +202,33 @@ class _ChunkedRunner:
         cols = [c for c in self.needed if c in tbl.column_names]
         pdf = tbl.select(cols).to_pandas()
         pdf = assign_gid(pdf, self.kcols)
-        gid = pdf[GID]
 
+        pdf, states = self._stage_loop(pdf)
+
+        if self.mode == "state":
+            return pa.table(
+                {"payload": pa.array([pickle.dumps(states)], pa.binary())}
+            )
+
+        for s in self.stages:
+            for name in s.outputs:
+                if name not in pdf.columns:
+                    continue
+                arr = pa.array(pdf[name], from_pandas=True)
+                if name in tbl.column_names:
+                    tbl = tbl.set_column(
+                        tbl.column_names.index(name), name, arr
+                    )
+                else:
+                    tbl = tbl.append_column(name, arr)
+        return tbl
+
+    def _stage_loop(self, pdf: pd.DataFrame):
+        """Run the fused chain over a sorted, gid-stamped frame. mode="state":
+        steps of level < state_level transform+apply, the level's mergeable
+        steps emit per-chunk states. mode="run": every step transforms and
+        prefix-corrects. Returns (frame, states)."""
+        gid = pdf[GID]
         upto = (
             self.state_level if self.mode == "state" else len(self.stages)
         )
@@ -242,24 +267,7 @@ class _ChunkedRunner:
             pdf = stage.step.transform_frame(pdf, self.group_cols)
             if local is not None:
                 pdf = stage.step.apply_chunk_prefix(pdf, pdf[GID], local)
-
-        if self.mode == "state":
-            return pa.table(
-                {"payload": pa.array([pickle.dumps(states)], pa.binary())}
-            )
-
-        for s in self.stages:
-            for name in s.outputs:
-                if name not in pdf.columns:
-                    continue
-                arr = pa.array(pdf[name], from_pandas=True)
-                if name in tbl.column_names:
-                    tbl = tbl.set_column(
-                        tbl.column_names.index(name), name, arr
-                    )
-                else:
-                    tbl = tbl.append_column(name, arr)
-        return tbl
+        return pdf, states
 
 
 def _fold_global(step, states_df: pd.DataFrame, group_cols: list[str],
