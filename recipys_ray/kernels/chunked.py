@@ -135,6 +135,13 @@ class _ChunkedRunner:
     then returns one pickled row of per-chunk states for the level's steps.
     mode="run": runs the whole chain with per-step prefix application and
     returns the corrected Arrow table (payload untouched).
+
+    ``head``: optional frame→frame callable applied to the sorted partition
+    frame BEFORE gid assignment and the stage loop — the fused salted
+    resample→chain runner passes a :class:`_GridHead` here so every state
+    and main pass measures the downstream steps on the exactly-global
+    RESAMPLED rows. A head may change the row count, so with a head the run
+    output is rebuilt from pandas instead of patched into the Arrow input.
     """
 
     def __init__(
@@ -146,6 +153,7 @@ class _ChunkedRunner:
         prefixes: dict[int, pd.DataFrame],
         mode: str = "run",
         state_level: Optional[int] = None,
+        head=None,
     ):
         self.group_cols = group_cols
         self.sort_cols = sort_cols
@@ -157,6 +165,7 @@ class _ChunkedRunner:
         self.prefixes = prefixes
         self.mode = mode
         self.state_level = state_level
+        self.head = head
         self.kcols = group_cols + [SALT]
         needed: list[str] = []
         produced: set = set()
@@ -199,6 +208,20 @@ class _ChunkedRunner:
         by = self.kcols + self.sort_cols
         idx = pc.sort_indices(tbl, sort_keys=[(c, "ascending") for c in by])
         tbl = tbl.take(idx)
+        if self.head is not None:
+            # row-count-changing head: the whole frame (caller curates the
+            # projection — hot skinny for state passes, full payload for the
+            # main pass) goes through pandas; output rebuilt, not patched
+            pdf = self.head(tbl.to_pandas())
+            pdf = pdf.sort_values(by, kind="stable", ignore_index=True)
+            pdf = assign_gid(pdf, self.kcols)
+            pdf, states = self._stage_loop(pdf)
+            if self.mode == "state":
+                return pa.table(
+                    {"payload": pa.array([pickle.dumps(states)], pa.binary())}
+                )
+            pdf = pdf.drop(columns=[c for c in (GID,) if c in pdf.columns])
+            return pa.Table.from_pandas(pdf, preserve_index=False)
         cols = [c for c in self.needed if c in tbl.column_names]
         pdf = tbl.select(cols).to_pandas()
         pdf = assign_gid(pdf, self.kcols)
@@ -315,79 +338,33 @@ def _fold_global(step, states_df: pd.DataFrame, group_cols: list[str],
     return pd.concat(out) if out else pd.DataFrame()
 
 
-def run_salted_resample_grid(
-    ds,
-    group_cols: list[str],
-    sort_cols: list[str],
-    step,
-    num_partitions: int,
-    salt,
-    stamp_batch_rows: int = 262_144,
-):
-    """Grid-mode resampling over salted mega-groups — bounded tasks.
+def _grid_prefix_pass(hot_skinny, step, group_cols, sort_cols, chunk_span):
+    """Passes A+B of the salted grid resample (see
+    :func:`run_salted_resample_grid`): per-chunk slot ownership plus the
+    per-chunk ffill carry of every LAST-mapped column.
 
-    Grid semantics (steps/resample.py): per group, slots at
-    ``gmin + k·res``; keep the first original row landing exactly on a
-    slot; forward-fill LAST-mapped columns. Chunked execution:
+    A. skinny pass → per (group, salt) chunk min/max ts; driver fold → the
+       grid anchor ``gmin`` and each chunk's OWNED slot range
+       ``[k_lo, k_end)`` — chunk i owns every slot from its salt window
+       start up to the NEXT chunk's window start, so event-less gap windows
+       are covered by the preceding chunk.
+    B. skinny pass (needs gmin) → per chunk per LAST column the last
+       non-null value among its ON-GRID rows (post keep-first dedup);
+       driver grouped ffill+shift → the ffill seed carried into each chunk.
 
-    1. state pass A (skinny): per (group, salt) chunk → min/max ts;
-    2. driver fold: per group → grid anchor ``gmin``, slot count, and each
-       chunk's OWNED slot range ``[k_lo, k_end)`` — chunk i owns every slot
-       from its salt window start up to the next chunk's window start, so
-       event-less gap windows are covered by the preceding chunk;
-    3. state pass B (skinny, needs gmin): per chunk per LAST column → the
-       last non-null value among its ON-GRID rows (post keep-first dedup);
-       driver grouped ffill+shift → the ffill seed carried into each chunk;
-    4. main pass: each partition emits its chunks' slots, joins its own
-       rows, forward-fills seeded with the carry. Cold groups run the
-       ordinary whole-group kernel. ONE payload shuffle; every task
-       bounded by chunk span (+ its share of the slot grid).
+    Returns ``(prefix indexed by (group…, salt), res_i, unit)``.
     """
-    from recipys_ray.kernels.grouped import adaptive_stamp_rows
-    from recipys_ray.kernels.salted import (
-        SaltedStamp,
-        _hot_mask,
-        find_hot_groups,
-    )
+    import ray
 
-    stamp_batch_rows = adaptive_stamp_rows(ds, stamp_batch_rows)
-    hot = find_hot_groups(ds, group_cols, salt.threshold)
-    if not hot:
-        from recipys_ray.kernels.grouped import run_grouped_chain
-
-        return run_grouped_chain(
-            ds, group_cols, sort_cols, [step],
-            num_partitions=num_partitions, stamp_batch_rows=stamp_batch_rows,
-        )
-    hot_keys = set(hot)
-    stamp = SaltedStamp(
-        group_cols, sort_cols, num_partitions, hot_keys, salt.chunk_span
-    )
-    stamped = ds.map_batches(
-        stamp, batch_format="pyarrow", batch_size=stamp_batch_rows
-    )
     seq = step._seq_col
     last_cols = [
         c for c, acc in step._col_acc.items() if acc.value == "last"
     ]
     kcols = group_cols + [SALT]
-    skinny = list(dict.fromkeys(
-        kcols + sort_cols + [seq] + last_cols + [PART]
-    ))
-
-    def pick_hot(tbl: pa.Table) -> pa.Table:
-        mask = _hot_mask(tbl, group_cols, hot_keys)
-        return tbl.select(
-            [c for c in skinny if c in tbl.column_names]
-        ).filter(pa.array(mask))
-
-    hot_skinny = stamped.map_batches(
-        pick_hot, batch_format="pyarrow"
-    ).materialize()
 
     # ---- pass A: per-chunk ts bounds -------------------------------- #
     def bounds_state(tbl: pa.Table) -> pa.Table:
-        pdf = tbl.to_pandas()
+        pdf = tbl.select(kcols + [seq]).to_pandas()
         g = pdf.groupby(kcols, sort=False, observed=True)
         out = g[seq].agg(["min", "max"]).reset_index()
         return pa.Table.from_pandas(out, preserve_index=False)
@@ -399,7 +376,7 @@ def run_salted_resample_grid(
     res64 = np.timedelta64(pd.Timedelta(step.new_resolution).to_timedelta64())
     unit = np.datetime_data(bounds["min"].dtype)[0]
     res_i = res64.astype(f"timedelta64[{unit}]").astype(np.int64)
-    span = salt.chunk_span
+    span = chunk_span
 
     bounds = bounds.sort_values(group_cols + [SALT], ignore_index=True)
     key = (
@@ -440,8 +417,6 @@ def run_salted_resample_grid(
     }
 
     # ---- pass B: last non-null on-grid value per chunk per LAST col -- #
-    import ray
-
     gmin_ref = ray.put(gmin_map)
 
     def carry_state(tbl: pa.Table) -> pa.Table:
@@ -500,94 +475,341 @@ def run_salted_resample_grid(
             v.groupby(ck, sort=False).ffill().groupby(ck, sort=False)
             .shift(1).to_numpy()
         )
-    prefix = prefixA.join(prefixB, how="left")
-    prefix_ref = ray.put(prefix)
+    return prefixA.join(prefixB, how="left"), res_i, unit
 
-    # ---- main pass --------------------------------------------------- #
+
+def _resample_partition_frame(
+    pdf: pd.DataFrame,
+    pref: pd.DataFrame,
+    step,
+    group_cols: list[str],
+    res_i: int,
+    unit: str,
+    keep_keys: bool = False,
+):
+    """One partition's grid resample, exactly global. ``pdf`` must be sorted
+    by (group…, salt, sort_cols). Cold groups (key not in ``pref``) run the
+    ordinary whole-group grid kernel; hot chunks emit their OWNED slot range
+    (broadcast ``pref``: k_lo/k_end/gmin + ffill carries) and join their own
+    on-grid rows. ``keep_keys=True`` retains the SALT column so the fused
+    resample→chain runner can keep grouping downstream steps by
+    (group, salt) chunk."""
+    seq = step._seq_col
+    kcols = group_cols + [SALT]
+    last_cols = [
+        c for c, acc in step._col_acc.items()
+        if acc.value == "last" and c in pdf.columns
+    ]
+    kidx = (
+        pd.MultiIndex.from_frame(pdf[kcols])
+        if len(kcols) > 1
+        else pd.Index(pdf[kcols[0]])
+    )
+    hot_rows = kidx.isin(pref.index)
+    outs = []
+    if (~hot_rows).any():
+        cold = pdf.loc[~hot_rows].copy()
+        cold = assign_gid(cold, group_cols)
+        cold_out = step._grid_frame(cold, group_cols)
+        if keep_keys:
+            cold_out[SALT] = np.int64(0)
+        outs.append(cold_out)
+    if hot_rows.any():
+        hotp = pdf.loc[hot_rows].copy()
+        hotp = assign_gid(hotp, kcols)
+        gid = hotp[GID]
+        first = ~gid.duplicated()
+        keys = hotp.loc[first, kcols + [GID]]
+        lidx = (
+            pd.Index(keys[kcols[0]])
+            if len(kcols) == 1
+            else pd.MultiIndex.from_frame(keys[kcols])
+        )
+        local = pref.reindex(lidx)
+        local.index = keys[GID].to_numpy()
+        counts = (
+            (local["k_end"] - local["k_lo"]).astype(np.int64).to_numpy()
+        )
+        gmin_l = local["gmin"].to_numpy()
+        klo_l = local["k_lo"].to_numpy()
+        total = int(counts.sum())
+        offs = np.arange(total) - np.repeat(
+            np.r_[0, np.cumsum(counts)[:-1]], counts
+        )
+        slot_ts_int = (
+            np.repeat(gmin_l, counts)
+            + (np.repeat(klo_l, counts) + offs) * res_i
+        )
+        grid = pd.DataFrame({GID: np.repeat(keys[GID].to_numpy(), counts)})
+        grid[seq] = pd.Series(slot_ts_int).astype(f"datetime64[{unit}]")
+        for c in kcols:
+            grid[c] = np.repeat(keys[c].to_numpy(), counts)
+        right = hotp.drop_duplicates(
+            subset=group_cols + [seq], keep="first"
+        )
+        right = right.drop(columns=kcols)
+        merged = grid.merge(right, on=[GID, seq], how="left")
+        if last_cols:
+            merged[last_cols] = merged.groupby(GID, sort=False)[
+                last_cols
+            ].ffill()
+            for c in last_cols:
+                carry = merged[GID].map(local[f"carry_{c}"])
+                merged[c] = merged[c].fillna(carry)
+        outs.append(merged)
+    helpers = {GID} if keep_keys else {GID, SALT}
+    cols = [c for c in pdf.columns if c not in helpers]
+    if not outs:
+        return pdf.loc[[], cols]
+    out = pd.concat(outs, ignore_index=True)
+    return out[[c for c in cols if c in out.columns]]
+
+
+class _GridHead:
+    """Chunk-local grid resample used as a :class:`_ChunkedRunner` head: the
+    fused salted resample→chain runner applies it to every sorted partition
+    frame (state passes AND main pass) so the downstream chunk-mergeable
+    steps are measured and corrected over the exactly-global RESAMPLED rows.
+    The slot-ownership/carry prefix is ``ray.put`` once and resolved lazily
+    per actor/task."""
+
+    def __init__(self, prefix_ref, step, group_cols, res_i, unit):
+        self.prefix_ref = prefix_ref  # pd.DataFrame or ray.ObjectRef of one
+        self.step = step
+        self.group_cols = list(group_cols)
+        self.res_i = res_i
+        self.unit = unit
+
+    def _pref(self) -> pd.DataFrame:
+        if not isinstance(self.prefix_ref, pd.DataFrame):
+            import ray
+
+            self.prefix_ref = ray.get(self.prefix_ref)
+        return self.prefix_ref
+
+    def __call__(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        return _resample_partition_frame(
+            pdf, self._pref(), self.step, self.group_cols,
+            self.res_i, self.unit, keep_keys=True,
+        )
+
+
+def run_salted_resample_grid(
+    ds,
+    group_cols: list[str],
+    sort_cols: list[str],
+    step,
+    num_partitions: int,
+    salt,
+    stamp_batch_rows: int = 262_144,
+):
+    """Grid-mode resampling over salted mega-groups — bounded tasks.
+
+    Grid semantics (steps/resample.py): per group, slots at
+    ``gmin + k·res``; keep the first original row landing exactly on a
+    slot; forward-fill LAST-mapped columns. Chunked execution: the
+    skinny prefix passes of :func:`_grid_prefix_pass` (per-chunk slot
+    ownership + ffill carries), then ONE payload shuffle where each
+    partition emits its chunks' slots, joins its own rows, and
+    forward-fills seeded with the carry (:func:`_resample_partition_frame`);
+    cold groups run the ordinary whole-group kernel. Every task bounded by
+    chunk span (+ its share of the slot grid)."""
+    from recipys_ray.kernels.grouped import adaptive_stamp_rows
+    from recipys_ray.kernels.salted import (
+        SaltedStamp,
+        _hot_mask,
+        find_hot_groups,
+    )
+
+    stamp_batch_rows = adaptive_stamp_rows(ds, stamp_batch_rows)
+    hot = find_hot_groups(ds, group_cols, salt.threshold)
+    if not hot:
+        from recipys_ray.kernels.grouped import run_grouped_chain
+
+        return run_grouped_chain(
+            ds, group_cols, sort_cols, [step],
+            num_partitions=num_partitions, stamp_batch_rows=stamp_batch_rows,
+        )
+    hot_keys = set(hot)
+    stamp = SaltedStamp(
+        group_cols, sort_cols, num_partitions, hot_keys, salt.chunk_span
+    )
+    stamped = ds.map_batches(
+        stamp, batch_format="pyarrow", batch_size=stamp_batch_rows
+    )
+    seq = step._seq_col
+    last_cols = [
+        c for c, acc in step._col_acc.items() if acc.value == "last"
+    ]
+    kcols = group_cols + [SALT]
+    skinny = list(dict.fromkeys(
+        kcols + sort_cols + [seq] + last_cols + [PART]
+    ))
+
+    def pick_hot(tbl: pa.Table) -> pa.Table:
+        mask = _hot_mask(tbl, group_cols, hot_keys)
+        return tbl.select(
+            [c for c in skinny if c in tbl.column_names]
+        ).filter(pa.array(mask))
+
+    hot_skinny = stamped.map_batches(
+        pick_hot, batch_format="pyarrow"
+    ).materialize()
+
+    prefix, res_i, unit = _grid_prefix_pass(
+        hot_skinny, step, group_cols, sort_cols, salt.chunk_span
+    )
+    import ray
+
+    prefix_ref = ray.put(prefix)
     runner_group_cols = list(group_cols)
     runner_sort = list(sort_cols)
-    col_acc_last = list(last_cols)
 
+    # ---- main pass --------------------------------------------------- #
     def run_partition(tbl: pa.Table) -> pa.Table:
         pref = ray.get(prefix_ref)
         if PART in tbl.column_names:
             tbl = tbl.drop_columns([PART])
         by = kcols + runner_sort
         idx = pc.sort_indices(tbl, sort_keys=[(c, "ascending") for c in by])
-        tbl = tbl.take(idx)
-        pdf = tbl.to_pandas()
-        if len(kcols) == 1:
-            kidx = pd.Index(pdf[kcols[0]])
-        else:
-            kidx = pd.MultiIndex.from_frame(pdf[kcols])
-        hot_rows = kidx.isin(pref.index)
-        outs = []
-        if (~hot_rows).any():
-            cold = pdf.loc[~hot_rows].copy()
-            cold = assign_gid(cold, runner_group_cols)
-            cold_out = step._grid_frame(cold, runner_group_cols)
-            outs.append(cold_out.drop(
-                columns=[c for c in (GID, SALT) if c in cold_out.columns]
-            ))
-        if hot_rows.any():
-            hotp = pdf.loc[hot_rows].copy()
-            hotp = assign_gid(hotp, kcols)
-            gid = hotp[GID]
-            first = ~gid.duplicated()
-            keys = hotp.loc[first, kcols + [GID]]
-            lidx = (
-                pd.Index(keys[kcols[0]])
-                if len(kcols) == 1
-                else pd.MultiIndex.from_frame(keys[kcols])
-            )
-            local = pref.reindex(lidx)
-            local.index = keys[GID].to_numpy()
-            counts = (
-                (local["k_end"] - local["k_lo"]).astype(np.int64).to_numpy()
-            )
-            gmin_l = local["gmin"].to_numpy()
-            klo_l = local["k_lo"].to_numpy()
-            total = int(counts.sum())
-            offs = np.arange(total) - np.repeat(
-                np.r_[0, np.cumsum(counts)[:-1]], counts
-            )
-            slot_ts_int = (
-                np.repeat(gmin_l, counts)
-                + (np.repeat(klo_l, counts) + offs) * res_i
-            )
-            grid = pd.DataFrame({GID: np.repeat(keys[GID].to_numpy(), counts)})
-            grid[seq] = pd.Series(slot_ts_int).astype(
-                f"datetime64[{unit}]"
-            )
-            for c in runner_group_cols:
-                grid[c] = np.repeat(
-                    hotp.loc[first, c].to_numpy(), counts
-                )
-            right = hotp.drop_duplicates(
-                subset=runner_group_cols + [seq], keep="first"
-            )
-            right = right.drop(columns=[c for c in runner_group_cols])
-            merged = grid.merge(right, on=[GID, seq], how="left")
-            if col_acc_last:
-                merged[col_acc_last] = merged.groupby(GID, sort=False)[
-                    col_acc_last
-                ].ffill()
-                for c in col_acc_last:
-                    carry = merged[GID].map(local[f"carry_{c}"])
-                    merged[c] = merged[c].fillna(carry)
-            outs.append(merged.drop(
-                columns=[c for c in (GID, SALT) if c in merged.columns]
-            ))
-        if not outs:
-            return pa.table({})
-        out = pd.concat(outs, ignore_index=True)
-        cols = [c for c in pdf.columns if c in out.columns and c != GID
-                and c != SALT]
-        return pa.Table.from_pandas(out[cols], preserve_index=False)
+        pdf = tbl.take(idx).to_pandas()
+        out = _resample_partition_frame(
+            pdf, pref, step, runner_group_cols, res_i, unit
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     return stamped.groupby(PART).map_groups(
         run_partition, batch_format="pyarrow"
     )
+
+
+def run_salted_resample_chain(
+    ds,
+    group_cols: list[str],
+    sort_cols: list[str],
+    steps: Sequence,
+    num_partitions: int,
+    salt,
+    stamp_batch_rows: int = 262_144,
+):
+    """Fused salted resample→chain execution: ONE payload shuffle total.
+
+    ``steps[0]`` is a grid-mode resample (row-count changing), ``steps[1:]``
+    are chunk-mergeable grouped steps. The two-shuffle split (grid resample,
+    then re-salt over the resampled rows) is avoided by giving the shared
+    chunk runner a :class:`_GridHead`: every pass first REBUILDS its chunks'
+    exactly-global resampled rows from the broadcast slot-ownership/carry
+    prefix, so the downstream state passes measure chunk states on
+    RESAMPLED rows and the main pass transforms + prefix-corrects them in
+    place — the "resampled-row state passes" design.
+
+    Scale shape: per-chunk resampled size is bounded by the chunk's slot
+    ownership (≈ chunk_span / resolution, plus any event-less gap the chunk
+    precedes), the fold stays O(#hot chunks), and raw payload moves exactly
+    once."""
+    from recipys_ray.kernels.grouped import adaptive_stamp_rows
+    from recipys_ray.kernels.salted import (
+        SaltedStamp,
+        _hot_mask,
+        find_hot_groups,
+    )
+
+    head_step, tail = steps[0], list(steps[1:])
+    stamp_batch_rows = adaptive_stamp_rows(ds, stamp_batch_rows)
+    hot = find_hot_groups(ds, group_cols, salt.threshold)
+    if not hot:
+        from recipys_ray.kernels.grouped import run_grouped_chain
+
+        return run_grouped_chain(
+            ds, group_cols, sort_cols, list(steps),
+            num_partitions=num_partitions, stamp_batch_rows=stamp_batch_rows,
+        )
+    hot_keys = set(hot)
+    stamp = SaltedStamp(
+        group_cols, sort_cols, num_partitions, hot_keys, salt.chunk_span
+    )
+    stamped = ds.map_batches(
+        stamp, batch_format="pyarrow", batch_size=stamp_batch_rows
+    )
+
+    seq = head_step._seq_col
+    last_cols = [
+        c for c, acc in head_step._col_acc.items() if acc.value == "last"
+    ]
+    kcols = group_cols + [SALT]
+    stages = [GroupedStage(s) for s in tail]
+    levels = step_levels(tail)
+
+    # ONE materialized hot skinny feeds the grid prefix passes AND every
+    # downstream state pass: union of both column footprints
+    probe = _ChunkedRunner(group_cols, sort_cols, stages, levels, {})
+    skinny = list(dict.fromkeys(
+        [c for c in probe.needed if c != GID]
+        + [seq] + last_cols + [PART]
+    ))
+
+    def pick_hot(tbl: pa.Table) -> pa.Table:
+        mask = _hot_mask(tbl, group_cols, hot_keys)
+        return tbl.select(
+            [c for c in skinny if c in tbl.column_names]
+        ).filter(pa.array(mask))
+
+    hot_skinny = stamped.map_batches(
+        pick_hot, batch_format="pyarrow"
+    ).materialize()
+
+    prefix, res_i, unit = _grid_prefix_pass(
+        hot_skinny, head_step, group_cols, sort_cols, salt.chunk_span
+    )
+    import ray as _ray
+
+    head = _GridHead(_ray.put(prefix), head_step, group_cols, res_i, unit)
+
+    prefixes: dict[int, pd.DataFrame] = {}
+    for lv in sorted(set(levels)):
+        if not any(
+            levels[k] == lv and getattr(st.step, "chunk_mergeable", False)
+            for k, st in enumerate(stages)
+        ):
+            continue
+        runner = _ChunkedRunner(
+            group_cols, sort_cols, stages, levels, _ray.put(dict(prefixes)),
+            mode="state", state_level=lv, head=head,
+        )
+
+        def run_state(tbl: pa.Table, _r=runner) -> pa.Table:
+            return _r(tbl)
+
+        merged: dict[int, list] = {}
+        for row in hot_skinny.groupby(PART).map_groups(
+            run_state, batch_format="pyarrow"
+        ).take_all():
+            for k, df in pickle.loads(row["payload"]).items():
+                merged.setdefault(k, []).append(df)
+        for k, dfs in merged.items():
+            states_df = pd.concat(dfs, ignore_index=True)
+            prefixes[k] = _fold_global(
+                stages[k].step, states_df, group_cols, kcols
+            )
+
+    runner = _ChunkedRunner(
+        group_cols, sort_cols, stages, levels, _ray.put(prefixes),
+        mode="run", head=head,
+    )
+
+    def run_partition(tbl: pa.Table) -> pa.Table:
+        return runner(tbl)
+
+    out = stamped.groupby(PART).map_groups(
+        run_partition, batch_format="pyarrow"
+    )
+
+    def drop_salt(tbl: pa.Table) -> pa.Table:
+        return tbl.drop_columns(
+            [c for c in (SALT, PART) if c in tbl.column_names]
+        )
+
+    return out.map_batches(drop_salt, batch_format="pyarrow")
 
 
 GLOBAL_GROUP = "__global_g__"

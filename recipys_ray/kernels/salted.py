@@ -239,13 +239,44 @@ def run_salted_chain(
     from recipys_ray.kernels.grouped import adaptive_stamp_rows
 
     stamp_batch_rows = adaptive_stamp_rows(ds, stamp_batch_rows)
-    if len(steps) == 1 and getattr(steps[0], "salt_grid_capable", False):
-        from recipys_ray.kernels.chunked import run_salted_resample_grid
+    if getattr(steps[0], "salt_grid_capable", False):
+        from recipys_ray.kernels.chunked import (
+            run_salted_resample_chain,
+            run_salted_resample_grid,
+        )
 
-        return run_salted_resample_grid(
+        if len(steps) == 1:
+            return run_salted_resample_grid(
+                ds, group_cols, sort_cols, steps[0],
+                num_partitions=num_partitions, salt=salt,
+                stamp_batch_rows=stamp_batch_rows,
+            )
+        tail_mergeable = all(
+            getattr(s, "chunk_mergeable", False)
+            and not getattr(s, "_parity_chunked", False)
+            for s in steps[1:]
+        )
+        if tail_mergeable:
+            # fused single-payload-shuffle path: the chunk runner rebuilds
+            # each chunk's resampled rows (grid head) before measuring /
+            # correcting the downstream chunk states
+            return run_salted_resample_chain(
+                ds, group_cols, sort_cols, steps,
+                num_partitions=num_partitions, salt=salt,
+                stamp_batch_rows=stamp_batch_rows,
+            )
+        # non-mergeable (or duckdb-parity) tail: bounded grid resample
+        # first, then re-salt the tail over the RESAMPLED rows (hot-group
+        # detection re-runs — resampling changes row counts). Two bounded
+        # payload shuffles.
+        mid = run_salted_resample_grid(
             ds, group_cols, sort_cols, steps[0],
             num_partitions=num_partitions, salt=salt,
             stamp_batch_rows=stamp_batch_rows,
+        )
+        return run_salted_chain(
+            mid, group_cols, sort_cols, list(steps[1:]),
+            num_partitions=num_partitions, salt=salt,
         )
     stages = [GroupedStage(s) for s in steps]
     if any(st.needs_all for st in stages):

@@ -212,39 +212,20 @@ class Recipe:
                     from recipys_ray.kernels.grouped import choose_partitions
                     from recipys_ray.kernels.salted import run_salted_chain
 
-                    if grid_head and len(pending) > 1:
-                        # resample→downstream under salting: split at the
-                        # row-count-changing head — the salted grid resample
-                        # runs solo (bounded slot-ownership chunks), then
-                        # the downstream chain re-salts over the RESAMPLED
-                        # rows (hot-group detection re-runs: resampling
-                        # changes row counts). Two bounded payload shuffles;
-                        # single-shuffle fusion would need resampled-row
-                        # state passes (documented future work).
-                        ds = run_salted_chain(
-                            ds, list(group_cols), list(sort_cols),
-                            [pending[0]],
-                            num_partitions=self.partitions
-                            or choose_partitions(ds),
-                            salt=self.salt,
-                        )
-                        ds = run_salted_chain(
-                            ds, list(group_cols), list(sort_cols),
-                            list(pending[1:]),
-                            num_partitions=self.partitions
-                            or choose_partitions(ds),
-                            salt=self.salt,
-                        )
-                    else:
-                        ds = run_salted_chain(
-                            ds,
-                            list(group_cols),
-                            list(sort_cols),
-                            list(pending),
-                            num_partitions=self.partitions
-                            or choose_partitions(ds),
-                            salt=self.salt,
-                        )
+                    # run_salted_chain owns the grid-head policy: a
+                    # resample head with an all-chunk-mergeable tail runs
+                    # the FUSED single-payload-shuffle path (resampled-row
+                    # state passes, kernels/chunked.py); a non-mergeable
+                    # tail splits into grid resample + re-salted tail.
+                    ds = run_salted_chain(
+                        ds,
+                        list(group_cols),
+                        list(sort_cols),
+                        list(pending),
+                        num_partitions=self.partitions
+                        or choose_partitions(ds),
+                        salt=self.salt,
+                    )
                 else:
                     first = pending[0]
                     if getattr(first, "combinable", False):
@@ -361,9 +342,27 @@ class Recipe:
                 g, s = chain_key
                 salted = self.salt is not None and g and s
                 tag = " [salted]" if salted else ""
-                if salted and len(pending) > 1 and head_grid:
-                    # mirrors the planner's grid-head split (two bounded
-                    # salted shuffles)
+                tail_mergeable = all(
+                    getattr(st, "chunk_mergeable", False)
+                    and not getattr(st, "_parity_chunked", False)
+                    for st in pending_steps[1:]
+                )
+                if (
+                    salted and len(pending) > 1 and head_grid
+                    and tail_mergeable
+                ):
+                    # fused grid-head path: one payload shuffle, downstream
+                    # chunk states measured on the resampled rows
+                    n_shuffles += 1
+                    lines.append(
+                        f"grouped shuffle #{n_shuffles}{tag} "
+                        f"(group={list(g)}, sort={list(s)}; grid head + "
+                        f"resampled-row chunk states; fused "
+                        f"x{len(pending)}): " + " -> ".join(pending)
+                    )
+                elif salted and len(pending) > 1 and head_grid:
+                    # grid-head split (two bounded salted shuffles) — the
+                    # tail has a non-chunk-mergeable step
                     n_shuffles += 2
                     lines.append(
                         f"grouped shuffle #{n_shuffles - 1}{tag} "

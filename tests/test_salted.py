@@ -677,3 +677,165 @@ def test_median_without_approx_still_errors_over_cap(ray_session):
     rec.add_step(StepHistorical(sel=all_of(["score"]), fun=Accumulator.MEDIAN))
     with pytest.raises(ValueError, match="approx_median_chunked"):
         rec.prep().to_pandas()
+
+
+def test_fused_resample_chain_single_payload_shuffle(monkeypatch):
+    """The resample→mergeable-tail chain must take the FUSED path (one
+    payload shuffle, resampled-row state passes) — not the two-shuffle
+    split — and still equal the unsalted run on a torture input: several
+    hot groups, nulls in carried columns, an impute + historical VAR +
+    lag tail, and chunk spans small enough that every boundary carries."""
+    import recipys_ray.kernels.chunked as chunked
+    from recipys_ray.steps.resample import StepResampling
+
+    fused, split = [], []
+    orig_chain = chunked.run_salted_resample_chain
+    orig_grid = chunked.run_salted_resample_grid
+    monkeypatch.setattr(
+        chunked, "run_salted_resample_chain",
+        lambda *a, **k: (fused.append(1), orig_chain(*a, **k))[1],
+    )
+    monkeypatch.setattr(
+        chunked, "run_salted_resample_grid",
+        lambda *a, **k: (split.append(1), orig_grid(*a, **k))[1],
+    )
+    import recipys_ray.kernels.salted as salted_mod
+
+    monkeypatch.setattr(
+        salted_mod, "run_salted_chain", salted_mod.run_salted_chain
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for conv, n in [("megaA", 700), ("megaB", 500), ("c0", 60), ("c1", 40)]:
+        ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+            np.cumsum(rng.integers(30, 200, n)), unit="s"
+        )
+        score = rng.normal(0, 3, n)
+        score[rng.random(n) < 0.2] = np.nan
+        lat = rng.exponential(2.0, n)
+        lat[rng.random(n) < 0.15] = np.nan
+        rows.append(pd.DataFrame({
+            "conv_id": conv, "ts": ts, "turn_idx": np.arange(n),
+            "n_chars": rng.integers(1, 500, n).astype(np.int64),
+            "latency_s": lat, "score": score,
+        }))
+    pdf = pd.concat(rows, ignore_index=True)
+
+    def mk(salt):
+        rec = Recipe(
+            rd.from_pandas(pdf),
+            predictors=["n_chars", "latency_s", "score"],
+            groups=["conv_id"],
+            sequences=["ts"],
+            partitions=4,
+            salt=salt,
+        )
+        rec.add_step(StepResampling("2min"))
+        rec.add_step(
+            StepImputeFill(sel=all_of(["score"]), strategy="forward")
+        )
+        rec.add_step(
+            StepHistorical(sel=all_of(["score"]), fun=Accumulator.VAR)
+        )
+        rec.add_step(
+            StepHistorical(sel=all_of(["n_chars"]), fun=Accumulator.MAX)
+        )
+        rec.add_step(StepLag(sel=all_of(["latency_s"]), shifts=[1, 3]))
+        return (
+            rec.prep().to_pandas()
+            .sort_values(["conv_id", "ts"], kind="stable")
+            .reset_index(drop=True)
+        )
+
+    a = mk(None)
+    # 5-minute chunk span at 2-min resolution → 2-3 slots per chunk: every
+    # chunk boundary exercises the carry, lag-3 spans multiple chunks
+    b = mk(SaltConfig(threshold=300, chunk_span=5 * 60 * 1_000_000))
+    assert fused, "fused resample chain path was not taken"
+    assert not split, "two-shuffle split ran despite a mergeable tail"
+    assert len(a) == len(b)
+    b = b[a.columns]
+    for c in a.columns:
+        x, y = a[c], b[c]
+        if pd.api.types.is_numeric_dtype(x) and not pd.api.types.is_bool_dtype(x):
+            np.testing.assert_allclose(
+                x.to_numpy(dtype=float), y.to_numpy(dtype=float),
+                equal_nan=True, err_msg=f"column {c}", atol=1e-10,
+            )
+        else:
+            assert x.astype(str).tolist() == y.astype(str).tolist(), c
+
+
+def test_fused_resample_chain_explain_single_shuffle():
+    """explain() must model the fused grid-head chain as ONE shuffle."""
+    from recipys_ray.steps.resample import StepResampling
+
+    pdf = pd.DataFrame({
+        "conv_id": np.repeat([1, 2], 30),
+        "turn_idx": np.tile(np.arange(30), 2),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(np.tile(np.arange(30), 2), unit="min"),
+        "score": np.arange(60.0),
+    })
+    rec = Recipe(
+        rd.from_pandas(pdf), predictors=["score"], groups=["conv_id"],
+        sequences=["ts"], partitions=2,
+        salt=SaltConfig(threshold=10, chunk_span=600_000_000),
+    )
+    rec.add_step(StepResampling("1min"))
+    rec.add_step(StepHistorical(sel=all_of(["score"]), fun=Accumulator.MEAN))
+    plan = rec.explain()
+    assert "grid head + resampled-row chunk states" in plan
+    assert "total grouped shuffles: 1" in plan
+
+
+def test_resample_then_median_tail_splits(monkeypatch):
+    """A NON-chunk-mergeable tail (expanding MEDIAN) behind a grid resample
+    must route through the split (grid resample, then legacy re-salted
+    tail) and still equal the unsalted run."""
+    import recipys_ray.kernels.chunked as chunked
+    from recipys_ray.steps.resample import StepResampling
+
+    fused, grid = [], []
+    orig_chain = chunked.run_salted_resample_chain
+    orig_grid = chunked.run_salted_resample_grid
+    monkeypatch.setattr(
+        chunked, "run_salted_resample_chain",
+        lambda *a, **k: (fused.append(1), orig_chain(*a, **k))[1],
+    )
+    monkeypatch.setattr(
+        chunked, "run_salted_resample_grid",
+        lambda *a, **k: (grid.append(1), orig_grid(*a, **k))[1],
+    )
+
+    tbl = make_transcripts(n_turns=1500, seed=41, mega_conv_turns=600)
+
+    def mk(salt):
+        rec = Recipe(
+            rd.from_arrow(tbl),
+            predictors=["n_chars", "latency_s", "score"],
+            groups=["conv_id"],
+            sequences=["ts"],
+            partitions=4,
+            salt=salt,
+        )
+        rec.add_step(StepResampling("5min"))
+        rec.add_step(
+            StepHistorical(sel=all_of(["n_chars"]), fun=Accumulator.MEDIAN)
+        )
+        return (
+            rec.prep().to_pandas()
+            .sort_values(["conv_id", "ts"], kind="stable")
+            .reset_index(drop=True)
+        )
+
+    a = mk(None)
+    b = mk(SaltConfig(threshold=300, chunk_span=20 * 60 * 1_000_000))
+    assert grid and not fused, "MEDIAN tail must take the split path"
+    b = b[a.columns]
+    np.testing.assert_allclose(
+        a["n_chars_median"].to_numpy(dtype=float),
+        b["n_chars_median"].to_numpy(dtype=float),
+        equal_nan=True,
+    )
