@@ -727,6 +727,21 @@ def q_dedup_embedding(sf_dir):
     return _select(out, ["vec_id"])
 
 
+def q_dedup_semantic(sf_dir):
+    """SemDeDup (cluster-then-within-cluster greedy cosine dedup,
+    ops/semdedup.py). Oracle: golden survivors from the independent
+    sequential reference (scripts/gen_expected.py semdedup_expected).
+    threshold=0.3 so the synthetic corpus (max pairwise cosine ~0.5)
+    actually drops rows."""
+    from recipys_ray.ops.semdedup import semantic_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = semantic_dedup(
+        ds, n_clusters=8, threshold=0.3, sample_size=1_000_000, seed=3
+    )
+    return _select(out, ["vec_id"])
+
+
 def q_dedup_jaccard(sf_dir):
     """EXACT n-gram-Jaccard near-dup (prefix-filtered similarity self-join,
     ops/jaccard.py); the oracle recomputes true shingle-set Jaccard over
@@ -1262,6 +1277,12 @@ ORACLES: dict[str, str] = {
         WHERE corpus_key = (SELECT count(*) || '_' || CAST(sum(label) AS BIGINT)
                             FROM embeddings)
     """,
+    "dedup_semantic": """
+        SELECT vec_id
+        FROM read_parquet('/root/repo/expected/dedup_semantic_*.parquet')
+        WHERE corpus_key = (SELECT count(*) || '_' || CAST(sum(label) AS BIGINT)
+                            FROM embeddings)
+    """,
     "dedup_jaccard": r"""
         WITH RECURSIVE t AS (
           SELECT doc_id,
@@ -1553,6 +1574,7 @@ QUERIES = {
     "iterative_impute": q_iterative_impute,
     "dedup_minhash": q_dedup_minhash,
     "dedup_jaccard": q_dedup_jaccard,
+    "dedup_semantic": q_dedup_semantic,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
     "langid_quality": q_langid_quality,

@@ -157,6 +157,41 @@ def ivf_expected(emb_df: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "vec_id", "rank"])
 
 
+def semdedup_expected(emb_df: pd.DataFrame) -> np.ndarray:
+    """Sequential SemDeDup reference mirroring q_dedup_semantic's
+    parameters: full-data centroid fit (shared deterministic _kmeans_fit,
+    canonical lexsort order), float64 nearest-centroid assignment, then a
+    plain per-pair greedy keep-first loop inside each cluster (independent
+    of the distributed op's blocked scan)."""
+    sys.path.insert(0, os.path.dirname(OUT_DIR))
+    from recipys_ray.ops.similarity import _kmeans_fit, _normalize
+
+    ids = emb_df["vec_id"].to_numpy()
+    X = np.stack(emb_df["embedding"].to_numpy()).astype(np.float32)
+    Xs = X[np.lexsort(X.T)]
+    C = _kmeans_fit(_normalize(Xs), 8, seed=3)
+    Cn = _normalize(np.asarray(C, dtype=np.float64))
+    Xd = _normalize(np.asarray(X, dtype=np.float64))
+    cell = (Xd @ Cn.T).argmax(axis=1)
+    survivors = []
+    for c in np.unique(cell):
+        mask = cell == c
+        mids = ids[mask]
+        order = np.argsort(mids)
+        mids, E = mids[order], Xd[mask][order]
+        kept: list[int] = []
+        for i in range(len(mids)):
+            dup = False
+            for j in kept:
+                if float(E[i] @ E[j]) >= 0.3:
+                    dup = True
+                    break
+            if not dup:
+                kept.append(i)
+                survivors.append(int(mids[i]))
+    return np.sort(np.array(survivors, dtype=np.int64))
+
+
 def knn_impute_expected(events: pd.DataFrame) -> pd.DataFrame:
     """Sequential reference for q_knn_impute: impute valn (NULL where
     event_id %% 7 == 0) as the uniform mean of the 5 nearest rows with valn
@@ -303,6 +338,12 @@ def main():
         path = os.path.join(OUT_DIR, f"knn_ivf_{key}.parquet")
         out.to_parquet(path, index=False)
         print(f"{path}: {len(out)} rows")
+        surv = semdedup_expected(emb)
+        out = pd.DataFrame({"vec_id": surv})
+        out["corpus_key"] = key
+        path = os.path.join(OUT_DIR, f"dedup_semantic_{key}.parquet")
+        out.to_parquet(path, index=False)
+        print(f"{path}: {len(surv)}/{len(emb)} survivors")
     for sf_dir in SF_DIRS:
         ev = pd.read_parquet(os.path.join(sf_dir, "events.parquet"))
         key = f"{len(ev)}_{int(ev['user_id'].sum())}"

@@ -744,3 +744,63 @@ def test_profile_one_pass(ray_session):
     )
     assert out.loc["s", "dtype"] == "string"
     assert np.isnan(out.loc["s", "mean"])
+
+
+class TestSemanticDedup:
+    """SemDeDup (ops/semdedup.py): cluster-bounded greedy cosine dedup."""
+
+    def _planted(self, seed=11, n=120, dim=16, dups=25):
+        rng = np.random.default_rng(seed)
+        base = rng.normal(0, 1, (n, dim))
+        rows = [base]
+        # near-copies of the first `dups` rows (tiny noise, cosine ~1)
+        rows.append(base[:dups] + rng.normal(0, 1e-4, (dups, dim)))
+        X = np.concatenate(rows)
+        return pd.DataFrame({
+            "vec_id": np.arange(len(X), dtype=np.int64),
+            "embedding": list(X.astype(np.float32)),
+        })
+
+    def test_planted_duplicates_dropped(self, ray_session):
+        from recipys_ray.ops.semdedup import semantic_dedup
+
+        pdf = self._planted()
+        out = semantic_dedup(
+            rd.from_pandas(pdf), n_clusters=6, threshold=0.99,
+        ).to_pandas()
+        surv = set(out["vec_id"])
+        # every planted copy (ids 120..144) has an earlier near-identical
+        # original in the same cluster → dropped; originals all kept
+        assert set(range(120)) <= surv
+        assert not (surv & set(range(120, 145)))
+
+    def test_partition_invariance(self, ray_session):
+        from recipys_ray.ops.semdedup import semantic_dedup
+
+        pdf = self._planted(seed=29)
+        a = semantic_dedup(
+            rd.from_pandas(pdf).repartition(1), n_clusters=5, threshold=0.5
+        ).to_pandas()
+        shuffled = pdf.sample(frac=1.0, random_state=3).reset_index(drop=True)
+        b = semantic_dedup(
+            rd.from_pandas(shuffled).repartition(7), n_clusters=5,
+            threshold=0.5,
+        ).to_pandas()
+        assert sorted(a["vec_id"]) == sorted(b["vec_id"])
+
+    def test_greedy_mask_blocked_equals_naive(self):
+        from recipys_ray.ops.semdedup import greedy_keep_mask
+        from recipys_ray.ops.similarity import _normalize
+
+        rng = np.random.default_rng(5)
+        E = _normalize(rng.normal(0, 1, (300, 8)))
+        blocked = greedy_keep_mask(E, 0.6, block=37)
+        # naive per-pair greedy
+        kept = []
+        naive = np.ones(len(E), bool)
+        for i in range(len(E)):
+            if any(float(E[i] @ E[j]) >= 0.6 for j in kept):
+                naive[i] = False
+            else:
+                kept.append(i)
+        np.testing.assert_array_equal(blocked, naive)
