@@ -270,6 +270,98 @@ def build_vocab(
     return out
 
 
+def tfidf_top_terms(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1000,
+    top_n: int = 3,
+    num_partitions: int = 64,
+):
+    """Distributed TF-IDF keyword extraction: the top-``top_n`` terms per
+    document by tf·idf over a bounded vocabulary.
+
+    Plan (two passes, the second shuffle-free):
+
+    1. EXACT top-``vocab_size`` vocabulary with document frequencies via
+       :func:`build_vocab`'s combiner plan (the vocabulary bound is what
+       makes the broadcast feasible at 100 TB — a full open vocabulary
+       would be another shuffle per doc).
+    2. ``ray.put`` the (term → doc_freq) map once; ONE streaming scoring
+       pass: per-batch tokenization, per-(doc, term) counts restricted to
+       the vocabulary, smooth idf ``ln((1+N)/(1+df)) + 1`` (sklearn's
+       smooth_idf formula — public), per-doc top-n by (tfidf desc, term
+       asc). Each document lives in one row, so scoring never crosses
+       batches and the stage streams with no exchange.
+
+    Returns a Dataset of (id_col, term, tf, doc_freq, tfidf, rank).
+    """
+    import ray
+
+    vocab = build_vocab(
+        ds, text_col=text_col, top_k=vocab_size,
+        num_partitions=num_partitions,
+    )
+    n_docs = ds.count()
+    df_map = dict(
+        zip(vocab["token"], vocab["doc_freq"].astype(np.int64))
+    )
+    vocab_ref = ray.put(df_map)
+
+    def score(tbl: pa.Table) -> pa.Table:
+        dfm = ray.get(vocab_ref)
+        texts = tbl.column(text_col).to_pandas().fillna("")
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        toks: list[str] = []
+        counts = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            ws = _WORD_RE.findall(t.lower())
+            counts[i] = len(ws)
+            toks.extend(ws)
+        pdf = pd.DataFrame(
+            {
+                "doc": np.repeat(np.arange(len(texts)), counts),
+                "term": np.array(toks, dtype=object),
+            }
+        )
+        grp = (
+            pdf.groupby(["doc", "term"], sort=False, observed=True)
+            .size()
+            .reset_index(name="tf")
+        )
+        dfv = grp["term"].map(dfm)
+        grp = grp.loc[dfv.notna()].copy()
+        grp["doc_freq"] = dfv.dropna().astype(np.int64).to_numpy()
+        grp["tfidf"] = grp["tf"].to_numpy(np.float64) * (
+            np.log(
+                (1.0 + n_docs)
+                / (1.0 + grp["doc_freq"].to_numpy(np.float64))
+            )
+            + 1.0
+        )
+        grp = grp.sort_values(
+            ["doc", "tfidf", "term"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        grp["rank"] = grp.groupby("doc", sort=False).cumcount()
+        grp = grp[grp["rank"] < top_n]
+        return pa.table(
+            {
+                id_col: pa.array(ids[grp["doc"].to_numpy()]),
+                "term": pa.array(grp["term"].to_numpy(dtype=object)),
+                "tf": pa.array(grp["tf"].to_numpy(np.int64)),
+                "doc_freq": pa.array(grp["doc_freq"].to_numpy(np.int64)),
+                "tfidf": pa.array(grp["tfidf"].to_numpy(np.float64)),
+                "rank": pa.array(grp["rank"].to_numpy(np.int64)),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow", batch_size=4096
+    )
+
+
 # normalization patterns — RE2 syntax, valid (and byte-identical in effect)
 # for BOTH pyarrow.compute and DuckDB regexp_replace (probed on testdata)
 URL_RE = r"https?://[^\s]+"

@@ -765,6 +765,36 @@ def q_vocab_top100(sf_dir):
     return build_vocab(ds, top_k=100)
 
 
+def q_top_docs_per_source(sf_dir):
+    """Top-5 documents per source by n_chars (ops/topk.py combiner →
+    hash-partition finish); oracle is a SQL window rank. doc_id tie-break
+    makes the boundary deterministic."""
+    from recipys_ray.ops.topk import top_k_per_group
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "n_chars"],
+    )
+    out = top_k_per_group(
+        ds, ["source"], "n_chars", k=5, descending=True,
+        tie_cols=["doc_id"],
+    )
+    return _select(out, ["source", "doc_id", "n_chars", "rank"])
+
+
+def q_tfidf_top3(sf_dir):
+    """Per-doc top-3 TF-IDF terms over the exact top-1000 vocabulary
+    (ops/text.py tfidf_top_terms); oracle re-derives vocabulary, smooth
+    idf and the per-doc window rank in SQL."""
+    from recipys_ray.ops.text import tfidf_top_terms
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = tfidf_top_terms(ds, vocab_size=1000, top_n=3)
+    return _select(out, ["doc_id", "term", "tf", "doc_freq", "tfidf", "rank"])
+
+
 def q_langid_quality(sf_dir):
     """Language-ID + quality + rolling-hash fingerprint, all re-derived in
     the SQL oracle (regexp token parity, stopword-hit argmax, identical
@@ -1222,6 +1252,54 @@ ORACLES: dict[str, str] = {
         WHERE corpus_key = (SELECT count(*) || '_' || CAST(sum(n_chars) AS BIGINT)
                             FROM documents)
     """,
+    "top_docs_per_source": """
+        WITH ranked AS (
+          SELECT source, doc_id, n_chars,
+                 CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id ASC
+                 ) - 1 AS BIGINT) AS "rank"
+          FROM documents
+        )
+        SELECT source, doc_id, n_chars, "rank" FROM ranked WHERE "rank" < 5
+    """,
+    "tfidf_top3": r"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                           '\w+')) AS term
+          FROM documents
+        ),
+        tot AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS cnt,
+                 CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+          FROM tok GROUP BY term
+        ),
+        vocab AS (
+          SELECT term, doc_freq FROM tot
+          ORDER BY cnt DESC, term ASC LIMIT 1000
+        ),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        tf AS (
+          SELECT t.doc_id, t.term, CAST(count(*) AS BIGINT) AS tf
+          FROM tok t JOIN vocab v USING (term)
+          GROUP BY t.doc_id, t.term
+        ),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf, v.doc_freq,
+                 tf.tf * (ln((1 + n.n_docs) / (1.0 + v.doc_freq)) + 1)
+                   AS tfidf
+          FROM tf JOIN vocab v USING (term), n
+        ),
+        ranked AS (
+          SELECT *, CAST(row_number() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+                 ) - 1 AS BIGINT) AS "rank"
+          FROM scored
+        )
+        SELECT doc_id, term, tf, doc_freq, tfidf, "rank"
+        FROM ranked WHERE "rank" < 3
+    """,
     "vocab_top100": r"""
         WITH tok AS (
           SELECT doc_id,
@@ -1562,6 +1640,8 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
     "vocab_top100": q_vocab_top100,
+    "tfidf_top3": q_tfidf_top3,
+    "top_docs_per_source": q_top_docs_per_source,
     "knn_cosine": q_knn_cosine,
     "knn_ivf": q_knn_ivf,
     "knn_impute": q_knn_impute,

@@ -804,3 +804,82 @@ class TestSemanticDedup:
             else:
                 kept.append(i)
         np.testing.assert_array_equal(blocked, naive)
+
+
+class TestTfidf:
+    def test_top_terms_basic_and_partition_invariant(self, ray_session):
+        from recipys_ray.ops.text import tfidf_top_terms
+
+        pdf = pd.DataFrame({
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [
+                "apple apple banana common common common",
+                "banana banana cherry common common",
+                "cherry apple common",
+                "dates dates dates common",
+                "apple banana cherry dates common",
+                "common common common common",
+            ],
+        })
+        out = tfidf_top_terms(
+            rd.from_pandas(pdf), vocab_size=10, top_n=2
+        ).to_pandas().sort_values(["doc_id", "rank"], ignore_index=True)
+        # doc 0: 'apple' (tf=2, rare) must outrank 'common' (tf=3, ubiquitous)
+        d0 = out[out.doc_id == 0]
+        assert d0.iloc[0]["term"] == "apple"
+        # doc 3: 'dates' tf=3 with df=2 dominates
+        assert out[out.doc_id == 3].iloc[0]["term"] == "dates"
+        # ranks are 0..top_n-1 per doc
+        assert set(out["rank"]) == {0, 1}
+        b = tfidf_top_terms(
+            rd.from_pandas(pdf).repartition(4), vocab_size=10, top_n=2
+        ).to_pandas().sort_values(["doc_id", "rank"], ignore_index=True)
+        pd.testing.assert_frame_equal(out, b)
+
+
+class TestTopKPerGroup:
+    def test_matches_pandas_and_partition_invariant(self, ray_session):
+        from recipys_ray.ops.topk import top_k_per_group
+
+        rng = np.random.default_rng(13)
+        pdf = pd.DataFrame({
+            "g": rng.choice(["a", "b", "c"], 500),
+            "id": np.arange(500, dtype=np.int64),
+            "v": rng.integers(0, 50, 500).astype(np.int64),  # heavy ties
+        })
+        expect = (
+            pdf.sort_values(["v", "id"], ascending=[False, True])
+            .groupby("g", sort=False).head(7)
+            .sort_values(["g", "v", "id"], ascending=[True, False, True],
+                         ignore_index=True)
+        )
+        for parts in (1, 9):
+            out = top_k_per_group(
+                rd.from_pandas(pdf).repartition(parts), ["g"], "v", k=7,
+                tie_cols=["id"],
+            ).to_pandas().sort_values(
+                ["g", "v", "id"], ascending=[True, False, True],
+                ignore_index=True,
+            )
+            pd.testing.assert_frame_equal(
+                out[["g", "id", "v"]], expect[["g", "id", "v"]]
+            )
+            # rank is the 0-based per-group position
+            assert (
+                out.groupby("g")["rank"].apply(
+                    lambda s: list(s) == list(range(len(s)))
+                ).all()
+            )
+
+    def test_ascending(self, ray_session):
+        from recipys_ray.ops.topk import top_k_per_group
+
+        pdf = pd.DataFrame({
+            "g": ["x"] * 5, "id": np.arange(5, dtype=np.int64),
+            "v": [5.0, 1.0, 3.0, 2.0, 4.0],
+        })
+        out = top_k_per_group(
+            rd.from_pandas(pdf), ["g"], "v", k=2, descending=False,
+            tie_cols=["id"],
+        ).to_pandas().sort_values("rank", ignore_index=True)
+        assert out["v"].tolist() == [1.0, 2.0]
