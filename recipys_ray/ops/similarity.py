@@ -119,10 +119,18 @@ def knn_brute_force(
 
 
 def _kmeans_fit(X: np.ndarray, n_clusters: int, iters: int = 10, seed: int = 3):
+    """Deterministic Lloyd iterations, shared by every op that needs
+    centroids (IVF ANN, IVF donor buckets, SemDeDup) AND by their
+    sequential golden-oracle replays — both sides must call THIS function.
+    Distances use the ||x||² − 2x·c + ||c||² expansion: O(n·k) memory
+    instead of the O(n·k·d) broadcast tensor (r2-VERDICT minor: the tensor
+    was 80 MB per iteration at a 10k sample and would bite at 100k)."""
     rng = np.random.RandomState(seed)
     C = X[rng.choice(len(X), size=n_clusters, replace=False)].copy()
+    x2 = (X * X).sum(axis=1)
     for _ in range(iters):
-        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        c2 = (C * C).sum(axis=1)
+        d = x2[:, None] - 2.0 * (X @ C.T) + c2[None, :]
         assign = d.argmin(axis=1)
         for j in range(n_clusters):
             m = assign == j
