@@ -1,0 +1,181 @@
+"""Exact distributed order statistics — quantiles without a global sort.
+
+``ds.sort(col)`` is an all-to-all exchange of the WHOLE column; a handful of
+quantiles never needs that. This is the classic iterative selection by
+counting (multi-round Blum-style selection adapted to block streams):
+
+1. one combiner pass → (non-null count, min, max);
+2. per round, ONE streaming pass counts ``v <= edge`` for ~``bins`` edges
+   inside each still-pending rank's bracket (vectorized: one ``np.sort``
+   per batch + ``np.searchsorted`` over all edges of all ranks). The
+   bracket containing each target rank shrinks ~``bins``× per round;
+3. when a bracket holds ≤ ``driver_cap`` values (or collapses to a single
+   float), ONE filter pass collects exactly those values and the driver
+   picks the order statistic locally.
+
+For n = 10¹² rows and the defaults this is 2-3 counting passes + one
+bounded collect — each pass a skinny single-column stream, no shuffle at
+any point. Rank convention matches DuckDB/PostgreSQL ``quantile_disc`` /
+``percentile_disc``: 1-based rank ``ceil(q·n)`` (probed against DuckDB
+1.0.0 incl. float-boundary cases). The approximate single-pass path is
+:mod:`recipys_ray.aggregates`' t-digest; this op is the exact one.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _count_leq(ds, col: str, brackets: list[dict], bins: int) -> np.ndarray:
+    """One streaming pass: for every pending bracket, counts of
+    ``lo < v <= edge_j`` for its refinement edges. Returns a list aligned
+    with ``brackets`` of per-edge cumulative counts."""
+    edge_sets = []
+    for b in brackets:
+        e = np.linspace(b["lo"], b["hi"], bins + 1)[1:]
+        e[-1] = b["hi"]  # guard linspace endpoint rounding
+        edge_sets.append(e)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        v = tbl.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = np.sort(v[~np.isnan(v)])
+        out_r, out_e, out_c = [], [], []
+        for ri, (b, edges) in enumerate(zip(brackets, edge_sets)):
+            base = np.searchsorted(v, b["lo"], side="right")
+            cnt = np.searchsorted(v, edges, side="right") - base
+            out_r.extend([ri] * len(edges))
+            out_e.extend(range(len(edges)))
+            out_c.extend(cnt.tolist())
+        return pa.table(
+            {
+                "ri": pa.array(out_r, pa.int32()),
+                "ei": pa.array(out_e, pa.int32()),
+                "cnt": pa.array(out_c, pa.int64()),
+            }
+        )
+
+    tot = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["ri", "ei"], sort=True)["cnt"]
+        .sum()
+    )
+    return [
+        tot.loc[ri].to_numpy() for ri in range(len(brackets))
+    ], edge_sets
+
+
+def exact_quantiles(
+    ds,
+    col: str,
+    qs: Sequence[float],
+    bins: int = 1024,
+    driver_cap: int = 1_000_000,
+    max_rounds: int = 64,
+) -> pd.DataFrame:
+    """Exact ``quantile_disc`` values for ``qs`` (module docstring).
+    Returns a DataFrame (q, value) ordered by q."""
+    skinny = ds.select_columns([col]).materialize()
+
+    def stats(tbl: pa.Table) -> pa.Table:
+        v = tbl.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        if not len(v):
+            return pa.table(
+                {"n": pa.array([0], pa.int64()),
+                 "lo": pa.array([np.nan]), "hi": pa.array([np.nan])}
+            )
+        return pa.table(
+            {"n": pa.array([len(v)], pa.int64()),
+             "lo": pa.array([float(v.min())]),
+             "hi": pa.array([float(v.max())])}
+        )
+
+    st = skinny.map_batches(stats, batch_format="pyarrow").to_pandas()
+    n = int(st["n"].sum())
+    if n == 0:
+        return pd.DataFrame(
+            {"q": np.asarray(qs, np.float64), "value": np.nan}
+        )
+    lo0, hi0 = float(st["lo"].min()), float(st["hi"].max())
+
+    # bracket per target rank: rank_below values are <= lo; the k-th order
+    # statistic lies in (lo, hi]; min is only reachable as the k=1 edge, so
+    # seed lo just below it
+    lo_seed = np.nextafter(lo0, -np.inf)
+    brackets = []
+    for q in qs:
+        k = min(max(math.ceil(q * n), 1), n)
+        brackets.append(
+            {"q": float(q), "k": k, "lo": lo_seed, "hi": hi0,
+             "below": 0, "count": n, "value": None}
+        )
+
+    for _ in range(max_rounds):
+        pending = [
+            b for b in brackets
+            if b["value"] is None and b["count"] > driver_cap
+            and np.nextafter(b["lo"], b["hi"]) < b["hi"]
+        ]
+        if not pending:
+            break
+        counts, edge_sets = _count_leq(skinny, col, pending, bins)
+        for b, cum, edges in zip(pending, counts, edge_sets):
+            want = b["k"] - b["below"]  # rank within (lo, hi]
+            j = int(np.searchsorted(cum, want, side="left"))
+            new_lo = b["lo"] if j == 0 else float(edges[j - 1])
+            below_new = b["below"] + (0 if j == 0 else int(cum[j - 1]))
+            b["lo"], b["hi"] = new_lo, float(edges[j])
+            b["count"] = int(cum[j]) - (below_new - b["below"])
+            b["below"] = below_new
+
+    # a bracket collapsed to adjacent floats means every value in (lo, hi]
+    # equals hi — resolve without collecting (a hot value repeated 10¹⁰
+    # times must never be pulled to the driver)
+    for b in brackets:
+        if b["value"] is None and np.nextafter(b["lo"], b["hi"]) >= b["hi"]:
+            b["value"] = b["hi"]
+
+    # collect every unresolved bracket's values in one filter pass
+    todo = [b for b in brackets if b["value"] is None]
+    if todo:
+        los = np.array([b["lo"] for b in todo])
+        his = np.array([b["hi"] for b in todo])
+
+        def collect(tbl: pa.Table) -> pa.Table:
+            v = tbl.column(col).to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            v = v[~np.isnan(v)]
+            out_r, out_v = [], []
+            for ri in range(len(todo)):
+                sel = v[(v > los[ri]) & (v <= his[ri])]
+                out_r.extend([ri] * len(sel))
+                out_v.extend(sel.tolist())
+            return pa.table(
+                {"ri": pa.array(out_r, pa.int32()),
+                 "v": pa.array(out_v, pa.float64())}
+            )
+
+        got = skinny.map_batches(collect, batch_format="pyarrow").to_pandas()
+        for ri, b in enumerate(todo):
+            vals = np.sort(got.loc[got["ri"] == ri, "v"].to_numpy())
+            if len(vals):
+                idx = min(max(b["k"] - b["below"], 1), len(vals))
+                b["value"] = float(vals[idx - 1])
+            else:
+                # collapsed bracket: everything in (lo, hi] equals hi
+                b["value"] = b["hi"]
+
+    out = pd.DataFrame(
+        {
+            "q": [b["q"] for b in brackets],
+            "value": [b["value"] for b in brackets],
+        }
+    )
+    return out.sort_values("q", ignore_index=True)

@@ -765,6 +765,21 @@ def q_vocab_top100(sf_dir):
     return build_vocab(ds, top_k=100)
 
 
+def q_exact_quantiles(sf_dir):
+    """Exact distributed quantile_disc over lineitem prices WITHOUT a
+    global sort (ops/quantiles.py iterative counting selection). bins/cap
+    forced small so sf0.01+ actually exercises 2-3 refinement rounds."""
+    from recipys_ray.ops.quantiles import exact_quantiles
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+    )
+    return exact_quantiles(
+        ds, "l_extendedprice", qs=[0.25, 0.5, 0.9, 0.99],
+        bins=16, driver_cap=2000,
+    )
+
+
 def q_top_docs_per_source(sf_dir):
     """Top-5 documents per source by n_chars (ops/topk.py combiner →
     hash-partition finish); oracle is a SQL window rank. doc_id tie-break
@@ -1252,6 +1267,20 @@ ORACLES: dict[str, str] = {
         WHERE corpus_key = (SELECT count(*) || '_' || CAST(sum(n_chars) AS BIGINT)
                             FROM documents)
     """,
+    "exact_quantiles": """
+        SELECT CAST(0.25 AS DOUBLE) AS q,
+               quantile_disc(l_extendedprice, 0.25) AS value FROM lineitem
+        UNION ALL
+        SELECT CAST(0.5 AS DOUBLE),
+               quantile_disc(l_extendedprice, 0.5) FROM lineitem
+        UNION ALL
+        SELECT CAST(0.9 AS DOUBLE),
+               quantile_disc(l_extendedprice, 0.9) FROM lineitem
+        UNION ALL
+        SELECT CAST(0.99 AS DOUBLE),
+               quantile_disc(l_extendedprice, 0.99) FROM lineitem
+        ORDER BY q
+    """,
     "top_docs_per_source": """
         WITH ranked AS (
           SELECT source, doc_id, n_chars,
@@ -1642,6 +1671,7 @@ QUERIES = {
     "vocab_top100": q_vocab_top100,
     "tfidf_top3": q_tfidf_top3,
     "top_docs_per_source": q_top_docs_per_source,
+    "exact_quantiles": q_exact_quantiles,
     "knn_cosine": q_knn_cosine,
     "knn_ivf": q_knn_ivf,
     "knn_impute": q_knn_impute,

@@ -883,3 +883,54 @@ class TestTopKPerGroup:
             tie_cols=["id"],
         ).to_pandas().sort_values("rank", ignore_index=True)
         assert out["v"].tolist() == [1.0, 2.0]
+
+
+class TestExactQuantiles:
+    def _dd_disc(self, vals, q):
+        import duckdb
+        return duckdb.execute(
+            f"SELECT quantile_disc(v, {q!r}) FROM (SELECT unnest(?) v)",
+            [list(vals)],
+        ).fetchone()[0]
+
+    def test_matches_duckdb_with_nulls_and_rounds(self, ray_session):
+        from recipys_ray.ops.quantiles import exact_quantiles
+
+        rng = np.random.default_rng(3)
+        v = rng.lognormal(3, 2, 20_000)
+        v[rng.random(20_000) < 0.1] = np.nan
+        pdf = pd.DataFrame({"x": v})
+        qs = [0.01, 0.25, 0.5, 0.9, 0.999]
+        # driver_cap=100, bins=8 → several refinement rounds
+        out = exact_quantiles(
+            rd.from_pandas(pdf).repartition(6), "x", qs,
+            bins=8, driver_cap=100,
+        )
+        clean = v[~np.isnan(v)]
+        for q, got in zip(out["q"], out["value"]):
+            assert got == self._dd_disc(clean, q), q
+
+    def test_hot_repeated_value_never_collected(self, ray_session):
+        from recipys_ray.ops.quantiles import exact_quantiles
+
+        # median is a value repeated far beyond driver_cap: the collapsed
+        # bracket must resolve WITHOUT pulling the duplicates to the driver
+        v = np.r_[np.full(50_000, 7.5), np.arange(100, dtype=np.float64)]
+        out = exact_quantiles(
+            rd.from_pandas(pd.DataFrame({"x": v})), "x", [0.5],
+            bins=4, driver_cap=50,
+        )
+        assert out["value"].iloc[0] == 7.5
+
+    def test_extremes_and_single_value(self, ray_session):
+        from recipys_ray.ops.quantiles import exact_quantiles
+
+        pdf = pd.DataFrame({"x": [42.0]})
+        out = exact_quantiles(rd.from_pandas(pdf), "x", [0.25, 1.0])
+        assert out["value"].tolist() == [42.0, 42.0]
+        pdf2 = pd.DataFrame({"x": np.arange(1000, dtype=np.float64)})
+        out2 = exact_quantiles(
+            rd.from_pandas(pdf2).repartition(5), "x", [0.0001, 1.0],
+            bins=8, driver_cap=10,
+        )
+        assert out2["value"].tolist() == [0.0, 999.0]
