@@ -97,3 +97,32 @@ def mix_sources(ds, key_col: str, strata_col: str, rates: dict,
         return tbl.filter(pa.array(keep))
 
     return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def sample_per_group(ds, group_cols: list[str], key_col: str, n: int):
+    """Deterministic per-group sample: the ``n`` rows with the SMALLEST
+    ``murmurhash64(key)`` per group (tie-break key asc) — statistically a
+    uniform without-replacement sample per group (the hash is a fixed
+    random permutation of keys), but exactly reproducible across runs,
+    layouts and engines (``hash()`` parity with DuckDB), resumable, and
+    shuffle-light via the :func:`recipys_ray.ops.topk.top_k_per_group`
+    combiner (≤ n rows per (group, block) move). The 0-based ``rank``
+    column is the sample order, so a smaller sample is always a prefix of
+    a larger one (coordinated sampling)."""
+    from recipys_ray.ops.topk import top_k_per_group
+
+    H = "__skey__"
+
+    def stamp(tbl: pa.Table) -> pa.Table:
+        keys = tbl.column(key_col).to_numpy(zero_copy_only=False)
+        return tbl.append_column(
+            H, pa.array(murmurhash64(keys), pa.uint64())
+        )
+
+    stamped = ds.map_batches(stamp, batch_format="pyarrow")
+    out = top_k_per_group(
+        stamped, group_cols, H, k=n, descending=False, tie_cols=[key_col]
+    )
+    return out.map_batches(
+        lambda t: t.drop_columns([H]), batch_format="pyarrow"
+    )

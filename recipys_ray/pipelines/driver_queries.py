@@ -765,6 +765,19 @@ def q_vocab_top100(sf_dir):
     return build_vocab(ds, top_k=100)
 
 
+def q_sample_per_source(sf_dir):
+    """Deterministic 20-docs-per-source sample (smallest hash(doc_id) per
+    group, ops/sampling.py sample_per_group); the oracle replays it with
+    DuckDB's own hash() in a window rank."""
+    from recipys_ray.ops.sampling import sample_per_group
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    out = sample_per_group(ds, ["source"], "doc_id", n=20)
+    return _select(out, ["source", "doc_id", "rank"])
+
+
 def q_exact_quantiles(sf_dir):
     """Exact distributed quantile_disc over lineitem prices WITHOUT a
     global sort (ops/quantiles.py iterative counting selection). bins/cap
@@ -1267,6 +1280,16 @@ ORACLES: dict[str, str] = {
         WHERE corpus_key = (SELECT count(*) || '_' || CAST(sum(n_chars) AS BIGINT)
                             FROM documents)
     """,
+    "sample_per_source": """
+        WITH ranked AS (
+          SELECT source, doc_id,
+                 CAST(row_number() OVER (
+                   PARTITION BY source ORDER BY hash(doc_id), doc_id
+                 ) - 1 AS BIGINT) AS "rank"
+          FROM documents
+        )
+        SELECT source, doc_id, "rank" FROM ranked WHERE "rank" < 20
+    """,
     "exact_quantiles": """
         SELECT CAST(0.25 AS DOUBLE) AS q,
                quantile_disc(l_extendedprice, 0.25) AS value FROM lineitem
@@ -1672,6 +1695,7 @@ QUERIES = {
     "tfidf_top3": q_tfidf_top3,
     "top_docs_per_source": q_top_docs_per_source,
     "exact_quantiles": q_exact_quantiles,
+    "sample_per_source": q_sample_per_source,
     "knn_cosine": q_knn_cosine,
     "knn_ivf": q_knn_ivf,
     "knn_impute": q_knn_impute,

@@ -934,3 +934,26 @@ class TestExactQuantiles:
             bins=8, driver_cap=10,
         )
         assert out2["value"].tolist() == [0.0, 999.0]
+
+
+class TestSamplePerGroup:
+    def test_prefix_property_and_determinism(self, ray_session):
+        from recipys_ray.ops.sampling import sample_per_group
+
+        rng = np.random.default_rng(17)
+        pdf = pd.DataFrame({
+            "g": rng.choice(["a", "b"], 400),
+            "id": np.arange(400, dtype=np.int64),
+        })
+        s5 = sample_per_group(
+            rd.from_pandas(pdf), ["g"], "id", n=5
+        ).to_pandas()
+        s20 = sample_per_group(
+            rd.from_pandas(pdf).repartition(7), ["g"], "id", n=20
+        ).to_pandas()
+        # coordinated: the 5-sample is exactly the rank<5 prefix of the 20
+        small = set(map(tuple, s5[["g", "id"]].itertuples(index=False)))
+        prefix = set(map(tuple, s20[s20["rank"] < 5][["g", "id"]]
+                         .itertuples(index=False)))
+        assert small == prefix
+        assert (s20.groupby("g").size() == 20).all()
