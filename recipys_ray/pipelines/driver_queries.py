@@ -765,6 +765,19 @@ def q_vocab_top100(sf_dir):
     return build_vocab(ds, top_k=100)
 
 
+def q_distinct_parts(sf_dir):
+    """Exact distinct l_partkey per l_returnflag (ops/distinct.py combiner
+    plan); the HLL variant is the scale path, error-tested in unit tests."""
+    from recipys_ray.ops.distinct import distinct_per_group
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_partkey"],
+    )
+    out = distinct_per_group(ds, ["l_returnflag"], "l_partkey")
+    return _select(out, ["l_returnflag", "n_distinct"])
+
+
 def q_sample_per_source(sf_dir):
     """Deterministic 20-docs-per-source sample (smallest hash(doc_id) per
     group, ops/sampling.py sample_per_group); the oracle replays it with
@@ -1280,6 +1293,11 @@ ORACLES: dict[str, str] = {
         WHERE corpus_key = (SELECT count(*) || '_' || CAST(sum(n_chars) AS BIGINT)
                             FROM documents)
     """,
+    "distinct_parts": """
+        SELECT l_returnflag,
+               CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct
+        FROM lineitem GROUP BY l_returnflag
+    """,
     "sample_per_source": """
         WITH ranked AS (
           SELECT source, doc_id,
@@ -1696,6 +1714,7 @@ QUERIES = {
     "top_docs_per_source": q_top_docs_per_source,
     "exact_quantiles": q_exact_quantiles,
     "sample_per_source": q_sample_per_source,
+    "distinct_parts": q_distinct_parts,
     "knn_cosine": q_knn_cosine,
     "knn_ivf": q_knn_ivf,
     "knn_impute": q_knn_impute,

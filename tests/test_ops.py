@@ -957,3 +957,54 @@ class TestSamplePerGroup:
                          .itertuples(index=False)))
         assert small == prefix
         assert (s20.groupby("g").size() == 20).all()
+
+
+class TestDistinctPerGroup:
+    def test_exact_matches_pandas(self, ray_session):
+        from recipys_ray.ops.distinct import distinct_per_group
+
+        rng = np.random.default_rng(23)
+        pdf = pd.DataFrame({
+            "g": rng.choice(["a", "b", "c"], 5000),
+            "v": rng.integers(0, 800, 5000),
+        })
+        out = distinct_per_group(
+            rd.from_pandas(pdf).repartition(6), ["g"], "v"
+        ).to_pandas().set_index("g")["n_distinct"]
+        expect = pdf.groupby("g")["v"].nunique()
+        for g in expect.index:
+            assert out[g] == expect[g], g
+
+    def test_hll_within_error_bound(self, ray_session):
+        from recipys_ray.ops.distinct import distinct_per_group_approx
+
+        rng = np.random.default_rng(7)
+        # two groups with very different cardinalities incl. duplicates
+        pdf = pd.DataFrame({
+            "g": np.r_[np.zeros(60_000, int), np.ones(30_000, int)],
+            "v": np.r_[rng.integers(0, 20_000, 60_000),
+                       rng.integers(0, 500, 30_000)],
+        })
+        out = distinct_per_group_approx(
+            rd.from_pandas(pdf).repartition(5), ["g"], "v", p=12
+        ).to_pandas().set_index("g")["n_distinct_approx"]
+        expect = pdf.groupby("g")["v"].nunique()
+        for g in expect.index:
+            rel = abs(out[g] - expect[g]) / expect[g]
+            assert rel < 0.05, (g, out[g], expect[g])
+
+    def test_hll_merge_invariant_to_blocking(self, ray_session):
+        from recipys_ray.ops.distinct import distinct_per_group_approx
+
+        rng = np.random.default_rng(31)
+        pdf = pd.DataFrame({"g": ["x"] * 8000,
+                            "v": rng.integers(0, 3000, 8000)})
+        a = distinct_per_group_approx(
+            rd.from_pandas(pdf).repartition(1), ["g"], "v"
+        ).to_pandas()["n_distinct_approx"].iloc[0]
+        b = distinct_per_group_approx(
+            rd.from_pandas(pdf.sample(frac=1.0, random_state=1)
+                           .reset_index(drop=True)).repartition(9),
+            ["g"], "v",
+        ).to_pandas()["n_distinct_approx"].iloc[0]
+        assert a == b  # register maxima are order/blocking independent
