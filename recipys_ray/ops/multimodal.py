@@ -2,13 +2,19 @@
 
 Media are opaque ``binary`` columns plus typed metadata columns. The Ray-side
 plumbing — schema, actor-pool signatures, batch sizing, output layout — is
-real and tested; the codec calls themselves are STUBBED because no
-image/audio library exists in this environment:
+real and tested. Codec status (no image/audio libs exist in this sandbox):
 
-- ``DecodeImage(fake=True)`` produces deterministic fake decodes (metadata
-  derived from a stable content hash) so pipelines are testable end-to-end;
-- ``DecodeImage(fake=False)`` raises ``NotImplementedError`` at construction,
-  marking exactly where PIL/libvips would be loaded once per actor.
+- **REAL decoders** for formats parseable with stdlib + numpy alone:
+  uncompressed 24-bit BMP and binary PPM/PGM images
+  (``DecodeImage(fake=False)`` — header parse + one ``np.frombuffer``,
+  emits true dimensions, per-channel means and an 8×8 grayscale thumbnail),
+  and PCM WAV audio (:class:`DecodeWav` via the stdlib ``wave`` module —
+  true sample rate, duration, RMS, peak, zero-crossing rate).
+- Compressed codecs (JPEG/PNG/MP3/MP4) would need PIL/ffmpeg: rows in those
+  formats decode to nulls with ``decode_ok=False`` (never a crash mid-
+  pipeline), and :class:`SampleFrames` remains an honest plumbing stub.
+- ``DecodeImage(fake=True)`` keeps the deterministic content-hash fake for
+  end-to-end pipeline tests that don't care about pixels.
 
 Batch-size guidance at scale: with ~1 MiB payloads use ``batch_size≈32`` and
 raise ``DataContext.target_max_block_size`` so Arrow doesn't split blocks
@@ -27,38 +33,244 @@ def _stable_u64(data: np.ndarray) -> np.ndarray:
     return pd.util.hash_array(data).astype(np.uint64)
 
 
-class DecodeImage:
-    """Actor-pool stage: binary image column → (width, height, mode) metadata
-    + a fixed-length feature vector.
+def _decode_ppm(buf: bytes):
+    """Binary PPM (P6) / PGM (P5) → float32 HxWxC array in [0, 255].
+    Pure numpy parse of the public netpbm format; None if malformed."""
+    try:
+        magic = buf[:2]
+        if magic not in (b"P6", b"P5"):
+            return None
+        # header: magic, width, height, maxval as whitespace-separated
+        # ASCII tokens ('#' comments allowed), then ONE whitespace byte
+        pos, tokens = 2, []
+        while len(tokens) < 3:
+            while buf[pos : pos + 1].isspace():
+                pos += 1
+            if buf[pos : pos + 1] == b"#":
+                pos = buf.index(b"\n", pos) + 1
+                continue
+            end = pos
+            while not buf[end : end + 1].isspace():
+                end += 1
+            tokens.append(int(buf[pos:end]))
+            pos = end
+        pos += 1  # the single whitespace after maxval
+        w, h, maxval = tokens[0], tokens[1], tokens[2]
+        ch = 3 if magic == b"P6" else 1
+        dt = np.uint8 if maxval < 256 else ">u2"
+        arr = np.frombuffer(buf, dtype=dt, count=w * h * ch, offset=pos)
+        arr = arr.reshape(h, w, ch).astype(np.float32)
+        if maxval >= 256:
+            arr *= 255.0 / maxval
+        return arr
+    except (ValueError, IndexError):
+        return None
 
-    Real path (``fake=False``): load PIL once in ``__init__`` (once per
-    actor), decode per batch. Stubbed here — no codec libs in this sandbox.
-    """
+
+def _decode_bmp(buf: bytes):
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER) → float32 HxWx3 RGB.
+    Pure numpy parse of the public BMP layout (rows 4-byte padded,
+    bottom-up, BGR order); None for other BMP variants or malformed."""
+    try:
+        if buf[:2] != b"BM":
+            return None
+        data_off = int.from_bytes(buf[10:14], "little")
+        hdr_size = int.from_bytes(buf[14:18], "little")
+        if hdr_size < 40:
+            return None
+        w = int.from_bytes(buf[18:22], "little", signed=True)
+        h = int.from_bytes(buf[22:26], "little", signed=True)
+        bpp = int.from_bytes(buf[28:30], "little")
+        comp = int.from_bytes(buf[30:34], "little")
+        if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+            return None
+        flip = h > 0  # positive height = bottom-up rows
+        h = abs(h)
+        stride = (w * 3 + 3) // 4 * 4
+        raw = np.frombuffer(buf, np.uint8, count=stride * h, offset=data_off)
+        rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        if flip:
+            rows = rows[::-1]
+        return rows[:, :, ::-1].astype(np.float32)  # BGR → RGB
+    except (ValueError, IndexError):
+        return None
+
+
+def _thumb8(arr: np.ndarray) -> np.ndarray:
+    """8×8 grayscale thumbnail by box-averaging (the real resize kernel)."""
+    gray = arr.mean(axis=2) if arr.ndim == 3 else arr
+    h, w = gray.shape
+    ye = (np.arange(9) * h) // 8
+    xe = (np.arange(9) * w) // 8
+    # integral image → exact box means for ragged cell sizes
+    ii = np.zeros((h + 1, w + 1), np.float64)
+    ii[1:, 1:] = gray.cumsum(0).cumsum(1)
+    s = (
+        ii[ye[1:], :][:, xe[1:]] - ii[ye[:-1], :][:, xe[1:]]
+        - ii[ye[1:], :][:, xe[:-1]] + ii[ye[:-1], :][:, xe[:-1]]
+    )
+    area = np.outer(
+        np.maximum(np.diff(ye), 1), np.maximum(np.diff(xe), 1)
+    ).astype(np.float64)
+    return (s / area).astype(np.float32).reshape(-1)
+
+
+class DecodeImage:
+    """Actor-pool stage: binary image column → metadata + features.
+
+    ``fake=False`` (REAL path): pure stdlib/numpy decode of uncompressed
+    24-bit BMP and binary PPM/PGM payloads — emits true ``img_width`` /
+    ``img_height`` / ``img_mode``, per-channel means, an 8×8 grayscale
+    ``thumb`` (64 float32), and ``decode_ok``. Formats needing external
+    codecs (JPEG/PNG/…) yield nulls with ``decode_ok=False``. With a PIL
+    install this class is where the codec would load once per actor.
+
+    ``fake=True``: deterministic content-hash fake decodes (original
+    plumbing-test behavior, unchanged schema)."""
 
     def __init__(self, binary_col: str = "image", fake: bool = True):
         self.binary_col = binary_col
-        if not fake:
-            raise NotImplementedError(
-                "Image decoding requires PIL/libvips, not available in this "
-                "environment. Construct with fake=True for deterministic "
-                "fake decodes (pipeline plumbing is identical)."
-            )
+        self.fake = fake
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
         col = tbl.column(self.binary_col)
         payloads = col.to_pylist()
-        h = _stable_u64(
-            np.array([p if p is not None else b"" for p in payloads], dtype=object)
+        if self.fake:
+            h = _stable_u64(
+                np.array(
+                    [p if p is not None else b"" for p in payloads],
+                    dtype=object,
+                )
+            )
+            width = (h % 1920 + 1).astype(np.int32)
+            height = ((h >> np.uint64(16)) % 1080 + 1).astype(np.int32)
+            nbytes = np.array(
+                [len(p) if p is not None else 0 for p in payloads],
+                dtype=np.int64,
+            )
+            tbl = tbl.append_column("img_width", pa.array(width))
+            tbl = tbl.append_column("img_height", pa.array(height))
+            tbl = tbl.append_column("img_bytes", pa.array(nbytes))
+            return tbl
+        n = len(payloads)
+        width = np.full(n, -1, np.int32)
+        height = np.full(n, -1, np.int32)
+        mode: list = [None] * n
+        means = np.full((n, 3), np.nan, np.float32)
+        thumbs: list = [None] * n
+        ok = np.zeros(n, bool)
+        for i, p in enumerate(payloads):
+            if not p:
+                continue
+            arr = _decode_bmp(p) if p[:2] == b"BM" else _decode_ppm(p)
+            if arr is None:
+                continue
+            ok[i] = True
+            height[i], width[i] = arr.shape[0], arr.shape[1]
+            mode[i] = "rgb" if arr.ndim == 3 and arr.shape[2] == 3 else "gray"
+            m = arr.reshape(-1, arr.shape[2] if arr.ndim == 3 else 1).mean(0)
+            means[i, : len(m)] = m
+            if arr.ndim == 3 and arr.shape[2] == 1:
+                means[i, 1:] = m[0]
+            thumbs[i] = _thumb8(arr)
+        tbl = tbl.append_column(
+            "img_width",
+            pa.array([int(w) if o else None for w, o in zip(width, ok)],
+                     pa.int32()),
         )
-        width = (h % 1920 + 1).astype(np.int32)
-        height = ((h >> np.uint64(16)) % 1080 + 1).astype(np.int32)
-        nbytes = np.array(
-            [len(p) if p is not None else 0 for p in payloads], dtype=np.int64
+        tbl = tbl.append_column(
+            "img_height",
+            pa.array([int(h) if o else None for h, o in zip(height, ok)],
+                     pa.int32()),
         )
-        tbl = tbl.append_column("img_width", pa.array(width))
-        tbl = tbl.append_column("img_height", pa.array(height))
-        tbl = tbl.append_column("img_bytes", pa.array(nbytes))
-        return tbl
+        tbl = tbl.append_column("img_mode", pa.array(mode, pa.string()))
+        for j, name in enumerate(("img_mean_r", "img_mean_g", "img_mean_b")):
+            tbl = tbl.append_column(
+                name, pa.array(means[:, j], pa.float32(), from_pandas=True)
+            )
+        tbl = tbl.append_column(
+            "thumb", pa.array(
+                [t.tolist() if t is not None else None for t in thumbs],
+                pa.list_(pa.float32()),
+            )
+        )
+        return tbl.append_column("decode_ok", pa.array(ok))
+
+
+class DecodeWav:
+    """Actor-pool stage: REAL PCM WAV decode via the stdlib ``wave`` module
+    (8/16/32-bit PCM) — emits true ``sample_rate``, ``n_channels``,
+    ``duration_s``, ``rms``, ``peak`` and zero-crossing rate ``zcr``
+    (numpy over the raw frames, no Python loop over samples). Non-WAV or
+    compressed payloads yield nulls with ``decode_ok=False``."""
+
+    _DTYPES = {1: np.uint8, 2: np.int16, 4: np.int32}
+
+    def __init__(self, binary_col: str = "audio"):
+        self.binary_col = binary_col
+
+    def _decode(self, p: bytes):
+        import io as _io
+        import wave
+
+        try:
+            with wave.open(_io.BytesIO(p)) as wf:
+                nch = wf.getnchannels()
+                sw = wf.getsampwidth()
+                sr = wf.getframerate()
+                nf = wf.getnframes()
+                dt = self._DTYPES.get(sw)
+                if dt is None or nf == 0:
+                    return None
+                raw = np.frombuffer(wf.readframes(nf), dtype=dt)
+        except (wave.Error, EOFError, ValueError):
+            return None
+        x = raw.astype(np.float64)
+        if sw == 1:
+            x = (x - 128.0) / 128.0
+        else:
+            x = x / float(2 ** (8 * sw - 1))
+        x = x.reshape(-1, nch).mean(axis=1)  # downmix
+        zc = np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1]))
+        return (
+            sr, nch, nf / sr, float(np.sqrt(np.mean(x * x))),
+            float(np.abs(x).max()), zc / max(len(x) - 1, 1),
+        )
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        payloads = tbl.column(self.binary_col).to_pylist()
+        n = len(payloads)
+        cols = {
+            "sample_rate": np.full(n, np.nan),
+            "n_channels": np.full(n, np.nan),
+            "duration_s": np.full(n, np.nan),
+            "rms": np.full(n, np.nan),
+            "peak": np.full(n, np.nan),
+            "zcr": np.full(n, np.nan),
+        }
+        ok = np.zeros(n, bool)
+        for i, p in enumerate(payloads):
+            if not p:
+                continue
+            dec = self._decode(p)
+            if dec is None:
+                continue
+            ok[i] = True
+            for name, v in zip(cols, dec):
+                cols[name][i] = v
+        for name in ("sample_rate", "n_channels"):
+            tbl = tbl.append_column(
+                name,
+                pa.array(
+                    [int(v) if o else None for v, o in zip(cols[name], ok)],
+                    pa.int32(),
+                ),
+            )
+        for name in ("duration_s", "rms", "peak", "zcr"):
+            tbl = tbl.append_column(
+                name, pa.array(cols[name], pa.float64(), from_pandas=True)
+            )
+        return tbl.append_column("decode_ok", pa.array(ok))
 
 
 class ByteHistogramFeatures:

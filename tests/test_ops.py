@@ -285,9 +285,20 @@ class TestMultimodal:
         assert out["img_bytes"].tolist() == [200, 50, 0]
         assert (out["img_width"] > 0).all()
 
-    def test_decode_real_raises(self):
-        with pytest.raises(NotImplementedError, match="PIL"):
-            DecodeImage(binary_col="image", fake=False)
+    def test_decode_real_unknown_codec_flags_not_ok(self):
+        # fake=False is now a REAL decoder (BMP/PPM); payloads in formats
+        # that would need PIL/ffmpeg must flag decode_ok=False, not crash
+        out = DecodeImage(binary_col="image", fake=False)(
+            self.payload_table()
+        ).to_pandas()
+        assert not out["decode_ok"].any()
+        assert out["img_width"].isna().all()
+
+    def test_sample_frames_real_still_raises(self):
+        from recipys_ray.ops.multimodal import SampleFrames
+
+        with pytest.raises(NotImplementedError, match="ffmpeg"):
+            SampleFrames(binary_col="video", fake=False)
 
     def test_byte_histogram_real(self):
         out = ByteHistogramFeatures(binary_col="image")(
@@ -1008,3 +1019,100 @@ class TestDistinctPerGroup:
             ["g"], "v",
         ).to_pandas()["n_distinct_approx"].iloc[0]
         assert a == b  # register maxima are order/blocking independent
+
+
+class TestRealCodecs:
+    """REAL stdlib/numpy decoders: BMP + PPM images, PCM WAV audio."""
+
+    @staticmethod
+    def _ppm_bytes(arr):
+        h, w, _ = arr.shape
+        return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+    @staticmethod
+    def _bmp_bytes(arr):
+        h, w, _ = arr.shape
+        stride = (w * 3 + 3) // 4 * 4
+        rows = np.zeros((h, stride), np.uint8)
+        rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+        data = rows.tobytes()
+        off = 14 + 40
+        header = (
+            b"BM" + (off + len(data)).to_bytes(4, "little") + b"\0\0\0\0"
+            + off.to_bytes(4, "little") + (40).to_bytes(4, "little")
+            + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+            + (0).to_bytes(4, "little") + len(data).to_bytes(4, "little")
+            + b"\0" * 16
+        )
+        return header + data
+
+    @staticmethod
+    def _wav_bytes(x, sr=8000):
+        import io, wave
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(sr)
+            wf.writeframes((x * 32767).astype(np.int16).tobytes())
+        return buf.getvalue()
+
+    def test_image_decode_real(self, ray_session):
+        from recipys_ray.ops.multimodal import DecodeImage
+
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, (13, 17, 3)).astype(np.uint8)
+        tbl = pa.table({
+            "image": pa.array(
+                [self._ppm_bytes(img), self._bmp_bytes(img), b"\x89PNG...",
+                 None],
+                pa.binary(),
+            )
+        })
+        out = DecodeImage("image", fake=False)(tbl)
+        d = out.to_pandas()
+        # PPM and BMP round-trip to the same true pixels
+        assert d["decode_ok"].tolist() == [True, True, False, False]
+        assert d["img_width"].tolist()[:2] == [17, 17]
+        assert d["img_height"].tolist()[:2] == [13, 13]
+        exp_mean = img.reshape(-1, 3).mean(0)
+        for row in range(2):
+            got = [d[f"img_mean_{c}"][row] for c in "rgb"]
+            np.testing.assert_allclose(got, exp_mean, rtol=1e-5)
+        np.testing.assert_allclose(
+            np.array(d["thumb"][0]), np.array(d["thumb"][1]), rtol=1e-5
+        )
+        assert len(d["thumb"][0]) == 64
+
+    def test_wav_decode_real(self, ray_session):
+        from recipys_ray.ops.multimodal import DecodeWav
+
+        sr, dur = 8000, 0.5
+        t = np.arange(int(sr * dur)) / sr
+        x = 0.5 * np.sin(2 * np.pi * 440 * t)
+        tbl = pa.table({
+            "audio": pa.array(
+                [self._wav_bytes(x, sr), b"not a wav", None], pa.binary()
+            )
+        })
+        d = DecodeWav("audio")(tbl).to_pandas()
+        assert d["decode_ok"].tolist() == [True, False, False]
+        assert d["sample_rate"][0] == sr
+        np.testing.assert_allclose(d["duration_s"][0], dur, rtol=1e-6)
+        # sine RMS = amp/sqrt(2); zcr of a 440 Hz tone at 8 kHz ≈ 880/8000
+        np.testing.assert_allclose(d["rms"][0], 0.5 / np.sqrt(2), rtol=1e-3)
+        np.testing.assert_allclose(d["zcr"][0], 2 * 440 / sr, rtol=0.02)
+
+    def test_real_decode_through_ray_stage(self, ray_session):
+        from recipys_ray.ops.multimodal import decode_images
+
+        rng = np.random.default_rng(9)
+        imgs = [
+            self._ppm_bytes(rng.integers(0, 256, (8, 8, 3)).astype(np.uint8))
+            for _ in range(10)
+        ]
+        ds = rd.from_arrow(pa.table({"image": pa.array(imgs, pa.binary())}))
+        out = decode_images(ds, fake=False, concurrency=2,
+                            batch_size=4).to_pandas()
+        assert out["decode_ok"].all() and (out["img_width"] == 8).all()
