@@ -32,6 +32,7 @@ from recipys_ray.steps import (
     Step,
     StepActorPool,
     StepDiff,
+    ChunkProtocol,
     StepFunction,
     StepHistorical,
     StepImputeFastForwardFill,
@@ -55,6 +56,7 @@ __all__ = [
     "Step",
     "StepActorPool",
     "StepDiff",
+    "ChunkProtocol",
     "StepFunction",
     "StepHistorical",
     "StepImputeFastForwardFill",

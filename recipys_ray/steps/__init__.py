@@ -1,6 +1,6 @@
 from recipys_ray.steps.actor import StepActorPool
 from recipys_ray.steps.base import Step
-from recipys_ray.steps.function import StepFunction
+from recipys_ray.steps.function import ChunkProtocol, StepFunction
 from recipys_ray.steps.historical import Accumulator, StepHistorical
 from recipys_ray.steps.impute import (
     StepImputeFastForwardFill,
@@ -25,6 +25,7 @@ __all__ = [
     "StepActorPool",
     "StepDiff",
     "StepFunction",
+    "ChunkProtocol",
     "StepHistorical",
     "StepImputeFastForwardFill",
     "StepImputeFastZeroFill",

