@@ -510,6 +510,20 @@ def q_repetition_stats(sf_dir):
     )
 
 
+def q_curate_corpus(sf_dir):
+    """END-TO-END curation composition (pipelines/curation.py): normalize
+    → length filter → exact dedup on normalized text → 5-gram benchmark
+    decontamination → hash split. One SQL statement replays the whole
+    chain, so stage INTERACTIONS are contract-checked, not just each op."""
+    from recipys_ray.pipelines.curation import curate_corpus
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = curate_corpus(docs)
+    return _select(out, ["doc_id", "split"])
+
+
 def q_decontaminate(sf_dir):
     """Benchmark decontamination (GPT-3/PaLM n-gram-overlap protocol,
     ops/decontaminate.py): benchmark = documents with doc_id % 97 == 0;
@@ -1603,6 +1617,49 @@ ORACLES: dict[str, str] = {
         FROM base b LEFT JOIN a2 USING (doc_id)
         LEFT JOIN a3 USING (doc_id) LEFT JOIN a5 USING (doc_id)
     """,
+    "curate_corpus": r"""
+        WITH norm AS (
+          SELECT doc_id,
+                 trim(regexp_replace(regexp_replace(regexp_replace(
+                      lower(coalesce(text, '')),
+                      'https?://[^\s]+', '<URL>', 'g'),
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                      '<EMAIL>', 'g'),
+                      '\s+', ' ', 'g')) AS norm_text
+          FROM documents
+        ),
+        kept AS (SELECT * FROM norm WHERE length(norm_text) >= 30),
+        ded AS (SELECT min(doc_id) AS doc_id, norm_text
+                FROM kept GROUP BY norm_text),
+        bgrams AS (
+          SELECT DISTINCT unnest(
+            CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+                 ELSE list_transform(generate_series(1, len(ws) - 4),
+                                     i -> array_to_string(ws[i:i+4], ' '))
+            END) AS gram
+          FROM (SELECT regexp_extract_all(lower(norm_text), '\w+') AS ws
+                FROM norm WHERE doc_id % 97 = 0)
+        ),
+        dgrams AS (
+          SELECT doc_id, unnest(
+            CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+                 ELSE list_transform(generate_series(1, len(ws) - 4),
+                                     i -> array_to_string(ws[i:i+4], ' '))
+            END) AS gram
+          FROM (SELECT doc_id,
+                       regexp_extract_all(lower(norm_text), '\w+') AS ws
+                FROM ded)
+        ),
+        contam AS (SELECT DISTINCT d.doc_id
+                   FROM dgrams d JOIN bgrams b USING (gram)),
+        clean AS (SELECT doc_id FROM ded
+                  WHERE doc_id NOT IN (SELECT doc_id FROM contam))
+        SELECT doc_id,
+               CASE WHEN hash(doc_id) < 14757395258967642112 THEN 'train'
+                    WHEN hash(doc_id) < 16602069666338596864 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM clean
+    """,
     "decontaminate": """
         WITH t AS (SELECT doc_id,
                    regexp_extract_all(lower(coalesce(text, '')), '\\w+') AS ws
@@ -1720,6 +1777,7 @@ QUERIES = {
     "knn_impute": q_knn_impute,
     "knn_impute_ivf": q_knn_impute_ivf,
     "decontaminate": q_decontaminate,
+    "curate_corpus": q_curate_corpus,
     "repetition_stats": q_repetition_stats,
     "profile": q_profile,
     "hash_split": q_hash_split,

@@ -1116,3 +1116,34 @@ class TestRealCodecs:
         out = decode_images(ds, fake=False, concurrency=2,
                             batch_size=4).to_pandas()
         assert out["decode_ok"].all() and (out["img_width"] == 8).all()
+
+
+class TestCurationPipeline:
+    def test_stages_compose(self, ray_session):
+        from recipys_ray.pipelines.curation import curate_corpus
+
+        docs = pd.DataFrame({
+            "doc_id": np.arange(8, dtype=np.int64),
+            "text": [
+                "the quick brown fox jumps over the lazy dog again today",
+                "the quick brown fox jumps over the lazy dog again today",
+                "THE  QUICK  BROWN  FOX jumps over the lazy dog again today",
+                "short",
+                None,
+                "an entirely different document about distributed data "
+                "engines and ray",
+                "another unique story regarding arrow tables and shuffles "
+                "at scale",
+                "benchmark leak: the quick brown fox jumps over the lazy",
+            ],
+        })
+        # bench_mod=7 → doc 0 and 7 are benchmark docs
+        out = curate_corpus(
+            rd.from_pandas(docs), bench_mod=7, min_chars=30
+        ).to_pandas()
+        surv = set(out["doc_id"])
+        # 1,2 dedup into 0's group (whitespace-collapse + lowercase make 2
+        # identical); 0 is min-id survivor but benchmark-contaminated → out
+        # 3 too short; 4 null → too short; 7 contaminated (benchmark doc)
+        assert surv == {5, 6}
+        assert set(out["split"]) <= {"train", "val", "test"}
