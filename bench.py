@@ -128,6 +128,11 @@ def bench_queries() -> dict:
         "repetition_stats",
         "hash_split",
         "mix_sources",
+        "dedup_semantic",
+        "tfidf_top3",
+        "curate_corpus",
+        "exact_quantiles",
+        "top_docs_per_source",
         "historical_salted",
     ]
     out = {}
