@@ -1,0 +1,139 @@
+"""Global rank stamping — the range-partitioned sort pattern.
+
+``add_global_rank`` assigns every row its EXACT 0-based position in the
+total order (order_col asc/desc, then ``tie_cols`` asc) without any
+single task ever seeing the whole dataset:
+
+1. **Boundary sample** — one skinny pass samples ``order_col`` per block;
+   the driver picks P-1 range boundaries from the pooled sample.
+2. **Range stamp + shuffle** — rows route to the range their value falls
+   in (boundaries are only a LOAD-BALANCE heuristic: correctness never
+   depends on them because ties and skew stay within one range by
+   construction of ``searchsorted`` on the full sort key prefix).
+3. **Local sort + offset prefix** — each partition sorts its rows and
+   ranks locally; a skinny per-partition count pass gives the driver the
+   range sizes, whose prefix sums are broadcast back and added to the
+   local ranks. Exact total order, one payload shuffle, O(P) driver state.
+
+This is the building block for percentile/CDF columns and deterministic
+global curricula ("train on the easiest N% first").
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_RANGE = "__range__"
+
+
+def add_global_rank(
+    ds,
+    order_col: str,
+    tie_cols: Optional[list[str]] = None,
+    descending: bool = False,
+    num_partitions: int = 64,
+    sample_per_block: int = 256,
+    rank_col: str = "rank",
+    seed: int = 5,
+):
+    """Stamp the exact global 0-based ``rank_col`` (module docstring).
+    ``tie_cols`` must make rows unique for a deterministic total order.
+    Null ``order_col`` values rank AFTER all non-nulls (ascending) —
+    matching SQL ``ORDER BY ... NULLS LAST``."""
+    tie_cols = list(tie_cols or [])
+
+    # ---- pass 1: boundary sample (skinny) ---------------------------- #
+    def sample(tbl: pa.Table) -> pa.Table:
+        v = tbl.column(order_col).to_numpy(zero_copy_only=False)
+        v = v[~pd.isna(v)]
+        if len(v) > sample_per_block:
+            rng = np.random.default_rng(seed + len(v))
+            v = rng.choice(v, size=sample_per_block, replace=False)
+        return pa.table({"v": pa.array(v)})
+
+    pool = (
+        ds.select_columns([order_col])
+        .map_batches(sample, batch_format="pyarrow")
+        .to_pandas()["v"]
+        .to_numpy()
+    )
+    if len(pool) == 0:
+        bounds = np.array([])
+    else:
+        qs = np.linspace(0, 1, num_partitions + 1)[1:-1]
+        bounds = np.unique(np.quantile(pool, qs))
+    if descending:
+        bounds = bounds[::-1]
+
+    # ---- pass 2: range stamp ----------------------------------------- #
+    def stamp(tbl: pa.Table) -> pa.Table:
+        v = tbl.column(order_col).to_numpy(zero_copy_only=False)
+        if len(bounds):
+            if descending:
+                r = len(bounds) - np.searchsorted(
+                    bounds[::-1], v, side="left"
+                )
+            else:
+                r = np.searchsorted(bounds, v, side="right")
+        else:
+            r = np.zeros(len(v), dtype=np.int64)
+        # nulls rank last: route them to the final range
+        r = np.where(pd.isna(v), len(bounds), r).astype(np.int32)
+        return tbl.append_column(_RANGE, pa.array(r))
+
+    stamped = ds.map_batches(stamp, batch_format="pyarrow")
+
+    # ---- pass 3a: per-range counts → prefix offsets ------------------- #
+    counts = (
+        stamped.select_columns([_RANGE])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    _RANGE: pa.array(
+                        np.unique(
+                            t.column(_RANGE).to_numpy(zero_copy_only=False)
+                        )
+                    ),
+                    "n": pa.array(
+                        np.unique(
+                            t.column(_RANGE).to_numpy(zero_copy_only=False),
+                            return_counts=True,
+                        )[1].astype(np.int64)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .groupby(_RANGE)["n"]
+        .sum()
+        .sort_index()
+    )
+    offsets = counts.cumsum().shift(1).fillna(0).astype(np.int64).to_dict()
+
+    # ---- pass 3b: local sort + offset --------------------------------- #
+    sort_keys = [(order_col, "descending" if descending else "ascending")]
+    sort_keys += [(c, "ascending") for c in tie_cols]
+
+    def rank_partition(tbl: pa.Table) -> pa.Table:
+        rid = int(tbl.column(_RANGE)[0].as_py())
+        idx = pc.sort_indices(
+            tbl,
+            sort_keys=sort_keys,
+            null_placement="at_end",
+        )
+        tbl = tbl.take(idx)
+        base = offsets.get(rid, 0)
+        ranks = np.arange(len(tbl), dtype=np.int64) + base
+        return tbl.append_column(rank_col, pa.array(ranks)).drop_columns(
+            [_RANGE]
+        )
+
+    return stamped.groupby(_RANGE).map_groups(
+        rank_partition, batch_format="pyarrow"
+    )

@@ -805,6 +805,24 @@ def q_sample_per_source(sf_dir):
     return _select(out, ["source", "doc_id", "rank"])
 
 
+def q_global_rank(sf_dir):
+    """Exact global rank of every lineitem by price (ops/rank.py: sampled
+    range boundaries → one payload shuffle → local sort + broadcast prefix
+    offsets); oracle is a single SQL window row_number."""
+    from recipys_ray.ops.rank import add_global_rank
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+    out = add_global_rank(
+        ds, "l_extendedprice",
+        tie_cols=["l_orderkey", "l_linenumber"],
+        num_partitions=16,
+    )
+    return _select(out, ["l_orderkey", "l_linenumber", "rank"])
+
+
 def q_exact_quantiles(sf_dir):
     """Exact distributed quantile_disc over lineitem prices WITHOUT a
     global sort (ops/quantiles.py iterative counting selection). bins/cap
@@ -1322,6 +1340,14 @@ ORACLES: dict[str, str] = {
         )
         SELECT source, doc_id, "rank" FROM ranked WHERE "rank" < 20
     """,
+    "global_rank": """
+        SELECT l_orderkey, l_linenumber,
+               CAST(row_number() OVER (
+                 ORDER BY l_extendedprice ASC, l_orderkey ASC,
+                          l_linenumber ASC
+               ) - 1 AS BIGINT) AS "rank"
+        FROM lineitem
+    """,
     "exact_quantiles": """
         SELECT CAST(0.25 AS DOUBLE) AS q,
                quantile_disc(l_extendedprice, 0.25) AS value FROM lineitem
@@ -1770,6 +1796,7 @@ QUERIES = {
     "tfidf_top3": q_tfidf_top3,
     "top_docs_per_source": q_top_docs_per_source,
     "exact_quantiles": q_exact_quantiles,
+    "global_rank": q_global_rank,
     "sample_per_source": q_sample_per_source,
     "distinct_parts": q_distinct_parts,
     "knn_cosine": q_knn_cosine,

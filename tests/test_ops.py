@@ -1147,3 +1147,37 @@ class TestCurationPipeline:
         # 3 too short; 4 null → too short; 7 contaminated (benchmark doc)
         assert surv == {5, 6}
         assert set(out["split"]) <= {"train", "val", "test"}
+
+
+class TestGlobalRank:
+    def test_matches_argsort_with_ties_nulls_and_partitions(self, ray_session):
+        from recipys_ray.ops.rank import add_global_rank
+
+        rng = np.random.default_rng(41)
+        v = rng.integers(0, 50, 3000).astype(np.float64)  # heavy ties
+        v[rng.random(3000) < 0.05] = np.nan
+        pdf = pd.DataFrame({"id": np.arange(3000, dtype=np.int64), "v": v})
+        out = add_global_rank(
+            rd.from_pandas(pdf).repartition(7), "v", tie_cols=["id"],
+            num_partitions=5,
+        ).to_pandas().sort_values("id", ignore_index=True)
+        # reference: stable lexsort, nulls last
+        key = np.where(np.isnan(v), np.inf, v)
+        order = np.lexsort((pdf["id"].to_numpy(), key))
+        expect = np.empty(3000, dtype=np.int64)
+        expect[order] = np.arange(3000)
+        np.testing.assert_array_equal(out["rank"].to_numpy(), expect)
+
+    def test_descending(self, ray_session):
+        from recipys_ray.ops.rank import add_global_rank
+
+        pdf = pd.DataFrame({
+            "id": np.arange(6, dtype=np.int64),
+            "v": [3.0, 1.0, 2.0, 3.0, 0.5, 2.0],
+        })
+        out = add_global_rank(
+            rd.from_pandas(pdf).repartition(3), "v", tie_cols=["id"],
+            descending=True, num_partitions=3,
+        ).to_pandas().sort_values("rank", ignore_index=True)
+        assert out["v"].tolist() == [3.0, 3.0, 2.0, 2.0, 1.0, 0.5]
+        assert out[out["v"] == 3.0]["id"].tolist() == [0, 3]  # tie by id
