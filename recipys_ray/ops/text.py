@@ -192,9 +192,15 @@ class TextFeaturizer:
         return tbl
 
 
-def text_features(ds, text_col: str = "text", concurrency: int = 4,
+def text_features(ds, text_col: str = "text", concurrency=(1, 8),
                   batch_size: int = 4096):
-    """Actor-pool text featurization stage."""
+    """Actor-pool text featurization stage.
+
+    Default concurrency is AUTOSCALING (min 1, max 8): a fixed pool whose
+    minimum equals the session CPUs can deadlock when the stage sits behind
+    an all-to-all exchange (observed behind a minhash-dedup shuffle at 4
+    CPUs; see ray-project/ray#53727) — the pool pins every CPU while the
+    upstream shuffle still needs one."""
     return ds.map_batches(
         TextFeaturizer,
         fn_constructor_kwargs={"text_col": text_col},

@@ -84,7 +84,9 @@ def q_impute_bfill(sf_dir):
 
 def q_impute_group_mean(sf_dir):
     rec = _recipe(_with_valn(_events(sf_dir)))
-    rec.add_step(rr.StepImputeFill(sel=all_of(["valn"]), strategy="mean"))
+    rec.add_step(rr.StepImputeFill(
+        sel=all_of(["valn"]), strategy="mean", duckdb_parity_stats=True,
+    ))
     return _select(rec.prep(), ["event_id", "valn"])
 
 
@@ -262,8 +264,12 @@ def q_sessionize(sf_dir):
 # scaling / encoding / discretizing (StepScale + StepSklearn family)
 # --------------------------------------------------------------------- #
 def q_scale_standard(sf_dir):
+    """duckdb_parity_stats: fit mean/std accumulate exactly like DuckDB's
+    avg()/stddev_pop() (sequential scan-order + Welford) so boundary-sitting
+    values round identically at every sf — the production default keeps
+    distributed longdouble partials."""
     rec = _recipe(_with_valn(_events(sf_dir)))
-    rec.add_step(rr.StepScale(sel=all_of(["valn"])))
+    rec.add_step(rr.StepScale(sel=all_of(["valn"]), duckdb_parity_stats=True))
     return _select(rec.prep(), ["event_id", "valn"])
 
 
@@ -904,7 +910,8 @@ def q_power_yj(sf_dir):
 
     rec = _recipe(_with_valn(_events(sf_dir)))
     rec.add_step(
-        rr.StepSklearn(PowerTransformer(), sel=all_of(["valn"]), in_place=False)
+        rr.StepSklearn(PowerTransformer(duckdb_parity_stats=True),
+                       sel=all_of(["valn"]), in_place=False)
     )
     return _select(rec.prep(), ["event_id", "PowerTransformer_valn"])
 

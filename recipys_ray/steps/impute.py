@@ -46,6 +46,7 @@ class StepImputeFill(Step):
         value=None,
         strategy: Optional[str] = None,
         limit: Optional[int] = None,
+        duckdb_parity_stats: bool = False,
     ):
         super().__init__(sel if sel is not None else all_predictors())
         if (value is None) == (strategy is None):
@@ -58,6 +59,12 @@ class StepImputeFill(Step):
         self.value = value
         self.strategy = strategy
         self.limit = limit
+        # oracle-verification mode: per-group means accumulated EXACTLY as
+        # DuckDB's avg() (plain sequential float64 in scan order — see
+        # kernels/duckdb_parity.py seq_group_sums). Assumes within-group
+        # scan order equals the sort-key order (true for time-ordered event
+        # streams); production default keeps pandas' compensated means.
+        self.duckdb_parity_stats = duckdb_parity_stats
         self._fill_values: dict[str, float] = {}
 
     # ------------------------------------------------------------------ #
@@ -129,6 +136,22 @@ class StepImputeFill(Step):
                 for c in cols:
                     if pdf[c].dtype == object:  # all-null arrow → object
                         pdf[c] = pdf[c].astype(np.float64)
+                if self.duckdb_parity_stats:
+                    from recipys_ray.kernels.duckdb_parity import (
+                        seq_group_sums,
+                    )
+
+                    garr = gid.to_numpy()
+                    for c in cols:
+                        starts, s, n = seq_group_sums(
+                            pdf[c].to_numpy(np.float64), garr
+                        )
+                        means = s / np.where(n > 0, n, np.nan)
+                        fill = gid.map(
+                            pd.Series(means, index=garr[starts])
+                        )
+                        pdf[c] = pdf[c].fillna(fill)
+                    return pdf
                 g = pdf.groupby(pdf["__gid__"], sort=False, observed=True)
             stat = g[cols].transform(self.strategy)
             pdf[cols] = pdf[cols].fillna(stat)

@@ -19,12 +19,14 @@ class StepScale(StepSklearn):
         sel: Selector = None,
         with_mean: bool = True,
         with_std: bool = True,
+        duckdb_parity_stats: bool = False,
         *args,
         **kwargs,
     ):
         super().__init__(
             sklearn_transformer=StandardScaler(
-                with_mean=with_mean, with_std=with_std
+                with_mean=with_mean, with_std=with_std,
+                duckdb_parity_stats=duckdb_parity_stats,
             ),
             sel=sel if sel is not None else all_numeric_predictors(),
             in_place=True,

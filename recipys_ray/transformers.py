@@ -61,10 +61,41 @@ class NativeTransformer:
 class StandardScaler(NativeTransformer):
     stats_needed = frozenset({MOMENTS})
 
-    def __init__(self, with_mean: bool = True, with_std: bool = True):
+    def __init__(self, with_mean: bool = True, with_std: bool = True,
+                 duckdb_parity_stats: bool = False):
         super().__init__()
         self.with_mean = with_mean
         self.with_std = with_std
+        # oracle-verification mode: mean/std accumulated EXACTLY as DuckDB's
+        # avg()/stddev_pop() (plain sequential float64 sum + one Welford
+        # pass in scan order — kernels/duckdb_parity.py). One ordered pass
+        # over the skinny columns; the production default stays the
+        # distributed longdouble-partial aggregate.
+        self.duckdb_parity_stats = duckdb_parity_stats
+
+    @property
+    def needs_dataset(self) -> bool:
+        return self.duckdb_parity_stats
+
+    def distributed_fit(self, ds, columns: list[str]):
+        from recipys_ray.kernels.duckdb_parity import seq_sum, seq_var_pop
+
+        self.columns_ = list(columns)
+        pdf = ds.select_columns(list(columns)).to_pandas()
+        means, scales = [], []
+        for c in columns:
+            x = pdf[c].to_numpy(np.float64)
+            x = x[~np.isnan(x)]
+            if not len(x):
+                means.append(0.0)
+                scales.append(1.0)
+                continue
+            means.append(seq_sum(x) / len(x))
+            v = seq_var_pop(x)
+            scales.append(np.sqrt(v) if v > 0 else 1.0)
+        self.mean_ = np.array(means)
+        self.scale_ = _handle_zeros(np.array(scales))
+        return self
 
     def _fit(self, stats):
         self.mean_ = np.array([stats[c].mean() for c in self.columns_])
@@ -599,7 +630,8 @@ class PowerTransformer(NativeTransformer):
 
     needs_dataset = True
 
-    def __init__(self, method: str = "yeo-johnson", standardize: bool = True):
+    def __init__(self, method: str = "yeo-johnson", standardize: bool = True,
+                 duckdb_parity_stats: bool = False):
         super().__init__()
         if method != "yeo-johnson":
             raise NotImplementedError(
@@ -607,6 +639,11 @@ class PowerTransformer(NativeTransformer):
                 "strictly positive data; use yeo-johnson instead)"
             )
         self.standardize = standardize
+        # oracle-verification mode: the final standardization moments
+        # (Σψ, Σψ² at λ*) use DuckDB's plain sequential scan-order float64
+        # sums instead of block partials (the λ argmax cascade is robust to
+        # partials; the last-ulp of μ/σ is what the driver hash sees).
+        self.duckdb_parity_stats = duckdb_parity_stats
         self.lambdas_: np.ndarray | None = None
 
     # ---- distributed fit ------------------------------------------------
@@ -672,6 +709,27 @@ class PowerTransformer(NativeTransformer):
                 best[c] = float(grids[c][int(np.argmax(llf))])
         self.lambdas_ = np.array([best[c] for c in columns])
         if self.standardize:
+            if self.duckdb_parity_stats:
+                from recipys_ray.kernels.duckdb_parity import seq_sum
+
+                pdf = ds.select_columns(list(columns)).to_pandas()
+                mean, scale = [], []
+                for c in columns:
+                    x = pdf[c].to_numpy(np.float64)
+                    x = x[~np.isnan(x)]
+                    if not len(x):
+                        mean.append(0.0)
+                        scale.append(1.0)
+                        continue
+                    psi = _yeo_johnson(x, np.array([best[c]]))[:, 0]
+                    n = len(psi)
+                    mu = seq_sum(psi) / n
+                    var = seq_sum(psi * psi) / n - mu * mu
+                    mean.append(mu)
+                    scale.append(np.sqrt(var) if var > 0 else 1.0)
+                self.mean_ = np.array(mean)
+                self.scale_ = _handle_zeros(np.array(scale))
+                return self
             grids = {c: np.array([best[c]]) for c in columns}
             mom = self._grid_moments(ds, columns, grids)
             mean, scale = [], []

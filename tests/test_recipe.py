@@ -185,3 +185,21 @@ def test_migration_example_runs(ray_session):
     spec.loader.exec_module(mod)
     out = mod.main()
     assert len(out) == 10
+
+
+def test_llm_data_pipeline_example_runs(ray_session, tmp_path):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "llm_pipeline_example", "/root/repo/examples/llm_data_pipeline.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    n = mod.main("/root/testdata/sf0.001", str(tmp_path / "out"))
+    assert n > 0
+    import duckdb
+
+    got = duckdb.execute(
+        f"SELECT count(*) FROM read_parquet('{tmp_path}/out/train_features/*.parquet')"
+    ).fetchone()[0]
+    assert got == n
