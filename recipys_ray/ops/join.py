@@ -215,15 +215,31 @@ def _shuffle_join(left, right, left_on, right_on, how, right_suffix,
         )
     )
 
-    def join_partition(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.drop(columns=["__join_part__"])
-        src = pdf["__join_src__"].to_numpy()
-        lf = pdf[src == 0][lcols]
-        rf = pdf[src == 1][left_on + out_value_cols]
+    out_schema = pa.schema([(c, all_types[c]) for c in all_cols])
+
+    def join_partition(tbl: pa.Table) -> pa.Table:
+        # Split the two sides while still Arrow: converting the UNIONED
+        # partition to pandas would poison the left side's int columns with
+        # the right side's null padding (int32 → float64), changing the
+        # output dtype — the driver's value hash is dtype-sensitive.
+        import pyarrow.compute as pc
+
+        src = tbl.column("__join_src__")
+        lf = tbl.filter(pc.equal(src, 0)).select(lcols).to_pandas()
         if len(lf) == 0:
-            return pd.DataFrame(columns=all_cols)
-        return lf.merge(rf, how=how, on=left_on, sort=False)
+            return out_schema.empty_table()
+        rf = (
+            tbl.filter(pc.equal(src, 1))
+            .select(left_on + out_value_cols)
+            .to_pandas()
+        )
+        out = lf.merge(rf, how=how, on=left_on, sort=False)
+        # from_pandas honours the planned schema: NaN introduced by a left
+        # join on integer right-value columns becomes a proper Arrow null.
+        return pa.Table.from_pandas(
+            out[all_cols], schema=out_schema, preserve_index=False
+        )
 
     return combined.groupby("__join_part__").map_groups(
-        join_partition, batch_format="pandas"
+        join_partition, batch_format="pyarrow"
     )

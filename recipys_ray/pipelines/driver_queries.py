@@ -34,8 +34,18 @@ _WIN = "PARTITION BY user_id ORDER BY ts, event_id"
 _EXP = f"{_WIN} ROWS UNBOUNDED PRECEDING"
 
 
-def _events(sf_dir: str):
-    return rd.read_parquet(f"{sf_dir}/events.parquet")
+_EVENTS_CORE = ["event_id", "ts", "user_id", "value"]
+
+
+def _events(sf_dir: str, columns: list[str] | None = None):
+    """Events read, pruned at the parquet reader. Default projection is the
+    4 columns the grouped/windowed queries actually touch — `event_type` and
+    `props` would otherwise ride every sort shuffle as dead payload (at
+    100 TB the shuffle IS the cost; prune at the read, not downstream)."""
+    return rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=_EVENTS_CORE if columns is None else columns,
+    )
 
 
 def _with_valn(ds):
@@ -302,7 +312,7 @@ def q_kbins_uniform(sf_dir):
 
 
 def q_encode_ordinal(sf_dir):
-    ds = _events(sf_dir)
+    ds = _events(sf_dir, columns=["event_id", "ts", "user_id", "event_type"])
     rec = rr.Recipe(ds, predictors=["event_type"], sequences=["ts", "event_id"])
     rec.add_step(
         rr.StepSklearn(
@@ -321,7 +331,7 @@ def q_encode_ordinal(sf_dir):
 
 
 def q_encode_onehot(sf_dir):
-    ds = _events(sf_dir)
+    ds = _events(sf_dir, columns=["event_id", "ts", "user_id", "event_type"])
     rec = rr.Recipe(ds, predictors=["event_type"], sequences=["ts", "event_id"])
     rec.add_step(
         rr.StepSklearn(OneHotEncoder(), sel=all_of(["event_type"]), in_place=False)
@@ -399,8 +409,10 @@ def q_asof_purchase(sf_dir):
     simultaneous) purchase value — the engine's as-of join primitive."""
     from recipys_ray.ops.asof import asof_join
 
-    ev = _events(sf_dir)
-    left = ev.select_columns(["event_id", "user_id", "ts"])
+    left = _events(sf_dir, columns=["event_id", "user_id", "ts"])
+    ev = _events(
+        sf_dir, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
 
     def purchases(tbl: pa.Table) -> pa.Table:
         mask = pc.equal(tbl.column("event_type"), "purchase")
@@ -440,7 +452,9 @@ def q_asof_purchase(sf_dir):
 def q_dedup_exact(sf_dir):
     from recipys_ray.ops.dedup import exact_dedup
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
     out = exact_dedup(ds, text_col="text", id_col="doc_id")
     return _select(out, ["doc_id", "n_dups"])
 
@@ -661,7 +675,9 @@ def q_knn_cosine(sf_dir):
 
     from recipys_ray.ops.similarity import knn_brute_force
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
     queries_pdf = (
         ds.map_batches(
             lambda t: t.filter(pc.less(t.column("vec_id"), 5)),
@@ -691,7 +707,9 @@ def q_knn_ivf(sf_dir):
     filtered search machinery."""
     from recipys_ray.ops.similarity import knn_ivf
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
     queries_pdf = (
         ds.map_batches(
             lambda t: t.filter(pc.less(t.column("vec_id"), 5)),
@@ -721,7 +739,9 @@ def q_dedup_minhash(sf_dir):
     against sequential ground truth."""
     from recipys_ray.ops.dedup import minhash_dedup
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
     out = minhash_dedup(ds, text_col="text", id_col="doc_id")
     return _select(out, ["doc_id"])
 
@@ -730,7 +750,9 @@ def q_dedup_simhash(sf_dir):
     """Oracle: golden survivors (see q_dedup_minhash)."""
     from recipys_ray.ops.dedup import simhash_dedup
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
     out = simhash_dedup(ds, text_col="text", id_col="doc_id")
     return _select(out, ["doc_id"])
 
@@ -742,7 +764,9 @@ def q_dedup_embedding(sf_dir):
     path, unit-tested against this exact op on planted duplicates."""
     from recipys_ray.ops.dedup import embedding_dedup_exact
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
     out = embedding_dedup_exact(ds, threshold=0.99)
     return _select(out, ["vec_id"])
 
@@ -755,7 +779,9 @@ def q_dedup_semantic(sf_dir):
     actually drops rows."""
     from recipys_ray.ops.semdedup import semantic_dedup
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
     out = semantic_dedup(
         ds, n_clusters=8, threshold=0.3, sample_size=1_000_000, seed=3
     )
@@ -768,7 +794,9 @@ def q_dedup_jaccard(sf_dir):
     all pairs in SQL plus recursive-CTE components."""
     from recipys_ray.ops.jaccard import jaccard_dedup
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
     out = jaccard_dedup(ds, text_col="text", id_col="doc_id", threshold=0.6)
     return _select(out, ["doc_id"])
 

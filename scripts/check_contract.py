@@ -64,6 +64,21 @@ def compare(name: str, ours: pd.DataFrame, ref: pd.DataFrame) -> list[str]:
     if len(ours) != len(ref):
         problems.append(f"row count {len(ours)} vs {len(ref)}")
         return problems
+    if STRICT:
+        # The driver's value hash is dtype-sensitive: an int32 column that
+        # comes back float64 (e.g. through a null-padded pandas conversion)
+        # hash-mismatches even when every value is numerically equal. canon()
+        # below erases that distinction, so check dtype FAMILY first.
+        for c in ours.columns:
+            fa = pd.api.types.is_float_dtype(ours[c])
+            fb = pd.api.types.is_float_dtype(ref[c])
+            ia = pd.api.types.is_integer_dtype(ours[c])
+            ib = pd.api.types.is_integer_dtype(ref[c])
+            if fa != fb or ia != ib:
+                problems.append(
+                    f"{c}: dtype family mismatch (ours={ours[c].dtype}, "
+                    f"oracle={ref[c].dtype}) — driver hash would flip"
+                )
     a, b = canon(ours), canon(ref)
     for c in a.columns:
         if pd.api.types.is_float_dtype(a[c]):
