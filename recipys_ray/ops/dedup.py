@@ -86,9 +86,13 @@ def partitioned_groupby_map(ds, key_cols: list[str], fn, num_partitions: int = 6
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Keep the row with the smallest ``id_col`` per exact text content.
 
-    hash-partition + per-group first: one vectorized hash pass, one groupby
-    on the 8-byte hash (text never shuffles beyond its own block), min-id
-    survivor per group — resolved vectorized across all groups per partition.
+    hash-partition + per-group first: one vectorized hash pass, then ONE
+    payload shuffle — the groupby on the 8-byte hash moves each full row
+    (text included) exactly once, which is the honest cost of
+    keep-one-per-content. Min-id survivor per group, resolved vectorized
+    across all groups per partition. For very wide rows a skinnier plan is
+    (hash → survivor-id) + anti-join, trading the payload shuffle for a
+    second pass over the input.
     """
     hashed = ds.map_batches(_ContentHash(text_col), batch_format="pyarrow")
 
@@ -143,18 +147,22 @@ class _MinHashBands:
         return [" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)]
 
     def signatures(self, texts) -> np.ndarray:
-        """(n_docs, num_perm) minhash matrix — one batched hash call over ALL
-        shingles, permutation hashing in uint64 (deterministic wrap-around
+        """(n_docs, num_perm) minhash matrix — Arrow-kernel tokenization +
+        shingle join (ops/text.py word_stream/flat_kgrams: no per-document
+        Python regex loop), one batched hash call over ALL shingles,
+        permutation hashing in uint64 (deterministic wrap-around
         arithmetic), segmented min via ``np.minimum.reduceat``."""
-        all_shingles: list[str] = []
-        counts = np.empty(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            sh = self._shingles(t)
-            counts[i] = len(sh)
-            all_shingles.extend(sh)
-        h = pd.util.hash_array(np.array(all_shingles, dtype=object)).astype(
-            np.uint64
-        )
+        from recipys_ray.ops.text import flat_kgrams, word_stream
+
+        if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+            texts = pa.array(list(texts), pa.string())
+        words, wcounts = word_stream(texts)
+        all_shingles, counts = flat_kgrams(words, wcounts, self.shingle_k)
+        h = pd.util.hash_array(
+            all_shingles.to_numpy(zero_copy_only=False)
+        ).astype(np.uint64)
+        if len(texts) == 0:
+            return np.empty((0, self.num_perm), dtype=np.uint64)
         offsets = np.r_[0, np.cumsum(counts)[:-1]]
         a = self.a.astype(np.uint64)
         b = self.b.astype(np.uint64)
@@ -169,10 +177,9 @@ class _MinHashBands:
         return self.signatures([text])[0]
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
-        texts = tbl.column(self.text_col).to_pandas().fillna("")
         ids = tbl.column(self.id_col).to_numpy(zero_copy_only=False)
-        n = len(texts)
-        sig = self.signatures(list(texts))  # (n, num_perm)
+        n = tbl.num_rows
+        sig = self.signatures(tbl.column(self.text_col))  # (n, num_perm)
         r = self.rows_per_band
         # mix the r rows of each band into one 63-bit key, fully vectorized
         mixed = np.zeros((n, self.bands), dtype=np.uint64)
@@ -567,29 +574,39 @@ class _SimHash:
         self.word_re = _WORD_RE
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
-        """Batch-wide: hash ALL words of the batch in one call, per-bit sign
-        votes via segmented ``np.add.reduceat`` — no per-document Python work
-        beyond the regex tokenization itself."""
-        texts = tbl.column(self.text_col).to_pandas().fillna("")
-        if len(texts) == 0:
+        """Batch-wide: Arrow-kernel tokenization (word_stream — no per-doc
+        regex loop), hash ALL words in one call, per-bit sign votes via
+        segmented ``np.add.reduceat``."""
+        from recipys_ray.ops.text import _ramp, word_stream
+
+        if tbl.num_rows == 0:
             # np.add.reduceat raises on zero segments — empty block in, out
             return tbl.append_column("simhash", pa.array([], pa.uint64()))
-        all_words: list[str] = []
-        counts = np.empty(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            ws = self.word_re.findall(t.lower()) or [""]
-            counts[i] = len(ws)
-            all_words.extend(ws)
-        h = pd.util.hash_array(np.array(all_words, dtype=object)).astype(
-            np.uint64
+        words, wcounts = word_stream(tbl.column(self.text_col))
+        h_words = pd.util.hash_array(
+            words.to_numpy(zero_copy_only=False)
+        ).astype(np.uint64)
+        # a document with zero words votes with the hash of "" (the
+        # historical `findall(...) or [""]` convention)
+        counts = np.maximum(wcounts, 1)
+        h = np.full(
+            int(counts.sum()),
+            pd.util.hash_array(np.array([""], dtype=object))[0],
+            dtype=np.uint64,
         )
+        off = np.r_[0, np.cumsum(counts)[:-1]]
+        h[np.repeat(off, wcounts) + _ramp(wcounts)] = h_words
         # (total_words, 64) bit matrix, segment-summed per doc; sign vote
-        # 2*ones - count > 0 ⇔ ones*2 > count
-        bits = (
-            (h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        ).astype(np.int32)
-        offsets = np.r_[0, np.cumsum(counts)[:-1]]
-        ones = np.add.reduceat(bits, offsets, axis=0)
+        # 2*ones - count > 0 ⇔ ones*2 > count. unpackbits(little/little)
+        # column j == (h >> j) & 1; cumsum + end-row diff is ~3× faster
+        # than np.add.reduceat over the 2-D matrix.
+        bits = np.unpackbits(
+            h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        )
+        cs = bits.cumsum(axis=0, dtype=np.int32)
+        ends = np.cumsum(counts)
+        pad = np.vstack([np.zeros((1, 64), np.int32), cs])
+        ones = pad[ends] - pad[ends - counts]
         positive = ones * 2 > counts[:, None]
         powers = np.left_shift(
             np.uint64(1), np.arange(64, dtype=np.uint64)
@@ -681,11 +698,25 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
 
 
 def verify_pairs_jaccard(ds, pairs: pd.DataFrame, text_col="text",
-                         id_col="doc_id", k: int = 3, threshold: float = 0.5):
+                         id_col="doc_id", k: int = 3, threshold: float = 0.5,
+                         max_candidates: int = 1_000_000):
     """Exact n-gram Jaccard on candidate pairs: broadcast the candidate id
     set, stream only those texts to the driver (candidates ≪ corpus), verify.
+
+    DRIVER-BOUNDED helper: it pulls every candidate text to the driver, so
+    the candidate set must be small. ``max_candidates`` guards the pull —
+    above it, raise and point at the distributed verify stages in
+    ops/jaccard.py (broadcast or co-partitioned-join verify), which never
+    materialize texts on the driver.
     """
     cand_ids = np.unique(np.r_[pairs["a"].to_numpy(), pairs["b"].to_numpy()])
+    if len(cand_ids) > max_candidates:
+        raise ValueError(
+            f"verify_pairs_jaccard: {len(cand_ids)} candidate ids exceed "
+            f"max_candidates={max_candidates}; this helper pulls candidate "
+            "texts to the driver. Use recipys_ray.ops.jaccard.jaccard_dedup "
+            "(distributed prefix-filter + verify) for large candidate sets."
+        )
 
     def pick(tbl: pa.Table) -> pa.Table:
         ids = tbl.column(id_col).to_numpy(zero_copy_only=False)

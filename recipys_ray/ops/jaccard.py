@@ -50,33 +50,29 @@ class _ShingleSets:
         self.word_re = _WORD_RE
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
-        texts = tbl.column(self.text_col).to_pandas().fillna("")
+        from recipys_ray.ops.text import flat_kgrams, word_stream
+
         ids = tbl.column(self.id_col).to_numpy(zero_copy_only=False)
-        all_sh: list[str] = []
-        counts = np.empty(len(texts), dtype=np.int64)
-        k = self.k
-        for i, t in enumerate(texts):
-            ws = self.word_re.findall(t.lower())
-            if len(ws) < k:
-                sh = [" ".join(ws)]
-            else:
-                sh = [" ".join(ws[j : j + k]) for j in range(len(ws) - k + 1)]
-            counts[i] = len(sh)
-            all_sh.extend(sh)
-        h = pd.util.hash_array(np.array(all_sh, dtype=object)).astype(np.uint64)
-        offsets = np.r_[0, np.cumsum(counts)]
-        sets = [
-            np.unique(h[offsets[i] : offsets[i + 1]])
-            for i in range(len(texts))
-        ]
-        return pa.table(
-            {
-                self.id_col: pa.array(ids),
-                "shset": pa.array(
-                    [s.astype(np.uint64) for s in sets], pa.list_(pa.uint64())
-                ),
-            }
+        n = tbl.num_rows
+        words, wcounts = word_stream(tbl.column(self.text_col))
+        all_sh, counts = flat_kgrams(words, wcounts, self.k)
+        h = pd.util.hash_array(
+            all_sh.to_numpy(zero_copy_only=False)
+        ).astype(np.uint64)
+        # per-row sorted-unique, vectorized: lexsort by (row, hash), then a
+        # batch-wide dedupe mask — replaces the per-document np.unique loop
+        seg = np.repeat(np.arange(n, dtype=np.int64), counts)
+        order = np.lexsort((h, seg))
+        hs, segs = h[order], seg[order]
+        keep = np.ones(len(hs), dtype=bool)
+        keep[1:] = (hs[1:] != hs[:-1]) | (segs[1:] != segs[:-1])
+        vals = hs[keep]
+        kept_counts = np.bincount(segs[keep], minlength=n)
+        la = pa.ListArray.from_arrays(
+            pa.array(np.r_[0, np.cumsum(kept_counts)], type=pa.int32()),
+            pa.array(vals, pa.uint64()),
         )
+        return pa.table({self.id_col: pa.array(ids), "shset": la})
 
 
 def _top_common(sets_ds, id_col: str, top_m: int) -> dict:

@@ -63,12 +63,27 @@ class _BroadcastJoiner:
     def __init__(self, right_ref, left_on, right_on, rename, how):
         rf = ray.get(right_ref)
         rf = rf.rename(columns=rename)
+        if how in ("semi", "anti"):
+            # existence joins need only the DISTINCT right keys — no value
+            # columns ride the broadcast, no row multiplication possible
+            rf = rf[right_on].drop_duplicates()
         self.rf = rf
         self.left_on = left_on
         self.right_on = right_on
         self.how = how
 
     def __call__(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        if self.how in ("semi", "anti"):
+            probe = pdf[self.left_on].merge(
+                self.rf,
+                how="left",
+                left_on=self.left_on,
+                right_on=self.right_on,
+                sort=False,
+                indicator="__in_right__",
+            )["__in_right__"].to_numpy()
+            mask = probe == "both"
+            return pdf[mask if self.how == "semi" else ~mask]
         out = pdf.merge(
             self.rf,
             how=self.how,
@@ -100,8 +115,10 @@ def hash_join(
 
     ``strategy``: "broadcast" | "shuffle" | "auto" (broadcast iff the
     right side's reported ``size_bytes`` fits ``broadcast_max_bytes``)."""
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(
+            f"how must be 'inner', 'left', 'semi' or 'anti', got {how!r}"
+        )
     left_on = [on] if isinstance(on, str) else list(on)
     right_on = (
         left_on if right_on is None
@@ -162,6 +179,10 @@ def _broadcast_join(left, right, left_on, right_on, how, right_suffix,
 
 def _shuffle_join(left, right, left_on, right_on, how, right_suffix,
                   num_partitions):
+    if how in ("semi", "anti"):
+        # existence joins ship only the right KEY columns through the
+        # exchange — project before stamping
+        right = right.select_columns(list(right_on))
     lschema, rschema, lcols, r_value_cols, out_names = _plan_columns(
         left, right, left_on, right_on, right_suffix
     )
@@ -233,7 +254,15 @@ def _shuffle_join(left, right, left_on, right_on, how, right_suffix,
             .select(left_on + out_value_cols)
             .to_pandas()
         )
-        out = lf.merge(rf, how=how, on=left_on, sort=False)
+        if how in ("semi", "anti"):
+            probe = lf[left_on].merge(
+                rf.drop_duplicates(), how="left", on=left_on,
+                sort=False, indicator="__in_right__",
+            )["__in_right__"].to_numpy()
+            mask = probe == "both"
+            out = lf[mask if how == "semi" else ~mask]
+        else:
+            out = lf.merge(rf, how=how, on=left_on, sort=False)
         # from_pandas honours the planned schema: NaN introduced by a left
         # join on integer right-value columns becomes a proper Arrow null.
         return pa.Table.from_pandas(

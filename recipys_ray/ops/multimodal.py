@@ -131,6 +131,30 @@ class DecodeImage:
     def __init__(self, binary_col: str = "image", fake: bool = True):
         self.binary_col = binary_col
         self.fake = fake
+        # guarded import, once per actor: where PIL exists, compressed
+        # codecs (JPEG/PNG/WebP/...) decode for real; without it, those
+        # payloads keep the honest decode_ok=False fallback
+        try:
+            from PIL import Image as _PILImage  # noqa: N813
+
+            self._pil = _PILImage
+        except ImportError:
+            self._pil = None
+
+    def _decode_pil(self, p: bytes):
+        """Compressed-codec decode via PIL (when installed) → HxWx3 or HxW
+        uint8 ndarray, None if PIL is absent or the payload is undecodable."""
+        if self._pil is None:
+            return None
+        import io as _io
+
+        try:
+            with self._pil.open(_io.BytesIO(p)) as im:
+                im = im.convert("L") if im.mode in ("L", "1", "I;16") \
+                    else im.convert("RGB")
+                return np.asarray(im)
+        except Exception:
+            return None
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
         col = tbl.column(self.binary_col)
@@ -163,6 +187,8 @@ class DecodeImage:
             if not p:
                 continue
             arr = _decode_bmp(p) if p[:2] == b"BM" else _decode_ppm(p)
+            if arr is None:
+                arr = self._decode_pil(p)
             if arr is None:
                 continue
             ok[i] = True

@@ -34,39 +34,212 @@ _POLY_MOD = np.uint64(2147483647)  # 2^31 - 1
 _POLY_BASE = np.uint64(131)
 
 
+def _poly_hash_from_cp(allcp: np.ndarray, lens: np.ndarray,
+                       chunk: int = 1 << 22) -> np.ndarray:
+    """Polynomial hash over the concatenated code-point stream ``allcp``
+    with per-string lengths ``lens``.
+
+    Horner reformulated as a power-weighted sum — exactly equal mod M:
+    ``h = Σ_j cp[j] · B^(L-1-j) mod M``. Three vectorized passes over the
+    flat stream (exponent, weighted term, segmented reduceat sum) replace
+    the per-character-position masked loop. Each term < M < 2^31 and
+    L < 2^32, so the uint64 segment sums cannot overflow. Chunked over
+    strings to bound the temporaries."""
+    n = len(lens)
+    out = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return out
+    lens = lens.astype(np.int64)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    maxlen = int(lens.max())
+    if maxlen == 0:
+        return out
+    powtab = np.empty(maxlen, dtype=np.uint64)
+    p = np.uint64(1)
+    for k in range(maxlen):
+        powtab[k] = p
+        p = (p * _POLY_BASE) % _POLY_MOD
+    lo = 0
+    while lo < n:
+        # grow the string window until ~chunk flat chars
+        hi = int(np.searchsorted(ends, ends[lo] - lens[lo] + chunk)) + 1
+        hi = min(max(hi, lo + 1), n)
+        base = starts[lo]
+        seg = allcp[base : ends[hi - 1]]
+        T = len(seg)
+        if T:
+            ln = lens[lo:hi]
+            # exponent of each flat position j: (end_i - 1) - j
+            e = np.repeat(ends[lo:hi] - 1 - base, ln) - np.arange(
+                T, dtype=np.int64
+            )
+            term = (seg.astype(np.uint64) * powtab[e]) % _POLY_MOD
+            seg_starts = starts[lo:hi] - base
+            # reduceat over NON-EMPTY segments only: clamping an
+            # empty-string start of T to T-1 would steal the previous
+            # segment's last element
+            nz = ln > 0
+            sums = np.zeros(hi - lo, dtype=np.uint64)
+            sums[nz] = np.add.reduceat(term, seg_starts[nz])
+            out[lo:hi] = (sums % _POLY_MOD).astype(np.int64)
+        lo = hi
+    return out
+
+
 def poly_hash(strings, chunk: int = 65_536) -> np.ndarray:
     """Vectorized polynomial rolling hash over Unicode code points:
     ``h = (h * 131 + codepoint) % (2^31 - 1)``, empty string → 0.
 
-    Column-wise Horner over a padded code-point matrix — one vectorized op
-    per character position, chunked to bound the pad buffer.
+    Accepts a ``pa.StringArray`` (fast path: for all-ASCII batches the
+    UTF-8 data buffer IS the code-point stream — zero per-string Python) or
+    any iterable of str (generic path via one utf-32 decode of the batch).
     """
+    import pyarrow.compute as pc
+
+    if isinstance(strings, pa.ChunkedArray):
+        strings = strings.combine_chunks()
+    if isinstance(strings, pa.Array):
+        arr = strings
+        if len(arr) and arr.null_count == 0:
+            nbytes = pc.binary_length(arr).to_numpy().astype(np.int64)
+            nchars = pc.utf8_length(arr).to_numpy().astype(np.int64)
+            if (nbytes == nchars).all():  # pure ASCII: bytes == codepoints
+                off = np.frombuffer(arr.buffers()[1], np.int32)
+                off = off[arr.offset : arr.offset + len(arr) + 1].astype(
+                    np.int64
+                )
+                data = np.frombuffer(arr.buffers()[2], np.uint8)
+                # string i occupies data[off[i]:off[i+1]] → the slice below
+                # is exactly the concatenated stream
+                return _poly_hash_from_cp(
+                    data[off[0] : off[-1]], np.diff(off), chunk
+                )
+        strings = arr.to_pylist()
     strings = list(strings)
-    out = np.zeros(len(strings), dtype=np.int64)
-    for lo in range(0, len(strings), chunk):
-        part = strings[lo : lo + chunk]
-        lens = np.fromiter((len(s) for s in part), np.int64, len(part))
-        maxlen = int(lens.max()) if len(lens) else 0
-        if maxlen == 0:
-            continue
+    lens = np.fromiter((len(s) for s in strings), np.int64, len(strings))
+    if len(strings):
         allcp = np.frombuffer(
-            "".join(part).encode("utf-32-le"), dtype=np.uint32
+            "".join(strings).encode("utf-32-le"), dtype=np.uint32
         )
-        pad = np.zeros((len(part), maxlen), dtype=np.uint64)
-        mask = np.arange(maxlen)[None, :] < lens[:, None]
-        pad[mask] = allcp  # row-major fill order == concatenation order
-        h = np.zeros(len(part), dtype=np.uint64)
-        for p in range(maxlen):
-            live = lens > p
-            h[live] = (h[live] * _POLY_BASE + pad[live, p]) % _POLY_MOD
-        out[lo : lo + chunk] = h.astype(np.int64)
-    return out
+    else:
+        allcp = np.empty(0, dtype=np.uint32)
+    return _poly_hash_from_cp(allcp, lens, chunk)
 
 
 def fast_str_hash(strings: pd.Series) -> np.ndarray:
     """Deterministic 64-bit content hash, vectorized via pandas' stable
     string hashing (same across processes)."""
     return pd.util.hash_array(strings.to_numpy(dtype=object)).astype(np.uint64)
+
+
+# --------------------------------------------------------------------- #
+# Arrow-kernel tokenization — the shared flat word/shingle stream
+# --------------------------------------------------------------------- #
+# RE2 (Arrow AND DuckDB) ASCII `\w` tokenization. The oracle SQL already
+# uses regexp_extract_all (RE2), so these kernels match the oracle engine
+# exactly; Python `re` with re.UNICODE agrees on ASCII text and is what the
+# goldens were generated with — parity is asserted by tests/test_ops.py.
+_SPLIT_NONWORD = r"[^\w]+"
+
+
+def word_stream(col, lower: bool = True):
+    """Tokenize a string column into the batch-wide flat word stream using
+    Arrow's C++ RE2 kernels (no per-document Python regex loop).
+
+    Returns ``(words, counts)``: ``words`` is a ``pa.StringArray`` of every
+    word of every document in document order, ``counts[i]`` the number of
+    words of document i. Equivalent to ``re.findall(r"\\w+", text.lower())``
+    per document, ~10-30× faster on large batches.
+    """
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    arr = pc.fill_null(col, "")
+    if lower:
+        arr = pc.utf8_lower(arr)
+    split = pc.split_pattern_regex(arr, pattern=_SPLIT_NONWORD)
+    flat = pc.list_flatten(split)
+    row_len = pc.list_value_length(split).to_numpy().astype(np.int64)
+    # splitting leaves "" fragments at delimiter-adjacent boundaries
+    keep = pc.not_equal(flat, "")
+    knp = keep.to_numpy(zero_copy_only=False)
+    ck = np.r_[0, np.cumsum(knp)]
+    row_off = np.r_[0, np.cumsum(row_len)]
+    counts = (ck[row_off[1:]] - ck[row_off[:-1]]).astype(np.int64)
+    return flat.filter(keep), counts
+
+
+def _ramp(lens: np.ndarray) -> np.ndarray:
+    """[0..lens[0]), [0..lens[1]), ... concatenated (vectorized arange)."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    return np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(lens) - lens, lens
+    )
+
+
+def flat_kgrams(words: pa.Array, counts: np.ndarray, k: int,
+                pad_small: bool = True):
+    """Space-joined k-word grams over the flat word stream, vectorized via
+    ``pc.binary_join_element_wise`` over k shifted slices (one C++ concat
+    pass instead of a per-document join loop).
+
+    ``pad_small=True`` reproduces the shingle convention used throughout
+    dedup: a document with fewer than k words yields ONE gram — the join of
+    all its words ("" for an empty document). With ``pad_small=False`` such
+    documents yield zero grams (the Gopher n-gram convention).
+
+    Returns ``(grams, gram_counts)``: grams is a ``pa.StringArray`` in
+    document order, gram_counts[i] the number of grams of document i. The
+    assembly is a pure Arrow take-permutation — no Python string boxing.
+    """
+    import pyarrow.compute as pc
+
+    n = len(counts)
+    offsets = np.r_[0, np.cumsum(counts)]
+    big = counts >= k
+    big_counts = np.where(big, counts - k + 1, 0)
+    gram_counts = big_counts + (0 if not pad_small else (~big).astype(np.int64))
+    g_off = np.r_[0, np.cumsum(gram_counts)]
+    total = int(g_off[-1])
+    total_words = len(words)
+    parts: list[pa.Array] = []
+    perm = np.empty(total, dtype=np.int64)
+    taken = 0
+    if big.any():
+        n_starts = total_words - k + 1
+        joined = pc.binary_join_element_wise(
+            *(words.slice(j, n_starts) for j in range(k)), " "
+        )
+        lens = big_counts[big]
+        ramp = _ramp(lens)
+        src = np.repeat(offsets[:-1][big], lens) + ramp
+        dst = np.repeat(g_off[:-1][big], lens) + ramp
+        parts.append(joined.take(pa.array(src)))
+        perm[dst] = np.arange(len(src), dtype=np.int64)
+        taken = len(src)
+    if pad_small and (~big).any():
+        # one gram per small doc: the row-wise join of its own words
+        la = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), words
+        )
+        small_join = pc.binary_join(la, " ")
+        small = ~big
+        sm_idx = np.flatnonzero(small)
+        parts.append(small_join.take(pa.array(sm_idx)))
+        perm[g_off[:-1][small]] = taken + np.arange(
+            len(sm_idx), dtype=np.int64
+        )
+    if not parts:
+        return pa.array([], pa.string()), gram_counts
+    combined = pa.concat_arrays(
+        [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
+         for p in parts]
+    )
+    return combined.take(pa.array(perm)), gram_counts
 
 
 class TextFeaturizer:
@@ -97,19 +270,29 @@ class TextFeaturizer:
         self.stop_masks = masks
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
-        texts = tbl.column(self.text_col).to_pandas().fillna("")
-        n = len(texts)
-        n_chars = texts.str.len().to_numpy(dtype=np.int64)
-        words_list = [self.word_re.findall(t.lower()) for t in texts]
-        n_words = np.array([len(w) for w in words_list], dtype=np.int64)
-        token_count = np.array(
-            [len(self.token_re.findall(t)) for t in texts], dtype=np.int64
-        )
-        punct = np.array(
-            [len(self.punct_re.findall(t)) for t in texts], dtype=np.int64
-        )
-        upper = texts.str.count(r"[A-Z]").to_numpy(dtype=np.int64)
-        digit = texts.str.count(r"[0-9]").to_numpy(dtype=np.int64)
+        import pyarrow.compute as pc
+
+        col = tbl.column(self.text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        filled = pc.fill_null(col, "")
+        n = len(filled)
+        n_chars = pc.utf8_length(filled).to_numpy().astype(np.int64)
+        # tokenization via Arrow's C++ RE2 kernels — one kernel call per
+        # feature over the whole batch, no per-document Python regex loop
+        words, n_words = word_stream(filled)
+        token_count = pc.count_substring_regex(
+            filled, pattern=r"\w+|[^\w\s]"
+        ).to_numpy().astype(np.int64)
+        punct = pc.count_substring_regex(
+            filled, pattern=r"[^\w\s]"
+        ).to_numpy().astype(np.int64)
+        upper = pc.count_substring_regex(
+            filled, pattern=r"[A-Z]"
+        ).to_numpy().astype(np.int64)
+        digit = pc.count_substring_regex(
+            filled, pattern=r"[0-9]"
+        ).to_numpy().astype(np.int64)
 
         denom = np.maximum(n_chars, 1).astype(np.float64)
         wdenom = np.maximum(n_words, 1).astype(np.float64)
@@ -125,11 +308,8 @@ class TextFeaturizer:
         lang_scores = np.zeros((n, len(langs)))
         total_words = int(n_words.sum())
         if total_words:
-            import itertools
-
-            flat = list(itertools.chain.from_iterable(words_list))
             mapped = (
-                pd.Series(flat, dtype=object)
+                pd.Series(words.to_numpy(zero_copy_only=False), dtype=object)
                 .map(self.stop_masks)
                 .fillna(0)
                 .to_numpy(dtype=np.int64)
@@ -157,19 +337,12 @@ class TextFeaturizer:
             + np.where((mean_wlen > 2) & (mean_wlen < 12), 0.1, 0.0)
         )
 
-        # fingerprint: min over rolling 3-word shingle poly-hashes — one
-        # batched poly_hash call over every shingle in the batch, segmented
-        # min via np.minimum.reduceat (SQL-replicable, see poly_hash)
-        all_shingles: list[str] = []
-        sh_counts = np.empty(n, dtype=np.int64)
-        for i, ws in enumerate(words_list):
-            if len(ws) < 3:
-                sh = [" ".join(ws)]
-            else:
-                sh = [" ".join(ws[k : k + 3]) for k in range(len(ws) - 2)]
-            sh_counts[i] = len(sh)
-            all_shingles.extend(sh)
+        # fingerprint: min over rolling 3-word shingle poly-hashes — shingle
+        # strings built by one vectorized Arrow join (flat_kgrams), one
+        # batched poly_hash call, segmented min via np.minimum.reduceat
+        # (SQL-replicable, see poly_hash)
         if n:
+            all_shingles, sh_counts = flat_kgrams(words, n_words, 3)
             hashes = poly_hash(all_shingles)
             offsets = np.r_[0, np.cumsum(sh_counts)[:-1]]
             fp = np.minimum.reduceat(hashes, offsets)
@@ -440,60 +613,65 @@ class RepetitionStats:
         self.dup_ns = tuple(dup_ns)
         self.word_re = _WORD_RE
 
-    def _gram_metric(self, words_list, n, n_chars, want_top: bool):
-        segs: list[int] = []
-        grams: list[str] = []
-        for i, ws in enumerate(words_list):
-            if len(ws) < n:
-                continue
-            for k in range(len(ws) - n + 1):
-                segs.append(i)
-                grams.append(" ".join(ws[k:k + n]))
-        out = np.zeros(len(words_list), dtype=np.float64)
-        if not grams:
-            return out
-        df = pd.DataFrame({"s": np.asarray(segs, dtype=np.int64),
-                           "g": grams})
-        cnt = df.groupby(["s", "g"], sort=False).size().reset_index(
-            name="c"
+    @staticmethod
+    def _dedupe_per_seg(codes: np.ndarray, segs: np.ndarray):
+        """Sort (seg, code) and keep first occurrences — returns
+        (kept mask order-applied arrays): (codes_u, segs_u, counts_u) where
+        counts_u is the multiplicity of each distinct (seg, code)."""
+        order = np.lexsort((codes, segs))
+        cs, ss = codes[order], segs[order]
+        first = np.ones(len(cs), dtype=bool)
+        first[1:] = (cs[1:] != cs[:-1]) | (ss[1:] != ss[:-1])
+        idx = np.flatnonzero(first)
+        counts = np.diff(np.r_[idx, len(cs)])
+        return cs[idx], ss[idx], counts
+
+    def _gram_metric(self, words, n_words, n, n_chars, want_top: bool):
+        n_docs = len(n_words)
+        out = np.zeros(n_docs, dtype=np.float64)
+        grams, gcounts = flat_kgrams(words, n_words, n, pad_small=False)
+        if len(grams) == 0:
+            denom = np.maximum(n_chars, 1).astype(np.float64)
+            return np.where(n_chars > 0, out / denom, 0.0)
+        import pyarrow.compute as pc
+
+        codes, uniques = pd.factorize(
+            grams.to_numpy(zero_copy_only=False), sort=False
         )
-        glen = cnt["g"].str.len().to_numpy(dtype=np.int64)
-        val = cnt["c"].to_numpy(dtype=np.int64) * glen
-        seg = cnt["s"].to_numpy()
+        glen_all = pc.utf8_length(grams).to_numpy().astype(np.int64)
+        glen_of_code = np.zeros(len(uniques), dtype=np.int64)
+        glen_of_code[codes] = glen_all
+        segs = np.repeat(np.arange(n_docs, dtype=np.int64), gcounts)
+        cu, su, counts = self._dedupe_per_seg(codes.astype(np.int64), segs)
+        val = counts * glen_of_code[cu]
+        bounds = np.flatnonzero(np.r_[True, su[1:] != su[:-1]])
         if want_top:
-            agg = pd.Series(val).groupby(seg, sort=False).max()
+            agg = np.maximum.reduceat(val, bounds)
         else:
-            dup = cnt["c"].to_numpy() > 1
-            agg = pd.Series(np.where(dup, val, 0)).groupby(
-                seg, sort=False
-            ).sum()
-        out[agg.index.to_numpy()] = agg.to_numpy(dtype=np.float64)
+            agg = np.add.reduceat(np.where(counts > 1, val, 0), bounds)
+        out[su[bounds]] = agg.astype(np.float64)
         denom = np.maximum(n_chars, 1).astype(np.float64)
         return np.where(n_chars > 0, out / denom, 0.0)
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
-        texts = tbl.column(self.text_col).to_pandas().fillna("")
-        n_docs = len(texts)
-        n_chars = texts.str.len().to_numpy(dtype=np.int64)
-        words_list = [self.word_re.findall(t.lower()) for t in texts]
-        n_words = np.array([len(w) for w in words_list], dtype=np.int64)
-        if n_docs:
-            flat = []
-            segs = []
-            for i, ws in enumerate(words_list):
-                flat.extend(ws)
-                segs.extend([i] * len(ws))
-            if flat:
-                uniq = (
-                    pd.DataFrame({"s": segs, "w": flat})
-                    .groupby("s", sort=False)["w"].nunique()
-                )
-                nuniq = np.zeros(n_docs, dtype=np.float64)
-                nuniq[uniq.index.to_numpy()] = uniq.to_numpy()
-            else:
-                nuniq = np.zeros(n_docs, dtype=np.float64)
+        import pyarrow.compute as pc
+
+        col = tbl.column(self.text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        filled = pc.fill_null(col, "")
+        n_docs = len(filled)
+        n_chars = pc.utf8_length(filled).to_numpy().astype(np.int64)
+        words, n_words = word_stream(filled)
+        if n_docs and len(words):
+            codes, _ = pd.factorize(
+                words.to_numpy(zero_copy_only=False), sort=False
+            )
+            segs = np.repeat(np.arange(n_docs, dtype=np.int64), n_words)
+            _, su, _ = self._dedupe_per_seg(codes.astype(np.int64), segs)
+            nuniq = np.bincount(su, minlength=n_docs).astype(np.float64)
         else:
-            nuniq = np.zeros(0, dtype=np.float64)
+            nuniq = np.zeros(n_docs, dtype=np.float64)
         with np.errstate(invalid="ignore", divide="ignore"):
             dup_word = np.where(
                 n_words > 0, 1.0 - nuniq / n_words, 0.0
@@ -502,11 +680,11 @@ class RepetitionStats:
         for n in self.top_ns:
             tbl = tbl.append_column(
                 f"top{n}gram_char_frac",
-                pa.array(self._gram_metric(words_list, n, n_chars, True)),
+                pa.array(self._gram_metric(words, n_words, n, n_chars, True)),
             )
         for n in self.dup_ns:
             tbl = tbl.append_column(
                 f"dup{n}gram_char_frac",
-                pa.array(self._gram_metric(words_list, n, n_chars, False)),
+                pa.array(self._gram_metric(words, n_words, n, n_chars, False)),
             )
         return tbl

@@ -1045,6 +1045,48 @@ def q_join_lineitem_orders(sf_dir):
     )
 
 
+def q_semi_join_orders(sf_dir):
+    """Semi join (existence filter) on the co-partitioned shuffle plan:
+    orders that have at least one lineitem. Only the DISTINCT right keys
+    ride the exchange — the curation primitive behind `keep docs whose id
+    appears in the manifest`."""
+    from recipys_ray.ops.join import hash_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+    out = hash_join(
+        orders, li, on="o_orderkey", right_on="l_orderkey",
+        how="semi", strategy="shuffle",
+    )
+    return _select(out, ["o_orderkey", "o_totalprice"])
+
+
+def q_anti_join_customer(sf_dir):
+    """Anti join (negative existence) on the broadcast plan: customers with
+    no order above 300k — the decontamination shape (drop rows whose key
+    appears in a small blocklist) as a first-class join."""
+    from recipys_ray.ops.join import hash_join
+
+    customer = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.greater(t.column("o_totalprice"), 300000.0)
+        ).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    out = hash_join(
+        customer, orders, on="c_custkey", right_on="o_custkey",
+        how="anti", strategy="broadcast",
+    )
+    return _select(out, ["c_custkey", "c_name"])
+
+
 # --------------------------------------------------------------------- #
 # oracle SQL (DuckDB) — names match the Ray outputs 1:1
 # --------------------------------------------------------------------- #
@@ -1783,6 +1825,16 @@ ORACLES: dict[str, str] = {
                o_orderpriority
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     """,
+    "semi_join_orders": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+    """,
+    "anti_join_customer": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_totalprice > 300000)
+    """,
     "knn_cosine": """
         WITH q AS (SELECT vec_id AS query_id, embedding AS qe
                    FROM embeddings WHERE vec_id < 5),
@@ -1825,6 +1877,8 @@ QUERIES = {
     "normalize_text": q_normalize_text,
     "join_orders_customer": q_join_orders_customer,
     "join_lineitem_orders": q_join_lineitem_orders,
+    "semi_join_orders": q_semi_join_orders,
+    "anti_join_customer": q_anti_join_customer,
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
     "vocab_top100": q_vocab_top100,

@@ -294,6 +294,21 @@ class TestMultimodal:
         assert not out["decode_ok"].any()
         assert out["img_width"].isna().all()
 
+    def test_decode_pil_guarded_path(self):
+        # Where PIL exists the compressed-codec fallback decodes for real;
+        # in this sandbox (no PIL) the guard must leave decode_ok=False.
+        pil = pytest.importorskip("PIL.Image", reason="PIL not installed")
+        import io as _io
+
+        im = pil.new("RGB", (8, 5), (10, 20, 30))
+        buf = _io.BytesIO()
+        im.save(buf, format="PNG")
+        tbl = pa.table({"image": pa.array([buf.getvalue()], pa.binary())})
+        out = DecodeImage(binary_col="image", fake=False)(tbl).to_pandas()
+        assert out["decode_ok"].all()
+        assert out["img_width"].tolist() == [8]
+        assert out["img_height"].tolist() == [5]
+
     def test_sample_frames_real_still_raises(self):
         from recipys_ray.ops.multimodal import SampleFrames
 
@@ -1181,3 +1196,133 @@ class TestGlobalRank:
         ).to_pandas().sort_values("rank", ignore_index=True)
         assert out["v"].tolist() == [3.0, 3.0, 2.0, 2.0, 1.0, 0.5]
         assert out[out["v"] == 3.0]["id"].tolist() == [0, 3]  # tie by id
+
+
+class TestArrowTokenization:
+    """The Arrow-RE2 tokenization kernels must match Python re semantics on
+    real-world (ASCII) text byte-for-byte — the goldens and the DuckDB
+    oracles both depend on it."""
+
+    CASES = [
+        None, "", "one", "two words!", "  leading and trailing  ",
+        "punct,only.!?", "MiXeD CaSe 123", "a" * 300,
+        "tab\tsep\nnewline", "d'apostrophe it's", "under_score ok",
+        "!!!", "a b", "x y z w v",
+    ]
+
+    def _col(self):
+        import pyarrow as pa
+
+        return pa.array(self.CASES, pa.string())
+
+    def test_word_stream_matches_python_re(self):
+        import re
+
+        from recipys_ray.ops.text import word_stream
+
+        words, counts = word_stream(self._col())
+        word_re = re.compile(r"\w+", re.UNICODE)
+        expected = [word_re.findall((t or "").lower()) for t in self.CASES]
+        assert counts.tolist() == [len(w) for w in expected]
+        flat = [w for ws in expected for w in ws]
+        assert words.to_pylist() == flat
+
+    def test_flat_kgrams_matches_python(self):
+        import re
+
+        from recipys_ray.ops.text import flat_kgrams, word_stream
+
+        word_re = re.compile(r"\w+", re.UNICODE)
+        words, counts = word_stream(self._col())
+        for k in (2, 3, 5):
+            grams, gcounts = flat_kgrams(words, counts, k)
+            expected = []
+            for t in self.CASES:
+                ws = word_re.findall((t or "").lower())
+                if len(ws) < k:
+                    expected.append([" ".join(ws)])
+                else:
+                    expected.append(
+                        [" ".join(ws[i : i + k])
+                         for i in range(len(ws) - k + 1)]
+                    )
+            assert gcounts.tolist() == [len(g) for g in expected]
+            assert grams.to_pylist() == [g for gs in expected for g in gs]
+            # Gopher convention: short docs yield NO grams
+            grams2, gcounts2 = flat_kgrams(words, counts, k, pad_small=False)
+            expected2 = [g if len(g[0].split(" ")) >= k or len(g) > 1 else []
+                         for g in expected]
+            assert sum(gcounts2.tolist()) == len(grams2)
+
+    def test_poly_hash_arrow_matches_generic(self):
+        import pyarrow as pa
+
+        from recipys_ray.ops.text import poly_hash
+
+        ss = ["", "a", "abc", "héllo wörld", "日本語", "x" * 500, "", "end"]
+        ref = poly_hash(ss)  # generic utf-32 path
+        got = poly_hash(pa.array(ss))  # Arrow path (falls back: non-ASCII)
+        np.testing.assert_array_equal(ref, got)
+        ascii_only = ["", "a", "abc", "x" * 500, "", "end", "a b c"]
+        np.testing.assert_array_equal(
+            poly_hash(ascii_only), poly_hash(pa.array(ascii_only))
+        )
+        # chunk-boundary torture on the vectorized core
+        np.testing.assert_array_equal(
+            poly_hash(pa.array(ascii_only * 7), chunk=11),
+            poly_hash(ascii_only * 7),
+        )
+
+    def test_verify_pairs_jaccard_bounded(self, ray_session):
+        import ray.data as rd
+
+        from recipys_ray.ops.dedup import verify_pairs_jaccard
+
+        docs = pd.DataFrame(
+            {"doc_id": np.arange(6, dtype=np.int64),
+             "text": ["alpha beta gamma delta"] * 3
+                     + ["different text entirely here"] * 3}
+        )
+        pairs = pd.DataFrame({"a": [0, 3], "b": [1, 4]})
+        out = verify_pairs_jaccard(rd.from_pandas(docs), pairs, k=3)
+        assert len(out) == 2
+        with pytest.raises(ValueError, match="max_candidates"):
+            verify_pairs_jaccard(
+                rd.from_pandas(docs), pairs, k=3, max_candidates=2
+            )
+
+
+class TestSemiAntiJoin:
+    def _data(self):
+        left = pd.DataFrame({
+            "k": np.array([1, 1, 2, 3, 4], dtype=np.int64),
+            "v": np.array([10, 11, 20, 30, 40], dtype=np.int32),
+        })
+        right = pd.DataFrame({
+            "rk": np.array([1, 1, 3, 9], dtype=np.int64),
+            "w": ["a", "b", "c", "d"],
+        })
+        return left, right
+
+    @pytest.mark.parametrize("strategy", ["broadcast", "shuffle"])
+    @pytest.mark.parametrize("how", ["semi", "anti"])
+    def test_existence_joins(self, ray_session, strategy, how):
+        import ray.data as rd
+
+        from recipys_ray.ops.join import hash_join
+
+        left, right = self._data()
+        out = hash_join(
+            rd.from_pandas(left).repartition(3),
+            rd.from_pandas(right).repartition(2),
+            on="k", right_on="rk", how=how, strategy=strategy,
+            num_partitions=4,
+        ).to_pandas().sort_values("v", ignore_index=True)
+        in_right = left["k"].isin(right["rk"])
+        expect = left[in_right if how == "semi" else ~in_right].sort_values(
+            "v", ignore_index=True
+        )
+        pd.testing.assert_frame_equal(out, expect)
+        # no right columns, no row multiplication, dtypes preserved
+        assert list(out.columns) == ["k", "v"]
+        assert out["v"].dtype == np.int32
