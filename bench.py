@@ -208,6 +208,13 @@ def run_scaling():
                 f"turns_per_sec_{hi}": tp_hi,
                 f"sec_{lo}": r_lo["value"],
                 f"sec_{hi}": r_hi["value"],
+                # whole-box cpu-seconds per child (median over its runs):
+                # flat cpu_sec across cpu counts ⇒ the work is constant and
+                # wall differences are scheduling/bandwidth, not extra work
+                f"cpu_sec_{lo}": r_lo.get("cpu_sec_median"),
+                f"cpu_sec_{hi}": r_hi.get("cpu_sec_median"),
+                f"runs_{lo}": r_lo.get("value_runs"),
+                f"runs_{hi}": r_hi.get("value_runs"),
                 "scaling_efficiency": round(eff, 3),
             }
         )

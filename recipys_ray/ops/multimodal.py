@@ -344,35 +344,83 @@ class ByteHistogramFeatures:
 
 
 class SampleFrames:
-    """Video frame sampling stub: emits one row per sampled frame index with
-    the real flat_map-style row-multiplication plumbing; actual frame
-    extraction would live where ``NotImplementedError`` marks it."""
+    """Video frame sampling: one row per sampled frame (flat_map-style row
+    multiplication).
+
+    ``fake=True``: deterministic frame indices from payload size (plumbing
+    test mode, no decode). ``fake=False``: REAL extraction via an ffmpeg
+    subprocess once per payload (guarded by ``shutil.which`` — this sandbox
+    has no ffmpeg, so construction raises ``NotImplementedError`` here;
+    wherever ffmpeg exists each sampled frame also gets ``frame_png``
+    bytes). The actor holds no per-batch state; ffmpeg availability is
+    probed once per actor in ``__init__``."""
 
     def __init__(self, binary_col: str = "video", every_n: int = 30,
                  max_frames: int = 8, fake: bool = True):
         self.binary_col = binary_col
         self.every_n = every_n
         self.max_frames = max_frames
+        self.fake = fake
         if not fake:
-            raise NotImplementedError(
-                "Frame extraction requires ffmpeg/pyav, not available here."
-            )
+            import shutil
+
+            self._ffmpeg = shutil.which("ffmpeg")
+            if self._ffmpeg is None:
+                raise NotImplementedError(
+                    "Frame extraction requires ffmpeg (not on PATH here); "
+                    "use fake=True for plumbing tests."
+                )
+
+    def _extract(self, payload: bytes) -> list[bytes]:
+        """ffmpeg: select every Nth frame, emit PNG images to stdout
+        (image2pipe); returns up to max_frames PNG byte strings."""
+        import subprocess
+
+        proc = subprocess.run(
+            [
+                self._ffmpeg, "-loglevel", "error", "-i", "pipe:0",
+                "-vf", f"select=not(mod(n\\,{self.every_n}))",
+                "-vsync", "vfr", "-frames:v", str(self.max_frames),
+                "-f", "image2pipe", "-vcodec", "png", "pipe:1",
+            ],
+            input=payload, capture_output=True,
+        )
+        if proc.returncode != 0 or not proc.stdout:
+            return []
+        sig = b"\x89PNG\r\n\x1a\n"
+        parts = proc.stdout.split(sig)
+        return [sig + p for p in parts[1:]]
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
         payloads = tbl.column(self.binary_col).to_pylist()
-        n_frames = np.array(
-            [
-                min(self.max_frames, max(1, (len(p) if p else 0) // (self.every_n * 1024) + 1))
-                for p in payloads
-            ],
-            dtype=np.int64,
-        )
+        if self.fake:
+            n_frames = np.array(
+                [
+                    min(self.max_frames,
+                        max(1, (len(p) if p else 0)
+                            // (self.every_n * 1024) + 1))
+                    for p in payloads
+                ],
+                dtype=np.int64,
+            )
+            frames = None
+        else:
+            per_row = [self._extract(p) if p else [] for p in payloads]
+            n_frames = np.array([len(f) for f in per_row], dtype=np.int64)
+            frames = [png for fs in per_row for png in fs]
         idx = np.repeat(np.arange(len(payloads)), n_frames)
-        frame_no = np.concatenate([np.arange(k) for k in n_frames])
+        frame_no = np.concatenate(
+            [np.arange(k) for k in n_frames]
+        ) if len(n_frames) else np.empty(0, np.int64)
         base = tbl.take(pa.array(idx))
-        return base.append_column(
+        base = base.append_column(
             "frame_no", pa.array(frame_no.astype(np.int32))
         )
+        if frames is not None:
+            base = base.append_column(
+                "frame_png", pa.array(frames, pa.binary())
+            )
+        return base
 
 
 def decode_images(ds, binary_col: str = "image", concurrency: int = 4,

@@ -108,14 +108,27 @@ def knn_brute_force(
         batch_format="pyarrow",
         concurrency=concurrency,
     ).to_pandas()  # per-batch top-k only — tiny
-    out = []
-    for q, grp in partials.groupby("query_idx"):
-        grp = grp.sort_values(
-            ["sim", id_col], ascending=[False, True], kind="stable"
-        ).head(k)
-        grp = grp.assign(rank=np.arange(len(grp)))
-        out.append(grp)
-    return pd.concat(out, ignore_index=True)
+    return _finish_topk(partials, k, id_col)
+
+
+def _finish_topk(partials: pd.DataFrame, k: int, id_col: str) -> pd.DataFrame:
+    """Merge per-batch partial top-k into the global per-query top-k: ONE
+    vectorized sort + cumcount over all queries (no per-query Python loop —
+    scales to q=10⁶ merged rows on the driver; a groupby-partition finish
+    is the next step beyond that)."""
+    if not len(partials):
+        out = partials.copy()
+        out["rank"] = np.array([], dtype=np.int64)
+        return out
+    p = partials.sort_values(
+        ["query_idx", "sim", id_col],
+        ascending=[True, False, True],
+        kind="stable",
+        ignore_index=True,
+    )
+    rank = p.groupby("query_idx", sort=False).cumcount()
+    p["rank"] = rank
+    return p[rank < k].reset_index(drop=True)
 
 
 def _kmeans_fit(X: np.ndarray, n_clusters: int, iters: int = 10, seed: int = 3):
@@ -186,11 +199,4 @@ def knn_ivf(
         batch_format="pyarrow",
         concurrency=4,
     ).to_pandas()
-    out = []
-    for q, grp in partials.groupby("query_idx"):
-        grp = grp.sort_values(
-            ["sim", id_col], ascending=[False, True], kind="stable"
-        ).head(k)
-        grp = grp.assign(rank=np.arange(len(grp)))
-        out.append(grp)
-    return pd.concat(out, ignore_index=True) if out else partials
+    return _finish_topk(partials, k, id_col)

@@ -309,9 +309,33 @@ class TestMultimodal:
         assert out["img_width"].tolist() == [8]
         assert out["img_height"].tolist() == [5]
 
-    def test_sample_frames_real_still_raises(self):
+    def test_sample_frames_real_with_ffmpeg(self):
+        # real frame extraction runs only where ffmpeg exists on PATH
+        import shutil
+
+        if shutil.which("ffmpeg") is None:
+            pytest.skip("ffmpeg not on PATH")
+        import subprocess
+
+        # 1-second synthetic test clip from ffmpeg itself
+        clip = subprocess.run(
+            ["ffmpeg", "-loglevel", "error", "-f", "lavfi", "-i",
+             "testsrc=duration=1:size=64x48:rate=10", "-f", "mpegts",
+             "pipe:1"],
+            capture_output=True, check=True,
+        ).stdout
+        tbl = pa.table({"video": pa.array([clip], pa.binary())})
+        out = SampleFrames("video", every_n=3, max_frames=2, fake=False)(tbl)
+        assert out.num_rows >= 1
+        assert out.column("frame_png")[0].as_py()[:4] == b"\x89PNG"
+
+    def test_sample_frames_real_raises_without_ffmpeg(self):
+        import shutil
+
         from recipys_ray.ops.multimodal import SampleFrames
 
+        if shutil.which("ffmpeg") is not None:
+            pytest.skip("ffmpeg present — covered by the real-path test")
         with pytest.raises(NotImplementedError, match="ffmpeg"):
             SampleFrames(binary_col="video", fake=False)
 
