@@ -400,17 +400,11 @@ def build_vocab(
     """
 
     def partial(tbl: pa.Table) -> pa.Table:
-        texts = tbl.column(text_col).to_pandas().fillna("")
-        toks: list[str] = []
-        counts = np.empty(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            ws = _WORD_RE.findall(t.lower())
-            counts[i] = len(ws)
-            toks.extend(ws)
-        arr = np.array(toks, dtype=object)
+        words, counts = word_stream(tbl.column(text_col))
+        arr = words.to_numpy(zero_copy_only=False)
         vals, cnt = np.unique(arr, return_counts=True)
         # doc_freq: distinct (doc, token) pairs
-        doc_ids = np.repeat(np.arange(len(texts)), counts)
+        doc_ids = np.repeat(np.arange(len(counts)), counts)
         pair_df = pd.DataFrame({"d": doc_ids, "t": arr}).drop_duplicates()
         df_cnt = pair_df.groupby("t", sort=True).size()
         return pa.table(
@@ -447,6 +441,120 @@ def build_vocab(
     ).head(top_k)
     out["rank"] = np.arange(len(out), dtype=np.int64)
     return out
+
+
+class _UnigramScorer:
+    """Actor-pool stage: broadcast unigram LM resolved once per actor; per
+    batch, vectorized word→count mapping + segmented sums."""
+
+    def __init__(self, text_col, id_col, counts_ref, total_n):
+        import ray
+
+        self.text_col = text_col
+        self.id_col = id_col
+        # {token: corpus count} for the top-K vocab — plasma shared read
+        self.counts = ray.get(counts_ref) if not isinstance(
+            counts_ref, dict
+        ) else counts_ref
+        self.ln_n = float(np.log(float(total_n))) if total_n else 0.0
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        words, n_words = word_stream(tbl.column(self.text_col))
+        n_docs = tbl.num_rows
+        w_np = words.to_numpy(zero_copy_only=False)
+        cnt = pd.Series(w_np, dtype=object).map(self.counts)
+        oov = cnt.isna().to_numpy()
+        cnt_i = cnt.fillna(0).to_numpy(dtype=np.int64)
+        # per-word logprob: ln(c_w) − ln N; OOV floor = −ln N (count 1)
+        with np.errstate(divide="ignore"):
+            logp = np.where(
+                oov, -self.ln_n, np.log(cnt_i.astype(np.float64)) - self.ln_n
+            )
+        offsets = np.r_[0, np.cumsum(n_words)]
+        nz = n_words > 0
+        oov_count = np.zeros(n_docs, dtype=np.int64)
+        vsum = np.zeros(n_docs, dtype=np.int64)
+        lsum = np.zeros(n_docs, dtype=np.float64)
+        if nz.any():
+            starts = offsets[:-1][nz]
+            oov_count[nz] = np.add.reduceat(oov.astype(np.int64), starts)
+            vsum[nz] = np.add.reduceat(cnt_i, starts)
+            lsum[nz] = np.add.reduceat(logp, starts)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            oov_rate = np.where(
+                nz, oov_count.astype(np.float64) / n_words, np.nan
+            )
+            logprob_mean = np.where(nz, lsum / n_words, np.nan)
+            perplexity = np.where(nz, np.exp(-logprob_mean), np.nan)
+        for name, arr, typ in [
+            ("n_words", n_words, pa.int64()),
+            ("oov_count", oov_count, pa.int64()),
+            ("vocab_count_sum", vsum, pa.int64()),
+            ("oov_rate", oov_rate, pa.float64()),
+            ("logprob_mean", logprob_mean, pa.float64()),
+            ("perplexity", perplexity, pa.float64()),
+        ]:
+            tbl = tbl.append_column(
+                name, pa.array(arr, typ, from_pandas=True)
+            )
+        return tbl
+
+
+def unigram_lm_score(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 1000,
+    num_partitions: int = 64,
+    concurrency=(1, 8),
+    batch_size: int = 4096,
+):
+    """CCNet-style unigram language-model quality scoring (Wenzek et al.
+    2020 filter corpora by LM perplexity; the unigram variant is the
+    self-contained form).
+
+    Fit: exact top-``top_k`` vocabulary (:func:`build_vocab` — combiner →
+    hash-partition finish) plus one combiner pass for the total token count
+    N. The model ({token: count}, N) is tiny and broadcast via ``ray.put``;
+    the scoring pass is shuffle-free.
+
+    Per document: ``n_words``, ``oov_count``, ``vocab_count_sum`` (Σ corpus
+    counts of in-vocab words — integer-exact, the contract-checkable
+    backbone), ``oov_rate``, and the float LM scores ``logprob_mean``
+    (mean of ln c_w − ln N, OOV floored at −ln N) and ``perplexity`` =
+    exp(−logprob_mean). Empty documents score NULL. The float columns are
+    unit-tested against a sequential reference rather than SQL: numpy's
+    SIMD ``log`` differs from DuckDB's libm ``ln`` by 1 ulp on ~20% of
+    inputs, so a bit-exact SQL oracle over logs is not attainable.
+    """
+    import ray
+
+    vocab = build_vocab(ds, text_col, top_k, num_partitions)
+    counts = dict(zip(vocab["token"], vocab["count"].astype(int)))
+
+    def batch_n(tbl: pa.Table) -> pa.Table:
+        _, c = word_stream(tbl.column(text_col))
+        return pa.table({"n": pa.array([int(c.sum())], pa.int64())})
+
+    total_n = int(
+        ds.select_columns([text_col])
+        .map_batches(batch_n, batch_format="pyarrow")
+        .sum("n")
+        or 0
+    )
+    counts_ref = ray.put(counts)
+    return ds.map_batches(
+        _UnigramScorer,
+        fn_constructor_kwargs={
+            "text_col": text_col,
+            "id_col": id_col,
+            "counts_ref": counts_ref,
+            "total_n": total_n,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
 
 
 def tfidf_top_terms(

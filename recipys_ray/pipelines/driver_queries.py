@@ -813,6 +813,24 @@ def q_vocab_top100(sf_dir):
     return build_vocab(ds, top_k=100)
 
 
+def q_lm_score(sf_dir):
+    """CCNet-style unigram LM scoring (ops/text.py unigram_lm_score):
+    fit exact top-100 vocab + total count, broadcast, shuffle-free scoring.
+    The contract checks the integer-exact backbone (n_words, oov_count,
+    vocab_count_sum) + oov_rate (single int/int division — bit-exact);
+    the float log scores are unit-tested against a sequential reference
+    (numpy log differs from DuckDB ln by 1 ulp on ~20% of inputs)."""
+    from recipys_ray.ops.text import unigram_lm_score
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = unigram_lm_score(ds, top_k=10)
+    return _select(
+        out, ["doc_id", "n_words", "oov_count", "vocab_count_sum", "oov_rate"]
+    )
+
+
 def q_distinct_parts(sf_dir):
     """Exact distinct l_partkey per l_returnflag (ops/distinct.py combiner
     plan); the HLL variant is the scale path, error-tested in unit tests."""
@@ -1504,6 +1522,37 @@ ORACLES: dict[str, str] = {
                     AS BIGINT) AS "rank"
         FROM tot ORDER BY count DESC, token ASC LIMIT 100
     """,
+    "lm_score": r"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                           '\w+')) AS token
+          FROM documents
+        ),
+        vocab AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS c
+          FROM tok GROUP BY token
+          ORDER BY c DESC, token ASC LIMIT 10
+        ),
+        per_doc AS (
+          SELECT tok.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_words,
+                 CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS oov_count,
+                 CAST(coalesce(sum(v.c), 0) AS BIGINT) AS vocab_count_sum
+          FROM tok LEFT JOIN vocab v USING (token)
+          GROUP BY tok.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
+               CAST(coalesce(p.oov_count, 0) AS BIGINT) AS oov_count,
+               CAST(coalesce(p.vocab_count_sum, 0) AS BIGINT)
+                 AS vocab_count_sum,
+               CASE WHEN coalesce(p.n_words, 0) > 0
+                    THEN CAST(p.oov_count AS DOUBLE) / p.n_words
+                    ELSE NULL END AS oov_rate
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
     "pack_sequences": """
         WITH c AS (
           SELECT doc_id, n_chars,
@@ -1882,6 +1931,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
     "vocab_top100": q_vocab_top100,
+    "lm_score": q_lm_score,
     "tfidf_top3": q_tfidf_top3,
     "top_docs_per_source": q_top_docs_per_source,
     "exact_quantiles": q_exact_quantiles,

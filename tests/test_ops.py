@@ -1350,3 +1350,80 @@ class TestSemiAntiJoin:
         # no right columns, no row multiplication, dtypes preserved
         assert list(out.columns) == ["k", "v"]
         assert out["v"].dtype == np.int32
+
+
+class TestUnigramLM:
+    def test_matches_sequential_reference(self, ray_session):
+        """Distributed fit+score vs an independent sequential reference —
+        exact ints AND bit-equal float log scores (same numpy log, same
+        sequential-within-doc summation order on both sides)."""
+        import re as _re
+
+        from recipys_ray.ops.text import unigram_lm_score
+
+        pdf = pd.DataFrame({
+            "doc_id": np.arange(8, dtype=np.int64),
+            "text": [
+                "the cat sat on the mat",
+                "the dog sat on the log",
+                "completely novel words here zanzibar quux",
+                "the the the the",
+                "", "!!!",  # empty + no-word docs
+                "cat dog cat dog cat",
+                None,
+            ],
+        })
+        out = (
+            unigram_lm_score(
+                rd.from_pandas(pdf).repartition(3), top_k=5
+            )
+            .to_pandas().sort_values("doc_id", ignore_index=True)
+        )
+        # sequential reference
+        word_re = _re.compile(r"\w+")
+        docs = [word_re.findall((t or "").lower()) for t in pdf["text"]]
+        from collections import Counter
+
+        all_counts = Counter(w for ws in docs for w in ws)
+        vocab = dict(sorted(
+            all_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )[:5])
+        N = sum(all_counts.values())
+        for i, ws in enumerate(docs):
+            n = len(ws)
+            assert out.loc[i, "n_words"] == n
+            oov = sum(1 for w in ws if w not in vocab)
+            assert out.loc[i, "oov_count"] == oov
+            assert out.loc[i, "vocab_count_sum"] == sum(
+                vocab.get(w, 0) for w in ws
+            )
+            if n == 0:
+                assert np.isnan(out.loc[i, "logprob_mean"])
+                assert np.isnan(out.loc[i, "perplexity"])
+                continue
+            lsum = 0.0
+            for w in ws:  # sequential order == reduceat order
+                lsum += (
+                    np.log(float(vocab[w])) - np.log(float(N))
+                    if w in vocab else -np.log(float(N))
+                )
+            ref_mean = lsum / n
+            assert out.loc[i, "logprob_mean"] == ref_mean
+            assert out.loc[i, "perplexity"] == np.exp(-ref_mean)
+
+    def test_partition_invariance(self, ray_session):
+        from recipys_ray.ops.text import unigram_lm_score
+
+        pdf = pd.DataFrame({
+            "doc_id": np.arange(40, dtype=np.int64),
+            "text": [f"tok{i % 7} tok{i % 3} filler words {i}"
+                     for i in range(40)],
+        })
+        outs = []
+        for parts in (1, 5):
+            outs.append(
+                unigram_lm_score(
+                    rd.from_pandas(pdf).repartition(parts), top_k=6
+                ).to_pandas().sort_values("doc_id", ignore_index=True)
+            )
+        pd.testing.assert_frame_equal(outs[0], outs[1])
