@@ -133,6 +133,13 @@ def bench_queries() -> dict:
         "curate_corpus",
         "exact_quantiles",
         "top_docs_per_source",
+        "join_orders_customer",
+        "join_lineitem_orders",
+        "semi_join_orders",
+        "lm_score",
+        "dedup_simhash",
+        "langid_quality",
+        "global_rank",
         "historical_salted",
     ]
     out = {}

@@ -59,9 +59,17 @@ def main(sf_dir: str = "/root/testdata/sf0.001",
     enriched = text_features(train, text_col="text")
     keywords = tfidf_top_terms(train, vocab_size=500, top_n=3)
 
-    # 4. resumable partitioned sinks
+    # 4. unigram-LM quality scoring (CCNet-style perplexity filter):
+    #    fit vocab + total count on the deduped train split, broadcast,
+    #    score shuffle-free — filter downstream on oov_rate / perplexity
+    from recipys_ray.ops.text import unigram_lm_score
+
+    scored = unigram_lm_score(train, text_col="text", top_k=500)
+
+    # 5. resumable partitioned sinks
     enriched.write_parquet(f"{out_dir}/train_features")
     keywords.write_parquet(f"{out_dir}/train_keywords")
+    scored.write_parquet(f"{out_dir}/train_lm_scores")
     n = enriched.count()
     print({"train_docs": n, "out": out_dir})
     return n

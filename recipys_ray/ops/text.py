@@ -656,6 +656,56 @@ EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _WS_RUN_RE = r"\s+"
 
 
+# PII patterns (RE2 — identical engine in Arrow and DuckDB). Order matters:
+# emails first (so their digit runs can't half-match as phones), then
+# phones, then IPv4.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?\d[\d\-\s()]{6,}\d"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def redact_pii(
+    ds,
+    text_col: str = "text",
+    out_col: str = "clean_text",
+    batch_size: int = 4096,
+):
+    """PII scrubbing stage: redact emails → phone numbers → IPv4 addresses
+    (``<EMAIL>``/``<PHONE>``/``<IP>``) and emit per-document match counts
+    (``n_emails``/``n_phones``/``n_ips``) for curation audits.
+
+    Pure Arrow RE2 kernels (count then replace, both C++), stateless
+    task-pool stage. The replacement ORDER is part of the contract — the
+    driver oracle replays the identical regexp_replace chain in DuckDB
+    (same RE2 engine, byte-identical outputs); append new patterns at the
+    END."""
+    import pyarrow.compute as pc
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        arr = tbl.column(text_col)
+        counts = {}
+        for name, pat in (
+            ("n_emails", PII_EMAIL_RE),
+            ("n_phones", PII_PHONE_RE),
+            ("n_ips", PII_IPV4_RE),
+        ):
+            counts[name] = pc.count_substring_regex(arr, pattern=pat)
+            # count BEFORE each replace so later patterns see redacted text
+            # exactly like the sequential SQL chain does
+            arr = pc.replace_substring_regex(
+                arr,
+                pattern=pat,
+                replacement={"n_emails": "<EMAIL>", "n_phones": "<PHONE>",
+                             "n_ips": "<IP>"}[name],
+            )
+        tbl = tbl.append_column(out_col, arr)
+        for name, c in counts.items():
+            tbl = tbl.append_column(name, c.cast(pa.int64()))
+        return tbl
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
 def normalize_text(
     ds,
     text_col: str = "text",

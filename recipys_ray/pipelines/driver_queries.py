@@ -831,6 +831,56 @@ def q_lm_score(sf_dir):
     )
 
 
+def q_redact_pii(sf_dir):
+    """PII scrubbing (ops/text.py redact_pii): deterministic PII strings
+    are appended identically on both sides (the corpus itself has none),
+    then the email→phone→IPv4 count+replace chain runs — RE2 on both
+    engines, byte-identical outputs."""
+    from recipys_ray.ops.text import redact_pii
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def dirty(tbl: pa.Table) -> pa.Table:
+        did = tbl.column("doc_id")
+        txt = pc.fill_null(tbl.column("text"), "")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        dnp = did.to_numpy(zero_copy_only=False)
+        n = len(dnp)
+        t = pc.binary_join_element_wise(
+            txt,
+            pa.array(np.full(n, " u", dtype=object)),
+            pa.array(dnp.astype("U"), pa.string()),
+            pa.array(
+                np.full(n, "@ex.org ph +44 7911 123456 ip 10.0.0.",
+                        dtype=object)
+            ),
+            pa.array((dnp % 200).astype("U"), pa.string()),
+            "",
+        )
+        return pa.table({"doc_id": did, "text": t})
+
+    out = redact_pii(docs.map_batches(dirty, batch_format="pyarrow"))
+    return _select(
+        out, ["doc_id", "clean_text", "n_emails", "n_phones", "n_ips"]
+    )
+
+
+def q_chunk_documents(sf_dir):
+    """Fixed-size training-window chunking (ops/chunking.py): 120-char
+    chunks, 20-char overlap — rows multiply in one streaming flat-map
+    pass; oracle is substr over a lateral generate_series."""
+    from recipys_ray.ops.chunking import chunk_documents
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = chunk_documents(docs, chunk_chars=120, overlap=20)
+    return _select(out, ["doc_id", "chunk_no", "chunk_text"])
+
+
 def q_distinct_parts(sf_dir):
     """Exact distinct l_partkey per l_returnflag (ops/distinct.py combiner
     plan); the HLL variant is the scale path, error-tested in unit tests."""
@@ -1522,6 +1572,53 @@ ORACLES: dict[str, str] = {
                     AS BIGINT) AS "rank"
         FROM tot ORDER BY count DESC, token ASC LIMIT 100
     """,
+    "redact_pii": rf"""
+        WITH t0 AS (
+          SELECT doc_id,
+                 coalesce(text, '') || ' u' || CAST(doc_id AS VARCHAR)
+                 || '@ex.org ph +44 7911 123456 ip 10.0.0.'
+                 || CAST(doc_id % 200 AS VARCHAR) AS t
+          FROM documents
+        ),
+        t1 AS (
+          SELECT doc_id,
+                 CAST(length(regexp_extract_all(t,
+                   '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{{2,}}'))
+                   AS BIGINT) AS n_emails,
+                 regexp_replace(t,
+                   '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{{2,}}',
+                   '<EMAIL>', 'g') AS r1
+          FROM t0
+        ),
+        t2 AS (
+          SELECT doc_id, n_emails,
+                 CAST(length(regexp_extract_all(r1,
+                   '\+?\d[\d\-\s()]{{6,}}\d')) AS BIGINT) AS n_phones,
+                 regexp_replace(r1, '\+?\d[\d\-\s()]{{6,}}\d',
+                                '<PHONE>', 'g') AS r2
+          FROM t1
+        )
+        SELECT doc_id,
+               regexp_replace(r2, '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b',
+                              '<IP>', 'g') AS clean_text,
+               n_emails, n_phones,
+               CAST(length(regexp_extract_all(r2,
+                 '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b'))
+                 AS BIGINT) AS n_ips
+        FROM t2
+    """,
+    "chunk_documents": """
+        WITH n AS (
+          SELECT doc_id, coalesce(text, '') AS t,
+                 greatest(1, CAST(ceil(
+                   (length(coalesce(text, '')) - 20) / 100.0) AS BIGINT))
+                   AS nc
+          FROM documents
+        )
+        SELECT doc_id, CAST(k AS BIGINT) AS chunk_no,
+               substr(t, CAST(k AS BIGINT) * 100 + 1, 120) AS chunk_text
+        FROM n, UNNEST(generate_series(0, n.nc - 1)) AS g(k)
+    """,
     "lm_score": r"""
         WITH tok AS (
           SELECT doc_id,
@@ -1932,6 +2029,8 @@ QUERIES = {
     "text_stats": q_text_stats,
     "vocab_top100": q_vocab_top100,
     "lm_score": q_lm_score,
+    "redact_pii": q_redact_pii,
+    "chunk_documents": q_chunk_documents,
     "tfidf_top3": q_tfidf_top3,
     "top_docs_per_source": q_top_docs_per_source,
     "exact_quantiles": q_exact_quantiles,

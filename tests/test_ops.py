@@ -1427,3 +1427,63 @@ class TestUnigramLM:
                 ).to_pandas().sort_values("doc_id", ignore_index=True)
             )
         pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+class TestRedactPii:
+    def test_redacts_and_counts(self, ray_session):
+        from recipys_ray.ops.text import redact_pii
+
+        pdf = pd.DataFrame({
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": [
+                "mail me at a.b+x@foo.co or c@bar.org thanks",
+                "call +1-555-123-4567 now",
+                "server at 192.168.0.1 and 10.0.0.255",
+                None,
+            ],
+        })
+        out = (
+            redact_pii(rd.from_pandas(pdf))
+            .to_pandas().sort_values("doc_id", ignore_index=True)
+        )
+        assert out.loc[0, "n_emails"] == 2
+        assert "<EMAIL>" in out.loc[0, "clean_text"]
+        assert "@" not in out.loc[0, "clean_text"]
+        assert out.loc[1, "n_phones"] == 1
+        assert "<PHONE>" in out.loc[1, "clean_text"]
+        assert out.loc[2, "n_ips"] == 2
+        assert out.loc[2, "clean_text"].count("<IP>") == 2
+        assert pd.isna(out.loc[3, "clean_text"])  # null passes through
+
+
+class TestChunkDocuments:
+    def test_chunks_cover_text_exactly(self, ray_session):
+        from recipys_ray.ops.chunking import chunk_documents
+
+        pdf = pd.DataFrame({
+            "doc_id": np.arange(5, dtype=np.int64),
+            "text": ["x" * 7, "abcdefghij", "", None, "yz"],
+        })
+        out = (
+            chunk_documents(rd.from_pandas(pdf), chunk_chars=4, overlap=1)
+            .to_pandas().sort_values(["doc_id", "chunk_no"],
+                                     ignore_index=True)
+        )
+        # step=3, n=ceil((len-1)/3): len 7 → 2 chunks at 0,3 — [0,4)+[3,7)
+        # covers every char; a third chunk would be pure overlap
+        d0 = out[out["doc_id"] == 0]["chunk_text"].tolist()
+        assert d0 == ["xxxx", "xxxx"]
+        d1 = out[out["doc_id"] == 1]["chunk_text"].tolist()
+        assert d1 == ["abcd", "defg", "ghij"]
+        # reconstruct doc 1 from chunks minus overlap
+        assert "".join(c[1:] if i else c for i, c in enumerate(d1))[:10] == "abcdefghij"
+        # empty and null docs still yield exactly one (empty) chunk
+        assert out[out["doc_id"] == 2]["chunk_text"].tolist() == [""]
+        assert out[out["doc_id"] == 3]["chunk_text"].tolist() == [""]
+        assert out[out["doc_id"] == 4]["chunk_text"].tolist() == ["yz"]
+
+    def test_overlap_validation(self):
+        from recipys_ray.ops.chunking import chunk_documents
+
+        with pytest.raises(ValueError, match="overlap"):
+            chunk_documents(None, chunk_chars=4, overlap=4)
