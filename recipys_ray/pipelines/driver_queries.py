@@ -881,6 +881,20 @@ def q_chunk_documents(sf_dir):
     return _select(out, ["doc_id", "chunk_no", "chunk_text"])
 
 
+def q_duplicate_spans(sf_dir):
+    """ExactSubstr-style duplicate span detection (ops/spans.py): 40-char
+    spans sampled every 10 chars, one hash-partitioned exchange, groups on
+    the exact span string. Oracle: substr spans via lateral generate_series
+    + HAVING count(DISTINCT doc_id) ≥ 2."""
+    from recipys_ray.ops.spans import duplicate_spans
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = duplicate_spans(docs, span_chars=40, stride=10)
+    return _select(out, ["doc_id", "span_start", "n_docs"])
+
+
 def q_distinct_parts(sf_dir):
     """Exact distinct l_partkey per l_returnflag (ops/distinct.py combiner
     plan); the HLL variant is the scale path, error-tested in unit tests."""
@@ -1607,6 +1621,27 @@ ORACLES: dict[str, str] = {
                  AS BIGINT) AS n_ips
         FROM t2
     """,
+    "duplicate_spans": """
+        WITH d AS (
+          SELECT doc_id, coalesce(text, '') AS t,
+                 greatest(0, CAST(floor(
+                   (length(coalesce(text, '')) - 40) / 10.0) AS BIGINT) + 1)
+                   AS n
+          FROM documents
+        ),
+        spans AS (
+          SELECT doc_id, CAST(k AS BIGINT) * 10 AS span_start,
+                 substr(t, CAST(k AS BIGINT) * 10 + 1, 40) AS span
+          FROM d, UNNEST(generate_series(0, d.n - 1)) AS g(k)
+        ),
+        shared AS (
+          SELECT span, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+          FROM spans GROUP BY span
+          HAVING count(DISTINCT doc_id) >= 2
+        )
+        SELECT s.doc_id, s.span_start, sh.n_docs
+        FROM spans s JOIN shared sh USING (span)
+    """,
     "chunk_documents": """
         WITH n AS (
           SELECT doc_id, coalesce(text, '') AS t,
@@ -2031,6 +2066,7 @@ QUERIES = {
     "lm_score": q_lm_score,
     "redact_pii": q_redact_pii,
     "chunk_documents": q_chunk_documents,
+    "duplicate_spans": q_duplicate_spans,
     "tfidf_top3": q_tfidf_top3,
     "top_docs_per_source": q_top_docs_per_source,
     "exact_quantiles": q_exact_quantiles,

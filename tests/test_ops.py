@@ -1487,3 +1487,48 @@ class TestChunkDocuments:
 
         with pytest.raises(ValueError, match="overlap"):
             chunk_documents(None, chunk_chars=4, overlap=4)
+
+
+class TestDuplicateSpans:
+    def test_finds_planted_shared_span(self, ray_session):
+        from recipys_ray.ops.spans import duplicate_spans
+
+        shared = "S" * 45  # longer than span_chars so full spans exist
+        pdf = pd.DataFrame({
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": [
+                "prefix one " + shared + " tail a",
+                "другой другой " + shared,  # non-ascii prefix ok
+                "entirely unrelated text that is long enough to span",
+                "short",
+            ],
+        })
+        out = (
+            duplicate_spans(
+                rd.from_pandas(pdf).repartition(2),
+                span_chars=40, stride=5, num_partitions=8,
+            ).to_pandas()
+        )
+        # docs 0 and 1 share the 45-char run: at stride 5 at least one
+        # 40-char window lands fully inside it in both docs
+        assert set(out["doc_id"]) >= {0, 1}
+        assert 2 not in set(out["doc_id"])
+        assert 3 not in set(out["doc_id"])
+        assert (out["n_docs"] >= 2).all()
+
+    def test_identical_docs_share_all_spans(self, ray_session):
+        from recipys_ray.ops.spans import duplicate_spans
+
+        t = "abcdefghij" * 8  # 80 chars
+        pdf = pd.DataFrame({
+            "doc_id": np.array([1, 2], dtype=np.int64),
+            "text": [t, t],
+        })
+        out = duplicate_spans(
+            rd.from_pandas(pdf), span_chars=40, stride=10
+        ).to_pandas()
+        n_spans = (80 - 40) // 10 + 1
+        assert len(out) == 2 * n_spans
+        assert sorted(out[out["doc_id"] == 1]["span_start"]) == [
+            i * 10 for i in range(n_spans)
+        ]

@@ -106,3 +106,90 @@ def test_grouped_kernels_match_pandas(pdf):
         ours["x_lag1"], g["x"].shift(1), equal_nan=True)
     np.testing.assert_allclose(
         ours["x"], g["x"].ffill(), equal_nan=True)
+
+
+class TestTokenizationProperties:
+    """The Arrow-RE2 tokenization kernels are the foundation of the whole
+    text/dedup family — property-test them against the Python re reference
+    on arbitrary ASCII text (non-ASCII intentionally excluded: the engine
+    defines tokenization as RE2 semantics, which is ASCII-\\w, matching the
+    DuckDB oracle engine)."""
+
+    @given(
+        st.lists(
+            st.text(
+                alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                max_size=60,
+            )
+            | st.none(),
+            max_size=30,
+        )
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_word_stream_matches_re(self, texts):
+        import re
+
+        import pyarrow as pa
+
+        from recipys_ray.ops.text import word_stream
+
+        words, counts = word_stream(pa.array(texts, pa.string()))
+        ref = [re.findall(r"\w+", (t or "").lower()) for t in texts]
+        assert counts.tolist() == [len(r) for r in ref]
+        assert words.to_pylist() == [w for r in ref for w in r]
+
+    @given(
+        st.lists(
+            st.text(
+                alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                max_size=60,
+            ),
+            max_size=20,
+        ),
+        st.integers(min_value=1, max_value=6),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_flat_kgrams_matches_reference(self, texts, k):
+        import re
+
+        import pyarrow as pa
+
+        from recipys_ray.ops.text import flat_kgrams, word_stream
+
+        words, counts = word_stream(pa.array(texts, pa.string()))
+        grams, gcounts = flat_kgrams(words, counts, k)
+        expected = []
+        for t in texts:
+            ws = re.findall(r"\w+", t.lower())
+            if len(ws) < k:
+                expected.append([" ".join(ws)])
+            else:
+                expected.append(
+                    [" ".join(ws[i:i + k]) for i in range(len(ws) - k + 1)]
+                )
+        assert gcounts.tolist() == [len(e) for e in expected]
+        assert grams.to_pylist() == [g for e in expected for g in e]
+
+    @given(
+        st.lists(
+            st.text(max_size=80),  # full unicode incl. empties
+            max_size=25,
+        ),
+        st.integers(min_value=1, max_value=64),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_poly_hash_paths_agree(self, strings, chunk):
+        import pyarrow as pa
+
+        from recipys_ray.ops import text as T
+
+        ref = [0] * len(strings)
+        # scalar reference: plain Horner mod 2^31-1
+        for i, s in enumerate(strings):
+            h = 0
+            for ch in s:
+                h = (h * 131 + ord(ch)) % 2147483647
+            ref[i] = h
+        assert T.poly_hash(strings, chunk=chunk).tolist() == ref
+        assert T.poly_hash(pa.array(strings, pa.string()),
+                           chunk=chunk).tolist() == ref
