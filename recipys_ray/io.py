@@ -172,3 +172,138 @@ def write_resumable(
         "skipped": sorted(done),
         "rows": total_rows,
     }
+
+
+def write_webdataset(
+    input_ds,
+    out_dir: str,
+    key_col: str = "__key__",
+    payload_cols: Optional[list[str]] = None,
+    meta_cols: Optional[list[str]] = None,
+    num_shards: int = 64,
+) -> dict:
+    """Export a Dataset as WebDataset tar shards (the public convention:
+    one POSIX tar per shard whose members are ``<key>.<suffix>``) with the
+    same resumable manifest protocol as :func:`write_resumable`.
+
+    Shard assignment is the deterministic key hash (same function as the
+    engine's shuffle), members within a shard are sorted by key, and a
+    shard is finalized by an atomic rename followed by its manifest — so a
+    re-run after a crash recomputes ONLY the missing shards and N runs
+    produce byte-identical shards to one clean run. Round-trips through
+    :func:`recipys_ray.ops.multimodal.read_webdataset`.
+
+    ``payload_cols`` become ``binary`` members (``<key>.<col>``);
+    ``meta_cols`` are utf-8 encoded text members. Nulls are skipped (the
+    WebDataset convention for a missing member).
+    """
+    import io as _io
+    import tarfile
+
+    if payload_cols is None:
+        raise ValueError("payload_cols is required")
+    meta_cols = list(meta_cols or [])
+    os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
+    shard_dir = os.path.join(out_dir, "shards")
+    os.makedirs(shard_dir, exist_ok=True)
+    done = completed_buckets(out_dir)
+    # orphan cleanup: a tar with no manifest is a crashed in-flight shard
+    for f in os.listdir(shard_dir):
+        if f.startswith("shard-") and f.endswith(".tar"):
+            b = int(f[len("shard-"):-len(".tar")])
+            if b not in done:
+                os.unlink(os.path.join(shard_dir, f))
+    pending = [b for b in range(num_shards) if b not in done]
+    if not pending:
+        return {"written": [], "skipped": sorted(done), "rows": 0}
+
+    fingerprint = _input_fingerprint(input_ds)
+    pending_arr = np.array(pending, dtype=np.int32)
+    cols = [key_col] + list(payload_cols) + meta_cols
+
+    def keep_pending(tbl: pa.Table) -> pa.Table:
+        pdf = tbl.select([key_col]).to_pandas()
+        b = _bucket_of(pdf, [key_col], num_shards)
+        tbl = tbl.append_column("__wds_shard__", pa.array(b))
+        return tbl.filter(pa.array(np.isin(b, pending_arr)))
+
+    filtered = input_ds.select_columns(cols).map_batches(
+        keep_pending, batch_format="pyarrow"
+    )
+
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_rows = []
+        for b, grp in pdf.groupby("__wds_shard__", sort=True):
+            grp = grp.sort_values(key_col, kind="stable")
+            buf = _io.BytesIO()
+            with tarfile.open(fileobj=buf, mode="w") as tf:
+                for _, row in grp.iterrows():
+                    for col in list(payload_cols) + meta_cols:
+                        v = row[col]
+                        if v is None or (isinstance(v, float) and np.isnan(v)):
+                            continue
+                        data = (
+                            v.encode("utf-8") if isinstance(v, str)
+                            else bytes(v)
+                        )
+                        info = tarfile.TarInfo(name=f"{row[key_col]}.{col}")
+                        info.size = len(data)
+                        info.mtime = 0  # determinism: no wall-clock in bytes
+                        tf.addfile(info, _io.BytesIO(data))
+            payload = buf.getvalue()
+            tmp = os.path.join(shard_dir, f".shard-{int(b):05d}.tar.tmp")
+            with open(tmp, "wb") as fh:
+                fh.write(payload)
+            os.replace(
+                tmp, os.path.join(shard_dir, f"shard-{int(b):05d}.tar")
+            )
+            out_rows.append(
+                {"bucket": int(b), "rows": len(grp), "bytes": len(payload)}
+            )
+        return pd.DataFrame(
+            out_rows, columns=["bucket", "rows", "bytes"]
+        ).astype({"bucket": np.int64, "rows": np.int64, "bytes": np.int64})
+
+    stats = partitioned_groupby_map(
+        filtered, ["__wds_shard__"], write_shard,
+        min(num_shards, 64),
+    ).to_pandas()
+    by_bucket = {int(r["bucket"]): r for _, r in stats.iterrows()}
+
+    now = time.time()
+    total_rows = 0
+    for b in pending:
+        rows = int(by_bucket[b]["rows"]) if b in by_bucket else 0
+        nbytes = int(by_bucket[b]["bytes"]) if b in by_bucket else 0
+        if rows == 0 and b not in by_bucket:
+            # empty shard: still finalize (empty tar) so resume converges
+            empty = _io.BytesIO()
+            tarfile.open(fileobj=empty, mode="w").close()
+            with open(
+                os.path.join(shard_dir, f".shard-{b:05d}.tar.tmp"), "wb"
+            ) as fh:
+                fh.write(empty.getvalue())
+            os.replace(
+                os.path.join(shard_dir, f".shard-{b:05d}.tar.tmp"),
+                os.path.join(shard_dir, f"shard-{b:05d}.tar"),
+            )
+            nbytes = len(empty.getvalue())
+        total_rows += rows
+        manifest = {
+            "bucket": b,
+            "input_fingerprint": fingerprint,
+            "key_cols": [key_col],
+            "num_buckets": num_shards,
+            "written_at": now,
+            "rows": rows,
+            "bytes": nbytes,
+        }
+        tmp = os.path.join(out_dir, MANIFEST_DIR, f".bucket-{b}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(
+            tmp, os.path.join(out_dir, MANIFEST_DIR, f"bucket-{b}.json")
+        )
+    return {"written": pending, "skipped": sorted(done), "rows": total_rows}
