@@ -89,26 +89,25 @@ def add_global_rank(
     stamped = ds.map_batches(stamp, batch_format="pyarrow")
 
     # ---- pass 3a: per-range counts → prefix offsets ------------------- #
-    counts = (
-        stamped.select_columns([_RANGE])
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    _RANGE: pa.array(
-                        np.unique(
-                            t.column(_RANGE).to_numpy(zero_copy_only=False)
-                        )
-                    ),
-                    "n": pa.array(
-                        np.unique(
-                            t.column(_RANGE).to_numpy(zero_copy_only=False),
-                            return_counts=True,
-                        )[1].astype(np.int64)
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
+    # SKINNY pass: project the order column at the read and re-derive the
+    # range id, instead of executing the full-row `stamped` map a second
+    # time (the projection cannot be pushed through the stamp UDF, so
+    # counting off `stamped` would drag every payload column through an
+    # extra full pass — dead weight at scale).
+    def count_stamp(tbl: pa.Table) -> pa.Table:
+        r = (
+            stamp(tbl)
+            .column(_RANGE)
+            .to_numpy(zero_copy_only=False)
         )
+        vals, cnts = np.unique(r, return_counts=True)
+        return pa.table(
+            {_RANGE: pa.array(vals), "n": pa.array(cnts.astype(np.int64))}
+        )
+
+    counts = (
+        ds.select_columns([order_col])
+        .map_batches(count_stamp, batch_format="pyarrow")
         .to_pandas()
         .groupby(_RANGE)["n"]
         .sum()
