@@ -87,6 +87,8 @@ def duplicate_spans(
         n_docs = pdf.groupby("span", sort=False)[id_col].transform("nunique")
         out = pdf[n_docs >= min_docs].copy()
         out["n_docs"] = n_docs[n_docs >= min_docs].to_numpy(dtype=np.int64)
-        return out.drop(columns=["span"])
+        out = out.drop(columns=["span"])
+        # keep int64 dtypes on empty partitions so block schemas agree
+        return out.astype({"span_start": np.int64, "n_docs": np.int64})
 
     return partitioned_groupby_map(spans, ["span"], finish, num_partitions)
