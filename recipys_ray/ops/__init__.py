@@ -1,0 +1,70 @@
+"""Training-data ops for large-scale curation pipelines — convenience
+re-exports of every public operator (each lives in its own module; see
+COVERAGE.md for the op → test → driver-query map)."""
+
+from recipys_ray.ops.asof import asof_join
+from recipys_ray.ops.chunking import chunk_documents
+from recipys_ray.ops.decontaminate import benchmark_gram_set, decontaminate
+from recipys_ray.ops.dedup import (
+    embedding_dedup,
+    embedding_dedup_exact,
+    exact_dedup,
+    minhash_candidate_pairs,
+    minhash_dedup,
+    ngram_jaccard,
+    simhash_dedup,
+    verify_pairs_jaccard,
+)
+from recipys_ray.ops.distinct import (
+    distinct_per_group,
+    distinct_per_group_approx,
+)
+from recipys_ray.ops.jaccard import jaccard_dedup
+from recipys_ray.ops.join import hash_join
+from recipys_ray.ops.multimodal import (
+    ByteHistogramFeatures,
+    DecodeImage,
+    DecodeWav,
+    SampleFrames,
+    decode_images,
+    read_webdataset,
+)
+from recipys_ray.ops.packing import pack_sequences
+from recipys_ray.ops.profile import profile
+from recipys_ray.ops.quantiles import exact_quantiles
+from recipys_ray.ops.rank import add_global_rank
+from recipys_ray.ops.sampling import (
+    hash_sample,
+    hash_split,
+    mix_sources,
+    sample_per_group,
+)
+from recipys_ray.ops.semdedup import semantic_dedup
+from recipys_ray.ops.similarity import knn_brute_force, knn_ivf
+from recipys_ray.ops.spans import duplicate_spans
+from recipys_ray.ops.text import (
+    RepetitionStats,
+    TextFeaturizer,
+    build_vocab,
+    normalize_text,
+    redact_pii,
+    text_features,
+    tfidf_top_terms,
+    unigram_lm_score,
+)
+from recipys_ray.ops.topk import top_k_per_group
+
+__all__ = [
+    "asof_join", "chunk_documents", "benchmark_gram_set", "decontaminate",
+    "embedding_dedup", "embedding_dedup_exact", "exact_dedup",
+    "minhash_candidate_pairs", "minhash_dedup", "ngram_jaccard",
+    "simhash_dedup", "verify_pairs_jaccard", "distinct_per_group",
+    "distinct_per_group_approx", "jaccard_dedup", "hash_join",
+    "ByteHistogramFeatures", "DecodeImage", "DecodeWav", "SampleFrames",
+    "decode_images", "read_webdataset", "pack_sequences", "profile",
+    "exact_quantiles", "add_global_rank", "hash_sample", "hash_split",
+    "mix_sources", "sample_per_group", "semantic_dedup", "knn_brute_force",
+    "knn_ivf", "duplicate_spans", "RepetitionStats", "TextFeaturizer",
+    "build_vocab", "normalize_text", "redact_pii", "text_features",
+    "tfidf_top_terms", "unigram_lm_score", "top_k_per_group",
+]
