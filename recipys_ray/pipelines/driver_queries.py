@@ -270,6 +270,40 @@ def q_sessionize(sf_dir):
     return _select(rec.prep(), ["event_id", "session_id"])
 
 
+def q_session_stats(sf_dir):
+    """Composition: sessionize → per-user session statistics (session
+    count, events, longest session) — the transcript-ops shape `how many
+    sessions does each user have and how long is the longest`. Outputs are
+    integers, so the hash check is exact end-to-end."""
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    rec = _recipe(_events(sf_dir), predictors=("value",))
+    rec.add_step(rr.StepSessionize(gap="30m"))
+    out = rec.prep()
+
+    def agg(pdf):
+        sess = (
+            pdf.groupby(["user_id", "session_id"], sort=False)
+            .size().rename("sl").reset_index()
+        )
+        per_user = sess.groupby("user_id", sort=False).agg(
+            n_sessions=("session_id", "nunique"),
+            max_session_events=("sl", "max"),
+        )
+        n_events = pdf.groupby("user_id", sort=False).size().rename(
+            "n_events"
+        )
+        res = per_user.join(n_events).reset_index()
+        return res.astype(
+            {"user_id": np.int64, "n_sessions": np.int64,
+             "max_session_events": np.int64, "n_events": np.int64}
+        )
+
+    return partitioned_groupby_map(
+        out.select_columns(["user_id", "session_id"]), ["user_id"], agg, 32
+    )
+
+
 # --------------------------------------------------------------------- #
 # scaling / encoding / discretizing (StepScale + StepSklearn family)
 # --------------------------------------------------------------------- #
@@ -1252,6 +1286,27 @@ ORACLES: dict[str, str] = {
                CAST(sum(brk) OVER ({_EXP}) AS BIGINT) AS session_id
         FROM g
     """,
+    "session_stats": f"""
+        WITH g AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN ts - lag(ts) OVER ({_WIN}) > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS brk
+          FROM events
+        ),
+        s AS (
+          SELECT user_id, sum(brk) OVER ({_EXP}) AS session_id
+          FROM g
+        ),
+        sl AS (
+          SELECT user_id, session_id, count(*) AS n
+          FROM s GROUP BY user_id, session_id
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(max(n) AS BIGINT) AS max_session_events,
+               CAST(sum(n) AS BIGINT) AS n_events
+        FROM sl GROUP BY user_id
+    """,
     "scale_standard": f"""
         WITH s AS (SELECT avg({_VALN_SQL}) AS m, stddev_pop({_VALN_SQL}) AS sd
                    FROM events)
@@ -2043,6 +2098,7 @@ QUERIES = {
     "rolling": q_rolling,
     "lag_lead": q_lag_lead,
     "sessionize": q_sessionize,
+    "session_stats": q_session_stats,
     "pack_sequences": q_pack_sequences,
     "historical_salted": q_historical_salted,
     "scale_standard": q_scale_standard,
