@@ -865,6 +865,46 @@ def q_lm_score(sf_dir):
     )
 
 
+def q_props_extract(sf_dir):
+    """Flat-JSON field extraction (ops/jsonfields.py): one RE2 kernel over
+    the props column — no per-row json.loads."""
+    from recipys_ray.ops.jsonfields import extract_json_int
+
+    ds = _events(sf_dir, columns=["event_id", "props"])
+    return _select(extract_json_int(ds, "props", "k"), ["event_id", "k_val"])
+
+
+def q_props_sum_by_type(sf_dir):
+    """JSON extraction composed with a grouped integer aggregate: total of
+    props.k per event_type — per-block combiner partials, tiny driver
+    merge (bounded by the distinct-type count)."""
+    import pyarrow.compute as pc2
+
+    from recipys_ray.ops.jsonfields import extract_json_int
+
+    ds = extract_json_int(
+        _events(sf_dir, columns=["event_id", "event_type", "props"]),
+        "props", "k",
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        pdf = tbl.select(["event_type", "k_val"]).to_pandas()
+        g = pdf.groupby("event_type", sort=False)["k_val"].sum()
+        return pa.table({
+            "event_type": pa.array(g.index.to_numpy(dtype=object)),
+            "k_sum": pa.array(g.to_numpy(dtype=np.int64)),
+        })
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("event_type", sort=True)["k_sum"].sum()
+        .reset_index()
+    )
+    merged["k_sum"] = merged["k_sum"].astype(np.int64)
+    return merged
+
+
 def q_redact_pii(sf_dir):
     """PII scrubbing (ops/text.py redact_pii): deterministic PII strings
     are appended identically on both sides (the corpus itself has none),
@@ -1641,6 +1681,18 @@ ORACLES: dict[str, str] = {
                     AS BIGINT) AS "rank"
         FROM tot ORDER BY count DESC, token ASC LIMIT 100
     """,
+    "props_extract": r"""
+        SELECT event_id,
+               CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)
+                 AS k_val
+        FROM events
+    """,
+    "props_sum_by_type": r"""
+        SELECT event_type,
+               CAST(sum(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1)
+                             AS BIGINT)) AS BIGINT) AS k_sum
+        FROM events GROUP BY event_type
+    """,
     "redact_pii": rf"""
         WITH t0 AS (
           SELECT doc_id,
@@ -2121,6 +2173,8 @@ QUERIES = {
     "vocab_top100": q_vocab_top100,
     "lm_score": q_lm_score,
     "redact_pii": q_redact_pii,
+    "props_extract": q_props_extract,
+    "props_sum_by_type": q_props_sum_by_type,
     "chunk_documents": q_chunk_documents,
     "duplicate_spans": q_duplicate_spans,
     "tfidf_top3": q_tfidf_top3,

@@ -1532,3 +1532,24 @@ class TestDuplicateSpans:
         assert sorted(out[out["doc_id"] == 1]["span_start"]) == [
             i * 10 for i in range(n_spans)
         ]
+
+
+class TestJsonFields:
+    def test_extract_int(self, ray_session):
+        from recipys_ray.ops.jsonfields import extract_json_int
+
+        pdf = pd.DataFrame({
+            "id": np.arange(5, dtype=np.int64),
+            "props": ['{"k": 7}', '{"k": -3, "x": 1}', '{"x": 9}', None,
+                      '{"k":42}'],
+        })
+        out = (
+            extract_json_int(rd.from_pandas(pdf), "props", "k")
+            .to_pandas().sort_values("id", ignore_index=True)
+        )
+        vals = out["k_val"].tolist()
+        assert vals[0] == 7 and vals[1] == -3 and vals[4] == 42
+        assert pd.isna(vals[2]) and pd.isna(vals[3])
+        assert out["k_val"].dtype == np.float64 or str(
+            out["k_val"].dtype
+        ).startswith("Int")  # nullable int or float-with-nan per pandas
