@@ -865,6 +865,19 @@ def q_lm_score(sf_dir):
     )
 
 
+def q_funnel(sf_dir):
+    """Funnel analysis (ops/funnel.py): per user, first view → first click
+    strictly after it → first purchase strictly after that, plus the stage
+    count. Timestamps + ints — hash-exact end-to-end."""
+    from recipys_ray.ops.funnel import funnel
+
+    ds = _events(sf_dir, columns=["user_id", "ts", "event_type"])
+    out = funnel(ds, steps=["view", "click", "purchase"])
+    return _select(
+        out, ["user_id", "stage", "ts_view", "ts_click", "ts_purchase"]
+    )
+
+
 def q_props_extract(sf_dir):
     """Flat-JSON field extraction (ops/jsonfields.py): one RE2 kernel over
     the props column — no per-row json.loads."""
@@ -1681,6 +1694,34 @@ ORACLES: dict[str, str] = {
                     AS BIGINT) AS "rank"
         FROM tot ORDER BY count DESC, token ASC LIMIT 100
     """,
+    "funnel": """
+        WITH v AS (
+          SELECT user_id, min(ts) AS ts_view FROM events
+          WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+          SELECT e.user_id, min(e.ts) AS ts_click
+          FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.ts_view
+          GROUP BY e.user_id
+        ),
+        p AS (
+          SELECT e.user_id, min(e.ts) AS ts_purchase
+          FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.ts_click
+          GROUP BY e.user_id
+        )
+        SELECT u.user_id,
+               CAST(CASE WHEN v.user_id IS NULL THEN 0
+                         WHEN c.user_id IS NULL THEN 1
+                         WHEN p.user_id IS NULL THEN 2
+                         ELSE 3 END AS BIGINT) AS stage,
+               v.ts_view, c.ts_click, p.ts_purchase
+        FROM (SELECT DISTINCT user_id FROM events) u
+        LEFT JOIN v USING (user_id)
+        LEFT JOIN c USING (user_id)
+        LEFT JOIN p USING (user_id)
+    """,
     "props_extract": r"""
         SELECT event_id,
                CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)
@@ -2174,6 +2215,7 @@ QUERIES = {
     "lm_score": q_lm_score,
     "redact_pii": q_redact_pii,
     "props_extract": q_props_extract,
+    "funnel": q_funnel,
     "props_sum_by_type": q_props_sum_by_type,
     "chunk_documents": q_chunk_documents,
     "duplicate_spans": q_duplicate_spans,

@@ -1553,3 +1553,37 @@ class TestJsonFields:
         assert out["k_val"].dtype == np.float64 or str(
             out["k_val"].dtype
         ).startswith("Int")  # nullable int or float-with-nan per pandas
+
+
+class TestFunnel:
+    def test_ordered_strictly_after(self, ray_session):
+        from recipys_ray.ops.funnel import funnel
+
+        ts = pd.to_datetime([
+            # user 1: full funnel in order
+            "2024-01-01 10:00", "2024-01-01 11:00", "2024-01-01 12:00",
+            # user 2: click BEFORE view -> funnel stops at view
+            "2024-01-02 09:00", "2024-01-02 10:00",
+            # user 3: view+click simultaneous -> tie does NOT advance,
+            # but a later click does
+            "2024-01-03 10:00", "2024-01-03 10:00", "2024-01-03 11:00",
+            # user 4: never views
+            "2024-01-04 10:00",
+        ])
+        pdf = pd.DataFrame({
+            "user_id": np.array([1, 1, 1, 2, 2, 3, 3, 3, 4], np.int64),
+            "ts": ts.astype("datetime64[us]"),
+            "event_type": ["view", "click", "purchase",
+                           "click", "view",
+                           "view", "click", "click",
+                           "purchase"],
+        })
+        out = (
+            funnel(rd.from_pandas(pdf).repartition(3),
+                   steps=["view", "click", "purchase"], num_partitions=4)
+            .to_pandas().sort_values("user_id", ignore_index=True)
+        )
+        assert out["stage"].tolist() == [3, 1, 2, 0]
+        assert pd.isna(out.loc[1, "ts_click"])  # user 2: no click after view
+        assert out.loc[2, "ts_click"] == pd.Timestamp("2024-01-03 11:00")
+        assert pd.isna(out.loc[3, "ts_view"])
