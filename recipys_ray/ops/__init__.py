@@ -21,6 +21,7 @@ from recipys_ray.ops.distinct import (
 )
 from recipys_ray.ops.jaccard import jaccard_dedup
 from recipys_ray.ops.join import hash_join
+from recipys_ray.ops.cohort import cohort_retention
 from recipys_ray.ops.funnel import funnel
 from recipys_ray.ops.jsonfields import extract_json_int
 from recipys_ray.ops.multimodal import (
@@ -63,7 +64,7 @@ __all__ = [
     "simhash_dedup", "verify_pairs_jaccard", "distinct_per_group",
     "distinct_per_group_approx", "jaccard_dedup", "hash_join",
     "ByteHistogramFeatures", "DecodeImage", "DecodeWav", "SampleFrames",
-    "decode_images", "read_webdataset", "extract_json_int", "funnel", "pack_sequences", "profile",
+    "decode_images", "read_webdataset", "extract_json_int", "funnel", "cohort_retention", "pack_sequences", "profile",
     "exact_quantiles", "add_global_rank", "hash_sample", "hash_split",
     "mix_sources", "sample_per_group", "semantic_dedup", "knn_brute_force",
     "knn_ivf", "duplicate_spans", "RepetitionStats", "TextFeaturizer",

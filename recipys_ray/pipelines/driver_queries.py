@@ -878,6 +878,16 @@ def q_funnel(sf_dir):
     )
 
 
+def q_cohort_retention(sf_dir):
+    """Cohort retention matrix (ops/cohort.py): integer epoch-week cohorts
+    — no calendar-truncation convention to disagree on — one entity-hash
+    exchange, per-partition complete reduction, #periods²-bounded merge."""
+    from recipys_ray.ops.cohort import cohort_retention
+
+    ds = _events(sf_dir, columns=["user_id", "ts"])
+    return cohort_retention(ds, period_s=86400)  # daily: non-trivial matrix
+
+
 def q_props_extract(sf_dir):
     """Flat-JSON field extraction (ops/jsonfields.py): one RE2 kernel over
     the props column — no per-row json.loads."""
@@ -1722,6 +1732,22 @@ ORACLES: dict[str, str] = {
         LEFT JOIN c USING (user_id)
         LEFT JOIN p USING (user_id)
     """,
+    "cohort_retention": """
+        WITH w AS (
+          SELECT DISTINCT user_id,
+                 CAST(floor(epoch(ts) / 86400) AS BIGINT) AS wk
+          FROM events
+        ),
+        u AS (
+          SELECT user_id, wk,
+                 min(wk) OVER (PARTITION BY user_id) AS cw
+          FROM w
+        )
+        SELECT cw AS cohort_period,
+               wk - cw AS period_offset,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM u GROUP BY cw, wk - cw
+    """,
     "props_extract": r"""
         SELECT event_id,
                CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)
@@ -2216,6 +2242,7 @@ QUERIES = {
     "redact_pii": q_redact_pii,
     "props_extract": q_props_extract,
     "funnel": q_funnel,
+    "cohort_retention": q_cohort_retention,
     "props_sum_by_type": q_props_sum_by_type,
     "chunk_documents": q_chunk_documents,
     "duplicate_spans": q_duplicate_spans,

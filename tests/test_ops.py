@@ -1587,3 +1587,34 @@ class TestFunnel:
         assert pd.isna(out.loc[1, "ts_click"])  # user 2: no click after view
         assert out.loc[2, "ts_click"] == pd.Timestamp("2024-01-03 11:00")
         assert pd.isna(out.loc[3, "ts_view"])
+
+
+class TestCohortRetention:
+    def test_matches_pandas_reference(self, ray_session):
+        from recipys_ray.ops.cohort import cohort_retention
+
+        rng = np.random.RandomState(9)
+        n = 400
+        uid = rng.randint(0, 25, n).astype(np.int64)
+        ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+            rng.randint(0, 60 * 86400, n), unit="s"
+        )
+        pdf = pd.DataFrame({"user_id": uid,
+                            "ts": ts.astype("datetime64[us]")})
+        out = cohort_retention(
+            rd.from_pandas(pdf).repartition(4), period_s=86400 * 7,
+            num_partitions=8,
+        )
+        # sequential reference
+        wk = (pdf["ts"].astype(np.int64) // (86400 * 7 * 10**6))
+        ref = pd.DataFrame({"u": pdf["user_id"], "wk": wk}).drop_duplicates()
+        ref["cw"] = ref.groupby("u")["wk"].transform("min")
+        exp = (
+            ref.assign(off=ref["wk"] - ref["cw"])
+            .groupby(["cw", "off"]).size().rename("n_users").reset_index()
+            .rename(columns={"cw": "cohort_period", "off": "period_offset"})
+            .sort_values(["cohort_period", "period_offset"],
+                         ignore_index=True)
+            .astype(np.int64)
+        )
+        pd.testing.assert_frame_equal(out.reset_index(drop=True), exp)
