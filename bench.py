@@ -140,6 +140,12 @@ def bench_queries() -> dict:
         "dedup_simhash",
         "langid_quality",
         "global_rank",
+        "duplicate_spans",
+        "chunk_documents",
+        "redact_pii",
+        "funnel",
+        "cohort_retention",
+        "session_stats",
         "historical_salted",
     ]
     out = {}
