@@ -878,6 +878,55 @@ def q_funnel(sf_dir):
     )
 
 
+def q_active_users(sf_dir):
+    """DAU + trailing-7-day active users: each event contributes its user
+    to 7 window-end days (one vectorized expansion batch op), then ONE
+    exact distinct-per-group pass (ops/distinct.py) counts both series —
+    the sliding-distinct composition every analytics stack needs. Integer
+    epoch days, integer counts — hash-exact."""
+    from recipys_ray.ops.distinct import distinct_per_group
+
+    ds = _events(sf_dir, columns=["user_id", "ts"])
+
+    def expand(tbl: pa.Table) -> pa.Table:
+        day = (
+            tbl.column("ts").cast(pa.int64()).to_numpy() // 86_400_000_000
+        )
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        n = len(day)
+        offs = np.arange(7, dtype=np.int64)
+        return pa.table({
+            "end_day": pa.array(np.repeat(day, 7) + np.tile(offs, n)),
+            "day": pa.array(np.repeat(day, 7)),
+            "user_id": pa.array(np.repeat(uid, 7)),
+        })
+
+    expanded = ds.map_batches(expand, batch_format="pyarrow")
+    wau = distinct_per_group(
+        expanded.select_columns(["end_day", "user_id"]),
+        ["end_day"], "user_id",
+    ).to_pandas().rename(columns={"n_distinct": "wau"})
+
+    def dau_rows(tbl: pa.Table) -> pa.Table:
+        mask = pc.equal(tbl.column("end_day"), tbl.column("day"))
+        sub = tbl.filter(mask)
+        return pa.table({
+            "end_day": sub.column("end_day"),
+            "user_id": sub.column("user_id"),
+        })
+
+    dau = distinct_per_group(
+        expanded.map_batches(dau_rows, batch_format="pyarrow"),
+        ["end_day"], "user_id",
+    ).to_pandas().rename(columns={"n_distinct": "dau"})
+
+    out = wau.merge(dau, on="end_day", how="left")
+    out["dau"] = out["dau"].fillna(0).astype(np.int64)
+    out["wau"] = out["wau"].astype(np.int64)
+    out["end_day"] = out["end_day"].astype(np.int64)
+    return out[["end_day", "dau", "wau"]]
+
+
 def q_cohort_retention(sf_dir):
     """Cohort retention matrix (ops/cohort.py): integer epoch-week cohorts
     — no calendar-truncation convention to disagree on — one entity-hash
@@ -1732,6 +1781,24 @@ ORACLES: dict[str, str] = {
         LEFT JOIN c USING (user_id)
         LEFT JOIN p USING (user_id)
     """,
+    "active_users": """
+        WITH d AS (
+          SELECT user_id,
+                 CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+          FROM events
+        ),
+        ends AS (
+          SELECT DISTINCT day + k.k AS end_day
+          FROM d, UNNEST(generate_series(0, 6)) AS k(k)
+        )
+        SELECT e.end_day,
+               CAST(coalesce((SELECT count(DISTINCT user_id) FROM d
+                              WHERE d.day = e.end_day), 0) AS BIGINT) AS dau,
+               CAST((SELECT count(DISTINCT user_id) FROM d
+                     WHERE d.day BETWEEN e.end_day - 6 AND e.end_day)
+                    AS BIGINT) AS wau
+        FROM ends e
+    """,
     "cohort_retention": """
         WITH w AS (
           SELECT DISTINCT user_id,
@@ -2243,6 +2310,7 @@ QUERIES = {
     "props_extract": q_props_extract,
     "funnel": q_funnel,
     "cohort_retention": q_cohort_retention,
+    "active_users": q_active_users,
     "props_sum_by_type": q_props_sum_by_type,
     "chunk_documents": q_chunk_documents,
     "duplicate_spans": q_duplicate_spans,
