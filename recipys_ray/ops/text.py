@@ -388,7 +388,8 @@ def build_vocab(
     text_col: str = "text",
     top_k: int = 1000,
     num_partitions: int = 64,
-) -> pd.DataFrame:
+    _return_total: bool = False,
+):
     """EXACT top-K vocabulary with term and document frequencies.
 
     Combiner shape: each block emits one (token, count, doc_freq) partial
@@ -407,13 +408,21 @@ def build_vocab(
         doc_ids = np.repeat(np.arange(len(counts)), counts)
         pair_df = pd.DataFrame({"d": doc_ids, "t": arr}).drop_duplicates()
         df_cnt = pair_df.groupby("t", sort=True).size()
+        tokens = vals.astype(object)
+        cnts = cnt.astype(np.int64)
+        dfs = df_cnt.reindex(vals).to_numpy(dtype=np.int64)
+        if _return_total:
+            # sentinel "" (never a \w+ token) carries the block's total
+            # token count; its partition-wide sum is the corpus N and it
+            # always survives that partition's top-K (count == N ≥ any)
+            tokens = np.r_[tokens, np.array([""], dtype=object)]
+            cnts = np.r_[cnts, [int(counts.sum())]]
+            dfs = np.r_[dfs, [0]]
         return pa.table(
             {
-                "token": pa.array(vals.astype(object)),
-                "count": pa.array(cnt.astype(np.int64)),
-                "doc_freq": pa.array(
-                    df_cnt.reindex(vals).to_numpy(dtype=np.int64)
-                ),
+                "token": pa.array(tokens),
+                "count": pa.array(cnts),
+                "doc_freq": pa.array(dfs),
             }
         )
 
@@ -430,17 +439,24 @@ def build_vocab(
         tot = tot.sort_values(
             ["count", "token"], ascending=[False, True], kind="stable"
         )
-        return tot.head(top_k)
+        # the "" total-count sentinel (when present) must not evict a real
+        # token from its partition's local top-K
+        return tot.head(top_k + (1 if _return_total else 0))
 
     cand = partitioned_groupby_map(
         partials, ["token"], local_topk, num_partitions
     ).to_pandas()
+    total = 0
+    if _return_total:
+        sentinel = cand["token"] == ""
+        total = int(cand[sentinel]["count"].sum())
+        cand = cand[~sentinel]
     out = cand.sort_values(
         ["count", "token"], ascending=[False, True], kind="stable",
         ignore_index=True,
     ).head(top_k)
     out["rank"] = np.arange(len(out), dtype=np.int64)
-    return out
+    return (out, total) if _return_total else out
 
 
 class _UnigramScorer:
@@ -529,19 +545,13 @@ def unigram_lm_score(
     """
     import ray
 
-    vocab = build_vocab(ds, text_col, top_k, num_partitions)
-    counts = dict(zip(vocab["token"], vocab["count"].astype(int)))
-
-    def batch_n(tbl: pa.Table) -> pa.Table:
-        _, c = word_stream(tbl.column(text_col))
-        return pa.table({"n": pa.array([int(c.sum())], pa.int64())})
-
-    total_n = int(
-        ds.select_columns([text_col])
-        .map_batches(batch_n, batch_format="pyarrow")
-        .sum("n")
-        or 0
+    # ONE combiner pass yields both the top-K vocab and the corpus token
+    # total (sentinel row through the same hash-partition finish) — no
+    # separate counting pass over the corpus
+    vocab, total_n = build_vocab(
+        ds, text_col, top_k, num_partitions, _return_total=True
     )
+    counts = dict(zip(vocab["token"], vocab["count"].astype(int)))
     counts_ref = ray.put(counts)
     return ds.map_batches(
         _UnigramScorer,
