@@ -193,3 +193,51 @@ class TestTokenizationProperties:
         assert T.poly_hash(strings, chunk=chunk).tolist() == ref
         assert T.poly_hash(pa.array(strings, pa.string()),
                            chunk=chunk).tolist() == ref
+
+
+class TestFunnelProperty:
+    @given(st.integers(min_value=0, max_value=10_000))
+    @settings(max_examples=12, deadline=None)
+    def test_funnel_matches_scalar_simulation(self, seed):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from recipys_ray.ops.funnel import funnel
+
+        rng = np.random.RandomState(seed)
+        n = rng.randint(5, 120)
+        pdf = pd.DataFrame({
+            "user_id": rng.randint(0, 8, n).astype(np.int64),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.randint(0, 3600, n), unit="s"),
+            "event_type": rng.choice(
+                ["view", "click", "purchase", "other"], n
+            ),
+        })
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        steps = ["view", "click", "purchase"]
+        out = (
+            funnel(rd.from_pandas(pdf).repartition(3), steps=steps,
+                   num_partitions=4)
+            .to_pandas().set_index("user_id").sort_index()
+        )
+        for uid, grp in pdf.groupby("user_id"):
+            prev = pd.Timestamp.min
+            stage = 0
+            times = {}
+            for step in steps:
+                cand = grp[(grp["event_type"] == step) & (grp["ts"] > prev)]
+                if len(cand) == 0:
+                    break
+                t = cand["ts"].min()
+                times[step] = t
+                prev = t
+                stage += 1
+            assert out.loc[uid, "stage"] == stage
+            for step in steps:
+                got = out.loc[uid, f"ts_{step}"]
+                if step in times:
+                    assert got == times[step]
+                else:
+                    assert pd.isna(got)
