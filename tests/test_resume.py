@@ -142,3 +142,31 @@ class TestWriteWebdataset:
         assert r3["written"] == [2]
         after = open(f"{out}/shards/shard-00002.tar", "rb").read()
         assert before == after  # idempotent resume: byte-identical shard
+
+    def test_orphan_tar_cleaned_and_recomputed(self, ray_session, tmp_path):
+        """A tar without a manifest is a crashed in-flight shard: the
+        re-run must remove it and recompute byte-identically."""
+        import glob
+
+        import ray.data as rd
+
+        from recipys_ray.io import write_webdataset
+
+        pdf = self._docs()
+        out = str(tmp_path / "wds2")
+        write_webdataset(
+            rd.from_pandas(pdf), out,
+            payload_cols=["img"], meta_cols=["txt"], num_shards=3,
+        )
+        good = open(f"{out}/shards/shard-00001.tar", "rb").read()
+        # simulate a crash: manifest gone, tar corrupted mid-write
+        os.unlink(f"{out}/_manifest/bucket-1.json")
+        with open(f"{out}/shards/shard-00001.tar", "wb") as fh:
+            fh.write(b"GARBAGE")
+        r = write_webdataset(
+            rd.from_pandas(pdf), out,
+            payload_cols=["img"], meta_cols=["txt"], num_shards=3,
+        )
+        assert r["written"] == [1]
+        assert open(f"{out}/shards/shard-00001.tar", "rb").read() == good
+        assert len(glob.glob(f"{out}/shards/*.tar")) == 3
