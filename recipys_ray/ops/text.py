@@ -389,6 +389,7 @@ def build_vocab(
     top_k: int = 1000,
     num_partitions: int = 64,
     _return_total: bool = False,
+    ngram: int = 1,
 ):
     """EXACT top-K vocabulary with term and document frequencies.
 
@@ -402,6 +403,11 @@ def build_vocab(
 
     def partial(tbl: pa.Table) -> pa.Table:
         words, counts = word_stream(tbl.column(text_col))
+        if ngram > 1:
+            # space-joined n-grams (Gopher convention: short docs yield
+            # none) through the same vectorized join kernel
+            words, counts = flat_kgrams(words, counts, ngram,
+                                        pad_small=False)
         arr = words.to_numpy(zero_copy_only=False)
         vals, cnt = np.unique(arr, return_counts=True)
         # doc_freq: distinct (doc, token) pairs

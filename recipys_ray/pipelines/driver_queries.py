@@ -1041,6 +1041,19 @@ def q_duplicate_spans(sf_dir):
     return _select(out, ["doc_id", "span_start", "n_docs"])
 
 
+def q_bigram_top50(sf_dir):
+    """Exact top-50 BIGRAM vocabulary — the n-gram generalization of
+    build_vocab (word stream → vectorized 2-gram join → same combiner /
+    hash-partition finish). Oracle rebuilds bigrams via list indexing over
+    a lateral series."""
+    from recipys_ray.ops.text import build_vocab
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return build_vocab(ds, top_k=50, ngram=2)
+
+
 def q_distinct_parts(sf_dir):
     """Exact distinct l_partkey per l_returnflag (ops/distinct.py combiner
     plan); the HLL variant is the scale path, error-tested in unit tests."""
@@ -1895,6 +1908,28 @@ ORACLES: dict[str, str] = {
                substr(t, CAST(k AS BIGINT) * 100 + 1, 120) AS chunk_text
         FROM n, UNNEST(generate_series(0, n.nc - 1)) AS g(k)
     """,
+    "bigram_top50": r"""
+        WITH w AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(coalesce(text, '')), '\w+') AS ws
+          FROM documents
+        ),
+        b AS (
+          SELECT doc_id, ws[CAST(i AS BIGINT)] || ' '
+                         || ws[CAST(i AS BIGINT) + 1] AS token
+          FROM w, UNNEST(generate_series(1, greatest(len(ws) - 1, 0)))
+                    AS g(i)
+        ),
+        tot AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS count,
+                 CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+          FROM b GROUP BY token
+        )
+        SELECT token, count, doc_freq,
+               CAST(row_number() OVER (ORDER BY count DESC, token ASC) - 1
+                    AS BIGINT) AS "rank"
+        FROM tot ORDER BY count DESC, token ASC LIMIT 50
+    """,
     "lm_score": r"""
         WITH tok AS (
           SELECT doc_id,
@@ -2306,6 +2341,7 @@ QUERIES = {
     "text_stats": q_text_stats,
     "vocab_top100": q_vocab_top100,
     "lm_score": q_lm_score,
+    "bigram_top50": q_bigram_top50,
     "redact_pii": q_redact_pii,
     "props_extract": q_props_extract,
     "funnel": q_funnel,
