@@ -19,6 +19,7 @@ Only hashes/ids are shuffled — never the text payload.
 from __future__ import annotations
 
 import re
+import sys
 
 import numpy as np
 import pandas as pd
@@ -598,8 +599,11 @@ class _SimHash:
         h[np.repeat(off, wcounts) + _ramp(wcounts)] = h_words
         # (total_words, 64) bit matrix, segment-summed per doc; sign vote
         # 2*ones - count > 0 ⇔ ones*2 > count. unpackbits(little/little)
-        # column j == (h >> j) & 1; cumsum + end-row diff is ~3× faster
-        # than np.add.reduceat over the 2-D matrix.
+        # column j == (h >> j) & 1 — only with little-endian in-memory byte
+        # order, so byte-swap first on big-endian hosts (simhash values and
+        # the golden survivor sets must not depend on host endianness).
+        if sys.byteorder != "little":
+            h = h.byteswap()
         bits = np.unpackbits(
             h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
         )

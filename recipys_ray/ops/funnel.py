@@ -46,10 +46,13 @@ def funnel(
                 & (pdf[ts_col].to_numpy() > prev_aligned)
                 & pdf[group_col].map(reached).to_numpy()
             )
+            # the empty branch must carry the INPUT's timestamp resolution:
+            # hardcoding us would mix datetime64[us]/[ns] block schemas when
+            # some partitions have no qualifying events
             hit = (
                 pdf[ok].groupby(group_col, sort=False)[ts_col].min()
                 if ok.any()
-                else pd.Series(dtype="datetime64[us]")
+                else pd.Series(dtype=pdf[ts_col].dtype)
             )
             t = hit.reindex(users)
             out[f"ts_{step}"] = t

@@ -67,7 +67,11 @@ class _BroadcastJoiner:
             # existence joins need only the DISTINCT right keys — no value
             # columns ride the broadcast, no row multiplication possible
             rf = rf[right_on].drop_duplicates()
-        self.rf = rf
+        # SQL equi-join: NULL keys never match. pandas merge matches
+        # NaN/None against each other, so drop null-keyed right rows up
+        # front — a null left key then finds nothing (semi drops it, anti
+        # keeps it, inner drops it, left pads it: all the SQL answers).
+        self.rf = rf.dropna(subset=right_on)
         self.left_on = left_on
         self.right_on = right_on
         self.how = how
@@ -254,6 +258,8 @@ def _shuffle_join(left, right, left_on, right_on, how, right_suffix,
             .select(left_on + out_value_cols)
             .to_pandas()
         )
+        # NULL join keys never match (SQL); pandas merge would NaN-match
+        rf = rf.dropna(subset=left_on)
         if how in ("semi", "anti"):
             probe = lf[left_on].merge(
                 rf.drop_duplicates(), how="left", on=left_on,

@@ -101,11 +101,20 @@ def poly_hash(strings, chunk: int = 65_536) -> np.ndarray:
         strings = strings.combine_chunks()
     if isinstance(strings, pa.Array):
         arr = strings
-        if len(arr) and arr.null_count == 0:
+        if arr.null_count:
+            arr = pc.fill_null(arr, "")  # null hashes as "" (→ 0)
+        # the buffer-poking path is only valid for utf8 layouts, and the
+        # offsets width differs: string = int32, large_string = int64 —
+        # reading a large_string's buffer as int32 silently mis-hashes
+        is_str = pa.types.is_string(arr.type)
+        is_large = pa.types.is_large_string(arr.type)
+        if len(arr) and (is_str or is_large):
             nbytes = pc.binary_length(arr).to_numpy().astype(np.int64)
             nchars = pc.utf8_length(arr).to_numpy().astype(np.int64)
             if (nbytes == nchars).all():  # pure ASCII: bytes == codepoints
-                off = np.frombuffer(arr.buffers()[1], np.int32)
+                off = np.frombuffer(
+                    arr.buffers()[1], np.int64 if is_large else np.int32
+                )
                 off = off[arr.offset : arr.offset + len(arr) + 1].astype(
                     np.int64
                 )
@@ -116,7 +125,7 @@ def poly_hash(strings, chunk: int = 65_536) -> np.ndarray:
                     data[off[0] : off[-1]], np.diff(off), chunk
                 )
         strings = arr.to_pylist()
-    strings = list(strings)
+    strings = ["" if s is None else s for s in strings]
     lens = np.fromiter((len(s) for s in strings), np.int64, len(strings))
     if len(strings):
         allcp = np.frombuffer(

@@ -113,3 +113,36 @@ def test_bad_args(ray_session):
     with pytest.raises(ValueError, match="same length"):
         hash_join(rd.from_pandas(left), rd.from_pandas(right),
                   on=["k"], right_on=["rk", "rv"])
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "shuffle"])
+def test_null_keys_never_match(ray_session, strategy):
+    """SQL equi-join semantics: NULL = NULL is not a match. pandas merge
+    matches NaN against NaN, so the joiners must drop null right keys."""
+    left = pd.DataFrame({
+        "k": [1.0, 2.0, np.nan, np.nan],
+        "lv": [10, 20, 30, 40],
+    })
+    right = pd.DataFrame({
+        "k": [1.0, np.nan, 5.0],
+        "rv": [0.1, 0.2, 0.5],
+    })
+    ld, rdd = rd.from_pandas(left).repartition(2), rd.from_pandas(right)
+
+    def run(how):
+        return _norm(hash_join(
+            ld, rdd, on="k", how=how, strategy=strategy, num_partitions=3,
+        ).to_pandas())
+
+    # semi: only k=1 EXISTS in right (nulls never match)
+    assert run("semi")["lv"].tolist() == [10]
+    # anti: k=2 and both null-key rows survive NOT EXISTS
+    assert sorted(run("anti")["lv"].tolist()) == [20, 30, 40]
+    # inner: the single non-null match
+    inner = run("inner")
+    assert inner["lv"].tolist() == [10]
+    assert inner["rv"].tolist() == [0.1]
+    # left: all 4 rows, null-key rows padded not NaN-matched
+    lj = run("left")
+    assert sorted(lj["lv"].tolist()) == [10, 20, 30, 40]
+    assert lj["rv"].notna().sum() == 1

@@ -1297,6 +1297,31 @@ class TestArrowTokenization:
             poly_hash(ascii_only * 7),
         )
 
+    def test_poly_hash_large_string_and_nulls(self):
+        """large_string has int64 offsets — reading them as int32 silently
+        mis-hashes; null entries must hash as '' (0), not crash."""
+        import pyarrow as pa
+
+        from recipys_ray.ops.text import poly_hash
+
+        ss = ["", "a", "abc", "x" * 500, "end", "a b c"]
+        ref = poly_hash(ss)
+        np.testing.assert_array_equal(
+            poly_hash(pa.array(ss, pa.large_string())), ref
+        )
+        # sliced large_string (non-zero offset)
+        np.testing.assert_array_equal(
+            poly_hash(pa.array(ss + ss, pa.large_string()).slice(6)), ref
+        )
+        # nulls in both layouts, plus the generic (non-ASCII) fallback
+        with_null = ["abc", None, "héllo", None, ""]
+        exp = poly_hash(["abc", "", "héllo", "", ""])
+        for typ in (pa.string(), pa.large_string()):
+            np.testing.assert_array_equal(
+                poly_hash(pa.array(with_null, typ)), exp
+            )
+        np.testing.assert_array_equal(poly_hash(with_null), exp)
+
     def test_verify_pairs_jaccard_bounded(self, ray_session):
         import ray.data as rd
 
@@ -1587,6 +1612,30 @@ class TestFunnel:
         assert pd.isna(out.loc[1, "ts_click"])  # user 2: no click after view
         assert out.loc[2, "ts_click"] == pd.Timestamp("2024-01-03 11:00")
         assert pd.isna(out.loc[3, "ts_view"])
+
+    def test_ns_resolution_with_empty_partitions(self, ray_session):
+        """ns-resolution input where some partitions have NO qualifying
+        events: the empty branch must emit ts_<step> in the input's
+        resolution, or block schemas mix datetime64[ns]/[us]."""
+        from recipys_ray.ops.funnel import funnel
+
+        n = 200
+        pdf = pd.DataFrame({
+            "user_id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(np.arange(n), unit="h"),  # ns resolution
+            # only 2 viewing users: most hash partitions see ZERO qualifying
+            # events and hit the empty branch
+            "event_type": ["view"] * 2 + ["other"] * (n - 2),
+        })
+        assert pdf["ts"].dtype == np.dtype("datetime64[ns]")
+        out = funnel(
+            rd.from_pandas(pdf).repartition(4),
+            steps=["view"], num_partitions=16,
+        ).to_pandas()
+        assert len(out) == n
+        assert out["stage"].sum() == 2
+        assert str(out["ts_view"].dtype) == "datetime64[ns]"
 
 
 class TestCohortRetention:
