@@ -60,6 +60,18 @@ def _cluster_cpus() -> int:
     return 8
 
 
+def _lazy_size_bytes(ds):
+    """Dataset size from plan metadata ONLY — never executes the plan.
+    ``Dataset.size_bytes()`` materializes derived datasets to answer, which
+    would silently break streaming when sizing an exchange mid-pipeline.
+    Known for reads / from_pandas / repartition / materialized datasets;
+    None after a map/select (callers should size from the pre-map input)."""
+    try:
+        return ds._logical_plan.dag.infer_metadata().size_bytes
+    except Exception:
+        return None
+
+
 def choose_partitions(
     ds,
     target_partition_bytes: int = 256 * 1024 * 1024,
@@ -67,10 +79,7 @@ def choose_partitions(
 ) -> int:
     """Partition count: ≥ 2× cluster CPUs, scaled up by data size."""
     lo = 2 * _cluster_cpus()
-    try:
-        nbytes = ds.size_bytes()
-    except Exception:
-        nbytes = None
+    nbytes = _lazy_size_bytes(ds)
     if not nbytes:
         return lo
     return int(np.clip(-(-nbytes // target_partition_bytes), lo, max(lo, hi)))
@@ -91,6 +100,17 @@ def adaptive_stamp_rows(ds, requested: int = 262_144) -> int:
     if not n:
         return requested
     return int(np.clip(n // 16, 16_384, requested))
+
+
+def cheap_count(ds) -> int:
+    """Row count from plan metadata when knowable (pure reads, from_pandas,
+    materialized datasets) — falls back to one full count pass otherwise.
+    Saves the extra pass that ``ds.count()`` costs before sampling stages."""
+    try:
+        n = ds._meta_count()
+    except Exception:
+        n = None
+    return int(n) if n else ds.count()
 
 
 def _hash_mod(pdf: pd.DataFrame, group_cols: list[str], p: int) -> np.ndarray:

@@ -24,12 +24,18 @@ def cohort_retention(
     group_col: str = "user_id",
     ts_col: str = "ts",
     period_s: int = 7 * 86400,
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ) -> pd.DataFrame:
     """Return (cohort_period, period_offset, n_users) — int64 throughout.
     ``cohort_period`` = entity's first active period (epoch // period_s);
     one row per (cohort, offset) with at least one active entity."""
     period_us = int(period_s) * 1_000_000
+    if num_partitions is None:
+        from recipys_ray.kernels.grouped import choose_partitions
+
+        # the exchange moves deduped 16 B (entity, period) pairs — sizing
+        # from the full-width input read is a safe overestimate
+        num_partitions = choose_partitions(ds)
 
     def to_periods(tbl: pa.Table) -> pa.Table:
         ts = tbl.column(ts_col).cast(pa.int64()).to_numpy()

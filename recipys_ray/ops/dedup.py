@@ -30,6 +30,20 @@ _WORD_RE = re.compile(r"\w+", re.UNICODE)
 # Mersenne prime 2^61-1 — universal hashing for minhash permutations
 _MERSENNE = (1 << 61) - 1
 
+# SWAR popcount constants (numpy < 2 has no bitwise_count)
+_PC_M1 = np.uint64(0x5555555555555555)
+_PC_M2 = np.uint64(0x3333333333333333)
+_PC_M4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+_PC_H01 = np.uint64(0x0101010101010101)
+
+
+def _popcount_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR) — no 8×-memory unpackbits temp."""
+    x = x - ((x >> np.uint64(1)) & _PC_M1)
+    x = (x & _PC_M2) + ((x >> np.uint64(2)) & _PC_M2)
+    x = (x + (x >> np.uint64(4))) & _PC_M4
+    return ((x * _PC_H01) >> np.uint64(56)).astype(np.int64)
+
 
 # --------------------------------------------------------------------- #
 # exact dedup
@@ -44,13 +58,25 @@ class _ContentHash:
         return tbl.append_column("__content_hash__", pa.array(h))
 
 
-def partitioned_groupby_map(ds, key_cols: list[str], fn, num_partitions: int = 64,
+def partitioned_groupby_map(ds, key_cols: list[str], fn,
+                            num_partitions: int | None = None,
                             batch_format: str = "pandas"):
     """Hash-partition by key, then apply ``fn`` once per PARTITION (a pandas
     frame or Arrow table containing every row of its keys) — ``fn`` handles
     all groups in one vectorized pass. Avoids Ray ``groupby(key).map_groups``'s
     per-group Python call, which dominates when groups are tiny (e.g. one
-    Python invocation per LSH bucket)."""
+    Python invocation per LSH bucket).
+
+    ``num_partitions=None`` sizes the exchange from the data
+    (:func:`~recipys_ray.kernels.grouped.choose_partitions`: ≥ 2× cluster
+    CPUs, ~256 MiB per partition) — a fixed count would make partition size
+    grow linearly with the corpus. When ``ds`` is a derived dataset whose
+    size the plan can't infer, callers that know the pre-map input should
+    pass ``choose_partitions(input_ds)`` explicitly."""
+    if num_partitions is None:
+        from recipys_ray.kernels.grouped import choose_partitions
+
+        num_partitions = choose_partitions(ds)
 
     def stamp(tbl: pa.Table) -> pa.Table:
         pdf = tbl.select(key_cols).to_pandas()
@@ -96,6 +122,12 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     second pass over the input.
     """
     hashed = ds.map_batches(_ContentHash(text_col), batch_format="pyarrow")
+    # this exchange moves FULL payload rows: size it from the input (the
+    # hashed dataset's plan metadata is unknown post-map), with a high
+    # partition-count ceiling so partitions stay ~256 MiB at any corpus size
+    from recipys_ray.kernels.grouped import choose_partitions
+
+    p = choose_partitions(ds, hi=65_536)
 
     def keep_first(pdf: pd.DataFrame) -> pd.DataFrame:
         # group on (hash, text): the hash routes rows (same text ⇒ same
@@ -113,7 +145,7 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
         out["n_dups"] = sizes[keep].to_numpy()
         return out.drop(columns=["__content_hash__"])
 
-    return partitioned_groupby_map(hashed, ["__content_hash__"], keep_first)
+    return partitioned_groupby_map(hashed, ["__content_hash__"], keep_first, p)
 
 
 # --------------------------------------------------------------------- #
@@ -216,6 +248,12 @@ def minhash_candidate_pairs(
         _MinHashBands(text_col, id_col, num_perm, bands, shingle_k),
         batch_format="pyarrow",
     )
+    # band rows are 20 B × bands per doc — far below the text payload; size
+    # the exchange from the input corpus (a safe overestimate: partitions
+    # only get smaller) since the exploded plan can't infer its own size
+    from recipys_ray.kernels.grouped import choose_partitions
+
+    p = choose_partitions(ds)
 
     def emit_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         # star expansion per bucket (pair each member with the bucket min) —
@@ -232,7 +270,8 @@ def minhash_candidate_pairs(
             {"a": first[mask].to_numpy(), "b": pdf[id_col][mask].to_numpy()}
         )
 
-    return partitioned_groupby_map(exploded, ["band", "band_hash"], emit_pairs)
+    return partitioned_groupby_map(exploded, ["band", "band_hash"],
+                                   emit_pairs, p)
 
 
 def _safe_pairs(pairs) -> pd.DataFrame:
@@ -268,7 +307,7 @@ def _connected_components(pairs: pd.DataFrame) -> dict:
 
 
 def connected_components_distributed(
-    pairs_ds, max_rounds: int = 20, num_partitions: int = 64
+    pairs_ds, max_rounds: int = 20, num_partitions: int | None = None
 ):
     """Connected components over a candidate-pair Dataset via iterative
     min-label propagation — the scale path when the pair set outgrows the
@@ -278,6 +317,13 @@ def connected_components_distributed(
     Converges in O(diameter) rounds; LSH-candidate graphs are star-shaped
     (every member paired with its bucket min), so the diameter is tiny.
     """
+    if num_partitions is None:
+        from recipys_ray.kernels.grouped import choose_partitions
+
+        # callers hand in a MATERIALIZED pair set, so its size is known;
+        # edges are 2× pairs plus the per-round label rows
+        num_partitions = choose_partitions(pairs_ds)
+
     def to_undirected(tbl: pa.Table) -> pa.Table:
         a = tbl.column("a").to_numpy(zero_copy_only=False)
         b = tbl.column("b").to_numpy(zero_copy_only=False)
@@ -460,7 +506,7 @@ def _arrow_schema_of(ds) -> pa.Schema:
     return ds.take_batch(1, batch_format="pyarrow").schema
 
 
-def drop_ids(ds, id_col: str, losers, num_partitions: int = 64):
+def drop_ids(ds, id_col: str, losers, num_partitions: int | None = None):
     """Filter out rows whose ``id_col`` is in ``losers``.
 
     - ``losers`` is a sorted numpy array (driver path): broadcast ONCE via
@@ -489,6 +535,16 @@ def drop_ids(ds, id_col: str, losers, num_partitions: int = 64):
     n_losers = losers.count()
     if n_losers == 0:
         return ds
+    if num_partitions is None:
+        from recipys_ray.kernels.grouped import _cluster_cpus
+
+        # the exact pass shuffles only Bloom-positive suspects ∪ losers — a
+        # loser-COUNT-sized sliver of the corpus but carrying full payload
+        # rows, so size from n_losers × an assumed ~4 KiB/row payload
+        lo = 2 * _cluster_cpus()
+        num_partitions = int(np.clip(
+            -(-n_losers * 4096 // (256 << 20)), lo, 65_536
+        ))
     bloom, mask, k = _build_bloom(losers, n_losers)
     bloom_ref = ray.put(bloom)
 
@@ -624,9 +680,22 @@ class _SimHash:
 
 def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                   hamming_threshold: int = 3,
-                  max_driver_pairs: int = 5_000_000):
+                  max_driver_pairs: int = 5_000_000,
+                  max_bucket_sigs: int = 2048):
     """SimHash near-dup: 4×16-bit band buckets, verify Hamming distance
-    in-bucket, min-id survivor per component."""
+    in-bucket, min-id survivor per component.
+
+    Hot-bucket safety: members with IDENTICAL signatures are collapsed
+    first via O(n) star expansion (they are exact simhash dups — Hamming 0
+    to each other, and equal distance to everything else, so components
+    are unchanged), then the pairwise Hamming verification runs only over
+    the bucket's DISTINCT signatures. A bucket of 10⁵ identical boilerplate
+    docs therefore costs O(n), not an O(n²) 80 GB temp. Buckets with more
+    than ``max_bucket_sigs`` distinct signatures (pathological: ≫ expected
+    for a 16-bit band) are capped to the lowest-id representatives —
+    a documented recall trade (the dropped reps keep their own
+    identical-signature stars; only cross-signature pairs beyond the cap
+    are skipped), mirroring semdedup's cluster-sizing guidance."""
     hashed = ds.map_batches(_SimHash(text_col), batch_format="pyarrow")
 
     def explode(tbl: pa.Table) -> pa.Table:
@@ -650,39 +719,52 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 
     thr = hamming_threshold
 
+    cap = max_bucket_sigs
+
     def emit_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        # pre-filter to buckets with ≥ 2 members (vectorized); only those few
-        # pay the per-bucket O(n²) Hamming verification
+        # 1) collapse identical signatures across the WHOLE partition in one
+        #    vectorized star expansion (pair each member with its signature
+        #    group's min id) — hot buckets of exact simhash dups cost O(n)
+        sig_keys = ["band", "band_key", "simhash"]
         pdf = pdf.sort_values(
-            ["band", "band_key", id_col], kind="stable", ignore_index=True
+            sig_keys + [id_col], kind="stable", ignore_index=True
         )
-        sizes = pdf.groupby(["band", "band_key"], sort=False)[id_col].transform(
-            "size"
-        )
-        pdf = pdf[sizes >= 2]
-        out_a, out_b = [], []
-        for _, g in pdf.groupby(["band", "band_key"], sort=False):
+        first = pdf.groupby(sig_keys, sort=False)[id_col].transform("first")
+        dup = (pdf[id_col] != first).to_numpy()
+        out_a = [first[dup].to_numpy()]
+        out_b = [pdf[id_col][dup].to_numpy()]
+        # 2) pairwise Hamming only among DISTINCT signatures per bucket
+        reps = pdf[~pdf.duplicated(sig_keys, keep="first")]
+        sizes = reps.groupby(["band", "band_key"], sort=False)[
+            id_col
+        ].transform("size")
+        reps = reps[sizes >= 2]
+        for _, g in reps.groupby(["band", "band_key"], sort=False):
+            if len(g) > cap:
+                # pathological bucket: bound the quadratic at cap² by
+                # keeping the lowest-id reps (deterministic; recall trade
+                # documented in the simhash_dedup docstring)
+                g = g.nsmallest(cap, id_col)
             sims = g["simhash"].to_numpy().astype(np.uint64)
             ids = g[id_col].to_numpy()
-            x = sims[:, None] ^ sims[None, :]
-            ham = np.unpackbits(
-                x.view(np.uint8).reshape(len(g), len(g), 8), axis=2
-            ).sum(axis=2)
+            ham = _popcount_u64(sims[:, None] ^ sims[None, :])
             ii, jj = np.nonzero(
                 (ham <= thr)
                 & (np.arange(len(g))[:, None] < np.arange(len(g))[None, :])
             )
-            out_a.append(ids[ii])
-            out_b.append(ids[jj])
-        if not out_a:
-            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
-                                 "b": pd.Series(dtype=np.int64)})
-        return pd.DataFrame(
-            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
-        )
+            # reps are signature-sorted, not id-sorted — orient each pair
+            out_a.append(np.minimum(ids[ii], ids[jj]))
+            out_b.append(np.maximum(ids[ii], ids[jj]))
+        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        return pd.DataFrame({"a": a.astype(np.int64),
+                             "b": b.astype(np.int64)})
+
+    from recipys_ray.kernels.grouped import choose_partitions
 
     pairs_ds = partitioned_groupby_map(
-        exploded, ["band", "band_key"], emit_pairs
+        exploded, ["band", "band_key"], emit_pairs,
+        choose_partitions(ds),  # band rows ≪ corpus bytes: safe overestimate
     ).materialize()
     losers = losers_from_pairs(pairs_ds, max_driver_pairs)
     return drop_ids(hashed, id_col, losers)
@@ -806,6 +888,7 @@ def embedding_dedup(
     seed: int = 5,
     n_probes: int = 3,
     max_driver_pairs: int = 5_000_000,
+    max_bucket_vecs: int = 4096,
 ):
     """Near-dup by embedding cosine: random-hyperplane LSH buckets with
     MULTI-PROBE (each vector additionally lands in the ``n_probes`` buckets
@@ -814,6 +897,14 @@ def embedding_dedup(
     cosine, min-id survivor per component. Multi-probe raises recall from
     ~(1-θ/π)^planes toward 1 at the cost of (1+n_probes)× bucket
     membership; duplicate pair emissions collapse in the components fold.
+
+    Hot-bucket safety: byte-identical vectors collapse via O(m) star
+    expansion before the pairwise cosine (a bucket of 10⁵ copies of one
+    boilerplate embedding costs O(m), not an O(m²) matmul); the residual
+    distinct-vector verification is CHUNKED (temp = chunk × m, never
+    m × m) and capped at ``max_bucket_vecs`` lowest-id representatives per
+    bucket — a documented recall trade: beyond the cap only
+    cross-representative pairs are skipped, exact-dup stars always emit.
     """
     first = ds.take(1)[0]
     dim = len(first[emb_col])
@@ -851,6 +942,12 @@ def embedding_dedup(
     exploded = ds.map_batches(bucketize, batch_format="pyarrow")
 
     def emit_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Hot-bucket safety (mirrors simhash): collapse BYTE-IDENTICAL unit
+        # vectors first (exact dups — cosine 1 ≥ threshold) via O(m) star
+        # expansion, verify cosine only among the bucket's distinct vectors,
+        # and bound that quadratic by chunking the matmul + capping
+        # pathological buckets at `max_bucket_vecs` lowest-id reps (recall
+        # trade documented in the embedding_dedup docstring).
         pdf = pdf.sort_values(["bucket", id_col], kind="stable",
                               ignore_index=True)
         sizes = pdf.groupby("bucket", sort=False)[id_col].transform("size")
@@ -858,23 +955,54 @@ def embedding_dedup(
         out_a, out_b = [], []
         for _, g in pdf.groupby("bucket", sort=False):
             U = np.stack(g["__unit__"].to_numpy())
-            ids = g[id_col].to_numpy()
-            sims = U @ U.T
-            ii, jj = np.nonzero(
-                (sims >= threshold)
-                & (np.arange(len(g))[:, None] < np.arange(len(g))[None, :])
-            )
-            out_a.append(ids[ii])
-            out_b.append(ids[jj])
+            ids = g[id_col].to_numpy()  # ascending within the bucket
+            # exact-duplicate collapse: unique rows + min-id representative.
+            # groupby(inv).min() indexes by sorted inv value (0..m-1,
+            # complete), so rep_ids[k] aligns with uniq[k].
+            uniq, inv = np.unique(U, axis=0, return_inverse=True)
+            by_vec = pd.Series(ids).groupby(inv)
+            rep_ids = by_vec.min().to_numpy()
+            if len(uniq) < len(ids):
+                rep = by_vec.transform("min").to_numpy()
+                dup = ids != rep
+                out_a.append(rep[dup])
+                out_b.append(ids[dup])
+            m = len(uniq)
+            if m > max_bucket_vecs:
+                keep = np.argsort(rep_ids, kind="stable")[:max_bucket_vecs]
+                uniq, rep_ids = uniq[keep], rep_ids[keep]
+                m = max_bucket_vecs
+            # chunked matmul: temp is chunk × m, never m × m
+            chunk = 1024
+            for s in range(0, m, chunk):
+                sims = uniq[s : s + chunk] @ uniq.T
+                ii, jj = np.nonzero(
+                    (sims >= threshold)
+                    & ((s + np.arange(sims.shape[0]))[:, None]
+                       < np.arange(m)[None, :])
+                )
+                if len(ii):
+                    ra, rb = rep_ids[s + ii], rep_ids[jj]
+                    out_a.append(np.minimum(ra, rb))
+                    out_b.append(np.maximum(ra, rb))
         if not out_a:
             return pd.DataFrame({"a": pd.Series(dtype=np.int64),
                                  "b": pd.Series(dtype=np.int64)})
         return pd.DataFrame(
-            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+            {"a": np.concatenate(out_a).astype(np.int64),
+             "b": np.concatenate(out_b).astype(np.int64)}
         )
 
+    from recipys_ray.kernels.grouped import choose_partitions
+
+    # each row rides (1 + n_probes)× with its float32 unit vector attached —
+    # shrink the per-partition byte target by that multiplier
+    reps = 1 + min(n_probes, n_planes)
+    p = choose_partitions(
+        ds, target_partition_bytes=(256 << 20) // reps
+    )
     pairs_ds = partitioned_groupby_map(
-        exploded, ["bucket"], emit_pairs
+        exploded, ["bucket"], emit_pairs, p
     ).materialize()
     losers = losers_from_pairs(pairs_ds, max_driver_pairs)
     return drop_ids(ds, id_col, losers)

@@ -36,7 +36,8 @@ def _bit_length_u64(w: np.ndarray) -> np.ndarray:
 
 
 def distinct_per_group(
-    ds, group_cols: list[str], value_col: str, num_partitions: int = 64
+    ds, group_cols: list[str], value_col: str,
+    num_partitions: int | None = None,
 ):
     """Exact per-group distinct count (module docstring). Returns a Dataset
     of (group_cols…, n_distinct int64)."""
@@ -69,7 +70,7 @@ def distinct_per_group(
 
 def distinct_per_group_approx(
     ds, group_cols: list[str], value_col: str, p: int = 12,
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ):
     """HyperLogLog per-group distinct estimate (module docstring). Returns
     a Dataset of (group_cols…, n_distinct_approx float64)."""

@@ -20,7 +20,7 @@ def funnel(
     group_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ):
     """Return one row per entity: ``group_col``, ``stage`` (int64 — how
     many consecutive steps completed), and ``ts_<step>`` (timestamp of the
@@ -63,6 +63,12 @@ def funnel(
         out["stage"] = stage
         return out.reset_index()
 
+    if num_partitions is None:
+        from recipys_ray.kernels.grouped import choose_partitions
+
+        # size from the pre-projection input (the skinny plan can't infer
+        # its own size); the full-width read is a safe overestimate
+        num_partitions = choose_partitions(ds)
     skinny = ds.select_columns([group_col, ts_col, type_col])
     return partitioned_groupby_map(
         skinny, [group_col], part, num_partitions

@@ -114,7 +114,7 @@ def jaccard_dedup(
     threshold: float = 0.6,
     k: int = 3,
     top_m: int = 20_000,
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
     max_driver_pairs: int = 5_000_000,
     broadcast_bytes: int = 500_000_000,
 ):
@@ -125,6 +125,12 @@ def jaccard_dedup(
     sets = ds.map_batches(
         _ShingleSets(text_col, id_col, k), batch_format="pyarrow"
     ).materialize()
+    if num_partitions is None:
+        from recipys_ray.kernels.grouped import choose_partitions
+
+        # sets is materialized (size known); the prefix-token and verify
+        # exchanges both move shingle-set-order payloads
+        num_partitions = choose_partitions(sets)
     common = _top_common(sets, id_col, top_m) if top_m > 0 else {}
     common_ref = ray.put(common)
 

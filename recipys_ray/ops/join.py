@@ -56,49 +56,46 @@ def _plan_columns(left, right, left_on, right_on, right_suffix):
     return lschema, rschema, lcols, r_value_cols, out_names
 
 
-class _BroadcastJoiner:
-    """Actor-pool stage: resolves the broadcast right side once per actor
-    (plasma shared read), then one pandas hash-merge per batch."""
+# Per-worker cache of resolved broadcast frames. Broadcast join runs as
+# PLAIN TASKS (no actor pool — a (2,8) actor pool paid ~2 s warm-up per
+# query at sf0.1, 3× the join itself); Ray reuses worker processes across
+# tasks, so caching the deserialized frame by ObjectRef gives actor-style
+# amortization of the ray.get without the pool.
+_BCAST_CACHE: dict = {}
 
-    def __init__(self, right_ref, left_on, right_on, rename, how):
-        rf = ray.get(right_ref)
-        rf = rf.rename(columns=rename)
-        if how in ("semi", "anti"):
-            # existence joins need only the DISTINCT right keys — no value
-            # columns ride the broadcast, no row multiplication possible
-            rf = rf[right_on].drop_duplicates()
-        # SQL equi-join: NULL keys never match. pandas merge matches
-        # NaN/None against each other, so drop null-keyed right rows up
-        # front — a null left key then finds nothing (semi drops it, anti
-        # keeps it, inner drops it, left pads it: all the SQL answers).
-        self.rf = rf.dropna(subset=right_on)
-        self.left_on = left_on
-        self.right_on = right_on
-        self.how = how
 
-    def __call__(self, pdf: pd.DataFrame) -> pd.DataFrame:
-        if self.how in ("semi", "anti"):
-            probe = pdf[self.left_on].merge(
-                self.rf,
-                how="left",
-                left_on=self.left_on,
-                right_on=self.right_on,
-                sort=False,
-                indicator="__in_right__",
-            )["__in_right__"].to_numpy()
-            mask = probe == "both"
-            return pdf[mask if self.how == "semi" else ~mask]
-        out = pdf.merge(
-            self.rf,
-            how=self.how,
-            left_on=self.left_on,
-            right_on=self.right_on,
+def _resolve_broadcast(ref) -> pd.DataFrame:
+    rf = _BCAST_CACHE.get(ref)
+    if rf is None:
+        rf = ray.get(ref)
+        _BCAST_CACHE.clear()  # hold at most one dim table per worker
+        _BCAST_CACHE[ref] = rf
+    return rf
+
+
+def _join_batch(pdf: pd.DataFrame, right_ref, left_on, right_on,
+                how) -> pd.DataFrame:
+    """One pandas hash-merge of a left batch against the broadcast right
+    side (already renamed / deduped / null-key-dropped on the driver)."""
+    rf = _resolve_broadcast(right_ref)
+    if how in ("semi", "anti"):
+        probe = pdf[left_on].merge(
+            rf,
+            how="left",
+            left_on=left_on,
+            right_on=right_on,
             sort=False,
-        )
-        drop = [c for c in self.right_on if c not in pdf.columns]
-        if drop:
-            out = out.drop(columns=drop)
-        return out
+            indicator="__in_right__",
+        )["__in_right__"].to_numpy()
+        mask = probe == "both"
+        return pdf[mask if how == "semi" else ~mask]
+    out = pdf.merge(
+        rf, how=how, left_on=left_on, right_on=right_on, sort=False
+    )
+    drop = [c for c in right_on if c not in pdf.columns]
+    if drop:
+        out = out.drop(columns=drop)
+    return out
 
 
 def hash_join(
@@ -163,22 +160,30 @@ def _broadcast_join(left, right, left_on, right_on, how, right_suffix,
             f"broadcast_max_bytes={broadcast_max_bytes}; use "
             f"strategy='shuffle' (co-partitioned, both sides unbounded)."
         )
-    rf = right.to_pandas()
+    # all right-side prep happens ONCE on the driver, before the broadcast
+    rf = right.to_pandas().rename(columns=out_names)
+    if how in ("semi", "anti"):
+        # existence joins need only the DISTINCT right keys — no value
+        # columns ride the broadcast, no row multiplication possible
+        rf = rf[right_on].drop_duplicates()
+    # SQL equi-join: NULL keys never match. pandas merge matches NaN/None
+    # against each other, so drop null-keyed right rows up front — a null
+    # left key then finds nothing (semi drops it, anti keeps it, inner
+    # drops it, left pads it: all the SQL answers).
+    rf = rf.dropna(subset=right_on)
     right_ref = ray.put(rf)
     kwargs = dict(
-        fn_constructor_kwargs=dict(
+        fn_kwargs=dict(
             right_ref=right_ref,
             left_on=left_on,
             right_on=right_on,
-            rename=out_names,
             how=how,
         ),
         batch_format="pandas",
-        # callable-class stage → autoscaling actor pool; each actor resolves
-        # the broadcast once in __init__
-        concurrency=concurrency if concurrency is not None else (2, 8),
     )
-    return left.map_batches(_BroadcastJoiner, **kwargs)
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    return left.map_batches(_join_batch, **kwargs)
 
 
 def _shuffle_join(left, right, left_on, right_on, how, right_suffix,

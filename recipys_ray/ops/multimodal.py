@@ -8,11 +8,15 @@ real and tested. Codec status (no image/audio libs exist in this sandbox):
   uncompressed 24-bit BMP and binary PPM/PGM images
   (``DecodeImage(fake=False)`` — header parse + one ``np.frombuffer``,
   emits true dimensions, per-channel means and an 8×8 grayscale thumbnail),
-  and PCM WAV audio (:class:`DecodeWav` via the stdlib ``wave`` module —
-  true sample rate, duration, RMS, peak, zero-crossing rate).
-- Compressed codecs (JPEG/PNG/MP3/MP4) would need PIL/ffmpeg: rows in those
-  formats decode to nulls with ``decode_ok=False`` (never a crash mid-
-  pipeline), and :class:`SampleFrames` remains an honest plumbing stub.
+  **8-bit non-interlaced PNG** (:func:`_decode_png` — stdlib zlib inflate +
+  per-scanline unfiltering, so one COMPRESSED codec decodes for real in any
+  environment), and PCM WAV audio (:class:`DecodeWav` via the stdlib
+  ``wave`` module — true sample rate, duration, RMS, peak, zero-crossing
+  rate).
+- Remaining compressed codecs (JPEG/16-bit or interlaced PNG/MP3/MP4) need
+  PIL/ffmpeg: rows in those formats decode to nulls with
+  ``decode_ok=False`` (never a crash mid-pipeline), and
+  :class:`SampleFrames` remains an honest plumbing stub without ffmpeg.
 - ``DecodeImage(fake=True)`` keeps the deterministic content-hash fake for
   end-to-end pipeline tests that don't care about pixels.
 
@@ -96,6 +100,93 @@ def _decode_bmp(buf: bytes):
         return None
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(buf: bytes):
+    """Pure stdlib+numpy PNG decode (public spec, RFC 2083): 8-bit depth,
+    color types gray / RGB / palette / gray+alpha / RGBA, non-interlaced.
+    zlib inflate + per-scanline unfiltering (None/Sub/Up/Average/Paeth).
+    Returns float32 HxWxC (alpha dropped), or None for unsupported variants
+    (16-bit, interlaced) / malformed input — PIL remains the fallback."""
+    import zlib
+
+    try:
+        if buf[:8] != _PNG_SIG:
+            return None
+        pos, idat = 8, []
+        w = h = depth = ct = interlace = None
+        plte = None
+        while pos + 8 <= len(buf):
+            ln = int.from_bytes(buf[pos : pos + 4], "big")
+            typ = buf[pos + 4 : pos + 8]
+            data = buf[pos + 8 : pos + 8 + ln]
+            pos += 12 + ln  # length + type + data + crc
+            if typ == b"IHDR":
+                w = int.from_bytes(data[0:4], "big")
+                h = int.from_bytes(data[4:8], "big")
+                depth, ct, interlace = data[8], data[9], data[12]
+            elif typ == b"PLTE":
+                plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+            elif typ == b"IDAT":
+                idat.append(data)
+            elif typ == b"IEND":
+                break
+        if not w or not h or depth != 8 or interlace != 0:
+            return None
+        nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ct)
+        if nch is None or (ct == 3 and plte is None):
+            return None
+        raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+        stride = w * nch
+        if len(raw) != h * (stride + 1):
+            return None
+        raw = raw.reshape(h, stride + 1)
+        ftypes = raw[:, 0]
+        out = np.zeros((h, stride), np.int32)
+        prev = np.zeros(stride, np.int32)
+        for y in range(h):
+            f = int(ftypes[y])
+            rec = raw[y, 1:].astype(np.int32)
+            if f == 0:
+                pass
+            elif f == 2:  # Up — vectorized
+                rec = (rec + prev) & 255
+            elif f == 1:  # Sub — sequential along x
+                for x in range(nch, stride):
+                    rec[x] = (rec[x] + rec[x - nch]) & 255
+            elif f == 3:  # Average
+                for x in range(stride):
+                    left = rec[x - nch] if x >= nch else 0
+                    rec[x] = (rec[x] + ((left + prev[x]) >> 1)) & 255
+            elif f == 4:  # Paeth
+                for x in range(stride):
+                    a = int(rec[x - nch]) if x >= nch else 0
+                    b = int(prev[x])
+                    c = int(prev[x - nch]) if x >= nch else 0
+                    p = a + b - c
+                    pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a if pa_ <= pb_ and pa_ <= pc_
+                        else (b if pb_ <= pc_ else c)
+                    )
+                    rec[x] = (rec[x] + pred) & 255
+            else:
+                return None
+            out[y] = rec
+            prev = rec
+        img = out.astype(np.uint8).reshape(h, w, nch)
+        if ct == 3:
+            return plte[img[:, :, 0]].astype(np.float32)
+        if ct == 4:
+            return img[:, :, :1].astype(np.float32)  # drop alpha → gray
+        if ct == 6:
+            return img[:, :, :3].astype(np.float32)  # drop alpha
+        return img.astype(np.float32)
+    except (ValueError, IndexError, OverflowError, zlib.error):
+        return None
+
+
 def _thumb8(arr: np.ndarray) -> np.ndarray:
     """8×8 grayscale thumbnail by box-averaging (the real resize kernel)."""
     gray = arr.mean(axis=2) if arr.ndim == 3 else arr
@@ -119,11 +210,12 @@ class DecodeImage:
     """Actor-pool stage: binary image column → metadata + features.
 
     ``fake=False`` (REAL path): pure stdlib/numpy decode of uncompressed
-    24-bit BMP and binary PPM/PGM payloads — emits true ``img_width`` /
-    ``img_height`` / ``img_mode``, per-channel means, an 8×8 grayscale
-    ``thumb`` (64 float32), and ``decode_ok``. Formats needing external
-    codecs (JPEG/PNG/…) yield nulls with ``decode_ok=False``. With a PIL
-    install this class is where the codec would load once per actor.
+    24-bit BMP, binary PPM/PGM and 8-bit non-interlaced PNG payloads —
+    emits true ``img_width`` / ``img_height`` / ``img_mode``, per-channel
+    means, an 8×8 grayscale ``thumb`` (64 float32), and ``decode_ok``.
+    Formats needing external codecs (JPEG/…) yield nulls with
+    ``decode_ok=False``. With a PIL install this class is where the codec
+    loads once per actor.
 
     ``fake=True``: deterministic content-hash fake decodes (original
     plumbing-test behavior, unchanged schema)."""
@@ -186,7 +278,12 @@ class DecodeImage:
         for i, p in enumerate(payloads):
             if not p:
                 continue
-            arr = _decode_bmp(p) if p[:2] == b"BM" else _decode_ppm(p)
+            if p[:2] == b"BM":
+                arr = _decode_bmp(p)
+            elif p[:8] == _PNG_SIG:
+                arr = _decode_png(p)
+            else:
+                arr = _decode_ppm(p)
             if arr is None:
                 arr = self._decode_pil(p)
             if arr is None:

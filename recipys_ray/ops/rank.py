@@ -36,7 +36,7 @@ def add_global_rank(
     order_col: str,
     tie_cols: Optional[list[str]] = None,
     descending: bool = False,
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
     sample_per_block: int = 256,
     rank_col: str = "rank",
     seed: int = 5,
@@ -46,6 +46,11 @@ def add_global_rank(
     Null ``order_col`` values rank AFTER all non-nulls (ascending) —
     matching SQL ``ORDER BY ... NULLS LAST``."""
     tie_cols = list(tie_cols or [])
+    if num_partitions is None:
+        from recipys_ray.kernels.grouped import choose_partitions
+
+        # the range shuffle moves full payload rows — size from the input
+        num_partitions = choose_partitions(ds, hi=65_536)
 
     # ---- pass 1: boundary sample (skinny) ---------------------------- #
     def sample(tbl: pa.Table) -> pa.Table:

@@ -101,7 +101,9 @@ def semantic_dedup(
 ):
     """SemDeDup (module docstring): returns the survivor Dataset (all
     original columns, helper cell column dropped)."""
-    n_rows = ds.count()
+    from recipys_ray.kernels.grouped import cheap_count
+
+    n_rows = cheap_count(ds)  # parquet metadata answers without a pass
     if n_rows > sample_size:
         frac = min(1.0, 1.5 * sample_size / n_rows)
         sample = (

@@ -169,7 +169,9 @@ def knn_ivf(
     filtering happens inside each batch, so only candidate rows pay the
     matmul. Exactness degrades gracefully with nprobe (recall < 1).
     """
-    n_rows = ds.count()
+    from recipys_ray.kernels.grouped import cheap_count
+
+    n_rows = cheap_count(ds)  # parquet metadata answers without a pass
     if n_rows > sample_size:
         frac = min(1.0, 1.5 * sample_size / n_rows)
         sample = (

@@ -27,7 +27,7 @@ def duplicate_spans(
     span_chars: int = 40,
     stride: int = 10,
     min_docs: int = 2,
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
     batch_size: int = 4096,
 ):
     """Return (id_col, span_start:int64, n_docs:int64) — one row per
@@ -36,6 +36,15 @@ def duplicate_spans(
     spans."""
     if stride <= 0 or span_chars <= 0:
         raise ValueError("span_chars and stride must be positive")
+    if num_partitions is None:
+        from recipys_ray.kernels.grouped import choose_partitions
+
+        # the span exchange carries ~(span_chars/stride)× the corpus chars —
+        # shrink the per-partition byte target by that blow-up factor
+        blowup = max(1, span_chars // stride)
+        num_partitions = choose_partitions(
+            ds, target_partition_bytes=(256 << 20) // blowup, hi=65_536
+        )
 
     def extract(tbl: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

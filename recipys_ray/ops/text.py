@@ -396,7 +396,7 @@ def build_vocab(
     ds,
     text_col: str = "text",
     top_k: int = 1000,
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
     _return_total: bool = False,
     ngram: int = 1,
 ):
@@ -536,7 +536,7 @@ def unigram_lm_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     top_k: int = 1000,
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
     concurrency=(1, 8),
     batch_size: int = 4096,
 ):
@@ -588,7 +588,7 @@ def tfidf_top_terms(
     id_col: str = "doc_id",
     vocab_size: int = 1000,
     top_n: int = 3,
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ):
     """Distributed TF-IDF keyword extraction: the top-``top_n`` terms per
     document by tf·idf over a bounded vocabulary.

@@ -53,7 +53,7 @@ def top_k_per_group(
     k: int,
     descending: bool = True,
     tie_cols: Optional[list[str]] = None,
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ):
     """Exact per-group top-K (module docstring). Returns a Dataset with the
     surviving rows plus a 0-based int64 ``rank`` column per group."""

@@ -154,6 +154,63 @@ class TestDedup:
         assert sorted(exact["vec_id"]) == sorted(range(30))
         assert sorted(lsh["vec_id"]) == sorted(exact["vec_id"])
 
+    def test_popcount_swar(self):
+        from recipys_ray.ops.dedup import _popcount_u64
+
+        rng = np.random.RandomState(2)
+        x = rng.randint(0, 2**63, size=1000, dtype=np.int64).astype(np.uint64)
+        x[:4] = [0, 1, np.uint64(2**64 - 1), np.uint64(1) << np.uint64(63)]
+        ref = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(1)
+        np.testing.assert_array_equal(_popcount_u64(x), ref.astype(np.int64))
+
+    def test_simhash_hot_bucket_bounded(self):
+        """A pathological bucket of 10⁵ IDENTICAL docs must collapse via the
+        O(n) identical-signature star — the old all-pairs Hamming would
+        build an n×n temp (~80 GB at this size)."""
+        n_hot = 100_000
+        texts = ["copy paste boilerplate document body"] * n_hot + [
+            "alpha unique first document",
+            "totally different second text",
+            "third unrelated content here",
+        ]
+        pdf = pd.DataFrame({
+            "doc_id": np.arange(len(texts), dtype=np.int64),
+            "text": texts,
+        })
+        out = simhash_dedup(rd.from_pandas(pdf)).to_pandas()
+        # min-id survivor of the hot group + the 3 (possibly merged) uniques
+        assert 0 in out["doc_id"].values
+        assert not set(range(1, n_hot)) & set(out["doc_id"])
+        assert 1 <= len(out) <= 4
+
+    def test_simhash_bucket_cap_recall_trade(self):
+        """Above max_bucket_sigs the cross-signature pairs are capped, but
+        exact-signature stars always emit; small caps must not crash."""
+        pdf = docs_with_dups()
+        ds = rd.from_pandas(pdf)
+        uncapped = simhash_dedup(ds).to_pandas()
+        capped = simhash_dedup(ds, max_bucket_sigs=2).to_pandas()
+        # capping only SKIPS pairs → can only keep more survivors
+        assert set(uncapped["doc_id"]) <= set(capped["doc_id"])
+
+    def test_embedding_hot_bucket_bounded(self):
+        """10⁴ byte-identical vectors collapse via the exact-dup star; the
+        residual verification is chunked and capped."""
+        rng = np.random.RandomState(7)
+        base = rng.normal(size=(5, 16)).astype(np.float32)
+        hot = np.repeat(base[:1], 10_000, axis=0)
+        emb = np.vstack([hot, base[1:]])
+        pdf = pd.DataFrame({
+            "vec_id": np.arange(len(emb), dtype=np.int64),
+            "embedding": list(emb),
+        })
+        out = embedding_dedup(
+            rd.from_pandas(pdf), threshold=0.999, max_bucket_vecs=3
+        ).to_pandas()
+        assert 0 in out["vec_id"].values
+        assert not set(range(1, 10_000)) & set(out["vec_id"])
+        assert len(out) == 5  # the 4 distinct extras all survive
+
 
 class TestSimilarity:
     def setup_method(self):
@@ -1142,6 +1199,90 @@ class TestRealCodecs:
         # sine RMS = amp/sqrt(2); zcr of a 440 Hz tone at 8 kHz ≈ 880/8000
         np.testing.assert_allclose(d["rms"][0], 0.5 / np.sqrt(2), rtol=1e-3)
         np.testing.assert_allclose(d["zcr"][0], 2 * 440 / sr, rtol=0.02)
+
+    @staticmethod
+    def _png_bytes(arr, color_type=None, filters=None):
+        """Minimal PNG encoder (spec-faithful: zlib, CRC, per-row filter
+        byte) so the pure-python decoder is tested against independently
+        constructed bytes exercising every filter type 0-4."""
+        import zlib
+
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        h, w, nch = arr.shape
+        if color_type is None:
+            color_type = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+
+        def chunk(typ, data):
+            crc = zlib.crc32(typ + data) & 0xFFFFFFFF
+            return (len(data).to_bytes(4, "big") + typ + data
+                    + crc.to_bytes(4, "big"))
+
+        ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                + bytes([8, color_type, 0, 0, 0]))
+        a8 = arr.astype(np.int32)
+        raw = bytearray()
+        prev = np.zeros((w, nch), np.int32)
+        for y in range(h):
+            f = filters[y % len(filters)] if filters else 0
+            cur = a8[y]
+            left = np.vstack([np.zeros((1, nch), np.int32), cur[:-1]])
+            ul = np.vstack([np.zeros((1, nch), np.int32), prev[:-1]])
+            if f == 0:
+                enc = cur
+            elif f == 1:
+                enc = cur - left
+            elif f == 2:
+                enc = cur - prev
+            elif f == 3:
+                enc = cur - ((left + prev) >> 1)
+            else:  # Paeth
+                p = left + prev - ul
+                pa_, pb_, pc_ = (np.abs(p - left), np.abs(p - prev),
+                                 np.abs(p - ul))
+                pred = np.where(
+                    (pa_ <= pb_) & (pa_ <= pc_), left,
+                    np.where(pb_ <= pc_, prev, ul),
+                )
+                enc = cur - pred
+            raw.append(f)
+            raw.extend((enc & 255).astype(np.uint8).tobytes())
+            prev = cur
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+
+    def test_png_decode_real(self, ray_session):
+        """The pure-python PNG path: every filter type, gray/RGB/RGBA."""
+        from recipys_ray.ops.multimodal import DecodeImage, _decode_png
+
+        rng = np.random.default_rng(11)
+        rgb = rng.integers(0, 256, (19, 23, 3)).astype(np.uint8)
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            got = _decode_png(self._png_bytes(rgb, filters=filters))
+            np.testing.assert_array_equal(got.astype(np.uint8), rgb)
+        gray = rng.integers(0, 256, (7, 5)).astype(np.uint8)
+        got = _decode_png(self._png_bytes(gray, filters=[4, 2]))
+        np.testing.assert_array_equal(got[:, :, 0].astype(np.uint8), gray)
+        rgba = rng.integers(0, 256, (6, 9, 4)).astype(np.uint8)
+        got = _decode_png(self._png_bytes(rgba, filters=[1, 3]))
+        np.testing.assert_array_equal(got.astype(np.uint8), rgba[:, :, :3])
+        # malformed payloads must return None, not raise
+        assert _decode_png(b"\x89PNG\r\n\x1a\njunk") is None
+        assert _decode_png(self._png_bytes(rgb)[:40]) is None
+        # end-to-end through the decode stage
+        tbl = pa.table({
+            "image": pa.array(
+                [self._png_bytes(rgb, filters=[0, 1, 2, 3, 4])], pa.binary()
+            )
+        })
+        d = DecodeImage("image", fake=False)(tbl).to_pandas()
+        assert d["decode_ok"].tolist() == [True]
+        assert d["img_width"][0] == 23 and d["img_height"][0] == 19
+        np.testing.assert_allclose(
+            [d[f"img_mean_{c}"][0] for c in "rgb"],
+            rgb.reshape(-1, 3).mean(0), rtol=1e-5,
+        )
 
     def test_real_decode_through_ray_stage(self, ray_session):
         from recipys_ray.ops.multimodal import decode_images
