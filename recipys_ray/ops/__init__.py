@@ -3,6 +3,7 @@ re-exports of every public operator (each lives in its own module; see
 COVERAGE.md for the op → test → driver-query map)."""
 
 from recipys_ray.ops.asof import asof_join
+from recipys_ray.ops.rangejoin import range_agg, range_join
 from recipys_ray.ops.chunking import chunk_documents
 from recipys_ray.ops.decontaminate import benchmark_gram_set, decontaminate
 from recipys_ray.ops.dedup import (
@@ -58,7 +59,8 @@ from recipys_ray.ops.text import (
 from recipys_ray.ops.topk import top_k_per_group
 
 __all__ = [
-    "asof_join", "chunk_documents", "benchmark_gram_set", "decontaminate",
+    "asof_join", "range_agg", "range_join",
+    "chunk_documents", "benchmark_gram_set", "decontaminate",
     "embedding_dedup", "embedding_dedup_exact", "exact_dedup",
     "minhash_candidate_pairs", "minhash_dedup", "ngram_jaccard",
     "simhash_dedup", "verify_pairs_jaccard", "distinct_per_group",

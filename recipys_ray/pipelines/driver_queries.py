@@ -480,6 +480,67 @@ def q_asof_purchase(sf_dir):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def _purchase_click_sides(sf_dir):
+    """Left = purchases (p_event, user_id, ts), right = clicks
+    (user_id, ts, c_event, c_value) — shared by the range-join queries."""
+    ev = _events(
+        sf_dir, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+
+    def side(etype, names):
+        def fn(tbl: pa.Table) -> pa.Table:
+            sub = tbl.filter(pc.equal(tbl.column("event_type"), etype))
+            return pa.table({n: sub.column(c) for c, n in names})
+
+        return fn
+
+    left = ev.map_batches(
+        side(
+            "purchase",
+            [("event_id", "p_event"), ("user_id", "user_id"), ("ts", "ts")],
+        ),
+        batch_format="pyarrow",
+    )
+    right = ev.map_batches(
+        side(
+            "click",
+            [("user_id", "user_id"), ("ts", "ts"),
+             ("event_id", "c_event"), ("value", "c_value")],
+        ),
+        batch_format="pyarrow",
+    )
+    return left, right
+
+
+def q_range_join_clicks(sf_dir):
+    """Interval join: every click within the 24 h BEFORE each purchase by
+    the same user — one row per (purchase, click) pair. The range-join
+    primitive as-of can't express (as-of keeps ONE match, this keeps all)."""
+    from recipys_ray.ops.rangejoin import range_join
+
+    left, right = _purchase_click_sides(sf_dir)
+    out = range_join(left, right, on="ts", by="user_id",
+                     lower="-24h", upper="0s")
+    return _select(out, ["p_event", "c_event", "c_value"])
+
+
+def q_window_click_stats(sf_dir):
+    """Windowed aggregate over the same 24 h window WITHOUT materializing
+    pairs (prefix-sum sweep): per purchase, count of clicks and sum of
+    click ids (integer-exact on both sides of the contract; float window
+    sums are unit-tested — prefix-difference vs sequential SQL summation
+    can differ in the last ulp, which the driver hash is sensitive to)."""
+    from recipys_ray.ops.rangejoin import range_agg
+
+    left, right = _purchase_click_sides(sf_dir)
+    out = range_agg(
+        left, right, on="ts", by="user_id", lower="-24h", upper="0s",
+        aggs={"n_clicks": ("c_event", "count"),
+              "click_id_sum": ("c_event", "sum")},
+    )
+    return _select(out, ["p_event", "n_clicks", "click_id_sum"])
+
+
 # --------------------------------------------------------------------- #
 # dedup / text / similarity (training-data ops)
 # --------------------------------------------------------------------- #
@@ -1524,6 +1585,23 @@ ORACLES: dict[str, str] = {
         FROM events e ASOF LEFT JOIN p
           ON e.user_id = p.user_id AND e.ts >= p.ts
     """,
+    "range_join_clicks": """
+        SELECT p.event_id AS p_event, c.event_id AS c_event,
+               c.value AS c_value
+        FROM events p JOIN events c
+          ON c.user_id = p.user_id
+         AND c.ts BETWEEN p.ts - INTERVAL 24 HOUR AND p.ts
+        WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+    "window_click_stats": """
+        SELECT p.event_id AS p_event, count(c.event_id) AS n_clicks,
+               CAST(sum(c.event_id) AS BIGINT) AS click_id_sum
+        FROM events p LEFT JOIN events c
+          ON c.user_id = p.user_id AND c.event_type = 'click'
+         AND c.ts BETWEEN p.ts - INTERVAL 24 HOUR AND p.ts
+        WHERE p.event_type = 'purchase'
+        GROUP BY p.event_id
+    """,
     "dedup_exact": """
         SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_dups
         FROM documents GROUP BY text
@@ -2332,6 +2410,8 @@ QUERIES = {
     "resample_agg_1h": q_resample_agg_1h,
     "resample_grid_1h": q_resample_grid_1h,
     "asof_purchase": q_asof_purchase,
+    "range_join_clicks": q_range_join_clicks,
+    "window_click_stats": q_window_click_stats,
     "normalize_text": q_normalize_text,
     "join_orders_customer": q_join_orders_customer,
     "join_lineitem_orders": q_join_lineitem_orders,
