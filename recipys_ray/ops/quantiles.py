@@ -179,3 +179,53 @@ def exact_quantiles(
         }
     )
     return out.sort_values("q", ignore_index=True)
+
+
+def group_quantiles(
+    ds,
+    group_cols,
+    value_col: str,
+    qs: Sequence[float],
+    out_names: Sequence[str] | None = None,
+    interpolation: str = "linear",
+    num_partitions: int | None = None,
+):
+    """Exact per-group continuous quantiles (SQL ``quantile_cont(x, q) ...
+    GROUP BY g``): hash-partition by group (ONE exchange of the skinny
+    ``group_cols + [value_col]`` projection), then one pandas
+    ``groupby().quantile`` C kernel per partition handles ALL of its groups
+    vectorized. Returns one row per group: ``group_cols + out_names``
+    (default ``q25``-style names), float64.
+
+    Nulls: null VALUES are ignored within a group (SQL ``percentile_cont``);
+    an all-null group yields NULL; null GROUP KEYS form their own group
+    (SQL ``GROUP BY``). Partitioning assumption (same contract as every
+    grouped kernel here): one group's rows fit one partition task — groups
+    are never split, so results are partition-count invariant.
+    """
+    qs = [float(q) for q in qs]
+    if sorted(qs) != qs:
+        raise ValueError(f"qs must be ascending (unstack order), got {qs}")
+    if out_names is None:
+        out_names = [f"q{int(round(q * 100)):02d}" for q in qs]
+    out_names = list(out_names)
+    if len(out_names) != len(qs) or len(set(out_names)) != len(qs):
+        raise ValueError("out_names must be unique and align with qs")
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    proj = ds.select_columns(group_cols + [value_col])
+
+    def per_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            out = pd.DataFrame(columns=group_cols + out_names)
+            return out.astype({c: np.float64 for c in out_names})
+        g = pdf.groupby(group_cols, sort=False, dropna=False)[value_col]
+        out = g.quantile(qs, interpolation=interpolation).unstack()
+        out.columns = out_names  # unstack sorts by q — qs checked ascending
+        return out.reset_index()
+
+    return partitioned_groupby_map(
+        proj, group_cols, per_partition, num_partitions=num_partitions
+    )

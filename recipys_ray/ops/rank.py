@@ -40,11 +40,20 @@ def add_global_rank(
     sample_per_block: int = 256,
     rank_col: str = "rank",
     seed: int = 5,
+    ntile: int | None = None,
+    ntile_col: str = "bucket",
+    keep_rank: bool = True,
 ):
     """Stamp the exact global 0-based ``rank_col`` (module docstring).
     ``tie_cols`` must make rows unique for a deterministic total order.
     Null ``order_col`` values rank AFTER all non-nulls (ascending) —
-    matching SQL ``ORDER BY ... NULLS LAST``."""
+    matching SQL ``ORDER BY ... NULLS LAST``.
+
+    ``ntile``: additionally stamp the SQL ``NTILE(ntile)`` bucket (1-based;
+    the first ``n % ntile`` buckets hold ``ceil(n/ntile)`` rows) derived
+    from the rank and the exact total count the offsets pass already
+    produced — no extra pass. ``keep_rank=False`` drops the rank column
+    (bucket-only output)."""
     tie_cols = list(tie_cols or [])
     if num_partitions is None:
         from recipys_ray.kernels.grouped import choose_partitions
@@ -119,6 +128,7 @@ def add_global_rank(
         .sort_index()
     )
     offsets = counts.cumsum().shift(1).fillna(0).astype(np.int64).to_dict()
+    n_total = int(counts.sum())
 
     # ---- pass 3b: local sort + offset --------------------------------- #
     sort_keys = [(order_col, "descending" if descending else "ascending")]
@@ -134,10 +144,43 @@ def add_global_rank(
         tbl = tbl.take(idx)
         base = offsets.get(rid, 0)
         ranks = np.arange(len(tbl), dtype=np.int64) + base
-        return tbl.append_column(rank_col, pa.array(ranks)).drop_columns(
-            [_RANGE]
-        )
+        tbl = tbl.drop_columns([_RANGE])
+        if keep_rank:
+            tbl = tbl.append_column(rank_col, pa.array(ranks))
+        if ntile:
+            size, rem = divmod(n_total, ntile)
+            if size == 0:
+                bucket = ranks + 1
+            else:
+                cut = rem * (size + 1)
+                bucket = np.where(
+                    ranks < cut,
+                    ranks // (size + 1),
+                    rem + (ranks - cut) // size,
+                ) + 1
+            tbl = tbl.append_column(ntile_col, pa.array(bucket))
+        return tbl
 
     return stamped.groupby(_RANGE).map_groups(
         rank_partition, batch_format="pyarrow"
+    )
+
+
+def add_ntile(
+    ds,
+    order_col: str,
+    k: int,
+    tie_cols: Optional[list[str]] = None,
+    descending: bool = False,
+    bucket_col: str = "bucket",
+    **kwargs,
+):
+    """SQL ``NTILE(k) OVER (ORDER BY order_col [DESC], tie_cols)`` — the
+    1-based equi-height bucket id, exact at any scale (rides the global-rank
+    machinery: one payload shuffle, O(P) driver state)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    return add_global_rank(
+        ds, order_col, tie_cols=tie_cols, descending=descending,
+        ntile=k, ntile_col=bucket_col, keep_rank=False, **kwargs,
     )

@@ -22,6 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from recipys_ray.kernels.duckdb_parity import murmurhash64
 
@@ -125,4 +126,55 @@ def sample_per_group(ds, group_cols: list[str], key_col: str, n: int):
     )
     return out.map_batches(
         lambda t: t.drop_columns([H]), batch_format="pyarrow"
+    )
+
+
+def weighted_sample(ds, key_col: str, weight_col: str, k: int):
+    """Deterministic weighted sample WITHOUT replacement of size ``k``:
+    priority sampling (Duffield-Lund-Thorup) — keep the k rows with the
+    largest priority ``w / u`` where ``u = (hash(key)+1) / 2^64`` is the
+    row's fixed uniform draw. Inclusion probability rises with weight; the
+    sample is exactly reproducible across runs, layouts and engines:
+    ``murmurhash64 ≡ DuckDB hash()``, and the priority uses only IEEE
+    mul/div (correctly rounded everywhere) — never log/pow, whose last
+    ulp differs between libms (the Efraimidis-Spirakis ``u^(1/w)`` form
+    would not hash-reproduce across engines).
+
+    Rows with weight ≤ 0 or null weight/key are excluded. Shuffle-free:
+    per-block top-k combiner (≤ k rows leave each block), single small
+    finish task. Ties (equal priority) break by key ascending."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    P = "__prio__"
+
+    def combine(tbl: pa.Table) -> pa.Table:
+        keys = tbl.column(key_col).to_numpy(zero_copy_only=False)
+        w = tbl.column(weight_col).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        u = (murmurhash64(keys).astype(np.float64) + 1.0) / _U64
+        with np.errstate(invalid="ignore", divide="ignore"):
+            prio = w / u
+        ok = (w > 0) & ~pd.isna(keys)
+        tbl = tbl.append_column(P, pa.array(np.where(ok, prio, -np.inf)))
+        tbl = tbl.filter(pa.array(ok))
+        if len(tbl) <= k:
+            return tbl
+        idx = pc.sort_indices(
+            tbl, sort_keys=[(P, "descending"), (key_col, "ascending")]
+        )
+        return tbl.take(idx[:k])
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            tbl, sort_keys=[(P, "descending"), (key_col, "ascending")]
+        )
+        return tbl.take(idx[: min(k, len(tbl))]).drop_columns([P])
+
+    partials = ds.map_batches(
+        combine, batch_format="pyarrow", batch_size=262_144
+    )
+    # survivors are ≤ k per block — a single finish task is bounded
+    return partials.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
     )

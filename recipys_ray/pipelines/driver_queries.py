@@ -1159,6 +1159,110 @@ def q_global_rank(sf_dir):
     return _select(out, ["l_orderkey", "l_linenumber", "rank"])
 
 
+def q_ntile(sf_dir):
+    """SQL NTILE(8) over orders by totalprice (ops/rank.py add_ntile —
+    bucket derived from the exact global rank, no extra pass)."""
+    from recipys_ray.ops.rank import add_ntile
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    out = add_ntile(
+        ds, "o_totalprice", k=8, tie_cols=["o_orderkey"], num_partitions=16
+    )
+    return _select(out, ["o_orderkey", "bucket"])
+
+
+def q_group_quantiles(sf_dir):
+    """Exact per-group continuous quantiles of lineitem quantity per return
+    flag (ops/quantiles.py group_quantiles — one skinny exchange, one
+    vectorized groupby.quantile kernel per partition)."""
+    from recipys_ray.ops.quantiles import group_quantiles
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    )
+    return _select(
+        group_quantiles(ds, "l_returnflag", "l_quantity", [0.25, 0.5, 0.75]),
+        ["l_returnflag", "q25", "q50", "q75"],
+    )
+
+
+def q_pivot_event_counts(sf_dir):
+    """Long→wide pivot: per user, the count of each event type as its own
+    column (ops/reshape.py pivot — skinny key-discovery pass + one hash
+    exchange + vectorized groupby/unstack per partition)."""
+    from recipys_ray.ops.reshape import pivot
+
+    ds = _events(sf_dir, columns=["user_id", "event_type", "value"])
+    out = pivot(ds, "user_id", "event_type", "value", agg="count")
+    return _select(
+        out, ["user_id", "click", "error", "purchase", "signup", "view"]
+    )
+
+
+def q_melt_lineitem(sf_dir):
+    """Wide→long melt of three lineitem measures (ops/reshape.py melt —
+    stateless flat transform, no shuffle)."""
+    from recipys_ray.ops.reshape import melt
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+    out = melt(
+        ds, ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+    )
+    return _select(
+        out, ["l_orderkey", "l_linenumber", "variable", "value"]
+    )
+
+
+def q_event_paths(sf_dir):
+    """Ordered per-user event-type path (ops/reshape.py group_concat —
+    Arrow ListArray + binary_join, concatenation vectorized across all
+    groups of a partition)."""
+    from recipys_ray.ops.reshape import group_concat
+
+    ds = _events(sf_dir, columns=["user_id", "ts", "event_id", "event_type"])
+    out = group_concat(
+        ds, "user_id", ["ts", "event_id"], "event_type", sep=",",
+        out_col="path",
+    )
+    return _select(out, ["user_id", "path"])
+
+
+def q_weighted_sample(sf_dir):
+    """Deterministic weighted sample (priority sampling, w/u priorities —
+    ops/sampling.py weighted_sample). Engine-reproducible: hash parity
+    with DuckDB plus mul/div-only priorities (no libm log/pow)."""
+    from recipys_ray.ops.sampling import weighted_sample
+
+    ds = _events(sf_dir, columns=["event_id", "user_id", "value"])
+    out = weighted_sample(ds, "event_id", "value", k=50)
+    return _select(out, ["event_id", "user_id", "value"])
+
+
+def q_frequent_tokens(sf_dir):
+    """Exact heavy-hitter tokens WITHOUT a groupby shuffle (ops/frequent.py:
+    Misra-Gries combiner pass → broadcast candidates → exact verify pass);
+    the long-tail token exchange the vocab query pays never happens."""
+    from recipys_ray.ops.frequent import frequent_items
+    from recipys_ray.ops.text import word_stream
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def toks(tbl: pa.Table) -> pa.Table:
+        words, _ = word_stream(tbl.column("text"))
+        return pa.table({"token": words})
+
+    tok = ds.map_batches(toks, batch_format="pyarrow")
+    out = frequent_items(tok, "token", min_fraction=0.02)
+    return out.rename(columns={"item": "token"})
+
+
 def q_exact_quantiles(sf_dir):
     """Exact distributed quantile_disc over lineitem prices WITHOUT a
     global sort (ops/quantiles.py iterative counting selection). bins/cap
@@ -1584,6 +1688,63 @@ ORACLES: dict[str, str] = {
         SELECT e.event_id, p.purch_value
         FROM events e ASOF LEFT JOIN p
           ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+    "pivot_event_counts": """
+        SELECT user_id,
+               count(CASE WHEN event_type = 'click' THEN value END) AS click,
+               count(CASE WHEN event_type = 'error' THEN value END) AS error,
+               count(CASE WHEN event_type = 'purchase' THEN value END)
+                 AS purchase,
+               count(CASE WHEN event_type = 'signup' THEN value END)
+                 AS signup,
+               count(CASE WHEN event_type = 'view' THEN value END) AS "view"
+        FROM events GROUP BY user_id
+    """,
+    "melt_lineitem": """
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable,
+               CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+               CAST(l_extendedprice AS DOUBLE) FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount',
+               CAST(l_discount AS DOUBLE) FROM lineitem
+    """,
+    "event_paths": """
+        SELECT user_id,
+               string_agg(event_type, ',' ORDER BY ts, event_id) AS path
+        FROM events GROUP BY user_id
+    """,
+    "weighted_sample": """
+        SELECT event_id, user_id, value FROM (
+          SELECT event_id, user_id, value,
+                 value / ((CAST(hash(event_id) AS DOUBLE) + 1)
+                          / 18446744073709551616.0) AS prio
+          FROM events WHERE value > 0
+        ) ORDER BY prio DESC, event_id LIMIT 50
+    """,
+    "frequent_tokens": r"""
+        WITH tok AS (
+          SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                           '\w+')) AS token
+          FROM documents
+        ),
+        tot AS (SELECT count(*) AS n FROM tok)
+        SELECT token, CAST(count(*) AS BIGINT) AS count
+        FROM tok, tot GROUP BY token, tot.n
+        HAVING count(*) >= CEIL(0.02 * tot.n)
+    """,
+    "ntile": """
+        SELECT o_orderkey,
+               NTILE(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+        FROM orders
+    """,
+    "group_quantiles": """
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.25) AS q25,
+               quantile_cont(l_quantity, 0.50) AS q50,
+               quantile_cont(l_quantity, 0.75) AS q75
+        FROM lineitem GROUP BY l_returnflag
     """,
     "range_join_clicks": """
         SELECT p.event_id AS p_event, c.event_id AS c_event,
@@ -2420,6 +2581,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
     "vocab_top100": q_vocab_top100,
+    "frequent_tokens": q_frequent_tokens,
     "lm_score": q_lm_score,
     "bigram_top50": q_bigram_top50,
     "redact_pii": q_redact_pii,
@@ -2433,8 +2595,14 @@ QUERIES = {
     "tfidf_top3": q_tfidf_top3,
     "top_docs_per_source": q_top_docs_per_source,
     "exact_quantiles": q_exact_quantiles,
+    "group_quantiles": q_group_quantiles,
     "global_rank": q_global_rank,
+    "ntile": q_ntile,
     "sample_per_source": q_sample_per_source,
+    "weighted_sample": q_weighted_sample,
+    "pivot_event_counts": q_pivot_event_counts,
+    "melt_lineitem": q_melt_lineitem,
+    "event_paths": q_event_paths,
     "distinct_parts": q_distinct_parts,
     "knn_cosine": q_knn_cosine,
     "knn_ivf": q_knn_ivf,

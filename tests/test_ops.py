@@ -1808,3 +1808,167 @@ class TestCohortRetention:
             .astype(np.int64)
         )
         pd.testing.assert_frame_equal(out.reset_index(drop=True), exp)
+
+
+class TestNtile:
+    @pytest.mark.parametrize("n,k", [(17, 4), (20, 5), (3, 8), (100, 7)])
+    def test_sql_ntile_semantics(self, ray_session, n, k):
+        from recipys_ray.ops.rank import add_ntile
+
+        rng = np.random.default_rng(n * 100 + k)
+        pdf = pd.DataFrame({
+            "id": np.arange(n, dtype=np.int64),
+            "v": rng.integers(0, 10, n).astype(np.float64),  # ties
+        })
+        out = add_ntile(
+            rd.from_pandas(pdf).repartition(3), "v", k=k, tie_cols=["id"],
+            num_partitions=4,
+        ).to_pandas().sort_values("id", ignore_index=True)
+        assert "rank" not in out.columns
+        assert out.bucket.dtype == np.int64
+        # reference: SQL NTILE from the total order
+        order = np.lexsort((pdf.id.to_numpy(), pdf.v.to_numpy()))
+        rank = np.empty(n, dtype=np.int64)
+        rank[order] = np.arange(n)
+        size, rem = divmod(n, k)
+        exp = np.empty(n, dtype=np.int64)
+        for i, r in enumerate(rank):
+            if size == 0 or r < rem * (size + 1):
+                exp[i] = r // (size + 1) + 1
+            else:
+                exp[i] = rem + (r - rem * (size + 1)) // size + 1
+        np.testing.assert_array_equal(out.bucket.to_numpy(), exp)
+        # bucket sizes differ by at most one, first buckets are the big ones
+        sizes = out.bucket.value_counts().sort_index()
+        if size > 0:
+            assert set(sizes.unique()) <= {size, size + 1}
+            assert (sizes.iloc[:rem] == size + 1).all()
+
+    def test_k_validation(self, ray_session):
+        from recipys_ray.ops.rank import add_ntile
+
+        with pytest.raises(ValueError):
+            add_ntile(rd.range(5), "id", k=0)
+
+
+class TestGroupQuantiles:
+    def test_matches_pandas_per_group(self, ray_session):
+        from recipys_ray.ops.quantiles import group_quantiles
+
+        rng = np.random.default_rng(7)
+        n = 4000
+        pdf = pd.DataFrame({
+            "g": rng.choice(list("abcde"), n),
+            "v": rng.integers(1, 51, n).astype(np.float64),
+        })
+        pdf.loc[rng.random(n) < 0.1, "v"] = np.nan     # null values skipped
+        outs = []
+        for p in (3, 11):  # partition-count invariance
+            out = group_quantiles(
+                rd.from_pandas(pdf).repartition(6), "g", "v",
+                [0.25, 0.5, 0.75], num_partitions=p,
+            ).to_pandas().sort_values("g", ignore_index=True)
+            outs.append(out)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        exp = (
+            pdf.groupby("g")["v"]
+            .quantile([0.25, 0.5, 0.75])
+            .unstack()
+            .reset_index()
+        )
+        exp.columns = ["g", "q25", "q50", "q75"]
+        pd.testing.assert_frame_equal(outs[0], exp)
+
+    def test_all_null_group_and_validation(self, ray_session):
+        from recipys_ray.ops.quantiles import group_quantiles
+
+        pdf = pd.DataFrame({
+            "g": ["a"] * 3 + ["b"] * 2,
+            "v": [1.0, 2.0, 3.0, np.nan, np.nan],
+        })
+        out = group_quantiles(
+            rd.from_pandas(pdf), "g", "v", [0.5], num_partitions=2
+        ).to_pandas().sort_values("g", ignore_index=True)
+        assert out.loc[out.g == "a", "q50"].iloc[0] == 2.0
+        assert np.isnan(out.loc[out.g == "b", "q50"].iloc[0])
+        with pytest.raises(ValueError):
+            group_quantiles(rd.from_pandas(pdf), "g", "v", [0.75, 0.25])
+
+
+class TestWeightedSample:
+    def test_matches_priority_order_and_layout_invariance(self, ray_session):
+        from recipys_ray.kernels.duckdb_parity import murmurhash64
+        from recipys_ray.ops.sampling import weighted_sample
+
+        rng = np.random.default_rng(3)
+        n = 5000
+        pdf = pd.DataFrame({
+            "key": np.arange(n, dtype=np.int64),
+            "w": rng.exponential(1.0, n),
+        })
+        pdf.loc[rng.random(n) < 0.02, "w"] = 0.0      # excluded
+        pdf.loc[rng.random(n) < 0.02, "w"] = -1.0     # excluded
+        u = (murmurhash64(pdf.key.to_numpy()).astype(np.float64) + 1.0) / 2**64
+        prio = pdf.w.to_numpy() / u
+        ok = pdf.w.to_numpy() > 0
+        order = np.lexsort((pdf.key.to_numpy()[ok], -prio[ok]))
+        exp_keys = pdf.key.to_numpy()[ok][order][:100]
+        for p in (2, 9):  # layout invariance
+            out = weighted_sample(
+                rd.from_pandas(pdf).repartition(p), "key", "w", k=100
+            ).to_pandas()
+            assert len(out) == 100
+            np.testing.assert_array_equal(
+                np.sort(out.key.to_numpy()), np.sort(exp_keys)
+            )
+
+    def test_k_larger_than_input(self, ray_session):
+        from recipys_ray.ops.sampling import weighted_sample
+
+        pdf = pd.DataFrame({"key": [1, 2, 3], "w": [1.0, 0.0, 2.0]})
+        out = weighted_sample(rd.from_pandas(pdf), "key", "w", k=10).to_pandas()
+        assert sorted(out.key.tolist()) == [1, 3]  # w<=0 dropped
+
+
+class TestFrequentItems:
+    def test_exact_vs_value_counts_zipf(self, ray_session):
+        from recipys_ray.ops.frequent import frequent_items
+
+        rng = np.random.default_rng(11)
+        # zipf-ish long tail: many singletons, few heavy hitters
+        vals = np.array([f"t{z}" for z in rng.zipf(1.5, 20000) if z < 10**6])
+        pdf = pd.DataFrame({"tok": vals})
+        frac = 0.01
+        out = frequent_items(
+            rd.from_pandas(pdf).repartition(8), "tok", min_fraction=frac
+        )
+        vc = pdf.tok.value_counts()
+        thr = int(np.ceil(frac * len(pdf)))
+        exp = vc[vc >= thr]
+        assert dict(zip(out["item"], out["count"])) == exp.to_dict()
+        # sorted by (count desc, item asc)
+        assert out["count"].is_monotonic_decreasing
+
+    def test_superset_guarantee_at_minimum_k(self, ray_session):
+        from recipys_ray.ops.frequent import frequent_items
+
+        # adversarial: exactly-at-threshold item among uniform noise
+        rng = np.random.default_rng(5)
+        noise = [f"n{i}" for i in rng.integers(0, 5000, 9000)]
+        heavy = ["HH"] * 1000  # 10% of 10000
+        pdf = pd.DataFrame({"tok": noise + heavy})
+        out = frequent_items(
+            rd.from_pandas(pdf).repartition(16), "tok", min_fraction=0.1
+        )
+        assert out["item"].tolist() == ["HH"]
+        assert out["count"].tolist() == [1000]
+
+    def test_validation_and_nulls(self, ray_session):
+        from recipys_ray.ops.frequent import frequent_items
+
+        with pytest.raises(ValueError):
+            frequent_items(rd.range(5), "id", 0.0)
+        pdf = pd.DataFrame({"tok": ["a", "a", None, "b"]})
+        out = frequent_items(rd.from_pandas(pdf), "tok", 0.5)
+        # n counts ALL rows (incl. null): threshold = 2; only 'a' qualifies
+        assert out["item"].tolist() == ["a"]
