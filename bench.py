@@ -146,6 +146,15 @@ def bench_queries() -> dict:
         "funnel",
         "cohort_retention",
         "session_stats",
+        "range_join_clicks",
+        "window_click_stats",
+        "ntile",
+        "group_quantiles",
+        "pivot_event_counts",
+        "melt_lineitem",
+        "event_paths",
+        "weighted_sample",
+        "frequent_tokens",
         "historical_salted",
     ]
     out = {}

@@ -236,7 +236,20 @@ def run_salted_chain(
     span, one payload shuffle total. Otherwise this legacy whole-group
     carry path runs (exact, but one task per mega-group on the skinny
     projection)."""
-    from recipys_ray.kernels.grouped import adaptive_stamp_rows
+    from recipys_ray.kernels.grouped import _lazy_size_bytes, adaptive_stamp_rows
+
+    # The salted machinery is MULTI-PASS by construction (hot-group
+    # detection, chunk counts, state passes, the payload exchange). Pin the
+    # input once so those passes don't re-execute the upstream pipeline
+    # per pass — same policy as the recipe's fit flush; the object store
+    # spills rather than holding it in heap. Pure reads (size knowable
+    # from plan metadata) skip the pin: re-reading pruned parquet per pass
+    # is cheaper than writing a spill copy first. (Round-4 perf silently
+    # relied on choose_partitions' eager size_bytes() materializing
+    # derived inputs; this makes the pin explicit — measured 8.3 s → 3.6 s
+    # on the sf0.1 salted query after size_bytes went metadata-only.)
+    if _lazy_size_bytes(ds) is None:
+        ds = ds.materialize()
 
     stamp_batch_rows = adaptive_stamp_rows(ds, stamp_batch_rows)
     if getattr(steps[0], "salt_grid_capable", False):

@@ -187,23 +187,45 @@ def _decode_png(buf: bytes):
         return None
 
 
-def _thumb8(arr: np.ndarray) -> np.ndarray:
-    """8×8 grayscale thumbnail by box-averaging (the real resize kernel)."""
-    gray = arr.mean(axis=2) if arr.ndim == 3 else arr
-    h, w = gray.shape
-    ye = (np.arange(9) * h) // 8
-    xe = (np.arange(9) * w) // 8
-    # integral image → exact box means for ragged cell sizes
+def _box_resize_plane(plane: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """Exact box-average (area) resize of one 2-D plane to (th, tw) via an
+    integral image — correct for ragged cell sizes, pure numpy, no codec
+    deps. Output float64 (callers cast)."""
+    h, w = plane.shape
+    ylo = (np.arange(th) * h) // th
+    yhi = np.maximum((np.arange(1, th + 1) * h) // th, ylo + 1)
+    xlo = (np.arange(tw) * w) // tw
+    xhi = np.maximum((np.arange(1, tw + 1) * w) // tw, xlo + 1)
     ii = np.zeros((h + 1, w + 1), np.float64)
-    ii[1:, 1:] = gray.cumsum(0).cumsum(1)
+    ii[1:, 1:] = plane.cumsum(0, dtype=np.float64).cumsum(1)
     s = (
-        ii[ye[1:], :][:, xe[1:]] - ii[ye[:-1], :][:, xe[1:]]
-        - ii[ye[1:], :][:, xe[:-1]] + ii[ye[:-1], :][:, xe[:-1]]
+        ii[yhi, :][:, xhi] - ii[ylo, :][:, xhi]
+        - ii[yhi, :][:, xlo] + ii[ylo, :][:, xlo]
     )
-    area = np.outer(
-        np.maximum(np.diff(ye), 1), np.maximum(np.diff(xe), 1)
-    ).astype(np.float64)
-    return (s / area).astype(np.float32).reshape(-1)
+    area = np.outer(yhi - ylo, xhi - xlo).astype(np.float64)
+    return s / area
+
+
+def box_resize(arr: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """Area (box-average) resize to (th, tw); keeps channels. The real
+    resize kernel every multimodal stage here shares — upscaling uses
+    pixel replication via the same ragged-edge boxes (cells clamp to ≥ 1
+    source pixel). Returns float32 (th, tw[, C])."""
+    if arr.ndim == 2:
+        return _box_resize_plane(arr, th, tw).astype(np.float32)
+    return np.stack(
+        [
+            _box_resize_plane(arr[:, :, c], th, tw)
+            for c in range(arr.shape[2])
+        ],
+        axis=2,
+    ).astype(np.float32)
+
+
+def _thumb8(arr: np.ndarray) -> np.ndarray:
+    """8×8 grayscale thumbnail — grayscale reduce + box resize."""
+    gray = arr.mean(axis=2) if arr.ndim == 3 else arr
+    return box_resize(gray, 8, 8).reshape(-1)
 
 
 class DecodeImage:
@@ -220,9 +242,14 @@ class DecodeImage:
     ``fake=True``: deterministic content-hash fake decodes (original
     plumbing-test behavior, unchanged schema)."""
 
-    def __init__(self, binary_col: str = "image", fake: bool = True):
+    def __init__(self, binary_col: str = "image", fake: bool = True,
+                 resize_to: tuple[int, int] | None = None):
         self.binary_col = binary_col
         self.fake = fake
+        # optional (h, w) area-resize emitted as a flat h*w*3 float32 list
+        # column "resized" (grayscale replicates to 3 channels so the
+        # output width is schema-stable across mixed-mode batches)
+        self.resize_to = resize_to
         # guarded import, once per actor: where PIL exists, compressed
         # codecs (JPEG/PNG/WebP/...) decode for real; without it, those
         # payloads keep the honest decode_ok=False fallback
@@ -274,6 +301,7 @@ class DecodeImage:
         mode: list = [None] * n
         means = np.full((n, 3), np.nan, np.float32)
         thumbs: list = [None] * n
+        resized: list = [None] * n
         ok = np.zeros(n, bool)
         for i, p in enumerate(payloads):
             if not p:
@@ -296,6 +324,14 @@ class DecodeImage:
             if arr.ndim == 3 and arr.shape[2] == 1:
                 means[i, 1:] = m[0]
             thumbs[i] = _thumb8(arr)
+            if self.resize_to is not None:
+                th, tw = self.resize_to
+                r = box_resize(arr, th, tw)
+                if r.ndim == 2:
+                    r = np.repeat(r[:, :, None], 3, axis=2)
+                elif r.shape[2] == 1:
+                    r = np.repeat(r, 3, axis=2)
+                resized[i] = r.reshape(-1)
         tbl = tbl.append_column(
             "img_width",
             pa.array([int(w) if o else None for w, o in zip(width, ok)],
@@ -317,6 +353,13 @@ class DecodeImage:
                 pa.list_(pa.float32()),
             )
         )
+        if self.resize_to is not None:
+            tbl = tbl.append_column(
+                "resized", pa.array(
+                    [r.tolist() if r is not None else None for r in resized],
+                    pa.list_(pa.float32()),
+                )
+            )
         return tbl.append_column("decode_ok", pa.array(ok))
 
 

@@ -55,9 +55,15 @@ def add_global_rank(
     produced — no extra pass. ``keep_rank=False`` drops the rank column
     (bucket-only output)."""
     tie_cols = list(tie_cols or [])
-    if num_partitions is None:
-        from recipys_ray.kernels.grouped import choose_partitions
+    from recipys_ray.kernels.grouped import _lazy_size_bytes, choose_partitions
 
+    # three passes over ds (boundary sample, range counts, stamp+shuffle):
+    # pin DERIVED inputs once so the upstream pipeline doesn't re-execute
+    # per pass (pure reads re-read pruned parquet, cheaper than a spill
+    # copy) — same multi-pass policy as kernels/salted.run_salted_chain
+    if _lazy_size_bytes(ds) is None:
+        ds = ds.materialize()
+    if num_partitions is None:
         # the range shuffle moves full payload rows — size from the input
         num_partitions = choose_partitions(ds, hi=65_536)
 

@@ -1245,6 +1245,36 @@ def q_weighted_sample(sf_dir):
     return _select(out, ["event_id", "user_id", "value"])
 
 
+def q_cume_dist(sf_dir):
+    """Exact cumulative distribution (SQL cume_dist over a unique total
+    order = row_number/n): global rank stamping + one broadcast scalar.
+    Bit-safe float contract: both engines compute the same (rank+1)/n
+    IEEE division — no libm."""
+    from recipys_ray.ops.rank import add_global_rank
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+    n = ds.count()  # parquet metadata fast path (pure read)
+    ranked = add_global_rank(
+        ds, "l_extendedprice",
+        tie_cols=["l_orderkey", "l_linenumber"],
+        num_partitions=16,
+    )
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        r = tbl.column("rank").to_numpy(zero_copy_only=False)
+        cd = (r + 1).astype(np.float64) / np.float64(n)
+        return pa.table({
+            "l_orderkey": tbl.column("l_orderkey"),
+            "l_linenumber": tbl.column("l_linenumber"),
+            "cd": pa.array(cd),
+        })
+
+    return ranked.map_batches(finish, batch_format="pyarrow")
+
+
 def q_frequent_tokens(sf_dir):
     """Exact heavy-hitter tokens WITHOUT a groupby shuffle (ops/frequent.py:
     Misra-Gries combiner pass → broadcast candidates → exact verify pass);
@@ -1722,6 +1752,12 @@ ORACLES: dict[str, str] = {
                           / 18446744073709551616.0) AS prio
           FROM events WHERE value > 0
         ) ORDER BY prio DESC, event_id LIMIT 50
+    """,
+    "cume_dist": """
+        SELECT l_orderkey, l_linenumber,
+               cume_dist() OVER (ORDER BY l_extendedprice, l_orderkey,
+                                 l_linenumber) AS cd
+        FROM lineitem
     """,
     "frequent_tokens": r"""
         WITH tok AS (
@@ -2598,6 +2634,7 @@ QUERIES = {
     "group_quantiles": q_group_quantiles,
     "global_rank": q_global_rank,
     "ntile": q_ntile,
+    "cume_dist": q_cume_dist,
     "sample_per_source": q_sample_per_source,
     "weighted_sample": q_weighted_sample,
     "pivot_event_counts": q_pivot_event_counts,

@@ -1972,3 +1972,54 @@ class TestFrequentItems:
         out = frequent_items(rd.from_pandas(pdf), "tok", 0.5)
         # n counts ALL rows (incl. null): threshold = 2; only 'a' qualifies
         assert out["item"].tolist() == ["a"]
+
+
+class TestBoxResize:
+    def test_exact_block_means_and_identity(self):
+        from recipys_ray.ops.multimodal import box_resize
+
+        # 4x4 → 2x2: each output pixel is the exact 2x2 block mean
+        a = np.arange(16, dtype=np.float64).reshape(4, 4)
+        r = box_resize(a, 2, 2)
+        exp = np.array([[a[:2, :2].mean(), a[:2, 2:].mean()],
+                        [a[2:, :2].mean(), a[2:, 2:].mean()]])
+        np.testing.assert_allclose(r, exp, rtol=1e-6)
+        # same-size resize is (float-cast) identity
+        np.testing.assert_allclose(box_resize(a, 4, 4), a, rtol=1e-6)
+        # upscale replicates pixels (ragged boxes clamp to >=1 source px)
+        up = box_resize(np.array([[1.0, 2.0]]), 1, 4)
+        np.testing.assert_allclose(up.ravel(), [1, 1, 2, 2], rtol=1e-6)
+
+    def test_channels_and_ragged(self):
+        from recipys_ray.ops.multimodal import box_resize
+
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 256, (13, 17, 3)).astype(np.uint8)
+        r = box_resize(img, 5, 7)
+        assert r.shape == (5, 7, 3) and r.dtype == np.float32
+        # global mean is preserved only per exact-cover boxes; check one box
+        ye = (np.arange(6) * 13) // 5
+        xe = (np.arange(8) * 17) // 7
+        exp00 = img[ye[0]:ye[1], xe[0]:xe[1], 0].mean()
+        np.testing.assert_allclose(r[0, 0, 0], exp00, rtol=1e-5)
+
+    def test_decode_image_resize_to(self, ray_session):
+        from recipys_ray.ops.multimodal import DecodeImage, box_resize
+
+        rng = np.random.default_rng(4)
+        rgb = rng.integers(0, 256, (9, 11, 3)).astype(np.uint8)
+        rgb2 = rng.integers(0, 256, (6, 5, 3)).astype(np.uint8)
+        ppm = TestRealCodecs._ppm_bytes
+        tbl = pa.table({
+            "image": pa.array(
+                [ppm(rgb), ppm(rgb2), None], pa.binary()
+            )
+        })
+        out = DecodeImage("image", fake=False, resize_to=(4, 4))(tbl)
+        d = out.to_pandas()
+        assert "resized" in d.columns
+        r0 = np.array(d["resized"][0], np.float32).reshape(4, 4, 3)
+        np.testing.assert_allclose(r0, box_resize(rgb, 4, 4), rtol=1e-5)
+        assert d["resized"][2] is None
+        # every decoded row has the schema-stable 4*4*3 length
+        assert [len(v) for v in d["resized"][:2]] == [48, 48]
