@@ -155,6 +155,11 @@ def bench_queries() -> dict:
         "event_paths",
         "weighted_sample",
         "frequent_tokens",
+        "cume_dist",
+        "winsorize",
+        "robust_outliers",
+        "rollup_doc_stats",
+        "distinct_users_hll",
         "historical_salted",
     ]
     out = {}

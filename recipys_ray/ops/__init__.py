@@ -35,8 +35,14 @@ from recipys_ray.ops.multimodal import (
 )
 from recipys_ray.ops.packing import pack_sequences
 from recipys_ray.ops.profile import profile
-from recipys_ray.ops.quantiles import exact_quantiles, group_quantiles
+from recipys_ray.ops.quantiles import (
+    exact_quantiles,
+    group_quantiles,
+    robust_zscore,
+    winsorize,
+)
 from recipys_ray.ops.rank import add_global_rank, add_ntile
+from recipys_ray.ops.rollup import rollup_aggregate
 from recipys_ray.ops.frequent import frequent_items
 from recipys_ray.ops.reshape import group_concat, melt, pivot
 from recipys_ray.ops.sampling import (
@@ -70,7 +76,8 @@ __all__ = [
     "distinct_per_group_approx", "jaccard_dedup", "hash_join",
     "ByteHistogramFeatures", "DecodeImage", "DecodeWav", "SampleFrames",
     "decode_images", "read_webdataset", "extract_json_int", "funnel", "cohort_retention", "pack_sequences", "profile",
-    "exact_quantiles", "group_quantiles", "add_global_rank", "add_ntile",
+    "exact_quantiles", "group_quantiles", "winsorize", "robust_zscore",
+    "rollup_aggregate", "add_global_rank", "add_ntile",
     "hash_sample", "hash_split",
     "mix_sources", "sample_per_group", "weighted_sample",
     "pivot", "melt", "group_concat", "frequent_items", "semantic_dedup", "knn_brute_force",

@@ -109,6 +109,11 @@ def distinct_per_group_approx(
                         observed=True)["rho"]
             .max()
             .reset_index()
+            # ascending-register summation order is part of the estimate's
+            # determinism contract (float addition is order-sensitive);
+            # the golden oracle (scripts/gen_expected.py hll_expected)
+            # sums the same array in the same order — bit-equal estimates
+            .sort_values(list(group_cols) + ["reg"], kind="stable")
         )
         g = merged.groupby(list(group_cols), sort=False, observed=True)
         inv_sum = g["rho"].apply(

@@ -29,6 +29,7 @@ from typing import Sequence
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _count_leq(ds, col: str, brackets: list[dict], bins: int) -> np.ndarray:
@@ -229,3 +230,97 @@ def group_quantiles(
     return partitioned_groupby_map(
         proj, group_cols, per_partition, num_partitions=num_partitions
     )
+
+
+def winsorize(
+    ds,
+    col: str,
+    lower_q: float = 0.05,
+    upper_q: float = 0.95,
+    out_col: str | None = None,
+    bins: int = 1024,
+    driver_cap: int = 1_000_000,
+):
+    """Clip ``col`` to its exact [lower_q, upper_q] ``quantile_disc``
+    values — the standard outlier-winsorization feature transform.
+
+    Two driver-bounded scalars from :func:`exact_quantiles` (2-3 skinny
+    counting passes, no shuffle) broadcast into ONE streaming clip pass.
+    Selection-only float contract: every output value is an input value
+    (the bounds are order statistics present in the data), so there is no
+    float-arithmetic drift vs a SQL ``least(greatest(x, lo), hi)`` oracle.
+    Nulls stay null; NaNs propagate (IEEE ``min``/``max``)."""
+    qdf = exact_quantiles(
+        ds, col, qs=[lower_q, upper_q], bins=bins, driver_cap=driver_cap
+    )
+    lo = float(qdf["value"].iloc[0])
+    hi = float(qdf["value"].iloc[1])
+    out = out_col or col
+
+    def clip(tbl: pa.Table) -> pa.Table:
+        arr = tbl.column(col)
+        v = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+        c = np.minimum(np.maximum(v, lo), hi)
+        isnull = pc.is_null(arr).to_numpy(zero_copy_only=False)
+        res = pa.array(c, pa.float64(), mask=isnull)
+        if out in tbl.column_names:
+            return tbl.set_column(
+                tbl.column_names.index(out), out, res
+            )
+        return tbl.append_column(out, res)
+
+    return ds.map_batches(clip, batch_format="pyarrow")
+
+
+def robust_zscore(
+    ds,
+    col: str,
+    k: float = 3.0,
+    score_col: str = "rz",
+    flag_col: str = "is_outlier",
+    bins: int = 1024,
+    driver_cap: int = 1_000_000,
+):
+    """Median/MAD robust z-score + outlier flag — the skew-resistant
+    outlier detector (mean/std break down exactly when outliers exist).
+
+    ``rz = (x - median) / MAD`` with ``MAD = median(|x - median|)``; flag
+    is ``|x - median| > k * MAD``. Both medians are exact ``quantile_disc``
+    order statistics from :func:`exact_quantiles` (skinny counting passes,
+    no shuffle — the MAD pass runs over a derived |x - med| stream that
+    exact_quantiles pins once); the final pass streams with two broadcast
+    scalars. Float contract: x - med, abs, division and the comparison are
+    single IEEE double ops computed identically by any engine — bit-stable
+    vs a SQL oracle. MAD = 0 (>50% identical values) yields IEEE
+    ±inf / NaN scores; nulls stay null."""
+    med = float(
+        exact_quantiles(
+            ds, col, qs=[0.5], bins=bins, driver_cap=driver_cap
+        )["value"].iloc[0]
+    )
+
+    def absdev(tbl: pa.Table) -> pa.Table:
+        v = tbl.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({col: pa.array(np.abs(v - med), pa.float64())})
+
+    mad = float(
+        exact_quantiles(
+            ds.map_batches(absdev, batch_format="pyarrow"),
+            col, qs=[0.5], bins=bins, driver_cap=driver_cap,
+        )["value"].iloc[0]
+    )
+    thr = k * mad
+
+    def score(tbl: pa.Table) -> pa.Table:
+        arr = tbl.column(col)
+        v = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+        d = v - med
+        isnull = pc.is_null(arr).to_numpy(zero_copy_only=False)
+        tbl = tbl.append_column(
+            score_col, pa.array(d / mad, pa.float64(), mask=isnull)
+        )
+        return tbl.append_column(
+            flag_col, pa.array(np.abs(d) > thr, pa.bool_(), mask=isnull)
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -1275,6 +1275,69 @@ def q_cume_dist(sf_dir):
     return ranked.map_batches(finish, batch_format="pyarrow")
 
 
+def q_distinct_users_hll(sf_dir):
+    """HyperLogLog per-event-type distinct users — the driver-checked
+    evidence for the approx COUNT(DISTINCT) scale path (exact path:
+    distinct_parts). Deterministic by contract (ascending-register
+    summation); golden oracle = scripts/gen_expected.hll_expected's
+    independent dense-register sequential HLL."""
+    from recipys_ray.ops.distinct import distinct_per_group_approx
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    out = distinct_per_group_approx(ds, ["event_type"], "user_id", p=12)
+    return _select(out, ["event_type", "n_distinct_approx"])
+
+
+def q_winsorize(sf_dir):
+    """Outlier winsorization at exact [0.05, 0.95] quantile_disc bounds
+    (ops/quantiles.winsorize). Selection-only float contract: outputs are
+    existing input doubles, so the SQL least/greatest oracle is bit-equal.
+    bins/cap forced small so the quantile refinement actually iterates."""
+    from recipys_ray.ops.quantiles import winsorize
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+    out = winsorize(
+        ds, "l_extendedprice", 0.05, 0.95, out_col="clipped",
+        bins=16, driver_cap=2000,
+    )
+    return _select(out, ["l_orderkey", "l_linenumber", "clipped"])
+
+
+def q_robust_outliers(sf_dir):
+    """Median/MAD robust z-score + flag (ops/quantiles.robust_zscore).
+    Exact medians via counting selection; the score pass is single IEEE
+    double ops (sub/abs/div/compare) both engines compute identically."""
+    from recipys_ray.ops.quantiles import robust_zscore
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+    out = robust_zscore(
+        ds, "l_extendedprice", k=2.5, bins=16, driver_cap=2000,
+    )
+    return _select(out, ["l_orderkey", "l_linenumber", "rz", "is_outlier"])
+
+
+def q_rollup_doc_stats(sf_dir):
+    """GROUP BY ROLLUP(source, lang) counts + char sums in one combiner
+    scan (ops/rollup.py). gid is the SQL GROUPING() bitmask; all
+    aggregates integer-exact (count + int64 sum)."""
+    from recipys_ray.ops.rollup import rollup_aggregate
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["source", "lang", "n_chars"],
+    )
+    out = rollup_aggregate(ds, ["source", "lang"], sum_cols=["n_chars"])
+    return _select(out, ["gid", "source", "lang", "cnt", "sum_n_chars"])
+
+
 def q_frequent_tokens(sf_dir):
     """Exact heavy-hitter tokens WITHOUT a groupby shuffle (ops/frequent.py:
     Misra-Gries combiner pass → broadcast candidates → exact verify pass);
@@ -1758,6 +1821,43 @@ ORACLES: dict[str, str] = {
                cume_dist() OVER (ORDER BY l_extendedprice, l_orderkey,
                                  l_linenumber) AS cd
         FROM lineitem
+    """,
+    "distinct_users_hll": """
+        SELECT event_type, n_distinct_approx
+        FROM read_parquet('/root/repo/expected/distinct_hll_*.parquet')
+        WHERE corpus_key = (SELECT count(*) || '_' ||
+                            CAST(sum(user_id) AS BIGINT) FROM events)
+    """,
+    "winsorize": """
+        WITH b AS (
+          SELECT quantile_disc(l_extendedprice, 0.05) AS lo,
+                 quantile_disc(l_extendedprice, 0.95) AS hi
+          FROM lineitem
+        )
+        SELECT l_orderkey, l_linenumber,
+               least(greatest(l_extendedprice, b.lo), b.hi) AS clipped
+        FROM lineitem, b
+    """,
+    "robust_outliers": """
+        WITH m AS (
+          SELECT quantile_disc(l_extendedprice, 0.5) AS med FROM lineitem
+        ),
+        d AS (
+          SELECT quantile_disc(abs(l_extendedprice - m.med), 0.5) AS mad
+          FROM lineitem, m
+        )
+        SELECT l_orderkey, l_linenumber,
+               (l_extendedprice - m.med) / d.mad AS rz,
+               abs(l_extendedprice - m.med) > 2.5 * d.mad AS is_outlier
+        FROM lineitem, m, d
+    """,
+    "rollup_doc_stats": """
+        SELECT CAST(grouping(source, lang) AS BIGINT) AS gid,
+               source, lang,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+        FROM documents
+        GROUP BY ROLLUP(source, lang)
     """,
     "frequent_tokens": r"""
         WITH tok AS (
@@ -2635,6 +2735,10 @@ QUERIES = {
     "global_rank": q_global_rank,
     "ntile": q_ntile,
     "cume_dist": q_cume_dist,
+    "winsorize": q_winsorize,
+    "distinct_users_hll": q_distinct_users_hll,
+    "robust_outliers": q_robust_outliers,
+    "rollup_doc_stats": q_rollup_doc_stats,
     "sample_per_source": q_sample_per_source,
     "weighted_sample": q_weighted_sample,
     "pivot_event_counts": q_pivot_event_counts,

@@ -327,6 +327,41 @@ def iterative_impute_expected(events: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"event_id": eid, "valn": X[:, 1]})
 
 
+def hll_expected(ev: pd.DataFrame, p: int = 12) -> pd.DataFrame:
+    """Sequential per-group HyperLogLog over (event_type, user_id) with a
+    DENSE register array (vs the op's sparse groupby-max merge). Shares
+    only pd.util.hash_array and the published HLL formulae with
+    ops/distinct.py. Determinism contract with the op: registers summed in
+    ascending-register order, estimate expression evaluated in the same
+    operation order — bit-equal float64 estimates."""
+    m = 1 << p
+    shift = np.uint64(64 - p)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    rows = []
+    for et, grp in ev.groupby("event_type", sort=True):
+        h = pd.util.hash_array(grp["user_id"].to_numpy()).astype(np.uint64)
+        reg = (h >> shift).astype(np.int64)
+        w = h << np.uint64(p)
+        # exact leading-zero count via int bit_length (float log2 is
+        # fragile at 2^63 boundaries)
+        rho = np.array(
+            [64 - int(x).bit_length() + 1 if x > 0 else 64 - p + 1
+             for x in w],
+            np.int64,
+        )
+        regs = np.zeros(m, np.int64)
+        np.maximum.at(regs, reg, rho)
+        present = np.nonzero(regs)[0]  # ascending register order
+        inv_sum = float(np.sum(np.exp2(-regs[present].astype(np.float64))))
+        zeros = float(m - len(present))
+        denom = inv_sum + zeros
+        E = alpha * m * m / denom
+        if E <= 2.5 * m and zeros > 0:
+            E = m * np.log(m / zeros)
+        rows.append((et, float(E)))
+    return pd.DataFrame(rows, columns=["event_type", "n_distinct_approx"])
+
+
 def main():
     np.seterr(over="ignore")  # uint64 wraparound is the hash arithmetic
     os.makedirs(OUT_DIR, exist_ok=True)
@@ -360,6 +395,11 @@ def main():
         out = knn_impute_ivf_expected(ev)
         out["corpus_key"] = key
         path = os.path.join(OUT_DIR, f"knn_impute_ivf_{key}.parquet")
+        out.to_parquet(path, index=False)
+        print(f"{path}: {len(out)} rows")
+        out = hll_expected(ev)
+        out["corpus_key"] = key
+        path = os.path.join(OUT_DIR, f"distinct_hll_{key}.parquet")
         out.to_parquet(path, index=False)
         print(f"{path}: {len(out)} rows")
     for sf_dir in SF_DIRS:

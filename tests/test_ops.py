@@ -2023,3 +2023,161 @@ class TestBoxResize:
         assert d["resized"][2] is None
         # every decoded row has the schema-stable 4*4*3 length
         assert [len(v) for v in d["resized"][:2]] == [48, 48]
+
+
+class TestWinsorize:
+    def test_clip_matches_numpy_disc_quantiles(self, ray_session):
+        from recipys_ray.ops.quantiles import winsorize
+
+        rng = np.random.default_rng(7)
+        v = rng.lognormal(3, 1, 500)
+        pdf = pd.DataFrame({"id": np.arange(500), "x": v})
+        out = (
+            winsorize(rd.from_pandas(pdf), "x", 0.1, 0.9, out_col="c",
+                      bins=8, driver_cap=50)
+            .to_pandas().sort_values("id")
+        )
+        s = np.sort(v)
+        lo, hi = s[int(np.ceil(0.1 * 500)) - 1], s[int(np.ceil(0.9 * 500)) - 1]
+        np.testing.assert_array_equal(out["c"].to_numpy(), np.clip(v, lo, hi))
+        # outputs are existing input values (selection-only contract)
+        assert set(out["c"]) <= set(v)
+
+    def test_nulls_and_inplace(self, ray_session):
+        from recipys_ray.ops.quantiles import winsorize
+
+        tbl = pa.table({"x": pa.array([1.0, None, 100.0, 5.0, 3.0])})
+        out = winsorize(rd.from_arrow(tbl), "x", 0.25, 0.75).to_pandas()
+        assert out["x"].isna().sum() == 1  # null stays null
+        nn = sorted(out["x"].dropna())
+        # bounds = quantile_disc(.25)=1? n=4 non-null: ceil(1)=1st=1.0,
+        # ceil(3)=3rd=5.0 → clip to [1, 5]
+        assert nn == [1.0, 3.0, 5.0, 5.0]
+
+
+class TestRobustZscore:
+    def test_matches_sequential(self, ray_session):
+        from recipys_ray.ops.quantiles import robust_zscore
+
+        rng = np.random.default_rng(11)
+        v = np.concatenate([rng.normal(10, 1, 400), [500.0, -900.0]])
+        pdf = pd.DataFrame({"id": np.arange(len(v)), "x": v})
+        out = (
+            robust_zscore(rd.from_pandas(pdf), "x", k=3.0, bins=8,
+                          driver_cap=50)
+            .to_pandas().sort_values("id")
+        )
+        n = len(v)
+        s = np.sort(v)
+        med = s[int(np.ceil(0.5 * n)) - 1]
+        d = np.abs(v - med)
+        mad = np.sort(d)[int(np.ceil(0.5 * n)) - 1]
+        np.testing.assert_array_equal(out["rz"].to_numpy(), (v - med) / mad)
+        np.testing.assert_array_equal(
+            out["is_outlier"].to_numpy(), d > 3.0 * mad
+        )
+        assert out["is_outlier"].to_numpy()[-2:].all()  # planted outliers
+        assert out["is_outlier"].dtype == np.bool_
+
+
+class TestRollupAggregate:
+    @staticmethod
+    def _oracle(pdf, sql):
+        import duckdb
+        con = duckdb.connect()
+        con.register("t", pdf)
+        return con.execute(sql).df()
+
+    def test_matches_duckdb_rollup(self, ray_session):
+        from recipys_ray.ops.rollup import rollup_aggregate
+
+        rng = np.random.default_rng(3)
+        pdf = pd.DataFrame({
+            "a": rng.choice(["p", "q", "r"], 300),
+            "b": rng.choice(["x", "y", None], 300),
+            "n": rng.integers(0, 50, 300),
+        })
+        got = (
+            rollup_aggregate(rd.from_pandas(pdf), ["a", "b"],
+                             sum_cols=["n"])
+            .to_pandas()
+            .sort_values(["gid", "a", "b"], na_position="last")
+            .reset_index(drop=True)
+        )
+        exp = self._oracle(pdf, """
+            SELECT CAST(grouping(a, b) AS BIGINT) AS gid, a, b,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(n) AS BIGINT) AS sum_n
+            FROM t GROUP BY ROLLUP(a, b)
+            ORDER BY gid, a NULLS LAST, b NULLS LAST
+        """).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        # dtype discipline: int64 aggregates, string keys (never object-null)
+        assert got["cnt"].dtype == np.int64
+        assert got["sum_n"].dtype == np.int64
+        # a genuinely-NULL b at gid=0 must stay distinct from rolled-up
+        assert ((got["gid"] == 0) & got["b"].isna()).any()
+
+    def test_grouping_sets_and_partition_invariance(self, ray_session):
+        from recipys_ray.ops.rollup import rollup_aggregate
+
+        rng = np.random.default_rng(9)
+        pdf = pd.DataFrame({
+            "a": rng.choice(["p", "q"], 200),
+            "b": rng.choice(["x", "y", "z"], 200),
+        })
+        # CUBE-style explicit sets, including (b) alone (not a prefix)
+        sets = [["a", "b"], ["b"], []]
+        outs = []
+        for nparts in (1, 8):
+            ds = rd.from_pandas(pdf).repartition(nparts)
+            outs.append(
+                rollup_aggregate(ds, ["a", "b"], grouping_sets=sets)
+                .to_pandas()
+                .sort_values(["gid", "a", "b"], na_position="last")
+                .reset_index(drop=True)
+            )
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        exp = self._oracle(pdf, """
+            SELECT CAST(grouping(a, b) AS BIGINT) AS gid, a, b,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM t GROUP BY GROUPING SETS ((a, b), (b), ())
+            ORDER BY gid, a NULLS LAST, b NULLS LAST
+        """).reset_index(drop=True)
+        pd.testing.assert_frame_equal(outs[0], exp, check_dtype=False)
+
+
+class TestHllGoldenParity:
+    def test_bitexact_vs_sequential_dense(self, ray_session):
+        """The distributed sparse-merge HLL and gen_expected's dense
+        sequential HLL must agree BIT-EXACTLY (the golden-oracle
+        contract: ascending-register summation, same estimate
+        expression)."""
+        import importlib.util, os
+        spec = importlib.util.spec_from_file_location(
+            "gen_expected",
+            os.path.join(os.path.dirname(__file__), "..", "scripts",
+                         "gen_expected.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+
+        from recipys_ray.ops.distinct import distinct_per_group_approx
+
+        rng = np.random.default_rng(41)
+        ev = pd.DataFrame({
+            "event_type": rng.choice(["a", "b", "c", "d"], 40_000),
+            "user_id": rng.integers(0, 15_000, 40_000),
+        })
+        got = (
+            distinct_per_group_approx(
+                rd.from_pandas(ev).repartition(7),
+                ["event_type"], "user_id", p=12,
+            )
+            .to_pandas().sort_values("event_type").reset_index(drop=True)
+        )
+        exp = mod.hll_expected(ev, p=12)
+        np.testing.assert_array_equal(
+            got["n_distinct_approx"].to_numpy(),
+            exp["n_distinct_approx"].to_numpy(),
+        )
