@@ -65,6 +65,25 @@ def rollup_aggregate(
 
     sum_names = [f"sum_{c}" for c in sum_cols]
 
+    def _sum_array(vals: pd.Series, is_int: bool) -> pa.Array:
+        # SQL SUM over an all-null group is NULL (pandas min_count=1 gives
+        # NaN there) — carry it as a real Arrow null, never a 0 and never
+        # NaN→int64 (undefined cast)
+        mask = vals.isna().to_numpy()
+        if is_int:
+            if not mask.any():
+                # null-free int sums → exact int64 end-to-end
+                return pa.array(vals.to_numpy(np.int64), pa.int64())
+            # int sums WITH nulls ride float64 (also covers pandas
+            # nullable Int64 round-tripped by Arrow metadata) — exact
+            # to 2^53
+            v = vals.astype(np.float64).to_numpy(np.float64)
+            return pa.array(
+                np.where(mask, 0, v).astype(np.int64), pa.int64(), mask=mask
+            )
+        v = vals.astype(np.float64).to_numpy(np.float64)
+        return pa.array(v, pa.float64(), mask=mask)
+
     def _emit(agg: pd.DataFrame, gid: int, gcols: list[str],
               key_types: dict, sum_int: dict) -> pa.Table:
         arrs: dict = {
@@ -79,10 +98,7 @@ def rollup_aggregate(
             agg["cnt"].to_numpy(np.int64), pa.int64()
         )
         for c, sn in zip(sum_cols, sum_names):
-            t = pa.int64() if sum_int[c] else pa.float64()
-            arrs[sn] = pa.array(
-                agg[sn].to_numpy(np.int64 if sum_int[c] else np.float64), t
-            )
+            arrs[sn] = _sum_array(agg[sn], sum_int[c])
         return pa.table(arrs)
 
     def partial(tbl: pa.Table) -> pa.Table:
@@ -102,12 +118,13 @@ def rollup_aggregate(
                                 observed=True)
                 agg = g.size().rename("cnt").to_frame()
                 for c, sn in zip(sum_cols, sum_names):
-                    agg[sn] = g[c].sum()
+                    # min_count=1: SQL SUM of an all-null group is NULL
+                    agg[sn] = g[c].sum(min_count=1)
                 agg = agg.reset_index()
             else:
                 agg = pd.DataFrame({"cnt": [len(pdf)]})
                 for c, sn in zip(sum_cols, sum_names):
-                    agg[sn] = [pdf[c].sum() if len(pdf) else 0]
+                    agg[sn] = [pdf[c].sum(min_count=1)]
             parts.append(_emit(agg, gid, gcols, key_types, sum_int))
         return pa.concat_tables(parts)
 
@@ -121,7 +138,10 @@ def rollup_aggregate(
         pdf = tbl.to_pandas()
         g = pdf.groupby(["gid"] + keys, dropna=False, sort=False,
                         observed=True)
-        out = g[["cnt"] + sum_names].sum().reset_index()
+        # min_count=1 folds NULL partials SQL-style: ignored when any
+        # partial has a value, NULL when all are (cnt is never null, ≥ 1
+        # row per group)
+        out = g[["cnt"] + sum_names].sum(min_count=1).reset_index()
         arrs: dict = {
             "gid": pa.array(out["gid"].to_numpy(np.int64))
         }
@@ -129,10 +149,7 @@ def rollup_aggregate(
             arrs[k] = pa.Array.from_pandas(out[k], type=key_types[k])
         arrs["cnt"] = pa.array(out["cnt"].to_numpy(np.int64), pa.int64())
         for c, sn in zip(sum_cols, sum_names):
-            t = pa.int64() if sum_int[c] else pa.float64()
-            arrs[sn] = pa.array(
-                out[sn].to_numpy(np.int64 if sum_int[c] else np.float64), t
-            )
+            arrs[sn] = _sum_array(out[sn], sum_int[c])
         return pa.table(arrs)
 
     from recipys_ray.ops.dedup import partitioned_groupby_map

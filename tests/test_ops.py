@@ -2146,6 +2146,32 @@ class TestRollupAggregate:
         """).reset_index(drop=True)
         pd.testing.assert_frame_equal(outs[0], exp, check_dtype=False)
 
+    def test_all_null_sum_group_is_null(self, ray_session):
+        """SQL SUM over an all-null group is NULL, not 0 — and int sums
+        survive null-bearing columns."""
+        from recipys_ray.ops.rollup import rollup_aggregate
+
+        pdf = pd.DataFrame({
+            "a": ["p", "p", "q", "q"],
+            "n": pd.array([1, 2, None, None], dtype="Int64"),
+        })
+        got = (
+            rollup_aggregate(rd.from_pandas(pdf), ["a"], sum_cols=["n"])
+            .to_pandas()
+            .sort_values(["gid", "a"], na_position="last")
+            .reset_index(drop=True)
+        )
+        exp = self._oracle(pdf, """
+            SELECT CAST(grouping(a) AS BIGINT) AS gid, a,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(n) AS BIGINT) AS sum_n
+            FROM t GROUP BY ROLLUP(a)
+            ORDER BY gid, a NULLS LAST
+        """).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        assert got.loc[got["a"] == "q", "sum_n"].isna().all()
+        assert got.loc[got["a"] == "p", "sum_n"].iloc[0] == 3
+
 
 class TestHllGoldenParity:
     def test_bitexact_vs_sequential_dense(self, ray_session):
