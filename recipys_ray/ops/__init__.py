@@ -41,7 +41,13 @@ from recipys_ray.ops.quantiles import (
     robust_zscore,
     winsorize,
 )
-from recipys_ray.ops.rank import add_global_rank, add_ntile
+from recipys_ray.ops.rank import add_global_rank, add_ntile, value_ranks
+from recipys_ray.ops.groupstats import (
+    grouped_corr,
+    grouped_entropy,
+    grouped_mode,
+    grouped_value_counts,
+)
 from recipys_ray.ops.rollup import rollup_aggregate
 from recipys_ray.ops.frequent import frequent_items
 from recipys_ray.ops.reshape import group_concat, melt, pivot
@@ -77,7 +83,8 @@ __all__ = [
     "ByteHistogramFeatures", "DecodeImage", "DecodeWav", "SampleFrames",
     "decode_images", "read_webdataset", "extract_json_int", "funnel", "cohort_retention", "pack_sequences", "profile",
     "exact_quantiles", "group_quantiles", "winsorize", "robust_zscore",
-    "rollup_aggregate", "add_global_rank", "add_ntile",
+    "rollup_aggregate", "add_global_rank", "add_ntile", "value_ranks",
+    "grouped_value_counts", "grouped_mode", "grouped_entropy", "grouped_corr",
     "hash_sample", "hash_split",
     "mix_sources", "sample_per_group", "weighted_sample",
     "pivot", "melt", "group_concat", "frequent_items", "semantic_dedup", "knn_brute_force",

@@ -1,0 +1,278 @@
+"""Grouped categorical / bivariate statistics — combiner-first shapes.
+
+All operators share one motion pattern: a per-block VECTORIZED partial
+aggregate (pandas groupby C kernels across ALL groups in the block)
+shrinks the payload to small partial rows, ONE hash exchange on the group
+key co-locates partials, and a vectorized finish folds them — the corpus
+itself never shuffles. At 100 TB the exchange moves #groups × #blocks
+summary rows, not data.
+
+- :func:`grouped_value_counts` — exact (group, value) counts.
+- :func:`grouped_mode` — most frequent value per group; ties break to the
+  smallest value, mirroring ``ROW_NUMBER() OVER (ORDER BY cnt DESC, v)``.
+- :func:`grouped_entropy` — Shannon entropy (nats) of each group's value
+  distribution, ``Σ p·ln(1/p)`` — useful for label/source-diversity
+  filters in training-data curation (a zero-entropy shard is boilerplate).
+- :func:`grouped_corr` — Pearson correlation + sample covariance via
+  sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy). The finish evaluates
+  the SAME closed form the SQL oracle states, term for term, so the two
+  engines differ only by float-summation order inside the Σ's.
+
+Reference parity note: the reference engine (rvandewater/ReciPys) exposes
+per-group aggregation through StepHistorical/accumulators (step.py:200-320)
+but has no mode/entropy/correlation; these extend the same grouped-stats
+surface for corpus-curation workloads.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _counts_partial(ds, group_cols: list[str], value_col: str):
+    """Per-block exact (group, value) partial counts — the shared combiner.
+
+    Null VALUES are dropped (SQL aggregate semantics); null GROUP KEYS are
+    kept as their own group (SQL ``GROUP BY`` semantics). Output schema:
+    group_cols + [value_col, "cnt"(int64)], with the key/value Arrow types
+    preserved so cross-block unification never widens dtypes.
+    """
+    keys = list(group_cols) + [value_col]
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        key_types = {c: tbl.schema.field(c).type for c in keys}
+        pdf = tbl.select(keys).to_pandas()
+        pdf = pdf[pdf[value_col].notna()]
+        agg = (
+            pdf.groupby(keys, sort=False, dropna=False, observed=True)
+            .size()
+            .rename("cnt")
+            .reset_index()
+        )
+        arrs: dict = {
+            c: pa.Array.from_pandas(agg[c], type=key_types[c]) for c in keys
+        }
+        arrs["cnt"] = pa.array(agg["cnt"].to_numpy(np.int64), pa.int64())
+        return pa.table(arrs)
+
+    return ds.select_columns(keys).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+
+def grouped_value_counts(
+    ds,
+    group_cols: list[str],
+    value_col: str,
+    cnt_col: str = "cnt",
+    num_partitions: int | None = None,
+):
+    """Exact count of every (group, value) pair (module docstring).
+
+    One combiner pass + one exchange over partial rows; the finish sums
+    partials per (group, value) vectorized across all groups."""
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    keys = list(group_cols) + [value_col]
+    parts = _counts_partial(ds, group_cols, value_col)
+
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            pdf.groupby(keys, sort=False, dropna=False, observed=True)["cnt"]
+            .sum()
+            .reset_index()
+        )
+        out["cnt"] = out["cnt"].astype(np.int64)
+        if cnt_col != "cnt":
+            out = out.rename(columns={"cnt": cnt_col})
+        return out
+
+    return partitioned_groupby_map(
+        parts, list(group_cols), finish, num_partitions=num_partitions
+    )
+
+
+def grouped_mode(
+    ds,
+    group_cols: list[str],
+    value_col: str,
+    out_col: str | None = None,
+    cnt_col: str = "mode_cnt",
+    num_partitions: int | None = None,
+):
+    """Most frequent value per group, exact, deterministic tie-break to
+    the SMALLEST value — i.e. the row ``ROW_NUMBER() OVER (PARTITION BY g
+    ORDER BY count(*) DESC, v ASC) = 1`` selects. Null values are ignored;
+    a group whose values are all null emits no row (SQL inner-select
+    drops it)."""
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    out_col = out_col or value_col
+    keys = list(group_cols) + [value_col]
+    parts = _counts_partial(ds, group_cols, value_col)
+
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        tot = (
+            pdf.groupby(keys, sort=False, dropna=False, observed=True)["cnt"]
+            .sum()
+            .reset_index()
+        )
+        # one vectorized sort resolves argmax + tie-break for EVERY group
+        # in the partition: (group asc, cnt desc, value asc), keep first
+        tot = tot.sort_values(
+            list(group_cols) + ["cnt", value_col],
+            ascending=[True] * len(group_cols) + [False, True],
+            kind="stable",
+            ignore_index=True,
+        )
+        out = tot.drop_duplicates(subset=list(group_cols), keep="first")
+        out = out.rename(columns={value_col: out_col, "cnt": cnt_col})
+        out[cnt_col] = out[cnt_col].astype(np.int64)
+        return out.reset_index(drop=True)
+
+    return partitioned_groupby_map(
+        parts, list(group_cols), finish, num_partitions=num_partitions
+    )
+
+
+def grouped_entropy(
+    ds,
+    group_cols: list[str],
+    value_col: str,
+    out_col: str = "entropy",
+    num_partitions: int | None = None,
+):
+    """Shannon entropy (nats) of each group's value distribution:
+    ``Σ (cnt/tot)·ln(tot/cnt)``. Null values are ignored; all-null groups
+    emit no row.
+
+    Float contract: counts are exact int64 and ``tot`` ≤ 2^53, so ``cnt``,
+    ``tot`` and the two divisions are IDENTICAL doubles in both engines;
+    only the final per-group summation order can differ (ulp-level). The
+    ``p·ln(1/p)`` form (not ``-p·ln(p)``) keeps single-value groups at
+    +0.0 rather than -0.0 on both sides."""
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    keys = list(group_cols) + [value_col]
+    parts = _counts_partial(ds, group_cols, value_col)
+
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        tot = (
+            pdf.groupby(keys, sort=False, dropna=False, observed=True)["cnt"]
+            .sum()
+            .reset_index()
+        )
+        cnt = tot["cnt"].to_numpy(np.float64)
+        gtot = (
+            tot.groupby(list(group_cols), sort=False, dropna=False,
+                        observed=True)["cnt"]
+            .transform("sum")
+            .to_numpy(np.float64)
+        )
+        tot["__term__"] = (cnt / gtot) * np.log(gtot / cnt)
+        out = (
+            tot.groupby(list(group_cols), sort=False, dropna=False,
+                        observed=True)["__term__"]
+            .sum()
+            .rename(out_col)
+            .reset_index()
+        )
+        return out
+
+    return partitioned_groupby_map(
+        parts, list(group_cols), finish, num_partitions=num_partitions
+    )
+
+
+def grouped_corr(
+    ds,
+    group_cols: list[str],
+    x: str,
+    y: str,
+    cov_col: str = "cov_xy",
+    corr_col: str = "corr_xy",
+    n_col: str = "n",
+    num_partitions: int | None = None,
+):
+    """Pearson correlation + sample covariance per group via sufficient
+    statistics. Rows where EITHER x or y is null are excluded (SQL
+    ``corr``/``covar_samp`` pairwise-null semantics). Output per group:
+    n (int64), cov_xy, corr_xy.
+
+    The finish evaluates exactly::
+
+        cov  = (Σxy − Σx·Σy/n) / (n−1)
+        corr = cov / (sqrt((Σx²−Σx·Σx/n)/(n−1)) · sqrt((Σy²−Σy·Σy/n)/(n−1)))
+
+    term-for-term identical to the SQL oracle form, so cross-engine drift
+    is bounded by the Σ summation-order ulp. Groups with n < 2 or zero
+    variance produce IEEE ±inf/nan consistently in both engines — callers
+    wanting NULLs there should filter first."""
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    gcols = list(group_cols)
+    stat_cols = ["__n__", "__sx__", "__sy__", "__sxx__", "__syy__", "__sxy__"]
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        key_types = {c: tbl.schema.field(c).type for c in gcols}
+        pdf = tbl.select(gcols + [x, y]).to_pandas()
+        pdf = pdf[pdf[x].notna() & pdf[y].notna()]
+        xv = pdf[x].to_numpy(np.float64)
+        yv = pdf[y].to_numpy(np.float64)
+        stats = pd.DataFrame({
+            c: pdf[c].to_numpy() for c in gcols
+        })
+        stats["__n__"] = np.int64(1)
+        stats["__sx__"] = xv
+        stats["__sy__"] = yv
+        stats["__sxx__"] = xv * xv
+        stats["__syy__"] = yv * yv
+        stats["__sxy__"] = xv * yv
+        agg = (
+            stats.groupby(gcols, sort=False, dropna=False, observed=True)
+            .sum()
+            .reset_index()
+        )
+        arrs: dict = {
+            c: pa.Array.from_pandas(agg[c], type=key_types[c]) for c in gcols
+        }
+        arrs["__n__"] = pa.array(agg["__n__"].to_numpy(np.int64), pa.int64())
+        for c in stat_cols[1:]:
+            arrs[c] = pa.array(agg[c].to_numpy(np.float64), pa.float64())
+        return pa.table(arrs)
+
+    parts = ds.select_columns(gcols + [x, y]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            pdf.groupby(gcols, sort=False, dropna=False, observed=True)[
+                stat_cols
+            ]
+            .sum()
+            .reset_index()
+        )
+        n = agg["__n__"].to_numpy(np.int64)
+        nf = n.astype(np.float64)
+        sx = agg["__sx__"].to_numpy(np.float64)
+        sy = agg["__sy__"].to_numpy(np.float64)
+        sxx = agg["__sxx__"].to_numpy(np.float64)
+        syy = agg["__syy__"].to_numpy(np.float64)
+        sxy = agg["__sxy__"].to_numpy(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cov = (sxy - sx * sy / nf) / (nf - 1.0)
+            varx = (sxx - sx * sx / nf) / (nf - 1.0)
+            vary = (syy - sy * sy / nf) / (nf - 1.0)
+            corr = cov / (np.sqrt(varx) * np.sqrt(vary))
+        out = agg[gcols].copy()
+        out[n_col] = n
+        out[cov_col] = cov
+        out[corr_col] = corr
+        return out
+
+    return partitioned_groupby_map(
+        parts, gcols, finish, num_partitions=num_partitions
+    )

@@ -190,3 +190,75 @@ def add_ntile(
         ds, order_col, tie_cols=tie_cols, descending=descending,
         ntile=k, ntile_col=bucket_col, keep_rank=False, **kwargs,
     )
+
+
+def value_ranks(
+    ds,
+    col: str,
+    dense_col: str = "dense_rank",
+    pct_col: str = "pct_rank",
+    driver_cap: int = 1_000_000,
+):
+    """Tie-aware ``DENSE_RANK()`` + ``PERCENT_RANK() OVER (ORDER BY col)``
+    for a MODERATE-cardinality column, with NO payload shuffle:
+
+    1. one skinny per-block value-count pass (only ``col`` leaves storage)
+       folds to ≤ ``driver_cap`` distinct (value, count) rows on the driver;
+    2. ascending prefix sums give each distinct value its min tie rank;
+    3. a broadcast (``ray.put``) sorted-values array + ``searchsorted``
+       stamp adds the two columns in one streaming pass — rows never move.
+
+    ``percent_rank = (min_rank − 1) / (n − 1)`` — integer inputs into one
+    IEEE division, evaluated identically by SQL engines, so the float
+    column is bit-safe. Nulls rank AFTER all values (``NULLS LAST``): they
+    share dense rank k+1 and min rank n_nonnull+1. n == 1 degenerates to
+    ``pct = 0.0`` (SQL convention: 0/0 window defines percent_rank 0).
+
+    High-cardinality columns (> driver_cap distinct values) should use
+    :func:`add_global_rank` (range shuffle) instead — this op raises
+    rather than silently degrade the driver."""
+    import ray
+
+    def block_counts(tbl: pa.Table) -> pa.Table:
+        vc = tbl.column(col).value_counts()
+        return pa.table({"v": vc.field("values"), "c": vc.field("counts")})
+
+    counts = (
+        ds.select_columns([col])
+        .map_batches(block_counts, batch_format="pyarrow")
+        .to_pandas()
+    )
+    null_mask = counts["v"].isna()
+    n_null = int(counts.loc[null_mask, "c"].sum())
+    merged = (
+        counts[~null_mask].groupby("v", sort=True)["c"].sum().reset_index()
+    )
+    k = len(merged)
+    if k > driver_cap:
+        raise ValueError(
+            f"value_ranks: {k} distinct values of {col!r} exceeds "
+            f"driver_cap={driver_cap}; use add_global_rank for "
+            "high-cardinality columns"
+        )
+    vals = merged["v"].to_numpy()
+    cnts = merged["c"].to_numpy(np.int64)
+    n_total = int(cnts.sum()) + n_null
+    # min tie rank of the i-th distinct value = 1 + #rows with smaller value
+    min_rank = np.concatenate(([0], np.cumsum(cnts)[:-1])) + 1
+    denom = np.float64(n_total - 1) if n_total > 1 else np.float64(1.0)
+    state_ref = ray.put((vals, min_rank.astype(np.int64), k, n_total))
+
+    def stamp(tbl: pa.Table) -> pa.Table:
+        svals, smin, sk, sn = ray.get(state_ref)
+        x = tbl.column(col).to_numpy(zero_copy_only=False)
+        isna = pd.isna(x)
+        idx = np.searchsorted(svals, np.where(isna, svals[0] if sk else 0, x))
+        dr = np.where(isna, sk + 1, idx + 1).astype(np.int64)
+        mr = np.where(isna, (sn - n_null) + 1, smin[np.minimum(idx, sk - 1)]
+                      if sk else 1).astype(np.int64)
+        pr = (mr - 1).astype(np.float64) / denom
+        return tbl.append_column(dense_col, pa.array(dr)).append_column(
+            pct_col, pa.array(pr)
+        )
+
+    return ds.map_batches(stamp, batch_format="pyarrow")

@@ -1586,6 +1586,88 @@ def q_anti_join_customer(sf_dir):
     return _select(out, ["c_custkey", "c_name"])
 
 
+def q_mode_event(sf_dir):
+    """Exact per-user modal event type (ops/groupstats.grouped_mode):
+    per-block vectorized count combiner → ONE exchange of (user, type,
+    cnt) partial rows → vectorized argmax with deterministic smallest-
+    value tie-break. The event payload never shuffles."""
+    from recipys_ray.ops.groupstats import grouped_mode
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    out = grouped_mode(ds, ["user_id"], "event_type", out_col="mode_event")
+    return _select(out, ["user_id", "mode_event", "mode_cnt"])
+
+
+def q_event_entropy(sf_dir):
+    """Per-user Shannon entropy (nats) of the event-type distribution
+    (ops/groupstats.grouped_entropy) — the label-diversity signal a
+    curation pipeline uses to drop boilerplate shards. Counts are exact
+    int64 ≤ 2^53, so every division is an identical double in both
+    engines; only the per-group term-summation order can differ."""
+    from recipys_ray.ops.groupstats import grouped_entropy
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    # column named to sort AFTER the unique user_id key in the driver's
+    # canonical (alphabetical-column) row sort: entropy is allclose-equal
+    # but not bit-equal across engines, so it must never be the primary
+    # sort key of the hashed row order
+    out = grouped_entropy(ds, ["user_id"], "event_type",
+                          out_col="value_entropy")
+    return _select(out, ["user_id", "value_entropy"])
+
+
+def q_grouped_corr(sf_dir):
+    """Pearson correlation + sample covariance of quantity vs discount
+    per returnflag via sufficient statistics (ops/groupstats.grouped_corr).
+    Driver-hash determinism by construction: both inputs are INTEGER-
+    valued (quantity is integral; discount×100 rounds to an exact int),
+    so every Σ is exact in float64 (far below 2^53) and order-free, and
+    the closed form runs on identical doubles in both engines — bit-exact,
+    not merely allclose. (Raw float columns work too, but their Σ's are
+    summation-order-dependent at the ulp.)"""
+    from recipys_ray.ops.groupstats import grouped_corr
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_discount"],
+    )
+
+    def to_int(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        d100 = pc.round(pc.multiply(tbl.column("l_discount"), 100.0))
+        return pa.table({
+            "l_returnflag": tbl.column("l_returnflag"),
+            "qty": pc.cast(tbl.column("l_quantity"), pa.int64()),
+            "disc100": pc.cast(d100, pa.int64()),
+        })
+
+    ints = ds.map_batches(to_int, batch_format="pyarrow")
+    out = grouped_corr(ints, ["l_returnflag"], "qty", "disc100")
+    return _select(out, ["l_returnflag", "n", "cov_xy", "corr_xy"])
+
+
+def q_value_ranks(sf_dir):
+    """Tie-aware DENSE_RANK + PERCENT_RANK over l_quantity (50 distinct
+    values) with NO payload shuffle (ops/rank.value_ranks): skinny
+    value-count fold → broadcast prefix ranks → searchsorted stamp.
+    percent_rank = (min_rank-1)/(n-1) — one IEEE division, bit-safe."""
+    from recipys_ray.ops.rank import value_ranks
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+    )
+    out = value_ranks(ds, "l_quantity")
+    return _select(
+        out, ["l_orderkey", "l_linenumber", "dense_rank", "pct_rank"]
+    )
+
+
 # --------------------------------------------------------------------- #
 # oracle SQL (DuckDB) — names match the Ray outputs 1:1
 # --------------------------------------------------------------------- #
@@ -1820,6 +1902,54 @@ ORACLES: dict[str, str] = {
         SELECT l_orderkey, l_linenumber,
                cume_dist() OVER (ORDER BY l_extendedprice, l_orderkey,
                                  l_linenumber) AS cd
+        FROM lineitem
+    """,
+    "mode_event": """
+        SELECT user_id, mode_event, mode_cnt FROM (
+          SELECT user_id, event_type AS mode_event,
+                 CAST(count(*) AS BIGINT) AS mode_cnt,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY count(*) DESC, event_type)
+                   AS rn
+          FROM events WHERE event_type IS NOT NULL
+          GROUP BY user_id, event_type
+        ) WHERE rn = 1
+    """,
+    "event_entropy": """
+        WITH c AS (
+          SELECT user_id, event_type, CAST(count(*) AS DOUBLE) AS cnt
+          FROM events WHERE event_type IS NOT NULL
+          GROUP BY user_id, event_type
+        ), tot AS (SELECT user_id, sum(cnt) AS tt FROM c GROUP BY user_id)
+        SELECT c.user_id, sum((cnt / tt) * ln(tt / cnt)) AS value_entropy
+        FROM c JOIN tot USING (user_id) GROUP BY c.user_id
+    """,
+    "grouped_corr": """
+        WITH i AS (
+          SELECT l_returnflag,
+                 CAST(l_quantity AS BIGINT) AS x,
+                 CAST(round(l_discount * 100) AS BIGINT) AS y
+          FROM lineitem
+          WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        ), s AS (
+          SELECT l_returnflag, count(*) AS n,
+                 CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+                 CAST(sum(x*x) AS DOUBLE) AS sxx,
+                 CAST(sum(y*y) AS DOUBLE) AS syy,
+                 CAST(sum(x*y) AS DOUBLE) AS sxy
+          FROM i GROUP BY l_returnflag)
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+               (sxy - sx*sy/n) / (n-1) AS cov_xy,
+               ((sxy - sx*sy/n) / (n-1)) /
+               (sqrt((sxx - sx*sx/n)/(n-1)) *
+                sqrt((syy - sy*sy/n)/(n-1))) AS corr_xy
+        FROM s
+    """,
+    "value_ranks": """
+        SELECT l_orderkey, l_linenumber,
+               CAST(dense_rank() OVER (ORDER BY l_quantity) AS BIGINT)
+                 AS dense_rank,
+               percent_rank() OVER (ORDER BY l_quantity) AS pct_rank
         FROM lineitem
     """,
     "distinct_users_hll": """
@@ -2735,6 +2865,10 @@ QUERIES = {
     "global_rank": q_global_rank,
     "ntile": q_ntile,
     "cume_dist": q_cume_dist,
+    "mode_event": q_mode_event,
+    "event_entropy": q_event_entropy,
+    "grouped_corr": q_grouped_corr,
+    "value_ranks": q_value_ranks,
     "winsorize": q_winsorize,
     "distinct_users_hll": q_distinct_users_hll,
     "robust_outliers": q_robust_outliers,

@@ -2207,3 +2207,195 @@ class TestHllGoldenParity:
             got["n_distinct_approx"].to_numpy(),
             exp["n_distinct_approx"].to_numpy(),
         )
+
+
+class TestGroupedStats:
+    @staticmethod
+    def _oracle(pdf, sql):
+        import duckdb
+        con = duckdb.connect()
+        con.register("t", pdf)
+        return con.execute(sql).df()
+
+    @staticmethod
+    def _mk(seed=7, n=500):
+        rng = np.random.default_rng(seed)
+        return pd.DataFrame({
+            "g": rng.integers(0, 20, n),
+            "v": rng.choice(["a", "b", "c", "d", None], n,
+                            p=[0.4, 0.3, 0.15, 0.1, 0.05]),
+            "x": rng.normal(10, 3, n),
+            "y": rng.normal(5, 2, n),
+        })
+
+    def test_value_counts_matches_duckdb(self, ray_session):
+        from recipys_ray.ops.groupstats import grouped_value_counts
+
+        pdf = self._mk()
+        got = (
+            grouped_value_counts(rd.from_pandas(pdf), ["g"], "v")
+            .to_pandas().sort_values(["g", "v"]).reset_index(drop=True)
+        )
+        exp = self._oracle(pdf, """
+            SELECT g, v, CAST(count(*) AS BIGINT) AS cnt FROM t
+            WHERE v IS NOT NULL GROUP BY g, v ORDER BY g, v
+        """)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_mode_ties_and_partition_invariance(self, ray_session):
+        from recipys_ray.ops.groupstats import grouped_mode
+
+        # deterministic tie: g=0 has a×2, b×2 → mode must be 'a'
+        pdf = pd.DataFrame({
+            "g": [0, 0, 0, 0, 1, 1, 1],
+            "v": ["b", "a", "a", "b", "c", None, "c"],
+        })
+        outs = []
+        for p in (1, 5):
+            outs.append(
+                grouped_mode(rd.from_pandas(pdf), ["g"], "v",
+                             out_col="mode_v", num_partitions=p)
+                .to_pandas().sort_values("g").reset_index(drop=True)
+            )
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        exp = self._oracle(pdf, """
+            SELECT g, mode_v, mode_cnt FROM (
+              SELECT g, v AS mode_v, CAST(count(*) AS BIGINT) AS mode_cnt,
+                     row_number() OVER (PARTITION BY g
+                                        ORDER BY count(*) DESC, v) AS rn
+              FROM t WHERE v IS NOT NULL GROUP BY g, v
+            ) WHERE rn = 1 ORDER BY g
+        """)
+        pd.testing.assert_frame_equal(outs[0], exp, check_dtype=False)
+        assert outs[0].loc[outs[0]["g"] == 0, "mode_v"].iloc[0] == "a"
+
+    def test_mode_random_matches_duckdb(self, ray_session):
+        from recipys_ray.ops.groupstats import grouped_mode
+
+        pdf = self._mk(seed=11)
+        got = (
+            grouped_mode(rd.from_pandas(pdf), ["g"], "v", out_col="mode_v")
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        exp = self._oracle(pdf, """
+            SELECT g, mode_v, mode_cnt FROM (
+              SELECT g, v AS mode_v, CAST(count(*) AS BIGINT) AS mode_cnt,
+                     row_number() OVER (PARTITION BY g
+                                        ORDER BY count(*) DESC, v) AS rn
+              FROM t WHERE v IS NOT NULL GROUP BY g, v
+            ) WHERE rn = 1 ORDER BY g
+        """)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_entropy_matches_duckdb(self, ray_session):
+        from recipys_ray.ops.groupstats import grouped_entropy
+
+        pdf = self._mk(seed=13)
+        # force one single-value group → entropy exactly +0.0
+        pdf.loc[pdf["g"] == 19, "v"] = "a"
+        got = (
+            grouped_entropy(rd.from_pandas(pdf), ["g"], "v")
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        exp = self._oracle(pdf, """
+            WITH c AS (
+              SELECT g, v, CAST(count(*) AS DOUBLE) AS cnt FROM t
+              WHERE v IS NOT NULL GROUP BY g, v
+            ), tot AS (SELECT g, sum(cnt) AS tt FROM c GROUP BY g)
+            SELECT c.g, sum((cnt / tt) * ln(tt / cnt)) AS entropy
+            FROM c JOIN tot USING (g) GROUP BY c.g ORDER BY c.g
+        """)
+        np.testing.assert_allclose(
+            got["entropy"].to_numpy(), exp["entropy"].to_numpy(), rtol=1e-12
+        )
+        e19 = got.loc[got["g"] == 19, "entropy"].iloc[0]
+        assert e19 == 0.0 and not np.signbit(e19)
+
+    def test_corr_matches_duckdb_and_numpy(self, ray_session):
+        from recipys_ray.ops.groupstats import grouped_corr
+
+        pdf = self._mk(seed=17, n=2000)
+        pdf["y"] = pdf["x"] * 0.5 + pdf["y"]  # correlated
+        pdf.loc[::37, "x"] = np.nan           # pairwise-null rows
+        got = (
+            grouped_corr(rd.from_pandas(pdf), ["g"], "x", "y")
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        exp = self._oracle(pdf, """
+            WITH s AS (
+              SELECT g, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                     sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+              FROM t WHERE x IS NOT NULL AND y IS NOT NULL GROUP BY g)
+            SELECT g, CAST(n AS BIGINT) AS n,
+                   (sxy - sx*sy/n) / (n-1) AS cov_xy,
+                   ((sxy - sx*sy/n) / (n-1)) /
+                   (sqrt((sxx - sx*sx/n)/(n-1)) *
+                    sqrt((syy - sy*sy/n)/(n-1))) AS corr_xy
+            FROM s ORDER BY g
+        """)
+        pd.testing.assert_frame_equal(
+            got[["g", "n"]], exp[["g", "n"]], check_dtype=False
+        )
+        np.testing.assert_allclose(got["cov_xy"], exp["cov_xy"], rtol=1e-9)
+        np.testing.assert_allclose(got["corr_xy"], exp["corr_xy"], rtol=1e-9)
+        # sanity vs numpy on one group
+        sub = pdf[(pdf["g"] == 3) & pdf["x"].notna()]
+        ref = np.corrcoef(sub["x"], sub["y"])[0, 1]
+        mine = got.loc[got["g"] == 3, "corr_xy"].iloc[0]
+        np.testing.assert_allclose(mine, ref, rtol=1e-8)
+
+    def test_corr_partition_invariance(self, ray_session):
+        from recipys_ray.ops.groupstats import grouped_corr
+
+        pdf = self._mk(seed=19, n=800)
+        outs = [
+            grouped_corr(rd.from_pandas(pdf), ["g"], "x", "y",
+                         num_partitions=p)
+            .to_pandas().sort_values("g").reset_index(drop=True)
+            for p in (1, 7)
+        ]
+        pd.testing.assert_frame_equal(outs[0][["g", "n"]], outs[1][["g", "n"]])
+        np.testing.assert_allclose(outs[0]["corr_xy"], outs[1]["corr_xy"],
+                                   rtol=1e-12)
+
+
+class TestValueRanks:
+    @staticmethod
+    def _oracle(pdf, sql):
+        import duckdb
+        con = duckdb.connect()
+        con.register("t", pdf)
+        return con.execute(sql).df()
+
+    def test_matches_duckdb_with_nulls(self, ray_session):
+        from recipys_ray.ops.rank import value_ranks
+
+        rng = np.random.default_rng(23)
+        pdf = pd.DataFrame({
+            "id": np.arange(400),
+            "q": rng.choice([1.0, 2.5, 2.5, 7.0, 9.0, np.nan], 400),
+        })
+        got = (
+            value_ranks(rd.from_pandas(pdf), "q")
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        exp = self._oracle(pdf, """
+            SELECT id,
+                   CAST(dense_rank() OVER (ORDER BY q) AS BIGINT)
+                     AS dense_rank,
+                   percent_rank() OVER (ORDER BY q) AS pct_rank
+            FROM t ORDER BY id
+        """)
+        pd.testing.assert_frame_equal(
+            got[["id", "dense_rank"]], exp[["id", "dense_rank"]],
+            check_dtype=False,
+        )
+        # bit-safe float contract: identical IEEE division both sides
+        assert (got["pct_rank"].to_numpy() == exp["pct_rank"].to_numpy()).all()
+
+    def test_cap_raises(self, ray_session):
+        from recipys_ray.ops.rank import value_ranks
+
+        pdf = pd.DataFrame({"q": np.arange(100, dtype=np.float64)})
+        with pytest.raises(ValueError, match="driver_cap"):
+            value_ranks(rd.from_pandas(pdf), "q", driver_cap=10).count()
