@@ -160,6 +160,13 @@ def bench_queries() -> dict:
         "robust_outliers",
         "rollup_doc_stats",
         "distinct_users_hll",
+        "mode_event",
+        "event_entropy",
+        "grouped_corr",
+        "value_ranks",
+        "merge_intervals",
+        "event_transitions",
+        "pmi_bigrams",
         "historical_salted",
     ]
     out = {}

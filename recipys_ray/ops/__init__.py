@@ -42,11 +42,13 @@ from recipys_ray.ops.quantiles import (
     winsorize,
 )
 from recipys_ray.ops.rank import add_global_rank, add_ntile, value_ranks
+from recipys_ray.ops.intervals import merge_intervals
 from recipys_ray.ops.groupstats import (
     grouped_corr,
     grouped_entropy,
     grouped_mode,
     grouped_value_counts,
+    transition_counts,
 )
 from recipys_ray.ops.rollup import rollup_aggregate
 from recipys_ray.ops.frequent import frequent_items
@@ -66,6 +68,7 @@ from recipys_ray.ops.text import (
     TextFeaturizer,
     build_vocab,
     normalize_text,
+    pmi_bigrams,
     redact_pii,
     text_features,
     tfidf_top_terms,
@@ -85,6 +88,7 @@ __all__ = [
     "exact_quantiles", "group_quantiles", "winsorize", "robust_zscore",
     "rollup_aggregate", "add_global_rank", "add_ntile", "value_ranks",
     "grouped_value_counts", "grouped_mode", "grouped_entropy", "grouped_corr",
+    "merge_intervals", "transition_counts", "pmi_bigrams",
     "hash_sample", "hash_split",
     "mix_sources", "sample_per_group", "weighted_sample",
     "pivot", "melt", "group_concat", "frequent_items", "semantic_dedup", "knn_brute_force",

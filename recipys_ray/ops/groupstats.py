@@ -276,3 +276,79 @@ def grouped_corr(
     return partitioned_groupby_map(
         parts, gcols, finish, num_partitions=num_partitions
     )
+
+
+def transition_counts(
+    ds,
+    group_cols: list[str],
+    order_cols: list[str],
+    state_col: str,
+    from_col: str = "from_state",
+    to_col: str = "to_state",
+    cnt_col: str = "cnt",
+    num_partitions: int | None = None,
+):
+    """First-order Markov transition counts: for each group's sequence of
+    states (ordered by ``order_cols``), count every consecutive
+    (from → to) pair, summed across all groups. The SQL equivalent is
+    ``lead(state) OVER (PARTITION BY g ORDER BY ...)`` followed by a
+    GROUP BY (from, to) dropping end-of-sequence NULL leads.
+
+    Motion: ONE hash exchange on the group key co-locates each sequence
+    (the payload is only group + order + state — skinny), a vectorized
+    sort + shift(-1) forms pairs for EVERY group in the partition at
+    once, and per-partition pair counts fold through a second, tiny
+    exchange (≤ #states² rows per partition). Null states are legal
+    ``from`` values (SQL GROUP BY keeps them); pairs whose TO state is
+    null are dropped along with end-of-sequence rows — SQL's lead()
+    yields NULL for both, so they are indistinguishable in the oracle
+    formulation.
+
+    The behavioral-data workhorse for session modeling (next-event
+    prediction priors, funnel leakage, bot-loop detection)."""
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    gcols = list(group_cols)
+    ocols = list(order_cols)
+    cols = gcols + ocols + [state_col]
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[cols].sort_values(
+            gcols + ocols, kind="stable", ignore_index=True
+        )
+        frm = pdf[state_col]
+        to = frm.shift(-1)
+        grp = pdf.groupby(gcols, sort=False, dropna=False, observed=True)
+        last = grp.cumcount(ascending=False).to_numpy() == 0
+        # drop null TO states as well as end-of-sequence rows: SQL's
+        # lead() makes the two indistinguishable (both NULL), and the
+        # oracle's WHERE to IS NOT NULL removes both
+        keep = pd.DataFrame({from_col: frm, to_col: to})[
+            ~last & to.notna().to_numpy()
+        ]
+        out = (
+            keep.groupby([from_col, to_col], sort=False, dropna=False,
+                         observed=True)
+            .size()
+            .rename(cnt_col)
+            .reset_index()
+        )
+        out[cnt_col] = out[cnt_col].astype(np.int64)
+        return out
+
+    local = partitioned_groupby_map(
+        ds.select_columns(cols), gcols, pairs,
+        num_partitions=num_partitions,
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            pdf.groupby([from_col, to_col], sort=False, dropna=False,
+                        observed=True)[cnt_col]
+            .sum()
+            .reset_index()
+        )
+        out[cnt_col] = out[cnt_col].astype(np.int64)
+        return out
+
+    return partitioned_groupby_map(local, [from_col, to_col], fold)

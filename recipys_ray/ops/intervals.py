@@ -1,0 +1,79 @@
+"""Interval coalescing — merge overlapping/touching spans per group.
+
+``merge_intervals`` collapses each group's set of [start, end] intervals
+into maximal disjoint "islands" (SQL gaps-and-islands): ONE hash exchange
+on the group key co-locates a group's intervals, then one vectorized
+sort + grouped prefix-max detects island breaks for EVERY group in the
+partition simultaneously (pandas C kernels, no per-group Python).
+
+Semantics match the standard SQL formulation::
+
+    pm  = max(end) OVER (PARTITION BY g ORDER BY start, end
+                          ROWS UNBOUNDED PRECEDING AND 1 PRECEDING)
+    brk = (pm IS NULL) OR (start > pm)       -- touching intervals MERGE
+
+Island assignment is deterministic even under (start, end) ties: a tied
+row's break flag only depends on values, not tie order.
+
+Training-data uses: merging duplicate/overlapping text spans before
+excision (complements ops/spans.py), coalescing session windows, and
+de-overlapping time ranges before windowed labeling (leakage control).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def merge_intervals(
+    ds,
+    group_cols: list[str],
+    start_col: str,
+    end_col: str,
+    start_out: str = "span_start",
+    end_out: str = "span_end",
+    n_col: str = "n_merged",
+    num_partitions: int | None = None,
+):
+    """One row per merged island: group_cols + [start_out, end_out, n_col]
+    (module docstring). Start/end may be numeric or datetime64 — ordering
+    and prefix-max are dtype-generic. Rows with a null start or end are
+    dropped (SQL window ordering over NULL bounds is undefined)."""
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    gcols = list(group_cols)
+    cols = gcols + [start_col, end_col]
+
+    def coalesce(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[cols]
+        pdf = pdf[pdf[start_col].notna() & pdf[end_col].notna()]
+        if not len(pdf):
+            out = pdf[gcols].copy()
+            out[start_out] = pdf[start_col]
+            out[end_out] = pdf[end_col]
+            out[n_col] = pd.Series([], dtype=np.int64)
+            return out
+        pdf = pdf.sort_values(
+            gcols + [start_col, end_col], kind="stable", ignore_index=True
+        )
+        grp = pdf.groupby(gcols, sort=False, dropna=False, observed=True)
+        # prefix max of end EXCLUDING the current row, per group
+        pm = grp[end_col].cummax().shift(1)
+        first = grp.cumcount().to_numpy() == 0
+        brk = first | (pdf[start_col].to_numpy() > pm.to_numpy())
+        pdf["__isl__"] = np.cumsum(brk)
+        agg = pdf.groupby(gcols + ["__isl__"], sort=False, dropna=False,
+                          observed=True)
+        out = agg.agg(**{
+            start_out: (start_col, "min"),
+            end_out: (end_col, "max"),
+            n_col: (start_col, "size"),
+        }).reset_index().drop(columns=["__isl__"])
+        out[n_col] = out[n_col].astype(np.int64)
+        return out
+
+    return partitioned_groupby_map(
+        ds.select_columns(cols), gcols, coalesce,
+        num_partitions=num_partitions,
+    )

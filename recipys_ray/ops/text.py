@@ -871,3 +871,80 @@ class RepetitionStats:
                 pa.array(self._gram_metric(words, n_words, n, n_chars, False)),
             )
         return tbl
+
+
+def pmi_bigrams(
+    ds,
+    text_col: str = "text",
+    top_k: int = 200,
+    num_partitions: int | None = None,
+) -> pd.DataFrame:
+    """Pointwise mutual information of the corpus's top-K bigrams —
+    the classic collocation-extraction signal (Church & Hanks 1990):
+    ``pmi = ln( P(xy) / (P(x)·P(y)) )`` with ``P(xy) = c_xy / N_bigrams``
+    and ``P(x) = c_x / N_tokens``. High-PMI bigrams are multiword units
+    ("san francisco"); low-PMI high-count bigrams are boilerplate glue —
+    both useful curation features.
+
+    Motion: (1) exact top-K bigram counts + total via the build_vocab
+    combiner (partial rows only, one small exchange); (2) ONE streaming
+    pass counts the ≤ 2K candidate unigrams per block against a broadcast
+    set plus a total-token sentinel; the driver folds ≤ blocks × 2K
+    partial rows and evaluates PMI vectorized. Driver-bounded output
+    (≤ top_k rows), like frequent_items.
+
+    Float contract: every count is an exact int64 (< 2^53 as a double),
+    and PMI is evaluated in the SAME operation order as the SQL oracle —
+    ``(cnt/nb) / ((c1/n1) * (c2/n1))`` then one ln — so both engines hand
+    identical arguments to the same libm."""
+    import ray
+
+    big, nb = build_vocab(
+        ds, text_col=text_col, top_k=top_k, ngram=2,
+        num_partitions=num_partitions, _return_total=True,
+    )
+    if not len(big) or nb == 0:
+        return pd.DataFrame({
+            "bigram": pd.Series([], dtype=object),
+            "cnt": pd.Series([], dtype=np.int64),
+            "pmi": pd.Series([], dtype=np.float64),
+        })
+    t1 = big["token"].str.split(" ", n=1).str[0]
+    t2 = big["token"].str.split(" ", n=1).str[1]
+    cand_ref = ray.put(set(t1) | set(t2))
+
+    def count_candidates(tbl: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        words, _ = word_stream(tbl.column(text_col))
+        w = pd.Series(words.to_numpy(zero_copy_only=False), dtype=object)
+        vc = w[w.isin(cand)].value_counts()
+        # "" sentinel (never a \w+ token) carries the block's total token
+        # count — its fold gives the corpus N_tokens without another pass
+        toks = np.r_[vc.index.to_numpy(object), np.array([""], object)]
+        cnts = np.r_[vc.to_numpy().astype(np.int64), [len(w)]]
+        return pa.table({
+            "tok": pa.array(toks, pa.string()),
+            "c": pa.array(cnts, pa.int64()),
+        })
+
+    parts = (
+        ds.select_columns([text_col])
+        .map_batches(count_candidates, batch_format="pyarrow")
+        .to_pandas()
+    )
+    sent = parts["tok"] == ""
+    n1 = int(parts.loc[sent, "c"].sum())
+    uc = parts[~sent].groupby("tok")["c"].sum()
+    c1 = uc.reindex(t1).to_numpy(np.int64).astype(np.float64)
+    c2 = uc.reindex(t2).to_numpy(np.int64).astype(np.float64)
+    cnt = big["count"].to_numpy(np.int64)
+    # mirror the SQL operation order exactly (see docstring)
+    pmi = np.log(
+        (cnt.astype(np.float64) / np.float64(nb))
+        / ((c1 / np.float64(n1)) * (c2 / np.float64(n1)))
+    )
+    return pd.DataFrame({
+        "bigram": big["token"].to_numpy(object),
+        "cnt": cnt,
+        "pmi": pmi,
+    })

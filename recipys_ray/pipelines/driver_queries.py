@@ -1668,6 +1668,62 @@ def q_value_ranks(sf_dir):
     )
 
 
+def q_merge_intervals(sf_dir):
+    """Gaps-and-islands interval coalescing per user (ops/intervals.py):
+    each event spans [ts, ts + (event_id%100 + 1) minutes]; overlapping/
+    touching spans merge into islands. All arithmetic in int64 epoch
+    microseconds — every output column integer-exact, hash-safe."""
+    from recipys_ray.ops.intervals import merge_intervals
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+
+    def spans(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        s = pc.cast(tbl.column("ts"), pa.int64()).to_numpy()  # epoch micros
+        eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+        dur = (eid % 100 + 1) * 60_000_000
+        return pa.table({
+            "user_id": tbl.column("user_id"),
+            "s_us": pa.array(s, pa.int64()),
+            "e_us": pa.array(s + dur, pa.int64()),
+        })
+
+    iv = ds.map_batches(spans, batch_format="pyarrow")
+    out = merge_intervals(iv, ["user_id"], "s_us", "e_us")
+    return _select(out, ["user_id", "span_start", "span_end", "n_merged"])
+
+
+def q_event_transitions(sf_dir):
+    """First-order Markov transition counts over per-user event sequences
+    (ops/groupstats.transition_counts): SQL lead() + GROUP BY (from, to).
+    One skinny payload exchange + one tiny pair-count exchange."""
+    from recipys_ray.ops.groupstats import transition_counts
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    out = transition_counts(
+        ds, ["user_id"], ["ts", "event_id"], "event_type",
+        from_col="from_event", to_col="to_event",
+    )
+    return _select(out, ["from_event", "to_event", "cnt"])
+
+
+def q_pmi_bigrams(sf_dir):
+    """Collocation extraction: PMI of the exact top-100 bigrams
+    (ops/text.pmi_bigrams — vocab combiner + one broadcast-candidate
+    unigram pass). All counts exact int64; PMI evaluated in the SQL
+    oracle's operation order, one ln per row on identical doubles."""
+    from recipys_ray.ops.text import pmi_bigrams
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return pmi_bigrams(ds, top_k=100)
+
+
 # --------------------------------------------------------------------- #
 # oracle SQL (DuckDB) — names match the Ray outputs 1:1
 # --------------------------------------------------------------------- #
@@ -1951,6 +2007,74 @@ ORACLES: dict[str, str] = {
                  AS dense_rank,
                percent_rank() OVER (ORDER BY l_quantity) AS pct_rank
         FROM lineitem
+    """,
+    "merge_intervals": """
+        WITH iv AS (
+          SELECT user_id, epoch_us(ts) AS s,
+                 epoch_us(ts) + ((event_id % 100) + 1) * 60000000 AS e
+          FROM events
+        ), x AS (
+          SELECT user_id, s, e,
+                 max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS pm
+          FROM iv
+        ), y AS (
+          SELECT user_id, s, e,
+                 CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS brk
+          FROM x
+        ), z AS (
+          SELECT user_id, s, e,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS isl
+          FROM y
+        )
+        SELECT user_id, min(s) AS span_start, max(e) AS span_end,
+               CAST(count(*) AS BIGINT) AS n_merged
+        FROM z GROUP BY user_id, isl
+    """,
+    "pmi_bigrams": r"""
+        WITH w AS (
+          SELECT regexp_extract_all(lower(coalesce(text, '')), '\w+') AS ws
+          FROM documents
+        ), b AS (
+          SELECT ws[CAST(i AS BIGINT)] || ' '
+                 || ws[CAST(i AS BIGINT) + 1] AS bigram
+          FROM w, UNNEST(generate_series(1, greatest(len(ws) - 1, 0)))
+                    AS g(i)
+        ), bc AS (
+          SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+          FROM b GROUP BY bigram
+        ), nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+        u AS (SELECT unnest(ws) AS tok FROM w),
+        uc AS (
+          SELECT tok, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY tok
+        ), n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
+        top AS (
+          SELECT bigram, cnt,
+                 split_part(bigram, ' ', 1) AS t1,
+                 split_part(bigram, ' ', 2) AS t2
+          FROM bc ORDER BY cnt DESC, bigram ASC LIMIT 100
+        )
+        SELECT top.bigram, top.cnt,
+               ln((CAST(top.cnt AS DOUBLE) / nb.n) /
+                  ((CAST(c1.c AS DOUBLE) / n1.n)
+                   * (CAST(c2.c AS DOUBLE) / n1.n))) AS pmi
+        FROM top
+        JOIN uc c1 ON c1.tok = top.t1
+        JOIN uc c2 ON c2.tok = top.t2
+        CROSS JOIN nb CROSS JOIN n1
+    """,
+    "event_transitions": """
+        SELECT from_event, to_event, CAST(count(*) AS BIGINT) AS cnt
+        FROM (
+          SELECT event_type AS from_event,
+                 lead(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS to_event
+          FROM events
+        ) WHERE to_event IS NOT NULL
+        GROUP BY from_event, to_event
     """,
     "distinct_users_hll": """
         SELECT event_type, n_distinct_approx
@@ -2869,6 +2993,9 @@ QUERIES = {
     "event_entropy": q_event_entropy,
     "grouped_corr": q_grouped_corr,
     "value_ranks": q_value_ranks,
+    "merge_intervals": q_merge_intervals,
+    "event_transitions": q_event_transitions,
+    "pmi_bigrams": q_pmi_bigrams,
     "winsorize": q_winsorize,
     "distinct_users_hll": q_distinct_users_hll,
     "robust_outliers": q_robust_outliers,

@@ -2399,3 +2399,177 @@ class TestValueRanks:
         pdf = pd.DataFrame({"q": np.arange(100, dtype=np.float64)})
         with pytest.raises(ValueError, match="driver_cap"):
             value_ranks(rd.from_pandas(pdf), "q", driver_cap=10).count()
+
+
+class TestMergeIntervals:
+    @staticmethod
+    def _oracle(pdf, sql):
+        import duckdb
+        con = duckdb.connect()
+        con.register("t", pdf)
+        return con.execute(sql).df()
+
+    _SQL = """
+        WITH x AS (
+          SELECT g, s, e,
+                 max(e) OVER (PARTITION BY g ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS pm
+          FROM t
+        ), y AS (
+          SELECT g, s, e,
+                 CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS brk
+          FROM x
+        ), z AS (
+          SELECT g, s, e,
+                 sum(brk) OVER (PARTITION BY g ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS isl
+          FROM y
+        )
+        SELECT g, min(s) AS span_start, max(e) AS span_end,
+               CAST(count(*) AS BIGINT) AS n_merged
+        FROM z GROUP BY g, isl
+        ORDER BY g, span_start
+    """
+
+    def test_matches_duckdb_random(self, ray_session):
+        from recipys_ray.ops.intervals import merge_intervals
+
+        rng = np.random.default_rng(31)
+        s = rng.integers(0, 1000, 600)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 15, 600),
+            "s": s,
+            "e": s + rng.integers(0, 40, 600),
+        })
+        got = (
+            merge_intervals(rd.from_pandas(pdf), ["g"], "s", "e")
+            .to_pandas().sort_values(["g", "span_start"])
+            .reset_index(drop=True)
+        )
+        exp = self._oracle(pdf, self._SQL).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_touching_merge_and_nulls(self, ray_session):
+        from recipys_ray.ops.intervals import merge_intervals
+
+        pdf = pd.DataFrame({
+            "g": [0, 0, 0, 0, 1],
+            "s": [0.0, 10.0, 25.0, np.nan, 5.0],
+            "e": [10.0, 20.0, 30.0, 50.0, 9.0],
+        })
+        got = (
+            merge_intervals(rd.from_pandas(pdf), ["g"], "s", "e")
+            .to_pandas().sort_values(["g", "span_start"])
+            .reset_index(drop=True)
+        )
+        # [0,10] touches [10,20] -> one island; [25,30] separate; null s
+        # dropped; g=1 single
+        assert got["n_merged"].tolist() == [2, 1, 1]
+        assert got.loc[0, "span_start"] == 0.0 and got.loc[0, "span_end"] == 20.0
+
+    def test_partition_invariance(self, ray_session):
+        from recipys_ray.ops.intervals import merge_intervals
+
+        rng = np.random.default_rng(37)
+        s = rng.integers(0, 500, 400)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 10, 400),
+            "s": s,
+            "e": s + rng.integers(0, 30, 400),
+        })
+        outs = [
+            merge_intervals(rd.from_pandas(pdf), ["g"], "s", "e",
+                            num_partitions=p)
+            .to_pandas().sort_values(["g", "span_start"])
+            .reset_index(drop=True)
+            for p in (1, 6)
+        ]
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+class TestTransitionCounts:
+    @staticmethod
+    def _oracle(pdf, sql):
+        import duckdb
+        con = duckdb.connect()
+        con.register("t", pdf)
+        return con.execute(sql).df()
+
+    def test_matches_duckdb(self, ray_session):
+        from recipys_ray.ops.groupstats import transition_counts
+
+        rng = np.random.default_rng(41)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 25, 800),
+            "o": np.arange(800),
+            "v": rng.choice(["a", "b", "c", None], 800,
+                            p=[0.4, 0.35, 0.2, 0.05]),
+        })
+        got = (
+            transition_counts(rd.from_pandas(pdf), ["g"], ["o"], "v",
+                              from_col="f", to_col="t2")
+            .to_pandas().sort_values(["f", "t2"], na_position="last")
+            .reset_index(drop=True)
+        )
+        exp = self._oracle(pdf, """
+            SELECT f, t2, CAST(count(*) AS BIGINT) AS cnt FROM (
+              SELECT v AS f,
+                     lead(v) OVER (PARTITION BY g ORDER BY o) AS t2
+              FROM t
+            ) WHERE t2 IS NOT NULL
+            GROUP BY f, t2 ORDER BY f NULLS LAST, t2 NULLS LAST
+        """).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_single_row_groups_emit_nothing(self, ray_session):
+        from recipys_ray.ops.groupstats import transition_counts
+
+        pdf = pd.DataFrame({"g": [1, 2, 3], "o": [0, 0, 0],
+                            "v": ["a", "b", "c"]})
+        got = transition_counts(
+            rd.from_pandas(pdf), ["g"], ["o"], "v"
+        ).to_pandas()
+        assert len(got) == 0
+
+
+class TestPmiBigrams:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+        from recipys_ray.ops.text import pmi_bigrams
+
+        docs = pd.DataFrame({"text": [
+            "new york city is in new york state",
+            "san francisco and new york",
+            "the city of san francisco",
+            "machine learning and machine translation",
+            None,
+            "",
+        ]})
+        got = pmi_bigrams(rd.from_pandas(docs), top_k=10)
+        got = got.sort_values("bigram").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("documents", docs)
+        from recipys_ray.pipelines.driver_queries import ORACLES
+        sql = ORACLES["pmi_bigrams"].replace("LIMIT 100", "LIMIT 10")
+        exp = con.execute(sql).df().sort_values("bigram").reset_index(
+            drop=True
+        )
+        pd.testing.assert_frame_equal(
+            got[["bigram", "cnt"]], exp[["bigram", "cnt"]],
+            check_dtype=False,
+        )
+        np.testing.assert_allclose(got["pmi"], exp["pmi"], rtol=1e-12)
+        # collocations score above glue: "san francisco" > "and new"
+        p = got.set_index("bigram")["pmi"]
+        if "san francisco" in p.index and "and new" in p.index:
+            assert p["san francisco"] > p["and new"]
+
+    def test_empty_corpus(self, ray_session):
+        from recipys_ray.ops.text import pmi_bigrams
+
+        docs = pd.DataFrame({"text": ["one", "", None]})  # no bigrams
+        out = pmi_bigrams(rd.from_pandas(docs), top_k=5)
+        assert len(out) == 0
+        assert list(out.columns) == ["bigram", "cnt", "pmi"]
