@@ -167,6 +167,7 @@ def bench_queries() -> dict:
         "merge_intervals",
         "event_transitions",
         "pmi_bigrams",
+        "pca_embeddings",
         "historical_salted",
     ]
     out = {}

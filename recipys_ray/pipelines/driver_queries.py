@@ -1713,6 +1713,21 @@ def q_event_transitions(sf_dir):
     return _select(out, ["from_event", "to_event", "cnt"])
 
 
+def q_pca_embeddings(sf_dir):
+    """Top-4 principal components of the embedding table (ops/pca.py):
+    exact int64-quantized sufficient statistics (partitioning can't change
+    a bit), driver eigh, fixed-order projection. Oracle: golden from the
+    independent sequential implementation (scripts/gen_expected.py
+    pca_expected) — bit-equal by the op's determinism contract."""
+    from recipys_ray.ops.pca import pca_project
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = pca_project(ds, "embedding", k=4)
+    return _select(out, ["vec_id", "pc0", "pc1", "pc2", "pc3"])
+
+
 def q_pmi_bigrams(sf_dir):
     """Collocation extraction: PMI of the exact top-100 bigrams
     (ops/text.pmi_bigrams — vocab combiner + one broadcast-candidate
@@ -2033,6 +2048,12 @@ ORACLES: dict[str, str] = {
         SELECT user_id, min(s) AS span_start, max(e) AS span_end,
                CAST(count(*) AS BIGINT) AS n_merged
         FROM z GROUP BY user_id, isl
+    """,
+    "pca_embeddings": """
+        SELECT vec_id, pc0, pc1, pc2, pc3
+        FROM read_parquet('/root/repo/expected/pca_*.parquet')
+        WHERE corpus_key = (SELECT count(*) || '_' || CAST(sum(label) AS BIGINT)
+                            FROM embeddings)
     """,
     "pmi_bigrams": r"""
         WITH w AS (
@@ -2996,6 +3017,7 @@ QUERIES = {
     "merge_intervals": q_merge_intervals,
     "event_transitions": q_event_transitions,
     "pmi_bigrams": q_pmi_bigrams,
+    "pca_embeddings": q_pca_embeddings,
     "winsorize": q_winsorize,
     "distinct_users_hll": q_distinct_users_hll,
     "robust_outliers": q_robust_outliers,

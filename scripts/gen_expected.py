@@ -327,6 +327,40 @@ def iterative_impute_expected(events: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"event_id": eid, "valn": X[:, 1]})
 
 
+def pca_expected(emb: pd.DataFrame, k: int = 4,
+                 bits: int = 16) -> pd.DataFrame:
+    """Sequential PCA implementing the op's bit-determinism contract
+    (ops/pca.py module docstring): int64-quantized sufficient statistics
+    (exact — so partitioning cannot matter), covariance from exact-int
+    doubles, numpy eigh, max-|loading|-positive sign convention, and the
+    FIXED ascending-j projection contraction."""
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    scale = float(1 << bits)
+    q = np.rint(mat * scale).astype(np.int64)
+    n, d = q.shape
+    nf = float(n)
+    S = q.sum(axis=0)
+    G = (q.T @ q).astype(np.float64)
+    Sf = S.astype(np.float64)
+    mu = Sf / nf
+    cov = (G - np.outer(Sf, Sf) / nf) / (nf - 1.0)
+    evals, evecs = np.linalg.eigh(cov)
+    comps = evecs[:, ::-1][:, :k].T.copy()
+    for i in range(k):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    z = np.zeros((n, k), dtype=np.float64)
+    a = q.astype(np.float64)
+    for j in range(d):
+        z += (a[:, j] - mu[j])[:, None] * comps[:, j][None, :]
+    z = z / scale
+    out = pd.DataFrame({"vec_id": emb["vec_id"].to_numpy(np.int64)})
+    for i in range(k):
+        out[f"pc{i}"] = z[:, i]
+    return out
+
+
 def hll_expected(ev: pd.DataFrame, p: int = 12) -> pd.DataFrame:
     """Sequential per-group HyperLogLog over (event_type, user_id) with a
     DENSE register array (vs the op's sparse groupby-max merge). Shares
@@ -379,6 +413,11 @@ def main():
         path = os.path.join(OUT_DIR, f"dedup_semantic_{key}.parquet")
         out.to_parquet(path, index=False)
         print(f"{path}: {len(surv)}/{len(emb)} survivors")
+        out = pca_expected(emb)
+        out["corpus_key"] = key
+        path = os.path.join(OUT_DIR, f"pca_{key}.parquet")
+        out.to_parquet(path, index=False)
+        print(f"{path}: {len(out)} rows")
     for sf_dir in SF_DIRS:
         ev = pd.read_parquet(os.path.join(sf_dir, "events.parquet"))
         key = f"{len(ev)}_{int(ev['user_id'].sum())}"

@@ -2573,3 +2573,62 @@ class TestPmiBigrams:
         out = pmi_bigrams(rd.from_pandas(docs), top_k=5)
         assert len(out) == 0
         assert list(out.columns) == ["bigram", "cnt", "pmi"]
+
+
+class TestPcaProject:
+    @staticmethod
+    def _mk(n=300, d=8, seed=43):
+        rng = np.random.default_rng(seed)
+        # anisotropic cloud so components are well-separated
+        basis = rng.normal(size=(d, d))
+        scales = np.linspace(3.0, 0.1, d)
+        x = rng.normal(size=(n, d)) * scales @ basis + rng.normal(size=d)
+        return pd.DataFrame({
+            "vec_id": np.arange(n),
+            "embedding": [row.astype(np.float32).tolist() for row in x],
+        })
+
+    def test_matches_numpy_reference(self, ray_session):
+        from recipys_ray.ops.pca import fit_pca, pca_project
+
+        pdf = self._mk()
+        ds = rd.from_pandas(pdf)
+        mu, comps, evals = fit_pca(ds, "embedding", k=3)
+        # orthonormal rows, descending eigenvalues
+        np.testing.assert_allclose(comps @ comps.T, np.eye(3), atol=1e-10)
+        assert evals[0] >= evals[1] >= evals[2] > 0
+        # covariance eigenvalues match numpy on the quantized data
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        q = np.rint(mat * 65536.0)
+        ref = np.linalg.eigvalsh(np.cov(q, rowvar=False))[::-1][:3]
+        np.testing.assert_allclose(evals, ref, rtol=1e-8)
+        # projected variance per component ≈ eigenvalue (quantized units)
+        z = (
+            pca_project(ds, "embedding", k=3)
+            .to_pandas().sort_values("vec_id").reset_index(drop=True)
+        )
+        zm = z[["pc0", "pc1", "pc2"]].to_numpy() * 65536.0
+        np.testing.assert_allclose(zm.var(axis=0, ddof=1), evals, rtol=1e-8)
+
+    def test_partition_invariance_bit_exact(self, ray_session):
+        from recipys_ray.ops.pca import pca_project
+
+        pdf = self._mk(seed=47)
+        outs = []
+        for nb in (1, 7):
+            ds = rd.from_pandas(pdf).repartition(nb)
+            outs.append(
+                pca_project(ds, "embedding", k=4)
+                .to_pandas().sort_values("vec_id").reset_index(drop=True)
+            )
+        for c in ["pc0", "pc1", "pc2", "pc3"]:
+            # BIT equality, not allclose — the golden-oracle contract
+            assert (
+                outs[0][c].to_numpy() == outs[1][c].to_numpy()
+            ).all(), c
+
+    def test_k_exceeds_dim_raises(self, ray_session):
+        from recipys_ray.ops.pca import fit_pca
+
+        with pytest.raises(ValueError, match="exceeds"):
+            fit_pca(rd.from_pandas(self._mk(d=4)), "embedding", k=5)
