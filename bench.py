@@ -168,6 +168,7 @@ def bench_queries() -> dict:
         "event_transitions",
         "pmi_bigrams",
         "pca_embeddings",
+        "target_encode",
         "historical_salted",
     ]
     out = {}

@@ -44,6 +44,7 @@ from recipys_ray.ops.quantiles import (
 from recipys_ray.ops.rank import add_global_rank, add_ntile, value_ranks
 from recipys_ray.ops.intervals import merge_intervals
 from recipys_ray.ops.pca import fit_pca, pca_project
+from recipys_ray.ops.encode import target_encode
 from recipys_ray.ops.groupstats import (
     grouped_corr,
     grouped_entropy,
@@ -90,7 +91,7 @@ __all__ = [
     "rollup_aggregate", "add_global_rank", "add_ntile", "value_ranks",
     "grouped_value_counts", "grouped_mode", "grouped_entropy", "grouped_corr",
     "merge_intervals", "transition_counts", "pmi_bigrams",
-    "fit_pca", "pca_project",
+    "fit_pca", "pca_project", "target_encode",
     "hash_sample", "hash_split",
     "mix_sources", "sample_per_group", "weighted_sample",
     "pivot", "melt", "group_concat", "frequent_items", "semantic_dedup", "knn_brute_force",

@@ -1,0 +1,120 @@
+"""Category encodings fit distributed, applied broadcast — no shuffle.
+
+``target_encode`` implements the feature-engineering classic
+(Micci-Barreca 2001, smoothed mean-target a.k.a. likelihood encoding)
+plus frequency encoding in one op::
+
+    te(c)   = (Σ_c y + m·ȳ) / (n_c + m)      -- m = smoothing pseudo-count
+    freq(c) = n_c / N
+
+where n_c / Σ_c y count and sum the NON-NULL targets of category c and
+ȳ = ΣY / N is the global prior. High-cardinality categories shrink toward
+the prior (small n_c), dominant categories approach their raw mean — the
+leakage-robust way to feed a 10⁶-category column to a model.
+
+Motion: one per-block vectorized combiner pass emits (cat, n, Σy) partial
+rows; the driver folds ≤ driver_cap categories and ``ray.put``s the
+encoding table; one streaming stamp pass maps it onto every row. The
+corpus never shuffles. Null or unseen categories encode to the prior ȳ
+(te) and 0.0 (freq) — exactly what a SQL LEFT JOIN + coalesce yields.
+
+Complements the reference's StepSklearn ordinal/one-hot encoders
+(reference step.py:393-413; transformers.py OrdinalEncoder/OneHotEncoder):
+those are shape encoders, this is a supervised statistic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def target_encode(
+    ds,
+    cat_col: str,
+    target_col: str,
+    m: float = 20.0,
+    te_col: str | None = None,
+    freq_col: str | None = None,
+    driver_cap: int = 1_000_000,
+):
+    """Append ``te_<cat>`` and ``freq_<cat>`` columns (module docstring).
+
+    Float contract: counts are exact int64 so ``freq`` is one bit-safe
+    IEEE division; ``te`` is evaluated in the documented operation order
+    ``(Σ_c y + m·(ΣY/N)) / (n_c + m)`` — the same tree a SQL oracle
+    states, so engines differ only by Σy summation order."""
+    import ray
+
+    from recipys_ray.kernels.grouped import _lazy_size_bytes
+
+    te_col = te_col or f"te_{cat_col}"
+    freq_col = freq_col or f"freq_{cat_col}"
+
+    # two passes over ds (fit, stamp): pin DERIVED inputs once (standard
+    # multi-pass policy — ROUND5_NOTES.md); pure reads re-read parquet
+    if _lazy_size_bytes(ds) is None:
+        ds = ds.materialize()
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        cat_t = tbl.schema.field(cat_col).type
+        pdf = tbl.select([cat_col, target_col]).to_pandas()
+        pdf = pdf[pdf[target_col].notna() & pdf[cat_col].notna()]
+        agg = (
+            pdf.groupby(cat_col, sort=False, observed=True)[target_col]
+            .agg(["count", "sum"])
+            .reset_index()
+        )
+        return pa.table({
+            "c": pa.Array.from_pandas(agg[cat_col], type=cat_t),
+            "n": pa.array(agg["count"].to_numpy(np.int64), pa.int64()),
+            "s": pa.array(agg["sum"].to_numpy(np.float64), pa.float64()),
+        })
+
+    parts = (
+        ds.select_columns([cat_col, target_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if "c" not in parts.columns or not len(parts):
+        # zero partial rows: every (cat, target) pair had a null side
+        raise ValueError(
+            f"target_encode: no non-null ({cat_col!r}, {target_col!r}) rows"
+        )
+    enc = parts.groupby("c", sort=True).agg(
+        n=("n", "sum"), s=("s", "sum")
+    ).reset_index()
+    if len(enc) > driver_cap:
+        raise ValueError(
+            f"target_encode: {len(enc)} categories of {cat_col!r} exceeds "
+            f"driver_cap={driver_cap}"
+        )
+    n_total = int(enc["n"].sum())
+    if n_total == 0:
+        raise ValueError(
+            f"target_encode: no non-null ({cat_col!r}, {target_col!r}) rows"
+        )
+    s_total = float(enc["s"].sum())
+    prior = s_total / np.float64(n_total)  # ȳ = ΣY / N
+    n_c = enc["n"].to_numpy(np.int64)
+    te = (enc["s"].to_numpy(np.float64) + m * prior) / (
+        n_c.astype(np.float64) + m
+    )
+    freq = n_c.astype(np.float64) / np.float64(n_total)
+    table_ref = ray.put((
+        dict(zip(enc["c"].tolist(), te.tolist())),
+        dict(zip(enc["c"].tolist(), freq.tolist())),
+        float(prior),
+    ))
+
+    def stamp(tbl: pa.Table) -> pa.Table:
+        te_map, fr_map, pr = ray.get(table_ref)
+        cats = tbl.column(cat_col).to_pandas()
+        te_v = cats.map(te_map).fillna(pr).to_numpy(np.float64)
+        fr_v = cats.map(fr_map).fillna(0.0).to_numpy(np.float64)
+        return tbl.append_column(te_col, pa.array(te_v)).append_column(
+            freq_col, pa.array(fr_v)
+        )
+
+    return ds.map_batches(stamp, batch_format="pyarrow")

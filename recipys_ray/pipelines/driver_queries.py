@@ -1713,6 +1713,21 @@ def q_event_transitions(sf_dir):
     return _select(out, ["from_event", "to_event", "cnt"])
 
 
+def q_target_encode(sf_dir):
+    """Smoothed mean-target + frequency encoding of event_type against
+    value (ops/encode.target_encode, m=20): one combiner pass fits the
+    table, one broadcast stamp applies it. freq is bit-safe (exact-int
+    division); te mirrors the SQL operation tree exactly."""
+    from recipys_ray.ops.encode import target_encode
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    )
+    out = target_encode(ds, "event_type", "value", m=20.0)
+    return _select(out, ["event_id", "te_event_type", "freq_event_type"])
+
+
 def q_pca_embeddings(sf_dir):
     """Top-4 principal components of the embedding table (ops/pca.py):
     exact int64-quantized sufficient statistics (partitioning can't change
@@ -2048,6 +2063,25 @@ ORACLES: dict[str, str] = {
         SELECT user_id, min(s) AS span_start, max(e) AS span_end,
                CAST(count(*) AS BIGINT) AS n_merged
         FROM z GROUP BY user_id, isl
+    """,
+    "target_encode": """
+        WITH s AS (
+          SELECT event_type AS c, CAST(count(value) AS BIGINT) AS n_c,
+                 sum(value) AS s_c
+          FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+          GROUP BY event_type
+        ), g AS (
+          SELECT CAST(count(value) AS BIGINT) AS n, sum(value) AS sy
+          FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        )
+        SELECT event_id,
+               coalesce((s.s_c + 20.0 * (g.sy / g.n)) / (s.n_c + 20.0),
+                        g.sy / g.n) AS te_event_type,
+               coalesce(CAST(s.n_c AS DOUBLE) / g.n, 0.0)
+                 AS freq_event_type
+        FROM events
+        LEFT JOIN s ON events.event_type = s.c
+        CROSS JOIN g
     """,
     "pca_embeddings": """
         SELECT vec_id, pc0, pc1, pc2, pc3
@@ -3018,6 +3052,7 @@ QUERIES = {
     "event_transitions": q_event_transitions,
     "pmi_bigrams": q_pmi_bigrams,
     "pca_embeddings": q_pca_embeddings,
+    "target_encode": q_target_encode,
     "winsorize": q_winsorize,
     "distinct_users_hll": q_distinct_users_hll,
     "robust_outliers": q_robust_outliers,

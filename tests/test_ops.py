@@ -2632,3 +2632,54 @@ class TestPcaProject:
 
         with pytest.raises(ValueError, match="exceeds"):
             fit_pca(rd.from_pandas(self._mk(d=4)), "embedding", k=5)
+
+
+class TestTargetEncode:
+    def test_matches_duckdb_and_semantics(self, ray_session):
+        import duckdb
+        from recipys_ray.ops.encode import target_encode
+
+        rng = np.random.default_rng(53)
+        pdf = pd.DataFrame({
+            "event_id": np.arange(500),
+            "event_type": rng.choice(["a", "b", "c", None], 500,
+                                     p=[0.5, 0.3, 0.15, 0.05]),
+            "value": np.where(rng.random(500) < 0.05, np.nan,
+                              rng.normal(10, 3, 500)),
+        })
+        got = (
+            target_encode(rd.from_pandas(pdf), "event_type", "value", m=20.0)
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("events", pdf)
+        from recipys_ray.pipelines.driver_queries import ORACLES
+        exp = con.execute(ORACLES["target_encode"]).df().sort_values(
+            "event_id"
+        ).reset_index(drop=True)
+        np.testing.assert_allclose(
+            got["te_event_type"], exp["te_event_type"], rtol=1e-12
+        )
+        # freq is exact-int division — bit-equal
+        assert (
+            got["freq_event_type"].to_numpy()
+            == exp["freq_event_type"].to_numpy()
+        ).all()
+        # null category rows take the prior and freq 0
+        nulls = got[pdf["event_type"].isna().to_numpy()]
+        prior = exp.loc[pdf["event_type"].isna().to_numpy(),
+                        "te_event_type"].iloc[0]
+        assert np.allclose(nulls["te_event_type"], prior)
+        assert (nulls["freq_event_type"] == 0.0).all()
+        # smoothing shrinks small categories toward the prior
+        raw_c = pdf[pdf["event_type"] == "c"]["value"].mean()
+        te_c = got.loc[pdf["event_type"].to_numpy() == "c",
+                       "te_event_type"].iloc[0]
+        assert abs(te_c - prior) < abs(raw_c - prior)
+
+    def test_no_rows_raises(self, ray_session):
+        from recipys_ray.ops.encode import target_encode
+
+        pdf = pd.DataFrame({"c": ["a", "b"], "v": [np.nan, np.nan]})
+        with pytest.raises(ValueError, match="no non-null"):
+            target_encode(rd.from_pandas(pdf), "c", "v")
