@@ -71,17 +71,8 @@ def _count_leq(ds, col: str, brackets: list[dict], bins: int) -> np.ndarray:
     ], edge_sets
 
 
-def exact_quantiles(
-    ds,
-    col: str,
-    qs: Sequence[float],
-    bins: int = 1024,
-    driver_cap: int = 1_000_000,
-    max_rounds: int = 64,
-) -> pd.DataFrame:
-    """Exact ``quantile_disc`` values for ``qs`` (module docstring).
-    Returns a DataFrame (q, value) ordered by q."""
-    skinny = ds.select_columns([col]).materialize()
+def _column_stats(ds, col: str) -> tuple[int, float, float]:
+    """One streaming pass → (non-null count, min, max) of ``col``."""
 
     def stats(tbl: pa.Table) -> pa.Table:
         v = tbl.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
@@ -97,13 +88,38 @@ def exact_quantiles(
              "hi": pa.array([float(v.max())])}
         )
 
-    st = skinny.map_batches(stats, batch_format="pyarrow").to_pandas()
+    st = ds.map_batches(stats, batch_format="pyarrow").to_pandas()
     n = int(st["n"].sum())
+    if n == 0:
+        return 0, np.nan, np.nan
+    return n, float(st["lo"].min()), float(st["hi"].max())
+
+
+def exact_quantiles(
+    ds,
+    col: str,
+    qs: Sequence[float],
+    bins: int = 1024,
+    driver_cap: int = 1_000_000,
+    max_rounds: int = 64,
+    pin: bool = True,
+    stats: tuple[int, float, float] | None = None,
+) -> pd.DataFrame:
+    """Exact ``quantile_disc`` values for ``qs`` (module docstring).
+    Returns a DataFrame (q, value) ordered by q.
+
+    ``pin=False`` skips the project+materialize: the caller passes a
+    dataset that is already skinny (``col`` only, or derived per-batch
+    from pinned blocks) and cheap to re-stream per counting round.
+    ``stats=(n, min, max)`` skips the stats pass when the caller already
+    knows the exact non-null count and value range."""
+    skinny = ds.select_columns([col]).materialize() if pin else ds
+
+    n, lo0, hi0 = _column_stats(skinny, col) if stats is None else stats
     if n == 0:
         return pd.DataFrame(
             {"q": np.asarray(qs, np.float64), "value": np.nan}
         )
-    lo0, hi0 = float(st["lo"].min()), float(st["hi"].max())
 
     # bracket per target rank: rank_below values are <= lo; the k-th order
     # statistic lies in (lo, hi]; min is only reachable as the k=1 edge, so
@@ -286,16 +302,24 @@ def robust_zscore(
 
     ``rz = (x - median) / MAD`` with ``MAD = median(|x - median|)``; flag
     is ``|x - median| > k * MAD``. Both medians are exact ``quantile_disc``
-    order statistics from :func:`exact_quantiles` (skinny counting passes,
-    no shuffle — the MAD pass runs over a derived |x - med| stream that
-    exact_quantiles pins once); the final pass streams with two broadcast
-    scalars. Float contract: x - med, abs, division and the comparison are
-    single IEEE double ops computed identically by any engine — bit-stable
-    vs a SQL oracle. MAD = 0 (>50% identical values) yields IEEE
-    ±inf / NaN scores; nulls stay null."""
+    order statistics from :func:`exact_quantiles`, sharing ONE pinned
+    skinny projection: the MAD rounds stream a per-batch ``|x - med|``
+    view over the pinned blocks (no second materialize), and the MAD
+    stats pass is skipped entirely — the count is unchanged under
+    ``abs(x - med)`` and ``max|x - med| = max(|min-med|, |max-med|)``
+    exactly, because IEEE round-to-nearest subtraction is monotone so
+    the maximum deviation is attained at an endpoint of the value range.
+    The final pass streams with two broadcast scalars. Float contract:
+    x - med, abs, division and the comparison are single IEEE double ops
+    computed identically by any engine — bit-stable vs a SQL oracle.
+    MAD = 0 (>50% identical values) yields IEEE ±inf / NaN scores; nulls
+    stay null."""
+    skinny = ds.select_columns([col]).materialize()
+    n, lo0, hi0 = _column_stats(skinny, col)
     med = float(
         exact_quantiles(
-            ds, col, qs=[0.5], bins=bins, driver_cap=driver_cap
+            skinny, col, qs=[0.5], bins=bins, driver_cap=driver_cap,
+            pin=False, stats=(n, lo0, hi0),
         )["value"].iloc[0]
     )
 
@@ -303,10 +327,15 @@ def robust_zscore(
         v = tbl.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
         return pa.table({col: pa.array(np.abs(v - med), pa.float64())})
 
+    # |x - med| keeps the non-null count; its min is bounded below by 0
+    # (a loose lower seed only widens the first bracket) and its max is
+    # exactly the larger endpoint deviation (monotonicity argument above).
+    hi_abs = max(abs(lo0 - med), abs(hi0 - med)) if n else np.nan
     mad = float(
         exact_quantiles(
-            ds.map_batches(absdev, batch_format="pyarrow"),
+            skinny.map_batches(absdev, batch_format="pyarrow"),
             col, qs=[0.5], bins=bins, driver_cap=driver_cap,
+            pin=False, stats=(n, 0.0, hi_abs),
         )["value"].iloc[0]
     )
     thr = k * mad
