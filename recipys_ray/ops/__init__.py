@@ -38,6 +38,7 @@ from recipys_ray.ops.profile import profile
 from recipys_ray.ops.quantiles import (
     exact_quantiles,
     group_quantiles,
+    histogram,
     robust_zscore,
     winsorize,
 )
@@ -49,6 +50,7 @@ from recipys_ray.ops.groupstats import (
     grouped_corr,
     grouped_entropy,
     grouped_mode,
+    grouped_regression,
     grouped_value_counts,
     transition_counts,
 )
@@ -88,8 +90,10 @@ __all__ = [
     "ByteHistogramFeatures", "DecodeImage", "DecodeWav", "SampleFrames",
     "decode_images", "read_webdataset", "extract_json_int", "funnel", "cohort_retention", "pack_sequences", "profile",
     "exact_quantiles", "group_quantiles", "winsorize", "robust_zscore",
+    "histogram",
     "rollup_aggregate", "add_global_rank", "add_ntile", "value_ranks",
     "grouped_value_counts", "grouped_mode", "grouped_entropy", "grouped_corr",
+    "grouped_regression",
     "merge_intervals", "transition_counts", "pmi_bigrams",
     "fit_pca", "pca_project", "target_encode",
     "hash_sample", "hash_split",

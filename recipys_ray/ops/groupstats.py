@@ -278,6 +278,104 @@ def grouped_corr(
     )
 
 
+def grouped_regression(
+    ds,
+    group_cols: list[str],
+    x: str,
+    y: str,
+    slope_col: str = "slope",
+    intercept_col: str = "intercept",
+    r2_col: str = "r2",
+    n_col: str = "n",
+    num_partitions: int | None = None,
+):
+    """Per-group simple OLS regression of ``y`` on ``x`` (SQL
+    ``regr_slope/regr_intercept/regr_r2`` semantics) via the same
+    sufficient-statistic combiner as :func:`grouped_corr` — a per-block
+    vectorized partial (n, Σx, Σy, Σx², Σy², Σxy), ONE exchange of
+    partial rows, vectorized finish. Rows where either x or y is null
+    are excluded (SQL ``regr_*`` pairwise semantics).
+
+    The finish evaluates exactly::
+
+        slope     = (sxy - sx*sy/n) / (sxx - sx*sx/n)
+        intercept = sy/n - slope*(sx/n)
+        r2        = ((sxy - sx*sy/n) * (sxy - sx*sy/n)) /
+                    ((sxx - sx*sx/n) * (syy - sy*sy/n))
+
+    term-for-term the form the SQL oracle should state, so with
+    integer-valued inputs (exact Σ's) the outputs are bit-equal across
+    engines; with raw floats drift is bounded by Σ summation-order ulps.
+    Zero x-variance groups yield IEEE ±inf/nan consistently."""
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    gcols = list(group_cols)
+    stat_cols = ["__n__", "__sx__", "__sy__", "__sxx__", "__syy__", "__sxy__"]
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        key_types = {c: tbl.schema.field(c).type for c in gcols}
+        pdf = tbl.select(gcols + [x, y]).to_pandas()
+        pdf = pdf[pdf[x].notna() & pdf[y].notna()]
+        xv = pdf[x].to_numpy(np.float64)
+        yv = pdf[y].to_numpy(np.float64)
+        stats = pd.DataFrame({c: pdf[c].to_numpy() for c in gcols})
+        stats["__n__"] = np.int64(1)
+        stats["__sx__"] = xv
+        stats["__sy__"] = yv
+        stats["__sxx__"] = xv * xv
+        stats["__syy__"] = yv * yv
+        stats["__sxy__"] = xv * yv
+        agg = (
+            stats.groupby(gcols, sort=False, dropna=False, observed=True)
+            .sum()
+            .reset_index()
+        )
+        arrs: dict = {
+            c: pa.Array.from_pandas(agg[c], type=key_types[c]) for c in gcols
+        }
+        arrs["__n__"] = pa.array(agg["__n__"].to_numpy(np.int64), pa.int64())
+        for c in stat_cols[1:]:
+            arrs[c] = pa.array(agg[c].to_numpy(np.float64), pa.float64())
+        return pa.table(arrs)
+
+    parts = ds.select_columns(gcols + [x, y]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            pdf.groupby(gcols, sort=False, dropna=False, observed=True)[
+                stat_cols
+            ]
+            .sum()
+            .reset_index()
+        )
+        n = agg["__n__"].to_numpy(np.int64)
+        nf = n.astype(np.float64)
+        sx = agg["__sx__"].to_numpy(np.float64)
+        sy = agg["__sy__"].to_numpy(np.float64)
+        sxx = agg["__sxx__"].to_numpy(np.float64)
+        syy = agg["__syy__"].to_numpy(np.float64)
+        sxy = agg["__sxy__"].to_numpy(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cxy = sxy - sx * sy / nf
+            vxx = sxx - sx * sx / nf
+            vyy = syy - sy * sy / nf
+            slope = cxy / vxx
+            intercept = sy / nf - slope * (sx / nf)
+            r2 = (cxy * cxy) / (vxx * vyy)
+        out = agg[gcols].copy()
+        out[n_col] = n
+        out[slope_col] = slope
+        out[intercept_col] = intercept
+        out[r2_col] = r2
+        return out
+
+    return partitioned_groupby_map(
+        parts, gcols, finish, num_partitions=num_partitions
+    )
+
+
 def transition_counts(
     ds,
     group_cols: list[str],

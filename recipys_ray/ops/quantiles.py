@@ -288,6 +288,68 @@ def winsorize(
     return ds.map_batches(clip, batch_format="pyarrow")
 
 
+def histogram(
+    ds,
+    col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+    bucket_col: str = "bucket",
+    edge_col: str = "lo_edge",
+    cnt_col: str = "cnt",
+):
+    """Fixed-range equal-width histogram of ``col``: exact counts per
+    bucket ``floor((v - lo) / w)`` with ``w = (hi - lo) / nbins``, values
+    outside ``[lo, hi]`` and nulls dropped, ``v == hi`` clipped into the
+    last bucket. Emits only non-empty buckets (SQL GROUP BY shape):
+    ``(bucket int64, lo_edge float64, cnt int64)``.
+
+    Motion: a per-block vectorized bincount shrinks each block to
+    ≤ ``nbins`` partial rows; ONE tiny exchange on the bucket id folds
+    them — the column itself never shuffles. Float contract: ``w``,
+    ``(v - lo) / w``, ``floor`` and ``lo + bucket * w`` are the same
+    single IEEE double ops a SQL oracle stating the identical expressions
+    computes — bucket ids and edges are bit-equal across engines."""
+    if nbins < 1:
+        raise ValueError(f"nbins must be >= 1, got {nbins}")
+    lo = float(lo)
+    hi = float(hi)
+    w = (hi - lo) / nbins
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        v = tbl.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[(v >= lo) & (v <= hi)]  # NaN fails both -> dropped
+        b = np.floor((v - lo) / w).astype(np.int64)
+        np.minimum(b, nbins - 1, out=b)
+        cnt = np.bincount(b, minlength=0)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                bucket_col: pa.array(nz, pa.int64()),
+                cnt_col: pa.array(cnt[nz], pa.int64()),
+            }
+        )
+
+    parts = ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            pdf.groupby(bucket_col, sort=False)[cnt_col]
+            .sum()
+            .reset_index()
+        )
+        b = out[bucket_col].to_numpy(np.int64)
+        out[edge_col] = lo + b.astype(np.float64) * w
+        out[cnt_col] = out[cnt_col].astype(np.int64)
+        return out[[bucket_col, edge_col, cnt_col]]
+
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    return partitioned_groupby_map(parts, [bucket_col], finish)
+
+
 def robust_zscore(
     ds,
     col: str,

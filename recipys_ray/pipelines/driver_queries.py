@@ -1754,6 +1754,185 @@ def q_pmi_bigrams(sf_dir):
     return pmi_bigrams(ds, top_k=100)
 
 
+def q_grouped_regr(sf_dir):
+    """Per-event-type OLS regression of value (cents) on hour-of-day
+    (ops/groupstats.grouped_regression — the grouped_corr sufficient-stat
+    combiner, one partial-row exchange). Same determinism construction as
+    grouped_corr: both inputs are INTEGER-valued (hour 0-23; value has two
+    decimals so value*100 rounds to an exact int), every Σ is exact in
+    float64, and the closed forms run on identical doubles in both
+    engines — bit-exact."""
+    from recipys_ray.ops.groupstats import grouped_regression
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def to_int(tbl: pa.Table) -> pa.Table:
+        v100 = pc.round(pc.multiply(tbl.column("value"), 100.0))
+        return pa.table({
+            "event_type": tbl.column("event_type"),
+            "hour": pc.cast(pc.hour(tbl.column("ts")), pa.int64()),
+            "cents": pc.cast(v100, pa.int64()),
+        })
+
+    ints = ds.map_batches(to_int, batch_format="pyarrow")
+    out = grouped_regression(ints, ["event_type"], "hour", "cents")
+    return _select(out, ["event_type", "n", "slope", "intercept", "r2"])
+
+
+def q_histogram_values(sf_dir):
+    """Equal-width histogram of event values over [0, 500] × 50 buckets
+    (ops/quantiles.histogram — per-block bincount combiner, one tiny
+    exchange). Bucket ids and left edges are single IEEE double ops
+    mirrored by the SQL oracle — bit-equal; counts exact int64."""
+    from recipys_ray.ops.quantiles import histogram
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return _select(
+        histogram(ds, "value", lo=0.0, hi=500.0, nbins=50),
+        ["bucket", "lo_edge", "cnt"],
+    )
+
+
+def q_revenue_by_nation(sf_dir):
+    """TPC-H-flavored multi-join rollup: lineitem ⨝ orders (co-partitioned
+    shuffle — both sides unbounded) ⨝ customer ⨝ nation (broadcast — small
+    sides ship once via ray.put), revenue pre-reduced per block before the
+    exchange. Revenue is kept integer-exact: cents(price) × (100 − pct),
+    summed as int64 (scaled ×10⁴) — no float summation anywhere, so the
+    BIGINT SQL oracle matches bit-for-bit. int64 headroom: ≤1e9/row leaves
+    ~9e6 rows per nation before overflow at this scale; larger runs shard
+    the key first (same pattern as the salted kernels)."""
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+    from recipys_ray.ops.join import hash_join
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def rev(tbl: pa.Table) -> pa.Table:
+        p100 = pc.cast(
+            pc.round(pc.multiply(tbl.column("l_extendedprice"), 100.0)),
+            pa.int64(),
+        )
+        d100 = pc.cast(
+            pc.round(pc.multiply(tbl.column("l_discount"), 100.0)),
+            pa.int64(),
+        )
+        return pa.table({
+            "l_orderkey": tbl.column("l_orderkey"),
+            "rev": pc.multiply(p100, pc.subtract(pa.scalar(100), d100)),
+        })
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    j1 = hash_join(
+        li.map_batches(rev, batch_format="pyarrow"),
+        orders, on="l_orderkey", right_on="o_orderkey", strategy="shuffle",
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    j2 = hash_join(
+        j1, cust, on="o_custkey", right_on="c_custkey",
+        strategy="broadcast",
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        pdf = tbl.select(["c_nationkey", "rev"]).to_pandas()
+        agg = pdf.groupby("c_nationkey", sort=False)["rev"].sum()
+        return pa.table({
+            "c_nationkey": pa.array(agg.index.to_numpy(np.int64),
+                                    pa.int64()),
+            "revenue": pa.array(agg.to_numpy(np.int64), pa.int64()),
+        })
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.groupby("c_nationkey", sort=False)["revenue"].sum()
+        out = out.reset_index()
+        out["revenue"] = out["revenue"].astype(np.int64)
+        return out
+
+    agg = partitioned_groupby_map(
+        j2.map_batches(partial, batch_format="pyarrow"),
+        ["c_nationkey"], fold,
+    )
+    nation = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    out = hash_join(
+        agg, nation, on="c_nationkey", right_on="n_nationkey",
+        strategy="broadcast",
+    )
+    return _select(out, ["n_name", "revenue"])
+
+
+def q_rfm_segments(sf_dir):
+    """RFM user segmentation: per-user recency/frequency/monetary from one
+    combiner pass + exchange, then three exact NTILE(4) stampings
+    (ops/rank.add_ntile — each rides the global-rank machinery over the
+    #users-row aggregate, pinned once). Monetary sums exact int cents
+    (float64-exact, < 2^53); ntile order is (metric, user_id) in both
+    engines, so every bucket boundary is deterministic."""
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+    from recipys_ray.ops.rank import add_ntile
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        v100 = pc.cast(
+            pc.round(pc.multiply(tbl.column("value"), 100.0)), pa.int64()
+        )
+        pdf = pd.DataFrame({
+            "user_id": tbl.column("user_id").to_numpy(zero_copy_only=False),
+            "ts_us": pc.cast(
+                tbl.column("ts"), pa.timestamp("us")
+            ).cast(pa.int64()).to_numpy(zero_copy_only=False),
+            "cents": v100.to_numpy(zero_copy_only=False),
+        })
+        agg = pdf.groupby("user_id", sort=False).agg(
+            recency_us=("ts_us", "max"),
+            frequency=("ts_us", "size"),
+            monetary=("cents", "sum"),
+        ).reset_index()
+        return pa.table({
+            "user_id": pa.array(agg["user_id"].to_numpy(np.int64)),
+            "recency_us": pa.array(agg["recency_us"].to_numpy(np.int64)),
+            "frequency": pa.array(agg["frequency"].to_numpy(np.int64)),
+            "monetary": pa.array(
+                agg["monetary"].to_numpy(np.float64), pa.float64()
+            ),
+        })
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.groupby("user_id", sort=False).agg(
+            recency_us=("recency_us", "max"),
+            frequency=("frequency", "sum"),
+            monetary=("monetary", "sum"),
+        ).reset_index()
+        out["frequency"] = out["frequency"].astype(np.int64)
+        return out
+
+    agg = partitioned_groupby_map(
+        ds.map_batches(partial, batch_format="pyarrow"), ["user_id"], fold
+    )
+    out = add_ntile(agg, "recency_us", k=4, tie_cols=["user_id"],
+                    bucket_col="r")
+    out = add_ntile(out, "frequency", k=4, tie_cols=["user_id"],
+                    bucket_col="f")
+    out = add_ntile(out, "monetary", k=4, tie_cols=["user_id"],
+                    bucket_col="m")
+    return _select(
+        out,
+        ["user_id", "recency_us", "frequency", "monetary", "r", "f", "m"],
+    )
+
+
 # --------------------------------------------------------------------- #
 # oracle SQL (DuckDB) — names match the Ray outputs 1:1
 # --------------------------------------------------------------------- #
@@ -2989,6 +3168,80 @@ ORACLES: dict[str, str] = {
         SELECT query_id, vec_id, CAST(rk - 1 AS BIGINT) AS rank
         FROM r WHERE rk <= 3
     """,
+    "grouped_regr": """
+        WITH i AS (
+          SELECT event_type,
+                 CAST(EXTRACT(hour FROM ts) AS BIGINT) AS x,
+                 CAST(round(value * 100) AS BIGINT) AS y
+          FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        ), s AS (
+          SELECT event_type, count(*) AS n,
+                 CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+                 CAST(sum(x*x) AS DOUBLE) AS sxx,
+                 CAST(sum(y*y) AS DOUBLE) AS syy,
+                 CAST(sum(x*y) AS DOUBLE) AS sxy
+          FROM i GROUP BY event_type
+        ), m AS (
+          SELECT event_type, n,
+                 sxy - sx*sy/n AS cxy,
+                 sxx - sx*sx/n AS vxx,
+                 syy - sy*sy/n AS vyy,
+                 sx, sy
+          FROM s
+        ), sl AS (
+          SELECT event_type, n, cxy, vxx, vyy, sx, sy,
+                 cxy / vxx AS slope
+          FROM m
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n, slope,
+               sy/n - slope*(sx/n) AS intercept,
+               (cxy * cxy) / (vxx * vyy) AS r2
+        FROM sl
+    """,
+    "histogram_values": """
+        WITH v AS (
+          SELECT value AS v FROM events
+          WHERE value >= 0.0 AND value <= 500.0
+        ), b AS (
+          SELECT LEAST(CAST(floor((v - 0.0) / ((500.0 - 0.0) / 50))
+                            AS BIGINT), 49) AS bucket
+          FROM v
+        )
+        SELECT bucket,
+               0.0 + CAST(bucket AS DOUBLE) * ((500.0 - 0.0) / 50)
+                 AS lo_edge,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM b GROUP BY bucket
+    """,
+    "revenue_by_nation": """
+        SELECT n_name,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "rfm_segments": """
+        WITH agg AS (
+          SELECT user_id,
+                 epoch_us(max(ts)) AS recency_us,
+                 CAST(count(*) AS BIGINT) AS frequency,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                   AS monetary
+          FROM events GROUP BY user_id
+        )
+        SELECT user_id, recency_us, frequency, monetary,
+               CAST(NTILE(4) OVER (ORDER BY recency_us, user_id)
+                    AS BIGINT) AS r,
+               CAST(NTILE(4) OVER (ORDER BY frequency, user_id)
+                    AS BIGINT) AS f,
+               CAST(NTILE(4) OVER (ORDER BY monetary, user_id)
+                    AS BIGINT) AS m
+        FROM agg
+    """,
 }
 
 
@@ -3083,4 +3336,8 @@ QUERIES = {
     "quantile_transform": q_quantile_transform,
     "power_yj": q_power_yj,
     "spline_basis": q_spline_basis,
+    "grouped_regr": q_grouped_regr,
+    "histogram_values": q_histogram_values,
+    "revenue_by_nation": q_revenue_by_nation,
+    "rfm_segments": q_rfm_segments,
 }

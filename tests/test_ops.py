@@ -2358,6 +2358,116 @@ class TestGroupedStats:
         np.testing.assert_allclose(outs[0]["corr_xy"], outs[1]["corr_xy"],
                                    rtol=1e-12)
 
+    def test_regression_matches_duckdb_and_numpy(self, ray_session):
+        from recipys_ray.ops.groupstats import grouped_regression
+
+        pdf = self._mk(seed=23, n=2000)
+        pdf["y"] = pdf["x"] * 1.5 + pdf["y"]  # real slope signal
+        pdf.loc[::41, "y"] = np.nan           # pairwise-null rows
+        got = (
+            grouped_regression(rd.from_pandas(pdf), ["g"], "x", "y")
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        exp = self._oracle(pdf, """
+            WITH s AS (
+              SELECT g, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                     sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+              FROM t WHERE x IS NOT NULL AND y IS NOT NULL GROUP BY g
+            ), m AS (
+              SELECT g, n, sxy - sx*sy/n AS cxy, sxx - sx*sx/n AS vxx,
+                     syy - sy*sy/n AS vyy, sx, sy FROM s
+            ), sl AS (SELECT *, cxy / vxx AS slope FROM m)
+            SELECT g, CAST(n AS BIGINT) AS n, slope,
+                   sy/n - slope*(sx/n) AS intercept,
+                   (cxy*cxy) / (vxx*vyy) AS r2
+            FROM sl ORDER BY g
+        """)
+        pd.testing.assert_frame_equal(
+            got[["g", "n"]], exp[["g", "n"]], check_dtype=False
+        )
+        for c in ("slope", "intercept", "r2"):
+            np.testing.assert_allclose(got[c], exp[c], rtol=1e-9)
+        # sanity vs numpy least squares on one group
+        sub = pdf[(pdf["g"] == 5) & pdf["y"].notna()]
+        ref_slope, ref_icept = np.polyfit(sub["x"], sub["y"], 1)
+        row = got.loc[got["g"] == 5].iloc[0]
+        np.testing.assert_allclose(row["slope"], ref_slope, rtol=1e-8)
+        np.testing.assert_allclose(row["intercept"], ref_icept, rtol=1e-8)
+        r = np.corrcoef(sub["x"], sub["y"])[0, 1]
+        np.testing.assert_allclose(row["r2"], r * r, rtol=1e-8)
+
+    def test_regression_partition_invariance(self, ray_session):
+        from recipys_ray.ops.groupstats import grouped_regression
+
+        pdf = self._mk(seed=29, n=800)
+        outs = [
+            grouped_regression(rd.from_pandas(pdf), ["g"], "x", "y",
+                               num_partitions=p)
+            .to_pandas().sort_values("g").reset_index(drop=True)
+            for p in (1, 7)
+        ]
+        pd.testing.assert_frame_equal(outs[0][["g", "n"]], outs[1][["g", "n"]])
+        np.testing.assert_allclose(outs[0]["slope"], outs[1]["slope"],
+                                   rtol=1e-12)
+        np.testing.assert_allclose(outs[0]["intercept"], outs[1]["intercept"],
+                                   rtol=1e-12)
+
+
+class TestHistogram:
+    @staticmethod
+    def _oracle(pdf, sql):
+        import duckdb
+        con = duckdb.connect()
+        con.register("t", pdf)
+        return con.execute(sql).df()
+
+    def test_matches_duckdb_with_edges(self, ray_session):
+        from recipys_ray.ops.quantiles import histogram
+
+        rng = np.random.default_rng(31)
+        v = rng.uniform(-5, 105, 3000)
+        v[::17] = np.nan            # dropped
+        v[0], v[1] = 0.0, 100.0     # lo inclusive; hi clips to last bucket
+        v[2], v[3] = -0.0001, 100.0001  # out of range — dropped
+        pdf = pd.DataFrame({"v": v})
+        got = (
+            histogram(rd.from_pandas(pdf), "v", lo=0.0, hi=100.0, nbins=7)
+            .to_pandas().sort_values("bucket").reset_index(drop=True)
+        )
+        exp = self._oracle(pdf, """
+            WITH x AS (SELECT v FROM t WHERE v >= 0.0 AND v <= 100.0),
+            b AS (SELECT LEAST(CAST(floor((v - 0.0) / ((100.0 - 0.0) / 7))
+                                    AS BIGINT), 6) AS bucket FROM x)
+            SELECT bucket,
+                   0.0 + CAST(bucket AS DOUBLE) * ((100.0 - 0.0) / 7)
+                     AS lo_edge,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM b GROUP BY bucket ORDER BY bucket
+        """)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        # edges bit-equal, total = in-range count
+        np.testing.assert_array_equal(got["lo_edge"].to_numpy(),
+                                      exp["lo_edge"].to_numpy())
+        in_range = ((v >= 0.0) & (v <= 100.0)).sum()
+        assert got["cnt"].sum() == in_range
+
+    def test_partition_invariance_and_empty(self, ray_session):
+        from recipys_ray.ops.quantiles import histogram
+
+        pdf = pd.DataFrame({"v": np.linspace(0, 10, 97)})
+        outs = [
+            histogram(rd.from_pandas(pdf).repartition(p), "v",
+                      lo=0.0, hi=10.0, nbins=4)
+            .to_pandas().sort_values("bucket").reset_index(drop=True)
+            for p in (1, 6)
+        ]
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        assert outs[0]["cnt"].sum() == 97
+        # all values out of range → zero rows (SQL GROUP BY shape)
+        empty = histogram(rd.from_pandas(pdf), "v", lo=100.0, hi=200.0,
+                          nbins=4).to_pandas()
+        assert len(empty) == 0
+
 
 class TestValueRanks:
     @staticmethod
