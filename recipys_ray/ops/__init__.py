@@ -45,6 +45,7 @@ from recipys_ray.ops.quantiles import (
 from recipys_ray.ops.rank import add_global_rank, add_ntile, value_ranks
 from recipys_ray.ops.intervals import merge_intervals
 from recipys_ray.ops.pca import fit_pca, pca_project
+from recipys_ray.ops.editdist import banded_levenshtein, dedup_levenshtein
 from recipys_ray.ops.encode import target_encode
 from recipys_ray.ops.groupstats import (
     grouped_corr,
@@ -92,6 +93,7 @@ __all__ = [
     "exact_quantiles", "group_quantiles", "winsorize", "robust_zscore",
     "histogram",
     "rollup_aggregate", "add_global_rank", "add_ntile", "value_ranks",
+    "banded_levenshtein", "dedup_levenshtein",
     "grouped_value_counts", "grouped_mode", "grouped_entropy", "grouped_corr",
     "grouped_regression",
     "merge_intervals", "transition_counts", "pmi_bigrams",

@@ -1,0 +1,250 @@
+"""Edit-distance (Levenshtein) near-duplicate detection, prefix-blocked.
+
+The classic entity-resolution shape (typos, OCR noise, catalog variants)
+that MinHash/SimHash miss: those are set/bag similarity, but "old gear" vs
+"cold gear" is an EDIT — one insertion — with low shingle overlap on short
+strings. Exact all-pairs Levenshtein is O(n²·L²); this op makes it
+tractable at scale with three standard bounds, each lossless *within the
+declared blocking*:
+
+1. **Prefix blocking** — only rows sharing the first ``block_chars``
+   characters are compared (the op's *defined* candidate semantics, like
+   every LSH family here: recall beyond the block needs more probes, e.g.
+   a second pass blocked on the suffix). One hash exchange on the block
+   key co-locates candidates; the corpus never shuffles anywhere else.
+2. **Distinct-string collapse** — identical strings are deduplicated
+   BEFORE pairing (the hot-bucket treatment from ops/dedup.py simhash): a
+   block of 2 500 copies of "red bolt" contributes ONE node, not 3.1M
+   pairs. Pair count is O(distinct²), never O(rows²).
+3. **Banded DP** — |len(a) − len(b)| > d implies distance > d, so pairs
+   are length-filtered, and the DP only fills the |i−j| ≤ d band:
+   O(L·(2d+1)) per pair instead of O(L²), vectorized ACROSS all pairs of
+   all blocks in a partition (the i/offset loops are scalar; every inner
+   op is a numpy vector over the pair axis).
+
+Distances are computed on UTF-8 **bytes** — bit-parity with DuckDB 1.0's
+``levenshtein()`` (probed: ``levenshtein('héllo','hello') = 2``); for
+ASCII this equals character distance. Blocking uses CHARACTER prefixes,
+matching SQL ``substr(s, 1, k)``.
+
+Survivor semantics (SQL-expressible without connected components): row
+``a`` survives iff no row with a SMALLER id sits within ``max_dist`` in
+its block —
+
+    NOT EXISTS (SELECT 1 FROM t o WHERE o.blk = a.blk
+                AND o.id < a.id AND levenshtein(o.s, a.s) <= d)
+
+Since lev(s, s) = 0, all copies of a string collapse to its min-id row,
+and that row survives iff its id is the minimum over the string's
+distance-``d`` neighborhood. NULL texts never match anything (SQL NULL
+comparison) and therefore all survive.
+
+Reference parity note: the reference engine (rvandewater/ReciPys) has no
+string-similarity ops; this extends the near-dup family (dedup.py,
+jaccard.py) for corpus curation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_INF = np.int32(1 << 20)
+
+
+def _byte_matrix(strings: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """UTF-8 byte matrix (n, Lmax) uint8 + byte lengths, one encode of the
+    joined text (no per-string numpy allocation)."""
+    if not strings:
+        return np.zeros((0, 0), np.uint8), np.zeros(0, np.int64)
+    bufs = [s.encode("utf-8") for s in strings]
+    lens = np.fromiter((len(b) for b in bufs), np.int64, len(bufs))
+    lmax = int(lens.max()) if len(lens) else 0
+    flat = np.frombuffer(b"".join(bufs), np.uint8)
+    mat = np.zeros((len(bufs), lmax), np.uint8)
+    if lmax:
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        # one vectorized scatter: row/col indices of every byte
+        rows = np.repeat(np.arange(len(bufs)), lens)
+        cols = np.arange(len(flat)) - np.repeat(offs[:-1], lens)
+        mat[rows, cols] = flat
+    return mat, lens
+
+
+def banded_levenshtein(
+    a_idx: np.ndarray,
+    b_idx: np.ndarray,
+    mat: np.ndarray,
+    lens: np.ndarray,
+    max_dist: int,
+) -> np.ndarray:
+    """Levenshtein distance for P (a, b) index pairs into ``mat``/``lens``,
+    banded at ``max_dist`` — exact for true distances ≤ max_dist, reported
+    as ``max_dist + 1`` beyond. Vectorized across the pair axis: the loops
+    are Lmax × (2d+1) scalar steps of numpy vector ops.
+
+    Band coordinates: ``cur[p, k] = D[i][i + k - d]`` (k = 0..2d). The
+    D[i][j-1] term reads the k-1 slot of the CURRENT band, so k ascends
+    sequentially inside each i step; D[i-1][j] and D[i-1][j-1] read the
+    previous band at k+1 and k."""
+    d = int(max_dist)
+    P = len(a_idx)
+    out = np.full(P, d + 1, np.int32)
+    if P == 0:
+        return out
+    la = lens[a_idx].astype(np.int64)
+    lb = lens[b_idx].astype(np.int64)
+    feasible = np.abs(la - lb) <= d
+    # swap so a is the shorter — halves the worst-case Lmax loop and the
+    # band capture index lb-la+d stays in [0, 2d]
+    swap = la > lb
+    ai = np.where(swap, b_idx, a_idx)
+    bi = np.where(swap, a_idx, b_idx)
+    la2 = np.where(swap, lb, la)
+    lb2 = np.where(swap, la, lb)
+
+    W = 2 * d + 1
+    # i = 0: D[0][j] = j for j = k - d (k >= d), invalid below the diagonal
+    cur = np.full((P, W), _INF, np.int32)
+    for k in range(d, W):
+        j = k - d
+        cur[:, k] = np.where(j <= lb2, j, _INF)
+    # capture empty-a pairs now: D[0][lb] at k = lb + d (lb <= d if feasible)
+    done0 = feasible & (la2 == 0)
+    if done0.any():
+        kk = (lb2[done0] + d).astype(np.int64)
+        out[np.flatnonzero(done0)] = cur[np.flatnonzero(done0), kk]
+
+    lmax = int(la2[feasible].max()) if feasible.any() else 0
+    amat = mat[ai]
+    bmat = mat[bi]
+    for i in range(1, lmax + 1):
+        prev = cur
+        cur = np.full((P, W), _INF, np.int32)
+        for k in range(W):
+            j = i + k - d
+            if j < 0:
+                continue
+            if j == 0:
+                cur[:, k] = i
+                continue
+            best = np.full(P, _INF, np.int32)
+            if k + 1 < W:  # deletion: D[i-1][j] + 1
+                np.minimum(best, prev[:, k + 1] + 1, out=best)
+            if k > 0:  # insertion: D[i][j-1] + 1
+                np.minimum(best, cur[:, k - 1] + 1, out=best)
+            # substitution / match: D[i-1][j-1] + (a[i-1] != b[j-1])
+            if j - 1 < bmat.shape[1] and i - 1 < amat.shape[1]:
+                cost = (amat[:, i - 1] != bmat[:, j - 1]).astype(np.int32)
+                np.minimum(best, prev[:, k] + cost, out=best)
+            # j beyond b's end is outside the matrix
+            best[j > lb2] = _INF
+            cur[:, k] = best
+        fin = feasible & (la2 == i)
+        if fin.any():
+            rows = np.flatnonzero(fin)
+            kk = (lb2[rows] - la2[rows] + d).astype(np.int64)
+            out[rows] = cur[rows, kk]
+    return np.minimum(out, d + 1).astype(np.int64)
+
+
+def _triangle_pairs(sizes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All (i < j) local index pairs within consecutive groups of the given
+    sizes, vectorized (no per-group Python). Returns global row indices
+    assuming groups are laid out consecutively."""
+    sizes = np.asarray(sizes, np.int64)
+    npairs = sizes * (sizes - 1) // 2
+    total = int(npairs.sum())
+    if total == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    starts = np.concatenate(([0], np.cumsum(sizes)))[:-1]
+    # for each group g and each j in [1, m_g): j pairs (i = 0..j-1)
+    grp = np.repeat(np.arange(len(sizes)), npairs)
+    # position of each pair within its group's triangle
+    pair_off = np.arange(total) - np.repeat(
+        np.concatenate(([0], np.cumsum(npairs)))[:-1], npairs
+    )
+    # invert t = j(j-1)/2 + i : j = floor((1+sqrt(1+8t))/2), exact-guarded
+    j = ((1.0 + np.sqrt(1.0 + 8.0 * pair_off.astype(np.float64))) / 2.0)
+    j = j.astype(np.int64)
+    j -= j * (j - 1) // 2 > pair_off  # float-rounding guard
+    i = pair_off - j * (j - 1) // 2
+    return starts[grp] + i, starts[grp] + j
+
+
+def dedup_levenshtein(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 2,
+    block_chars: int = 8,
+    num_partitions: int | None = None,
+    max_block_distinct: int = 100_000,
+):
+    """Survivors after prefix-blocked Levenshtein dedup (module docstring):
+    keep row ``a`` iff no same-block row with a smaller id is within
+    ``max_dist``. Returns a Dataset of (id_col, text_col).
+
+    Motion: one skinny exchange of (id, text) on the block key; per
+    partition everything is distinct-collapsed, pair-mined with the
+    vectorized triangle + length filter, and scored by the banded DP.
+    ``max_block_distinct`` guards the O(distinct²) pair mine — a block
+    with more distinct strings raises (pick a longer prefix) rather than
+    silently OOMing a task."""
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    d = int(max_dist)
+    blk = "__blk__"
+
+    def stamp(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return tbl.select([id_col, text_col]).append_column(
+            blk, pc.utf8_slice_codeunits(tbl.column(text_col), 0,
+                                         block_chars)
+        )
+
+    stamped = ds.map_batches(stamp, batch_format="pyarrow")
+
+    def survivors(pdf: pd.DataFrame) -> pd.DataFrame:
+        null_rows = pdf[pdf[text_col].isna()]
+        pdf = pdf[pdf[text_col].notna()]
+        if len(pdf) == 0:
+            return null_rows[[id_col, text_col]]
+        # distinct-string collapse: one node per (blk, s), min id
+        dist = (
+            pdf.groupby([blk, text_col], sort=True)[id_col]
+            .min()
+            .rename("min_id")
+            .reset_index()
+        )
+        sizes = dist.groupby(blk, sort=True).size().to_numpy()
+        if sizes.max(initial=0) > max_block_distinct:
+            raise ValueError(
+                f"a block has >{max_block_distinct} distinct strings; "
+                f"increase block_chars or max_block_distinct"
+            )
+        strings = dist[text_col].tolist()
+        mat, lens = _byte_matrix(strings)
+        ia, ib = _triangle_pairs(sizes)
+        keep = np.abs(lens[ia] - lens[ib]) <= d
+        ia, ib = ia[keep], ib[keep]
+        dd = banded_levenshtein(ia, ib, mat, lens, d)
+        hit = dd <= d
+        ia, ib = ia[hit], ib[hit]
+        # neighborhood min over min_ids (self always included)
+        mid = dist["min_id"].to_numpy(np.int64)
+        m = mid.copy()
+        np.minimum.at(m, ia, mid[ib])
+        np.minimum.at(m, ib, mid[ia])
+        surv = dist[mid == m]
+        out = surv.rename(columns={"min_id": id_col})[[id_col, text_col]]
+        if len(null_rows):
+            out = pd.concat([out, null_rows[[id_col, text_col]]],
+                            ignore_index=True)
+        return out
+
+    return partitioned_groupby_map(
+        stamped, [blk], survivors, num_partitions=num_partitions
+    ).select_columns([id_col, text_col])

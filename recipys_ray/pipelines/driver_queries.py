@@ -1933,6 +1933,24 @@ def q_rfm_segments(sf_dir):
     )
 
 
+def q_dedup_levenshtein(sf_dir):
+    """Prefix-blocked Levenshtein dedup of part names (ops/editdist.py):
+    distinct-string collapse kills the O(rows²) hot-block blowup, banded
+    DP (byte-parity with DuckDB levenshtein()) scores O(distinct²) pairs,
+    survivor = no smaller-id row within distance 2 in the block — the SQL
+    NOT EXISTS the oracle states verbatim."""
+    from recipys_ray.ops.editdist import dedup_levenshtein
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    )
+    out = dedup_levenshtein(
+        ds, id_col="p_partkey", text_col="p_name",
+        max_dist=2, block_chars=4,
+    )
+    return _select(out, ["p_partkey", "p_name"])
+
+
 # --------------------------------------------------------------------- #
 # oracle SQL (DuckDB) — names match the Ray outputs 1:1
 # --------------------------------------------------------------------- #
@@ -3242,6 +3260,17 @@ ORACLES: dict[str, str] = {
                     AS BIGINT) AS m
         FROM agg
     """,
+    "dedup_levenshtein": """
+        WITH t AS (
+          SELECT p_partkey, p_name, substr(p_name, 1, 4) AS blk FROM part
+        )
+        SELECT p_partkey, p_name FROM t a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM t o
+          WHERE o.blk = a.blk AND o.p_partkey < a.p_partkey
+            AND levenshtein(o.p_name, a.p_name) <= 2
+        )
+    """,
 }
 
 
@@ -3340,4 +3369,5 @@ QUERIES = {
     "histogram_values": q_histogram_values,
     "revenue_by_nation": q_revenue_by_nation,
     "rfm_segments": q_rfm_segments,
+    "dedup_levenshtein": q_dedup_levenshtein,
 }

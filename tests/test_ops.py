@@ -2793,3 +2793,99 @@ class TestTargetEncode:
         pdf = pd.DataFrame({"c": ["a", "b"], "v": [np.nan, np.nan]})
         with pytest.raises(ValueError, match="no non-null"):
             target_encode(rd.from_pandas(pdf), "c", "v")
+
+
+class TestEditDistance:
+    @staticmethod
+    def _oracle(pdf, sql):
+        import duckdb
+        con = duckdb.connect()
+        con.register("t", pdf)
+        return con.execute(sql).df()
+
+    def test_banded_kernel_matches_duckdb(self):
+        import duckdb
+        import random
+        from recipys_ray.ops.editdist import _byte_matrix, banded_levenshtein
+
+        random.seed(11)
+        strs = ["".join(random.choice("abcdef") for _ in
+                        range(random.randint(0, 10))) for _ in range(80)]
+        strs += ["héllo", "hello", "kitten", "sitting", "", "ß", "ss"]
+        mat, lens = _byte_matrix(strs)
+        ia, ib = np.meshgrid(np.arange(len(strs)), np.arange(len(strs)))
+        ia, ib = ia.ravel(), ib.ravel()
+        con = duckdb.connect()
+        con.register("s", pd.DataFrame({"i": np.arange(len(strs)),
+                                        "s": strs}))
+        exp = con.execute("""
+            SELECT a.i, b.i, levenshtein(a.s, b.s) AS d
+            FROM s a, s b ORDER BY a.i, b.i
+        """).df()["d"].to_numpy()
+        for d in (1, 2, 4):
+            got = banded_levenshtein(ia, ib, mat, lens, d)
+            np.testing.assert_array_equal(got, np.minimum(exp, d + 1))
+
+    def test_dedup_matches_sql_not_exists(self, ray_session):
+        from recipys_ray.ops.editdist import dedup_levenshtein
+
+        rng = np.random.default_rng(13)
+        base = ["old gear", "cold gear", "red bolt", "red bolts",
+                "blue rod", "zinc cap", None]
+        pdf = pd.DataFrame({
+            "doc_id": np.arange(4000, dtype=np.int64),
+            "text": rng.choice(np.array(base, dtype=object), 4000,
+                               p=[.3, .2, .2, .1, .1, .05, .05]),
+        })
+        got = (
+            dedup_levenshtein(rd.from_pandas(pdf), "doc_id", "text",
+                              max_dist=2, block_chars=4)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        exp = self._oracle(pdf, """
+            WITH b AS (SELECT doc_id, text, substr(text, 1, 4) AS blk
+                       FROM t)
+            SELECT doc_id, text FROM b a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM b o
+              WHERE o.blk = a.blk AND o.doc_id < a.doc_id
+                AND levenshtein(o.text, a.text) <= 2
+            ) ORDER BY doc_id
+        """)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        # identical-string hot groups collapse to one min-id survivor per
+        # distance-2 block neighborhood; NULL texts all survive (SQL NULL
+        # never matches the EXISTS predicate)
+        assert len(got[got["text"].notna()]) < 10
+        assert got["text"].isna().sum() == pdf["text"].isna().sum()
+
+    def test_partition_invariance(self, ray_session):
+        from recipys_ray.ops.editdist import dedup_levenshtein
+
+        rng = np.random.default_rng(17)
+        words = ["alpha", "alphb", "beta", "betta", "gamma", "gamm",
+                 "delta", "delt"]
+        pdf = pd.DataFrame({
+            "doc_id": np.arange(600, dtype=np.int64),
+            "text": rng.choice(words, 600),
+        })
+        outs = [
+            dedup_levenshtein(rd.from_pandas(pdf).repartition(p),
+                              "doc_id", "text", max_dist=1,
+                              block_chars=3, num_partitions=np_)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+            for p, np_ in ((1, 2), (6, 5))
+        ]
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    def test_hot_block_guard(self, ray_session):
+        from recipys_ray.ops.editdist import dedup_levenshtein
+
+        pdf = pd.DataFrame({
+            "doc_id": np.arange(30, dtype=np.int64),
+            "text": [f"aa{i:03d}" for i in range(30)],  # 30 distinct, 1 blk
+        })
+        with pytest.raises(Exception, match="distinct strings"):
+            dedup_levenshtein(rd.from_pandas(pdf), "doc_id", "text",
+                              block_chars=2,
+                              max_block_distinct=10).to_pandas()
