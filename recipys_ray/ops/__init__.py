@@ -52,6 +52,7 @@ from recipys_ray.ops.groupstats import (
     grouped_corr,
     grouped_entropy,
     grouped_mode,
+    grouped_moments,
     grouped_regression,
     grouped_value_counts,
     transition_counts,
@@ -97,7 +98,7 @@ __all__ = [
     "rollup_aggregate", "add_global_rank", "add_ntile", "value_ranks",
     "banded_levenshtein", "dedup_levenshtein",
     "grouped_value_counts", "grouped_mode", "grouped_entropy", "grouped_corr",
-    "grouped_regression",
+    "grouped_regression", "grouped_moments",
     "merge_intervals", "transition_counts", "pmi_bigrams",
     "fit_pca", "pca_project", "target_encode",
     "hash_sample", "hash_split",

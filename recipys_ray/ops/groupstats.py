@@ -376,6 +376,126 @@ def grouped_regression(
     )
 
 
+def grouped_moments(
+    ds,
+    group_cols: list[str],
+    x: str,
+    skew_col: str = "skew",
+    kurt_col: str = "kurt",
+    n_col: str = "n",
+    num_partitions: int | None = None,
+):
+    """Per-group skewness + excess kurtosis (SQL ``skewness``/``kurtosis``
+    semantics) from raw power sums (n, Σx, Σx², Σx³, Σx⁴) — one per-block
+    vectorized partial, ONE exchange of partial rows, vectorized finish.
+    Null values are excluded (SQL aggregate semantics).
+
+    The finish replicates DuckDB 1.0's operation trees exactly (probed
+    bit-equal over 800 random integer groups each)::
+
+        temp = 1/n;  m2 = temp*(Σx² − Σx·Σx·temp)
+        skew = sqrt(n(n−1))/(n−2) · temp
+               · (Σx³ − 3·Σx²·Σx·temp + 2·Σx·Σx·Σx·temp²) / sqrt(m2³)
+        m4   = temp·(Σx⁴ − 4·Σx³·Σx·temp + 6·Σx²·Σx·Σx·temp²
+               − 3·(Σx)⁴·temp³)
+        kurt = (n−1)·((n+1)·m4/m2² − 3(n−1)) / ((n−2)(n−3))
+
+    so with INTEGER-valued inputs whose 4th-power sums stay below 2^53
+    every Σ is exact and the outputs are bit-equal across engines. Gates
+    mirror SQL NULLs: skew needs n ≥ 3 and nonzero variance, kurt n ≥ 4
+    (emitted as NaN → Arrow null). |x|⁴·n must stay < 2^53 for exactness —
+    rescale (e.g. floor to coarser units) before calling at bigger
+    magnitudes."""
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    gcols = list(group_cols)
+    stat_cols = ["__n__", "__s1__", "__s2__", "__s3__", "__s4__"]
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        key_types = {c: tbl.schema.field(c).type for c in gcols}
+        pdf = tbl.select(gcols + [x]).to_pandas()
+        pdf = pdf[pdf[x].notna()]
+        xv = pdf[x].to_numpy(np.float64)
+        x2 = xv * xv
+        stats = pd.DataFrame({c: pdf[c].to_numpy() for c in gcols})
+        stats["__n__"] = np.int64(1)
+        stats["__s1__"] = xv
+        stats["__s2__"] = x2
+        stats["__s3__"] = x2 * xv
+        stats["__s4__"] = x2 * x2
+        agg = (
+            stats.groupby(gcols, sort=False, dropna=False, observed=True)
+            .sum()
+            .reset_index()
+        )
+        arrs: dict = {
+            c: pa.Array.from_pandas(agg[c], type=key_types[c]) for c in gcols
+        }
+        arrs["__n__"] = pa.array(agg["__n__"].to_numpy(np.int64), pa.int64())
+        for c in stat_cols[1:]:
+            arrs[c] = pa.array(agg[c].to_numpy(np.float64), pa.float64())
+        return pa.table(arrs)
+
+    parts = ds.select_columns(gcols + [x]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            pdf.groupby(gcols, sort=False, dropna=False, observed=True)[
+                stat_cols
+            ]
+            .sum()
+            .reset_index()
+        )
+        n = agg["__n__"].to_numpy(np.int64)
+        # the closed form runs per OUTPUT row (#groups, already reduced) in
+        # python-float libm ops — numpy contracts integer ** into chained
+        # multiplies, which breaks the bit-parity with DuckDB's std::pow
+        import math
+
+        skew = np.full(len(agg), np.nan)
+        kurt = np.full(len(agg), np.nan)
+        s1a = agg["__s1__"].to_numpy(np.float64)
+        s2a = agg["__s2__"].to_numpy(np.float64)
+        s3a = agg["__s3__"].to_numpy(np.float64)
+        s4a = agg["__s4__"].to_numpy(np.float64)
+        for i in range(len(agg)):
+            nf = float(n[i])
+            s1, s2, s3, s4 = (float(s1a[i]), float(s2a[i]),
+                              float(s3a[i]), float(s4a[i]))
+            temp = 1.0 / nf
+            p = (temp * (s2 - s1 * s1 * temp)) ** 3
+            if p < 0.0:
+                p = 0.0
+            div = math.sqrt(p)
+            if n[i] >= 3 and div > 0.0:
+                temp1 = math.sqrt(nf * (nf - 1.0)) / (nf - 2.0)
+                skew[i] = temp1 * temp * (
+                    s3 - 3.0 * s2 * s1 * temp
+                    + 2.0 * s1 * s1 * s1 * temp * temp
+                ) / div
+            m2 = temp * (s2 - s1 * s1 * temp)
+            if n[i] >= 4 and m2 != 0.0:
+                m4 = temp * (
+                    s4 - 4.0 * s3 * s1 * temp
+                    + 6.0 * s2 * s1 * s1 * temp * temp
+                    - 3.0 * s1**4 * temp**3
+                )
+                kurt[i] = (nf - 1.0) * (
+                    (nf + 1.0) * m4 / (m2 * m2) - 3.0 * (nf - 1.0)
+                ) / ((nf - 2.0) * (nf - 3.0))
+        out = agg[gcols].copy()
+        out[n_col] = n
+        out[skew_col] = skew
+        out[kurt_col] = kurt
+        return out
+
+    return partitioned_groupby_map(
+        parts, gcols, finish, num_partitions=num_partitions
+    )
+
+
 def transition_counts(
     ds,
     group_cols: list[str],

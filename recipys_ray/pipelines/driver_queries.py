@@ -1933,6 +1933,30 @@ def q_rfm_segments(sf_dir):
     )
 
 
+def q_grouped_moments(sf_dir):
+    """Per-event-type skewness + excess kurtosis from raw power sums
+    (ops/groupstats.grouped_moments). Determinism: floor(value) is
+    INTEGER-valued (floor is bit-exact in both engines, unlike round's
+    half-case modes) with Σy⁴ < 2^53, so all sums are exact and the
+    finish replicates DuckDB's skewness/kurtosis operation trees
+    bit-for-bit."""
+    from recipys_ray.ops.groupstats import grouped_moments
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def to_int(tbl: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": tbl.column("event_type"),
+            "y": pc.cast(pc.floor(tbl.column("value")), pa.int64()),
+        })
+
+    ints = ds.map_batches(to_int, batch_format="pyarrow")
+    out = grouped_moments(ints, ["event_type"], "y")
+    return _select(out, ["event_type", "n", "skew", "kurt"])
+
+
 def q_quantile_cont(sf_dir):
     """Global SQL percentile_cont WITHOUT a sort (ops/quantiles.py
     exact_quantiles_cont): both bracketing order statistics per q from
@@ -3277,6 +3301,15 @@ ORACLES: dict[str, str] = {
                     AS BIGINT) AS m
         FROM agg
     """,
+    "grouped_moments": """
+        WITH i AS (
+          SELECT event_type, CAST(floor(value) AS BIGINT) AS y
+          FROM events WHERE value IS NOT NULL
+        )
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               skewness(y) AS skew, kurtosis(y) AS kurt
+        FROM i GROUP BY event_type
+    """,
     "quantile_cont": """
         SELECT 0.1::DOUBLE AS q, quantile_cont(l_quantity, 0.1) AS value
           FROM lineitem
@@ -3398,4 +3431,5 @@ QUERIES = {
     "rfm_segments": q_rfm_segments,
     "dedup_levenshtein": q_dedup_levenshtein,
     "quantile_cont": q_quantile_cont,
+    "grouped_moments": q_grouped_moments,
 }

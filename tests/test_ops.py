@@ -2431,6 +2431,52 @@ class TestGroupedStats:
         r = np.corrcoef(sub["x"], sub["y"])[0, 1]
         np.testing.assert_allclose(row["r2"], r * r, rtol=1e-8)
 
+    def test_moments_bitexact_vs_duckdb_on_ints(self, ray_session):
+        from recipys_ray.ops.groupstats import grouped_moments
+
+        rng = np.random.default_rng(37)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 12, 3000),
+            "y": rng.integers(-50, 200, 3000),
+        })
+        pdf.loc[::53, "y"] = None
+        # degenerate groups: constant (skew/kurt NULL), tiny n
+        pdf.loc[pdf["g"] == 10, "y"] = 7
+        pdf = pdf[~((pdf["g"] == 11) & (pdf.index % 3 != 0))]
+        got = (
+            grouped_moments(rd.from_pandas(pdf), ["g"], "y")
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        exp = self._oracle(pdf, """
+            SELECT g, CAST(count(y) AS BIGINT) AS n,
+                   skewness(y) AS skew, kurtosis(y) AS kurt
+            FROM t WHERE y IS NOT NULL GROUP BY g ORDER BY g
+        """)
+        pd.testing.assert_frame_equal(
+            got[["g", "n"]], exp[["g", "n"]], check_dtype=False
+        )
+        for c in ("skew", "kurt"):
+            ge, ee = got[c].to_numpy(), exp[c].to_numpy()
+            assert (np.isnan(ge) == np.isnan(ee)).all(), c
+            m = ~np.isnan(ge)
+            np.testing.assert_array_equal(ge[m], ee[m], err_msg=c)
+
+    def test_moments_partition_invariance(self, ray_session):
+        from recipys_ray.ops.groupstats import grouped_moments
+
+        rng = np.random.default_rng(41)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 8, 900),
+            "y": rng.integers(0, 100, 900),
+        })
+        outs = [
+            grouped_moments(rd.from_pandas(pdf).repartition(p), ["g"], "y",
+                            num_partitions=np_)
+            .to_pandas().sort_values("g").reset_index(drop=True)
+            for p, np_ in ((1, 3), (7, 5))
+        ]
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
     def test_regression_partition_invariance(self, ray_session):
         from recipys_ray.ops.groupstats import grouped_regression
 
