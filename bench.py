@@ -169,6 +169,15 @@ def bench_queries() -> dict:
         "pmi_bigrams",
         "pca_embeddings",
         "target_encode",
+        "grouped_regr",
+        "grouped_moments",
+        "histogram_values",
+        "quantile_cont",
+        "revenue_by_nation",
+        "rfm_segments",
+        "dedup_levenshtein",
+        "psi_value_drift",
+        "ks_quantity_flag",
         "historical_salted",
     ]
     out = {}

@@ -1,0 +1,136 @@
+"""Distribution-drift measures between two datasets — PSI and KS.
+
+The standard monitoring pair for training-data pipelines: did this week's
+corpus / feature column drift from the reference distribution the model
+was trained on?
+
+- :func:`population_stability` — PSI over a fixed-range equal-width
+  histogram: ``Σ (p_a − p_b)·ln(p_a / p_b)`` per bucket. Each side is one
+  :func:`~recipys_ray.ops.quantiles.histogram` pass (per-block bincount
+  combiner, ONE tiny bucket exchange); the ≤ nbins partial rows merge on
+  the driver. Buckets empty on EITHER side are dropped (the
+  industry-standard alternative is an epsilon floor; dropping keeps the
+  SQL oracle exact — an inner join on bucket).
+- :func:`ks_statistic` — exact two-sample Kolmogorov-Smirnov distance
+  ``max_v |CDF_a(v) − CDF_b(v)|`` for moderate-cardinality columns: one
+  value-count fold per side (the value_ranks shape — skinny, capped by
+  ``driver_cap``, raising beyond), then an exact cumulative merge on the
+  driver.
+
+Float contract: every count is an exact int64, so the probability
+divisions, subtractions and abs are IDENTICAL doubles in both engines;
+PSI's per-bucket ``ln`` is the same libm call (1-ulp class vs DuckDB ln,
+like grouped_entropy), and KS's max over an identical multiset of doubles
+is bit-equal regardless of order.
+
+Reference parity note: the reference engine (rvandewater/ReciPys) has no
+cross-dataset statistics; this extends the profiling family
+(ops/profile.py) for drift monitoring.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def population_stability(
+    ds_a,
+    ds_b,
+    col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+) -> pd.DataFrame:
+    """Per-bucket PSI terms between ``ds_a`` (reference) and ``ds_b``
+    (current) over ``[lo, hi] × nbins`` (module docstring). Returns a
+    DataFrame ``(bucket, p_a, p_b, psi_term)`` for buckets non-empty on
+    both sides, ordered by bucket; ``psi_term.sum()`` is the PSI."""
+    from recipys_ray.ops.quantiles import histogram
+
+    ha = histogram(ds_a, col, lo, hi, nbins).to_pandas()
+    hb = histogram(ds_b, col, lo, hi, nbins).to_pandas()
+    tot_a = int(ha["cnt"].sum())
+    tot_b = int(hb["cnt"].sum())
+    m = ha.merge(hb, on="bucket", how="inner", suffixes=("_a", "_b"))
+    m = m.sort_values("bucket", ignore_index=True)
+    pa_ = m["cnt_a"].to_numpy(np.float64) / np.float64(tot_a)
+    pb_ = m["cnt_b"].to_numpy(np.float64) / np.float64(tot_b)
+    return pd.DataFrame({
+        "bucket": m["bucket"].to_numpy(np.int64),
+        "p_a": pa_,
+        "p_b": pb_,
+        "psi_term": (pa_ - pb_) * np.log(pa_ / pb_),
+    })
+
+
+def _value_counts(ds, col: str, driver_cap: int) -> pd.DataFrame:
+    """Skinny exact value-count fold of non-null ``col`` (value, cnt)."""
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        vt = tbl.schema.field(col).type
+        pdf = tbl.select([col]).to_pandas()
+        pdf = pdf[pdf[col].notna()]
+        agg = (
+            pdf.groupby(col, sort=False, observed=True)
+            .size()
+            .rename("cnt")
+            .reset_index()
+        )
+        return pa.table({
+            col: pa.Array.from_pandas(agg[col], type=vt),
+            "cnt": pa.array(agg["cnt"].to_numpy(np.int64), pa.int64()),
+        })
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.groupby(col, sort=False)["cnt"].sum().reset_index()
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out
+
+    counts = partitioned_groupby_map(
+        ds.select_columns([col]).map_batches(partial,
+                                             batch_format="pyarrow"),
+        [col], fold,
+    ).to_pandas()
+    if len(counts) > driver_cap:
+        raise ValueError(
+            f"{col} has {len(counts)} distinct values > driver_cap="
+            f"{driver_cap}; KS needs a bounded distinct set — bucket the "
+            f"column first (ops/quantiles.histogram)"
+        )
+    return counts
+
+
+def ks_statistic(
+    ds_a,
+    ds_b,
+    col: str,
+    driver_cap: int = 1_000_000,
+) -> pd.DataFrame:
+    """Exact two-sample KS distance (module docstring). Returns a 1-row
+    DataFrame ``(ks,)`` — ``max_v |CDF_a(v) − CDF_b(v)|`` evaluated at
+    every distinct value of either side. Nulls are excluded; either side
+    empty yields NaN."""
+    ca = _value_counts(ds_a, col, driver_cap).rename(
+        columns={"cnt": "cnt_a"}
+    )
+    cb = _value_counts(ds_b, col, driver_cap).rename(
+        columns={"cnt": "cnt_b"}
+    )
+    tot_a = int(ca["cnt_a"].sum())
+    tot_b = int(cb["cnt_b"].sum())
+    if tot_a == 0 or tot_b == 0:
+        return pd.DataFrame({"ks": [np.nan]})
+    m = ca.merge(cb, on=col, how="outer").fillna(
+        {"cnt_a": 0, "cnt_b": 0}
+    )
+    m = m.sort_values(col, ignore_index=True)
+    cum_a = m["cnt_a"].to_numpy(np.int64).cumsum()
+    cum_b = m["cnt_b"].to_numpy(np.int64).cumsum()
+    d = np.abs(
+        cum_a.astype(np.float64) / np.float64(tot_a)
+        - cum_b.astype(np.float64) / np.float64(tot_b)
+    )
+    return pd.DataFrame({"ks": [float(d.max())]})

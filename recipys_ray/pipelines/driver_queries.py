@@ -1957,6 +1957,59 @@ def q_grouped_moments(sf_dir):
     return _select(out, ["event_type", "n", "skew", "kurt"])
 
 
+def q_psi_value_drift(sf_dir):
+    """Population Stability Index of event values between even and odd
+    event ids (ops/drift.population_stability — two histogram combiner
+    passes, ≤ nbins driver rows). Exact int counts make the probability
+    divisions identical; ln is the 1-ulp libm class (grouped_entropy
+    precedent)."""
+    from recipys_ray.ops.drift import population_stability
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+
+    def even(tbl: pa.Table) -> pa.Table:
+        return tbl.filter(
+            pc.equal(pc.bit_wise_and(tbl.column("event_id"), 1), 0)
+        )
+
+    def odd(tbl: pa.Table) -> pa.Table:
+        return tbl.filter(
+            pc.equal(pc.bit_wise_and(tbl.column("event_id"), 1), 1)
+        )
+
+    return population_stability(
+        ds.map_batches(even, batch_format="pyarrow"),
+        ds.map_batches(odd, batch_format="pyarrow"),
+        "value", lo=0.0, hi=500.0, nbins=25,
+    )
+
+
+def q_ks_quantity_flag(sf_dir):
+    """Exact two-sample KS distance between the quantity distributions of
+    return flags A and R (ops/drift.ks_statistic — one skinny value-count
+    fold per side, exact cumulative merge). All counts int64-exact, so
+    the CDF-difference multiset is bit-identical and its max is
+    order-free."""
+    from recipys_ray.ops.drift import ks_statistic
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    )
+
+    def flag(v):
+        def f(tbl: pa.Table) -> pa.Table:
+            return tbl.filter(pc.equal(tbl.column("l_returnflag"), v))
+        return f
+
+    return ks_statistic(
+        li.map_batches(flag("A"), batch_format="pyarrow"),
+        li.map_batches(flag("R"), batch_format="pyarrow"),
+        "l_quantity",
+    )
+
+
 def q_quantile_cont(sf_dir):
     """Global SQL percentile_cont WITHOUT a sort (ops/quantiles.py
     exact_quantiles_cont): both bracketing order statistics per q from
@@ -3301,6 +3354,53 @@ ORACLES: dict[str, str] = {
                     AS BIGINT) AS m
         FROM agg
     """,
+    "psi_value_drift": """
+        WITH ha AS (
+          SELECT LEAST(CAST(floor((value - 0.0) / ((500.0 - 0.0) / 25))
+                            AS BIGINT), 24) AS bucket, count(*) AS c
+          FROM events
+          WHERE value >= 0.0 AND value <= 500.0 AND event_id % 2 = 0
+          GROUP BY bucket
+        ), hb AS (
+          SELECT LEAST(CAST(floor((value - 0.0) / ((500.0 - 0.0) / 25))
+                            AS BIGINT), 24) AS bucket, count(*) AS c
+          FROM events
+          WHERE value >= 0.0 AND value <= 500.0 AND event_id % 2 = 1
+          GROUP BY bucket
+        ), t AS (
+          SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM ha) AS ta,
+                 (SELECT CAST(sum(c) AS DOUBLE) FROM hb) AS tb
+        )
+        SELECT ha.bucket,
+               CAST(ha.c AS DOUBLE) / ta AS p_a,
+               CAST(hb.c AS DOUBLE) / tb AS p_b,
+               (CAST(ha.c AS DOUBLE) / ta - CAST(hb.c AS DOUBLE) / tb)
+                 * ln((CAST(ha.c AS DOUBLE) / ta)
+                      / (CAST(hb.c AS DOUBLE) / tb)) AS psi_term
+        FROM ha JOIN hb USING (bucket), t
+    """,
+    "ks_quantity_flag": """
+        WITH ca AS (
+          SELECT l_quantity AS v, count(*) AS a FROM lineitem
+          WHERE l_returnflag = 'A' AND l_quantity IS NOT NULL GROUP BY v
+        ), cb AS (
+          SELECT l_quantity AS v, count(*) AS b FROM lineitem
+          WHERE l_returnflag = 'R' AND l_quantity IS NOT NULL GROUP BY v
+        ), u AS (
+          SELECT coalesce(ca.v, cb.v) AS v,
+                 coalesce(ca.a, 0) AS a, coalesce(cb.b, 0) AS b
+          FROM ca FULL OUTER JOIN cb ON ca.v = cb.v
+        ), t AS (
+          SELECT CAST(sum(a) AS DOUBLE) AS ta,
+                 CAST(sum(b) AS DOUBLE) AS tb FROM u
+        ), c AS (
+          SELECT v,
+                 CAST(sum(a) OVER (ORDER BY v) AS DOUBLE) AS cum_a,
+                 CAST(sum(b) OVER (ORDER BY v) AS DOUBLE) AS cum_b
+          FROM u
+        )
+        SELECT max(abs(cum_a / ta - cum_b / tb)) AS ks FROM c, t
+    """,
     "grouped_moments": """
         WITH i AS (
           SELECT event_type, CAST(floor(value) AS BIGINT) AS y
@@ -3432,4 +3532,6 @@ QUERIES = {
     "dedup_levenshtein": q_dedup_levenshtein,
     "quantile_cont": q_quantile_cont,
     "grouped_moments": q_grouped_moments,
+    "psi_value_drift": q_psi_value_drift,
+    "ks_quantity_flag": q_ks_quantity_flag,
 }

@@ -2970,3 +2970,99 @@ class TestEditDistance:
             dedup_levenshtein(rd.from_pandas(pdf), "doc_id", "text",
                               block_chars=2,
                               max_block_distinct=10).to_pandas()
+
+
+class TestDrift:
+    @staticmethod
+    def _oracle(frames, sql):
+        import duckdb
+        con = duckdb.connect()
+        for name, pdf in frames.items():
+            con.register(name, pdf)
+        return con.execute(sql).df()
+
+    def test_psi_matches_duckdb_and_scipy_form(self, ray_session):
+        from recipys_ray.ops.drift import population_stability
+
+        rng = np.random.default_rng(43)
+        a = pd.DataFrame({"v": rng.uniform(0, 100, 4000)})
+        b = pd.DataFrame({"v": rng.uniform(10, 110, 3000)})  # shifted
+        got = population_stability(
+            rd.from_pandas(a).repartition(5), rd.from_pandas(b),
+            "v", lo=0.0, hi=100.0, nbins=10,
+        )
+        exp = self._oracle({"a": a, "b": b}, """
+            WITH ha AS (
+              SELECT LEAST(CAST(floor((v - 0.0)/((100.0-0.0)/10)) AS BIGINT),
+                           9) AS bucket, count(*) AS c
+              FROM a WHERE v >= 0.0 AND v <= 100.0 GROUP BY bucket
+            ), hb AS (
+              SELECT LEAST(CAST(floor((v - 0.0)/((100.0-0.0)/10)) AS BIGINT),
+                           9) AS bucket, count(*) AS c
+              FROM b WHERE v >= 0.0 AND v <= 100.0 GROUP BY bucket
+            ), t AS (
+              SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM ha) AS ta,
+                     (SELECT CAST(sum(c) AS DOUBLE) FROM hb) AS tb
+            )
+            SELECT ha.bucket, CAST(ha.c AS DOUBLE)/ta AS p_a,
+                   CAST(hb.c AS DOUBLE)/tb AS p_b,
+                   (CAST(ha.c AS DOUBLE)/ta - CAST(hb.c AS DOUBLE)/tb)
+                     * ln((CAST(ha.c AS DOUBLE)/ta)
+                          / (CAST(hb.c AS DOUBLE)/tb)) AS psi_term
+            FROM ha JOIN hb USING (bucket), t ORDER BY ha.bucket
+        """)
+        pd.testing.assert_frame_equal(
+            got[["bucket", "p_a", "p_b"]], exp[["bucket", "p_a", "p_b"]],
+            check_dtype=False,
+        )
+        np.testing.assert_allclose(got["psi_term"], exp["psi_term"],
+                                   rtol=1e-12)
+        # a genuine shift should register (here most mass overlaps, so the
+        # in-window PSI is small but clearly nonzero)
+        assert got["psi_term"].sum() > 0.01
+        # identical inputs -> PSI exactly 0
+        same = population_stability(
+            rd.from_pandas(a), rd.from_pandas(a), "v", 0.0, 100.0, 10
+        )
+        assert same["psi_term"].sum() == 0.0
+
+    def test_ks_matches_scipy_and_duckdb(self, ray_session):
+        from recipys_ray.ops.drift import ks_statistic
+
+        rng = np.random.default_rng(47)
+        a = pd.DataFrame({"v": rng.integers(0, 40, 5000).astype(float)})
+        b = pd.DataFrame({"v": rng.integers(5, 45, 4000).astype(float)})
+        a.loc[::31, "v"] = np.nan
+        got = ks_statistic(
+            rd.from_pandas(a).repartition(4), rd.from_pandas(b), "v"
+        )["ks"].iloc[0]
+        # exact reference: numpy two-sample KS over the same values
+        av = np.sort(a["v"].dropna().to_numpy())
+        bv = np.sort(b["v"].dropna().to_numpy())
+        grid = np.unique(np.r_[av, bv])
+        cdf_a = np.searchsorted(av, grid, side="right") / len(av)
+        cdf_b = np.searchsorted(bv, grid, side="right") / len(bv)
+        ref = np.abs(cdf_a - cdf_b).max()
+        np.testing.assert_allclose(got, ref, rtol=1e-12)
+        exp = self._oracle({"a": a.dropna(), "b": b}, """
+            WITH ca AS (SELECT v, count(*) AS a FROM a GROUP BY v),
+            cb AS (SELECT v, count(*) AS b FROM b GROUP BY v),
+            u AS (SELECT coalesce(ca.v, cb.v) AS v, coalesce(ca.a,0) AS a,
+                         coalesce(cb.b,0) AS b
+                  FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+            t AS (SELECT CAST(sum(a) AS DOUBLE) ta,
+                         CAST(sum(b) AS DOUBLE) tb FROM u),
+            c AS (SELECT v, CAST(sum(a) OVER (ORDER BY v) AS DOUBLE) cum_a,
+                         CAST(sum(b) OVER (ORDER BY v) AS DOUBLE) cum_b
+                  FROM u)
+            SELECT max(abs(cum_a/ta - cum_b/tb)) AS ks FROM c, t
+        """)["ks"].iloc[0]
+        assert got == exp
+
+    def test_ks_cap_raises(self, ray_session):
+        from recipys_ray.ops.drift import ks_statistic
+
+        pdf = pd.DataFrame({"v": np.arange(500, dtype=np.float64)})
+        with pytest.raises(Exception, match="distinct"):
+            ks_statistic(rd.from_pandas(pdf), rd.from_pandas(pdf), "v",
+                         driver_cap=100)
