@@ -180,6 +180,8 @@ def bench_queries() -> dict:
         "ks_quantity_flag",
         "historical_salted",
     ]
+    import gc
+
     out = {}
     for name in picks:
         t0 = time.time()
@@ -188,6 +190,12 @@ def bench_queries() -> dict:
         if hasattr(res, "count"):
             res.count()
         out[name] = round(time.time() - t0, 3)
+        # free this query's pinned/materialized blocks NOW — otherwise
+        # object-store refs pile up across the 70+ queries and later ones
+        # run against a degraded session (measured 3-7x inflation by the
+        # end of the list)
+        del res
+        gc.collect()
     return out
 
 
