@@ -50,6 +50,7 @@ from recipys_ray.ops.drift import ks_statistic, population_stability
 from recipys_ray.ops.editdist import banded_levenshtein, dedup_levenshtein
 from recipys_ray.ops.encode import target_encode
 from recipys_ray.ops.groupstats import (
+    cumulative_distinct,
     grouped_corr,
     grouped_entropy,
     grouped_mode,
@@ -102,6 +103,7 @@ __all__ = [
     "grouped_value_counts", "grouped_mode", "grouped_entropy", "grouped_corr",
     "grouped_regression", "grouped_moments",
     "merge_intervals", "transition_counts", "pmi_bigrams",
+    "cumulative_distinct",
     "fit_pca", "pca_project", "target_encode",
     "hash_sample", "hash_split",
     "mix_sources", "sample_per_group", "weighted_sample",

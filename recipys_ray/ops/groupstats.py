@@ -570,3 +570,58 @@ def transition_counts(
         return out
 
     return partitioned_groupby_map(local, [from_col, to_col], fold)
+
+
+def cumulative_distinct(
+    ds,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "n_distinct",
+    num_partitions: int | None = None,
+):
+    """Running COUNT(DISTINCT value) per group in event order — the
+    "novelty rate" feature (how much of an entity's behavior is new at
+    each point in time): feature stores use it for exploration scoring,
+    curation for detecting bot loops (novelty flatlines). SQL equivalent:
+
+        count(DISTINCT v) OVER (PARTITION BY g ORDER BY o...
+                                ROWS UNBOUNDED PRECEDING)
+
+    Null values never increment the count (SQL COUNT ignores NULL); rows
+    with null values still emit, carrying the count to date. Output is
+    group + order cols + ``out_col`` (int64) — exact integers, hash-safe.
+
+    Motion: ONE skinny exchange (group, order, value) on the group key
+    co-locates each entity's history; inside a partition a single stable
+    sort + vectorized first-seen flag (`~duplicated` over group+value,
+    a pandas C kernel across ALL groups at once) + grouped cumsum stamps
+    every row. Zero temporal leakage by construction — row t counts only
+    rows ordered ≤ t. The order tie-break must be unique per row (pass an
+    id column last) for a deterministic stamp."""
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    gcols = list(group_cols)
+    ocols = list(order_cols)
+    cols = gcols + ocols + [value_col]
+
+    def stamp(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[cols].sort_values(
+            gcols + ocols, kind="stable", ignore_index=True
+        )
+        first = (
+            ~pdf.duplicated(subset=gcols + [value_col], keep="first")
+        ) & pdf[value_col].notna().to_numpy()
+        pdf[out_col] = (
+            pd.Series(first.astype(np.int64))
+            .groupby(
+                [pdf[c] for c in gcols], sort=False, dropna=False,
+            )
+            .cumsum()
+        )
+        return pdf.drop(columns=[value_col])
+
+    return partitioned_groupby_map(
+        ds.select_columns(cols), gcols, stamp,
+        num_partitions=num_partitions,
+    )

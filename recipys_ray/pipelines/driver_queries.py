@@ -1713,6 +1713,24 @@ def q_event_transitions(sf_dir):
     return _select(out, ["from_event", "to_event", "cnt"])
 
 
+def q_cumulative_distinct(sf_dir):
+    """Running COUNT(DISTINCT event_type) per user in event order — the
+    novelty-rate feature (ops/groupstats.cumulative_distinct): one skinny
+    exchange on user_id, vectorized first-seen + grouped cumsum. Exact
+    int64 output; zero temporal leakage by construction."""
+    from recipys_ray.ops.groupstats import cumulative_distinct
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    out = cumulative_distinct(
+        ds, ["user_id"], ["ts", "event_id"], "event_type",
+        out_col="n_distinct_types",
+    )
+    return _select(out, ["user_id", "ts", "event_id", "n_distinct_types"])
+
+
 def q_target_encode(sf_dir):
     """Smoothed mean-target + frequency encoding of event_type against
     value (ops/encode.target_encode, m=20): one combiner pass fits the
@@ -2421,6 +2439,14 @@ ORACLES: dict[str, str] = {
           FROM events
         ) WHERE to_event IS NOT NULL
         GROUP BY from_event, to_event
+    """,
+    "cumulative_distinct": """
+        SELECT user_id, ts, event_id,
+               CAST(count(DISTINCT event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS n_distinct_types
+        FROM events
     """,
     "distinct_users_hll": """
         SELECT event_type, n_distinct_approx
@@ -3492,6 +3518,7 @@ QUERIES = {
     "value_ranks": q_value_ranks,
     "merge_intervals": q_merge_intervals,
     "event_transitions": q_event_transitions,
+    "cumulative_distinct": q_cumulative_distinct,
     "pmi_bigrams": q_pmi_bigrams,
     "pca_embeddings": q_pca_embeddings,
     "target_encode": q_target_encode,

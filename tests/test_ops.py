@@ -2725,6 +2725,57 @@ class TestTransitionCounts:
         assert len(got) == 0
 
 
+class TestCumulativeDistinct:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from recipys_ray.ops.groupstats import cumulative_distinct
+
+        rng = np.random.default_rng(47)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 20, 600),
+            "o": np.arange(600),
+            "v": rng.choice(["a", "b", "c", "d", None], 600,
+                            p=[0.3, 0.3, 0.2, 0.15, 0.05]),
+        })
+        got = (
+            cumulative_distinct(rd.from_pandas(pdf), ["g"], ["o"], "v",
+                                out_col="nd")
+            .to_pandas().sort_values(["g", "o"]).reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute("""
+            SELECT g, o, CAST(count(DISTINCT v) OVER (
+                PARTITION BY g ORDER BY o
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS BIGINT) AS nd
+            FROM t ORDER BY g, o
+        """).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_partition_invariance(self, ray_session):
+        from recipys_ray.ops.groupstats import cumulative_distinct
+
+        rng = np.random.default_rng(48)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 8, 300),
+            "o": np.arange(300),
+            "v": rng.choice(list("xyz"), 300),
+        })
+        outs = []
+        for nparts in (1, 7):
+            got = (
+                cumulative_distinct(
+                    rd.from_pandas(pdf).repartition(nparts),
+                    ["g"], ["o"], "v", num_partitions=3,
+                )
+                .to_pandas().sort_values(["g", "o"]).reset_index(drop=True)
+            )
+            outs.append(got)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
 class TestPmiBigrams:
     def test_matches_duckdb(self, ray_session):
         import duckdb
