@@ -625,3 +625,98 @@ def cumulative_distinct(
         ds.select_columns(cols), gcols, stamp,
         num_partitions=num_partitions,
     )
+
+
+def grouped_auc(
+    ds,
+    group_cols: list[str],
+    score_col: str,
+    label_col: str,
+    out_col: str = "auc",
+    npos_col: str = "n_pos",
+    nneg_col: str = "n_neg",
+    num_partitions: int | None = None,
+):
+    """ROC-AUC per group, exact, via the Mann-Whitney pair count with the
+    standard tie correction: AUC = [#(s⁺>s⁻) + ½·#(s⁺=s⁻)] / (n⁺·n⁻).
+    The model-eval workhorse (per-segment AUC for monitoring, per-slice
+    fairness audits) computed without materializing scores on the driver.
+
+    Exactness contract: everything up to the last step is INTEGER — per
+    (group, score) positive/negative counts, an exclusive running negative
+    count, and the doubled numerator Σ pos·(2·cumneg + neg_ties); the
+    single division (2·num)/(2·n⁺·n⁻) is then the same IEEE op in any
+    engine, so results are bit-equal to a SQL oracle stating the same
+    counts (counts stay exact while rows-per-group < 2⁵³ᐟ²).
+
+    Null scores / null labels are excluded (SQL WHERE); groups lacking
+    either class emit no row (AUC undefined). Output: group cols +
+    [out_col float64, n_pos, n_neg int64].
+
+    Motion: per-block vectorized (group, score)→(pos, neg) counts shrink
+    the payload, ONE hash exchange on the group key, and a vectorized
+    finish (one sort + grouped cumsums across ALL groups per partition).
+    The corpus never shuffles; the exchange carries distinct-score summary
+    rows only."""
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    gcols = list(group_cols)
+    keys = gcols + [score_col]
+    cols = keys + [label_col]
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        key_types = {c: tbl.schema.field(c).type for c in keys}
+        pdf = tbl.select(cols).to_pandas()
+        pdf = pdf[pdf[score_col].notna() & pdf[label_col].notna()]
+        lab = pdf[label_col].astype(bool)
+        agg = (
+            pdf.assign(__pos__=lab.astype(np.int64))
+            .groupby(keys, sort=False, dropna=False, observed=True)
+            .agg(pos=("__pos__", "sum"), cnt=("__pos__", "size"))
+            .reset_index()
+        )
+        arrs: dict = {
+            c: pa.Array.from_pandas(agg[c], type=key_types[c]) for c in keys
+        }
+        arrs["pos"] = pa.array(agg["pos"].to_numpy(np.int64), pa.int64())
+        arrs["neg"] = pa.array(
+            (agg["cnt"] - agg["pos"]).to_numpy(np.int64), pa.int64()
+        )
+        return pa.table(arrs)
+
+    parts = ds.select_columns(cols).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            pdf.groupby(keys, sort=False, dropna=False, observed=True)[
+                ["pos", "neg"]
+            ]
+            .sum()
+            .reset_index()
+            .sort_values(keys, kind="stable", ignore_index=True)
+        )
+        g = agg.groupby(gcols, sort=False, dropna=False, observed=True)
+        cumneg = g["neg"].cumsum() - agg["neg"]  # exclusive: strictly-below
+        agg["__num2__"] = agg["pos"] * (2 * cumneg + agg["neg"])
+        tot = g.agg(
+            num2=("__num2__", "sum"), np_=("pos", "sum"), nn=("neg", "sum")
+        ).reset_index()
+        tot = tot[(tot["np_"] > 0) & (tot["nn"] > 0)]
+        out = tot[gcols].copy()
+        # integer doubled denominator FIRST (exact in int64), then ONE
+        # int→float conversion + ONE division — the same two IEEE ops a
+        # SQL engine performs on CAST(num2 AS DOUBLE)/CAST(2*np*nn AS
+        # DOUBLE), so the quotient is bit-equal across engines
+        den2 = (2 * tot["np_"] * tot["nn"]).to_numpy(np.int64)
+        out[out_col] = tot["num2"].to_numpy(np.float64) / den2.astype(
+            np.float64
+        )
+        out[npos_col] = tot["np_"].to_numpy(np.int64)
+        out[nneg_col] = tot["nn"].to_numpy(np.int64)
+        return out
+
+    return partitioned_groupby_map(
+        parts, gcols, finish, num_partitions=num_partitions
+    )

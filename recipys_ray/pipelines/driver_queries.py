@@ -1731,6 +1731,29 @@ def q_cumulative_distinct(sf_dir):
     return _select(out, ["user_id", "ts", "event_id", "n_distinct_types"])
 
 
+def q_grouped_auc(sf_dir):
+    """Per-user ROC-AUC of value against a deterministic derived label
+    (event_id % 3 = 0) — ops/groupstats.grouped_auc. Exact integer
+    Mann-Whitney pair counts; the single final division is the same IEEE
+    op both engines perform, so the float column is bit-equal."""
+    from recipys_ray.ops.groupstats import grouped_auc
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "value"],
+    )
+
+    def lab(tbl: pa.Table) -> pa.Table:
+        eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+        return tbl.append_column("is_pos", pa.array(eid % 3 == 0))
+
+    out = grouped_auc(
+        ds.map_batches(lab, batch_format="pyarrow"),
+        ["user_id"], "value", "is_pos",
+    )
+    return _select(out, ["user_id", "auc", "n_pos", "n_neg"])
+
+
 def q_target_encode(sf_dir):
     """Smoothed mean-target + frequency encoding of event_type against
     value (ops/encode.target_encode, m=20): one combiner pass fits the
@@ -2447,6 +2470,31 @@ ORACLES: dict[str, str] = {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS BIGINT) AS n_distinct_types
         FROM events
+    """,
+    "grouped_auc": """
+        WITH c AS (
+          SELECT user_id, value AS s,
+                 CAST(sum(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS pos,
+                 CAST(sum(CASE WHEN event_id % 3 = 0 THEN 0 ELSE 1 END)
+                      AS BIGINT) AS neg
+          FROM events WHERE value IS NOT NULL
+          GROUP BY user_id, value
+        ), w AS (
+          SELECT user_id, pos, neg,
+                 COALESCE(sum(neg) OVER (
+                     PARTITION BY user_id ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS cumneg
+          FROM c
+        )
+        SELECT user_id,
+               CAST(sum(pos*(2*cumneg+neg)) AS DOUBLE)
+                 / CAST(2*sum(pos)*sum(neg) AS DOUBLE) AS auc,
+               CAST(sum(pos) AS BIGINT) AS n_pos,
+               CAST(sum(neg) AS BIGINT) AS n_neg
+        FROM w GROUP BY user_id
+        HAVING sum(pos) > 0 AND sum(neg) > 0
     """,
     "distinct_users_hll": """
         SELECT event_type, n_distinct_approx
@@ -3519,6 +3567,7 @@ QUERIES = {
     "merge_intervals": q_merge_intervals,
     "event_transitions": q_event_transitions,
     "cumulative_distinct": q_cumulative_distinct,
+    "grouped_auc": q_grouped_auc,
     "pmi_bigrams": q_pmi_bigrams,
     "pca_embeddings": q_pca_embeddings,
     "target_encode": q_target_encode,

@@ -2776,6 +2776,52 @@ class TestCumulativeDistinct:
         pd.testing.assert_frame_equal(outs[0], outs[1])
 
 
+class TestGroupedAuc:
+    def test_matches_pair_count_reference(self, ray_session):
+        from recipys_ray.ops.groupstats import grouped_auc
+
+        rng = np.random.default_rng(49)
+        n = 900
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 12, n),
+            "s": np.round(rng.normal(size=n), 1),  # force ties
+            "y": rng.random(n) < 0.4,
+        })
+        pdf.loc[rng.integers(0, n, 20), "s"] = np.nan
+        got = (
+            grouped_auc(rd.from_pandas(pdf), ["g"], "s", "y")
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        # scalar O(n^2) pair-count reference per group
+        rows = []
+        for g, sub in pdf.dropna(subset=["s"]).groupby("g"):
+            pos = sub[sub["y"]]["s"].to_numpy()
+            neg = sub[~sub["y"]]["s"].to_numpy()
+            if len(pos) == 0 or len(neg) == 0:
+                continue
+            wins = (pos[:, None] > neg[None, :]).sum()
+            ties = (pos[:, None] == neg[None, :]).sum()
+            rows.append({
+                "g": g,
+                "auc": float((2 * wins + ties)
+                             / np.float64(2 * len(pos) * len(neg))),
+                "n_pos": len(pos), "n_neg": len(neg),
+            })
+        exp = pd.DataFrame(rows).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_single_class_groups_dropped(self, ray_session):
+        from recipys_ray.ops.groupstats import grouped_auc
+
+        pdf = pd.DataFrame({
+            "g": [1, 1, 2, 2], "s": [1.0, 2.0, 3.0, 4.0],
+            "y": [True, True, True, False],
+        })
+        got = grouped_auc(rd.from_pandas(pdf), ["g"], "s", "y").to_pandas()
+        assert got["g"].tolist() == [2]
+        assert got["auc"].tolist() == [0.0]
+
+
 class TestPmiBigrams:
     def test_matches_duckdb(self, ray_session):
         import duckdb
