@@ -48,7 +48,7 @@ from recipys_ray.ops.intervals import merge_intervals
 from recipys_ray.ops.pca import fit_pca, pca_project
 from recipys_ray.ops.drift import ks_statistic, population_stability
 from recipys_ray.ops.editdist import banded_levenshtein, dedup_levenshtein
-from recipys_ray.ops.encode import target_encode
+from recipys_ray.ops.encode import feature_hash, target_encode
 from recipys_ray.ops.groupstats import (
     cumulative_distinct,
     grouped_corr,
@@ -104,7 +104,7 @@ __all__ = [
     "grouped_regression", "grouped_moments",
     "merge_intervals", "transition_counts", "pmi_bigrams",
     "cumulative_distinct",
-    "fit_pca", "pca_project", "target_encode",
+    "fit_pca", "pca_project", "target_encode", "feature_hash",
     "hash_sample", "hash_split",
     "mix_sources", "sample_per_group", "weighted_sample",
     "pivot", "melt", "group_concat", "frequent_items", "semantic_dedup", "knn_brute_force",

@@ -118,3 +118,63 @@ def target_encode(
         )
 
     return ds.map_batches(stamp, batch_format="pyarrow")
+
+
+def feature_hash(
+    ds,
+    id_col: str,
+    text_col: str,
+    num_buckets: int = 1024,
+    bucket_col: str = "bucket",
+    weight_col: str = "weight",
+):
+    """Hashing-trick text featurizer (Weinberger 2009, sklearn
+    HashingVectorizer semantics): each lowercased ``\\w+`` token t of a
+    document contributes ``sign(t)`` to bucket ``h(t) % num_buckets``,
+    where ``h`` is DuckDB's VARCHAR ``hash()`` (MurmurHash64A — bit-parity
+    via :func:`~recipys_ray.kernels.duckdb_parity.duckdb_hash_varchar`) and
+    ``sign(t) = +1 if (h(t) // num_buckets) % 2 == 0 else -1`` — an
+    independent hash bit, so bucket-collision bias cancels in expectation.
+    Output: one (id, bucket, weight) row per NON-ZERO-COUNT bucket pair
+    touched by the document — the sparse feature triplet layout trainers
+    ingest directly; weights are exact int64, hash-reproducible across
+    engines, partition layouts and runs.
+
+    Motion: ZERO shuffle — documents are featurized independently per
+    batch (tokenize with Arrow RE2 kernels, one vectorized hash pass, one
+    composite-key groupby per batch). At 100 TB this is a pure streaming
+    map; downstream training shards by id with whatever exchange it needs.
+
+    Null texts emit no rows (no tokens). Documents whose signed counts
+    cancel to zero in a bucket still emit that (id, bucket, 0) row,
+    matching the SQL GROUP BY sum over tokens."""
+    from recipys_ray.kernels.duckdb_parity import duckdb_hash_varchar
+    from recipys_ray.ops.text import word_stream
+
+    D = np.uint64(int(num_buckets))
+
+    def featurize(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        words, counts = word_stream(tbl.column(text_col))
+        h = duckdb_hash_varchar(words)
+        bucket = (h % D).astype(np.int64)
+        sign = np.where((h // D) % np.uint64(2) == 0, np.int64(1),
+                        np.int64(-1))
+        doc = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
+        # composite key (doc, bucket) → signed sum, one vectorized groupby
+        key = doc * np.int64(num_buckets) + bucket
+        uniq, inv = np.unique(key, return_inverse=True)
+        w = np.zeros(len(uniq), np.int64)
+        np.add.at(w, inv, sign)
+        out_doc = (uniq // np.int64(num_buckets)).astype(np.int64)
+        out_bucket = uniq % np.int64(num_buckets)
+        return pa.table({
+            id_col: pa.array(ids[out_doc],
+                             type=tbl.schema.field(id_col).type),
+            bucket_col: pa.array(out_bucket, pa.int64()),
+            weight_col: pa.array(w, pa.int64()),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        featurize, batch_format="pyarrow"
+    )

@@ -1754,6 +1754,19 @@ def q_grouped_auc(sf_dir):
     return _select(out, ["user_id", "auc", "n_pos", "n_neg"])
 
 
+def q_feature_hash(sf_dir):
+    """Hashing-trick featurizer over documents (ops/encode.feature_hash,
+    D=256): sparse (doc, bucket, signed count) triplets, bucket/sign from
+    DuckDB-parity MurmurHash64A (kernels/duckdb_parity.duckdb_hash_varchar)
+    — exact int64, zero shuffle."""
+    from recipys_ray.ops.encode import feature_hash
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return feature_hash(ds, "doc_id", "text", num_buckets=256)
+
+
 def q_target_encode(sf_dir):
     """Smoothed mean-target + frequency encoding of event_type against
     value (ops/encode.target_encode, m=20): one combiner pass fits the
@@ -2470,6 +2483,18 @@ ORACLES: dict[str, str] = {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS BIGINT) AS n_distinct_types
         FROM events
+    """,
+    "feature_hash": r"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                           '\w+')) AS token
+          FROM documents
+        )
+        SELECT doc_id, CAST(hash(token) % 256 AS BIGINT) AS bucket,
+               CAST(sum(CASE WHEN (hash(token) // 256) % 2 = 0
+                             THEN 1 ELSE -1 END) AS BIGINT) AS weight
+        FROM tok GROUP BY doc_id, bucket
     """,
     "grouped_auc": """
         WITH c AS (
@@ -3568,6 +3593,7 @@ QUERIES = {
     "event_transitions": q_event_transitions,
     "cumulative_distinct": q_cumulative_distinct,
     "grouped_auc": q_grouped_auc,
+    "feature_hash": q_feature_hash,
     "pmi_bigrams": q_pmi_bigrams,
     "pca_embeddings": q_pca_embeddings,
     "target_encode": q_target_encode,

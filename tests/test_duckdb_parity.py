@@ -61,6 +61,31 @@ def test_hash_matches_duckdb():
     assert np.array_equal(got, h["h"].to_numpy().astype(np.uint64))
 
 
+def test_varchar_hash_matches_duckdb():
+    import pyarrow as pa
+
+    from recipys_ray.kernels.duckdb_parity import duckdb_hash_varchar
+
+    rng = np.random.default_rng(7)
+    alpha = list("abcdefghijklmnop qrstuvwxyz0123_ÄÖüé漢字")
+    words = ["", "a", "abcdefg", "abcdefgh", "abcdefghi", "x" * 200] + [
+        "".join(rng.choice(alpha, rng.integers(0, 30)))
+        for _ in range(1000)
+    ]
+    con = duckdb.connect()
+    con.register("t", pa.table({"s": pa.array(words)}))
+    exp = con.execute("SELECT hash(s) FROM t").df().iloc[:, 0].to_numpy(
+        np.uint64
+    )
+    got = duckdb_hash_varchar(pa.array(words))
+    assert np.array_equal(got, exp)
+    # large_string, sliced, and null inputs hash identically ('' for null)
+    arr = pa.array(words + [None], pa.large_string()).slice(3)
+    got2 = duckdb_hash_varchar(arr)
+    exp2 = duckdb_hash_varchar(pa.array(words[3:] + [""]))
+    assert np.array_equal(got2, exp2)
+
+
 def test_bit_exact_multi_partition():
     rng = np.random.default_rng(42)
     P, G = 60, 85

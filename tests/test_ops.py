@@ -2822,6 +2822,47 @@ class TestGroupedAuc:
         assert got["auc"].tolist() == [0.0]
 
 
+class TestFeatureHash:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from recipys_ray.ops.encode import feature_hash
+
+        pdf = pd.DataFrame({
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [
+                "the quick brown fox the fox",
+                "Hello, WORLD! hello",
+                None,
+                "",
+                "héllo wörld 漢字 42 foo_bar",
+                "a a a b",
+            ],
+        })
+        got = (
+            feature_hash(rd.from_pandas(pdf), "doc_id", "text",
+                         num_buckets=16)
+            .to_pandas().sort_values(["doc_id", "bucket"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute(r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                               '\w+')) AS token
+              FROM t
+            )
+            SELECT doc_id, CAST(hash(token) % 16 AS BIGINT) AS bucket,
+                   CAST(sum(CASE WHEN (hash(token) // 16) % 2 = 0
+                                 THEN 1 ELSE -1 END) AS BIGINT) AS weight
+            FROM tok GROUP BY doc_id, bucket
+            ORDER BY doc_id, bucket
+        """).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 class TestPmiBigrams:
     def test_matches_duckdb(self, ray_session):
         import duckdb
