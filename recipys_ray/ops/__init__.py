@@ -40,6 +40,7 @@ from recipys_ray.ops.quantiles import (
     exact_quantiles_cont,
     group_quantiles,
     histogram,
+    grouped_robust_zscore,
     robust_zscore,
     winsorize,
 )
@@ -51,6 +52,7 @@ from recipys_ray.ops.editdist import banded_levenshtein, dedup_levenshtein
 from recipys_ray.ops.encode import feature_hash, target_encode
 from recipys_ray.ops.groupstats import (
     cumulative_distinct,
+    grouped_auc,
     grouped_corr,
     grouped_entropy,
     grouped_mode,
@@ -95,7 +97,7 @@ __all__ = [
     "ByteHistogramFeatures", "DecodeImage", "DecodeWav", "SampleFrames",
     "decode_images", "read_webdataset", "extract_json_int", "funnel", "cohort_retention", "pack_sequences", "profile",
     "exact_quantiles", "exact_quantiles_cont", "group_quantiles",
-    "winsorize", "robust_zscore",
+    "winsorize", "robust_zscore", "grouped_robust_zscore",
     "histogram",
     "rollup_aggregate", "add_global_rank", "add_ntile", "value_ranks",
     "banded_levenshtein", "dedup_levenshtein",
@@ -103,7 +105,7 @@ __all__ = [
     "grouped_value_counts", "grouped_mode", "grouped_entropy", "grouped_corr",
     "grouped_regression", "grouped_moments",
     "merge_intervals", "transition_counts", "pmi_bigrams",
-    "cumulative_distinct",
+    "cumulative_distinct", "grouped_auc",
     "fit_pca", "pca_project", "target_encode", "feature_hash",
     "hash_sample", "hash_split",
     "mix_sources", "sample_per_group", "weighted_sample",

@@ -485,3 +485,79 @@ def robust_zscore(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def grouped_robust_zscore(
+    ds,
+    group_cols,
+    value_col: str,
+    id_cols: Sequence[str],
+    k: float = 3.0,
+    score_col: str = "rz",
+    flag_col: str = "is_outlier",
+    num_partitions: int | None = None,
+):
+    """Per-GROUP median/MAD robust z-score + outlier flag — the per-entity
+    twin of :func:`robust_zscore` (per-user telemetry baselines, per-SKU
+    price anomalies): ``rz = (x - med_g) / MAD_g`` with ``MAD_g =
+    median(|x - med_g|)`` inside each group.
+
+    Both medians are ``quantile_disc`` ORDER STATISTICS (pandas
+    ``interpolation='lower'`` ≡ DuckDB ``quantile_disc`` at q=0.5) — no
+    interpolation arithmetic at all, so ``med``/``MAD`` are exact input
+    elements and the remaining float ops (one subtract, one divide, one
+    ``k*MAD`` multiply + compare) are single IEEE doubles any engine
+    reproduces bit-exactly. SQL division semantics: MAD_g = 0 yields a
+    NULL score (DuckDB ``x/0.0`` is NULL, not ±inf) while the flag stays
+    boolean (``|dev| > k*0``); null values and all-null groups yield NULL
+    score AND flag (SQL ``NULL > x``).
+
+    Motion: ONE skinny exchange (group + id + value) on the group key;
+    per partition two vectorized ``groupby().quantile`` C kernels (all
+    groups at once) and a broadcast-free stamp. Output: id_cols +
+    [score_col, flag_col]. Same partitioning contract as every grouped
+    kernel here: one group's rows fit one partition task."""
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    icols = list(id_cols)
+    cols = gcols + icols + [value_col]
+
+    def per_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            out = pd.DataFrame(columns=icols + [score_col, flag_col])
+            return out.astype({score_col: "Float64", flag_col: "boolean"})
+        med = (
+            pdf.groupby(gcols, sort=False, dropna=False)[value_col]
+            .quantile(0.5, interpolation="lower")
+            .rename("__med__")
+        )
+        pdf = pdf.join(med, on=gcols)
+        dev = (
+            pdf[value_col].to_numpy(np.float64)
+            - pdf["__med__"].to_numpy(np.float64)
+        )
+        pdf["__adev__"] = np.abs(dev)
+        mad = (
+            pdf.groupby(gcols, sort=False, dropna=False)["__adev__"]
+            .quantile(0.5, interpolation="lower")
+            .rename("__mad__")
+        )
+        pdf = pdf.join(mad, on=gcols)
+        madv = pdf["__mad__"].to_numpy(np.float64)
+        isnull = np.isnan(dev)  # null value OR all-null group
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rz = dev / madv
+        out = pdf[icols].copy()
+        out[score_col] = pd.arrays.FloatingArray(
+            rz, isnull | (madv == 0.0)
+        )
+        flag = pd.array(np.abs(dev) > k * madv, dtype="boolean")
+        flag[isnull] = None
+        out[flag_col] = flag
+        return out
+
+    return partitioned_groupby_map(
+        ds.select_columns(cols), gcols, per_partition,
+        num_partitions=num_partitions,
+    )

@@ -1767,6 +1767,25 @@ def q_feature_hash(sf_dir):
     return feature_hash(ds, "doc_id", "text", num_buckets=256)
 
 
+def q_grouped_robust(sf_dir):
+    """Per-supplier median/MAD robust z-score of quantity
+    (ops/quantiles.grouped_robust_zscore): both medians are quantile_disc
+    order statistics (no lerp), so every float op is a single IEEE double
+    both engines compute identically; MAD=0 groups yield NULL scores (SQL
+    x/0.0 semantics) with boolean flags."""
+    from recipys_ray.ops.quantiles import grouped_robust_zscore
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_orderkey", "l_linenumber", "l_quantity"],
+    )
+    out = grouped_robust_zscore(
+        ds, "l_suppkey", "l_quantity",
+        ["l_orderkey", "l_linenumber"], k=2.5,
+    )
+    return _select(out, ["l_orderkey", "l_linenumber", "rz", "is_outlier"])
+
+
 def q_target_encode(sf_dir):
     """Smoothed mean-target + frequency encoding of event_type against
     value (ops/encode.target_encode, m=20): one combiner pass fits the
@@ -2483,6 +2502,23 @@ ORACLES: dict[str, str] = {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS BIGINT) AS n_distinct_types
         FROM events
+    """,
+    "grouped_robust": """
+        WITH med AS (
+          SELECT l_suppkey, quantile_disc(l_quantity, 0.5) AS med
+          FROM lineitem GROUP BY l_suppkey
+        ), d AS (
+          SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey,
+                 l.l_quantity - m.med AS dev
+          FROM lineitem l JOIN med m ON l.l_suppkey = m.l_suppkey
+        ), mad AS (
+          SELECT l_suppkey, quantile_disc(abs(dev), 0.5) AS mad
+          FROM d GROUP BY l_suppkey
+        )
+        SELECT d.l_orderkey, d.l_linenumber,
+               d.dev / m2.mad AS rz,
+               abs(d.dev) > 2.5 * m2.mad AS is_outlier
+        FROM d JOIN mad m2 ON d.l_suppkey = m2.l_suppkey
     """,
     "feature_hash": r"""
         WITH tok AS (
@@ -3594,6 +3630,7 @@ QUERIES = {
     "cumulative_distinct": q_cumulative_distinct,
     "grouped_auc": q_grouped_auc,
     "feature_hash": q_feature_hash,
+    "grouped_robust": q_grouped_robust,
     "pmi_bigrams": q_pmi_bigrams,
     "pca_embeddings": q_pca_embeddings,
     "target_encode": q_target_encode,

@@ -2863,6 +2863,56 @@ class TestFeatureHash:
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
+class TestGroupedRobustZscore:
+    def test_matches_duckdb_with_mad_zero_and_nulls(self, ray_session):
+        import duckdb
+
+        from recipys_ray.ops.quantiles import grouped_robust_zscore
+
+        rng = np.random.default_rng(51)
+        n = 500
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 15, n),
+            "i": np.arange(n, dtype=np.int64),
+            "v": np.round(rng.normal(50, 20, n), 2),
+        })
+        pdf.loc[pdf["g"] == 3, "v"] = 7.0      # MAD = 0 group
+        pdf.loc[rng.integers(0, n, 15), "v"] = np.nan
+        pdf.loc[pdf["g"] == 5, "v"] = np.nan   # all-null group
+        got = (
+            grouped_robust_zscore(rd.from_pandas(pdf), "g", "v", ["i"],
+                                  k=2.5)
+            .to_pandas().sort_values("i").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute("""
+            WITH med AS (
+              SELECT g, quantile_disc(v, 0.5) AS med FROM t GROUP BY g
+            ), d AS (
+              SELECT t.i, t.g, t.v - m.med AS dev
+              FROM t JOIN med m ON t.g = m.g
+            ), mad AS (
+              SELECT g, quantile_disc(abs(dev), 0.5) AS mad
+              FROM d GROUP BY g
+            )
+            SELECT d.i, d.dev / m2.mad AS rz,
+                   abs(d.dev) > 2.5 * m2.mad AS is_outlier
+            FROM d JOIN mad m2 ON d.g = m2.g ORDER BY d.i
+        """).df().reset_index(drop=True)
+        gv = got["rz"].astype(float).to_numpy()
+        ev = exp["rz"].astype(float).to_numpy()
+        assert np.all((gv == ev) | (np.isnan(gv) & np.isnan(ev)))
+        gf = got["is_outlier"].to_numpy(object)
+        ef = exp["is_outlier"].to_numpy(object)
+        assert all(
+            (a is None or a is pd.NA or (isinstance(a, float) and np.isnan(a)))
+            == (b is None or (isinstance(b, float) and np.isnan(b)))
+            or bool(a) == bool(b)
+            for a, b in zip(gf, ef)
+        )
+
+
 class TestPmiBigrams:
     def test_matches_duckdb(self, ray_session):
         import duckdb
