@@ -48,7 +48,12 @@ from recipys_ray.ops.rank import add_global_rank, add_ntile, value_ranks
 from recipys_ray.ops.intervals import merge_intervals
 from recipys_ray.ops.pca import fit_pca, pca_project
 from recipys_ray.ops.drift import ks_statistic, population_stability
-from recipys_ray.ops.editdist import banded_levenshtein, dedup_levenshtein
+from recipys_ray.ops.editdist import (
+    banded_levenshtein,
+    dedup_jaro_winkler,
+    dedup_levenshtein,
+    pairwise_jaro_winkler,
+)
 from recipys_ray.ops.encode import feature_hash, target_encode
 from recipys_ray.ops.groupstats import (
     cumulative_distinct,
@@ -101,6 +106,7 @@ __all__ = [
     "histogram",
     "rollup_aggregate", "add_global_rank", "add_ntile", "value_ranks",
     "banded_levenshtein", "dedup_levenshtein",
+    "pairwise_jaro_winkler", "dedup_jaro_winkler",
     "population_stability", "ks_statistic",
     "grouped_value_counts", "grouped_mode", "grouped_entropy", "grouped_corr",
     "grouped_regression", "grouped_moments",

@@ -2100,6 +2100,24 @@ def q_quantile_cont(sf_dir):
     )
 
 
+def q_dedup_jaro_winkler(sf_dir):
+    """Prefix-blocked Jaro-Winkler dedup of part names (ops/editdist.py
+    dedup_jaro_winkler): bit-parallel pair kernel with BIT-parity to
+    DuckDB's jaro_winkler_similarity (fuzz-verified), distinct-string
+    collapse, survivor = no smaller-id same-block row at ≥ 0.9 — the SQL
+    NOT EXISTS stated verbatim by the oracle."""
+    from recipys_ray.ops.editdist import dedup_jaro_winkler
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    )
+    out = dedup_jaro_winkler(
+        ds, id_col="p_partkey", text_col="p_name",
+        threshold=0.9, block_chars=4,
+    )
+    return _select(out, ["p_partkey", "p_name"])
+
+
 def q_dedup_levenshtein(sf_dir):
     """Prefix-blocked Levenshtein dedup of part names (ops/editdist.py):
     distinct-string collapse kills the O(rows²) hot-block blowup, banded
@@ -3555,6 +3573,17 @@ ORACLES: dict[str, str] = {
         UNION ALL
         SELECT 0.9::DOUBLE, quantile_cont(l_quantity, 0.9) FROM lineitem
     """,
+    "dedup_jaro_winkler": """
+        WITH t AS (
+          SELECT p_partkey, p_name, substr(p_name, 1, 4) AS blk FROM part
+        )
+        SELECT p_partkey, p_name FROM t a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM t o
+          WHERE o.blk = a.blk AND o.p_partkey < a.p_partkey
+            AND jaro_winkler_similarity(o.p_name, a.p_name) >= 0.9
+        )
+    """,
     "dedup_levenshtein": """
         WITH t AS (
           SELECT p_partkey, p_name, substr(p_name, 1, 4) AS blk FROM part
@@ -3669,6 +3698,7 @@ QUERIES = {
     "revenue_by_nation": q_revenue_by_nation,
     "rfm_segments": q_rfm_segments,
     "dedup_levenshtein": q_dedup_levenshtein,
+    "dedup_jaro_winkler": q_dedup_jaro_winkler,
     "quantile_cont": q_quantile_cont,
     "grouped_moments": q_grouped_moments,
     "psi_value_drift": q_psi_value_drift,

@@ -3064,6 +3064,81 @@ class TestTargetEncode:
             target_encode(rd.from_pandas(pdf), "c", "v")
 
 
+class TestJaroWinkler:
+    def test_kernel_bit_matches_duckdb(self):
+        import duckdb
+
+        from recipys_ray.ops.editdist import (
+            _byte_matrix,
+            pairwise_jaro_winkler,
+        )
+
+        rng = np.random.default_rng(13)
+        strings = ["", "a", "martha", "marhta", "DWAYNE", "DUANE",
+                   "DIXON", "DICKSONX", "héllo", "hello", "ab", "ba"]
+        for alpha in ["ab", "abcdef"]:
+            strings += [
+                "".join(rng.choice(list(alpha), rng.integers(0, 25)))
+                for _ in range(80)
+            ]
+        mat, lens = _byte_matrix(strings)
+        n = len(strings)
+        ia, ib = np.meshgrid(np.arange(n), np.arange(n))
+        ia, ib = ia.ravel(), ib.ravel()
+        got = pairwise_jaro_winkler(ia, ib, mat, lens)
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame({
+            "a": [strings[i] for i in ia],
+            "b": [strings[j] for j in ib],
+        }))
+        exp = (
+            con.execute("SELECT jaro_winkler_similarity(a, b) FROM t")
+            .df().iloc[:, 0].to_numpy(np.float64)
+        )
+        assert np.array_equal(got, exp)
+
+    def test_dedup_matches_sql_not_exists(self, ray_session):
+        import duckdb
+
+        from recipys_ray.ops.editdist import dedup_jaro_winkler
+
+        rng = np.random.default_rng(14)
+        base = ["red bolt", "red bol", "red bolts", "blue anvil",
+                "blue anvli", "green gear", None, ""]
+        names = [base[i] for i in rng.integers(0, len(base), 300)]
+        pdf = pd.DataFrame({
+            "id": np.arange(300, dtype=np.int64), "s": names
+        })
+        got = (
+            dedup_jaro_winkler(rd.from_pandas(pdf), "id", "s",
+                               threshold=0.9, block_chars=4,
+                               num_partitions=3)
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute("""
+            WITH b AS (SELECT id, s, substr(s, 1, 4) AS blk FROM t)
+            SELECT id, s FROM b a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM b o
+              WHERE o.blk = a.blk AND o.id < a.id
+                AND jaro_winkler_similarity(o.s, a.s) >= 0.9
+            ) ORDER BY id
+        """).df().reset_index(drop=True)
+        got.columns = ["id", "s"]
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_long_string_raises(self, ray_session):
+        from recipys_ray.ops.editdist import dedup_jaro_winkler
+
+        pdf = pd.DataFrame({"id": [1], "s": ["x" * 65]})
+        with pytest.raises(Exception, match="64 bytes"):
+            dedup_jaro_winkler(
+                rd.from_pandas(pdf), "id", "s", num_partitions=1
+            ).to_pandas()
+
+
 class TestEditDistance:
     @staticmethod
     def _oracle(pdf, sql):
