@@ -75,6 +75,7 @@ from recipys_ray.ops.sampling import (
     hash_split,
     mix_sources,
     sample_per_group,
+    time_split,
 )
 from recipys_ray.ops.semdedup import semantic_dedup
 from recipys_ray.ops.similarity import knn_brute_force, knn_ivf
@@ -114,7 +115,7 @@ __all__ = [
     "cumulative_distinct", "grouped_auc",
     "fit_pca", "pca_project", "target_encode", "feature_hash",
     "hash_sample", "hash_split",
-    "mix_sources", "sample_per_group", "weighted_sample",
+    "mix_sources", "sample_per_group", "weighted_sample", "time_split",
     "pivot", "melt", "group_concat", "frequent_items", "semantic_dedup", "knn_brute_force",
     "knn_ivf", "duplicate_spans", "RepetitionStats", "TextFeaturizer",
     "build_vocab", "normalize_text", "redact_pii", "text_features",

@@ -178,3 +178,70 @@ def weighted_sample(ds, key_col: str, weight_col: str, k: int):
     return partials.repartition(1).map_batches(
         finish, batch_format="pyarrow", batch_size=None
     )
+
+
+def time_split(
+    ds,
+    ts_col: str,
+    train_frac: float = 0.8,
+    label_col: str = "split",
+    labels: tuple[str, str] = ("train", "test"),
+    bins: int = 1024,
+):
+    """Leakage-free TEMPORAL train/test split: the cutoff is the exact
+    ``quantile_disc(ts, train_frac)`` order statistic, rows with
+    ``ts <= cutoff`` are labelled ``labels[0]``, later rows ``labels[1]``
+    (null timestamps label as test — SQL ``ts <= x`` is NULL-false). The
+    standard protocol for evaluating on the future rather than a random
+    shuffle (which leaks future behavior into training).
+
+    Exactness: the quantile runs on the int64 epoch-MICROSECOND view of
+    the column via :func:`~recipys_ray.ops.quantiles.exact_quantiles`
+    (iterative counting selection, no sort); epoch-us values for any
+    plausible date are < 2^53 so the float brackets represent them
+    exactly, and the final comparison is integer-exact. One stats pass +
+    a few skinny counting rounds + one streaming stamp — the corpus
+    never shuffles."""
+    import pyarrow.compute as pc
+
+    from recipys_ray.ops.quantiles import exact_quantiles
+
+    from recipys_ray.kernels.grouped import _lazy_size_bytes
+
+    if not 0.0 < float(train_frac) < 1.0:
+        raise ValueError(f"train_frac must be in (0, 1), got {train_frac}")
+
+    # multi-pass (quantile rounds + stamp): pin DERIVED inputs once, let
+    # pure parquet reads re-stream (standard policy, ROUND5_NOTES.md)
+    if _lazy_size_bytes(ds) is None:
+        ds = ds.materialize()
+
+    def as_epoch(tbl: pa.Table) -> pa.Table:
+        arr = tbl.column(ts_col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        us = pc.cast(pc.cast(arr, pa.timestamp("us")), pa.int64())
+        return pa.table({"__epoch_us__": us})
+
+    cut = exact_quantiles(
+        ds.map_batches(as_epoch, batch_format="pyarrow"),
+        "__epoch_us__", qs=[float(train_frac)], bins=bins, pin=False,
+    )["value"].iloc[0]
+    if np.isnan(cut):
+        raise ValueError(f"time_split: column {ts_col!r} is all null")
+    cutoff = int(cut)
+
+    def stamp(tbl: pa.Table) -> pa.Table:
+        arr = tbl.column(ts_col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        us = pc.cast(pc.cast(arr, pa.timestamp("us")), pa.int64())
+        is_train = pc.and_kleene(
+            pc.is_valid(us), pc.less_equal(us, pa.scalar(cutoff))
+        )
+        lab = pc.if_else(
+            pc.fill_null(is_train, False), labels[0], labels[1]
+        )
+        return tbl.append_column(label_col, lab)
+
+    return ds.map_batches(stamp, batch_format="pyarrow")

@@ -1786,6 +1786,19 @@ def q_grouped_robust(sf_dir):
     return _select(out, ["l_orderkey", "l_linenumber", "rz", "is_outlier"])
 
 
+def q_time_split(sf_dir):
+    """Leakage-free temporal train/test split at the exact
+    quantile_disc(ts, 0.8) cutoff (ops/sampling.time_split): counting
+    selection on the int64 epoch-us view, integer-exact comparison, one
+    streaming stamp."""
+    from recipys_ray.ops.sampling import time_split
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts"]
+    )
+    return _select(time_split(ds, "ts", 0.8), ["event_id", "split"])
+
+
 def q_target_encode(sf_dir):
     """Smoothed mean-target + frequency encoding of event_type against
     value (ops/encode.target_encode, m=20): one combiner pass fits the
@@ -2519,6 +2532,12 @@ ORACLES: dict[str, str] = {
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS BIGINT) AS n_distinct_types
+        FROM events
+    """,
+    "time_split": """
+        SELECT event_id,
+               CASE WHEN ts <= (SELECT quantile_disc(ts, 0.8) FROM events)
+                    THEN 'train' ELSE 'test' END AS split
         FROM events
     """,
     "grouped_robust": """
@@ -3660,6 +3679,7 @@ QUERIES = {
     "grouped_auc": q_grouped_auc,
     "feature_hash": q_feature_hash,
     "grouped_robust": q_grouped_robust,
+    "time_split": q_time_split,
     "pmi_bigrams": q_pmi_bigrams,
     "pca_embeddings": q_pca_embeddings,
     "target_encode": q_target_encode,

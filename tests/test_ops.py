@@ -2913,6 +2913,42 @@ class TestGroupedRobustZscore:
         )
 
 
+class TestTimeSplit:
+    def test_matches_duckdb_quantile_disc(self, ray_session):
+        import duckdb
+
+        from recipys_ray.ops.sampling import time_split
+
+        rng = np.random.default_rng(53)
+        ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+            rng.integers(0, 10**9, 500), unit="us"
+        )
+        pdf = pd.DataFrame({"i": np.arange(500, dtype=np.int64), "ts": ts})
+        pdf.loc[rng.integers(0, 500, 5), "ts"] = pd.NaT
+        got = (
+            time_split(rd.from_pandas(pdf), "ts", 0.75)
+            .to_pandas().sort_values("i").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute("""
+            SELECT i, CASE WHEN ts <= (SELECT quantile_disc(ts, 0.75)
+                                       FROM t)
+                           THEN 'train' ELSE 'test' END AS split
+            FROM t ORDER BY i
+        """).df().reset_index(drop=True)
+        assert got["split"].tolist() == exp["split"].tolist()
+        # ceil(0.75 * 495 non-null) = 372 train rows (unique timestamps)
+        assert (got["split"] == "train").sum() == 372
+
+    def test_bad_frac_raises(self, ray_session):
+        from recipys_ray.ops.sampling import time_split
+
+        pdf = pd.DataFrame({"ts": pd.to_datetime(["2024-01-01"])})
+        with pytest.raises(ValueError, match="train_frac"):
+            time_split(rd.from_pandas(pdf), "ts", 1.0)
+
+
 class TestPmiBigrams:
     def test_matches_duckdb(self, ray_session):
         import duckdb
