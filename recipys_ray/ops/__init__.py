@@ -67,7 +67,7 @@ from recipys_ray.ops.groupstats import (
     transition_counts,
 )
 from recipys_ray.ops.rollup import rollup_aggregate
-from recipys_ray.ops.frequent import frequent_items
+from recipys_ray.ops.frequent import cms_counts, frequent_items
 from recipys_ray.ops.reshape import group_concat, melt, pivot
 from recipys_ray.ops.sampling import (
     hash_sample,
@@ -116,7 +116,7 @@ __all__ = [
     "fit_pca", "pca_project", "target_encode", "feature_hash",
     "hash_sample", "hash_split",
     "mix_sources", "sample_per_group", "weighted_sample", "time_split",
-    "pivot", "melt", "group_concat", "frequent_items", "semantic_dedup", "knn_brute_force",
+    "pivot", "melt", "group_concat", "frequent_items", "cms_counts", "semantic_dedup", "knn_brute_force",
     "knn_ivf", "duplicate_spans", "RepetitionStats", "TextFeaturizer",
     "build_vocab", "normalize_text", "redact_pii", "text_features",
     "tfidf_top_terms", "unigram_lm_score", "top_k_per_group",

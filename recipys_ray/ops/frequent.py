@@ -115,3 +115,85 @@ def frequent_items(
                         kind="stable")
         .reset_index(drop=True)
     )
+
+
+_CMS_SEED_STRIDE = 1099511628211  # FNV-ish odd stride: distinct row seeds
+
+
+def cms_counts(
+    ds,
+    col: str,
+    items,
+    width: int = 512,
+    depth: int = 4,
+    est_col: str = "est",
+) -> pd.DataFrame:
+    """Count-min sketch point estimates (Cormode-Muthukrishnan 2005) for
+    the given query ``items`` over an integer column — the mergeable
+    approximate-counting scale path beside :func:`frequent_items`'s exact
+    plan: at 100 TB the whole pass moves only a ``depth × width`` int64
+    grid per block, merged by elementwise ADDITION (associative and
+    integer-exact, so the sketch — and every estimate — is bit-identical
+    under any block layout, partition count or merge order; no golden
+    file needed).
+
+    Row j hashes ``v`` with DuckDB-parity ``murmurhash64(v XOR
+    j·stride) % width``; the estimate is ``min_j grid[j][h_j(v)]`` —
+    ≥ the true count always, ≤ true + εN w.h.p. (ε ≈ e/width). The whole
+    construction is SQL-expressible (GROUP BY over the same hash), so the
+    driver oracle states it verbatim.
+
+    Null values are not counted and null items not estimated (SQL
+    aggregate/join semantics). Returns a driver-bounded pandas DataFrame
+    (col, est_col), one row per distinct non-null query item, est int64.
+    """
+    from recipys_ray.kernels.duckdb_parity import murmurhash64
+
+    w = int(width)
+    d = int(depth)
+    if w <= 0 or d <= 0:
+        raise ValueError(f"width/depth must be positive, got {width}/{depth}")
+    seeds = (np.arange(d, dtype=np.int64) * np.int64(_CMS_SEED_STRIDE))
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        arr = tbl.column(col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        vals = arr.drop_null().to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        grid = np.zeros((d, w), np.int64)
+        for j in range(d):
+            b = (murmurhash64(vals ^ seeds[j]) % np.uint64(w)).astype(
+                np.int64
+            )
+            np.add.at(grid[j], b, 1)
+        jj, bb = np.nonzero(grid)
+        return pa.table({
+            "j": pa.array(jj.astype(np.int64), pa.int64()),
+            "b": pa.array(bb.astype(np.int64), pa.int64()),
+            "cnt": pa.array(grid[jj, bb], pa.int64()),
+        })
+
+    parts = (
+        ds.select_columns([col])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()  # driver-bounded: ≤ depth·width rows per block
+    )
+    grid = np.zeros((d, w), np.int64)
+    if len(parts):
+        np.add.at(
+            grid,
+            (parts["j"].to_numpy(np.int64), parts["b"].to_numpy(np.int64)),
+            parts["cnt"].to_numpy(np.int64),
+        )
+    q = np.asarray(
+        [x for x in items if x is not None], np.int64
+    )
+    est = np.full(len(q), np.iinfo(np.int64).max, np.int64)
+    for j in range(d):
+        b = (murmurhash64(q ^ seeds[j]) % np.uint64(w)).astype(np.int64)
+        np.minimum(est, grid[j, b], out=est)
+    return pd.DataFrame({col: q, est_col: est})

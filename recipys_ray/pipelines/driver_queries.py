@@ -1786,6 +1786,21 @@ def q_grouped_robust(sf_dir):
     return _select(out, ["l_orderkey", "l_linenumber", "rz", "is_outlier"])
 
 
+def q_cms_counts(sf_dir):
+    """Count-min sketch per-user event-count estimates for users 0..49
+    (ops/frequent.cms_counts, 4×512): mergeable int64 grid partials, hash
+    rows via DuckDB-parity murmurhash64(v XOR j·stride) — integer-exact
+    and layout-invariant, so the SQL oracle states the construction
+    verbatim."""
+    from recipys_ray.ops.frequent import cms_counts
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    )
+    out = cms_counts(ds, "user_id", list(range(50)), width=512, depth=4)
+    return out  # driver-bounded pandas DataFrame (user_id, est)
+
+
 def q_time_split(sf_dir):
     """Leakage-free temporal train/test split at the exact
     quantile_disc(ts, 0.8) cutoff (ops/sampling.time_split): counting
@@ -2533,6 +2548,22 @@ ORACLES: dict[str, str] = {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS BIGINT) AS n_distinct_types
         FROM events
+    """,
+    "cms_counts": """
+        WITH seeds AS (SELECT unnest(range(0, 4)) AS j),
+        buckets AS (
+          SELECT s.j, hash(xor(e.user_id, s.j * 1099511628211)) % 512 AS b,
+                 CAST(count(*) AS BIGINT) AS tot
+          FROM events e CROSS JOIN seeds s GROUP BY s.j, b
+        ),
+        q AS (SELECT unnest(range(0, 50)) AS user_id)
+        SELECT q.user_id, CAST(min(bk.tot) AS BIGINT) AS est
+        FROM q
+        JOIN seeds s ON true
+        JOIN buckets bk
+          ON bk.j = s.j
+         AND bk.b = hash(xor(q.user_id, s.j * 1099511628211)) % 512
+        GROUP BY q.user_id
     """,
     "time_split": """
         SELECT event_id,
@@ -3680,6 +3711,7 @@ QUERIES = {
     "feature_hash": q_feature_hash,
     "grouped_robust": q_grouped_robust,
     "time_split": q_time_split,
+    "cms_counts": q_cms_counts,
     "pmi_bigrams": q_pmi_bigrams,
     "pca_embeddings": q_pca_embeddings,
     "target_encode": q_target_encode,

@@ -2913,6 +2913,58 @@ class TestGroupedRobustZscore:
         )
 
 
+class TestCmsCounts:
+    def test_matches_sql_and_bounds(self, ray_session):
+        import duckdb
+
+        from recipys_ray.ops.frequent import cms_counts
+
+        rng = np.random.default_rng(57)
+        pdf = pd.DataFrame({
+            "u": (rng.zipf(1.5, 3000) % 80).astype(np.int64)
+        })
+        items = list(range(30))
+        got = (
+            cms_counts(rd.from_pandas(pdf).repartition(7), "u", items,
+                       width=64, depth=3)
+            .sort_values("u").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute("""
+            WITH seeds AS (SELECT unnest(range(0, 3)) AS j),
+            buckets AS (
+              SELECT s.j, hash(xor(t.u, s.j * 1099511628211)) % 64 AS b,
+                     CAST(count(*) AS BIGINT) AS tot
+              FROM t CROSS JOIN seeds s GROUP BY s.j, b
+            ),
+            q AS (SELECT unnest(range(0, 30)) AS u)
+            SELECT q.u, CAST(min(bk.tot) AS BIGINT) AS est
+            FROM q JOIN seeds s ON true
+            JOIN buckets bk
+              ON bk.j = s.j
+             AND bk.b = hash(xor(q.u, s.j * 1099511628211)) % 64
+            GROUP BY q.u ORDER BY q.u
+        """).df().reset_index(drop=True)
+        assert got["est"].tolist() == exp["est"].tolist()
+        # CMS never underestimates
+        true = pdf["u"].value_counts()
+        for u, e in zip(got["u"], got["est"]):
+            assert e >= true.get(u, 0)
+
+    def test_partition_invariance(self, ray_session):
+        from recipys_ray.ops.frequent import cms_counts
+
+        rng = np.random.default_rng(58)
+        pdf = pd.DataFrame({"u": rng.integers(0, 40, 500)})
+        outs = [
+            cms_counts(rd.from_pandas(pdf).repartition(np_), "u",
+                       list(range(10)), width=32, depth=2)
+            for np_ in (1, 9)
+        ]
+        assert outs[0]["est"].tolist() == outs[1]["est"].tolist()
+
+
 class TestTimeSplit:
     def test_matches_duckdb_quantile_disc(self, ray_session):
         import duckdb
