@@ -1786,6 +1786,46 @@ def q_grouped_robust(sf_dir):
     return _select(out, ["l_orderkey", "l_linenumber", "rz", "is_outlier"])
 
 
+def q_interarrival(sf_dir):
+    """Per-user inter-arrival gap features (n/avg/max/p50 of the µs gap
+    between consecutive events) — the response-latency feature family for
+    transcript/behavioral data. ONE skinny exchange on user_id; gaps are
+    exact int64 µs so max/p50 (quantile_disc) are integers and avg is one
+    IEEE division of exact ints."""
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id"],
+    )
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"], kind="stable",
+                              ignore_index=True)
+        us = pdf["ts"].astype("datetime64[us]").astype(np.int64)
+        prev = np.roll(us, 1)
+        first = ~pdf["user_id"].duplicated().to_numpy()
+        # rows are grouped after the sort, so the previous row is the
+        # predecessor within the user except at each user's first row
+        gap = us - prev
+        g = pd.DataFrame({"user_id": pdf["user_id"], "gap": gap})[~first]
+        grp = g.groupby("user_id", sort=False)["gap"]
+        out = grp.agg(n_gaps="size", sum_gap="sum", max_gap_us="max")
+        # one vectorized quantile C kernel across ALL groups, never a
+        # per-group Python lambda
+        out["p50_gap_us"] = grp.quantile(
+            0.5, interpolation="lower"
+        ).astype(np.int64)
+        out = out.reset_index()
+        out["avg_gap_us"] = out["sum_gap"].to_numpy(
+            np.float64
+        ) / out["n_gaps"].to_numpy(np.float64)
+        return out[["user_id", "n_gaps", "avg_gap_us", "max_gap_us",
+                    "p50_gap_us"]]
+
+    return partitioned_groupby_map(ds, ["user_id"], agg)
+
+
 def q_cms_counts(sf_dir):
     """Count-min sketch per-user event-count estimates for users 0..49
     (ops/frequent.cms_counts, 4×512): mergeable int64 grid partials, hash
@@ -2548,6 +2588,21 @@ ORACLES: dict[str, str] = {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS BIGINT) AS n_distinct_types
         FROM events
+    """,
+    "interarrival": """
+        WITH g AS (
+          SELECT user_id,
+                 epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS gap
+          FROM events
+        )
+        SELECT user_id, CAST(count(gap) AS BIGINT) AS n_gaps,
+               CAST(sum(gap) AS DOUBLE) / CAST(count(gap) AS DOUBLE)
+                   AS avg_gap_us,
+               CAST(max(gap) AS BIGINT) AS max_gap_us,
+               CAST(quantile_disc(gap, 0.5) AS BIGINT) AS p50_gap_us
+        FROM g WHERE gap IS NOT NULL GROUP BY user_id
     """,
     "cms_counts": """
         WITH seeds AS (SELECT unnest(range(0, 4)) AS j),
@@ -3712,6 +3767,7 @@ QUERIES = {
     "grouped_robust": q_grouped_robust,
     "time_split": q_time_split,
     "cms_counts": q_cms_counts,
+    "interarrival": q_interarrival,
     "pmi_bigrams": q_pmi_bigrams,
     "pca_embeddings": q_pca_embeddings,
     "target_encode": q_target_encode,

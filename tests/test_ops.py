@@ -2965,6 +2965,39 @@ class TestCmsCounts:
         assert outs[0]["est"].tolist() == outs[1]["est"].tolist()
 
 
+class TestInterarrival:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from recipys_ray.pipelines.driver_queries import q_interarrival
+
+        # exercised through the query composition over real testdata
+        got = (
+            q_interarrival("/root/testdata/sf0.001")
+            .to_pandas().sort_values("user_id").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        exp = con.execute("""
+            WITH g AS (
+              SELECT user_id,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS gap
+              FROM read_parquet('/root/testdata/sf0.001/events.parquet')
+            )
+            SELECT user_id, CAST(count(gap) AS BIGINT) AS n_gaps,
+                   CAST(sum(gap) AS DOUBLE) / CAST(count(gap) AS DOUBLE)
+                       AS avg_gap_us,
+                   CAST(max(gap) AS BIGINT) AS max_gap_us,
+                   CAST(quantile_disc(gap, 0.5) AS BIGINT) AS p50_gap_us
+            FROM g WHERE gap IS NOT NULL GROUP BY user_id
+            ORDER BY user_id
+        """).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[exp.columns.tolist()], exp, check_dtype=False
+        )
+
+
 class TestTimeSplit:
     def test_matches_duckdb_quantile_disc(self, ray_session):
         import duckdb
