@@ -53,6 +53,7 @@ from recipys_ray.ops.editdist import (
     dedup_jaro_winkler,
     dedup_levenshtein,
     pairwise_jaro_winkler,
+    sorted_neighborhood_dedup,
 )
 from recipys_ray.ops.encode import feature_hash, target_encode
 from recipys_ray.ops.groupstats import (
@@ -108,6 +109,7 @@ __all__ = [
     "rollup_aggregate", "add_global_rank", "add_ntile", "value_ranks",
     "banded_levenshtein", "dedup_levenshtein",
     "pairwise_jaro_winkler", "dedup_jaro_winkler",
+    "sorted_neighborhood_dedup",
     "population_stability", "ks_statistic",
     "grouped_value_counts", "grouped_mode", "grouped_entropy", "grouped_corr",
     "grouped_regression", "grouped_moments",

@@ -480,3 +480,175 @@ def dedup_jaro_winkler(
     return partitioned_groupby_map(
         stamped, [blk], survivors, num_partitions=num_partitions
     ).select_columns([id_col, text_col])
+
+
+# --------------------------------------------------------------------- #
+# sorted-neighborhood dedup (Hernández-Stolfo 1995)
+# --------------------------------------------------------------------- #
+def sorted_neighborhood_dedup(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key_col: str | None = None,
+    window: int = 10,
+    threshold: float = 0.9,
+    num_partitions: int | None = None,
+    sample_per_block: int = 256,
+    seed: int = 11,
+):
+    """Sorted-neighborhood dedup: order all rows by ``(key, id)``, compare
+    each row against its ``window - 1`` predecessors with the bit-parallel
+    Jaro-Winkler kernel, keep rows with NO predecessor at
+    ``similarity ≥ threshold``. The second classic blocking strategy next
+    to prefix blocking (:func:`dedup_jaro_winkler`): a sliding window over
+    one global sort catches near-dups whose prefixes differ ("cheap usb
+    cable" / "usb cable cheap" sort apart under prefix blocks but a keyed
+    sort — e.g. on a normalized/phonetic key — brings them adjacent), and
+    total work is O(n·window) — no block can go quadratic, so identical
+    hot values cost nothing extra.
+
+    Distribution shape (the part worth copying): a sampled-bounds range
+    stamp makes contiguous sort ranges; the window needs each range to
+    see the LAST ``window-1`` rows of its predecessor, which are found
+    WITHOUT an extra shuffle — every block streams out its per-range tail
+    candidates (≤ window-1 per range per block, skinny), the driver folds
+    them into true per-range carries (chained across empty ranges), and
+    the single payload shuffle then sorts each range with its broadcast
+    carry prepended. Exactly ONE all-to-all over (id, key, text).
+
+    Ordering is DuckDB-binary (codepoint) ``ORDER BY key, id NULLS
+    LAST``-compatible: null keys never enter the sequence (their rows all
+    survive, SQL NULL semantics). The oracle states the same semantics
+    verbatim via ``row_number()`` + NOT EXISTS over the rank window.
+    Texts must be ≤ 64 bytes (kernel contract)."""
+    import ray
+
+    from recipys_ray.kernels.grouped import _lazy_size_bytes, choose_partitions
+    from recipys_ray.ops.dedup import partitioned_groupby_map  # noqa: F401
+
+    key_col = key_col or text_col
+    w = int(window)
+    if w < 2:
+        raise ValueError(f"window must be ≥ 2, got {window}")
+    thr = float(threshold)
+    if not 0.0 < thr <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {thr}")
+    carry_n = w - 1
+    cols = [id_col, text_col] if key_col == text_col else [
+        id_col, text_col, key_col
+    ]
+    proj = ds.select_columns(cols)
+    # three passes (bounds sample, tails, shuffle): pin derived inputs
+    if _lazy_size_bytes(proj) is None:
+        proj = proj.materialize()
+    if num_partitions is None:
+        num_partitions = choose_partitions(proj, hi=65_536)
+
+    # ---- pass 1: sampled string bounds (positional quantiles) -------- #
+    def sample(tbl: pa.Table) -> pa.Table:
+        v = tbl.column(key_col).drop_null()
+        if len(v) > sample_per_block:
+            rng = np.random.default_rng(seed + len(v))
+            idx = rng.choice(len(v), size=sample_per_block, replace=False)
+            v = v.take(pa.array(np.sort(idx)))
+        return pa.table({"v": v})
+
+    pool = np.sort(
+        proj.select_columns([key_col])
+        .map_batches(sample, batch_format="pyarrow")
+        .to_pandas()["v"]
+        .to_numpy(object)
+    )
+    if len(pool):
+        pos = np.linspace(0, len(pool) - 1,
+                          num_partitions + 1)[1:-1].astype(np.int64)
+        bounds = np.unique(pool[pos])
+    else:
+        bounds = np.array([], object)
+
+    def range_of(keys: np.ndarray) -> np.ndarray:
+        if len(bounds) == 0:
+            return np.zeros(len(keys), np.int32)
+        return np.searchsorted(bounds, keys, side="right").astype(np.int32)
+
+    # ---- pass 2: per-block tail candidates → true per-range carries -- #
+    def tails(tbl: pa.Table) -> pa.Table:
+        pdf = tbl.select(cols).to_pandas()
+        pdf = pdf[pdf[key_col].notna()]
+        if not len(pdf):
+            return pa.table({c: pa.array([], tbl.schema.field(c).type)
+                             for c in cols} | {"__rng__": pa.array([],
+                                                                   pa.int32())})
+        pdf["__rng__"] = range_of(pdf[key_col].to_numpy(object))
+        pdf = pdf.sort_values(["__rng__", key_col, id_col], kind="stable")
+        tail = pdf.groupby("__rng__", sort=False).tail(carry_n)
+        return pa.Table.from_pandas(tail, preserve_index=False)
+
+    cand = (
+        proj.map_batches(tails, batch_format="pyarrow").to_pandas()
+    )  # ≤ blocks × ranges × (window-1) skinny rows — driver-bounded
+    carries: dict[int, pd.DataFrame] = {}
+    run = cand.iloc[0:0]
+    if len(cand):
+        cand = cand.sort_values(["__rng__", key_col, id_col],
+                                kind="stable")
+    for rid in range(num_partitions):
+        carries[rid] = run.copy()
+        own = cand[cand["__rng__"] == rid] if len(cand) else cand
+        run = pd.concat([run, own]).sort_values(
+            [key_col, id_col], kind="stable"
+        ).tail(carry_n)
+    carry_ref = ray.put(carries)
+
+    # ---- pass 3: ONE payload shuffle + windowed compare -------------- #
+    def stamp(tbl: pa.Table) -> pa.Table:
+        keys = tbl.column(key_col).to_numpy(zero_copy_only=False)
+        isn = pd.isna(keys)
+        r = range_of(np.where(isn, "", keys))
+        r = np.where(isn, np.int32(-1), r)  # nulls: no compare, survive
+        return tbl.append_column("__rng__", pa.array(r, pa.int32()))
+
+    def survivors(pdf: pd.DataFrame) -> pd.DataFrame:
+        rid = int(pdf["__rng__"].iloc[0])
+        pdf = pdf.drop(columns="__rng__")
+        if rid < 0:  # null-key rows all survive
+            return pdf[[id_col, text_col]]
+        carry = ray.get(carry_ref).get(rid, pdf.iloc[0:0])
+        if len(carry):
+            carry = carry[cols]
+        pdf = pdf.sort_values([key_col, id_col], kind="stable",
+                              ignore_index=True)
+        nc = len(carry)
+        texts = (
+            pd.concat([carry[text_col], pdf[text_col]], ignore_index=True)
+            .fillna("")
+            .tolist()
+        )
+        mat, lens = _byte_matrix(texts)
+        if lens.max(initial=0) > _JW_MAXLEN:
+            raise ValueError(
+                f"sorted_neighborhood_dedup: a text exceeds {_JW_MAXLEN} "
+                f"bytes; the bit-parallel kernel is for short entity "
+                f"strings"
+            )
+        m = len(texts)
+        dup = np.zeros(m, bool)
+        pm = _pm_table(mat, lens)
+        for off in range(1, min(w, m)):
+            ib = np.arange(m - off)       # predecessor
+            ia = ib + off                 # target
+            own = ia >= nc                # only own rows can be killed
+            ia, ib = ia[own], ib[own]
+            if not len(ia):
+                continue
+            sims = pairwise_jaro_winkler(ia, ib, mat, lens, pm=pm)
+            dup[ia[sims >= thr]] = True
+        keep = ~dup[nc:]
+        return pdf[keep][[id_col, text_col]]
+
+    out = (
+        proj.map_batches(stamp, batch_format="pyarrow")
+        .groupby("__rng__")
+        .map_groups(survivors, batch_format="pandas")
+    )
+    return out.select_columns([id_col, text_col])

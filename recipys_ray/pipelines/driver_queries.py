@@ -2186,6 +2186,24 @@ def q_dedup_jaro_winkler(sf_dir):
     return _select(out, ["p_partkey", "p_name"])
 
 
+def q_dedup_sorted_neighborhood(sf_dir):
+    """Sorted-neighborhood dedup of part names (ops/editdist.py
+    sorted_neighborhood_dedup, window 8, JW ≥ 0.9): one global (name, id)
+    sort split into sampled ranges with driver-folded boundary carries —
+    ONE payload shuffle, O(n·window) comparisons, no quadratic blocks.
+    Oracle: row_number() + NOT EXISTS over the rank window, verbatim."""
+    from recipys_ray.ops.editdist import sorted_neighborhood_dedup
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    )
+    out = sorted_neighborhood_dedup(
+        ds, id_col="p_partkey", text_col="p_name",
+        window=8, threshold=0.9,
+    )
+    return _select(out, ["p_partkey", "p_name"])
+
+
 def q_dedup_levenshtein(sf_dir):
     """Prefix-blocked Levenshtein dedup of part names (ops/editdist.py):
     distinct-string collapse kills the O(rows²) hot-block blowup, banded
@@ -3678,6 +3696,21 @@ ORACLES: dict[str, str] = {
         UNION ALL
         SELECT 0.9::DOUBLE, quantile_cont(l_quantity, 0.9) FROM lineitem
     """,
+    "dedup_sorted_neighborhood": """
+        WITH r AS (
+          SELECT p_partkey, p_name,
+                 row_number() OVER (ORDER BY p_name, p_partkey) AS rn
+          FROM part WHERE p_name IS NOT NULL
+        )
+        SELECT p_partkey, p_name FROM r a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM r o
+          WHERE o.rn BETWEEN a.rn - 7 AND a.rn - 1
+            AND jaro_winkler_similarity(o.p_name, a.p_name) >= 0.9
+        )
+        UNION ALL
+        SELECT p_partkey, p_name FROM part WHERE p_name IS NULL
+    """,
     "dedup_jaro_winkler": """
         WITH t AS (
           SELECT p_partkey, p_name, substr(p_name, 1, 4) AS blk FROM part
@@ -3807,6 +3840,7 @@ QUERIES = {
     "rfm_segments": q_rfm_segments,
     "dedup_levenshtein": q_dedup_levenshtein,
     "dedup_jaro_winkler": q_dedup_jaro_winkler,
+    "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
     "quantile_cont": q_quantile_cont,
     "grouped_moments": q_grouped_moments,
     "psi_value_drift": q_psi_value_drift,

@@ -3260,6 +3260,62 @@ class TestJaroWinkler:
             ).to_pandas()
 
 
+class TestSortedNeighborhood:
+    SQL = """
+        WITH r AS (
+          SELECT id, s, row_number() OVER (ORDER BY s, id) AS rn
+          FROM t WHERE s IS NOT NULL
+        )
+        SELECT id, s FROM r a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM r o
+          WHERE o.rn BETWEEN a.rn - {W} AND a.rn - 1
+            AND jaro_winkler_similarity(o.s, a.s) >= {T}
+        )
+        UNION ALL SELECT id, s FROM t WHERE s IS NULL
+        ORDER BY id
+    """
+
+    def _run(self, pdf, window, thr, nparts):
+        import duckdb
+
+        from recipys_ray.ops.editdist import sorted_neighborhood_dedup
+
+        got = (
+            sorted_neighborhood_dedup(
+                rd.from_pandas(pdf).repartition(5), "id", "s",
+                window=window, threshold=thr, num_partitions=nparts,
+            )
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute(
+            self.SQL.format(W=window - 1, T=thr)
+        ).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_matches_sql_window_not_exists(self, ray_session):
+        rng = np.random.default_rng(61)
+        base = ["red bolt", "red bol", "red bolts", "blue anvil",
+                "blue anvli", "green gear", "usb cable cheap",
+                "usb cable chea", None, ""]
+        pdf = pd.DataFrame({
+            "id": np.arange(400, dtype=np.int64),
+            "s": [base[i] for i in rng.integers(0, len(base), 400)],
+        })
+        self._run(pdf, window=6, thr=0.9, nparts=4)
+
+    def test_carry_across_many_partitions(self, ray_session):
+        # every row near-identical: the window spans every partition
+        # boundary, so survivors are wrong unless carries chain correctly
+        pdf = pd.DataFrame({
+            "id": np.arange(60, dtype=np.int64),
+            "s": [f"prefix {i:03d}" for i in range(60)],
+        })
+        self._run(pdf, window=4, thr=0.85, nparts=12)
+
+
 class TestEditDistance:
     @staticmethod
     def _oracle(pdf, sql):
