@@ -47,7 +47,11 @@ from recipys_ray.ops.quantiles import (
 from recipys_ray.ops.rank import add_global_rank, add_ntile, value_ranks
 from recipys_ray.ops.intervals import merge_intervals
 from recipys_ray.ops.pca import fit_pca, pca_project
-from recipys_ray.ops.drift import ks_statistic, population_stability
+from recipys_ray.ops.drift import (
+    ks_statistic,
+    population_stability,
+    segment_psi,
+)
 from recipys_ray.ops.editdist import (
     banded_levenshtein,
     dedup_jaro_winkler,
@@ -110,7 +114,7 @@ __all__ = [
     "banded_levenshtein", "dedup_levenshtein",
     "pairwise_jaro_winkler", "dedup_jaro_winkler",
     "sorted_neighborhood_dedup",
-    "population_stability", "ks_statistic",
+    "population_stability", "ks_statistic", "segment_psi",
     "grouped_value_counts", "grouped_mode", "grouped_entropy", "grouped_corr",
     "grouped_regression", "grouped_moments",
     "merge_intervals", "transition_counts", "pmi_bigrams",

@@ -134,3 +134,97 @@ def ks_statistic(
         - cum_b.astype(np.float64) / np.float64(tot_b)
     )
     return pd.DataFrame({"ks": [float(d.max())]})
+
+
+def segment_psi(
+    ds,
+    segment_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    nbins: int = 25,
+    driver_cap: int = 1_000_000,
+) -> pd.DataFrame:
+    """Per-SEGMENT Population Stability Index terms against the GLOBAL
+    distribution — "which source / shard / day drifted from the corpus
+    baseline", the fan-out monitoring twin of
+    :func:`population_stability`. For each segment s and histogram bucket
+    b non-empty in BOTH the segment and the corpus:
+
+        psi_term(s, b) = (p_s(b) − p(b)) · ln(p_s(b) / p(b))
+
+    Per-(segment, bucket) TERMS are returned rather than per-segment sums
+    — every term is a closed form over exact int64 counts (same 1-ulp
+    libm ``ln`` class as the global PSI), while a per-segment Σ would
+    hang bit-equality on summation order. ``Σ terms per segment`` is the
+    segment's PSI; a segment identical to the corpus scores ~0.
+
+    Motion: ONE streaming pass emits per-block (segment, bucket, cnt)
+    bincount partials (vectorized across all segments via one composite
+    groupby); the ≤ segments × nbins fold happens on the driver (capped
+    by ``driver_cap``, raising beyond — at higher segment cardinality
+    shard the fold with partitioned_groupby_map first). The global
+    histogram is the segment fold re-summed — no second pass. Returns a
+    pandas DataFrame (segment_col, bucket, p_seg, p_all, psi_term)."""
+    lo = float(lo)
+    hi = float(hi)
+    if nbins < 1:
+        raise ValueError(f"nbins must be >= 1, got {nbins}")
+    w = (hi - lo) / nbins
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        seg_t = tbl.schema.field(segment_col).type
+        pdf = tbl.select([segment_col, value_col]).to_pandas()
+        v = pdf[value_col].to_numpy(np.float64)
+        keep = (v >= lo) & (v <= hi) & pdf[segment_col].notna().to_numpy()
+        pdf = pdf[keep]
+        b = np.floor((pdf[value_col].to_numpy(np.float64) - lo) / w).astype(
+            np.int64
+        )
+        np.minimum(b, nbins - 1, out=b)
+        agg = (
+            pd.DataFrame({segment_col: pdf[segment_col], "bucket": b})
+            .groupby([segment_col, "bucket"], sort=False, observed=True)
+            .size()
+            .rename("c")
+            .reset_index()
+        )
+        return pa.table({
+            segment_col: pa.Array.from_pandas(agg[segment_col], type=seg_t),
+            "bucket": pa.array(agg["bucket"].to_numpy(np.int64), pa.int64()),
+            "c": pa.array(agg["c"].to_numpy(np.int64), pa.int64()),
+        })
+
+    parts = (
+        ds.select_columns([segment_col, value_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(parts) > driver_cap:
+        raise ValueError(
+            f"segment_psi: {len(parts)} partial rows exceed "
+            f"driver_cap={driver_cap}; reduce segment cardinality or nbins"
+        )
+    if not len(parts):
+        return pd.DataFrame(
+            columns=[segment_col, "bucket", "p_seg", "p_all", "psi_term"]
+        )
+    seg = (
+        parts.groupby([segment_col, "bucket"], sort=True)["c"]
+        .sum()
+        .reset_index()
+    )
+    glob = seg.groupby("bucket", sort=True)["c"].sum()
+    n_all = np.float64(int(glob.sum()))
+    seg["__tot__"] = seg.groupby(segment_col, sort=False)["c"].transform(
+        "sum"
+    )
+    p_seg = seg["c"].to_numpy(np.float64) / seg["__tot__"].to_numpy(
+        np.float64
+    )
+    p_all = glob.loc[seg["bucket"]].to_numpy(np.float64) / n_all
+    out = seg[[segment_col, "bucket"]].copy()
+    out["p_seg"] = p_seg
+    out["p_all"] = p_all
+    out["psi_term"] = (p_seg - p_all) * np.log(p_seg / p_all)
+    return out.reset_index(drop=True)

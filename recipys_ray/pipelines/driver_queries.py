@@ -2127,6 +2127,20 @@ def q_psi_value_drift(sf_dir):
     )
 
 
+def q_segment_psi(sf_dir):
+    """Per-source PSI terms of document length vs the corpus baseline
+    (ops/drift.segment_psi, 20 buckets over [0, 600]): one streaming
+    bincount pass keyed by (source, bucket), driver fold. Exact int
+    counts → identical divisions; ln is the 1-ulp libm class."""
+    from recipys_ray.ops.drift import segment_psi
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+    )
+    return segment_psi(ds, "source", "n_chars", lo=0.0, hi=600.0,
+                       nbins=20)
+
+
 def q_ks_quantity_flag(sf_dir):
     """Exact two-sample KS distance between the quantity distributions of
     return flags A and R (ops/drift.ks_statistic — one skinny value-count
@@ -3655,6 +3669,29 @@ ORACLES: dict[str, str] = {
                       / (CAST(hb.c AS DOUBLE) / tb)) AS psi_term
         FROM ha JOIN hb USING (bucket), t
     """,
+    "segment_psi": """
+        WITH h AS (
+          SELECT source,
+                 LEAST(CAST(floor((n_chars - 0.0) / ((600.0 - 0.0) / 20))
+                            AS BIGINT), 19) AS bucket,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM documents
+          WHERE n_chars >= 0.0 AND n_chars <= 600.0
+            AND source IS NOT NULL
+          GROUP BY source, bucket
+        ), tot AS (
+          SELECT source, CAST(sum(c) AS DOUBLE) AS t FROM h GROUP BY source
+        ), g AS (
+          SELECT bucket, CAST(sum(c) AS DOUBLE) AS gc FROM h GROUP BY bucket
+        ), n AS (SELECT CAST(sum(c) AS DOUBLE) AS na FROM h)
+        SELECT h.source, h.bucket,
+               CAST(h.c AS DOUBLE) / tot.t AS p_seg,
+               g.gc / n.na AS p_all,
+               (CAST(h.c AS DOUBLE) / tot.t - g.gc / n.na)
+                 * ln((CAST(h.c AS DOUBLE) / tot.t) / (g.gc / n.na))
+                 AS psi_term
+        FROM h JOIN tot USING (source) JOIN g USING (bucket), n
+    """,
     "ks_quantity_flag": """
         WITH ca AS (
           SELECT l_quantity AS v, count(*) AS a FROM lineitem
@@ -3844,5 +3881,6 @@ QUERIES = {
     "quantile_cont": q_quantile_cont,
     "grouped_moments": q_grouped_moments,
     "psi_value_drift": q_psi_value_drift,
+    "segment_psi": q_segment_psi,
     "ks_quantity_flag": q_ks_quantity_flag,
 }

@@ -2998,6 +2998,58 @@ class TestInterarrival:
         )
 
 
+class TestSegmentPsi:
+    def test_matches_duckdb_and_zero_for_identical(self, ray_session):
+        import duckdb
+
+        from recipys_ray.ops.drift import segment_psi
+
+        rng = np.random.default_rng(63)
+        pdf = pd.DataFrame({
+            "seg": rng.choice(["a", "b", "c"], 2000),
+            "v": rng.normal(50, 15, 2000),
+        })
+        got = segment_psi(
+            rd.from_pandas(pdf).repartition(5), "seg", "v",
+            lo=0.0, hi=100.0, nbins=10,
+        ).sort_values(["seg", "bucket"]).reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute("""
+            WITH h AS (
+              SELECT seg, LEAST(CAST(floor((v - 0.0) / ((100.0-0.0)/10))
+                                AS BIGINT), 9) AS bucket,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM t WHERE v >= 0.0 AND v <= 100.0 AND seg IS NOT NULL
+              GROUP BY seg, bucket
+            ), tot AS (SELECT seg, CAST(sum(c) AS DOUBLE) t
+                       FROM h GROUP BY seg),
+            g AS (SELECT bucket, CAST(sum(c) AS DOUBLE) gc
+                  FROM h GROUP BY bucket),
+            n AS (SELECT CAST(sum(c) AS DOUBLE) na FROM h)
+            SELECT h.seg, h.bucket,
+                   CAST(h.c AS DOUBLE)/tot.t AS p_seg,
+                   g.gc/n.na AS p_all,
+                   (CAST(h.c AS DOUBLE)/tot.t - g.gc/n.na)
+                     * ln((CAST(h.c AS DOUBLE)/tot.t)/(g.gc/n.na))
+                     AS psi_term
+            FROM h JOIN tot USING (seg) JOIN g USING (bucket), n
+            ORDER BY seg, bucket
+        """).df().reset_index(drop=True)
+        for c in ["p_seg", "p_all"]:
+            assert np.array_equal(got[c].to_numpy(), exp[c].to_numpy()), c
+        # psi_term carries the documented 1-ulp libm ln drift class
+        np.testing.assert_allclose(
+            got["psi_term"].to_numpy(), exp["psi_term"].to_numpy(),
+            rtol=1e-14, atol=0,
+        )
+        # a segment that IS the corpus scores ~0 per term
+        one = pd.DataFrame({"seg": ["x"] * 300,
+                            "v": rng.normal(50, 15, 300)})
+        z = segment_psi(rd.from_pandas(one), "seg", "v", 0.0, 100.0, 10)
+        assert np.allclose(z["psi_term"], 0.0)
+
+
 class TestTimeSplit:
     def test_matches_duckdb_quantile_disc(self, ray_session):
         import duckdb
