@@ -62,6 +62,7 @@ from recipys_ray.ops.editdist import (
 from recipys_ray.ops.encode import feature_hash, target_encode
 from recipys_ray.ops.groupstats import (
     cumulative_distinct,
+    decayed_sum,
     grouped_auc,
     grouped_corr,
     grouped_entropy,
@@ -118,7 +119,7 @@ __all__ = [
     "grouped_value_counts", "grouped_mode", "grouped_entropy", "grouped_corr",
     "grouped_regression", "grouped_moments",
     "merge_intervals", "transition_counts", "pmi_bigrams",
-    "cumulative_distinct", "grouped_auc",
+    "cumulative_distinct", "grouped_auc", "decayed_sum",
     "fit_pca", "pca_project", "target_encode", "feature_hash",
     "hash_sample", "hash_split",
     "mix_sources", "sample_per_group", "weighted_sample", "time_split",

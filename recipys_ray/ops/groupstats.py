@@ -720,3 +720,88 @@ def grouped_auc(
     return partitioned_groupby_map(
         parts, gcols, finish, num_partitions=num_partitions
     )
+
+
+def decayed_sum(
+    ds,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    horizon: int = 4,
+    decay: float = 0.5,
+    out_col: str = "decayed",
+    normalize: bool = True,
+    num_partitions: int | None = None,
+):
+    """Horizon-capped exponentially-decayed feature — the third classic
+    temporal weighting next to lag (StepLag) and rolling windows: at each
+    row, ``Σ_{k=0..horizon-1} decay^k · value_{i-k}`` over the entity's
+    own history (zero temporal leakage), optionally normalized by the sum
+    of PRESENT weights (rows near a sequence start average over fewer
+    terms instead of shrinking toward 0). Capping the horizon is what
+    feature stores do in practice, and it makes the float contract exact:
+    the result is the STATED left-associated expression
+
+        ((v + c1·lag1) + c2·lag2) + ...        c_k = decay^k
+
+    evaluated term-for-term — an engine computing the same tree on the
+    same doubles is bit-equal (with ``decay=0.5`` the c_k are exact
+    binary, so the SQL literals 0.5/0.25/... reproduce them exactly; for
+    other decays state the oracle constants as the same repeated-product
+    doubles). Missing lags (sequence starts) contribute 0 to the sum and
+    drop their weight from the normalizer — SQL ``coalesce(lag_k, 0)``.
+    Null VALUES inside the horizon also contribute 0 (and no weight).
+
+    Motion: ONE skinny exchange (group + order + value) on the group
+    key; per partition one stable sort, then ``horizon-1`` vectorized
+    shifted adds across ALL groups (group boundaries masked by cumcount)
+    — no per-group Python, no second exchange."""
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    gcols = list(group_cols)
+    ocols = list(order_cols)
+    cols = gcols + ocols + [value_col]
+    h = int(horizon)
+    if h < 1:
+        raise ValueError(f"horizon must be ≥ 1, got {horizon}")
+    a = float(decay)
+
+    def stamp(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[cols].sort_values(
+            gcols + ocols, kind="stable", ignore_index=True
+        )
+        x = pdf[value_col].to_numpy(np.float64)
+        pos = (
+            pdf.groupby(gcols, sort=False, dropna=False)
+            .cumcount()
+            .to_numpy()
+        )
+        present = ~np.isnan(x)
+        x0 = np.where(present, x, 0.0)
+        acc = x0.copy()
+        den = present.astype(np.float64)
+        c = 1.0
+        for k in range(1, h):
+            c = c * a  # repeated product — the oracle states the same
+            xk = np.empty_like(x0)
+            xk[:k] = 0.0
+            xk[k:] = x0[:-k]
+            pk = np.zeros_like(den)
+            pk[k:] = present[:-k]
+            valid = pos >= k  # stay inside the entity's own history
+            acc = acc + np.where(valid, c * xk, 0.0)
+            den = den + np.where(valid, c * pk, 0.0)
+        if normalize:
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out = acc / den
+            out = np.where(den == 0.0, np.nan, out)
+        else:
+            out = acc
+        pdf = pdf.drop(columns=[value_col])
+        pdf[out_col] = out
+        return pdf
+
+    return partitioned_groupby_map(
+        ds.select_columns(cols), gcols, stamp,
+        num_partitions=num_partitions,
+    )

@@ -1826,6 +1826,21 @@ def q_interarrival(sf_dir):
     return partitioned_groupby_map(ds, ["user_id"], agg)
 
 
+def q_decayed_sum(sf_dir):
+    """Horizon-4 exponentially-decayed mean of the nulled value column per
+    user (ops/groupstats.decayed_sum, decay 0.5): the stated
+    left-associated expression tree over exact binary weights — bit-equal
+    to the SQL coalesce(lag...) chain; missing/null lags drop weight."""
+    from recipys_ray.ops.groupstats import decayed_sum
+
+    ds = _with_valn(_events(sf_dir))
+    out = decayed_sum(
+        ds, ["user_id"], ["ts", "event_id"], "valn",
+        horizon=4, decay=0.5,
+    )
+    return _select(out, ["user_id", "ts", "event_id", "decayed"])
+
+
 def q_cms_counts(sf_dir):
     """Count-min sketch per-user event-count estimates for users 0..49
     (ops/frequent.cms_counts, 4×512): mergeable int64 grid partials, hash
@@ -2635,6 +2650,33 @@ ORACLES: dict[str, str] = {
                CAST(max(gap) AS BIGINT) AS max_gap_us,
                CAST(quantile_disc(gap, 0.5) AS BIGINT) AS p50_gap_us
         FROM g WHERE gap IS NOT NULL GROUP BY user_id
+    """,
+    "decayed_sum": f"""
+        WITH b AS (
+          SELECT user_id, ts, event_id, {_VALN_SQL} AS v FROM events
+        ), l AS (
+          SELECT user_id, ts, event_id, v,
+                 lag(v, 1) OVER w AS l1,
+                 lag(v, 2) OVER w AS l2,
+                 lag(v, 3) OVER w AS l3
+          FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), e AS (
+          SELECT user_id, ts, event_id,
+                 coalesce(v, 0) + 0.5 * coalesce(l1, 0)
+                   + 0.25 * coalesce(l2, 0)
+                   + 0.125 * coalesce(l3, 0) AS num,
+                 (CASE WHEN v IS NOT NULL THEN 1.0 ELSE 0.0 END)
+                   + 0.5 * (CASE WHEN l1 IS NOT NULL THEN 1.0
+                            ELSE 0.0 END)
+                   + 0.25 * (CASE WHEN l2 IS NOT NULL THEN 1.0
+                             ELSE 0.0 END)
+                   + 0.125 * (CASE WHEN l3 IS NOT NULL THEN 1.0
+                              ELSE 0.0 END) AS den
+          FROM l
+        )
+        SELECT user_id, ts, event_id,
+               CASE WHEN den = 0 THEN NULL ELSE num / den END AS decayed
+        FROM e
     """,
     "cms_counts": """
         WITH seeds AS (SELECT unnest(range(0, 4)) AS j),
@@ -3838,6 +3880,7 @@ QUERIES = {
     "time_split": q_time_split,
     "cms_counts": q_cms_counts,
     "interarrival": q_interarrival,
+    "decayed_sum": q_decayed_sum,
     "pmi_bigrams": q_pmi_bigrams,
     "pca_embeddings": q_pca_embeddings,
     "target_encode": q_target_encode,

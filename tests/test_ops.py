@@ -2998,6 +2998,68 @@ class TestInterarrival:
         )
 
 
+class TestDecayedSum:
+    def test_bit_matches_duckdb_lag_chain(self, ray_session):
+        import duckdb
+
+        from recipys_ray.ops.groupstats import decayed_sum
+
+        rng = np.random.default_rng(67)
+        n = 600
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 12, n),
+            "o": np.arange(n, dtype=np.int64),
+            "v": np.round(rng.normal(100, 30, n), 3),
+        })
+        pdf.loc[rng.integers(0, n, 60), "v"] = np.nan
+        got = (
+            decayed_sum(rd.from_pandas(pdf), ["g"], ["o"], "v",
+                        horizon=4, decay=0.5)
+            .to_pandas().sort_values(["g", "o"]).reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute("""
+            WITH l AS (
+              SELECT g, o, v,
+                     lag(v, 1) OVER w AS l1, lag(v, 2) OVER w AS l2,
+                     lag(v, 3) OVER w AS l3
+              FROM t WINDOW w AS (PARTITION BY g ORDER BY o)
+            ), e AS (
+              SELECT g, o,
+                     coalesce(v, 0) + 0.5 * coalesce(l1, 0)
+                       + 0.25 * coalesce(l2, 0)
+                       + 0.125 * coalesce(l3, 0) AS num,
+                     (CASE WHEN v IS NOT NULL THEN 1.0 ELSE 0.0 END)
+                       + 0.5 * (CASE WHEN l1 IS NOT NULL THEN 1.0
+                                ELSE 0.0 END)
+                       + 0.25 * (CASE WHEN l2 IS NOT NULL THEN 1.0
+                                 ELSE 0.0 END)
+                       + 0.125 * (CASE WHEN l3 IS NOT NULL THEN 1.0
+                                  ELSE 0.0 END) AS den
+              FROM l
+            )
+            SELECT g, o, CASE WHEN den = 0 THEN NULL
+                              ELSE num / den END AS decayed
+            FROM e ORDER BY g, o
+        """).df().reset_index(drop=True)
+        a = got["decayed"].to_numpy(np.float64)
+        b = exp["decayed"].to_numpy(np.float64)
+        assert np.all((a == b) | (np.isnan(a) & np.isnan(b)))
+
+    def test_unnormalized_is_plain_decayed_sum(self, ray_session):
+        from recipys_ray.ops.groupstats import decayed_sum
+
+        pdf = pd.DataFrame({"g": [1] * 4, "o": range(4),
+                            "v": [8.0, 4.0, 2.0, 1.0]})
+        got = (
+            decayed_sum(rd.from_pandas(pdf), ["g"], ["o"], "v",
+                        horizon=3, decay=0.5, normalize=False)
+            .to_pandas().sort_values("o")["decayed"].tolist()
+        )
+        assert got == [8.0, 8.0, 6.0, 3.0]
+
+
 class TestSegmentPsi:
     def test_matches_duckdb_and_zero_for_identical(self, ray_session):
         import duckdb
