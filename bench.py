@@ -178,6 +178,17 @@ def bench_queries() -> dict:
         "dedup_levenshtein",
         "psi_value_drift",
         "ks_quantity_flag",
+        "cumulative_distinct",
+        "grouped_auc",
+        "feature_hash",
+        "grouped_robust",
+        "dedup_jaro_winkler",
+        "dedup_sorted_neighborhood",
+        "time_split",
+        "cms_counts",
+        "interarrival",
+        "decayed_sum",
+        "segment_psi",
         "historical_salted",
     ]
     import gc

@@ -66,6 +66,7 @@ from recipys_ray.ops.groupstats import (
     grouped_auc,
     grouped_corr,
     grouped_entropy,
+    grouped_first_last,
     grouped_mode,
     grouped_moments,
     grouped_regression,
@@ -117,7 +118,7 @@ __all__ = [
     "sorted_neighborhood_dedup",
     "population_stability", "ks_statistic", "segment_psi",
     "grouped_value_counts", "grouped_mode", "grouped_entropy", "grouped_corr",
-    "grouped_regression", "grouped_moments",
+    "grouped_regression", "grouped_moments", "grouped_first_last",
     "merge_intervals", "transition_counts", "pmi_bigrams",
     "cumulative_distinct", "grouped_auc", "decayed_sum",
     "fit_pca", "pca_project", "target_encode", "feature_hash",

@@ -805,3 +805,70 @@ def decayed_sum(
         ds.select_columns(cols), gcols, stamp,
         num_partitions=num_partitions,
     )
+
+def grouped_first_last(
+    ds,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    first_col: str | None = None,
+    last_col: str | None = None,
+    num_partitions: int | None = None,
+):
+    """First and last value of ``value_col`` per group under the
+    ``order_cols`` ordering — the entity-snapshot features (first touch /
+    latest state) SQL states as ``first(v ORDER BY o...)`` /
+    ``last(v ORDER BY o...)``. Exact row selection, no float arithmetic.
+
+    Motion: combiner-first — each block sorts ONCE and emits per group
+    only its head row's (order, value) and its tail row's (order, value)
+    (groupby head/tail C kernels across all groups); ONE exchange moves
+    those single summary rows and the finish repeats the same
+    min-order/max-order fold — first/last are associative under the total
+    order, so the result is partition- and layout-invariant and the
+    corpus never shuffles. ``order_cols`` should be unique per group
+    (pass an id column last) for a deterministic answer."""
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    gcols = list(group_cols)
+    ocols = list(order_cols)
+    first_col = first_col or f"first_{value_col}"
+    last_col = last_col or f"last_{value_col}"
+    cols = gcols + ocols + [value_col]
+    fo = [f"__fo_{c}__" for c in ocols]
+    lo = [f"__lo_{c}__" for c in ocols]
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        pdf = tbl.select(cols).to_pandas().sort_values(
+            gcols + ocols, kind="stable", ignore_index=True
+        )
+        g = pdf.groupby(gcols, sort=False, dropna=False)
+        head = g.head(1).rename(
+            columns=dict(zip(ocols, fo)) | {value_col: first_col}
+        )
+        tail = g.tail(1).rename(
+            columns=dict(zip(ocols, lo)) | {value_col: last_col}
+        )
+        out = head.merge(tail, on=gcols, sort=False)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.select_columns(cols).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        f = (
+            pdf.sort_values(gcols + fo, kind="stable", ignore_index=True)
+            .groupby(gcols, sort=False, dropna=False)
+            .head(1)[gcols + [first_col]]
+        )
+        l_ = (
+            pdf.sort_values(gcols + lo, kind="stable", ignore_index=True)
+            .groupby(gcols, sort=False, dropna=False)
+            .tail(1)[gcols + [last_col]]
+        )
+        return f.merge(l_, on=gcols, sort=False)
+
+    return partitioned_groupby_map(
+        parts, gcols, finish, num_partitions=num_partitions
+    )

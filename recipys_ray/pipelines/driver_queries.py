@@ -1826,6 +1826,23 @@ def q_interarrival(sf_dir):
     return partitioned_groupby_map(ds, ["user_id"], agg)
 
 
+def q_first_last(sf_dir):
+    """Per-user first and last event type in time order
+    (ops/groupstats.grouped_first_last): per-block head/tail combiner,
+    ONE summary-row exchange, associative min/max-order fold — exact row
+    selection, hash-safe strings."""
+    from recipys_ray.ops.groupstats import grouped_first_last
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    out = grouped_first_last(
+        ds, ["user_id"], ["ts", "event_id"], "event_type",
+    )
+    return _select(out, ["user_id", "first_event_type", "last_event_type"])
+
+
 def q_decayed_sum(sf_dir):
     """Horizon-4 exponentially-decayed mean of the nulled value column per
     user (ops/groupstats.decayed_sum, decay 0.5): the stated
@@ -2650,6 +2667,14 @@ ORACLES: dict[str, str] = {
                CAST(max(gap) AS BIGINT) AS max_gap_us,
                CAST(quantile_disc(gap, 0.5) AS BIGINT) AS p50_gap_us
         FROM g WHERE gap IS NOT NULL GROUP BY user_id
+    """,
+    "first_last": """
+        SELECT user_id,
+               first(event_type ORDER BY ts, event_id)
+                   AS first_event_type,
+               last(event_type ORDER BY ts, event_id)
+                   AS last_event_type
+        FROM events GROUP BY user_id
     """,
     "decayed_sum": f"""
         WITH b AS (
@@ -3881,6 +3906,7 @@ QUERIES = {
     "cms_counts": q_cms_counts,
     "interarrival": q_interarrival,
     "decayed_sum": q_decayed_sum,
+    "first_last": q_first_last,
     "pmi_bigrams": q_pmi_bigrams,
     "pca_embeddings": q_pca_embeddings,
     "target_encode": q_target_encode,

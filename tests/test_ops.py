@@ -2998,6 +2998,53 @@ class TestInterarrival:
         )
 
 
+class TestGroupedFirstLast:
+    def test_matches_duckdb_with_nulls(self, ray_session):
+        import duckdb
+
+        from recipys_ray.ops.groupstats import grouped_first_last
+
+        rng = np.random.default_rng(71)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 15, 400),
+            "o": rng.permutation(400).astype(np.int64),
+            "v": rng.choice(["a", "b", None], 400, p=[0.5, 0.4, 0.1]),
+        })
+        got = (
+            grouped_first_last(
+                rd.from_pandas(pdf).repartition(7), ["g"], ["o"], "v",
+                num_partitions=3,
+            )
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute("""
+            SELECT g, first(v ORDER BY o) AS first_v,
+                   last(v ORDER BY o) AS last_v
+            FROM t GROUP BY g ORDER BY g
+        """).df().reset_index(drop=True)
+        got.columns = ["g", "first_v", "last_v"]
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_cross_block_ordering(self, ray_session):
+        # blocks deliberately interleave orders so a naive fold that
+        # forgets the tail's own order keys picks the wrong "last"
+        from recipys_ray.ops.groupstats import grouped_first_last
+
+        pdf = pd.DataFrame({
+            "g": [1, 1, 1, 1],
+            "o": [1, 100, 2, 3],
+            "v": ["first", "true-last", "mid", "decoy-last"],
+        })
+        got = grouped_first_last(
+            rd.from_pandas(pdf).repartition(2), ["g"], ["o"], "v",
+            num_partitions=1,
+        ).to_pandas()
+        assert got["first_v"].tolist() == ["first"]
+        assert got["last_v"].tolist() == ["true-last"]
+
+
 class TestDecayedSum:
     def test_bit_matches_duckdb_lag_chain(self, ray_session):
         import duckdb
