@@ -90,6 +90,7 @@ from recipys_ray.ops.spans import duplicate_spans
 from recipys_ray.ops.text import (
     RepetitionStats,
     TextFeaturizer,
+    bigram_lm_score,
     build_vocab,
     normalize_text,
     pmi_bigrams,
@@ -127,5 +128,6 @@ __all__ = [
     "pivot", "melt", "group_concat", "frequent_items", "cms_counts", "semantic_dedup", "knn_brute_force",
     "knn_ivf", "duplicate_spans", "RepetitionStats", "TextFeaturizer",
     "build_vocab", "normalize_text", "redact_pii", "text_features",
-    "tfidf_top_terms", "unigram_lm_score", "top_k_per_group",
+    "tfidf_top_terms", "unigram_lm_score", "bigram_lm_score",
+    "top_k_per_group",
 ]

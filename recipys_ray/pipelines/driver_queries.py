@@ -1826,6 +1826,25 @@ def q_interarrival(sf_dir):
     return partitioned_groupby_map(ds, ["user_id"], agg)
 
 
+def q_bigram_lm(sf_dir):
+    """Bigram LM quality scoring (ops/text.bigram_lm_score, top-20 bigram
+    + context tables): the contract checks the integer-exact backbone
+    (n_bigrams, known_bigrams, bigram_count_sum, ctx_count_sum) +
+    known_rate (one int/int division); the smoothed log score is
+    unit-tested against a sequential reference (1-ulp log class)."""
+    from recipys_ray.ops.text import bigram_lm_score
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = bigram_lm_score(ds, top_k=20)
+    return _select(
+        out,
+        ["doc_id", "n_bigrams", "known_bigrams", "bigram_count_sum",
+         "ctx_count_sum", "known_rate"],
+    )
+
+
 def q_first_last(sf_dir):
     """Per-user first and last event type in time order
     (ops/groupstats.grouped_first_last): per-block head/tail combiner,
@@ -2667,6 +2686,53 @@ ORACLES: dict[str, str] = {
                CAST(max(gap) AS BIGINT) AS max_gap_us,
                CAST(quantile_disc(gap, 0.5) AS BIGINT) AS p50_gap_us
         FROM g WHERE gap IS NOT NULL GROUP BY user_id
+    """,
+    "bigram_lm": r"""
+        WITH w AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(coalesce(text, '')), '\w+') AS ws
+          FROM documents
+        ),
+        b AS (
+          SELECT doc_id, ws[CAST(i AS BIGINT)] AS ctx,
+                 ws[CAST(i AS BIGINT)] || ' '
+                   || ws[CAST(i AS BIGINT) + 1] AS bg
+          FROM w, UNNEST(generate_series(1, greatest(len(ws) - 1, 0)))
+                    AS g(i)
+        ),
+        bv AS (
+          SELECT bg, CAST(count(*) AS BIGINT) AS c
+          FROM b GROUP BY bg ORDER BY c DESC, bg ASC LIMIT 20
+        ),
+        uv AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS c FROM (
+            SELECT unnest(ws) AS token FROM w
+          ) GROUP BY token ORDER BY c DESC, token ASC LIMIT 20
+        ),
+        per_doc AS (
+          SELECT b.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_bigrams,
+                 CAST(sum(CASE WHEN bv.c IS NULL THEN 0 ELSE 1 END)
+                      AS BIGINT) AS known_bigrams,
+                 CAST(coalesce(sum(bv.c), 0) AS BIGINT)
+                   AS bigram_count_sum,
+                 CAST(coalesce(sum(uv.c), 0) AS BIGINT) AS ctx_count_sum
+          FROM b LEFT JOIN bv USING (bg)
+                 LEFT JOIN uv ON b.ctx = uv.token
+          GROUP BY b.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               CAST(coalesce(p.known_bigrams, 0) AS BIGINT)
+                 AS known_bigrams,
+               CAST(coalesce(p.bigram_count_sum, 0) AS BIGINT)
+                 AS bigram_count_sum,
+               CAST(coalesce(p.ctx_count_sum, 0) AS BIGINT)
+                 AS ctx_count_sum,
+               CASE WHEN coalesce(p.n_bigrams, 0) > 0
+                    THEN CAST(p.known_bigrams AS DOUBLE) / p.n_bigrams
+                    ELSE NULL END AS known_rate
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
     """,
     "first_last": """
         SELECT user_id,
@@ -3907,6 +3973,7 @@ QUERIES = {
     "interarrival": q_interarrival,
     "decayed_sum": q_decayed_sum,
     "first_last": q_first_last,
+    "bigram_lm": q_bigram_lm,
     "pmi_bigrams": q_pmi_bigrams,
     "pca_embeddings": q_pca_embeddings,
     "target_encode": q_target_encode,

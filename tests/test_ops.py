@@ -2998,6 +2998,60 @@ class TestInterarrival:
         )
 
 
+class TestBigramLm:
+    def test_matches_sequential_reference(self, ray_session):
+        import math
+        import re
+
+        from recipys_ray.ops.text import bigram_lm_score
+
+        docs = [
+            "the cat sat on the mat",
+            "the cat sat",
+            "on the mat the cat",
+            "one",          # < 2 words -> NULL floats
+            "",
+            None,
+            "dog dog dog dog",
+        ]
+        pdf = pd.DataFrame({
+            "doc_id": np.arange(len(docs), dtype=np.int64), "text": docs
+        })
+        K = 3
+        got = (
+            bigram_lm_score(rd.from_pandas(pdf), top_k=K)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        # sequential reference
+        toks = [re.findall(r"\w+", (t or "").lower()) for t in docs]
+        bgs = [[f"{a} {b}" for a, b in zip(t, t[1:])] for t in toks]
+        from collections import Counter
+        bc = Counter(g for d in bgs for g in d)
+        uc = Counter(w for d in toks for w in d)
+        top_b = dict(sorted(bc.items(), key=lambda kv: (-kv[1], kv[0]))[:K])
+        top_u = dict(sorted(uc.items(), key=lambda kv: (-kv[1], kv[0]))[:K])
+        for i, d in enumerate(bgs):
+            assert got.loc[i, "n_bigrams"] == len(d)
+            assert got.loc[i, "known_bigrams"] == sum(
+                1 for g in d if g in top_b
+            )
+            assert got.loc[i, "bigram_count_sum"] == sum(
+                top_b.get(g, 0) for g in d
+            )
+            assert got.loc[i, "ctx_count_sum"] == sum(
+                top_u.get(g.split(" ")[0], 0) for g in d
+            )
+            if len(d):
+                ref = sum(
+                    math.log((top_b.get(g, 0) + 1.0)
+                             / (top_u.get(g.split(" ")[0], 0) + float(K)))
+                    for g in d
+                ) / len(d)
+                assert abs(got.loc[i, "bigram_logprob_mean"] - ref) < 1e-12
+            else:
+                assert np.isnan(got.loc[i, "bigram_logprob_mean"])
+
+
 class TestGroupedFirstLast:
     def test_matches_duckdb_with_nulls(self, ray_session):
         import duckdb
