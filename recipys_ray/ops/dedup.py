@@ -1006,3 +1006,133 @@ def embedding_dedup(
     ).materialize()
     losers = losers_from_pairs(pairs_ds, max_driver_pairs)
     return drop_ids(ds, id_col, losers)
+
+
+def dedup_against(
+    ds_new,
+    ds_ref,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+):
+    """INCREMENTAL exact dedup: drop rows of ``ds_new`` whose exact text
+    content already exists in the reference corpus ``ds_ref`` — the
+    ingestion-time shape (dedup this week's crawl against the training
+    corpus without re-deduplicating the corpus itself). Keeps duplicates
+    WITHIN ds_new (compose with :func:`exact_dedup` for that); null
+    texts always survive (SQL ``r.text = n.text`` never matches NULL).
+
+    Motion, sized for ds_ref ≫ ds_new or the reverse:
+
+    1. one vectorized content-hash pass per side — no data motion;
+    2. a Bloom filter over the REFERENCE hashes broadcast once
+       (bytes ≪ the text set); bloom-negative new rows — at 100 TB, the
+       overwhelming majority — pass through untouched, never shuffled;
+    3. the bloom-positive sliver co-partitions with the reference's
+       skinny (hash, text) projection on the hash; suspects drop iff a
+       same-partition reference TEXT matches exactly — the hash only
+       routes, text equality decides, so a 64-bit collision can't drop a
+       non-duplicate (same contract as :func:`exact_dedup`).
+
+    The reference's full payload never moves; the new corpus moves only
+    its suspect sliver."""
+    import ray
+
+    from recipys_ray.kernels.grouped import _cluster_cpus, choose_partitions
+
+    H = "__content_hash__"
+
+    def null_split(positive: bool):
+        def fn(tbl: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            isn = pc.is_null(tbl.column(text_col))
+            return tbl.filter(isn if positive else pc.invert(isn))
+
+        return fn
+
+    null_new = ds_new.map_batches(null_split(True), batch_format="pyarrow")
+    new_nn = ds_new.map_batches(null_split(False), batch_format="pyarrow")
+    hashed_new = new_nn.map_batches(
+        _ContentHash(text_col), batch_format="pyarrow"
+    )
+    ref_skinny = (
+        ds_ref.select_columns([text_col])
+        .map_batches(null_split(False), batch_format="pyarrow")
+        .map_batches(_ContentHash(text_col), batch_format="pyarrow")
+    )
+
+    # Bloom over reference hashes (column name "node" — _build_bloom's
+    # contract); pin the skinny ref projection, it is read twice
+    ref_hashes = ref_skinny.map_batches(
+        lambda t: pa.table({"node": t.column(H)}), batch_format="pyarrow"
+    ).materialize()
+    n_ref = ref_hashes.count()
+    if n_ref == 0:
+        return ds_new
+    bloom, mask, k = _build_bloom(ref_hashes, n_ref)
+    bloom_ref = ray.put(bloom)
+
+    def split(positive: bool):
+        def fn(tbl: pa.Table) -> pa.Table:
+            b = ray.get(bloom_ref)
+            ids = tbl.column(H).to_numpy(zero_copy_only=False)
+            maybe = _bloom_maybe(b, mask, k, ids)
+            sel = maybe if positive else ~maybe
+            return tbl.filter(pa.array(sel))
+
+        return fn
+
+    keeps = hashed_new.map_batches(
+        split(False), batch_format="pyarrow"
+    ).drop_columns([H])
+    suspects = hashed_new.map_batches(split(True), batch_format="pyarrow")
+
+    if num_partitions is None:
+        num_partitions = int(np.clip(
+            -(-n_ref * 256 // (256 << 20)), 2 * _cluster_cpus(), 65_536
+        ))
+
+    # tag sides, co-partition on the hash, resolve by exact text match
+    def tag(src: int, schema_cols):
+        def fn(tbl: pa.Table) -> pa.Table:
+            cols = {}
+            for n, t in schema_cols:
+                if n in tbl.schema.names:
+                    cols[n] = tbl.column(n).cast(t)
+                else:
+                    cols[n] = pa.nulls(len(tbl), t)
+            cols["__src__"] = pa.array(
+                np.full(len(tbl), src, dtype=np.int8)
+            )
+            return pa.table(cols)
+
+        return fn
+
+    # suspects' schema = ds_new's + the int64 hash (derive statically —
+    # a take_batch probe would re-execute the bloom pass)
+    base = _arrow_schema_of(ds_new)
+    schema_cols = list(zip(base.names, base.types)) + [(H, pa.int64())]
+    both = suspects.map_batches(
+        tag(0, schema_cols), batch_format="pyarrow"
+    ).union(
+        ref_skinny.map_batches(tag(1, schema_cols), batch_format="pyarrow")
+    )
+
+    def resolve(tbl: pa.Table) -> pa.Table:
+        # Arrow-side filter: null-padded ref rows never touch pandas, so
+        # the new side's dtypes survive exactly (the round-3 null-padding
+        # int→float lesson, ROUND4_NOTES.md)
+        src = tbl.column("__src__").to_numpy(zero_copy_only=False)
+        texts = tbl.column(text_col).to_pandas()
+        ref_set = set(texts[src == 1])
+        keep_mask = (src == 0) & ~texts.isin(ref_set).to_numpy()
+        return tbl.filter(pa.array(keep_mask)).drop_columns(
+            ["__src__", H]
+        )
+
+    survived = partitioned_groupby_map(
+        both, [H], resolve, num_partitions=num_partitions,
+        batch_format="pyarrow",
+    )
+    return survived.union(keeps).union(null_new)

@@ -2233,6 +2233,31 @@ def q_quantile_cont(sf_dir):
     )
 
 
+def q_dedup_against(sf_dir):
+    """Incremental exact dedup of the 'new' document shard (doc_id % 3
+    ≠ 0) against the 'reference' shard (ops/dedup.dedup_against): Bloom
+    over reference content hashes broadcast once, bloom-negative rows
+    pass untouched, the suspect sliver resolves by exact TEXT match in a
+    hash-co-partitioned Arrow-side anti-join."""
+    from recipys_ray.ops.dedup import dedup_against
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def shard(rem: int):
+        def fn(tbl: pa.Table) -> pa.Table:
+            ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+            return tbl.filter(pa.array(ids % 3 == rem if rem == 0
+                                       else ids % 3 != 0))
+
+        return fn
+
+    ref = ds.map_batches(shard(0), batch_format="pyarrow")
+    new = ds.map_batches(shard(1), batch_format="pyarrow")
+    return _select(dedup_against(new, ref), ["doc_id", "text"])
+
+
 def q_dedup_jaro_winkler(sf_dir):
     """Prefix-blocked Jaro-Winkler dedup of part names (ops/editdist.py
     dedup_jaro_winkler): bit-parallel pair kernel with BIT-parity to
@@ -3866,6 +3891,14 @@ ORACLES: dict[str, str] = {
         UNION ALL
         SELECT 0.9::DOUBLE, quantile_cont(l_quantity, 0.9) FROM lineitem
     """,
+    "dedup_against": """
+        SELECT n.doc_id, n.text FROM documents n
+        WHERE n.doc_id % 3 <> 0
+          AND (n.text IS NULL OR NOT EXISTS (
+            SELECT 1 FROM documents r
+            WHERE r.doc_id % 3 = 0 AND r.text = n.text
+          ))
+    """,
     "dedup_sorted_neighborhood": """
         WITH r AS (
           SELECT p_partkey, p_name,
@@ -4014,6 +4047,7 @@ QUERIES = {
     "dedup_levenshtein": q_dedup_levenshtein,
     "dedup_jaro_winkler": q_dedup_jaro_winkler,
     "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
+    "dedup_against": q_dedup_against,
     "quantile_cont": q_quantile_cont,
     "grouped_moments": q_grouped_moments,
     "psi_value_drift": q_psi_value_drift,

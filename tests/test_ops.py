@@ -3400,6 +3400,53 @@ class TestTargetEncode:
             target_encode(rd.from_pandas(pdf), "c", "v")
 
 
+class TestDedupAgainst:
+    def test_matches_sql_not_exists(self, ray_session):
+        import duckdb
+
+        from recipys_ray.ops.dedup import dedup_against
+
+        rng = np.random.default_rng(73)
+        pool = [f"doc {i}" for i in range(40)] + [None, ""]
+        new = pd.DataFrame({
+            "doc_id": np.arange(300, dtype=np.int64),
+            "text": [pool[i] for i in rng.integers(0, len(pool), 300)],
+        })
+        ref = pd.DataFrame({
+            "doc_id": np.arange(1000, 1150, dtype=np.int64),
+            "text": [pool[i] for i in rng.integers(0, 25, 150)],
+        })
+        got = (
+            dedup_against(rd.from_pandas(new).repartition(4),
+                          rd.from_pandas(ref).repartition(3),
+                          num_partitions=3)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("n", new)
+        con.register("r", ref)
+        exp = con.execute("""
+            SELECT n.doc_id, n.text FROM n
+            WHERE n.text IS NULL OR NOT EXISTS (
+              SELECT 1 FROM r WHERE r.text = n.text
+            ) ORDER BY n.doc_id
+        """).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        # dtype survives the null-padded co-partition (round-3 lesson)
+        assert got["doc_id"].dtype == np.int64
+
+    def test_empty_reference_passthrough(self, ray_session):
+        from recipys_ray.ops.dedup import dedup_against
+
+        new = pd.DataFrame({"doc_id": [1, 2], "text": ["a", "b"]})
+        ref = pd.DataFrame({"doc_id": pd.array([], dtype=np.int64),
+                            "text": pd.array([], dtype=object)})
+        got = dedup_against(
+            rd.from_pandas(new), rd.from_pandas(ref)
+        ).to_pandas()
+        assert len(got) == 2
+
+
 class TestJaroWinkler:
     def test_kernel_bit_matches_duckdb(self):
         import duckdb
