@@ -410,6 +410,44 @@ def connected_components_distributed(
     return state.map_batches(finish, batch_format="pyarrow")
 
 
+def connected_components(
+    pairs_ds,
+    max_driver_pairs: int = 5_000_000,
+    num_partitions: int | None = None,
+):
+    """Connected components over an edge-list Dataset (columns ``a``,
+    ``b``) → Dataset (``node``, ``root``) covering every node that appears
+    in any edge, root = min node id of the component.
+
+    Same two-route policy as :func:`losers_from_pairs`: below
+    ``max_driver_pairs`` the edge set (edges only, never a corpus) folds on
+    the driver via union-find; above it the fully distributed min-label
+    propagation (:func:`connected_components_distributed`) runs — each
+    round two small shuffles over the edge set.
+    """
+    import ray.data as rd
+
+    if pairs_ds.count() > max_driver_pairs:
+        return connected_components_distributed(
+            pairs_ds, num_partitions=num_partitions
+        )
+    pairs = _safe_pairs(pairs_ds.to_pandas()).drop_duplicates()
+    roots = _connected_components(pairs)
+    nodes = np.unique(
+        np.concatenate(
+            [pairs["a"].to_numpy(np.int64), pairs["b"].to_numpy(np.int64)]
+        )
+    )
+    # vectorized dict lookup; nodes never linked (or always the min) root
+    # to themselves
+    root = (
+        pd.Series(nodes).map(roots).fillna(pd.Series(nodes)).to_numpy(np.int64)
+    )
+    return rd.from_arrow(
+        pa.table({"node": pa.array(nodes), "root": pa.array(root)})
+    )
+
+
 def losers_from_pairs(pairs_ds, max_driver_pairs: int = 5_000_000):
     """Component losers (non-min members) from a candidate-pair Dataset.
 

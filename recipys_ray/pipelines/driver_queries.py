@@ -2312,6 +2312,43 @@ def q_dedup_levenshtein(sf_dir):
     return _select(out, ["p_partkey", "p_name"])
 
 
+def q_connected_components(sf_dir):
+    """Distributed connected components (ops/dedup.py
+    connected_components_distributed — the same min-label propagation
+    that powers the near-dup families, exposed standalone for entity
+    resolution / dedup-cluster assignment). Graph: the order↔part
+    bipartite subgraph restricted to quantity-1 lines (a sparse,
+    documented bound — ~2% of lineitem — so the recursive-CTE oracle
+    stays cheap); part nodes are offset into a disjoint id space.
+    Below the driver cap the edge set folds via union-find (edges only,
+    never a corpus); above it each propagation round is two small
+    shuffles over the EDGE set, rounds = component diameter (≤12-node
+    components here; distributed path unit-tested equal in
+    tests/test_ops.py). Duplicate edges are harmless to min-label, so
+    dedup is per-block only — no global distinct exchange."""
+    from recipys_ray.ops.dedup import connected_components
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_quantity"],
+    )
+
+    def edges(tbl: pa.Table) -> pa.Table:
+        t = tbl.filter(pc.equal(tbl.column("l_quantity"), 1.0))
+        out = pa.table(
+            {
+                "a": t.column("l_orderkey"),
+                "b": pc.add(t.column("l_partkey"), 2_000_000_000),
+            }
+        )
+        return out.group_by(["a", "b"]).aggregate([])
+
+    # multi-pass consumer → pin the derived edge set once (the
+    # materialize-pin policy; each propagation round re-reads it)
+    pairs = ds.map_batches(edges, batch_format="pyarrow").materialize()
+    return connected_components(pairs)
+
+
 # --------------------------------------------------------------------- #
 # oracle SQL (DuckDB) — names match the Ray outputs 1:1
 # --------------------------------------------------------------------- #
@@ -3936,6 +3973,26 @@ ORACLES: dict[str, str] = {
             AND levenshtein(o.p_name, a.p_name) <= 2
         )
     """,
+    # min-label propagation to fixpoint; UNION (distinct) keeps the
+    # frontier finite, the final GROUP BY takes each node's best label —
+    # identical component minima to the Ray-side propagation, integer-only
+    "connected_components": """
+        WITH RECURSIVE e(a, b) AS (
+          SELECT DISTINCT l_orderkey, l_partkey + 2000000000
+          FROM lineitem WHERE l_quantity = 1
+        ),
+        und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        cc(node, lbl) AS (
+          SELECT node, min(m) FROM (
+            SELECT a AS node, least(a, b) AS m FROM und
+          ) GROUP BY node
+          UNION
+          SELECT u.a, c.lbl FROM und u JOIN cc c ON u.b = c.node
+          WHERE c.lbl < u.a
+        )
+        SELECT CAST(node AS BIGINT) AS node, CAST(min(lbl) AS BIGINT) AS root
+        FROM cc GROUP BY node
+    """,
 }
 
 
@@ -4045,6 +4102,7 @@ QUERIES = {
     "revenue_by_nation": q_revenue_by_nation,
     "rfm_segments": q_rfm_segments,
     "dedup_levenshtein": q_dedup_levenshtein,
+    "connected_components": q_connected_components,
     "dedup_jaro_winkler": q_dedup_jaro_winkler,
     "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
     "dedup_against": q_dedup_against,

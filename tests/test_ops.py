@@ -446,6 +446,25 @@ class TestDistributedComponents:
                 same_d = roots_dist.get(x, x) == roots_dist.get(y, y)
                 assert same_uf == same_d, (x, y)
 
+    def test_wrapper_routes_and_covers_all_nodes(self):
+        # 0-1-2 chain, 5-6 pair, and min-node 0 never appears as a UF key —
+        # the wrapper must still emit (0, 0) and roots = component minima
+        pairs = pd.DataFrame({
+            "a": np.array([1, 2, 5], dtype=np.int64),
+            "b": np.array([0, 1, 6], dtype=np.int64),
+        })
+        from recipys_ray.ops.dedup import connected_components
+
+        for cap in (10**6, 0):  # driver union-find route, distributed route
+            out = (
+                connected_components(rd.from_pandas(pairs), max_driver_pairs=cap)
+                .to_pandas()
+                .sort_values("node", ignore_index=True)
+            )
+            assert out["node"].tolist() == [0, 1, 2, 5, 6]
+            assert out["root"].tolist() == [0, 0, 0, 5, 5]
+            assert out["root"].dtype == np.int64
+
     def test_chain_graph_converges(self):
         # worst case for label prop: a path graph 0-1-2-...-15
         pairs = pd.DataFrame({
