@@ -2349,6 +2349,24 @@ def q_connected_components(sf_dir):
     return connected_components(pairs)
 
 
+def q_calendar_features(sf_dir):
+    """Per-row calendar decomposition (ops/calendar.py): ONE stateless
+    map_batches of Arrow temporal kernels, no shuffle, no fit — streams at
+    read bandwidth at any scale. dow pinned to the SQL Sunday=0
+    convention, week to ISO; all int64 (exact)."""
+    from recipys_ray.ops.calendar import calendar_features
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts"]
+    )
+    out = calendar_features(ds, "ts")
+    return _select(
+        out,
+        ["event_id", "year", "month", "day", "week", "hour", "dow",
+         "is_weekend"],
+    )
+
+
 # --------------------------------------------------------------------- #
 # oracle SQL (DuckDB) — names match the Ray outputs 1:1
 # --------------------------------------------------------------------- #
@@ -3993,6 +4011,18 @@ ORACLES: dict[str, str] = {
         SELECT CAST(node AS BIGINT) AS node, CAST(min(lbl) AS BIGINT) AS root
         FROM cc GROUP BY node
     """,
+    "calendar_features": """
+        SELECT event_id,
+               CAST(year(ts) AS BIGINT) AS year,
+               CAST(month(ts) AS BIGINT) AS month,
+               CAST(day(ts) AS BIGINT) AS day,
+               CAST(week(ts) AS BIGINT) AS week,
+               CAST(hour(ts) AS BIGINT) AS hour,
+               CAST(dayofweek(ts) AS BIGINT) AS dow,
+               CAST(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END
+                    AS BIGINT) AS is_weekend
+        FROM events
+    """,
 }
 
 
@@ -4103,6 +4133,7 @@ QUERIES = {
     "rfm_segments": q_rfm_segments,
     "dedup_levenshtein": q_dedup_levenshtein,
     "connected_components": q_connected_components,
+    "calendar_features": q_calendar_features,
     "dedup_jaro_winkler": q_dedup_jaro_winkler,
     "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
     "dedup_against": q_dedup_against,

@@ -3787,3 +3787,30 @@ class TestDrift:
         with pytest.raises(Exception, match="distinct"):
             ks_statistic(rd.from_pandas(pdf), rd.from_pandas(pdf), "v",
                          driver_cap=100)
+
+
+class TestCalendarFeatures:
+    def test_sql_conventions(self, ray_session):
+        from recipys_ray.ops.calendar import calendar_features
+
+        # 2026-08-19 = Wednesday, 2026-08-23 = Sunday, 2026-08-22 = Saturday
+        ts = pd.to_datetime(
+            ["2026-08-19 10:30:00", "2026-08-23 00:05:00",
+             "2026-08-22 23:59:59", "2026-01-01 00:00:00"]
+        )
+        pdf = pd.DataFrame({"event_id": [1, 2, 3, 4], "ts": ts})
+        out = (
+            calendar_features(rd.from_pandas(pdf), "ts")
+            .to_pandas()
+            .sort_values("event_id", ignore_index=True)
+        )
+        # DuckDB dayofweek convention: Sunday=0 .. Saturday=6
+        assert out["dow"].tolist() == [3, 0, 6, 4]
+        assert out["is_weekend"].tolist() == [0, 1, 1, 0]
+        assert out["hour"].tolist() == [10, 0, 23, 0]
+        # ISO week: 2026-01-01 is a Thursday -> ISO week 1
+        assert out["week"].tolist() == [34, 34, 34, 1]
+        assert out["year"].tolist() == [2026, 2026, 2026, 2026]
+        assert all(out[c].dtype == np.int64
+                   for c in ["year", "month", "day", "week", "hour", "dow",
+                             "is_weekend"])
