@@ -2349,6 +2349,19 @@ def q_connected_components(sf_dir):
     return connected_components(pairs)
 
 
+def q_impute_linear(sf_dir):
+    """Per-group time-weighted linear interpolation
+    (StepImputeFill(strategy='linear'), an engine extension of the
+    reference's fill family): nulls take
+    pv + (nv-pv)·(Δt/span) between the surrounding non-null values in
+    (ts, event_id) order; leading/trailing nulls stay null; a zero span
+    is NULL (SQL x/0.0). Bit-equal to the windowed IGNORE NULLS SQL —
+    exact int64 µs deltas, one stated float expression tree."""
+    rec = _recipe(_with_valn(_events(sf_dir)))
+    rec.add_step(rr.StepImputeFill(sel=all_of(["valn"]), strategy="linear"))
+    return _select(rec.prep(), ["event_id", "valn"])
+
+
 def q_calendar_features(sf_dir):
     """Per-row calendar decomposition (ops/calendar.py): ONE stateless
     map_batches of Arrow temporal kernels, no shuffle, no fit — streams at
@@ -4011,6 +4024,37 @@ ORACLES: dict[str, str] = {
         SELECT CAST(node AS BIGINT) AS node, CAST(min(lbl) AS BIGINT) AS root
         FROM cc GROUP BY node
     """,
+    "impute_linear": f"""
+        WITH v AS (
+          SELECT user_id, ts, event_id, {_VALN_SQL} AS valn FROM events
+        ),
+        w AS (
+          SELECT user_id, ts, event_id, valn,
+            last_value(valn IGNORE NULLS) OVER (
+              {_WIN} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ) AS pv,
+            last_value(CASE WHEN valn IS NOT NULL THEN epoch_us(ts) END
+                       IGNORE NULLS) OVER (
+              {_WIN} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ) AS pt,
+            first_value(valn IGNORE NULLS) OVER (
+              {_WIN} ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+            ) AS nv,
+            first_value(CASE WHEN valn IS NOT NULL THEN epoch_us(ts) END
+                        IGNORE NULLS) OVER (
+              {_WIN} ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+            ) AS nt
+          FROM v
+        )
+        SELECT event_id,
+               CASE WHEN valn IS NOT NULL THEN valn
+                    WHEN pv IS NULL OR nv IS NULL THEN NULL
+                    ELSE pv + (nv - pv)
+                         * (CAST(epoch_us(ts) - pt AS DOUBLE)
+                            / CAST(nt - pt AS DOUBLE))
+               END AS valn
+        FROM w
+    """,
     "calendar_features": """
         SELECT event_id,
                CAST(year(ts) AS BIGINT) AS year,
@@ -4134,6 +4178,7 @@ QUERIES = {
     "dedup_levenshtein": q_dedup_levenshtein,
     "connected_components": q_connected_components,
     "calendar_features": q_calendar_features,
+    "impute_linear": q_impute_linear,
     "dedup_jaro_winkler": q_dedup_jaro_winkler,
     "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
     "dedup_against": q_dedup_against,

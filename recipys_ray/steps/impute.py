@@ -28,14 +28,17 @@ from recipys_ray.selector import Selector, all_predictors
 from recipys_ray.steps.base import Step
 
 _GLOBAL_STRATS = {"mean": MOMENTS, "min": MINMAX, "max": MINMAX}
-_ORDER_STRATS = {"forward", "backward"}
+_ORDER_STRATS = {"forward", "backward", "linear"}
 _CONST_STRATS = {"zero", "one"}
 
 
 class StepImputeFill(Step):
     """Null-fill selected columns with a constant ``value`` or a ``strategy``
-    in {forward, backward, mean, zero, one, min, max}; per group when a group
-    role exists (reference: step.py:121-155, polars ``fill_null`` semantics).
+    in {forward, backward, linear, mean, zero, one, min, max}; per group when
+    a group role exists (reference: step.py:121-155, polars ``fill_null``
+    semantics; ``linear`` is an engine extension — time-weighted
+    interpolation between the surrounding non-null values, leaving leading /
+    trailing nulls in place).
 
     ``limit`` caps the number of consecutive fills for forward/backward.
     """
@@ -51,6 +54,8 @@ class StepImputeFill(Step):
         super().__init__(sel if sel is not None else all_predictors())
         if (value is None) == (strategy is None):
             raise ValueError("Provide exactly one of value / strategy")
+        if strategy == "linear" and limit is not None:
+            raise ValueError("limit is not supported with strategy='linear'")
         if strategy is not None and strategy not in (
             _ORDER_STRATS | _CONST_STRATS | set(_GLOBAL_STRATS)
         ):
@@ -125,6 +130,8 @@ class StepImputeFill(Step):
         if not cols:
             return pdf
         g = pdf.groupby(gid, sort=False, observed=True)
+        if self.strategy == "linear":
+            return self._linear_interp(pdf, gid, cols)
         if self.strategy == "forward":
             pdf[cols] = g[cols].ffill(limit=self.limit)
         elif self.strategy == "backward":
@@ -155,6 +162,62 @@ class StepImputeFill(Step):
                 g = pdf.groupby(pdf["__gid__"], sort=False, observed=True)
             stat = g[cols].transform(self.strategy)
             pdf[cols] = pdf[cols].fillna(stat)
+        return pdf
+
+    def _linear_interp(
+        self, pdf: pd.DataFrame, gid: pd.Series, cols: list[str]
+    ) -> pd.DataFrame:
+        """Time-weighted linear interpolation between the surrounding
+        non-null values of each null run, per group.
+
+        Time axis: the first TEMPORAL sequence column (epoch-µs int64 —
+        exact), else within-partition position (groups are contiguous and
+        sorted, so positional differences are within-group row distances).
+        The fill expression mirrors the SQL tree exactly —
+        ``pv + (nv - pv) * (Δt_int64_as_double / span_int64_as_double)`` —
+        one subtract, one divide, one multiply, one add, so values are
+        bit-equal to the windowed-SQL statement; a zero span (duplicate
+        timestamps around the gap) yields NULL (SQL x/0.0 semantics).
+        Vectorized across ALL groups: two grouped C fills recover the
+        surrounding non-null row indices, then one fancy-indexed kernel.
+        """
+        t = None
+        for sc in self.seq_cols:
+            if sc in pdf.columns and pd.api.types.is_datetime64_any_dtype(
+                pdf[sc]
+            ):
+                t = (
+                    pdf[sc].astype("datetime64[us]").astype(np.int64)
+                    .to_numpy()
+                )
+                break
+        n = len(pdf)
+        if t is None:
+            t = np.arange(n, dtype=np.int64)
+        idxf = np.arange(n, dtype=np.float64)
+        garr = gid.to_numpy()
+        for c in cols:
+            v = pdf[c].astype(np.float64).to_numpy()
+            notna = ~np.isnan(v)
+            marker = pd.Series(np.where(notna, idxf, np.nan))
+            gm = marker.groupby(garr, sort=False)
+            prev_i = gm.ffill().to_numpy()
+            next_i = gm.bfill().to_numpy()
+            m = ~notna & ~np.isnan(prev_i) & ~np.isnan(next_i)
+            if not m.any():
+                continue
+            pi = prev_i[m].astype(np.int64)
+            ni = next_i[m].astype(np.int64)
+            num = (t[m] - t[pi]).astype(np.float64)
+            den = (t[ni] - t[pi]).astype(np.float64)
+            pv = v[pi]
+            nv = v[ni]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                fill = pv + (nv - pv) * (num / den)
+            fill[den == 0.0] = np.nan
+            out = v.copy()
+            out[m] = fill
+            pdf[c] = out
         return pdf
 
     # ---------------- chunk-merge protocol (kernels/chunked.py) ----------- #

@@ -62,6 +62,56 @@ class TestNullSemantics:
             out["x"], [1, 1, 4, 4, 2, 2, np.nan], equal_nan=True
         )
 
+    def test_linear(self):
+        # id1 x=[NaN,1,NaN,4] at t=0..3h → interior null = 1+(4-1)·(1/2);
+        # leading null stays; id2 x=[NaN,2,NaN] → both edges stay null
+        rec = null_fixture().add_step(StepImputeFill(strategy="linear"))
+        out = sorted_pdf(rec.prep(), by=("id", "t"))
+        np.testing.assert_allclose(
+            out["x"], [np.nan, 1, 2.5, 4, np.nan, 2, np.nan], equal_nan=True
+        )
+
+    def test_linear_is_time_weighted(self):
+        pdf = pd.DataFrame(
+            {
+                "id": [1, 1, 1],
+                "t": pd.to_datetime([0, 1, 10], unit="h"),
+                "x": [0.0, np.nan, 10.0],
+            }
+        )
+        rec = Recipe(
+            rd.from_pandas(pdf), predictors=["x"], groups=["id"],
+            sequences=["t"],
+        ).add_step(StepImputeFill(strategy="linear"))
+        out = sorted_pdf(rec.prep(), by=("id", "t"))
+        # Δt weighting: 0 + 10·(1/10) = 1.0, NOT the positional midpoint 5
+        np.testing.assert_allclose(out["x"], [0.0, 1.0, 10.0])
+
+    def test_linear_zero_span_is_null(self):
+        # duplicate timestamps around the gap → span 0 → SQL x/0.0 = NULL
+        pdf = pd.DataFrame(
+            {
+                "id": [1, 1, 1],
+                "t": pd.to_datetime([5, 5, 5], unit="h"),
+                "e": [1, 2, 3],
+                "x": [1.0, np.nan, 3.0],
+            }
+        )
+        rec = Recipe(
+            rd.from_pandas(pdf), predictors=["x"], groups=["id"],
+            sequences=["t", "e"],
+        ).add_step(StepImputeFill(strategy="linear"))
+        out = sorted_pdf(rec.prep(), by=("id", "e"))
+        np.testing.assert_allclose(
+            out["x"], [1.0, np.nan, 3.0], equal_nan=True
+        )
+
+    def test_linear_rejects_limit(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="limit"):
+            StepImputeFill(strategy="linear", limit=2)
+
     def test_group_mean_fill(self):
         rec = null_fixture().add_step(StepImputeFill(strategy="mean"))
         out = sorted_pdf(rec.prep(), by=("id", "t"))
