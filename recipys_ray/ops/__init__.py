@@ -7,6 +7,7 @@ from recipys_ray.ops.rangejoin import range_agg, range_join
 from recipys_ray.ops.chunking import chunk_documents
 from recipys_ray.ops.decontaminate import benchmark_gram_set, decontaminate
 from recipys_ray.ops.calendar import calendar_features
+from recipys_ray.ops.privacy import k_anonymize
 from recipys_ray.ops.dedup import (
     connected_components,
     dedup_against,
@@ -109,6 +110,7 @@ __all__ = [
     "chunk_documents", "benchmark_gram_set", "decontaminate",
     "embedding_dedup", "embedding_dedup_exact", "exact_dedup",
     "dedup_against", "connected_components", "calendar_features",
+    "k_anonymize",
     "minhash_candidate_pairs", "minhash_dedup", "ngram_jaccard",
     "simhash_dedup", "verify_pairs_jaccard", "distinct_per_group",
     "distinct_per_group_approx", "jaccard_dedup", "hash_join",

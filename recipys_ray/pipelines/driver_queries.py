@@ -2362,6 +2362,33 @@ def q_impute_linear(sf_dir):
     return _select(rec.prep(), ["event_id", "valn"])
 
 
+def q_k_anonymity(sf_dir):
+    """k-anonymity suppression (ops/privacy.py, k=5) over the QI
+    (event_type, floor(value/10)): one partial-count combiner pass (only
+    distinct QI partials move), qualifying keys broadcast once, then a
+    zero-shuffle per-batch hash-join filter. floor(value/10) is a single
+    IEEE divide + floor in both engines — bit-equal bucketing."""
+    from recipys_ray.ops.privacy import k_anonymize
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    )
+
+    def bucket(tbl: pa.Table) -> pa.Table:
+        vb = pc.cast(
+            pc.floor(pc.divide(tbl.column("value"), 10.0)), pa.int64()
+        )
+        return tbl.append_column("vb", vb)
+
+    out = k_anonymize(
+        ds.map_batches(bucket, batch_format="pyarrow"),
+        ["event_type", "vb"],
+        k=5,
+    )
+    return _select(out, ["event_id", "event_type", "vb"])
+
+
 def q_calendar_features(sf_dir):
     """Per-row calendar decomposition (ops/calendar.py): ONE stateless
     map_batches of Arrow temporal kernels, no shuffle, no fit — streams at
@@ -4055,6 +4082,15 @@ ORACLES: dict[str, str] = {
                END AS valn
         FROM w
     """,
+    "k_anonymity": """
+        WITH b AS (
+          SELECT event_id, event_type,
+                 CAST(floor(value / 10) AS BIGINT) AS vb
+          FROM events
+        )
+        SELECT event_id, event_type, vb FROM b
+        QUALIFY count(*) OVER (PARTITION BY event_type, vb) >= 5
+    """,
     "calendar_features": """
         SELECT event_id,
                CAST(year(ts) AS BIGINT) AS year,
@@ -4179,6 +4215,7 @@ QUERIES = {
     "connected_components": q_connected_components,
     "calendar_features": q_calendar_features,
     "impute_linear": q_impute_linear,
+    "k_anonymity": q_k_anonymity,
     "dedup_jaro_winkler": q_dedup_jaro_winkler,
     "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
     "dedup_against": q_dedup_against,

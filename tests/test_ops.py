@@ -3814,3 +3814,30 @@ class TestCalendarFeatures:
         assert all(out[c].dtype == np.int64
                    for c in ["year", "month", "day", "week", "hour", "dow",
                              "is_weekend"])
+
+
+class TestKAnonymize:
+    def test_suppresses_small_groups_and_groups_nulls(self, ray_session):
+        from recipys_ray.ops.privacy import k_anonymize
+
+        pdf = pd.DataFrame({
+            "rid": range(8),
+            "qa": ["x", "x", "x", "y", None, None, "z", "x"],
+            "qb": [1, 1, 1, 2, 3, 3, 4, 1],
+        })
+        out = (
+            k_anonymize(rd.from_pandas(pdf), ["qa", "qb"], k=2)
+            .to_pandas()
+            .sort_values("rid", ignore_index=True)
+        )
+        # (x,1) has 4 rows -> kept; (NULL,3) has 2 rows -> NULLs group
+        # together like SQL GROUP BY; (y,2) and (z,4) are singletons -> out
+        assert out["rid"].tolist() == [0, 1, 2, 4, 5, 7]
+
+    def test_driver_group_cap_raises(self, ray_session):
+        from recipys_ray.ops.privacy import k_anonymize
+
+        pdf = pd.DataFrame({"q": np.arange(50) % 10, "v": np.arange(50)})
+        with pytest.raises(ValueError, match="max_driver_groups"):
+            k_anonymize(rd.from_pandas(pdf), ["q"], k=1,
+                        max_driver_groups=3).take_all()
