@@ -79,3 +79,52 @@ def k_anonymize(
         return tbl.filter(pa.array(mask))
 
     return ds.map_batches(keep_rows, batch_format="pyarrow")
+
+
+def l_diversify(
+    ds,
+    qi_cols: list[str],
+    sensitive_col: str,
+    l: int,  # noqa: E741 — the literature's name
+    max_driver_groups: int = 2_000_000,
+):
+    """Keep only rows whose QI group contains at least ``l`` DISTINCT
+    values of ``sensitive_col`` (distinct l-diversity, Machanavajjhala
+    2007 §3) — k-anonymity's sibling against homogeneity attacks.
+
+    Count pass reuses :func:`recipys_ray.ops.distinct.distinct_per_group`
+    (exact per-block (QI, sensitive) pair combiner — only distinct pairs
+    move); qualifying QI keys broadcast once, then the same zero-shuffle
+    per-batch filter as :func:`k_anonymize`.
+    """
+    import ray
+
+    from recipys_ray.ops.distinct import distinct_per_group
+
+    if l < 1:
+        raise ValueError("l must be >= 1")
+    qi_cols = list(qi_cols)
+    per_qi = distinct_per_group(ds, qi_cols, sensitive_col)
+
+    def at_least_l(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.greater_equal(tbl.column("n_distinct"), l)
+        return tbl.filter(mask).select(qi_cols)
+
+    qual = per_qi.map_batches(at_least_l, batch_format="pyarrow").to_pandas()
+    if len(qual) > max_driver_groups:
+        raise ValueError(
+            f"{len(qual)} qualifying QI groups exceeds max_driver_groups="
+            f"{max_driver_groups}; coarsen the quasi-identifier or raise "
+            "the cap"
+        )
+    keys_ref = ray.put(qual.reset_index(drop=True))
+
+    def keep_rows(tbl: pa.Table) -> pa.Table:
+        kdf = ray.get(keys_ref).assign(__keep__=np.True_)
+        left = tbl.select(qi_cols).to_pandas()
+        merged = left.merge(kdf, on=qi_cols, how="left")
+        return tbl.filter(pa.array(merged["__keep__"].notna().to_numpy()))
+
+    return ds.map_batches(keep_rows, batch_format="pyarrow")

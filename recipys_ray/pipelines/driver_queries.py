@@ -2362,6 +2362,72 @@ def q_impute_linear(sf_dir):
     return _select(rec.prep(), ["event_id", "valn"])
 
 
+def q_asof_next_purchase(sf_dir):
+    """Forward as-of join (ops/asof.py direction='forward'): each event
+    gets the user's NEXT (or simultaneous) purchase value — the look-ahead
+    twin of asof_purchase (label generation: 'next conversion after this
+    turn'). Ties on (user_id, ts) break by min event_id on the right,
+    mirrored by the oracle's QUALIFY row_number."""
+    from recipys_ray.ops.asof import asof_join
+
+    left = _events(sf_dir, columns=["event_id", "user_id", "ts"])
+    ev = _events(
+        sf_dir, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+
+    def purchases(tbl: pa.Table) -> pa.Table:
+        mask = pc.equal(tbl.column("event_type"), "purchase")
+        sub = tbl.filter(mask)
+        return pa.table(
+            {
+                "user_id": sub.column("user_id"),
+                "ts": sub.column("ts"),
+                "event_id": sub.column("event_id"),
+                "next_purch_value": sub.column("value"),
+            }
+        )
+
+    right = ev.map_batches(purchases, batch_format="pyarrow")
+    out = asof_join(
+        left, right, on="ts", by="user_id", direction="forward",
+        right_dedup_cols=["event_id"],
+    )
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": tbl.column("event_id").cast(pa.int64()),
+                "next_purch_value": tbl.column("next_purch_value"),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def q_left_join_customer_orders(sf_dir):
+    """LEFT OUTER equi-join (ops/join.py shuffle plan): customer × orders,
+    keeping customers with no orders — the null-padded right columns must
+    stay int64/float64 per the planned Arrow schema (never pandas'
+    float64-promoted ints; the round-3 dtype-poisoning class, asserted
+    here as a positive driver check)."""
+    from recipys_ray.ops.join import hash_join
+
+    customer = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    out = hash_join(
+        customer, orders, on="c_custkey", right_on="o_custkey",
+        how="left", strategy="shuffle",
+    )
+    return _select(
+        out, ["c_custkey", "c_acctbal", "o_orderkey", "o_totalprice"]
+    )
+
+
 def q_k_anonymity(sf_dir):
     """k-anonymity suppression (ops/privacy.py, k=5) over the QI
     (event_type, floor(value/10)): one partial-count combiner pass (only
@@ -2385,6 +2451,33 @@ def q_k_anonymity(sf_dir):
         ds.map_batches(bucket, batch_format="pyarrow"),
         ["event_type", "vb"],
         k=5,
+    )
+    return _select(out, ["event_id", "event_type", "vb"])
+
+
+def q_l_diversity(sf_dir):
+    """Distinct l-diversity suppression (ops/privacy.py, l=4, sensitive =
+    user_id) over the same QI as k_anonymity: the exact pair combiner from
+    distinct_per_group feeds the qualifying set, then one broadcast
+    zero-shuffle filter."""
+    from recipys_ray.ops.privacy import l_diversify
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "value"],
+    )
+
+    def bucket(tbl: pa.Table) -> pa.Table:
+        vb = pc.cast(
+            pc.floor(pc.divide(tbl.column("value"), 10.0)), pa.int64()
+        )
+        return tbl.append_column("vb", vb)
+
+    out = l_diversify(
+        ds.map_batches(bucket, batch_format="pyarrow"),
+        ["event_type", "vb"],
+        "user_id",
+        l=4,
     )
     return _select(out, ["event_id", "event_type", "vb"])
 
@@ -4082,6 +4175,21 @@ ORACLES: dict[str, str] = {
                END AS valn
         FROM w
     """,
+    "asof_next_purchase": """
+        WITH p AS (
+          SELECT user_id, ts, value AS next_purch_value FROM events
+          WHERE event_type = 'purchase'
+          QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                     ORDER BY event_id) = 1
+        )
+        SELECT e.event_id, p.next_purch_value
+        FROM events e ASOF LEFT JOIN p
+          ON e.user_id = p.user_id AND e.ts <= p.ts
+    """,
+    "left_join_customer_orders": """
+        SELECT c_custkey, c_acctbal, o_orderkey, o_totalprice
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    """,
     "k_anonymity": """
         WITH b AS (
           SELECT event_id, event_type,
@@ -4090,6 +4198,19 @@ ORACLES: dict[str, str] = {
         )
         SELECT event_id, event_type, vb FROM b
         QUALIFY count(*) OVER (PARTITION BY event_type, vb) >= 5
+    """,
+    "l_diversity": """
+        WITH b AS (
+          SELECT event_id, user_id, event_type,
+                 CAST(floor(value / 10) AS BIGINT) AS vb
+          FROM events
+        ),
+        g AS (
+          SELECT event_type, vb FROM b GROUP BY event_type, vb
+          HAVING count(DISTINCT user_id) >= 4
+        )
+        SELECT event_id, b.event_type, b.vb
+        FROM b JOIN g ON b.event_type = g.event_type AND b.vb = g.vb
     """,
     "calendar_features": """
         SELECT event_id,
@@ -4216,6 +4337,9 @@ QUERIES = {
     "calendar_features": q_calendar_features,
     "impute_linear": q_impute_linear,
     "k_anonymity": q_k_anonymity,
+    "left_join_customer_orders": q_left_join_customer_orders,
+    "asof_next_purchase": q_asof_next_purchase,
+    "l_diversity": q_l_diversity,
     "dedup_jaro_winkler": q_dedup_jaro_winkler,
     "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
     "dedup_against": q_dedup_against,

@@ -3841,3 +3841,19 @@ class TestKAnonymize:
         with pytest.raises(ValueError, match="max_driver_groups"):
             k_anonymize(rd.from_pandas(pdf), ["q"], k=1,
                         max_driver_groups=3).take_all()
+
+    def test_l_diversify(self, ray_session):
+        from recipys_ray.ops.privacy import l_diversify
+
+        pdf = pd.DataFrame({
+            "rid": range(6),
+            "qa": ["x", "x", "x", "y", "y", "y"],
+            "s":  [1,    2,   1,   7,   7,   7],
+        })
+        out = (
+            l_diversify(rd.from_pandas(pdf), ["qa"], "s", l=2)
+            .to_pandas()
+            .sort_values("rid", ignore_index=True)
+        )
+        # qa=x has 2 distinct sensitive values -> kept; qa=y only 1 -> out
+        assert out["rid"].tolist() == [0, 1, 2]
