@@ -85,6 +85,7 @@ from recipys_ray.ops.sampling import (
     weighted_sample,
     hash_split,
     mix_sources,
+    mix_temperature,
     sample_per_group,
     time_split,
 )
@@ -130,7 +131,8 @@ __all__ = [
     "cumulative_distinct", "grouped_auc", "decayed_sum",
     "fit_pca", "pca_project", "target_encode", "feature_hash",
     "hash_sample", "hash_split",
-    "mix_sources", "sample_per_group", "weighted_sample", "time_split",
+    "mix_sources", "mix_temperature", "sample_per_group",
+    "weighted_sample", "time_split",
     "pivot", "melt", "group_concat", "frequent_items", "cms_counts", "semantic_dedup", "knn_brute_force",
     "knn_ivf", "duplicate_spans", "RepetitionStats", "TextFeaturizer",
     "build_vocab", "normalize_text", "redact_pii", "text_features",

@@ -15,6 +15,8 @@ partitionings always select the same rows.
   upstream of it in the dict order).
 - ``mix_sources``:   per-stratum sampling rates (data-mixture control:
   e.g. keep 100% of wiki, 25% of crawl) via one vectorized rate lookup.
+- ``mix_temperature``: per-stratum sample sizes ∝ n_i^alpha (temperature
+  rebalancing toward rare sources) with integer-exact targets.
 """
 
 from __future__ import annotations
@@ -127,6 +129,95 @@ def sample_per_group(ds, group_cols: list[str], key_col: str, n: int):
     return out.map_batches(
         lambda t: t.drop_columns([H]), batch_format="pyarrow"
     )
+
+
+def mix_temperature(
+    ds,
+    strata_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    budget: int | None = None,
+):
+    """Temperature-based source rebalancing: draw a deterministic
+    without-replacement sample whose per-stratum sizes follow
+    ``n_i^alpha`` (alpha < 1 flattens the mixture toward rare sources —
+    the multilingual-LM "temperature sampling" rule, e.g. mT5 §3.1),
+    totalling ~``budget`` rows (default: half the corpus).
+
+    Exactness contract: per-stratum targets are PURE INTEGER arithmetic —
+    ``w_i = floor(n_i^alpha)`` (for the default alpha=0.5 this is
+    floor(sqrt), correctly rounded IEEE sqrt, identical in every engine),
+    ``t_i = min(n_i, budget * w_i // Σw)`` with python-int multiply and
+    floor division (no float ratio anywhere) — so an oracle can restate
+    the formula verbatim in SQL. Row selection is the coordinated
+    smallest-``hash(key)``-first rule of :func:`sample_per_group`
+    (murmur ≡ DuckDB ``hash()``), so a re-run, a different layout or a
+    bigger budget always yields a superset prefix per stratum.
+
+    Distributed shape: one combiner counts pass (distinct stratum
+    partials only), targets fold on the driver (#strata rows), then the
+    ``top_k_per_group`` combiner bounds every (stratum, block) to the
+    max target — no payload shuffle of unsampled rows.
+    """
+    import math
+
+    from recipys_ray.ops.topk import top_k_per_group
+
+    def partial_counts(tbl: pa.Table) -> pa.Table:
+        return tbl.select([strata_col]).group_by([strata_col]).aggregate(
+            [([], "count_all")]
+        )
+
+    counts = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby(strata_col)
+        .sum("count_all")
+        .to_pandas()
+    )
+    n_by = {
+        s: int(n)
+        for s, n in zip(counts[strata_col], counts["sum(count_all)"])
+    }
+    total = sum(n_by.values())
+    if budget is None:
+        budget = total // 2
+    budget = int(budget)
+    # w_i = floor(n^alpha) via libm pow on python floats (glibc pow is
+    # correctly rounded; alpha=0.5 ≡ sqrt exactly)
+    w_by = {s: int(math.floor(math.pow(n, alpha))) for s, n in n_by.items()}
+    sw = sum(w_by.values())
+    if sw == 0:
+        raise ValueError("all strata have zero weight (empty input?)")
+    targets = {
+        s: min(n_by[s], budget * w_by[s] // sw) for s in n_by
+    }
+    max_t = max(targets.values())
+    if max_t == 0:
+        return ds.filter(lambda row: False)
+
+    H = "__skey__"
+
+    def stamp(tbl: pa.Table) -> pa.Table:
+        keys = tbl.column(key_col).to_numpy(zero_copy_only=False)
+        return tbl.append_column(
+            H, pa.array(murmurhash64(keys), pa.uint64())
+        )
+
+    stamped = ds.map_batches(stamp, batch_format="pyarrow")
+    ranked = top_k_per_group(
+        stamped, [strata_col], H, k=max_t, descending=False,
+        tie_cols=[key_col],
+    )
+
+    def cut(tbl: pa.Table) -> pa.Table:
+        strat = tbl.column(strata_col).to_numpy(zero_copy_only=False)
+        lim = (
+            pd.Series(strat).map(targets).fillna(0).to_numpy(np.int64)
+        )
+        rank = tbl.column("rank").to_numpy(zero_copy_only=False)
+        return tbl.filter(pa.array(rank < lim)).drop_columns([H])
+
+    return ranked.map_batches(cut, batch_format="pyarrow")
 
 
 def weighted_sample(ds, key_col: str, weight_col: str, k: int):

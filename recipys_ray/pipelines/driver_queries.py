@@ -2482,6 +2482,21 @@ def q_l_diversity(sf_dir):
     return _select(out, ["event_id", "event_type", "vb"])
 
 
+def q_mix_temperature(sf_dir):
+    """Temperature (alpha=0.5) source rebalancing of documents
+    (ops/sampling.mix_temperature): per-source targets are pure integer
+    arithmetic over floor(sqrt(n_i)) weights — restated verbatim in the
+    SQL — and row selection is the coordinated smallest-hash rule
+    (murmur ≡ DuckDB hash())."""
+    from recipys_ray.ops.sampling import mix_temperature
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    out = mix_temperature(ds, "source", "doc_id", alpha=0.5)
+    return _select(out, ["source", "doc_id", "rank"])
+
+
 def q_calendar_features(sf_dir):
     """Per-row calendar decomposition (ops/calendar.py): ONE stateless
     map_batches of Arrow temporal kernels, no shuffle, no fit — streams at
@@ -4212,6 +4227,33 @@ ORACLES: dict[str, str] = {
         SELECT event_id, b.event_type, b.vb
         FROM b JOIN g ON b.event_type = g.event_type AND b.vb = g.vb
     """,
+    "mix_temperature": """
+        WITH c AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n
+          FROM documents GROUP BY source
+        ),
+        w AS (
+          SELECT source, n,
+                 CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w
+          FROM c
+        ),
+        s AS (
+          SELECT sum(w) AS sw, (SELECT sum(n) FROM c) // 2 AS budget FROM w
+        ),
+        t AS (
+          SELECT source, least(n, (budget * w) // sw) AS tgt FROM w, s
+        ),
+        r AS (
+          SELECT source, doc_id,
+                 row_number() OVER (
+                   PARTITION BY source ORDER BY hash(doc_id), doc_id
+                 ) - 1 AS rank
+          FROM documents
+        )
+        SELECT r.source, r.doc_id, CAST(r.rank AS BIGINT) AS rank
+        FROM r JOIN t ON r.source = t.source
+        WHERE r.rank < t.tgt
+    """,
     "calendar_features": """
         SELECT event_id,
                CAST(year(ts) AS BIGINT) AS year,
@@ -4340,6 +4382,7 @@ QUERIES = {
     "left_join_customer_orders": q_left_join_customer_orders,
     "asof_next_purchase": q_asof_next_purchase,
     "l_diversity": q_l_diversity,
+    "mix_temperature": q_mix_temperature,
     "dedup_jaro_winkler": q_dedup_jaro_winkler,
     "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
     "dedup_against": q_dedup_against,

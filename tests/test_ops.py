@@ -3857,3 +3857,37 @@ class TestKAnonymize:
         )
         # qa=x has 2 distinct sensitive values -> kept; qa=y only 1 -> out
         assert out["rid"].tolist() == [0, 1, 2]
+
+
+class TestMixTemperature:
+    def test_targets_follow_sqrt_weights(self, ray_session):
+        from recipys_ray.ops.sampling import mix_temperature
+
+        # 1600 'big' rows vs 100 'small' rows; alpha=0.5 weights 40:10,
+        # budget=500 -> targets 400 and 100 (small fully kept: capped at n)
+        pdf = pd.DataFrame({
+            "key": np.arange(1700, dtype=np.int64),
+            "src": ["big"] * 1600 + ["small"] * 100,
+        })
+        out = mix_temperature(
+            rd.from_pandas(pdf), "src", "key", alpha=0.5, budget=500
+        ).to_pandas()
+        got = out.groupby("src").size().to_dict()
+        assert got == {"big": 400, "small": 100}
+
+    def test_coordinated_prefix(self, ray_session):
+        from recipys_ray.ops.sampling import mix_temperature
+
+        pdf = pd.DataFrame({
+            "key": np.arange(300, dtype=np.int64),
+            "src": ["a"] * 200 + ["b"] * 100,
+        })
+        small = mix_temperature(
+            rd.from_pandas(pdf), "src", "key", budget=60
+        ).to_pandas()
+        large = mix_temperature(
+            rd.from_pandas(pdf), "src", "key", budget=150
+        ).to_pandas()
+        # a bigger budget always yields a per-stratum superset (same
+        # hash-order prefix rule)
+        assert set(small["key"]) <= set(large["key"])
