@@ -2497,6 +2497,36 @@ def q_mix_temperature(sf_dir):
     return _select(out, ["source", "doc_id", "rank"])
 
 
+def q_feature_bake(sf_dir):
+    """The flagship composition, driver-oracled end to end: scale (global
+    fit, duckdb-parity stats) → forward-fill → expanding mean
+    (duckdb-parity windowed avg) → lag(1) → sessionize, all over ONE
+    grouped shuffle + one fit pass + one skinny offsets pass. Every stage
+    interaction (fill feeding the window, scaled values feeding the lag)
+    is stated in a single SQL CTE chain — the strongest evidence that the
+    recipe DAG composes correctly, not just that each step passes alone."""
+    from recipys_ray.kernels.duckdb_parity import compute_duckdb_offsets
+
+    ds = _with_valn(_events(sf_dir))
+    offs = compute_duckdb_offsets(ds, "user_id")
+    rec = _recipe(ds)
+    rec.add_step(
+        rr.StepScale(sel=all_of(["valn"]), duckdb_parity_stats=True)
+    )
+    rec.add_step(rr.StepImputeFill(sel=all_of(["valn"]), strategy="forward"))
+    st = rr.StepHistorical(
+        sel=all_of(["valn"]), fun=Accumulator.MEAN, duckdb_parity=True
+    )
+    st.set_parity_offsets(offs)
+    rec.add_step(st)
+    rec.add_step(rr.StepLag(sel=all_of(["valn"]), shifts=[1]))
+    rec.add_step(rr.StepSessionize(gap="30m"))
+    return _select(
+        rec.prep(),
+        ["event_id", "valn", "valn_mean", "valn_lag1", "session_id"],
+    )
+
+
 def q_calendar_features(sf_dir):
     """Per-row calendar decomposition (ops/calendar.py): ONE stateless
     map_batches of Arrow temporal kernels, no shuffle, no fit — streams at
@@ -4227,6 +4257,30 @@ ORACLES: dict[str, str] = {
         SELECT event_id, b.event_type, b.vb
         FROM b JOIN g ON b.event_type = g.event_type AND b.vb = g.vb
     """,
+    "feature_bake": f"""
+        WITH s AS (
+          SELECT avg({_VALN_SQL}) AS m, stddev_pop({_VALN_SQL}) AS sd
+          FROM events
+        ),
+        v AS (
+          SELECT event_id, user_id, ts,
+                 ({_VALN_SQL} - s.m) / s.sd AS vs
+          FROM events, s
+        ),
+        f AS (
+          SELECT event_id, user_id, ts,
+                 last_value(vs IGNORE NULLS) OVER ({_EXP}) AS vf,
+                 CASE WHEN ts - lag(ts) OVER ({_WIN}) > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS brk
+          FROM v
+        )
+        SELECT event_id,
+               vf AS valn,
+               avg(vf) OVER ({_EXP}) AS valn_mean,
+               lag(vf) OVER ({_WIN}) AS valn_lag1,
+               CAST(sum(brk) OVER ({_EXP}) AS BIGINT) AS session_id
+        FROM f
+    """,
     "mix_temperature": """
         WITH c AS (
           SELECT source, CAST(count(*) AS BIGINT) AS n
@@ -4383,6 +4437,7 @@ QUERIES = {
     "asof_next_purchase": q_asof_next_purchase,
     "l_diversity": q_l_diversity,
     "mix_temperature": q_mix_temperature,
+    "feature_bake": q_feature_bake,
     "dedup_jaro_winkler": q_dedup_jaro_winkler,
     "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
     "dedup_against": q_dedup_against,

@@ -25,6 +25,24 @@ import pandas as pd
 from recipys_ray.aggregates import MINMAX, MOMENTS, QUANTILES, VOCAB, ColStats
 
 
+def _ordered_pandas(ds, columns: list[str]) -> "pd.DataFrame":
+    """Collect a skinny projection with block order pinned to DATASET
+    order. The duckdb-parity fits fold values sequentially (scan order);
+    Ray's streaming executor emits blocks in COMPLETION order by default,
+    which races the fold (observed: run-to-run 1e-14 mean/std drift →
+    hash-rounding crossings at sf0.1). ``preserve_order`` restores the
+    parquet scan order the oracle engine aggregates in."""
+    from ray.data import DataContext
+
+    opts = DataContext.get_current().execution_options
+    old = opts.preserve_order
+    opts.preserve_order = True
+    try:
+        return ds.select_columns(list(columns)).to_pandas()
+    finally:
+        opts.preserve_order = old
+
+
 def _handle_zeros(scale: np.ndarray) -> np.ndarray:
     """sklearn's _handle_zeros_in_scale: 0 / nan scale → 1.0."""
     scale = np.asarray(scale, dtype=np.float64).copy()
@@ -81,7 +99,7 @@ class StandardScaler(NativeTransformer):
         from recipys_ray.kernels.duckdb_parity import seq_sum, seq_var_pop
 
         self.columns_ = list(columns)
-        pdf = ds.select_columns(list(columns)).to_pandas()
+        pdf = _ordered_pandas(ds, columns)
         means, scales = [], []
         for c in columns:
             x = pdf[c].to_numpy(np.float64)
@@ -712,7 +730,7 @@ class PowerTransformer(NativeTransformer):
             if self.duckdb_parity_stats:
                 from recipys_ray.kernels.duckdb_parity import seq_sum
 
-                pdf = ds.select_columns(list(columns)).to_pandas()
+                pdf = _ordered_pandas(ds, columns)
                 mean, scale = [], []
                 for c in columns:
                     x = pdf[c].to_numpy(np.float64)
