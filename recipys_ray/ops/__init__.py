@@ -99,6 +99,7 @@ from recipys_ray.ops.text import (
     build_vocab,
     normalize_text,
     pmi_bigrams,
+    gopher_quality_filter,
     redact_pii,
     text_features,
     tfidf_top_terms,
@@ -136,6 +137,7 @@ __all__ = [
     "pivot", "melt", "group_concat", "frequent_items", "cms_counts", "semantic_dedup", "knn_brute_force",
     "knn_ivf", "duplicate_spans", "RepetitionStats", "TextFeaturizer",
     "build_vocab", "normalize_text", "redact_pii", "text_features",
+    "gopher_quality_filter",
     "tfidf_top_terms", "unigram_lm_score", "bigram_lm_score",
     "top_k_per_group",
 ]

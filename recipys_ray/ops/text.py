@@ -1069,3 +1069,82 @@ def bigram_lm_score(
         concurrency=concurrency,
         batch_size=batch_size,
     )
+
+
+# --------------------------------------------------------------------- #
+# Gopher-style quality filtering (Rae et al. 2021 §A1.1, integer subset)
+# --------------------------------------------------------------------- #
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_filter(
+    ds,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mwl: int = 3,
+    max_mwl: int = 10,
+    alpha_num: int = 4,
+    alpha_den: int = 5,
+    min_stopwords: int = 2,
+    stopwords: tuple = GOPHER_STOPWORDS,
+):
+    """Drop documents failing the Gopher repetition-free quality rules:
+    word count in [min_words, max_words]; mean word length in
+    [min_mwl, max_mwl]; fraction of words containing an alphabetic char
+    ≥ alpha_num/alpha_den; at least ``min_stopwords`` hits from a small
+    stopword list (Rae et al. 2021 Table A1's "stop word" rule).
+
+    Exactness contract: every rule is INTEGER cross-multiplication over
+    exact counts (``min_mwl·n ≤ chars ≤ max_mwl·n``,
+    ``alpha_den·alpha ≥ alpha_num·n``) — no float ratio anywhere, so a
+    SQL oracle states the rules verbatim. Surviving rows carry the count
+    columns (n_words, word_chars, alpha_words, stop_words).
+
+    Fully streaming: ONE stateless map_batches; tokenization is the
+    shared Arrow RE2 ``word_stream`` kernel, per-document reductions are
+    ``np.add.reduceat`` over the flat word stream — no per-document loop.
+    """
+    import pyarrow.compute as pc
+
+    stop_arr = pa.array(list(stopwords))
+
+    def score(tbl: pa.Table) -> pa.Table:
+        words, counts = word_stream(tbl.column(text_col))
+        off = np.r_[0, np.cumsum(counts)[:-1]]
+        wlen = pc.utf8_length(words).to_numpy(zero_copy_only=False)
+        alpha = pc.match_substring_regex(words, "[a-z]").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        stop = pc.is_in(words, value_set=stop_arr).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+
+        def seg_sum(x: np.ndarray) -> np.ndarray:
+            out = np.zeros(len(counts), dtype=np.int64)
+            nz = counts > 0
+            if x.size:
+                sums = np.add.reduceat(x.astype(np.int64), off[nz])
+                out[nz] = sums
+            return out
+
+        n = counts
+        ch = seg_sum(wlen)
+        aw = seg_sum(alpha)
+        sw = seg_sum(stop)
+        keep = (
+            (n >= min_words)
+            & (n <= max_words)
+            & (min_mwl * n <= ch)
+            & (ch <= max_mwl * n)
+            & (alpha_den * aw >= alpha_num * n)
+            & (sw >= min_stopwords)
+        )
+        for name, arr in (
+            ("n_words", n), ("word_chars", ch),
+            ("alpha_words", aw), ("stop_words", sw),
+        ):
+            tbl = tbl.append_column(name, pa.array(arr, pa.int64()))
+        return tbl.filter(pa.array(keep))
+
+    return ds.map_batches(score, batch_format="pyarrow")

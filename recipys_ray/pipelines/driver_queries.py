@@ -2527,6 +2527,26 @@ def q_feature_bake(sf_dir):
     )
 
 
+def q_gopher_filter(sf_dir):
+    """Gopher quality-rule document filter (ops/text.py
+    gopher_quality_filter, Rae 2021 §A1.1 integer subset): word-count
+    bounds, mean-word-length and alphabetic-fraction by integer
+    cross-multiplication, stopword floor — rules restated verbatim in the
+    SQL; tokenization is the shared RE2 word kernel."""
+    from recipys_ray.ops.text import gopher_quality_filter
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = gopher_quality_filter(
+        ds, min_words=25, max_words=100_000, min_mwl=4, max_mwl=10,
+    )
+    return _select(
+        out,
+        ["doc_id", "n_words", "word_chars", "alpha_words", "stop_words"],
+    )
+
+
 def q_calendar_features(sf_dir):
     """Per-row calendar decomposition (ops/calendar.py): ONE stateless
     map_batches of Arrow temporal kernels, no shuffle, no fit — streams at
@@ -4281,6 +4301,31 @@ ORACLES: dict[str, str] = {
                CAST(sum(brk) OVER ({_EXP}) AS BIGINT) AS session_id
         FROM f
     """,
+    "gopher_filter": r"""
+        WITH w AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(coalesce(text, '')), '\w+') AS ws
+          FROM documents
+        ),
+        m AS (
+          SELECT doc_id,
+                 CAST(len(ws) AS BIGINT) AS n_words,
+                 CAST(length(array_to_string(ws, '')) AS BIGINT)
+                   AS word_chars,
+                 CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+                   AS BIGINT) AS alpha_words,
+                 CAST(len(list_filter(ws, x -> x IN
+                   ('the','be','to','of','and','that','have','with')))
+                   AS BIGINT) AS stop_words
+          FROM w
+        )
+        SELECT doc_id, n_words, word_chars, alpha_words, stop_words
+        FROM m
+        WHERE n_words >= 25 AND n_words <= 100000
+          AND 4 * n_words <= word_chars AND word_chars <= 10 * n_words
+          AND 5 * alpha_words >= 4 * n_words
+          AND stop_words >= 2
+    """,
     "mix_temperature": """
         WITH c AS (
           SELECT source, CAST(count(*) AS BIGINT) AS n
@@ -4438,6 +4483,7 @@ QUERIES = {
     "l_diversity": q_l_diversity,
     "mix_temperature": q_mix_temperature,
     "feature_bake": q_feature_bake,
+    "gopher_filter": q_gopher_filter,
     "dedup_jaro_winkler": q_dedup_jaro_winkler,
     "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
     "dedup_against": q_dedup_against,

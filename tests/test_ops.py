@@ -3891,3 +3891,54 @@ class TestMixTemperature:
         # a bigger budget always yields a per-stratum superset (same
         # hash-order prefix rule)
         assert set(small["key"]) <= set(large["key"])
+
+
+class TestGopherFilter:
+    def test_rules(self, ray_session):
+        from recipys_ray.ops.text import gopher_quality_filter
+
+        docs = pd.DataFrame({
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "the quick brown fox jumps over that lazy dog with zeal",
+                "a b c d e f g h i j",                       # mwl 1 -> fails
+                "tiny",                                       # too few words
+                "the constitution of the republic demands deliberation "
+                "and patience with that process",
+                None,                                         # null text
+            ],
+        })
+        out = (
+            gopher_quality_filter(
+                rd.from_pandas(docs), min_words=5, min_mwl=3, max_mwl=10,
+                min_stopwords=2,
+            )
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        assert out["doc_id"].tolist() == [1, 4]
+        row = out[out["doc_id"] == 1].iloc[0]
+        assert row["n_words"] == 11 and row["stop_words"] == 3
+        assert all(out[c].dtype == np.int64
+                   for c in ["n_words", "word_chars", "alpha_words",
+                             "stop_words"])
+
+    def test_empty_doc_segment_sums(self, ray_session):
+        # empty docs between non-empty ones must not shift segment sums
+        from recipys_ray.ops.text import gopher_quality_filter
+
+        docs = pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": ["the cat and the hat with that bat", "",
+                     "the dog and the fog with that log"],
+        })
+        out = (
+            gopher_quality_filter(
+                rd.from_pandas(docs), min_words=3, min_mwl=1,
+                min_stopwords=2,
+            )
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        assert out["doc_id"].tolist() == [1, 3]
+        assert out["n_words"].tolist() == [8, 8]
