@@ -75,6 +75,7 @@ from recipys_ray.ops.groupstats import (
     grouped_moments,
     grouped_regression,
     grouped_value_counts,
+    grouped_zscore,
     transition_counts,
 )
 from recipys_ray.ops.rollup import rollup_aggregate
@@ -127,6 +128,7 @@ __all__ = [
     "sorted_neighborhood_dedup",
     "population_stability", "ks_statistic", "segment_psi",
     "grouped_value_counts", "grouped_mode", "grouped_entropy", "grouped_corr",
+    "grouped_zscore",
     "grouped_regression", "grouped_moments", "grouped_first_last",
     "merge_intervals", "transition_counts", "pmi_bigrams",
     "cumulative_distinct", "grouped_auc", "decayed_sum",

@@ -872,3 +872,98 @@ def grouped_first_last(
     return partitioned_groupby_map(
         parts, gcols, finish, num_partitions=num_partitions
     )
+
+
+def grouped_zscore(
+    ds,
+    group_cols: list[str],
+    value_col: str,
+    out_col: str = "zscore",
+    driver_cap: int = 5_000_000,
+):
+    """Per-group standardization: ``z = (x − mean_g) / stddev_pop_g``
+    stamped on every row — the grouped twin of StepScale for entity-level
+    normalization (per-user, per-source, …).
+
+    Exactness contract (the grouped_corr lesson): callers should feed an
+    INTEGER-valued column (e.g. cents) so the per-group Σx and Σx² are
+    exact in float64 and summation order cannot matter; the finish then
+    evaluates the stated tree ``(x − s/n) / sqrt((s2 − s·s/n)/n)`` on
+    identical doubles in both engines — bit-exact. A zero-variance group
+    yields NULL (SQL x/0.0 semantics), not ±inf.
+
+    Distributed shape: one sufficient-stats combiner pass (one partial
+    row per (group, block) moves), driver folds ≤ ``driver_cap`` groups,
+    stats broadcast once via ``ray.put``, then a stateless vectorized
+    stamp — ZERO payload shuffle. Above the cap, pre-partition by group
+    and use a co-partitioned variant instead (raise is explicit)."""
+    import ray
+
+    gcols = list(group_cols)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        pdf = tbl.select(gcols + [value_col]).to_pandas()
+        pdf = pdf[pdf[value_col].notna()]
+        xv = pdf[value_col].to_numpy(np.float64)
+        stats = pd.DataFrame({c: pdf[c].to_numpy() for c in gcols})
+        stats["__n__"] = np.int64(1)
+        stats["__s__"] = xv
+        stats["__s2__"] = xv * xv
+        agg = (
+            stats.groupby(gcols, sort=False, dropna=False, observed=True)
+            .sum()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts = (
+        ds.select_columns(gcols + [value_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = (
+        parts.groupby(gcols, sort=False, dropna=False, observed=True)[
+            ["__n__", "__s__", "__s2__"]
+        ]
+        .sum()
+        .reset_index()
+    )
+    if len(agg) > driver_cap:
+        raise ValueError(
+            f"{len(agg)} groups exceeds driver_cap={driver_cap}; "
+            "co-partition by group instead of the broadcast stamp"
+        )
+    n = agg["__n__"].to_numpy(np.int64).astype(np.float64)
+    s = agg["__s__"].to_numpy(np.float64)
+    s2 = agg["__s2__"].to_numpy(np.float64)
+    mean = s / n
+    with np.errstate(invalid="ignore"):
+        std = np.sqrt((s2 - s * s / n) / n)
+    key = (
+        agg[gcols[0]]
+        if len(gcols) == 1
+        else pd.MultiIndex.from_frame(agg[gcols])
+    )
+    stats_ref = ray.put(
+        (pd.Series(mean, index=key), pd.Series(std, index=key))
+    )
+
+    def stamp(tbl: pa.Table) -> pa.Table:
+        mean_s, std_s = ray.get(stats_ref)
+        pdf = tbl.select(gcols).to_pandas()
+        k = (
+            pdf[gcols[0]]
+            if len(gcols) == 1
+            else pd.MultiIndex.from_frame(pdf[gcols])
+        )
+        m = k.map(mean_s).to_numpy(np.float64)
+        sd = k.map(std_s).to_numpy(np.float64)
+        x = tbl.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = (x - m) / sd
+        z[sd == 0.0] = np.nan  # SQL x/0.0 → NULL
+        return tbl.append_column(out_col, pa.array(z, pa.float64()))
+
+    return ds.map_batches(stamp, batch_format="pyarrow")

@@ -2547,6 +2547,35 @@ def q_gopher_filter(sf_dir):
     )
 
 
+def q_grouped_zscore(sf_dir):
+    """Per-user standardization of the cents-exact value column
+    (ops/groupstats.grouped_zscore): sufficient-stats combiner →
+    broadcast stamp, zero payload shuffle. Integer input ⇒ exact Σ/Σ² ⇒
+    the stated tree (x−s/n)/sqrt((s2−s·s/n)/n) is bit-equal in both
+    engines."""
+    from recipys_ray.ops.groupstats import grouped_zscore
+
+    ds = _events(sf_dir)
+
+    def to_cents(tbl: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(tbl.column("value"), 100.0)), pa.int64()
+        )
+        return pa.table(
+            {
+                "event_id": tbl.column("event_id"),
+                "user_id": tbl.column("user_id"),
+                "cents": cents,
+            }
+        )
+
+    out = grouped_zscore(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        ["user_id"], "cents", out_col="val_z",
+    )
+    return _select(out, ["event_id", "user_id", "val_z"])
+
+
 def q_calendar_features(sf_dir):
     """Per-row calendar decomposition (ops/calendar.py): ONE stateless
     map_batches of Arrow temporal kernels, no shuffle, no fit — streams at
@@ -4301,6 +4330,23 @@ ORACLES: dict[str, str] = {
                CAST(sum(brk) OVER ({_EXP}) AS BIGINT) AS session_id
         FROM f
     """,
+    "grouped_zscore": """
+        WITH b AS (
+          SELECT event_id, user_id,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events
+        ),
+        g AS (
+          SELECT user_id,
+                 CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(cents) AS DOUBLE) AS s,
+                 CAST(sum(cents * cents) AS DOUBLE) AS s2
+          FROM b GROUP BY user_id
+        )
+        SELECT event_id, b.user_id,
+               (cents - s / n) / sqrt((s2 - s * s / n) / n) AS val_z
+        FROM b JOIN g ON b.user_id = g.user_id
+    """,
     "gopher_filter": r"""
         WITH w AS (
           SELECT doc_id,
@@ -4484,6 +4530,7 @@ QUERIES = {
     "mix_temperature": q_mix_temperature,
     "feature_bake": q_feature_bake,
     "gopher_filter": q_gopher_filter,
+    "grouped_zscore": q_grouped_zscore,
     "dedup_jaro_winkler": q_dedup_jaro_winkler,
     "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
     "dedup_against": q_dedup_against,

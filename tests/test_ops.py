@@ -3942,3 +3942,27 @@ class TestGopherFilter:
         )
         assert out["doc_id"].tolist() == [1, 3]
         assert out["n_words"].tolist() == [8, 8]
+
+
+class TestGroupedZscore:
+    def test_values_and_zero_variance(self, ray_session):
+        from recipys_ray.ops.groupstats import grouped_zscore
+
+        pdf = pd.DataFrame({
+            "rid": range(6),
+            "g": ["a", "a", "a", "b", "b", "c"],
+            "x": [1, 2, 3, 5, 5, 9],
+        })
+        out = (
+            grouped_zscore(rd.from_pandas(pdf), ["g"], "x", out_col="z")
+            .to_pandas()
+            .sort_values("rid", ignore_index=True)
+        )
+        # a: mean 2, std_pop sqrt(2/3); b: zero variance -> NULL (SQL x/0.0)
+        sd = np.sqrt(2.0 / 3.0)
+        np.testing.assert_allclose(
+            out["z"].to_numpy()[:3], [-1 / sd, 0.0, 1 / sd]
+        )
+        assert out["z"].isna()[3] and out["z"].isna()[4]
+        # singleton group: var 0 -> NULL too
+        assert out["z"].isna()[5]
