@@ -9,6 +9,7 @@ from recipys_ray.ops.decontaminate import benchmark_gram_set, decontaminate
 from recipys_ray.ops.calendar import calendar_features
 from recipys_ray.ops.privacy import k_anonymize
 from recipys_ray.ops.dedup import (
+    cluster_labels,
     connected_components,
     dedup_against,
     embedding_dedup,
@@ -112,8 +113,8 @@ __all__ = [
     "asof_join", "range_agg", "range_join",
     "chunk_documents", "benchmark_gram_set", "decontaminate",
     "embedding_dedup", "embedding_dedup_exact", "exact_dedup",
-    "dedup_against", "connected_components", "calendar_features",
-    "k_anonymize",
+    "dedup_against", "connected_components", "cluster_labels",
+    "calendar_features", "k_anonymize",
     "minhash_candidate_pairs", "minhash_dedup", "ngram_jaccard",
     "simhash_dedup", "verify_pairs_jaccard", "distinct_per_group",
     "distinct_per_group_approx", "jaccard_dedup", "hash_join",

@@ -448,6 +448,95 @@ def connected_components(
     )
 
 
+def cluster_labels(
+    ds,
+    pairs_ds,
+    id_col: str,
+    max_driver_pairs: int = 5_000_000,
+    root_col: str = "root",
+    size_col: str = "cluster_size",
+):
+    """Stamp every corpus row with its duplicate-cluster label and size:
+    ``root`` = min id of the row's connected component over ``pairs_ds``
+    (rows in no pair are singletons: root = own id, size 1).
+
+    The cluster ASSIGNMENT view of dedup — survivors keep root == id;
+    the label/size columns power cluster-aware downstream choices
+    (keep-longest, per-cluster sampling, dedup audits).
+
+    Routes (the :func:`losers_from_pairs` policy): edge sets ≤
+    ``max_driver_pairs`` fold on the driver and broadcast two small maps
+    (ZERO corpus shuffle — one stateless stamp); larger edge sets run
+    distributed min-label propagation and stamp via two co-partitioned
+    left joins (corpus moves twice, never the pair set × corpus).
+    """
+    import ray
+
+    cc = connected_components(pairs_ds, max_driver_pairs=max_driver_pairs)
+    if pairs_ds.count() <= max_driver_pairs:
+        cc_pdf = cc.to_pandas()
+        sizes = cc_pdf.groupby("root", sort=False).size()
+        maps_ref = ray.put(
+            (
+                pd.Series(
+                    cc_pdf["root"].to_numpy(np.int64),
+                    index=cc_pdf["node"].to_numpy(np.int64),
+                ),
+                sizes,
+            )
+        )
+
+        def stamp(tbl: pa.Table) -> pa.Table:
+            root_map, size_map = ray.get(maps_ref)
+            ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+            s = pd.Series(ids)
+            root = s.map(root_map).fillna(s).to_numpy(np.int64)
+            size = (
+                pd.Series(root).map(size_map).fillna(1).to_numpy(np.int64)
+            )
+            tbl = tbl.append_column(root_col, pa.array(root, pa.int64()))
+            return tbl.append_column(size_col, pa.array(size, pa.int64()))
+
+        return ds.map_batches(stamp, batch_format="pyarrow")
+
+    # distributed route: (node → root) join, then (root → size) join
+    from recipys_ray.ops.join import hash_join
+
+    def rename_cc(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns(["node", root_col])
+
+    cc = cc.map_batches(rename_cc, batch_format="pyarrow").materialize()
+    sizes = cc.groupby(root_col).count()
+
+    def rename_sizes(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "__root_s__": tbl.column(root_col),
+                size_col: tbl.column("count()").cast(pa.int64()),
+            }
+        )
+
+    sizes = sizes.map_batches(rename_sizes, batch_format="pyarrow")
+    out = hash_join(ds, cc, on=id_col, right_on="node", how="left")
+    out = hash_join(out, sizes, on=root_col, right_on="__root_s__",
+                    how="left")
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = tbl.column(id_col)
+        root = pc.coalesce(tbl.column(root_col).cast(pa.int64()), ids)
+        size = pc.coalesce(
+            tbl.column(size_col).cast(pa.int64()), pa.scalar(1, pa.int64())
+        )
+        i_root = tbl.column_names.index(root_col)
+        tbl = tbl.set_column(i_root, root_col, root)
+        i_size = tbl.column_names.index(size_col)
+        return tbl.set_column(i_size, size_col, size)
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def losers_from_pairs(pairs_ds, max_driver_pairs: int = 5_000_000):
     """Component losers (non-min members) from a candidate-pair Dataset.
 

@@ -841,6 +841,26 @@ def q_dedup_minhash(sf_dir):
     return _select(out, ["doc_id"])
 
 
+def q_dup_clusters(sf_dir):
+    """Near-dup cluster ASSIGNMENT (ops/dedup.cluster_labels over the
+    minhash candidate pairs): every doc stamped with its component-min
+    root and cluster size, singletons included — the cluster-aware view
+    that powers keep-longest / per-cluster sampling policies. Oracle:
+    golden (root, size) from the independent sequential union-find in
+    scripts/gen_expected.py; the distributed join route is unit-tested
+    equal to the broadcast route."""
+    from recipys_ray.ops.dedup import cluster_labels, minhash_candidate_pairs
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    pairs = minhash_candidate_pairs(ds, text_col="text", id_col="doc_id")
+    out = cluster_labels(
+        ds.select_columns(["doc_id"]), pairs, id_col="doc_id"
+    )
+    return _select(out, ["doc_id", "root", "cluster_size"])
+
+
 def q_dedup_simhash(sf_dir):
     """Oracle: golden survivors (see q_dedup_minhash)."""
     from recipys_ray.ops.dedup import simhash_dedup
@@ -3363,6 +3383,12 @@ ORACLES: dict[str, str] = {
         WHERE corpus_key = (SELECT count(*) || '_' || CAST(sum(n_chars) AS BIGINT)
                             FROM documents)
     """,
+    "dup_clusters": """
+        SELECT doc_id, root, cluster_size
+        FROM read_parquet('/root/repo/expected/dup_clusters_*.parquet')
+        WHERE corpus_key = (SELECT count(*) || '_' || CAST(sum(n_chars) AS BIGINT)
+                            FROM documents)
+    """,
     "dedup_simhash": """
         SELECT doc_id
         FROM read_parquet('/root/repo/expected/dedup_simhash_*.parquet')
@@ -4531,6 +4557,7 @@ QUERIES = {
     "feature_bake": q_feature_bake,
     "gopher_filter": q_gopher_filter,
     "grouped_zscore": q_grouped_zscore,
+    "dup_clusters": q_dup_clusters,
     "dedup_jaro_winkler": q_dedup_jaro_winkler,
     "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
     "dedup_against": q_dedup_against,

@@ -69,7 +69,7 @@ def minhash_signature(text: str, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return vals.min(axis=1)
 
 
-def minhash_expected(docs: pd.DataFrame) -> np.ndarray:
+def _minhash_merge_sets(docs: pd.DataFrame) -> list:
     rng = np.random.RandomState(SEED)
     a = rng.randint(1, MERSENNE, size=NUM_PERM, dtype=np.int64).astype(np.uint64)
     b = rng.randint(0, MERSENNE, size=NUM_PERM, dtype=np.int64).astype(np.uint64)
@@ -84,8 +84,35 @@ def minhash_expected(docs: pd.DataFrame) -> np.ndarray:
                 mixed = mixed * prime + sig[band * r + j]
             key = (band, int(mixed & np.uint64(0x7FFFFFFFFFFFFFFF)))
             buckets.setdefault(key, []).append(int(doc_id))
-    merge_sets = [sorted(v) for v in buckets.values() if len(v) > 1]
+    return [sorted(v) for v in buckets.values() if len(v) > 1]
+
+
+def minhash_expected(docs: pd.DataFrame) -> np.ndarray:
+    merge_sets = _minhash_merge_sets(docs)
     return survivors_from_buckets(docs["doc_id"].tolist(), merge_sets)
+
+
+def minhash_clusters_expected(docs: pd.DataFrame) -> pd.DataFrame:
+    """Per-doc cluster root (component min id) + size, singletons incl."""
+    merge_sets = _minhash_merge_sets(docs)
+    uf = UnionFind()
+    for members in merge_sets:
+        for m in members[1:]:
+            uf.union(members[0], m)
+    ids = [int(d) for d in docs["doc_id"]]
+    roots = {d: uf.find(d) for d in ids}
+    sizes: dict = {}
+    for d in ids:
+        sizes[roots[d]] = sizes.get(roots[d], 0) + 1
+    return pd.DataFrame(
+        {
+            "doc_id": np.array(ids, dtype=np.int64),
+            "root": np.array([roots[d] for d in ids], dtype=np.int64),
+            "cluster_size": np.array(
+                [sizes[roots[d]] for d in ids], dtype=np.int64
+            ),
+        }
+    )
 
 
 def simhash_value(text: str) -> int:
@@ -454,6 +481,12 @@ def main():
             path = os.path.join(OUT_DIR, f"{name}_{corpus_key}.parquet")
             out.to_parquet(path, index=False)
             print(f"{path}: {len(surv)}/{n} survivors")
+        out = minhash_clusters_expected(docs)
+        out["corpus_key"] = corpus_key
+        path = os.path.join(OUT_DIR, f"dup_clusters_{corpus_key}.parquet")
+        out.to_parquet(path, index=False)
+        print(f"{path}: {len(out)} rows, "
+              f"{(out['root'] != out['doc_id']).sum()} non-roots")
 
 
 if __name__ == "__main__":

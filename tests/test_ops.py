@@ -3966,3 +3966,34 @@ class TestGroupedZscore:
         assert out["z"].isna()[3] and out["z"].isna()[4]
         # singleton group: var 0 -> NULL too
         assert out["z"].isna()[5]
+
+
+class TestClusterLabels:
+    def _fixture(self):
+        corpus = pd.DataFrame({"id": np.arange(8, dtype=np.int64)})
+        # components: {0,1,2} (chain), {5,6}; 3,4,7 singletons
+        pairs = pd.DataFrame({
+            "a": np.array([1, 2, 5], dtype=np.int64),
+            "b": np.array([0, 1, 6], dtype=np.int64),
+        })
+        return corpus, pairs
+
+    def test_broadcast_and_distributed_routes_agree(self, ray_session):
+        from recipys_ray.ops.dedup import cluster_labels
+
+        corpus, pairs = self._fixture()
+        expected_root = [0, 0, 0, 3, 4, 5, 5, 7]
+        expected_size = [3, 3, 3, 1, 1, 2, 2, 1]
+        for cap in (10**6, 0):
+            out = (
+                cluster_labels(
+                    rd.from_pandas(corpus), rd.from_pandas(pairs),
+                    id_col="id", max_driver_pairs=cap,
+                )
+                .to_pandas()
+                .sort_values("id", ignore_index=True)
+            )
+            assert out["root"].tolist() == expected_root, cap
+            assert out["cluster_size"].tolist() == expected_size, cap
+            assert out["root"].dtype == np.int64
+            assert out["cluster_size"].dtype == np.int64
