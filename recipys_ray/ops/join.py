@@ -17,8 +17,10 @@ plans, chosen by ``strategy`` (default ``auto`` by right-side size):
   each partition then runs one pandas merge over its rows. Both sides may
   be arbitrarily large; only the one all-to-all exchange moves data.
 
-Supported: ``how`` in {"inner", "left"}; differing key names via
-``right_on``; duplicate right keys multiply rows (standard SQL semantics).
+Supported: ``how`` in {"inner", "left", "outer", "semi", "anti"} (outer is
+shuffle-plan-only — a broadcast would emit unmatched right rows once per
+left batch); differing key names via ``right_on``; duplicate right keys
+multiply rows (standard SQL semantics).
 """
 
 from __future__ import annotations
@@ -116,10 +118,19 @@ def hash_join(
 
     ``strategy``: "broadcast" | "shuffle" | "auto" (broadcast iff the
     right side's reported ``size_bytes`` fits ``broadcast_max_bytes``)."""
-    if how not in ("inner", "left", "semi", "anti"):
+    if how not in ("inner", "left", "outer", "semi", "anti"):
         raise ValueError(
-            f"how must be 'inner', 'left', 'semi' or 'anti', got {how!r}"
+            f"how must be 'inner', 'left', 'outer', 'semi' or 'anti', "
+            f"got {how!r}"
         )
+    if how == "outer" and strategy == "broadcast":
+        raise ValueError(
+            "full outer join requires the co-partitioned shuffle plan: a "
+            "broadcast join would emit unmatched right rows once per left "
+            "batch; use strategy='shuffle' (or 'auto')"
+        )
+    if how == "outer":
+        strategy = "shuffle"
     left_on = [on] if isinstance(on, str) else list(on)
     right_on = (
         left_on if right_on is None
@@ -256,7 +267,7 @@ def _shuffle_join(left, right, left_on, right_on, how, right_suffix,
 
         src = tbl.column("__join_src__")
         lf = tbl.filter(pc.equal(src, 0)).select(lcols).to_pandas()
-        if len(lf) == 0:
+        if len(lf) == 0 and how != "outer":
             return out_schema.empty_table()
         rf = (
             tbl.filter(pc.equal(src, 1))
@@ -264,7 +275,20 @@ def _shuffle_join(left, right, left_on, right_on, how, right_suffix,
             .to_pandas()
         )
         # NULL join keys never match (SQL); pandas merge would NaN-match
+        r_null = rf[rf[left_on].isna().any(axis=1)] if how == "outer" else None
         rf = rf.dropna(subset=left_on)
+        if how == "outer":
+            out = lf.merge(rf, how="outer", on=left_on, sort=False)
+            if len(r_null):
+                # SQL FULL OUTER: null-keyed right rows appear unmatched
+                # (they match nothing; dropping them would lose rows)
+                out = pd.concat(
+                    [out, r_null.reindex(columns=out.columns)],
+                    ignore_index=True,
+                )
+            return pa.Table.from_pandas(
+                out[all_cols], schema=out_schema, preserve_index=False
+            )
         if how in ("semi", "anti"):
             probe = lf[left_on].merge(
                 rf.drop_duplicates(), how="left", on=left_on,

@@ -2448,6 +2448,42 @@ def q_left_join_customer_orders(sf_dir):
     )
 
 
+def q_outer_join_counts(sf_dir):
+    """FULL OUTER join (ops/join.py, shuffle plan only — a broadcast
+    would duplicate unmatched right rows per batch): per-custkey order
+    counts × per-user event counts. Both sides are tiny pre-aggregates
+    (combiner counts), unmatched keys on EACH side survive with int64
+    nulls preserved by the planned Arrow schema."""
+    from recipys_ray.ops.join import hash_join
+
+    def counts(path, key, ncol, rename_to):
+        ds = rd.read_parquet(path, columns=[key])
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            return tbl.group_by([key]).aggregate([([], "count_all")])
+
+        agg = (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(key)
+            .sum("count_all")
+        )
+
+        def rename(tbl: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    rename_to: tbl.column(key),
+                    ncol: tbl.column("sum(count_all)").cast(pa.int64()),
+                }
+            )
+
+        return agg.map_batches(rename, batch_format="pyarrow")
+
+    oc = counts(f"{sf_dir}/orders.parquet", "o_custkey", "n_orders", "ckey")
+    ec = counts(f"{sf_dir}/events.parquet", "user_id", "n_events", "ukey")
+    out = hash_join(oc, ec, on="ckey", right_on="ukey", how="outer")
+    return _select(out, ["ckey", "n_orders", "n_events"])
+
+
 def q_k_anonymity(sf_dir):
     """k-anonymity suppression (ops/privacy.py, k=5) over the QI
     (event_type, floor(value/10)): one partial-count combiner pass (only
@@ -4310,6 +4346,18 @@ ORACLES: dict[str, str] = {
         SELECT c_custkey, c_acctbal, o_orderkey, o_totalprice
         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     """,
+    "outer_join_counts": """
+        WITH oc AS (
+          SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n_orders
+          FROM orders GROUP BY o_custkey
+        ),
+        ec AS (
+          SELECT user_id AS k, CAST(count(*) AS BIGINT) AS n_events
+          FROM events GROUP BY user_id
+        )
+        SELECT coalesce(oc.k, ec.k) AS ckey, n_orders, n_events
+        FROM oc FULL OUTER JOIN ec ON oc.k = ec.k
+    """,
     "k_anonymity": """
         WITH b AS (
           SELECT event_id, event_type,
@@ -4558,6 +4606,7 @@ QUERIES = {
     "gopher_filter": q_gopher_filter,
     "grouped_zscore": q_grouped_zscore,
     "dup_clusters": q_dup_clusters,
+    "outer_join_counts": q_outer_join_counts,
     "dedup_jaro_winkler": q_dedup_jaro_winkler,
     "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
     "dedup_against": q_dedup_against,

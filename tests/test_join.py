@@ -109,7 +109,7 @@ def test_bad_args(ray_session):
     left, right = _tables()
     with pytest.raises(ValueError, match="how"):
         hash_join(rd.from_pandas(left), rd.from_pandas(right),
-                  on="k", right_on="rk", how="outer")
+                  on="k", right_on="rk", how="cross")
     with pytest.raises(ValueError, match="same length"):
         hash_join(rd.from_pandas(left), rd.from_pandas(right),
                   on=["k"], right_on=["rk", "rv"])
@@ -146,3 +146,44 @@ def test_null_keys_never_match(ray_session, strategy):
     lj = run("left")
     assert sorted(lj["lv"].tolist()) == [10, 20, 30, 40]
     assert lj["rv"].notna().sum() == 1
+
+
+class TestOuterJoin:
+    def test_full_outer_with_null_keys(self, ray_session):
+        from recipys_ray.ops.join import hash_join
+
+        left = pd.DataFrame({
+            "k": pd.array([1, 2, None, 4], dtype="Int64"),
+            "lv": [10, 20, 30, 40],
+        })
+        right = pd.DataFrame({
+            "k2": pd.array([2, 3, None], dtype="Int64"),
+            "rv": [200, 300, 999],
+        })
+        out = (
+            hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                      on="k", right_on="k2", how="outer")
+            .to_pandas()
+            .sort_values(["lv", "rv"], na_position="last",
+                         ignore_index=True)
+        )
+        # SQL FULL OUTER: null keys never match; every row survives once
+        assert len(out) == 6
+        got = {
+            (None if pd.isna(r.k) else int(r.k),
+             None if pd.isna(r.lv) else int(r.lv),
+             None if pd.isna(r.rv) else int(r.rv))
+            for r in out.itertuples()
+        }
+        assert got == {
+            (1, 10, None), (2, 20, 200), (None, 30, None), (4, 40, None),
+            (3, None, 300), (None, None, 999),
+        }
+
+    def test_outer_rejects_broadcast(self, ray_session):
+        from recipys_ray.ops.join import hash_join
+
+        l = rd.from_pandas(pd.DataFrame({"k": [1]}))
+        r = rd.from_pandas(pd.DataFrame({"k": [1]}))
+        with pytest.raises(ValueError, match="broadcast"):
+            hash_join(l, r, on="k", how="outer", strategy="broadcast")
