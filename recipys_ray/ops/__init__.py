@@ -45,6 +45,7 @@ from recipys_ray.ops.quantiles import (
     exact_quantiles_cont,
     group_quantiles,
     histogram,
+    kbins_quantile_exact,
     grouped_robust_zscore,
     robust_zscore,
     winsorize,
@@ -122,6 +123,7 @@ __all__ = [
     "decode_images", "read_webdataset", "extract_json_int", "funnel", "cohort_retention", "pack_sequences", "profile",
     "exact_quantiles", "exact_quantiles_cont", "group_quantiles",
     "winsorize", "robust_zscore", "grouped_robust_zscore",
+    "kbins_quantile_exact",
     "histogram",
     "rollup_aggregate", "add_global_rank", "add_ntile", "value_ranks",
     "banded_levenshtein", "dedup_levenshtein",

@@ -561,3 +561,41 @@ def grouped_robust_zscore(
         ds.select_columns(cols), gcols, per_partition,
         num_partitions=num_partitions,
     )
+
+
+def kbins_quantile_exact(
+    ds,
+    col: str,
+    n_bins: int,
+    out_col: str = "bin",
+    driver_cap: int = 1_000_000,
+):
+    """Equal-frequency discretization with EXACT edges: the sklearn
+    KBinsDiscretizer(strategy='quantile') contract, but the internal
+    edges are exact ``quantile_disc`` order statistics from the iterative
+    counting selection (no sample, no sketch, no global sort) — so a SQL
+    oracle can restate the binning verbatim.
+
+    ``bin(x) = #{j : x ≥ e_j}`` over the k−1 internal edges (0-based
+    int64, NULL in → NULL out). Edges are data values and every
+    comparison is exact, so the stamp is bit-free (no float arithmetic at
+    all). Two skinny passes fit the edges; the stamp is one stateless
+    vectorized ``searchsorted`` per batch — zero shuffle."""
+    import pyarrow.compute as pc  # noqa: F401 (parallel import pattern)
+
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    qs = [j / n_bins for j in range(1, n_bins)]
+    edges_df = exact_quantiles(ds, col, qs, driver_cap=driver_cap)
+    edges = np.sort(edges_df["value"].to_numpy(np.float64))
+
+    def stamp(tbl: pa.Table) -> pa.Table:
+        x = tbl.column(col).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        b = np.searchsorted(edges, x, side="right").astype(np.float64)
+        b[np.isnan(x)] = np.nan
+        out = pa.Array.from_pandas(pd.Series(b), type=pa.int64())
+        return tbl.append_column(out_col, out)
+
+    return ds.map_batches(stamp, batch_format="pyarrow")

@@ -2632,6 +2632,18 @@ def q_grouped_zscore(sf_dir):
     return _select(out, ["event_id", "user_id", "val_z"])
 
 
+def q_kbins_quantile(sf_dir):
+    """Equal-frequency 4-bin discretization with EXACT quantile_disc
+    edges (ops/quantiles.kbins_quantile_exact): two skinny counting
+    passes fit the edges, one searchsorted stamp bins every row —
+    bin = #{edges ≤ x}, no float arithmetic, NULL-preserving."""
+    from recipys_ray.ops.quantiles import kbins_quantile_exact
+
+    ds = _with_valn(_events(sf_dir)).select_columns(["event_id", "valn"])
+    out = kbins_quantile_exact(ds, "valn", n_bins=4, out_col="bin")
+    return _select(out, ["event_id", "bin"])
+
+
 def q_calendar_features(sf_dir):
     """Per-row calendar decomposition (ops/calendar.py): ONE stateless
     map_batches of Arrow temporal kernels, no shuffle, no fit — streams at
@@ -4421,6 +4433,22 @@ ORACLES: dict[str, str] = {
                (cents - s / n) / sqrt((s2 - s * s / n) / n) AS val_z
         FROM b JOIN g ON b.user_id = g.user_id
     """,
+    "kbins_quantile": f"""
+        WITH b AS (SELECT event_id, {_VALN_SQL} AS v FROM events),
+        e AS (
+          SELECT quantile_disc(v, 0.25) AS e1,
+                 quantile_disc(v, 0.50) AS e2,
+                 quantile_disc(v, 0.75) AS e3
+          FROM b
+        )
+        SELECT event_id,
+               CAST(CASE WHEN v IS NULL THEN NULL ELSE
+                 (CASE WHEN v >= e1 THEN 1 ELSE 0 END)
+               + (CASE WHEN v >= e2 THEN 1 ELSE 0 END)
+               + (CASE WHEN v >= e3 THEN 1 ELSE 0 END) END AS BIGINT)
+                 AS bin
+        FROM b, e
+    """,
     "gopher_filter": r"""
         WITH w AS (
           SELECT doc_id,
@@ -4607,6 +4635,7 @@ QUERIES = {
     "grouped_zscore": q_grouped_zscore,
     "dup_clusters": q_dup_clusters,
     "outer_join_counts": q_outer_join_counts,
+    "kbins_quantile": q_kbins_quantile,
     "dedup_jaro_winkler": q_dedup_jaro_winkler,
     "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
     "dedup_against": q_dedup_against,

@@ -3997,3 +3997,24 @@ class TestClusterLabels:
             assert out["cluster_size"].tolist() == expected_size, cap
             assert out["root"].dtype == np.int64
             assert out["cluster_size"].dtype == np.int64
+
+
+class TestKBinsQuantileExact:
+    def test_bins_and_nulls(self, ray_session):
+        from recipys_ray.ops.quantiles import kbins_quantile_exact
+
+        pdf = pd.DataFrame({
+            "rid": range(9),
+            "x": [1.0, 2, 3, 4, 5, 6, 7, 8, np.nan],
+        })
+        out = (
+            kbins_quantile_exact(rd.from_pandas(pdf), "x", n_bins=4)
+            .to_pandas()
+            .sort_values("rid", ignore_index=True)
+        )
+        # quantile_disc edges of 1..8 at .25/.5/.75 = 2, 4, 6;
+        # bin = #{edges <= x}
+        assert out["bin"].tolist()[:8] == [0, 1, 1, 2, 2, 3, 3, 3]
+        assert pd.isna(out["bin"].iloc[8])
+        assert str(out["bin"].dtype) in ("Int64", "object", "float64") or \
+            out["bin"].dtype == np.int64
