@@ -189,6 +189,20 @@ def bench_queries() -> dict:
         "interarrival",
         "decayed_sum",
         "segment_psi",
+        "connected_components",
+        "calendar_features",
+        "impute_linear",
+        "k_anonymity",
+        "l_diversity",
+        "left_join_customer_orders",
+        "asof_next_purchase",
+        "mix_temperature",
+        "feature_bake",
+        "gopher_filter",
+        "grouped_zscore",
+        "dup_clusters",
+        "outer_join_counts",
+        "kbins_quantile",
         "historical_salted",
     ]
     import gc

@@ -4,7 +4,7 @@ COVERAGE.md for the op → test → driver-query map)."""
 
 from recipys_ray.ops.asof import asof_join
 from recipys_ray.ops.rangejoin import range_agg, range_join
-from recipys_ray.ops.chunking import chunk_documents
+from recipys_ray.ops.chunking import chunk_documents, chunk_sentences
 from recipys_ray.ops.decontaminate import benchmark_gram_set, decontaminate
 from recipys_ray.ops.calendar import calendar_features
 from recipys_ray.ops.privacy import k_anonymize
@@ -112,7 +112,8 @@ from recipys_ray.ops.topk import top_k_per_group
 
 __all__ = [
     "asof_join", "range_agg", "range_join",
-    "chunk_documents", "benchmark_gram_set", "decontaminate",
+    "chunk_documents", "chunk_sentences", "benchmark_gram_set",
+    "decontaminate",
     "embedding_dedup", "embedding_dedup_exact", "exact_dedup",
     "dedup_against", "connected_components", "cluster_labels",
     "calendar_features", "k_anonymize",

@@ -83,3 +83,50 @@ def chunk_documents(
         })
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+def chunk_sentences(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pattern: str = r"[.!?]\s+",
+    out_col: str = "sentence",
+):
+    """Sentence-boundary chunking: split each document on ``pattern``
+    (default: terminal punctuation + whitespace; the delimiter is
+    consumed, matching SQL ``string_split_regex`` exactly — verified
+    equal edge semantics incl. trailing-empty segments). Output rows:
+    (id_col, sent_idx:int64 — the 0-based SPLIT position, empty segments
+    filtered on both sides — out_col, n_chars:int64).
+
+    Same flat-map shape as :func:`chunk_documents`: one streaming pass,
+    one RE2 split kernel + one flatten per batch, rows multiply, no
+    shuffle, no state.
+    """
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        texts = pc.fill_null(tbl.column(text_col), "")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        split = pc.split_pattern_regex(texts, pattern=pattern)
+        flat = pc.list_flatten(split)
+        lens = pc.list_value_length(split).to_numpy().astype(np.int64)
+        idx = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(lens) - lens, lens
+        )
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        rep_ids = np.repeat(ids, lens)
+        keep = pc.not_equal(flat, "")
+        out = pa.table(
+            {
+                id_col: pa.array(rep_ids),
+                "sent_idx": pa.array(idx, pa.int64()),
+                out_col: flat,
+                "n_chars": pc.utf8_length(flat).cast(pa.int64()),
+            }
+        )
+        return out.filter(keep)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -2644,6 +2644,20 @@ def q_kbins_quantile(sf_dir):
     return _select(out, ["event_id", "bin"])
 
 
+def q_chunk_sentences(sf_dir):
+    """Sentence-boundary chunking (ops/chunking.chunk_sentences): one RE2
+    split kernel per batch, flat-map, no shuffle; split semantics
+    verified identical to SQL string_split_regex (incl. trailing-empty
+    segments, filtered on both sides)."""
+    from recipys_ray.ops.chunking import chunk_sentences
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = chunk_sentences(ds)
+    return _select(out, ["doc_id", "sent_idx", "sentence", "n_chars"])
+
+
 def q_calendar_features(sf_dir):
     """Per-row calendar decomposition (ops/calendar.py): ONE stateless
     map_batches of Arrow temporal kernels, no shuffle, no fit — streams at
@@ -4433,6 +4447,19 @@ ORACLES: dict[str, str] = {
                (cents - s / n) / sqrt((s2 - s * s / n) / n) AS val_z
         FROM b JOIN g ON b.user_id = g.user_id
     """,
+    "chunk_sentences": r"""
+        WITH s AS (
+          SELECT doc_id,
+                 string_split_regex(coalesce(text, ''), '[.!?]\s+') AS parts
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(i - 1 AS BIGINT) AS sent_idx,
+               parts[CAST(i AS BIGINT)] AS sentence,
+               CAST(length(parts[CAST(i AS BIGINT)]) AS BIGINT) AS n_chars
+        FROM s, UNNEST(generate_series(1, len(parts))) AS g(i)
+        WHERE parts[CAST(i AS BIGINT)] <> ''
+    """,
     "kbins_quantile": f"""
         WITH b AS (SELECT event_id, {_VALN_SQL} AS v FROM events),
         e AS (
@@ -4636,6 +4663,7 @@ QUERIES = {
     "dup_clusters": q_dup_clusters,
     "outer_join_counts": q_outer_join_counts,
     "kbins_quantile": q_kbins_quantile,
+    "chunk_sentences": q_chunk_sentences,
     "dedup_jaro_winkler": q_dedup_jaro_winkler,
     "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
     "dedup_against": q_dedup_against,

@@ -4018,3 +4018,27 @@ class TestKBinsQuantileExact:
         assert pd.isna(out["bin"].iloc[8])
         assert str(out["bin"].dtype) in ("Int64", "object", "float64") or \
             out["bin"].dtype == np.int64
+
+
+class TestChunkSentences:
+    def test_split_and_indices(self, ray_session):
+        from recipys_ray.ops.chunking import chunk_sentences
+
+        docs = pd.DataFrame({
+            "doc_id": [1, 2, 3, 4],
+            "text": ["One. Two! Three? tail", "NoDelims",
+                     "Ends here. ", None],
+        })
+        out = (
+            chunk_sentences(rd.from_pandas(docs))
+            .to_pandas()
+            .sort_values(["doc_id", "sent_idx"], ignore_index=True)
+        )
+        assert out["sentence"].tolist() == [
+            "One", "Two", "Three", "tail", "NoDelims", "Ends here",
+        ]
+        # sent_idx is the original split position (pre-filter)
+        assert out["sent_idx"].tolist() == [0, 1, 2, 3, 0, 0]
+        # doc 4 (null text) vanishes: no non-empty sentences
+        assert 4 not in set(out["doc_id"])
+        assert out["n_chars"].tolist() == [3, 3, 5, 4, 8, 9]
