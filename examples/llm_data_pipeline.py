@@ -2,9 +2,10 @@
 
 Reads a raw document corpus, runs the curation chain (normalize → length
 filter → exact dedup → benchmark decontamination → train/val/test split),
-enriches the training split with quality/language features and TF-IDF
-keywords, near-dedups it with MinHash, and writes resumable partitioned
-parquet. Every stage is a lazy Ray Data transform: nothing materializes on
+applies the Gopher quality rules, rebalances the source mixture with
+sqrt-temperature sampling, enriches the training split with
+quality/language features and TF-IDF keywords, near-dedups it with
+MinHash, and writes resumable partitioned parquet. Every stage is a lazy Ray Data transform: nothing materializes on
 the driver, the plan streams block-by-block with backpressure, and each op
 is individually contract-verified against a DuckDB or golden oracle
 (COVERAGE.md).
@@ -54,7 +55,28 @@ def main(sf_dir: str = "/root/testdata/sf0.001",
 
     train = docs.map_batches(pick_train, batch_format="pyarrow")
 
-    # 3. near-dedup (MinHash+LSH) and feature enrichment
+    # 3a. Gopher quality rules (integer-exact thresholds), then rebalance
+    #     the source mixture toward rare sources (n^0.5 temperature) —
+    #     both zero-shuffle stamps/filters
+    from recipys_ray.ops.sampling import mix_temperature
+    from recipys_ray.ops.text import gopher_quality_filter
+
+    with_source = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    train = gopher_quality_filter(train, min_words=10, min_mwl=3)
+    # re-attach source for the mixture step (skinny broadcast join)
+    from recipys_ray.ops.join import hash_join
+
+    train = hash_join(
+        train.select_columns(["doc_id", "text"]), with_source,
+        on="doc_id", strategy="broadcast",
+    )
+    # half-corpus token budget, per-source shares ∝ sqrt(n) — rare
+    # sources keep proportionally more
+    train = mix_temperature(train, "source", "doc_id", alpha=0.5)
+
+    # 3b. near-dedup (MinHash+LSH) and feature enrichment
     train = minhash_dedup(train, text_col="text", id_col="doc_id")
     enriched = text_features(train, text_col="text")
     keywords = tfidf_top_terms(train, vocab_size=500, top_n=3)
