@@ -2658,6 +2658,114 @@ def q_chunk_sentences(sf_dir):
     return _select(out, ["doc_id", "sent_idx", "sentence", "n_chars"])
 
 
+def q_grouped_percent_rank(sf_dir):
+    """Per-user PERCENT_RANK of the cents-exact value (ONE skinny
+    exchange on user_id; pandas C rank kernel across all groups):
+    (rank−1)/(n−1) over exact ints — one IEEE division, bit-equal to
+    the SQL window. Ties share the min rank (SQL rank())."""
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    ds = _events(sf_dir)
+
+    def to_cents(tbl: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(tbl.column("value"), 100.0)), pa.int64()
+        )
+        return pa.table(
+            {
+                "event_id": tbl.column("event_id"),
+                "user_id": tbl.column("user_id"),
+                "cents": cents,
+            }
+        )
+
+    ints = ds.map_batches(to_cents, batch_format="pyarrow")
+
+    def rank_in_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby("user_id", sort=False)["cents"]
+        r = g.rank(method="min").to_numpy(np.float64)
+        n = g.transform("size").to_numpy(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            pr = (r - 1.0) / (n - 1.0)
+        pr[n == 1.0] = 0.0  # SQL percent_rank of a single row is 0
+        out = pdf[["event_id", "user_id"]].copy()
+        out["pct_rank"] = pr
+        return out
+
+    return partitioned_groupby_map(ints, ["user_id"], rank_in_group)
+
+
+def q_top_spenders(sf_dir):
+    """Exact top-10 users by total cents (per-block combiner partial sums
+    → tiny groupby sum → driver top-k with user_id tie-break): integer
+    totals, deterministic order columns only."""
+    ds = _events(sf_dir)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(tbl.column("value"), 100.0)), pa.int64()
+        )
+        t = pa.table(
+            {"user_id": tbl.column("user_id"), "cents": cents}
+        )
+        return t.group_by(["user_id"]).aggregate([("cents", "sum")])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .sum("cents_sum")
+        .to_pandas()
+    )
+    agg = agg.rename(columns={"sum(cents_sum)": "total_cents"})
+    agg["total_cents"] = agg["total_cents"].astype(np.int64)
+    top = agg.sort_values(
+        ["total_cents", "user_id"], ascending=[False, True]
+    ).head(10)
+    return pa.Table.from_pandas(
+        top[["user_id", "total_cents"]], preserve_index=False
+    )
+
+
+def q_lexical_diversity(sf_dir):
+    """Per-doc type-token ratio (distinct words / words — the classic
+    lexical-diversity quality signal): integer counts from the shared RE2
+    word kernel + one hash-dedup per batch, one IEEE division. NULL for
+    word-less docs (SQL x/0 → NULL ≡ 0/0 NaN here is avoided by the
+    explicit CASE)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def score(tbl: pa.Table) -> pa.Table:
+        from recipys_ray.ops.text import word_stream
+
+        words, counts = word_stream(tbl.column("text"))
+        n = counts.astype(np.int64)
+        # distinct words per doc: one vectorized drop_duplicates over the
+        # flat (doc_pos, word) stream
+        doc_pos = np.repeat(np.arange(len(n), dtype=np.int64), n)
+        pdf = pd.DataFrame(
+            {"d": doc_pos, "w": words.to_numpy(zero_copy_only=False)}
+        )
+        dd = pdf.drop_duplicates()
+        u = np.zeros(len(n), dtype=np.int64)
+        vc = dd.groupby("d", sort=False).size()
+        u[vc.index.to_numpy()] = vc.to_numpy()
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ttr = u.astype(np.float64) / n.astype(np.float64)
+        ttr[n == 0] = np.nan
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "n_words": pa.array(n, pa.int64()),
+                "n_distinct_words": pa.array(u, pa.int64()),
+                "ttr": pa.array(ttr, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def q_calendar_features(sf_dir):
     """Per-row calendar decomposition (ops/calendar.py): ONE stateless
     map_batches of Arrow temporal kernels, no shuffle, no fit — streams at
@@ -4447,6 +4555,38 @@ ORACLES: dict[str, str] = {
                (cents - s / n) / sqrt((s2 - s * s / n) / n) AS val_z
         FROM b JOIN g ON b.user_id = g.user_id
     """,
+    "grouped_percent_rank": """
+        WITH b AS (
+          SELECT event_id, user_id,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events
+        )
+        SELECT event_id, user_id,
+               percent_rank() OVER (
+                 PARTITION BY user_id ORDER BY cents
+               ) AS pct_rank
+        FROM b
+    """,
+    "top_spenders": """
+        SELECT user_id, CAST(sum(CAST(round(value * 100) AS BIGINT))
+                             AS BIGINT) AS total_cents
+        FROM events GROUP BY user_id
+        ORDER BY total_cents DESC, user_id ASC LIMIT 10
+    """,
+    "lexical_diversity": r"""
+        WITH w AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(coalesce(text, '')), '\w+') AS ws
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words,
+               CASE WHEN len(ws) = 0 THEN NULL
+                    ELSE CAST(len(list_distinct(ws)) AS DOUBLE)
+                         / CAST(len(ws) AS DOUBLE) END AS ttr
+        FROM w
+    """,
     "chunk_sentences": r"""
         WITH s AS (
           SELECT doc_id,
@@ -4664,6 +4804,9 @@ QUERIES = {
     "outer_join_counts": q_outer_join_counts,
     "kbins_quantile": q_kbins_quantile,
     "chunk_sentences": q_chunk_sentences,
+    "grouped_percent_rank": q_grouped_percent_rank,
+    "top_spenders": q_top_spenders,
+    "lexical_diversity": q_lexical_diversity,
     "dedup_jaro_winkler": q_dedup_jaro_winkler,
     "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
     "dedup_against": q_dedup_against,
