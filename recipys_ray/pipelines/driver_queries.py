@@ -2766,6 +2766,18 @@ def q_lexical_diversity(sf_dir):
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def q_hash_sample(sf_dir):
+    """Deterministic 30% corpus sample by murmurhash64(doc_id)
+    (ops/sampling.hash_sample ≡ the SQL hash() predicate with the integer
+    threshold inlined) — stateless, order/partition invariant."""
+    from recipys_ray.ops.sampling import hash_sample
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    return _select(hash_sample(ds, "doc_id", 0.3), ["doc_id", "source"])
+
+
 def q_calendar_features(sf_dir):
     """Per-row calendar decomposition (ops/calendar.py): ONE stateless
     map_batches of Arrow temporal kernels, no shuffle, no fit — streams at
@@ -4555,6 +4567,10 @@ ORACLES: dict[str, str] = {
                (cents - s / n) / sqrt((s2 - s * s / n) / n) AS val_z
         FROM b JOIN g ON b.user_id = g.user_id
     """,
+    "hash_sample": """
+        SELECT doc_id, source FROM documents
+        WHERE hash(doc_id) < 5534023222112865280
+    """,
     "grouped_percent_rank": """
         WITH b AS (
           SELECT event_id, user_id,
@@ -4807,6 +4823,7 @@ QUERIES = {
     "grouped_percent_rank": q_grouped_percent_rank,
     "top_spenders": q_top_spenders,
     "lexical_diversity": q_lexical_diversity,
+    "hash_sample": q_hash_sample,
     "dedup_jaro_winkler": q_dedup_jaro_winkler,
     "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
     "dedup_against": q_dedup_against,
