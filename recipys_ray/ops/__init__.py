@@ -77,9 +77,11 @@ from recipys_ray.ops.groupstats import (
     grouped_moments,
     grouped_regression,
     grouped_value_counts,
+    grouped_weighted_stats,
     grouped_zscore,
     transition_counts,
 )
+from recipys_ray.ops.timeseries import grouped_autocorr, ohlc_bars
 from recipys_ray.ops.rollup import rollup_aggregate
 from recipys_ray.ops.frequent import cms_counts, frequent_items
 from recipys_ray.ops.reshape import group_concat, melt, pivot
@@ -134,6 +136,7 @@ __all__ = [
     "grouped_value_counts", "grouped_mode", "grouped_entropy", "grouped_corr",
     "grouped_zscore",
     "grouped_regression", "grouped_moments", "grouped_first_last",
+    "grouped_weighted_stats", "grouped_autocorr", "ohlc_bars",
     "merge_intervals", "transition_counts", "pmi_bigrams",
     "cumulative_distinct", "grouped_auc", "decayed_sum",
     "fit_pca", "pca_project", "target_encode", "feature_hash",

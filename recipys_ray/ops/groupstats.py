@@ -874,6 +874,95 @@ def grouped_first_last(
     )
 
 
+def grouped_weighted_stats(
+    ds,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    wsum_col: str = "sum_w",
+    wmean_col: str = "wmean",
+    wvar_col: str = "wvar",
+    num_partitions: int | None = None,
+):
+    """Weighted mean + (population) weighted variance per group —
+    sample-weight aggregation for importance-weighted features (e.g.
+    quantity-weighted price, duration-weighted score). SQL has no
+    weighted-variance builtin, so the contract is the stated closed form::
+
+        wmean = Σwx / Σw
+        wvar  = (Σwx² − (Σwx)²/Σw) / Σw
+
+    Rows where EITHER value or weight is null are excluded (pairwise
+    semantics, mirroring ``corr``). Zero-total-weight groups emit NULL
+    for both (SQL ``x/0.0``). Output: group cols + Σw (int64 — feed an
+    integer weight), wmean, wvar.
+
+    Exactness contract: feed INTEGER-valued value and weight columns
+    (keep Σwx² under 2^53) so every Σ is exact in float64 and order-free;
+    the finish then runs the stated tree on identical doubles in both
+    engines — bit-exact.
+
+    Motion: identical to :func:`grouped_corr` — per-block vectorized
+    sufficient-stats partial (Σw, Σwx, Σwx² via one groupby-sum C
+    kernel), ONE exchange of partial rows, vectorized finish."""
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    gcols = list(group_cols)
+    stat_cols = ["__sw__", "__swx__", "__swxx__"]
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        key_types = {c: tbl.schema.field(c).type for c in gcols}
+        pdf = tbl.select(gcols + [value_col, weight_col]).to_pandas()
+        pdf = pdf[pdf[value_col].notna() & pdf[weight_col].notna()]
+        xv = pdf[value_col].to_numpy(np.float64)
+        wv = pdf[weight_col].to_numpy(np.float64)
+        stats = pd.DataFrame({c: pdf[c].to_numpy() for c in gcols})
+        stats["__sw__"] = wv
+        stats["__swx__"] = wv * xv
+        stats["__swxx__"] = wv * xv * xv
+        agg = (
+            stats.groupby(gcols, sort=False, dropna=False, observed=True)
+            .sum()
+            .reset_index()
+        )
+        arrs: dict = {
+            c: pa.Array.from_pandas(agg[c], type=key_types[c]) for c in gcols
+        }
+        for c in stat_cols:
+            arrs[c] = pa.array(agg[c].to_numpy(np.float64), pa.float64())
+        return pa.table(arrs)
+
+    parts = ds.select_columns(gcols + [value_col, weight_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            pdf.groupby(gcols, sort=False, dropna=False, observed=True)[
+                stat_cols
+            ]
+            .sum()
+            .reset_index()
+        )
+        sw = agg["__sw__"].to_numpy(np.float64)
+        swx = agg["__swx__"].to_numpy(np.float64)
+        swxx = agg["__swxx__"].to_numpy(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            wmean = swx / sw
+            wvar = (swxx - swx * swx / sw) / sw
+        wmean[sw == 0.0] = np.nan  # SQL x/0.0 → NULL
+        wvar[sw == 0.0] = np.nan
+        out = agg[gcols].copy()
+        out[wsum_col] = sw.astype(np.int64)
+        out[wmean_col] = wmean
+        out[wvar_col] = wvar
+        return out
+
+    return partitioned_groupby_map(
+        parts, gcols, finish, num_partitions=num_partitions
+    )
+
+
 def grouped_zscore(
     ds,
     group_cols: list[str],

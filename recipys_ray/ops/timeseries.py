@@ -1,0 +1,195 @@
+"""Time-series feature ops: OHLC bucket bars and per-entity lag-k
+autocorrelation.
+
+Both are transcript/event-stream feature extractors the reference's
+StepHistorical family doesn't express (reference step.py:200-320 covers
+only expanding windows): bars summarize an entity's value trajectory per
+time bucket (open/high/low/close — the canonical downsampled state
+snapshot), and autocorrelation measures per-entity temporal persistence
+(burstiness / momentum features for behavioral models).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def ohlc_bars(
+    ds,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    open_col: str = "open",
+    high_col: str = "high",
+    low_col: str = "low",
+    close_col: str = "close",
+    n_col: str = "n_events",
+    num_partitions: int | None = None,
+):
+    """Open/high/low/close + event count of ``value_col`` per group (the
+    caller typically includes a precomputed time-bucket column in
+    ``group_cols``) under the ``order_cols`` total order. SQL equivalent:
+    ``first(v ORDER BY o...) / max(v) / min(v) / last(v ORDER BY o...) /
+    count(v)`` grouped by the bucket keys.
+
+    Exactness: every output is a SELECTION (first/last/min/max are exact
+    row picks, count is an integer) — no float arithmetic, so results are
+    hash-identical across engines for any input dtype.
+
+    Motion: combiner-first, like :func:`grouped_first_last` — each block
+    sorts ONCE and emits per group a single summary row (head row's
+    (order, value), tail row's (order, value), block min/max/count, all
+    pandas C kernels across every group at once); ONE exchange moves the
+    summary rows; the finish repeats the associative min-order /
+    max-order / min / max / sum fold. The corpus never shuffles and the
+    result is partition- and layout-invariant. ``order_cols`` should be
+    unique per group (pass an id column last) for deterministic
+    open/close. Null values: rows with a null ``value_col`` are excluded
+    entirely (SQL min/max/count(v) ignore NULL; pair with a not-null
+    filter if first/last NULL positional semantics are wanted)."""
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    gcols = list(group_cols)
+    ocols = list(order_cols)
+    cols = gcols + ocols + [value_col]
+    fo = [f"__fo_{c}__" for c in ocols]
+    lo = [f"__lo_{c}__" for c in ocols]
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        pdf = tbl.select(cols).to_pandas()
+        pdf = pdf[pdf[value_col].notna()]
+        pdf = pdf.sort_values(gcols + ocols, kind="stable",
+                              ignore_index=True)
+        g = pdf.groupby(gcols, sort=False, dropna=False, observed=True)
+        head = g.head(1).rename(
+            columns=dict(zip(ocols, fo)) | {value_col: open_col}
+        )[gcols + fo + [open_col]]
+        tail = g.tail(1).rename(
+            columns=dict(zip(ocols, lo)) | {value_col: close_col}
+        )[gcols + lo + [close_col]]
+        mm = g[value_col].agg(["min", "max", "size"]).reset_index()
+        mm = mm.rename(
+            columns={"min": low_col, "max": high_col, "size": n_col}
+        )
+        mm[n_col] = mm[n_col].astype(np.int64)
+        out = head.merge(tail, on=gcols, sort=False).merge(
+            mm, on=gcols, sort=False
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.select_columns(cols).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        f = (
+            pdf.sort_values(gcols + fo, kind="stable", ignore_index=True)
+            .groupby(gcols, sort=False, dropna=False)
+            .head(1)[gcols + [open_col]]
+        )
+        l_ = (
+            pdf.sort_values(gcols + lo, kind="stable", ignore_index=True)
+            .groupby(gcols, sort=False, dropna=False)
+            .tail(1)[gcols + [close_col]]
+        )
+        mm = (
+            pdf.groupby(gcols, sort=False, dropna=False)
+            .agg({low_col: "min", high_col: "max", n_col: "sum"})
+            .reset_index()
+        )
+        mm[n_col] = mm[n_col].astype(np.int64)
+        out = f.merge(l_, on=gcols, sort=False).merge(mm, on=gcols,
+                                                      sort=False)
+        return out[gcols + [open_col, high_col, low_col, close_col, n_col]]
+
+    return partitioned_groupby_map(
+        parts, gcols, finish, num_partitions=num_partitions
+    )
+
+
+def grouped_autocorr(
+    ds,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    lag: int = 1,
+    corr_col: str = "autocorr",
+    n_col: str = "n_pairs",
+    num_partitions: int | None = None,
+):
+    """Per-group lag-``k`` sample autocorrelation: Pearson correlation of
+    (v_t, v_{t+lag}) over each group's ``order_cols``-ordered sequence.
+    SQL equivalent: ``lead(v, lag) OVER (PARTITION BY g ORDER BY o...)``
+    forming pairs, then the corr closed form over pairs where both sides
+    are non-null. Groups with fewer than 2 pairs emit no row; groups with
+    zero variance on either side emit NULL (SQL ``x/0.0`` is NULL — the
+    IEEE inf/nan path would diverge from the oracle).
+
+    Exactness contract (the grouped_corr lesson): feed an INTEGER-valued
+    column so every Σ is exact in float64 and summation order cannot
+    matter; the finish then evaluates the stated tree
+    ``((sxy−sx·sy/n)/(n−1)) / (sqrt((sxx−sx²/n)/(n−1))·sqrt(...))``
+    on identical doubles — bit-equal across engines.
+
+    Motion: ONE skinny exchange ((group, order, value) only) co-locates
+    each entity's history; inside a partition a single stable sort +
+    grouped ``shift(-lag)`` (pandas C kernel across ALL groups at once)
+    forms the pairs, and the sufficient-stats fold + closed form finish
+    per group locally — no second exchange, the partition already holds
+    every row of its groups."""
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    gcols = list(group_cols)
+    ocols = list(order_cols)
+    cols = gcols + ocols + [value_col]
+
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[cols].sort_values(
+            gcols + ocols, kind="stable", ignore_index=True
+        )
+        grp = pdf.groupby(gcols, sort=False, dropna=False, observed=True)
+        x = pdf[value_col]
+        y = grp[value_col].shift(-lag)
+        keep = (x.notna() & y.notna()).to_numpy()
+        xv = x.to_numpy(np.float64)[keep]
+        yv = y.to_numpy(np.float64)[keep]
+        stats = pd.DataFrame({c: pdf[c].to_numpy()[keep] for c in gcols})
+        stats["__n__"] = np.int64(1)
+        stats["__sx__"] = xv
+        stats["__sy__"] = yv
+        stats["__sxx__"] = xv * xv
+        stats["__syy__"] = yv * yv
+        stats["__sxy__"] = xv * yv
+        agg = (
+            stats.groupby(gcols, sort=False, dropna=False, observed=True)
+            .sum()
+            .reset_index()
+        )
+        agg = agg[agg["__n__"] >= 2]
+        n = agg["__n__"].to_numpy(np.int64)
+        nf = n.astype(np.float64)
+        sx = agg["__sx__"].to_numpy(np.float64)
+        sy = agg["__sy__"].to_numpy(np.float64)
+        sxx = agg["__sxx__"].to_numpy(np.float64)
+        syy = agg["__syy__"].to_numpy(np.float64)
+        sxy = agg["__sxy__"].to_numpy(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            corr = ((sxy - sx * sy / nf) / (nf - 1.0)) / (
+                np.sqrt((sxx - sx * sx / nf) / (nf - 1.0))
+                * np.sqrt((syy - sy * sy / nf) / (nf - 1.0))
+            )
+        # SQL x/0.0 → NULL: zero variance on either side (exact comparison
+        # with integer-valued inputs — both engines see identical doubles)
+        zero = ((sxx - sx * sx / nf) == 0.0) | ((syy - sy * sy / nf) == 0.0)
+        corr[zero] = np.nan
+        out = agg[gcols].reset_index(drop=True)
+        out[n_col] = n
+        out[corr_col] = corr
+        return out
+
+    return partitioned_groupby_map(
+        ds.select_columns(cols), gcols, finish,
+        num_partitions=num_partitions,
+    )

@@ -2799,6 +2799,88 @@ def q_calendar_features(sf_dir):
 # --------------------------------------------------------------------- #
 # oracle SQL (DuckDB) — names match the Ray outputs 1:1
 # --------------------------------------------------------------------- #
+def q_ohlc_bars(sf_dir):
+    """Hourly OHLC bars per user (ops/timeseries.ohlc_bars): open/high/
+    low/close of value + event count per (user_id, hour bucket). Every
+    output is a SELECTION (exact row picks) or an integer — no float
+    arithmetic, hash-identical by construction. Bucket = int64 epoch-us
+    floor-div 3.6e9, mirroring SQL `epoch_us(ts) // 3600000000`."""
+    from recipys_ray.ops.timeseries import ohlc_bars
+
+    ds = _events(sf_dir)
+
+    def bucketize(tbl: pa.Table) -> pa.Table:
+        s = pc.cast(tbl.column("ts"), pa.int64()).to_numpy()
+        bucket = s // 3_600_000_000
+        return tbl.append_column("bucket", pa.array(bucket, pa.int64()))
+
+    out = ohlc_bars(
+        ds.map_batches(bucketize, batch_format="pyarrow"),
+        ["user_id", "bucket"],
+        ["ts", "event_id"],
+        "value",
+    )
+    return _select(
+        out, ["user_id", "bucket", "open", "high", "low", "close",
+              "n_events"]
+    )
+
+
+def q_autocorr(sf_dir):
+    """Per-user lag-1 autocorrelation of value (ops/timeseries.
+    grouped_autocorr). Bit-exact by the grouped_corr contract: the input
+    is value×100 rounded to int64, so every Σ is exact in float64 and the
+    stated closed form runs on identical doubles in both engines. Groups
+    with <2 pairs drop; zero variance → NULL (SQL x/0.0)."""
+    from recipys_ray.ops.timeseries import grouped_autocorr
+
+    ds = _events(sf_dir)
+
+    def to_int(tbl: pa.Table) -> pa.Table:
+        x = pc.cast(pc.round(pc.multiply(tbl.column("value"), 100.0)),
+                    pa.int64())
+        return pa.table({
+            "user_id": tbl.column("user_id"),
+            "ts": tbl.column("ts"),
+            "event_id": tbl.column("event_id"),
+            "x": x,
+        })
+
+    out = grouped_autocorr(
+        ds.map_batches(to_int, batch_format="pyarrow"),
+        ["user_id"], ["ts", "event_id"], "x", lag=1,
+    )
+    return _select(out, ["user_id", "n_pairs", "autocorr"])
+
+
+def q_weighted_stats(sf_dir):
+    """Quantity-weighted discount statistics per returnflag
+    (ops/groupstats.grouped_weighted_stats): Σw exact int64, wmean/wvar
+    from the stated closed form over exact integer sums (w ≤ 50,
+    x = disc×100 ≤ 10 → Σwx² far below 2^53) — bit-equal both engines."""
+    from recipys_ray.ops.groupstats import grouped_weighted_stats
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_discount"],
+    )
+
+    def to_int(tbl: pa.Table) -> pa.Table:
+        d100 = pc.cast(pc.round(pc.multiply(tbl.column("l_discount"),
+                                            100.0)), pa.int64())
+        return pa.table({
+            "l_returnflag": tbl.column("l_returnflag"),
+            "x": d100,
+            "w": pc.cast(tbl.column("l_quantity"), pa.int64()),
+        })
+
+    out = grouped_weighted_stats(
+        ds.map_batches(to_int, batch_format="pyarrow"),
+        ["l_returnflag"], "x", "w",
+    )
+    return _select(out, ["l_returnflag", "sum_w", "wmean", "wvar"])
+
+
 ORACLES: dict[str, str] = {
     "impute_zero": f"""
         SELECT event_id, coalesce({_VALN_SQL}, 0) AS valn FROM events
@@ -4696,6 +4778,66 @@ ORACLES: dict[str, str] = {
                     AS BIGINT) AS is_weekend
         FROM events
     """,
+    "ohlc_bars": """
+        SELECT user_id, epoch_us(ts) // 3600000000 AS bucket,
+               first(value ORDER BY ts, event_id) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               last(value ORDER BY ts, event_id) AS close,
+               CAST(count(value) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY user_id, epoch_us(ts) // 3600000000
+    """,
+    "autocorr": """
+        WITH b AS (
+          SELECT user_id, ts, event_id,
+                 CAST(round(value * 100) AS BIGINT) AS x
+          FROM events
+        ), l AS (
+          SELECT user_id, x,
+                 lead(x, 1) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS y
+          FROM b
+        ), p AS (
+          SELECT user_id, x, y FROM l
+          WHERE x IS NOT NULL AND y IS NOT NULL
+        ), s AS (
+          SELECT user_id, count(*) AS n,
+                 CAST(sum(x) AS DOUBLE) AS sx,
+                 CAST(sum(y) AS DOUBLE) AS sy,
+                 CAST(sum(x*x) AS DOUBLE) AS sxx,
+                 CAST(sum(y*y) AS DOUBLE) AS syy,
+                 CAST(sum(x*y) AS DOUBLE) AS sxy
+          FROM p GROUP BY user_id
+        )
+        SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+               CASE WHEN (sxx - sx*sx/n) = 0 OR (syy - sy*sy/n) = 0
+                    THEN NULL
+                    ELSE ((sxy - sx*sy/n) / (n-1)) /
+                         (sqrt((sxx - sx*sx/n)/(n-1)) *
+                          sqrt((syy - sy*sy/n)/(n-1)))
+               END AS autocorr
+        FROM s WHERE n >= 2
+    """,
+    "weighted_stats": """
+        WITH i AS (
+          SELECT l_returnflag,
+                 CAST(round(l_discount * 100) AS BIGINT) AS x,
+                 CAST(l_quantity AS BIGINT) AS w
+          FROM lineitem
+          WHERE l_discount IS NOT NULL AND l_quantity IS NOT NULL
+        ), s AS (
+          SELECT l_returnflag,
+                 CAST(sum(w) AS DOUBLE) AS sw,
+                 CAST(sum(w*x) AS DOUBLE) AS swx,
+                 CAST(sum(w*x*x) AS DOUBLE) AS swxx
+          FROM i GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, CAST(sw AS BIGINT) AS sum_w,
+               swx / sw AS wmean,
+               (swxx - swx*swx/sw) / sw AS wvar
+        FROM s
+    """,
 }
 
 
@@ -4832,4 +4974,7 @@ QUERIES = {
     "psi_value_drift": q_psi_value_drift,
     "segment_psi": q_segment_psi,
     "ks_quantity_flag": q_ks_quantity_flag,
+    "ohlc_bars": q_ohlc_bars,
+    "autocorr": q_autocorr,
+    "weighted_stats": q_weighted_stats,
 }

@@ -4042,3 +4042,235 @@ class TestChunkSentences:
         # doc 4 (null text) vanishes: no non-empty sentences
         assert 4 not in set(out["doc_id"])
         assert out["n_chars"].tolist() == [3, 3, 5, 4, 8, 9]
+
+
+class TestOhlcBars:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from recipys_ray.ops.timeseries import ohlc_bars
+
+        rng = np.random.default_rng(93)
+        n = 500
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 12, n),
+            "b": rng.integers(0, 5, n),
+            "o": rng.permutation(n).astype(np.int64),
+            "v": np.round(rng.normal(100, 25, n), 2),
+        })
+        pdf.loc[rng.integers(0, n, 40), "v"] = np.nan
+        got = (
+            ohlc_bars(
+                rd.from_pandas(pdf).repartition(7), ["g", "b"], ["o"],
+                "v", num_partitions=3,
+            )
+            .to_pandas()
+            .sort_values(["g", "b"], ignore_index=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute("""
+            WITH nn AS (SELECT * FROM t WHERE v IS NOT NULL)
+            SELECT g, b, first(v ORDER BY o) AS open, max(v) AS high,
+                   min(v) AS low, last(v ORDER BY o) AS close,
+                   CAST(count(v) AS BIGINT) AS n_events
+            FROM nn GROUP BY g, b ORDER BY g, b
+        """).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_cross_block_open_close(self, ray_session):
+        from recipys_ray.ops.timeseries import ohlc_bars
+
+        pdf = pd.DataFrame({
+            "g": [1, 1, 1, 1],
+            "o": [5, 1, 99, 50],
+            "v": [2.0, 7.0, 3.0, 9.0],
+        })
+        got = ohlc_bars(
+            rd.from_pandas(pdf).repartition(2), ["g"], ["o"], "v",
+            num_partitions=1,
+        ).to_pandas()
+        assert got["open"].tolist() == [7.0]    # o=1
+        assert got["close"].tolist() == [3.0]   # o=99
+        assert got["high"].tolist() == [9.0]
+        assert got["low"].tolist() == [2.0]
+        assert got["n_events"].tolist() == [4]
+
+    def test_partition_invariance(self, ray_session):
+        from recipys_ray.ops.timeseries import ohlc_bars
+
+        rng = np.random.default_rng(7)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 6, 300),
+            "o": rng.permutation(300).astype(np.int64),
+            "v": np.round(rng.uniform(0, 50, 300), 2),
+        })
+        outs = []
+        for parts, nparts in [(1, 1), (11, 4)]:
+            outs.append(
+                ohlc_bars(
+                    rd.from_pandas(pdf).repartition(parts), ["g"], ["o"],
+                    "v", num_partitions=nparts,
+                )
+                .to_pandas()
+                .sort_values("g", ignore_index=True)
+            )
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+class TestGroupedAutocorr:
+    def test_matches_duckdb_closed_form(self, ray_session):
+        import duckdb
+
+        from recipys_ray.ops.timeseries import grouped_autocorr
+
+        rng = np.random.default_rng(41)
+        n = 800
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 10, n),
+            "o": np.arange(n, dtype=np.int64),
+            "x": rng.integers(0, 1000, n),
+        })
+        got = (
+            grouped_autocorr(
+                rd.from_pandas(pdf).repartition(6), ["g"], ["o"], "x",
+                lag=1, num_partitions=3,
+            )
+            .to_pandas()
+            .sort_values("g", ignore_index=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute("""
+            WITH l AS (
+              SELECT g, x, lead(x, 1) OVER (PARTITION BY g ORDER BY o) AS y
+              FROM t
+            ), p AS (SELECT g, x, y FROM l WHERE y IS NOT NULL),
+            s AS (
+              SELECT g, count(*) AS n, CAST(sum(x) AS DOUBLE) AS sx,
+                     CAST(sum(y) AS DOUBLE) AS sy,
+                     CAST(sum(x*x) AS DOUBLE) AS sxx,
+                     CAST(sum(y*y) AS DOUBLE) AS syy,
+                     CAST(sum(x*y) AS DOUBLE) AS sxy
+              FROM p GROUP BY g)
+            SELECT g, CAST(n AS BIGINT) AS n_pairs,
+                   ((sxy - sx*sy/n) / (n-1)) /
+                   (sqrt((sxx - sx*sx/n)/(n-1)) *
+                    sqrt((syy - sy*sy/n)/(n-1))) AS autocorr
+            FROM s WHERE n >= 2 ORDER BY g
+        """).df().reset_index(drop=True)
+        # bit-equal: integer inputs make every sum exact
+        assert got["n_pairs"].tolist() == exp["n_pairs"].tolist()
+        assert got["autocorr"].to_numpy().tobytes() == \
+            exp["autocorr"].to_numpy().tobytes()
+
+    def test_positive_on_trending_negative_on_alternating(
+        self, ray_session
+    ):
+        from recipys_ray.ops.timeseries import grouped_autocorr
+
+        pdf = pd.DataFrame({
+            "g": ["up"] * 20 + ["alt"] * 20,
+            "o": list(range(20)) * 2,
+            "x": list(range(20)) + [0, 10] * 10,
+        })
+        got = grouped_autocorr(
+            rd.from_pandas(pdf), ["g"], ["o"], "x", num_partitions=2
+        ).to_pandas().set_index("g")
+        assert got.loc["up", "autocorr"] > 0.99
+        assert got.loc["alt", "autocorr"] < -0.99
+
+    def test_small_and_constant_groups(self, ray_session):
+        from recipys_ray.ops.timeseries import grouped_autocorr
+
+        pdf = pd.DataFrame({
+            "g": ["one", "one", "const", "const", "const", "const"],
+            "o": [0, 1, 0, 1, 2, 3],
+            "x": [5, 9, 7, 7, 7, 7],
+        })
+        got = grouped_autocorr(
+            rd.from_pandas(pdf), ["g"], ["o"], "x", num_partitions=1
+        ).to_pandas().set_index("g")
+        # 2-row group -> 1 pair -> dropped (n >= 2 pairs required)
+        assert "one" not in got.index
+        # constant group: zero variance -> NULL (SQL x/0.0)
+        assert np.isnan(got.loc["const", "autocorr"])
+
+    def test_lag2(self, ray_session):
+        from recipys_ray.ops.timeseries import grouped_autocorr
+
+        # period-2 alternating series is perfectly self-similar at lag 2
+        pdf = pd.DataFrame({
+            "g": [1] * 12,
+            "o": list(range(12)),
+            "x": [0, 10] * 6,
+        })
+        got = grouped_autocorr(
+            rd.from_pandas(pdf), ["g"], ["o"], "x", lag=2,
+            num_partitions=1,
+        ).to_pandas()
+        assert got["n_pairs"].tolist() == [10]
+        assert got["autocorr"].iloc[0] > 0.99
+
+
+class TestGroupedWeightedStats:
+    def test_matches_duckdb_closed_form(self, ray_session):
+        import duckdb
+
+        from recipys_ray.ops.groupstats import grouped_weighted_stats
+
+        rng = np.random.default_rng(29)
+        n = 700
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 8, n),
+            "x": rng.integers(-50, 50, n).astype(np.float64),
+            "w": rng.integers(1, 20, n).astype(np.float64),
+        })
+        pdf.loc[rng.integers(0, n, 50), "x"] = np.nan
+        pdf.loc[rng.integers(0, n, 50), "w"] = np.nan
+        got = (
+            grouped_weighted_stats(
+                rd.from_pandas(pdf).repartition(5), ["g"], "x", "w",
+                num_partitions=3,
+            )
+            .to_pandas()
+            .sort_values("g", ignore_index=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute("""
+            WITH i AS (
+              SELECT g, CAST(x AS BIGINT) AS x, CAST(w AS BIGINT) AS w
+              FROM t WHERE x IS NOT NULL AND w IS NOT NULL
+            ), s AS (
+              SELECT g, CAST(sum(w) AS DOUBLE) AS sw,
+                     CAST(sum(w*x) AS DOUBLE) AS swx,
+                     CAST(sum(w*x*x) AS DOUBLE) AS swxx
+              FROM i GROUP BY g)
+            SELECT g, CAST(sw AS BIGINT) AS sum_w, swx / sw AS wmean,
+                   (swxx - swx*swx/sw) / sw AS wvar
+            FROM s ORDER BY g
+        """).df().reset_index(drop=True)
+        assert got["sum_w"].tolist() == exp["sum_w"].tolist()
+        assert got["wmean"].to_numpy().tobytes() == \
+            exp["wmean"].to_numpy().tobytes()
+        assert got["wvar"].to_numpy().tobytes() == \
+            exp["wvar"].to_numpy().tobytes()
+
+    def test_weighted_vs_expanded_unweighted(self, ray_session):
+        from recipys_ray.ops.groupstats import grouped_weighted_stats
+
+        # integer weights == row replication: wmean/wvar must equal the
+        # plain mean/population variance of the expanded sample
+        pdf = pd.DataFrame({
+            "g": [1, 1, 1],
+            "x": [2.0, 5.0, 11.0],
+            "w": [1.0, 2.0, 3.0],
+        })
+        got = grouped_weighted_stats(
+            rd.from_pandas(pdf), ["g"], "x", "w", num_partitions=1
+        ).to_pandas()
+        expanded = np.array([2.0, 5.0, 5.0, 11.0, 11.0, 11.0])
+        assert got["sum_w"].tolist() == [6]
+        assert np.isclose(got["wmean"].iloc[0], expanded.mean())
+        assert np.isclose(got["wvar"].iloc[0], expanded.var())
