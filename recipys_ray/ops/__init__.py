@@ -82,6 +82,11 @@ from recipys_ray.ops.groupstats import (
     transition_counts,
 )
 from recipys_ray.ops.timeseries import grouped_autocorr, ohlc_bars
+from recipys_ray.ops.setops import (
+    except_distinct,
+    intersect_distinct,
+    table_diff,
+)
 from recipys_ray.ops.rollup import rollup_aggregate
 from recipys_ray.ops.frequent import cms_counts, frequent_items
 from recipys_ray.ops.reshape import group_concat, melt, pivot
@@ -137,6 +142,7 @@ __all__ = [
     "grouped_zscore",
     "grouped_regression", "grouped_moments", "grouped_first_last",
     "grouped_weighted_stats", "grouped_autocorr", "ohlc_bars",
+    "except_distinct", "intersect_distinct", "table_diff",
     "merge_intervals", "transition_counts", "pmi_bigrams",
     "cumulative_distinct", "grouped_auc", "decayed_sum",
     "fit_pca", "pca_project", "target_encode", "feature_hash",

@@ -2881,6 +2881,88 @@ def q_weighted_stats(sf_dir):
     return _select(out, ["l_returnflag", "sum_w", "wmean", "wvar"])
 
 
+def q_except_events(sf_dir):
+    """SQL EXCEPT via ops/setops.except_distinct: distinct
+    (user_id, event_type) pairs seen on odd event_ids only. Set
+    semantics (duplicates collapse, NULL=NULL); exact string/int rows —
+    hash-safe by construction."""
+    from recipys_ray.ops.setops import except_distinct
+
+    cols = ["user_id", "event_type"]
+    all_pairs = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=cols + ["event_id"]
+    )
+
+    def sampled(tbl: pa.Table) -> pa.Table:
+        eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+        return tbl.filter(pa.array(eid % 20 == 0)).select(cols)
+
+    left = all_pairs.map_batches(
+        lambda t: t.select(cols), batch_format="pyarrow"
+    )
+    right = all_pairs.map_batches(sampled, batch_format="pyarrow")
+    return except_distinct(left, right, cols)
+
+
+def q_intersect_segments(sf_dir):
+    """SQL INTERSECT via ops/setops.intersect_distinct: (nation, market
+    segment) pairs that have BOTH a high-balance and a low-balance
+    customer."""
+    from recipys_ray.ops.setops import intersect_distinct
+
+    cols = ["c_nationkey", "c_mktsegment"]
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=cols + ["c_acctbal"]
+    )
+
+    def bal(lo, hi):
+        def f(tbl: pa.Table) -> pa.Table:
+            b = tbl.column("c_acctbal").to_numpy(zero_copy_only=False)
+            return tbl.filter(pa.array((b > lo) & (b < hi))).select(cols)
+
+        return f
+
+    left = cust.map_batches(bal(5000.0, np.inf), batch_format="pyarrow")
+    right = cust.map_batches(bal(-np.inf, 1000.0), batch_format="pyarrow")
+    return intersect_distinct(left, right, cols)
+
+
+def q_table_diff(sf_dir):
+    """Snapshot diff via ops/setops.table_diff: 'old' = orders minus
+    keys ≡3 (mod 7); 'new' = orders minus keys ≡5 (mod 11) with
+    totalprice doubled on keys ≡0 (mod 10). Output: key + status
+    (added/removed/changed), 'same' rows dropped. Doubling is exact
+    (×2), so the changed-comparison is bit-identical both engines."""
+    from recipys_ray.ops.setops import table_diff
+
+    cols = ["o_orderkey", "o_totalprice", "o_orderstatus"]
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=cols)
+
+    def mk_old(tbl: pa.Table) -> pa.Table:
+        k = tbl.column("o_orderkey").to_numpy()
+        return tbl.filter(pa.array(k % 7 != 3))
+
+    def mk_new(tbl: pa.Table) -> pa.Table:
+        t = tbl.filter(
+            pa.array(tbl.column("o_orderkey").to_numpy() % 11 != 5)
+        )
+        k = t.column("o_orderkey").to_numpy()
+        p = t.column("o_totalprice").to_numpy()
+        p2 = np.where(k % 10 == 0, p * 2.0, p)
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "o_totalprice": pa.array(p2, pa.float64()),
+            "o_orderstatus": t.column("o_orderstatus"),
+        })
+
+    old = orders.map_batches(mk_old, batch_format="pyarrow")
+    new = orders.map_batches(mk_new, batch_format="pyarrow")
+    out = table_diff(
+        old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+    return _select(out, ["o_orderkey", "status"])
+
+
 ORACLES: dict[str, str] = {
     "impute_zero": f"""
         SELECT event_id, coalesce({_VALN_SQL}, 0) AS valn FROM events
@@ -4838,6 +4920,42 @@ ORACLES: dict[str, str] = {
                (swxx - swx*swx/sw) / sw AS wvar
         FROM s
     """,
+    "except_events": """
+        SELECT user_id, event_type FROM events
+        EXCEPT
+        SELECT user_id, event_type FROM events WHERE event_id % 20 = 0
+    """,
+    "intersect_segments": """
+        SELECT c_nationkey, c_mktsegment FROM customer
+        WHERE c_acctbal > 5000
+        INTERSECT
+        SELECT c_nationkey, c_mktsegment FROM customer
+        WHERE c_acctbal < 1000
+    """,
+    "table_diff": """
+        WITH old AS (
+          SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+          WHERE o_orderkey % 7 != 3
+        ), new AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+                      ELSE o_totalprice END AS o_totalprice,
+                 o_orderstatus
+          FROM orders WHERE o_orderkey % 11 != 5
+        ), d AS (
+          SELECT coalesce(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+                 CASE WHEN old.o_orderkey IS NULL THEN 'added'
+                      WHEN new.o_orderkey IS NULL THEN 'removed'
+                      WHEN old.o_totalprice IS DISTINCT FROM
+                             new.o_totalprice
+                        OR old.o_orderstatus IS DISTINCT FROM
+                             new.o_orderstatus THEN 'changed'
+                      ELSE 'same' END AS status
+          FROM old FULL OUTER JOIN new
+            ON old.o_orderkey = new.o_orderkey
+        )
+        SELECT o_orderkey, status FROM d WHERE status != 'same'
+    """,
 }
 
 
@@ -4977,4 +5095,7 @@ QUERIES = {
     "ohlc_bars": q_ohlc_bars,
     "autocorr": q_autocorr,
     "weighted_stats": q_weighted_stats,
+    "except_events": q_except_events,
+    "intersect_segments": q_intersect_segments,
+    "table_diff": q_table_diff,
 }

@@ -4274,3 +4274,148 @@ class TestGroupedWeightedStats:
         assert got["sum_w"].tolist() == [6]
         assert np.isclose(got["wmean"].iloc[0], expanded.mean())
         assert np.isclose(got["wvar"].iloc[0], expanded.var())
+
+
+class TestSetOps:
+    def _frames(self):
+        rng = np.random.default_rng(55)
+        left = pd.DataFrame({
+            "a": rng.integers(0, 20, 300),
+            "b": rng.choice(["x", "y", "z", None], 300),
+        })
+        right = pd.DataFrame({
+            "a": rng.integers(5, 25, 250),
+            "b": rng.choice(["x", "y", "w", None], 250),
+        })
+        return left, right
+
+    def test_except_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from recipys_ray.ops.setops import except_distinct
+
+        left, right = self._frames()
+        got = (
+            except_distinct(
+                rd.from_pandas(left).repartition(4),
+                rd.from_pandas(right).repartition(3),
+                ["a", "b"], num_partitions=3,
+            )
+            .to_pandas()
+            .sort_values(["a", "b"], ignore_index=True)
+        )
+        con = duckdb.connect()
+        con.register("l", left)
+        con.register("r", right)
+        exp = con.execute("""
+            SELECT a, b FROM l EXCEPT SELECT a, b FROM r
+            ORDER BY a, b
+        """).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_intersect_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from recipys_ray.ops.setops import intersect_distinct
+
+        left, right = self._frames()
+        got = (
+            intersect_distinct(
+                rd.from_pandas(left).repartition(4),
+                rd.from_pandas(right).repartition(3),
+                ["a", "b"], num_partitions=3,
+            )
+            .to_pandas()
+            .sort_values(["a", "b"], ignore_index=True)
+        )
+        con = duckdb.connect()
+        con.register("l", left)
+        con.register("r", right)
+        exp = con.execute("""
+            SELECT a, b FROM l INTERSECT SELECT a, b FROM r
+            ORDER BY a, b
+        """).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_null_rows_are_set_equal(self, ray_session):
+        # SQL set ops group NULLs together: a NULL-keyed row present on
+        # both sides must NOT survive EXCEPT, and must survive INTERSECT
+        from recipys_ray.ops.setops import except_distinct, intersect_distinct
+
+        left = pd.DataFrame({"a": [1, None, None], "b": ["p", "q", "q"]})
+        right = pd.DataFrame({"a": [None], "b": ["q"]})
+        exc = except_distinct(
+            rd.from_pandas(left), rd.from_pandas(right), ["a", "b"],
+            num_partitions=1,
+        ).to_pandas()
+        assert len(exc) == 1 and exc["a"].tolist() == [1]
+        inter = intersect_distinct(
+            rd.from_pandas(left), rd.from_pandas(right), ["a", "b"],
+            num_partitions=1,
+        ).to_pandas()
+        assert len(inter) == 1 and inter["b"].tolist() == ["q"]
+
+    def test_table_diff_statuses(self, ray_session):
+        from recipys_ray.ops.setops import table_diff
+
+        old = pd.DataFrame({
+            "k": [1, 2, 3, 4],
+            "v": [10.0, 20.0, np.nan, 40.0],
+            "s": ["a", "b", "c", "d"],
+        })
+        new = pd.DataFrame({
+            "k": [2, 3, 4, 5],
+            "v": [20.0, np.nan, 44.0, 50.0],
+            "s": ["b", "c", "d", "e"],
+        })
+        got = (
+            table_diff(
+                rd.from_pandas(old).repartition(2),
+                rd.from_pandas(new).repartition(2),
+                ["k"], ["v", "s"], num_partitions=2,
+            )
+            .to_pandas()
+            .sort_values("k", ignore_index=True)
+        )
+        # k=1 removed; k=2 same (dropped); k=3 same (NULL==NULL);
+        # k=4 changed (44 != 40); k=5 added
+        assert got["k"].tolist() == [1, 4, 5]
+        assert got["status"].tolist() == ["removed", "changed", "added"]
+
+    def test_table_diff_keep_same_and_dup_keys(self, ray_session):
+        import pytest as _pytest
+        import ray.exceptions
+
+        from recipys_ray.ops.setops import table_diff
+
+        old = pd.DataFrame({"k": [1], "v": [1.0]})
+        new = pd.DataFrame({"k": [1], "v": [1.0]})
+        got = table_diff(
+            rd.from_pandas(old), rd.from_pandas(new), ["k"], ["v"],
+            keep_same=True, num_partitions=1,
+        ).to_pandas()
+        assert got["status"].tolist() == ["same"]
+
+        dup = pd.DataFrame({"k": [1, 1], "v": [1.0, 2.0]})
+        with _pytest.raises(Exception, match="unique keys"):
+            table_diff(
+                rd.from_pandas(dup), rd.from_pandas(new), ["k"], ["v"],
+                num_partitions=1,
+            ).materialize()
+
+    def test_partition_invariance(self, ray_session):
+        from recipys_ray.ops.setops import except_distinct
+
+        left, right = self._frames()
+        outs = []
+        for lp, rp, nparts in [(1, 1, 1), (7, 5, 4)]:
+            outs.append(
+                except_distinct(
+                    rd.from_pandas(left).repartition(lp),
+                    rd.from_pandas(right).repartition(rp),
+                    ["a", "b"], num_partitions=nparts,
+                )
+                .to_pandas()
+                .sort_values(["a", "b"], ignore_index=True)
+            )
+        pd.testing.assert_frame_equal(outs[0], outs[1])
