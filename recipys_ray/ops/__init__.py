@@ -54,6 +54,7 @@ from recipys_ray.ops.rank import add_global_rank, add_ntile, value_ranks
 from recipys_ray.ops.intervals import merge_intervals
 from recipys_ray.ops.pca import fit_pca, pca_project
 from recipys_ray.ops.drift import (
+    chi_square,
     ks_statistic,
     population_stability,
     segment_psi,
@@ -67,6 +68,7 @@ from recipys_ray.ops.editdist import (
 )
 from recipys_ray.ops.encode import feature_hash, target_encode
 from recipys_ray.ops.groupstats import (
+    cooccurrence_counts,
     cumulative_distinct,
     decayed_sum,
     grouped_auc,
@@ -137,7 +139,8 @@ __all__ = [
     "banded_levenshtein", "dedup_levenshtein",
     "pairwise_jaro_winkler", "dedup_jaro_winkler",
     "sorted_neighborhood_dedup",
-    "population_stability", "ks_statistic", "segment_psi",
+    "population_stability", "ks_statistic", "segment_psi", "chi_square",
+    "cooccurrence_counts",
     "grouped_value_counts", "grouped_mode", "grouped_entropy", "grouped_corr",
     "grouped_zscore",
     "grouped_regression", "grouped_moments", "grouped_first_last",

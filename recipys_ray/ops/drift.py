@@ -228,3 +228,87 @@ def segment_psi(
     out["p_all"] = p_all
     out["psi_term"] = (p_seg - p_all) * np.log(p_seg / p_all)
     return out.reset_index(drop=True)
+
+
+def chi_square(
+    ds,
+    col_a: str,
+    col_b: str,
+    obs_col: str = "observed",
+    exp_col: str = "expected",
+    contrib_col: str = "contribution",
+    driver_cap: int = 1_000_000,
+):
+    """Chi-square test of independence between two categorical columns,
+    reported PER CELL of the contingency table: observed count, expected
+    count under independence ``row_total · col_total / n``, and the
+    cell's chi-square contribution ``(obs − exp)² / exp``. Summing the
+    contribution column gives the test statistic; emitting per-cell
+    terms keeps the contract bit-exact (no cross-engine Σ) and gives the
+    analyst the actual drivers of dependence.
+
+    Rows where either column is null are excluded. Float contract: all
+    counts are exact int64 (row·col products stay far below 2^53 for any
+    realistic table), so ``CAST(rt·ct AS DOUBLE)/n`` and the stated
+    contribution tree are IDENTICAL doubles in both engines.
+
+    Motion: one per-block pair-count combiner (groupby-size C kernel) →
+    ONE tiny exchange of (a, b, cnt) partials → the ≤ ``driver_cap``
+    distinct cells fold on the driver where the margins are vectorized.
+    Above the cap, bucket a column first — a contingency table that
+    large is no longer a readable test."""
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        ta = tbl.schema.field(col_a).type
+        tb = tbl.schema.field(col_b).type
+        pdf = tbl.select([col_a, col_b]).to_pandas()
+        pdf = pdf[pdf[col_a].notna() & pdf[col_b].notna()]
+        agg = (
+            pdf.groupby([col_a, col_b], sort=False, observed=True)
+            .size()
+            .rename("cnt")
+            .reset_index()
+        )
+        return pa.table({
+            col_a: pa.Array.from_pandas(agg[col_a], type=ta),
+            col_b: pa.Array.from_pandas(agg[col_b], type=tb),
+            "cnt": pa.array(agg["cnt"].to_numpy(np.int64), pa.int64()),
+        })
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            pdf.groupby([col_a, col_b], sort=False)["cnt"]
+            .sum()
+            .reset_index()
+        )
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out
+
+    cells = partitioned_groupby_map(
+        ds.select_columns([col_a, col_b]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        [col_a, col_b], fold,
+    ).to_pandas()
+    if len(cells) > driver_cap:
+        raise ValueError(
+            f"{len(cells)} contingency cells > driver_cap={driver_cap}; "
+            "bucket a column first"
+        )
+    obs = cells["cnt"].to_numpy(np.int64)
+    ra = cells.groupby(col_a, sort=False)["cnt"].transform("sum")
+    cb = cells.groupby(col_b, sort=False)["cnt"].transform("sum")
+    n = obs.sum()
+    # CAST(rt*ct AS DOUBLE) / n — integer product exact, ONE division
+    expected = (
+        (ra.to_numpy(np.int64) * cb.to_numpy(np.int64)).astype(np.float64)
+        / np.float64(n)
+    )
+    obs_f = obs.astype(np.float64)
+    contribution = ((obs_f - expected) * (obs_f - expected)) / expected
+    out = cells[[col_a, col_b]].copy()
+    out[obs_col] = obs
+    out[exp_col] = expected
+    out[contrib_col] = contribution
+    return out

@@ -1056,3 +1056,87 @@ def grouped_zscore(
         return tbl.append_column(out_col, pa.array(z, pa.float64()))
 
     return ds.map_batches(stamp, batch_format="pyarrow")
+
+
+def cooccurrence_counts(
+    ds,
+    group_col: str,
+    item_col: str,
+    a_col: str = "item_a",
+    b_col: str = "item_b",
+    cnt_col: str = "cnt",
+    max_items: int = 10_000,
+    num_partitions: int | None = None,
+):
+    """Market-basket co-occurrence: for every unordered pair of DISTINCT
+    items appearing in the same group, the number of groups containing
+    both. SQL equivalent: distinct (group, item) self-joined on the
+    group with ``a.item < b.item``, then GROUP BY pair. Null items are
+    excluded. Output: item_a, item_b (item_a < item_b), cnt (int64) —
+    exact integers, hash-safe.
+
+    Motion: per-block distinct-(group,item) dedupe (drop_duplicates C
+    kernel) → ONE skinny exchange on the group key → per-partition
+    self-merge on the group forms every pair for all of its groups at
+    once (vectorized; k items in a group emit k² candidates filtered to
+    k·(k−1)/2) → a second, tiny pair-count exchange folds counts.
+    Groups with more than ``max_items`` distinct items raise — a k²
+    blow-up on a hot group should be an explicit modeling decision
+    (bucket or cap the item vocabulary first), not a silent OOM."""
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    def distinct_pairs(tbl: pa.Table) -> pa.Table:
+        gt = tbl.schema.field(group_col).type
+        it = tbl.schema.field(item_col).type
+        pdf = tbl.select([group_col, item_col]).to_pandas()
+        pdf = pdf[pdf[item_col].notna() & pdf[group_col].notna()]
+        pdf = pdf.drop_duplicates([group_col, item_col])
+        return pa.table({
+            group_col: pa.Array.from_pandas(pdf[group_col], type=gt),
+            item_col: pa.Array.from_pandas(pdf[item_col], type=it),
+        })
+
+    skinny = ds.select_columns([group_col, item_col]).map_batches(
+        distinct_pairs, batch_format="pyarrow"
+    )
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.drop_duplicates([group_col, item_col])
+        sizes = pdf.groupby(group_col, sort=False, observed=True)[
+            item_col
+        ].size()
+        if (sizes > max_items).any():
+            hot = sizes.idxmax()
+            raise ValueError(
+                f"group {hot!r} has {sizes.max()} distinct items > "
+                f"max_items={max_items}; cap the item vocabulary first"
+            )
+        m = pdf.merge(pdf, on=group_col, suffixes=("_a", "_b"))
+        m = m[m[f"{item_col}_a"] < m[f"{item_col}_b"]]
+        out = (
+            m.groupby([f"{item_col}_a", f"{item_col}_b"], sort=False,
+                      observed=True)
+            .size()
+            .rename(cnt_col)
+            .reset_index()
+        )
+        out.columns = [a_col, b_col, cnt_col]
+        out[cnt_col] = out[cnt_col].astype(np.int64)
+        return out
+
+    local = partitioned_groupby_map(
+        skinny, [group_col], pairs, num_partitions=num_partitions
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            pdf.groupby([a_col, b_col], sort=False, observed=True)[
+                cnt_col
+            ]
+            .sum()
+            .reset_index()
+        )
+        out[cnt_col] = out[cnt_col].astype(np.int64)
+        return out
+
+    return partitioned_groupby_map(local, [a_col, b_col], fold)

@@ -2963,6 +2963,45 @@ def q_table_diff(sf_dir):
     return _select(out, ["o_orderkey", "status"])
 
 
+def q_chi_square(sf_dir):
+    """Chi-square independence cells for event_type × (user_id mod 5)
+    (ops/drift.chi_square): per-cell observed/expected/contribution.
+    Bit-exact: all counts exact int64, expected = CAST(rt·ct AS
+    DOUBLE)/n is one division on identical doubles, contribution is the
+    stated ((obs−exp)·(obs−exp))/exp tree."""
+    from recipys_ray.ops.drift import chi_square
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+
+    def bucketize(tbl: pa.Table) -> pa.Table:
+        u = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": tbl.column("event_type"),
+            "ub": pa.array(u % 5, pa.int64()),
+        })
+
+    out = chi_square(
+        ds.map_batches(bucketize, batch_format="pyarrow"),
+        "event_type", "ub",
+    )
+    return out[["event_type", "ub", "observed", "expected",
+                "contribution"]]
+
+
+def q_cooccurrence(sf_dir):
+    """Market-basket co-occurrence of event types within a user
+    (ops/groupstats.cooccurrence_counts): for each unordered type pair,
+    how many users exhibit both. Exact integers end-to-end."""
+    from recipys_ray.ops.groupstats import cooccurrence_counts
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return cooccurrence_counts(ds, "user_id", "event_type")
+
+
 ORACLES: dict[str, str] = {
     "impute_zero": f"""
         SELECT event_id, coalesce({_VALN_SQL}, 0) AS valn FROM events
@@ -4956,6 +4995,39 @@ ORACLES: dict[str, str] = {
         )
         SELECT o_orderkey, status FROM d WHERE status != 'same'
     """,
+    "chi_square": """
+        WITH p AS (
+          SELECT event_type, user_id % 5 AS ub, count(*) AS obs
+          FROM events
+          WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+          GROUP BY event_type, ub
+        ), rt AS (
+          SELECT event_type, sum(obs) AS ra FROM p GROUP BY event_type
+        ), ct AS (
+          SELECT ub, sum(obs) AS cb FROM p GROUP BY ub
+        ), tot AS (SELECT sum(obs) AS n FROM p),
+        e AS (
+          SELECT p.event_type, p.ub, p.obs,
+                 CAST(rt.ra * ct.cb AS DOUBLE) / n AS expected
+          FROM p
+          JOIN rt USING (event_type) JOIN ct USING (ub) CROSS JOIN tot
+        )
+        SELECT event_type, ub, CAST(obs AS BIGINT) AS observed, expected,
+               ((obs - expected) * (obs - expected)) / expected
+                 AS contribution
+        FROM e
+    """,
+    "cooccurrence": """
+        WITH d AS (
+          SELECT DISTINCT user_id, event_type FROM events
+          WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        )
+        SELECT a.event_type AS item_a, b.event_type AS item_b,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM d a JOIN d b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    """,
 }
 
 
@@ -5098,4 +5170,6 @@ QUERIES = {
     "except_events": q_except_events,
     "intersect_segments": q_intersect_segments,
     "table_diff": q_table_diff,
+    "chi_square": q_chi_square,
+    "cooccurrence": q_cooccurrence,
 }

@@ -4419,3 +4419,142 @@ class TestSetOps:
                 .sort_values(["a", "b"], ignore_index=True)
             )
         pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+class TestChiSquare:
+    def test_matches_duckdb_per_cell(self, ray_session):
+        import duckdb
+
+        from recipys_ray.ops.drift import chi_square
+
+        rng = np.random.default_rng(17)
+        n = 900
+        pdf = pd.DataFrame({
+            "a": rng.choice(["p", "q", "r", None], n, p=[0.4, 0.3, 0.25,
+                                                         0.05]),
+            "b": rng.integers(0, 4, n),
+        })
+        got = (
+            chi_square(rd.from_pandas(pdf).repartition(5), "a", "b")
+            .sort_values(["a", "b"], ignore_index=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute("""
+            WITH p AS (
+              SELECT a, b, count(*) AS obs FROM t
+              WHERE a IS NOT NULL AND b IS NOT NULL GROUP BY a, b
+            ), rt AS (SELECT a, sum(obs) AS ra FROM p GROUP BY a),
+            ct AS (SELECT b, sum(obs) AS cb FROM p GROUP BY b),
+            tot AS (SELECT sum(obs) AS n FROM p),
+            e AS (
+              SELECT p.a, p.b, p.obs,
+                     CAST(rt.ra * ct.cb AS DOUBLE) / n AS expected
+              FROM p JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tot
+            )
+            SELECT a, b, CAST(obs AS BIGINT) AS observed, expected,
+                   ((obs - expected) * (obs - expected)) / expected
+                     AS contribution
+            FROM e ORDER BY a, b
+        """).df().reset_index(drop=True)
+        assert got["observed"].tolist() == exp["observed"].tolist()
+        assert got["expected"].to_numpy().tobytes() == \
+            exp["expected"].to_numpy().tobytes()
+        assert got["contribution"].to_numpy().tobytes() == \
+            exp["contribution"].to_numpy().tobytes()
+
+    def test_independent_columns_have_small_stat(self, ray_session):
+        from recipys_ray.ops.drift import chi_square
+
+        rng = np.random.default_rng(5)
+        n = 20_000
+        pdf = pd.DataFrame({
+            "a": rng.choice(["x", "y"], n),
+            "b": rng.choice([0, 1, 2], n),
+        })
+        stat = chi_square(rd.from_pandas(pdf), "a", "b")[
+            "contribution"
+        ].sum()
+        # df = (2-1)(3-1) = 2; under independence stat ~ chi2(2): tiny
+        assert stat < 15.0
+
+    def test_dependent_columns_have_large_stat(self, ray_session):
+        from recipys_ray.ops.drift import chi_square
+
+        rng = np.random.default_rng(6)
+        n = 5_000
+        b = rng.integers(0, 3, n)
+        a = np.where(b == 0, "x", "y")  # fully determined by b
+        stat = chi_square(
+            rd.from_pandas(pd.DataFrame({"a": a, "b": b})), "a", "b"
+        )["contribution"].sum()
+        assert stat > 1_000.0
+
+
+class TestCooccurrence:
+    def test_matches_duckdb_self_join(self, ray_session):
+        import duckdb
+
+        from recipys_ray.ops.groupstats import cooccurrence_counts
+
+        rng = np.random.default_rng(23)
+        n = 800
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 40, n),
+            "item": rng.choice(["a", "b", "c", "d", "e", None], n),
+        })
+        got = (
+            cooccurrence_counts(
+                rd.from_pandas(pdf).repartition(5), "g", "item",
+                num_partitions=3,
+            )
+            .to_pandas()
+            .sort_values(["item_a", "item_b"], ignore_index=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute("""
+            WITH d AS (
+              SELECT DISTINCT g, item FROM t WHERE item IS NOT NULL
+            )
+            SELECT a.item AS item_a, b.item AS item_b,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM d a JOIN d b ON a.g = b.g AND a.item < b.item
+            GROUP BY a.item, b.item ORDER BY item_a, item_b
+        """).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_hot_group_guard(self, ray_session):
+        import pytest as _pytest
+
+        from recipys_ray.ops.groupstats import cooccurrence_counts
+
+        pdf = pd.DataFrame({
+            "g": [1] * 50,
+            "item": [f"i{j}" for j in range(50)],
+        })
+        with _pytest.raises(Exception, match="max_items"):
+            cooccurrence_counts(
+                rd.from_pandas(pdf), "g", "item", max_items=10,
+                num_partitions=1,
+            ).materialize()
+
+    def test_partition_invariance(self, ray_session):
+        from recipys_ray.ops.groupstats import cooccurrence_counts
+
+        rng = np.random.default_rng(31)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 25, 500),
+            "item": rng.choice(list("abcdefg"), 500),
+        })
+        outs = []
+        for parts, nparts in [(1, 1), (9, 4)]:
+            outs.append(
+                cooccurrence_counts(
+                    rd.from_pandas(pdf).repartition(parts), "g", "item",
+                    num_partitions=nparts,
+                )
+                .to_pandas()
+                .sort_values(["item_a", "item_b"], ignore_index=True)
+            )
+        pd.testing.assert_frame_equal(outs[0], outs[1])
