@@ -83,7 +83,11 @@ from recipys_ray.ops.groupstats import (
     grouped_zscore,
     transition_counts,
 )
-from recipys_ray.ops.timeseries import grouped_autocorr, ohlc_bars
+from recipys_ray.ops.timeseries import (
+    grouped_autocorr,
+    grouped_cusum,
+    ohlc_bars,
+)
 from recipys_ray.ops.setops import (
     except_distinct,
     intersect_distinct,
@@ -146,6 +150,7 @@ __all__ = [
     "grouped_regression", "grouped_moments", "grouped_first_last",
     "grouped_weighted_stats", "grouped_autocorr", "ohlc_bars",
     "except_distinct", "intersect_distinct", "table_diff",
+    "grouped_cusum",
     "merge_intervals", "transition_counts", "pmi_bigrams",
     "cumulative_distinct", "grouped_auc", "decayed_sum",
     "fit_pca", "pca_project", "target_encode", "feature_hash",

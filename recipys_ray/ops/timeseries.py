@@ -193,3 +193,75 @@ def grouped_autocorr(
         ds.select_columns(cols), gcols, finish,
         num_partitions=num_partitions,
     )
+
+
+def grouped_cusum(
+    ds,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    n_col: str = "n",
+    cusum_col: str = "cusum",
+    num_partitions: int | None = None,
+):
+    """Per-group CUSUM changepoint statistic over an INTEGER-valued
+    column: ``max_t |n·S_t − t·S_n|`` where ``S_t`` is the prefix sum at
+    position ``t`` under the ``order_cols`` ordering. This is the
+    classic mean-shift CUSUM ``max_t |S_t − t·μ|`` cross-multiplied by
+    ``n`` (the Gopher-rules trick) so every intermediate is an exact
+    int64 — no float drift anywhere, hash-identical across engines. A
+    large value flags a mid-sequence level shift (bot takeover, sensor
+    step, behavior change); ~0 means the mean is stable.
+
+    Callers must feed an integer column scaled so ``n·S_t`` stays below
+    2^63 (e.g. value×100 with per-group rows ≤ ~10⁶ at moderate value
+    magnitudes — the op raises if a product would overflow). Null values
+    are excluded before ordering (SQL window over the non-null subset).
+
+    Motion: ONE skinny exchange ((group, order, value)) co-locates each
+    sequence; a single stable sort + grouped cumsum/cumcount/transform
+    (pandas C kernels across ALL groups) + one grouped max finishes per
+    partition — no second exchange."""
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    gcols = list(group_cols)
+    ocols = list(order_cols)
+    cols = gcols + ocols + [value_col]
+
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[cols][pdf[value_col].notna()].sort_values(
+            gcols + ocols, kind="stable", ignore_index=True
+        )
+        x = pdf[value_col].to_numpy(np.int64)
+        grp = pdf.groupby(gcols, sort=False, dropna=False, observed=True)
+        ps = grp[value_col].cumsum().to_numpy(np.int64)
+        t = (grp.cumcount().to_numpy() + 1).astype(np.int64)
+        n = grp[value_col].transform("size").to_numpy(np.int64)
+        tot = grp[value_col].transform("sum").to_numpy(np.int64)
+        # overflow guard: |n·S_t| and |t·S_n| must fit int64
+        with np.errstate(over="ignore"):
+            lim = (1 << 62) // np.maximum(n, 1)
+        if len(ps) and (np.abs(ps).max() > lim.min()
+                        or np.abs(tot).max() > lim.min()):
+            raise ValueError(
+                "grouped_cusum int64 overflow risk: rescale value_col "
+                "(divide before ×100) or split groups"
+            )
+        dev = np.abs(n * ps - t * tot)
+        out = pd.DataFrame({c: pdf[c].to_numpy() for c in gcols})
+        out["__dev__"] = dev
+        out["__n__"] = n
+        agg = (
+            out.groupby(gcols, sort=False, dropna=False, observed=True)
+            .agg(**{n_col: ("__n__", "max"),
+                    cusum_col: ("__dev__", "max")})
+            .reset_index()
+        )
+        agg[n_col] = agg[n_col].astype(np.int64)
+        agg[cusum_col] = agg[cusum_col].astype(np.int64)
+        return agg
+
+    return partitioned_groupby_map(
+        ds.select_columns(cols), gcols, finish,
+        num_partitions=num_partitions,
+    )

@@ -3002,6 +3002,97 @@ def q_cooccurrence(sf_dir):
     return cooccurrence_counts(ds, "user_id", "event_type")
 
 
+def q_cusum(sf_dir):
+    """Per-user CUSUM mean-shift statistic (ops/timeseries.
+    grouped_cusum): max_t |n·S_t − t·S_n| over the value×100 int64
+    view — cross-multiplied so every intermediate is an exact int64
+    (no float anywhere)."""
+    from recipys_ray.ops.timeseries import grouped_cusum
+
+    ds = _events(sf_dir)
+
+    def to_int(tbl: pa.Table) -> pa.Table:
+        x = pc.cast(pc.round(pc.multiply(tbl.column("value"), 100.0)),
+                    pa.int64())
+        return pa.table({
+            "user_id": tbl.column("user_id"),
+            "ts": tbl.column("ts"),
+            "event_id": tbl.column("event_id"),
+            "x": x,
+        })
+
+    out = grouped_cusum(
+        ds.map_batches(to_int, batch_format="pyarrow"),
+        ["user_id"], ["ts", "event_id"], "x",
+    )
+    return _select(out, ["user_id", "n", "cusum"])
+
+
+def q_decile_lift(sf_dir):
+    """Decile lift table (ML-evaluation composition): NTILE(10) over
+    order totalprice via the exact global rank (ops/rank.add_ntile),
+    then per-decile count, exact integer revenue cents, and lift =
+    (decile mean)/(global mean) — both means are single divisions of
+    exact integer sums, so the float column is bit-equal."""
+    from recipys_ray.ops.rank import add_ntile
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    tiled = add_ntile(
+        ds, "o_totalprice", k=10, tie_cols=["o_orderkey"],
+        num_partitions=16, bucket_col="decile",
+    )
+
+    def to_cents(tbl: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(tbl.column("o_totalprice"), 100.0)),
+            pa.int64(),
+        )
+        return pa.table({
+            "decile": tbl.column("decile"),
+            "cents": cents,
+        })
+
+    parts = tiled.map_batches(to_cents, batch_format="pyarrow")
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        pdf = tbl.to_pandas()
+        agg = (
+            pdf.groupby("decile", sort=False)["cents"]
+            .agg(["size", "sum"])
+            .reset_index()
+        )
+        return pa.table({
+            "decile": pa.Array.from_pandas(
+                agg["decile"], type=tbl.schema.field("decile").type
+            ),
+            "n": pa.array(agg["size"].to_numpy(np.int64), pa.int64()),
+            "revenue_cents": pa.array(
+                agg["sum"].to_numpy(np.int64), pa.int64()
+            ),
+        })
+
+    folded = parts.map_batches(partial, batch_format="pyarrow").to_pandas()
+    s = (
+        folded.groupby("decile", sort=False)[["n", "revenue_cents"]]
+        .sum()
+        .reset_index()
+    )
+    gn = np.int64(s["n"].sum())
+    gt = np.int64(s["revenue_cents"].sum())
+    rc = s["revenue_cents"].to_numpy(np.int64)
+    n = s["n"].to_numpy(np.int64)
+    lift = (rc.astype(np.float64) / n) / (np.float64(gt) / np.float64(gn))
+    out = pd.DataFrame({
+        "decile": s["decile"].to_numpy(np.int64),
+        "n": n,
+        "revenue_cents": rc,
+        "lift": lift,
+    })
+    return out
+
+
 ORACLES: dict[str, str] = {
     "impute_zero": f"""
         SELECT event_id, coalesce({_VALN_SQL}, 0) AS valn FROM events
@@ -5028,6 +5119,41 @@ ORACLES: dict[str, str] = {
           ON a.user_id = b.user_id AND a.event_type < b.event_type
         GROUP BY a.event_type, b.event_type
     """,
+    "cusum": """
+        WITH b AS (
+          SELECT user_id, ts, event_id,
+                 CAST(round(value * 100) AS BIGINT) AS x
+          FROM events WHERE value IS NOT NULL
+        ), w AS (
+          SELECT user_id,
+                 sum(x) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS ps,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS t,
+                 count(*) OVER (PARTITION BY user_id) AS n,
+                 sum(x) OVER (PARTITION BY user_id) AS tot
+          FROM b
+        )
+        SELECT user_id, CAST(max(n) AS BIGINT) AS n,
+               CAST(max(abs(n * ps - t * tot)) AS BIGINT) AS cusum
+        FROM w GROUP BY user_id
+    """,
+    "decile_lift": """
+        WITH t AS (
+          SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                 NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey)
+                   AS decile
+          FROM orders
+        ), s AS (
+          SELECT decile, count(*) AS n, sum(cents) AS rc
+          FROM t GROUP BY decile
+        ), g AS (SELECT sum(rc) AS gt, sum(n) AS gn FROM s)
+        SELECT CAST(decile AS BIGINT) AS decile, CAST(n AS BIGINT) AS n,
+               CAST(rc AS BIGINT) AS revenue_cents,
+               (CAST(rc AS DOUBLE) / n) / (CAST(gt AS DOUBLE) / gn)
+                 AS lift
+        FROM s CROSS JOIN g
+    """,
 }
 
 
@@ -5172,4 +5298,6 @@ QUERIES = {
     "table_diff": q_table_diff,
     "chi_square": q_chi_square,
     "cooccurrence": q_cooccurrence,
+    "cusum": q_cusum,
+    "decile_lift": q_decile_lift,
 }

@@ -4558,3 +4558,74 @@ class TestCooccurrence:
                 .sort_values(["item_a", "item_b"], ignore_index=True)
             )
         pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+class TestGroupedCusum:
+    def test_matches_duckdb_window(self, ray_session):
+        import duckdb
+
+        from recipys_ray.ops.timeseries import grouped_cusum
+
+        rng = np.random.default_rng(83)
+        n = 700
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 9, n),
+            "o": rng.permutation(n).astype(np.int64),
+            "x": rng.integers(-100, 100, n),
+        })
+        got = (
+            grouped_cusum(
+                rd.from_pandas(pdf).repartition(5), ["g"], ["o"], "x",
+                num_partitions=3,
+            )
+            .to_pandas()
+            .sort_values("g", ignore_index=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute("""
+            WITH w AS (
+              SELECT g,
+                     sum(x) OVER (PARTITION BY g ORDER BY o
+                                  ROWS UNBOUNDED PRECEDING) AS ps,
+                     row_number() OVER (PARTITION BY g ORDER BY o) AS t,
+                     count(*) OVER (PARTITION BY g) AS n,
+                     sum(x) OVER (PARTITION BY g) AS tot
+              FROM t
+            )
+            SELECT g, CAST(max(n) AS BIGINT) AS n,
+                   CAST(max(abs(n * ps - t * tot)) AS BIGINT) AS cusum
+            FROM w GROUP BY g ORDER BY g
+        """).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_shift_detection(self, ray_session):
+        from recipys_ray.ops.timeseries import grouped_cusum
+
+        # stable group vs a group with a mid-sequence level shift
+        pdf = pd.DataFrame({
+            "g": ["flat"] * 40 + ["shift"] * 40,
+            "o": list(range(40)) * 2,
+            "x": [10] * 40 + [0] * 20 + [20] * 20,
+        })
+        got = grouped_cusum(
+            rd.from_pandas(pdf), ["g"], ["o"], "x", num_partitions=1
+        ).to_pandas().set_index("g")
+        assert got.loc["flat", "cusum"] == 0
+        # shift group: max at t=20, |40*0 - 20*400| = 8000
+        assert got.loc["shift", "cusum"] == 8000
+
+    def test_overflow_guard(self, ray_session):
+        import pytest as _pytest
+
+        from recipys_ray.ops.timeseries import grouped_cusum
+
+        pdf = pd.DataFrame({
+            "g": [1, 1],
+            "o": [0, 1],
+            "x": [1 << 61, 1 << 61],
+        })
+        with _pytest.raises(Exception, match="overflow"):
+            grouped_cusum(
+                rd.from_pandas(pdf), ["g"], ["o"], "x", num_partitions=1
+            ).materialize()
