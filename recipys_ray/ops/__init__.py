@@ -87,6 +87,7 @@ from recipys_ray.ops.timeseries import (
     grouped_autocorr,
     grouped_cusum,
     ohlc_bars,
+    sequence_integrity,
 )
 from recipys_ray.ops.setops import (
     except_distinct,
@@ -150,7 +151,7 @@ __all__ = [
     "grouped_regression", "grouped_moments", "grouped_first_last",
     "grouped_weighted_stats", "grouped_autocorr", "ohlc_bars",
     "except_distinct", "intersect_distinct", "table_diff",
-    "grouped_cusum",
+    "grouped_cusum", "sequence_integrity",
     "merge_intervals", "transition_counts", "pmi_bigrams",
     "cumulative_distinct", "grouped_auc", "decayed_sum",
     "fit_pca", "pca_project", "target_encode", "feature_hash",

@@ -265,3 +265,63 @@ def grouped_cusum(
         ds.select_columns(cols), gcols, finish,
         num_partitions=num_partitions,
     )
+
+
+def sequence_integrity(
+    ds,
+    group_cols: list[str],
+    order_cols: list[str],
+    state_col: str,
+    n_col: str = "n_events",
+    repeats_col: str = "n_repeats",
+    changes_col: str = "n_changes",
+    num_partitions: int | None = None,
+):
+    """Per-group sequence-hygiene counters over an ordered state column —
+    the transcript-validation primitive (conv_id × turn role): total
+    events, adjacent REPEATS (state equals the previous state — a
+    role-alternation violation in a user/assistant transcript), and
+    adjacent CHANGES (state differs from the previous). SQL equivalent:
+    ``lag(state) OVER (PARTITION BY g ORDER BY o...)`` + conditional
+    counts. NULL never equals NULL (SQL equality): pairs where either
+    side is null count toward neither bucket, so
+    ``repeats + changes ≤ n − 1`` per group. All outputs exact int64.
+
+    Motion: ONE skinny exchange ((group, order, state)) co-locates each
+    sequence; one stable sort + grouped ``shift`` + two vectorized
+    comparisons + one groupby-sum finish per partition."""
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    gcols = list(group_cols)
+    ocols = list(order_cols)
+    cols = gcols + ocols + [state_col]
+
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[cols].sort_values(
+            gcols + ocols, kind="stable", ignore_index=True
+        )
+        grp = pdf.groupby(gcols, sort=False, dropna=False, observed=True)
+        s = pdf[state_col]
+        prev = grp[state_col].shift(1)
+        both = (s.notna() & prev.notna()).to_numpy()
+        eq = (s == prev).to_numpy() & both
+        neq = (s != prev).to_numpy() & both
+        out = pd.DataFrame({c: pdf[c].to_numpy() for c in gcols})
+        out["__one__"] = np.int64(1)
+        out["__eq__"] = eq.astype(np.int64)
+        out["__neq__"] = neq.astype(np.int64)
+        agg = (
+            out.groupby(gcols, sort=False, dropna=False, observed=True)
+            .sum()
+            .reset_index()
+        )
+        agg = agg.rename(columns={"__one__": n_col, "__eq__": repeats_col,
+                                  "__neq__": changes_col})
+        for c in (n_col, repeats_col, changes_col):
+            agg[c] = agg[c].astype(np.int64)
+        return agg
+
+    return partitioned_groupby_map(
+        ds.select_columns(cols), gcols, finish,
+        num_partitions=num_partitions,
+    )

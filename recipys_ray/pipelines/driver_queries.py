@@ -3093,6 +3093,25 @@ def q_decile_lift(sf_dir):
     return out
 
 
+def q_sequence_integrity(sf_dir):
+    """Transcript-hygiene counters per user (ops/timeseries.
+    sequence_integrity): events, adjacent event-type repeats
+    (role-alternation violations in transcript terms), adjacent
+    changes. Exact int64 throughout; NULL never equals NULL."""
+    from recipys_ray.ops.timeseries import sequence_integrity
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    out = sequence_integrity(
+        ds, ["user_id"], ["ts", "event_id"], "event_type"
+    )
+    return _select(
+        out, ["user_id", "n_events", "n_repeats", "n_changes"]
+    )
+
+
 ORACLES: dict[str, str] = {
     "impute_zero": f"""
         SELECT event_id, coalesce({_VALN_SQL}, 0) AS valn FROM events
@@ -5154,6 +5173,20 @@ ORACLES: dict[str, str] = {
                  AS lift
         FROM s CROSS JOIN g
     """,
+    "sequence_integrity": """
+        WITH w AS (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+          FROM events
+        )
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN event_type = prev THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_repeats,
+               CAST(sum(CASE WHEN event_type != prev THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_changes
+        FROM w GROUP BY user_id
+    """,
 }
 
 
@@ -5300,4 +5333,5 @@ QUERIES = {
     "cooccurrence": q_cooccurrence,
     "cusum": q_cusum,
     "decile_lift": q_decile_lift,
+    "sequence_integrity": q_sequence_integrity,
 }

@@ -4629,3 +4629,59 @@ class TestGroupedCusum:
             grouped_cusum(
                 rd.from_pandas(pdf), ["g"], ["o"], "x", num_partitions=1
             ).materialize()
+
+
+class TestSequenceIntegrity:
+    def test_matches_duckdb_lag(self, ray_session):
+        import duckdb
+
+        from recipys_ray.ops.timeseries import sequence_integrity
+
+        rng = np.random.default_rng(61)
+        n = 600
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 10, n),
+            "o": rng.permutation(n).astype(np.int64),
+            "s": rng.choice(["user", "assistant", "tool", None], n,
+                            p=[0.45, 0.45, 0.05, 0.05]),
+        })
+        got = (
+            sequence_integrity(
+                rd.from_pandas(pdf).repartition(5), ["g"], ["o"], "s",
+                num_partitions=3,
+            )
+            .to_pandas()
+            .sort_values("g", ignore_index=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute("""
+            WITH w AS (
+              SELECT g, s, lag(s) OVER (PARTITION BY g ORDER BY o)
+                AS prev FROM t
+            )
+            SELECT g, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CASE WHEN s = prev THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_repeats,
+                   CAST(sum(CASE WHEN s != prev THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_changes
+            FROM w GROUP BY g ORDER BY g
+        """).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_alternating_vs_stuck(self, ray_session):
+        from recipys_ray.ops.timeseries import sequence_integrity
+
+        pdf = pd.DataFrame({
+            "g": ["ok"] * 6 + ["stuck"] * 6,
+            "o": list(range(6)) * 2,
+            "s": ["u", "a", "u", "a", "u", "a"]
+                 + ["u", "a", "a", "a", "u", "u"],
+        })
+        got = sequence_integrity(
+            rd.from_pandas(pdf), ["g"], ["o"], "s", num_partitions=1
+        ).to_pandas().set_index("g")
+        assert got.loc["ok", "n_repeats"] == 0
+        assert got.loc["ok", "n_changes"] == 5
+        assert got.loc["stuck", "n_repeats"] == 3
+        assert got.loc["stuck", "n_changes"] == 2
