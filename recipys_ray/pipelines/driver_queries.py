@@ -3093,6 +3093,38 @@ def q_decile_lift(sf_dir):
     return out
 
 
+def q_embed_centroids(sf_dir):
+    """Per-label mean-pool centroids of the embedding table in long
+    format (ops/vector.grouped_mean_pool): per-block int64-quantized
+    partial sums (q = floor(x·2^20) — exact under any block layout), ONE
+    partial-row exchange, a single IEEE division at the finish. The SQL
+    oracle states the identical expression, so values are bit-equal."""
+    from recipys_ray.ops.vector import grouped_mean_pool
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+    out = grouped_mean_pool(ds, ["label"])
+    return _select(out, ["label", "dim", "n", "centroid"])
+
+
+def q_centroid_cosine(sf_dir):
+    """Typicality scoring: each vector's cosine to its label's mean-pool
+    centroid (ops/vector.centroid_cosine — driver-folded tiny partials,
+    then a shuffle-free broadcast stamp). The centroid re-quantizes to
+    int64, so the per-row dot/norms are EXACT ints and the only float
+    ops are cast → sqrt (IEEE correctly-rounded) → multiply → divide,
+    mirrored term-for-term by the oracle — bit-equal."""
+    from recipys_ray.ops.vector import centroid_cosine
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "label", "embedding"],
+    )
+    out = centroid_cosine(ds, ["label"])
+    return _select(out, ["vec_id", "label", "cos_centroid"])
+
+
 def q_sequence_integrity(sf_dir):
     """Transcript-hygiene counters per user (ops/timeseries.
     sequence_integrity): events, adjacent event-type repeats
@@ -5187,6 +5219,49 @@ ORACLES: dict[str, str] = {
                     AS BIGINT) AS n_changes
         FROM w GROUP BY user_id
     """,
+    # vector aggregates: q = floor(x·2^20) int64 quantization makes every
+    # Σ exact; the remaining float ops are single IEEE expressions stated
+    # identically here and in ops/vector.py — bit-equal without goldens
+    "embed_centroids": """
+        WITH e AS (
+          SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+                 CAST(floor(unnest(embedding) * 1048576.0) AS BIGINT) AS q
+          FROM embeddings
+        )
+        SELECT label, CAST(dim AS BIGINT) AS dim,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(CAST(sum(q) AS BIGINT) AS DOUBLE)
+                 / CAST(count(*) * 1048576 AS DOUBLE) AS centroid
+        FROM e GROUP BY label, dim
+    """,
+    "centroid_cosine": """
+        WITH e AS (
+          SELECT vec_id, label,
+                 generate_subscripts(embedding, 1) - 1 AS dim,
+                 CAST(floor(unnest(embedding) * 1048576.0) AS BIGINT) AS q
+          FROM embeddings
+        ),
+        c AS (
+          SELECT label, dim,
+                 CAST(floor((CAST(CAST(sum(q) AS BIGINT) AS DOUBLE)
+                             / CAST(count(*) * 1048576 AS DOUBLE))
+                            * 1048576.0) AS BIGINT) AS cq
+          FROM e GROUP BY label, dim
+        ),
+        d AS (
+          SELECT e.vec_id, any_value(e.label) AS label,
+                 CAST(sum(e.q * c.cq) AS BIGINT) AS dot,
+                 CAST(sum(e.q * e.q) AS BIGINT) AS xx,
+                 CAST(sum(c.cq * c.cq) AS BIGINT) AS cc
+          FROM e JOIN c ON e.label = c.label AND e.dim = c.dim
+          GROUP BY e.vec_id
+        )
+        SELECT vec_id, label,
+               CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(xx AS DOUBLE)) * sqrt(CAST(cc AS DOUBLE)))
+                 AS cos_centroid
+        FROM d
+    """,
 }
 
 
@@ -5334,4 +5409,6 @@ QUERIES = {
     "cusum": q_cusum,
     "decile_lift": q_decile_lift,
     "sequence_integrity": q_sequence_integrity,
+    "embed_centroids": q_embed_centroids,
+    "centroid_cosine": q_centroid_cosine,
 }

@@ -4685,3 +4685,130 @@ class TestSequenceIntegrity:
         assert got.loc["ok", "n_changes"] == 5
         assert got.loc["stuck", "n_repeats"] == 3
         assert got.loc["stuck", "n_changes"] == 2
+
+
+class TestVectorOps:
+    """grouped_mean_pool / centroid_cosine (ops/vector.py)."""
+
+    @staticmethod
+    def _emb_pdf(seed=7, n=120, dim=6, labels=("a", "b", "c")):
+        rng = np.random.default_rng(seed)
+        return pd.DataFrame({
+            "vec_id": np.arange(n, dtype=np.int64),
+            "label": rng.choice(list(labels), n),
+            "embedding": [
+                rng.normal(0, 1, dim).astype(np.float32).tolist()
+                for _ in range(n)
+            ],
+        })
+
+    def test_mean_pool_matches_numpy(self, ray_session):
+        from recipys_ray.ops.vector import grouped_mean_pool
+
+        pdf = self._emb_pdf()
+        got = (
+            grouped_mean_pool(
+                rd.from_pandas(pdf).repartition(5), ["label"],
+                num_partitions=3,
+            )
+            .to_pandas()
+            .sort_values(["label", "dim"], ignore_index=True)
+        )
+        scale = 2**20
+        rows = []
+        for lab, sub in pdf.groupby("label"):
+            q = np.floor(
+                np.stack([np.asarray(v, np.float64) for v in sub["embedding"]])
+                * scale
+            ).astype(np.int64)
+            for d in range(q.shape[1]):
+                rows.append({
+                    "label": lab, "dim": d, "n": len(sub),
+                    "centroid": float(q[:, d].sum())
+                    / float(len(sub) * scale),
+                })
+        exp = pd.DataFrame(rows).sort_values(
+            ["label", "dim"], ignore_index=True
+        )
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        # bit-equality is the contract, not just allclose
+        assert (got["centroid"].to_numpy() == exp["centroid"].to_numpy()).all()
+
+    def test_mean_pool_partition_invariance(self, ray_session):
+        from recipys_ray.ops.vector import grouped_mean_pool
+
+        pdf = self._emb_pdf(seed=11)
+        outs = []
+        for parts, nparts in [(1, 1), (7, 4)]:
+            outs.append(
+                grouped_mean_pool(
+                    rd.from_pandas(pdf).repartition(parts), ["label"],
+                    num_partitions=nparts,
+                )
+                .to_pandas()
+                .sort_values(["label", "dim"], ignore_index=True)
+            )
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        assert (
+            outs[0]["centroid"].to_numpy() == outs[1]["centroid"].to_numpy()
+        ).all()
+
+    def test_centroid_cosine_matches_numpy(self, ray_session):
+        from recipys_ray.ops.vector import centroid_cosine
+
+        pdf = self._emb_pdf(seed=13)
+        got = (
+            centroid_cosine(rd.from_pandas(pdf).repartition(4), ["label"])
+            .to_pandas()
+            .sort_values("vec_id", ignore_index=True)
+        )
+        scale = 2**20
+        cents = {}
+        for lab, sub in pdf.groupby("label"):
+            q = np.floor(
+                np.stack([np.asarray(v, np.float64) for v in sub["embedding"]])
+                * scale
+            ).astype(np.int64)
+            mean = q.sum(axis=0).astype(np.float64) / float(len(sub) * scale)
+            cents[lab] = np.floor(mean * scale).astype(np.int64)
+        exp = []
+        for _, row in pdf.iterrows():
+            q = np.floor(
+                np.asarray(row["embedding"], np.float64) * scale
+            ).astype(np.int64)
+            cq = cents[row["label"]]
+            den = np.sqrt(float((q * q).sum())) * np.sqrt(
+                float((cq * cq).sum())
+            )
+            exp.append(float(q @ cq) / den)
+        assert (got["cos_centroid"].to_numpy() == np.array(exp)).all()
+        # cosine to own-group centroid of random normals: mostly modest
+        assert got["cos_centroid"].abs().max() <= 1.0 + 1e-12
+
+    def test_centroid_cosine_zero_vector_is_nan(self, ray_session):
+        from recipys_ray.ops.vector import centroid_cosine
+
+        pdf = pd.DataFrame({
+            "vec_id": [0, 1, 2],
+            "label": ["a", "a", "a"],
+            "embedding": [[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]],
+        })
+        got = (
+            centroid_cosine(rd.from_pandas(pdf), ["label"])
+            .to_pandas()
+            .sort_values("vec_id", ignore_index=True)
+        )
+        assert np.isnan(got.loc[0, "cos_centroid"])
+        assert np.isfinite(got.loc[1, "cos_centroid"])
+
+    def test_ragged_vectors_raise(self, ray_session):
+        from recipys_ray.ops.vector import grouped_mean_pool
+
+        pdf = pd.DataFrame({
+            "label": ["a", "a"],
+            "embedding": [[1.0, 2.0], [1.0, 2.0, 3.0]],
+        })
+        with pytest.raises(Exception, match="ragged"):
+            grouped_mean_pool(
+                rd.from_pandas(pdf), ["label"], num_partitions=1
+            ).materialize()
