@@ -1140,3 +1140,72 @@ def cooccurrence_counts(
         return out
 
     return partitioned_groupby_map(local, [a_col, b_col], fold)
+
+
+def state_run_stats(
+    ds,
+    group_cols: list[str],
+    order_cols: list[str],
+    state_col: str,
+    num_partitions: int | None = None,
+):
+    """Gaps-and-islands run-length features: for each group's state
+    sequence (ordered by ``order_cols``), the number of maximal runs of
+    consecutive identical states, the longest run length, and the total
+    event count. The behavioral-quality workhorse for transcripts and
+    event logs — bot loops and stuck agents show up as one long run;
+    healthy dialogues alternate (many short runs).
+
+    SQL equivalent: ``lag(state)`` change flags → windowed prefix-sum run
+    ids → COUNT per run → per-group COUNT/MAX/SUM (the classic
+    gaps-and-islands reduction). Run identity follows ``IS DISTINCT
+    FROM`` semantics — two NULL states are the SAME run (pd.factorize's
+    shared -1 NaN code reproduces this exactly).
+
+    Motion: ONE skinny hash exchange on the group key (payload = group +
+    order + state only), then a single vectorized pass per partition:
+    one stable sort, per-column factorized change flags, run starts via
+    flatnonzero, and a pandas groupby over run-start rows (C kernels,
+    never per-group Python). Output is final per partition — groups are
+    co-located, so no second fold is needed. All outputs int64-exact.
+    """
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    gcols, ocols = list(group_cols), list(order_cols)
+    cols = gcols + ocols + [state_col]
+
+    def runs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[cols].sort_values(
+            gcols + ocols, kind="stable", ignore_index=True
+        )
+        n = len(pdf)
+        if n == 0:
+            out = pd.DataFrame({c: pdf[c] for c in gcols})
+            for c in ("n_runs", "max_run_len", "n_events"):
+                out[c] = pd.Series(dtype=np.int64)
+            return out
+        brk = np.zeros(n, dtype=bool)
+        brk[0] = True
+        # a run breaks when ANY group column changes or the state becomes
+        # IS DISTINCT FROM the previous one (factorize: equal values share
+        # a code, all NaNs share -1 — two NULLs are NOT distinct)
+        for c in gcols + [state_col]:
+            codes, _ = pd.factorize(pdf[c], use_na_sentinel=True)
+            brk[1:] |= codes[1:] != codes[:-1]
+        starts = np.flatnonzero(brk)
+        run_len = np.diff(np.r_[starts, n]).astype(np.int64)
+        rdf = pdf.iloc[starts][gcols].copy()
+        rdf["__rl__"] = run_len
+        agg = (
+            rdf.groupby(gcols, sort=False, dropna=False, observed=True)[
+                "__rl__"
+            ]
+            .agg(n_runs="size", max_run_len="max", n_events="sum")
+            .reset_index()
+        )
+        for c in ("n_runs", "max_run_len", "n_events"):
+            agg[c] = agg[c].astype(np.int64)
+        return agg
+
+    skinny = ds.select_columns(cols)
+    return partitioned_groupby_map(skinny, gcols, runs, num_partitions)

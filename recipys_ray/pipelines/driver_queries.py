@@ -1733,6 +1733,21 @@ def q_event_transitions(sf_dir):
     return _select(out, ["from_event", "to_event", "cnt"])
 
 
+def q_state_runs(sf_dir):
+    """Gaps-and-islands run-length features per user
+    (ops/groupstats.state_run_stats): number of maximal runs of
+    consecutive identical event types, longest run, total events — the
+    bot-loop / stuck-agent detector. ONE skinny exchange; int64-exact."""
+    from recipys_ray.ops.groupstats import state_run_stats
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    out = state_run_stats(ds, ["user_id"], ["ts", "event_id"], "event_type")
+    return _select(out, ["user_id", "n_runs", "max_run_len", "n_events"])
+
+
 def q_cumulative_distinct(sf_dir):
     """Running COUNT(DISTINCT event_type) per user in event order — the
     novelty-rate feature (ops/groupstats.cumulative_distinct): one skinny
@@ -3517,6 +3532,27 @@ ORACLES: dict[str, str] = {
           FROM events
         ) WHERE to_event IS NOT NULL
         GROUP BY from_event, to_event
+    """,
+    "state_runs": f"""
+        WITH g AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CASE WHEN event_type IS DISTINCT FROM
+                           lag(event_type) OVER ({_WIN})
+                      THEN 1 ELSE 0 END AS brk
+          FROM events
+        ),
+        r AS (
+          SELECT user_id, sum(brk) OVER ({_EXP}) AS run_id FROM g
+        ),
+        runs AS (
+          SELECT user_id, run_id, count(*) AS rl
+          FROM r GROUP BY user_id, run_id
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_runs,
+               CAST(max(rl) AS BIGINT) AS max_run_len,
+               CAST(sum(rl) AS BIGINT) AS n_events
+        FROM runs GROUP BY user_id
     """,
     "cumulative_distinct": """
         SELECT user_id, ts, event_id,
@@ -5323,6 +5359,7 @@ QUERIES = {
     "value_ranks": q_value_ranks,
     "merge_intervals": q_merge_intervals,
     "event_transitions": q_event_transitions,
+    "state_runs": q_state_runs,
     "cumulative_distinct": q_cumulative_distinct,
     "grouped_auc": q_grouped_auc,
     "feature_hash": q_feature_hash,

@@ -4812,3 +4812,65 @@ class TestVectorOps:
             grouped_mean_pool(
                 rd.from_pandas(pdf), ["label"], num_partitions=1
             ).materialize()
+
+
+class TestStateRunStats:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from recipys_ray.ops.groupstats import state_run_stats
+
+        rng = np.random.default_rng(53)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 25, 900),
+            "o": np.arange(900),
+            "v": rng.choice(["a", "b", "c", None], 900,
+                            p=[0.45, 0.3, 0.2, 0.05]),
+        })
+        got = (
+            state_run_stats(rd.from_pandas(pdf), ["g"], ["o"], "v")
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute("""
+            WITH gg AS (
+              SELECT g, o, v,
+                     CASE WHEN v IS DISTINCT FROM
+                               lag(v) OVER (PARTITION BY g ORDER BY o)
+                          THEN 1 ELSE 0 END AS brk
+              FROM t
+            ),
+            r AS (
+              SELECT g, sum(brk) OVER (PARTITION BY g ORDER BY o
+                         ROWS UNBOUNDED PRECEDING) AS run_id
+              FROM gg
+            ),
+            runs AS (SELECT g, run_id, count(*) AS rl
+                     FROM r GROUP BY g, run_id)
+            SELECT g, CAST(count(*) AS BIGINT) AS n_runs,
+                   CAST(max(rl) AS BIGINT) AS max_run_len,
+                   CAST(sum(rl) AS BIGINT) AS n_events
+            FROM runs GROUP BY g ORDER BY g
+        """).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_all_null_states_one_run(self, ray_session):
+        from recipys_ray.ops.groupstats import state_run_stats
+
+        pdf = pd.DataFrame({"g": [1] * 4, "o": range(4),
+                            "v": pd.array([None] * 4, dtype="string")})
+        got = state_run_stats(rd.from_pandas(pdf), ["g"], ["o"], "v"
+                              ).to_pandas()
+        assert got["n_runs"].tolist() == [1]
+        assert got["max_run_len"].tolist() == [4]
+
+    def test_alternating(self, ray_session):
+        from recipys_ray.ops.groupstats import state_run_stats
+
+        pdf = pd.DataFrame({"g": [1] * 6, "o": range(6),
+                            "v": ["a", "b"] * 3})
+        got = state_run_stats(rd.from_pandas(pdf), ["g"], ["o"], "v"
+                              ).to_pandas()
+        assert got["n_runs"].tolist() == [6]
+        assert got["max_run_len"].tolist() == [1]
