@@ -80,6 +80,7 @@ from recipys_ray.ops.groupstats import (
     grouped_regression,
     grouped_value_counts,
     grouped_weighted_stats,
+    grouped_minmax,
     grouped_zscore,
     state_run_stats,
     transition_counts,
@@ -153,7 +154,8 @@ __all__ = [
     "grouped_weighted_stats", "grouped_autocorr", "ohlc_bars",
     "except_distinct", "intersect_distinct", "table_diff",
     "grouped_cusum", "sequence_integrity",
-    "merge_intervals", "transition_counts", "state_run_stats", "pmi_bigrams",
+    "merge_intervals", "transition_counts", "state_run_stats",
+    "grouped_minmax", "pmi_bigrams",
     "cumulative_distinct", "grouped_auc", "decayed_sum",
     "fit_pca", "pca_project", "target_encode", "feature_hash",
     "hash_sample", "hash_split",

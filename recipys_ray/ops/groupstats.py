@@ -1209,3 +1209,86 @@ def state_run_stats(
 
     skinny = ds.select_columns(cols)
     return partitioned_groupby_map(skinny, gcols, runs, num_partitions)
+
+
+def grouped_minmax(
+    ds,
+    group_cols: list[str],
+    value_col: str,
+    out_col: str = "minmax",
+    driver_cap: int = 5_000_000,
+):
+    """Per-group min-max normalization: ``(x − min_g) / (max_g − min_g)``
+    stamped on every row — the grouped twin of MinMaxScaler for
+    entity-level feature ranges (per-user, per-source, …).
+
+    Exactness contract (the grouped_zscore lesson): feed an INTEGER
+    column (e.g. cents) so min/max and both subtraction operands are
+    exact in float64; the single IEEE division is then bit-equal to the
+    SQL ``CAST(x − mn AS DOUBLE) / CAST(mx − mn AS DOUBLE)``. A
+    constant group (max = min) yields NULL (SQL x/0.0 semantics).
+
+    Distributed shape: one min/max combiner pass (one partial row per
+    (group, block)), driver folds ≤ ``driver_cap`` groups, bounds
+    broadcast once via ``ray.put``, then a stateless vectorized stamp —
+    ZERO payload shuffle."""
+    import ray
+
+    gcols = list(group_cols)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        pdf = tbl.select(gcols + [value_col]).to_pandas()
+        pdf = pdf[pdf[value_col].notna()]
+        agg = (
+            pdf.groupby(gcols, sort=False, dropna=False, observed=True)[
+                value_col
+            ]
+            .agg(__mn__="min", __mx__="max")
+            .reset_index()
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts = (
+        ds.select_columns(gcols + [value_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = (
+        parts.groupby(gcols, sort=False, dropna=False, observed=True)
+        .agg(__mn__=("__mn__", "min"), __mx__=("__mx__", "max"))
+        .reset_index()
+    )
+    if len(agg) > driver_cap:
+        raise ValueError(
+            f"{len(agg)} groups exceeds driver_cap={driver_cap}; "
+            "co-partition by group instead of the broadcast stamp"
+        )
+    key = (
+        agg[gcols[0]]
+        if len(gcols) == 1
+        else pd.MultiIndex.from_frame(agg[gcols])
+    )
+    mn = agg["__mn__"].to_numpy(np.float64)
+    mx = agg["__mx__"].to_numpy(np.float64)
+    stats_ref = ray.put((pd.Series(mn, index=key), pd.Series(mx, index=key)))
+
+    def stamp(tbl: pa.Table) -> pa.Table:
+        mn_s, mx_s = ray.get(stats_ref)
+        pdf = tbl.select(gcols).to_pandas()
+        k = (
+            pdf[gcols[0]]
+            if len(gcols) == 1
+            else pd.MultiIndex.from_frame(pdf[gcols])
+        )
+        lo = k.map(mn_s).to_numpy(np.float64)
+        hi = k.map(mx_s).to_numpy(np.float64)
+        x = tbl.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        den = hi - lo
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = (x - lo) / den
+        z[den == 0.0] = np.nan  # SQL x/0.0 → NULL
+        return tbl.append_column(out_col, pa.array(z, pa.float64()))
+
+    return ds.map_batches(stamp, batch_format="pyarrow")

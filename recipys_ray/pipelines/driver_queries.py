@@ -1733,6 +1733,34 @@ def q_event_transitions(sf_dir):
     return _select(out, ["from_event", "to_event", "cnt"])
 
 
+def q_grouped_minmax(sf_dir):
+    """Per-user min-max normalization of the cents-exact value column
+    (ops/groupstats.grouped_minmax): min/max combiner → broadcast stamp,
+    zero payload shuffle. Integer input ⇒ exact operands ⇒ the single
+    IEEE division is bit-equal in both engines; constant groups → NULL."""
+    from recipys_ray.ops.groupstats import grouped_minmax
+
+    ds = _events(sf_dir)
+
+    def to_cents(tbl: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(tbl.column("value"), 100.0)), pa.int64()
+        )
+        return pa.table(
+            {
+                "event_id": tbl.column("event_id"),
+                "user_id": tbl.column("user_id"),
+                "cents": cents,
+            }
+        )
+
+    out = grouped_minmax(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        ["user_id"], "cents", out_col="val_mm",
+    )
+    return _select(out, ["event_id", "user_id", "cents", "val_mm"])
+
+
 def q_state_runs(sf_dir):
     """Gaps-and-islands run-length features per user
     (ops/groupstats.state_run_stats): number of maximal runs of
@@ -3532,6 +3560,23 @@ ORACLES: dict[str, str] = {
           FROM events
         ) WHERE to_event IS NOT NULL
         GROUP BY from_event, to_event
+    """,
+    "grouped_minmax": """
+        WITH c AS (
+          SELECT event_id, user_id,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events
+        ),
+        s AS (
+          SELECT user_id, min(cents) AS mn, max(cents) AS mx
+          FROM c GROUP BY user_id
+        )
+        SELECT c.event_id, c.user_id, c.cents,
+               CASE WHEN s.mx = s.mn THEN NULL
+                    ELSE CAST(c.cents - s.mn AS DOUBLE)
+                         / CAST(s.mx - s.mn AS DOUBLE)
+               END AS val_mm
+        FROM c JOIN s USING (user_id)
     """,
     "state_runs": f"""
         WITH g AS (
@@ -5359,6 +5404,7 @@ QUERIES = {
     "value_ranks": q_value_ranks,
     "merge_intervals": q_merge_intervals,
     "event_transitions": q_event_transitions,
+    "grouped_minmax": q_grouped_minmax,
     "state_runs": q_state_runs,
     "cumulative_distinct": q_cumulative_distinct,
     "grouped_auc": q_grouped_auc,

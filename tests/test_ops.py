@@ -4874,3 +4874,37 @@ class TestStateRunStats:
                               ).to_pandas()
         assert got["n_runs"].tolist() == [6]
         assert got["max_run_len"].tolist() == [1]
+
+
+class TestGroupedMinmax:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from recipys_ray.ops.groupstats import grouped_minmax
+
+        rng = np.random.default_rng(59)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 30, 1000),
+            "i": np.arange(1000),
+            "x": rng.integers(-500, 500, 1000),
+        })
+        # one constant group → NULL outputs
+        pdf.loc[pdf["g"] == 7, "x"] = 42
+        got = (
+            grouped_minmax(rd.from_pandas(pdf), ["g"], "x", out_col="mm")
+            .to_pandas().sort_values("i").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute("""
+            WITH s AS (SELECT g, min(x) mn, max(x) mx FROM t GROUP BY g)
+            SELECT t.g, t.i, t.x,
+                   CASE WHEN s.mx = s.mn THEN NULL
+                        ELSE CAST(t.x - s.mn AS DOUBLE)
+                             / CAST(s.mx - s.mn AS DOUBLE) END AS mm
+            FROM t JOIN s USING (g) ORDER BY i
+        """).df().reset_index(drop=True)
+        np.testing.assert_array_equal(
+            got["mm"].to_numpy(), exp["mm"].to_numpy()
+        )
+        assert got.loc[got["g"] == 7, "mm"].isna().all()
