@@ -39,7 +39,7 @@ from recipys_ray.ops.multimodal import (
     read_webdataset,
 )
 from recipys_ray.ops.packing import pack_sequences
-from recipys_ray.ops.profile import profile
+from recipys_ray.ops.profile import benford_counts, profile
 from recipys_ray.ops.quantiles import (
     exact_quantiles,
     exact_quantiles_cont,
@@ -137,7 +137,7 @@ __all__ = [
     "simhash_dedup", "verify_pairs_jaccard", "distinct_per_group",
     "distinct_per_group_approx", "jaccard_dedup", "hash_join",
     "ByteHistogramFeatures", "DecodeImage", "DecodeWav", "SampleFrames",
-    "decode_images", "read_webdataset", "extract_json_int", "funnel", "cohort_retention", "pack_sequences", "profile",
+    "decode_images", "read_webdataset", "extract_json_int", "funnel", "cohort_retention", "pack_sequences", "profile", "benford_counts",
     "exact_quantiles", "exact_quantiles_cont", "group_quantiles",
     "winsorize", "robust_zscore", "grouped_robust_zscore",
     "kbins_quantile_exact",

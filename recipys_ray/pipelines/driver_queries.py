@@ -1733,6 +1733,29 @@ def q_event_transitions(sf_dir):
     return _select(out, ["from_event", "to_event", "cnt"])
 
 
+def q_benford(sf_dir):
+    """Benford's-law leading-digit profile of the cents-exact value
+    column (ops/profile.benford_counts): per-block bincount combiner →
+    one tiny exchange. Digit extracted by integer division, never float
+    log10 or string formatting; counts exact int64."""
+    from recipys_ray.ops.profile import benford_counts
+
+    ds = _events(sf_dir, columns=["value"])
+
+    def to_cents(tbl: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(tbl.column("value"), 100.0)), pa.int64()
+        )
+        return pa.table({"cents": cents})
+
+    return _select(
+        benford_counts(
+            ds.map_batches(to_cents, batch_format="pyarrow"), "cents"
+        ),
+        ["digit", "cnt"],
+    )
+
+
 def q_grouped_minmax(sf_dir):
     """Per-user min-max normalization of the cents-exact value column
     (ops/groupstats.grouped_minmax): min/max combiner → broadcast stamp,
@@ -3560,6 +3583,15 @@ ORACLES: dict[str, str] = {
           FROM events
         ) WHERE to_event IS NOT NULL
         GROUP BY from_event, to_event
+    """,
+    "benford": """
+        WITH c AS (
+          SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events
+        )
+        SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM c WHERE cents > 0
+        GROUP BY digit
     """,
     "grouped_minmax": """
         WITH c AS (
@@ -5404,6 +5436,7 @@ QUERIES = {
     "value_ranks": q_value_ranks,
     "merge_intervals": q_merge_intervals,
     "event_transitions": q_event_transitions,
+    "benford": q_benford,
     "grouped_minmax": q_grouped_minmax,
     "state_runs": q_state_runs,
     "cumulative_distinct": q_cumulative_distinct,

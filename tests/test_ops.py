@@ -4908,3 +4908,39 @@ class TestGroupedMinmax:
             got["mm"].to_numpy(), exp["mm"].to_numpy()
         )
         assert got.loc[got["g"] == 7, "mm"].isna().all()
+
+
+class TestBenfordCounts:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from recipys_ray.ops.profile import benford_counts
+
+        rng = np.random.default_rng(61)
+        # span several magnitudes incl. exact powers of ten and junk
+        vals = np.r_[
+            rng.integers(1, 10**6, 2000),
+            [1, 10, 100, 1000, 9, 99, 999],
+            [0, -5, -1000],
+        ].astype(np.int64)
+        pdf = pd.DataFrame({"x": vals})
+        got = (
+            benford_counts(rd.from_pandas(pdf), "x")
+            .to_pandas().sort_values("digit").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute("""
+            SELECT CAST(substr(CAST(x AS VARCHAR),1,1) AS BIGINT) AS digit,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM t WHERE x > 0 GROUP BY digit ORDER BY digit
+        """).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_nulls_dropped(self, ray_session):
+        from recipys_ray.ops.profile import benford_counts
+
+        pdf = pd.DataFrame({"x": pd.array([None, 123, None, 7],
+                                          dtype="Int64")})
+        got = benford_counts(rd.from_pandas(pdf), "x").to_pandas()
+        assert int(got["cnt"].sum()) == 2
