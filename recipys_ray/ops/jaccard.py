@@ -248,11 +248,43 @@ def jaccard_dedup(
                                 num_partitions),
     )
 
+    def keep_jaccard(inter, la, lb):
+        union = la + lb - inter
+        return (union > 0) & (inter / np.maximum(union, 1) >= threshold)
+
+    pairs_ds = _verified_pairs(
+        sets, cand, id_col, keep_jaccard, num_partitions,
+        broadcast_bytes, _t,
+    )
+    losers = losers_from_pairs(pairs_ds, max_driver_pairs)
+    return drop_ids(ds, id_col, losers)
+
+
+def _verified_pairs(
+    sets, cand, id_col, keep_fn, num_partitions, broadcast_bytes, _t=None
+):
+    """Exact set-overlap verification of candidate (a, b) id pairs.
+
+    ``keep_fn(inter, la, lb) -> bool mask`` states the similarity
+    predicate on the exact intersection size and the two set sizes —
+    Jaccard, containment, overlap coefficient … all share this core.
+    Returns the Dataset of verified pairs (a int64, b int64).
+
+    Two physical routes:
+    - broadcast (sets table ≤ ``broadcast_bytes``): the (id → hash set)
+      lookup ships once via ``ray.put``; candidates verify in a single
+      stateless pass — no set payload ever shuffles;
+    - co-partitioned (the 100-TB route): two union-exchanges keyed by
+      pair endpoint attach each side's set (sets move at most twice, by
+      hash of id; global pair dedup happens in a's partition).
+    """
+    import ray
+
+    if _t is None:
+        def _t(label, d):
+            return d
+
     # ---- verification: broadcast fast path vs co-partitioned joins ------ #
-    # When the (id → hash set) table fits comfortably in the object store,
-    # broadcast it once and verify candidates in a single stateless pass —
-    # no set payload ever shuffles. The co-partitioned join path below
-    # remains the 100-TB route (sets move at most twice, by hash of id).
     try:
         sets_bytes = sets.size_bytes()
     except Exception:
@@ -270,7 +302,7 @@ def jaccard_dedup(
             a = tbl.column("a").to_numpy(zero_copy_only=False)
             b = tbl.column("b").to_numpy(zero_copy_only=False)
             # dedupe within the batch; cross-batch dupes collapse in the
-            # components fold
+            # downstream losers fold
             ab = pd.DataFrame({"a": a, "b": b}).drop_duplicates()
             a, b = ab["a"].to_numpy(), ab["b"].to_numpy()
             sas = [lk[int(x)] for x in a]
@@ -287,10 +319,7 @@ def jaccard_dedup(
             sv, sp = vals[order], pidx[order]
             dup = (sp[1:] == sp[:-1]) & (sv[1:] == sv[:-1])
             inter = np.bincount(sp[1:][dup], minlength=len(sas))
-            union = la + lb - inter
-            keep = (union > 0) & (
-                inter / np.maximum(union, 1) >= threshold
-            )
+            keep = keep_fn(inter, la, lb)
             return pa.table(
                 {
                     "a": pa.array(a[keep].astype(np.int64)),
@@ -298,12 +327,10 @@ def jaccard_dedup(
                 }
             )
 
-        pairs_ds = _t(
+        return _t(
             "verify_broadcast",
             cand.map_batches(verify_broadcast, batch_format="pyarrow"),
         ).materialize()
-        losers = losers_from_pairs(pairs_ds, max_driver_pairs)
-        return drop_ids(ds, id_col, losers)
 
     # attach both shingle sets via two co-partitioned unions, then verify.
     # Union schema: (__aj_id__ int64, a int64, b int64, set_a list<u64>,
@@ -400,8 +427,7 @@ def jaccard_dedup(
         sv, sp = vals[order], pidx[order]
         dup = (sp[1:] == sp[:-1]) & (sv[1:] == sv[:-1])
         inter = np.bincount(sp[1:][dup], minlength=len(sas))
-        union = la + lb - inter
-        keep = (union > 0) & (inter / np.maximum(union, 1) >= threshold)
+        keep = keep_fn(inter, la, lb)
         return pa.table(
             {
                 "a": pa.array(pairs["a"].to_numpy()[keep].astype(np.int64)),
@@ -412,13 +438,10 @@ def jaccard_dedup(
     u2 = with_a.union(
         sets.map_batches(tag_sets_stage, batch_format="pyarrow")
     )
-    pairs_ds = _t(
+    return _t(
         "verify",
         partitioned_groupby_map(
             u2, ["__aj_id__"], verify, num_partitions,
             batch_format="pyarrow",
         ),
     ).materialize()
-
-    losers = losers_from_pairs(pairs_ds, max_driver_pairs)
-    return drop_ids(ds, id_col, losers)
