@@ -25,8 +25,12 @@ from recipys_ray.ops.distinct import (
     distinct_per_group,
     distinct_per_group_approx,
 )
-from recipys_ray.ops.jaccard import jaccard_dedup
-from recipys_ray.ops.join import hash_join
+from recipys_ray.ops.jaccard import (
+    containment_dedup,
+    jaccard_dedup,
+    overlap_dedup,
+)
+from recipys_ray.ops.join import hash_join, skew_join
 from recipys_ray.ops.cohort import cohort_retention
 from recipys_ray.ops.funnel import funnel
 from recipys_ray.ops.jsonfields import extract_json_int
@@ -135,7 +139,8 @@ __all__ = [
     "calendar_features", "k_anonymize",
     "minhash_candidate_pairs", "minhash_dedup", "ngram_jaccard",
     "simhash_dedup", "verify_pairs_jaccard", "distinct_per_group",
-    "distinct_per_group_approx", "jaccard_dedup", "hash_join",
+    "distinct_per_group_approx", "jaccard_dedup", "containment_dedup",
+    "overlap_dedup", "hash_join", "skew_join",
     "ByteHistogramFeatures", "DecodeImage", "DecodeWav", "SampleFrames",
     "decode_images", "read_webdataset", "extract_json_int", "funnel", "cohort_retention", "pack_sequences", "profile", "benford_counts",
     "exact_quantiles", "exact_quantiles_cont", "group_quantiles",

@@ -445,3 +445,246 @@ def _verified_pairs(
             batch_format="pyarrow",
         ),
     ).materialize()
+
+
+def containment_dedup(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    k: int = 3,
+    top_m: int = 20_000,
+    num_partitions: int | None = None,
+    max_driver_losers: int = 50_000_000,
+    broadcast_bytes: int = 500_000_000,
+):
+    """Subsumed-document removal via EXACT shingle-set containment.
+
+    Drop document ``d`` when another document ``e`` exists with
+    ``|S_d ∩ S_e| / |S_d| ≥ threshold`` and ``(|S_e| > |S_d|`` or
+    ``|S_e| = |S_d|`` and ``e.id < d.id)`` — i.e. ``d``'s content is
+    (mostly) contained in a strictly-larger document, or in an equal-size
+    one with a smaller id (equal-size containment at any t < 1 is
+    symmetric, so the tie-break keeps exactly one of each such pair).
+    Containers SMALLER than ``d`` never drop it: the more informative
+    superset survives. No connected components are needed — the predicate
+    is a per-document NOT EXISTS, which is also how the SQL oracle states
+    it.
+
+    Exact candidate generation is the asymmetric prefix filter of the
+    set-containment-join literature (e.g. Melnik & Garcia-Molina 2003;
+    the PPJoin family's containment variant): under ANY fixed global
+    token order, a contained side ``d`` needing ``m = ⌈t·|S_d|⌉`` shared
+    tokens must share one within its first ``|S_d| − m + 1`` tokens
+    (pigeonhole: at most ``|S_d| − m`` of its tokens miss the container).
+    So ``d`` emits only that prefix as a *probe* stream while every
+    document emits ALL tokens as the *index* stream; probe×index pairs
+    within a token bucket are a superset of all qualifying pairs. ``m``
+    is computed against the FLOAT predicate ``inter/|S_d| ≥ t`` itself
+    (one-step integer correction around ``ceil(t·|S_d|)``), so the prefix
+    bound and the verifier can never disagree on a boundary ulp.
+
+    The hottest ``top_m`` shingles are demoted to the END of the
+    canonical order, keeping them out of probe prefixes — index buckets
+    for those tokens then contain no probes and emit nothing, so
+    stop-word shingles cost nothing. Verification reuses
+    :func:`_verified_pairs` (broadcast or co-partitioned), and losers are
+    the distinct contained ids — no component fold.
+    """
+    sets = ds.map_batches(
+        _ShingleSets(text_col, id_col, k), batch_format="pyarrow"
+    ).materialize()
+    if num_partitions is None:
+        from recipys_ray.kernels.grouped import choose_partitions
+
+        num_partitions = choose_partitions(sets)
+    cand = _asymmetric_candidates(
+        sets, id_col, threshold, top_m, num_partitions
+    )
+
+    def keep_containment(inter, la, lb):
+        return (la > 0) & (inter / np.maximum(la, 1) >= threshold)
+
+    pairs_ds = _verified_pairs(
+        sets, cand, id_col, keep_containment, num_partitions,
+        broadcast_bytes,
+    )
+    # losers = distinct contained ids — no components, straight membership
+    if pairs_ds.count() > max_driver_losers:
+        losers_ds = pairs_ds.map_batches(
+            lambda t: t.select(["a"]).rename_columns(["node"]),
+            batch_format="pyarrow",
+        )
+        return drop_ids(ds, id_col, losers_ds)
+    arr = np.unique(
+        pairs_ds.to_pandas()["a"].to_numpy().astype(np.int64)
+    )
+    return drop_ids(ds, id_col, arr)
+
+
+def overlap_dedup(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    k: int = 3,
+    top_m: int = 20_000,
+    num_partitions: int | None = None,
+    max_driver_pairs: int = 5_000_000,
+    broadcast_bytes: int = 500_000_000,
+):
+    """Near-dup removal under the EXACT overlap (Szymkiewicz–Simpson)
+    coefficient ``|S_a ∩ S_b| / min(|S_a|, |S_b|) ≥ threshold``; keep the
+    min-id representative per connected component (the relation is
+    symmetric, so survivors follow the same component fold as
+    :func:`jaccard_dedup`).
+
+    Candidate generation is shared with :func:`containment_dedup`
+    (:func:`_asymmetric_candidates`): for a qualifying pair the SMALLER
+    set ``a`` needs ``⌈t·|S_a|⌉`` shared tokens, so its float-exact prefix
+    must hit the other side's full index stream — the same probe×index
+    bucket expansion, whose ``(|S_b| > |S_a|)`` or equal-size-tie-break
+    filter emits each unordered pair exactly once with ``a`` the smaller
+    side. Only the verification predicate and the survivor fold differ.
+    """
+    sets = ds.map_batches(
+        _ShingleSets(text_col, id_col, k), batch_format="pyarrow"
+    ).materialize()
+    if num_partitions is None:
+        from recipys_ray.kernels.grouped import choose_partitions
+
+        num_partitions = choose_partitions(sets)
+    cand = _asymmetric_candidates(
+        sets, id_col, threshold, top_m, num_partitions
+    )
+
+    def keep_overlap(inter, la, lb):
+        mn = np.maximum(np.minimum(la, lb), 1)
+        return (np.minimum(la, lb) > 0) & (inter / mn >= threshold)
+
+    pairs_ds = _verified_pairs(
+        sets, cand, id_col, keep_overlap, num_partitions,
+        broadcast_bytes,
+    )
+    losers = losers_from_pairs(pairs_ds, max_driver_pairs)
+    return drop_ids(ds, id_col, losers)
+
+
+def _asymmetric_candidates(
+    sets, id_col: str, threshold: float, top_m: int, num_partitions: int
+):
+    """Exact probe-prefix × full-index candidate pairs for predicates that
+    lower-bound the intersection by ``⌈t·|S_a|⌉`` of the smaller/contained
+    side ``a`` (set containment, overlap coefficient).
+
+    Emits each candidate as ``(a, b)`` with ``|S_b| > |S_a|``, or
+    ``|S_b| = |S_a|`` and ``b < a`` — one orientation per unordered pair.
+    Exactness argument and the hot-shingle demotion are documented on
+    :func:`containment_dedup`.
+    """
+    import ray
+
+    common = _top_common(sets, id_col, top_m) if top_m > 0 else {}
+    common_ref = ray.put(common)
+
+    def emit_tokens(tbl: pa.Table) -> pa.Table:
+        """One pass: every token as an index row (role=1) plus the probe
+        prefix rows (role=0) — same canonical order as emit_prefix."""
+        import pyarrow.compute as pac
+
+        cm = ray.get(common_ref)
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        col = tbl.column("shset")
+        flat = pac.list_flatten(col).to_numpy(zero_copy_only=False)
+        lens = pac.list_value_length(col).to_numpy(zero_copy_only=False)
+        lens = lens.astype(np.int64)
+        n_docs = len(ids)
+        total = int(lens.sum())
+        empty = pa.table(
+            {"tok": pa.array([], pa.uint64()),
+             id_col: pa.array([], pa.int64()),
+             "len": pa.array([], pa.int64()),
+             "role": pa.array([], pa.int8())}
+        )
+        if total == 0:
+            return empty
+        # minimal integer m with (m / len) >= threshold under FLOAT
+        # division — start at ceil(t·len), correct one step both ways so
+        # the bound matches the verifier's own arithmetic exactly
+        m = np.ceil(threshold * lens.astype(np.float64)).astype(np.int64)
+        m = np.clip(m, 1, lens)
+        down_ok = (m - 1 >= 1) & ((m - 1) / lens >= threshold)
+        m = np.where(down_ok, m - 1, m)
+        m = np.where((m / lens < threshold) & (m < lens), m + 1, m)
+        p = lens - m + 1
+        top_m_eff = len(cm)
+        if cm:
+            mapped = pd.Series(flat).map(cm)
+            ranks = np.where(
+                mapped.isna(), 0, top_m_eff + 1 - mapped.fillna(0).to_numpy()
+            ).astype(np.int64)
+        else:
+            ranks = np.zeros(total, dtype=np.int64)
+        segid = np.repeat(np.arange(n_docs), lens)
+        order = np.lexsort((flat, ranks, segid))
+        starts = np.r_[0, np.cumsum(lens)[:-1]]
+        pos_in_seg = np.arange(total) - np.repeat(starts, lens)
+        probe = pos_in_seg < np.repeat(p, lens)
+        tok_o = flat[order]
+        id_o = np.repeat(ids, lens).astype(np.int64)
+        len_o = np.repeat(lens, lens)
+        return pa.table(
+            {
+                "tok": pa.array(np.r_[tok_o, tok_o[probe]]),
+                id_col: pa.array(np.r_[id_o, id_o[probe]]),
+                "len": pa.array(np.r_[len_o, len_o[probe]]),
+                "role": pa.array(
+                    np.r_[np.ones(total, dtype=np.int8),
+                          np.zeros(int(probe.sum()), dtype=np.int8)]
+                ),
+            }
+        )
+
+    exploded = sets.map_batches(emit_tokens, batch_format="pyarrow")
+
+    def emit_pairs_cont(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Per token bucket: (probe a) × (index b) pairs with the size /
+        tie-break filter — fully vectorized across all buckets."""
+        out_empty = pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                  "b": pd.Series(dtype=np.int64)})
+        if not len(pdf):
+            return out_empty
+        pdf = pdf.sort_values(["tok", "role", id_col], kind="stable",
+                              ignore_index=True)
+        tok = pdf["tok"].to_numpy()
+        role = pdf["role"].to_numpy()
+        v = pdf[id_col].to_numpy()
+        ln = pdf["len"].to_numpy()
+        new_bucket = np.r_[True, tok[1:] != tok[:-1]]
+        bid = np.cumsum(new_bucket) - 1
+        n_buckets = int(bid[-1]) + 1
+        bstart = np.flatnonzero(new_bucket)
+        n_probe = np.bincount(bid[role == 0], minlength=n_buckets)
+        n_index = np.bincount(bid[role == 1], minlength=n_buckets)
+        probes = np.flatnonzero(role == 0)
+        if not len(probes) or n_index.sum() == 0:
+            return out_empty
+        pb = bid[probes]
+        rep = n_index[pb]
+        total = int(rep.sum())
+        if total == 0:
+            return out_empty
+        istart = bstart + n_probe          # index rows follow the probes
+        a_idx = np.repeat(probes, rep)
+        ramp = np.arange(total) - np.repeat(np.cumsum(rep) - rep, rep)
+        b_idx = np.repeat(istart[pb], rep) + ramp
+        a, b = v[a_idx], v[b_idx]
+        la, lb = ln[a_idx], ln[b_idx]
+        ok = (a != b) & ((lb > la) | ((lb == la) & (b < a)))
+        return pd.DataFrame(
+            {"a": a[ok], "b": b[ok]}
+        ).drop_duplicates(ignore_index=True)
+
+    return partitioned_groupby_map(
+        exploded, ["tok"], emit_pairs_cont, num_partitions
+    )

@@ -159,6 +159,162 @@ def hash_join(
     raise ValueError(f"unknown strategy {strategy!r}")
 
 
+def skew_join(
+    left,
+    right,
+    on,
+    right_on=None,
+    how: str = "inner",
+    right_suffix: str = "_r",
+    num_partitions: int | None = None,
+    hot_key_factor: float = 4.0,
+    max_hot_keys: int = 10_000,
+    broadcast_max_bytes: int = DEFAULT_BROADCAST_MAX_BYTES,
+    pin: bool = False,
+):
+    """Skew-aware hybrid equi-join: hot keys take the broadcast plan, the
+    cold remainder takes the co-partitioned shuffle plan.
+
+    A plain shuffle join sends every row of a hot key to ONE partition
+    task — the classic straggler/OOM at web scale (a handful of key values
+    owning 1-10% of a 100-TB fact stream each). Here:
+
+    1. a skinny pass exactly counts left keys per block (per-block
+       top-``4·max_hot_keys`` partial, driver merge) — keys whose merged
+       count ≥ ``hot_key_factor × rows/num_partitions`` are *hot*.
+       Detection may UNDER-count a key spread thin across blocks, which
+       only routes it cold — routing never changes the join result, so
+       the detector is free to be approximate while the output stays
+       bit-identical to a single-plan join;
+    2. hot-key right rows (small: few keys × dim fan-out, guarded by
+       ``broadcast_max_bytes``) broadcast once; hot left rows join
+       map-side and NEVER move;
+    3. cold rows of both sides run the ordinary co-partitioned shuffle
+       join — now skew-free by construction;
+    4. both branches are cast to one planned Arrow schema and unioned.
+
+    ``how`` ∈ {inner, left, semi, anti} (outer needs unmatched-right
+    bookkeeping across branches — use ``hash_join(strategy='shuffle')``).
+    ``pin=True`` materializes the inputs once before the multi-pass scan —
+    set it when ``left``/``right`` are derived pipelines rather than
+    parquet reads (the run_salted_chain policy; re-reading pruned parquet
+    beats writing a spill copy, so reads default to streaming re-reads).
+    """
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(
+            f"skew_join supports inner/left/semi/anti, got {how!r}"
+        )
+    left_on = [on] if isinstance(on, str) else list(on)
+    right_on_l = (
+        left_on if right_on is None
+        else ([right_on] if isinstance(right_on, str) else list(right_on))
+    )
+    if len(left_on) != len(right_on_l):
+        raise ValueError("on and right_on must have the same length")
+    if pin:
+        left = left.materialize()
+        right = right.materialize()
+    if num_partitions is None:
+        from recipys_ray.kernels.grouped import choose_partitions
+
+        num_partitions = choose_partitions(left)
+
+    # ---- hot-key detection (approximate-safe, see docstring) ------------ #
+    keep = 4 * max_hot_keys
+
+    def count_partial(tbl: pa.Table) -> pa.Table:
+        pdf = tbl.select(left_on).to_pandas()
+        out = pdf.value_counts(dropna=True).reset_index(name="__c__")
+        if len(out) > keep:
+            out = out.nlargest(keep, "__c__")
+        out["__c__"] = out["__c__"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    counts = left.map_batches(
+        count_partial, batch_format="pyarrow"
+    ).to_pandas()
+    total = int(counts["__c__"].sum()) if len(counts) else 0
+    merged = (
+        counts.groupby(left_on, sort=False)["__c__"].sum()
+        if len(counts)
+        else pd.Series(dtype=np.int64)
+    )
+    thresh = max(2.0, hot_key_factor * total / max(num_partitions, 1))
+    hot = merged[merged >= thresh]
+    if len(hot) > max_hot_keys:
+        hot = hot.nlargest(max_hot_keys)
+    hot_keys = hot.reset_index()[left_on].reset_index(drop=True)
+
+    if hot_keys.empty:
+        return _shuffle_join(
+            left, right, left_on, right_on_l, how, right_suffix,
+            num_partitions,
+        )
+
+    # ---- split both sides by hot-key membership ------------------------- #
+    hot_ref = ray.put(hot_keys.assign(__hot__=np.int8(1)))
+
+    def member_filter(key_cols, positive: bool):
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            hk = _resolve_broadcast(hot_ref)
+            probe = pdf[key_cols].copy()
+            probe.columns = left_on
+            mask = (
+                probe.merge(hk, how="left", on=left_on, sort=False)
+                ["__hot__"].notna().to_numpy()
+            )
+            return pdf[mask if positive else ~mask]
+
+        return fn
+
+    left_hot = left.map_batches(
+        member_filter(left_on, True), batch_format="pandas"
+    )
+    left_cold = left.map_batches(
+        member_filter(left_on, False), batch_format="pandas"
+    )
+    right_hot = right.map_batches(
+        member_filter(right_on_l, True), batch_format="pandas"
+    )
+    right_cold = right.map_batches(
+        member_filter(right_on_l, False), batch_format="pandas"
+    )
+
+    # ---- planned output schema shared by both branches ------------------ #
+    r_for_plan = (
+        right.select_columns(list(right_on_l))
+        if how in ("semi", "anti")
+        else right
+    )
+    lschema, rschema, lcols, r_value_cols, out_names = _plan_columns(
+        left, r_for_plan, left_on, right_on_l, right_suffix
+    )
+    ltypes = {n: _pa_type(t) for n, t in zip(lschema.names, lschema.types)}
+    rtypes = {n: _pa_type(t) for n, t in zip(rschema.names, rschema.types)}
+    out_cols = lcols + [out_names[c] for c in r_value_cols]
+    out_types = {**{c: ltypes[c] for c in lcols},
+                 **{out_names[c]: rtypes[c] for c in r_value_cols}}
+    out_schema = pa.schema([(c, out_types[c]) for c in out_cols])
+
+    def cast_branch(pdf: pd.DataFrame) -> pa.Table:
+        return pa.Table.from_pandas(
+            pdf.reindex(columns=out_cols), schema=out_schema,
+            preserve_index=False,
+        )
+
+    # pin the (small) hot dim slice: _broadcast_join reads its size AND
+    # collects it — one execution, not two
+    hot_out = _broadcast_join(
+        left_hot, right_hot.materialize(), left_on, right_on_l, how,
+        right_suffix, broadcast_max_bytes, None,
+    ).map_batches(cast_branch, batch_format="pandas")
+    cold_out = _shuffle_join(
+        left_cold, right_cold, left_on, right_on_l, how, right_suffix,
+        num_partitions,
+    ).map_batches(cast_branch, batch_format="pandas")
+    return hot_out.union(cold_out)
+
+
 def _broadcast_join(left, right, left_on, right_on, how, right_suffix,
                     broadcast_max_bytes, concurrency):
     _, _, lcols, r_value_cols, out_names = _plan_columns(

@@ -916,6 +916,36 @@ def q_dedup_jaccard(sf_dir):
     return _select(out, ["doc_id"])
 
 
+def q_dedup_containment(sf_dir):
+    """Subsumed-document removal (EXACT shingle-set containment ≥ 0.7 in a
+    strictly-larger doc, or an equal-size doc with smaller id;
+    ops/jaccard.py containment_dedup). The oracle restates the per-doc
+    NOT EXISTS over true string shingle sets — no components needed."""
+    from recipys_ray.ops.jaccard import containment_dedup
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = containment_dedup(
+        ds, text_col="text", id_col="doc_id", threshold=0.7
+    )
+    return _select(out, ["doc_id"])
+
+
+def q_dedup_overlap(sf_dir):
+    """Overlap-coefficient (Szymkiewicz–Simpson) near-dup removal
+    (ops/jaccard.py overlap_dedup; shared asymmetric-prefix candidates,
+    min-id component survivors). Oracle: SQL all-pairs overlap +
+    recursive-CTE components."""
+    from recipys_ray.ops.jaccard import overlap_dedup
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = overlap_dedup(ds, text_col="text", id_col="doc_id", threshold=0.8)
+    return _select(out, ["doc_id"])
+
+
 def q_vocab_top100(sf_dir):
     """Exact top-100 vocabulary (term + document frequencies) via the
     combiner → hash-partition → local-top-K plan; oracle is one SQL
@@ -1537,6 +1567,26 @@ def q_join_orders_customer(sf_dir):
     return _select(
         out, ["o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_acctbal"]
     )
+
+
+def q_skew_join_type_stats(sf_dir):
+    """Skew-aware hybrid join (ops/join.py skew_join): events × a
+    per-event_type distinct-user dim on the 5-value (so maximally hot)
+    event_type key — hot keys join map-side against a broadcast dim slice
+    and never shuffle, cold keys take the co-partitioned plan; the result
+    is bit-identical to a single-plan join, which is exactly what the SQL
+    oracle states. hot_key_factor=0.5 guarantees the hot branch actually
+    exercises at every test scale."""
+    from recipys_ray.ops.distinct import distinct_per_group
+    from recipys_ray.ops.join import skew_join
+
+    ev = _events(sf_dir, columns=["event_id", "user_id", "event_type"])
+    dim = distinct_per_group(
+        _events(sf_dir, columns=["user_id", "event_type"]),
+        ["event_type"], "user_id",
+    )
+    out = skew_join(ev, dim, on="event_type", hot_key_factor=0.5)
+    return _select(out, ["event_id", "event_type", "n_distinct"])
 
 
 def q_join_lineitem_orders(sf_dir):
@@ -4408,6 +4458,64 @@ ORACLES: dict[str, str] = {
         SELECT node AS doc_id FROM reach
         GROUP BY node HAVING node = min(root)
     """,
+    "dedup_overlap": r"""
+        WITH RECURSIVE t AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(coalesce(text, '')), '\w+') AS ws
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(
+                   CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                        ELSE list_transform(generate_series(1, len(ws) - 2),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                   END) AS s
+          FROM t
+        ),
+        pairs AS (
+          SELECT x.doc_id AS a, y.doc_id AS b
+          FROM sh x, sh y
+          WHERE x.doc_id < y.doc_id
+            AND CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+                / least(len(x.s), len(y.s)) >= 0.8
+        ),
+        edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        reach(node, root) AS (
+          SELECT doc_id, doc_id FROM sh
+          UNION
+          SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+        )
+        SELECT node AS doc_id FROM reach
+        GROUP BY node HAVING node = min(root)
+    """,
+    "dedup_containment": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(coalesce(text, '')), '\w+') AS ws
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(
+                   CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                        ELSE list_transform(generate_series(1, len(ws) - 2),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                   END) AS s
+          FROM t
+        ),
+        contained AS (
+          SELECT DISTINCT x.doc_id
+          FROM sh x JOIN sh y
+            ON y.doc_id <> x.doc_id
+           AND (len(y.s) > len(x.s)
+                OR (len(y.s) = len(x.s) AND y.doc_id < x.doc_id))
+           AND CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(x.s)
+               >= 0.7
+        )
+        SELECT doc_id FROM sh
+        WHERE doc_id NOT IN (SELECT doc_id FROM contained)
+    """,
     "dedup_embedding": """
         WITH RECURSIVE
         pairs AS (
@@ -4647,6 +4755,13 @@ ORACLES: dict[str, str] = {
     "join_orders_customer": """
         SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_acctbal
         FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    "skew_join_type_stats": """
+        SELECT e.event_id, e.event_type, d.n_distinct
+        FROM events e
+        JOIN (SELECT event_type, count(DISTINCT user_id) AS n_distinct
+              FROM events GROUP BY event_type) d
+          ON e.event_type = d.event_type
     """,
     "join_lineitem_orders": """
         SELECT l_orderkey, l_linenumber, l_extendedprice, o_totalprice,
@@ -5407,6 +5522,7 @@ QUERIES = {
     "normalize_text": q_normalize_text,
     "join_orders_customer": q_join_orders_customer,
     "join_lineitem_orders": q_join_lineitem_orders,
+    "skew_join_type_stats": q_skew_join_type_stats,
     "semi_join_orders": q_semi_join_orders,
     "anti_join_customer": q_anti_join_customer,
     "dedup_exact": q_dedup_exact,
@@ -5475,6 +5591,8 @@ QUERIES = {
     "iterative_impute": q_iterative_impute,
     "dedup_minhash": q_dedup_minhash,
     "dedup_jaccard": q_dedup_jaccard,
+    "dedup_containment": q_dedup_containment,
+    "dedup_overlap": q_dedup_overlap,
     "dedup_semantic": q_dedup_semantic,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,

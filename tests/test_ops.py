@@ -639,6 +639,177 @@ class TestJaccardDedup:
         assert sorted(a["doc_id"]) == sorted(b["doc_id"])
 
 
+def docs_with_containment():
+    """Corpus with a true-subset pair: doc 100 is a strict shingle-subset
+    of doc 101 (same text plus a long suffix), plus the usual dup corpus."""
+    pdf = docs_with_dups()
+    small = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu")
+    big = small + (" nu xi omicron pi rho sigma tau upsilon phi chi psi "
+                   "omega one")
+    extra = pd.DataFrame(
+        {"doc_id": [100, 101], "text": [small, big]}
+    )
+    return pd.concat([pdf, extra], ignore_index=True)
+
+
+def _brute_containment_survivors(pdf, thr):
+    import re
+
+    def shingles(t):
+        ws = re.findall(r"\w+", t.lower())
+        if len(ws) < 3:
+            return {" ".join(ws)}
+        return {" ".join(ws[i: i + 3]) for i in range(len(ws) - 2)}
+
+    sets = {r.doc_id: shingles(r.text) for r in pdf.itertuples()}
+    out = []
+    for d, sd in sets.items():
+        dropped = any(
+            e != d
+            and (len(se) > len(sd) or (len(se) == len(sd) and e < d))
+            and len(sd & se) / len(sd) >= thr
+            for e, se in sets.items()
+        )
+        if not dropped:
+            out.append(d)
+    return sorted(out)
+
+
+class TestContainmentDedup:
+    def test_matches_bruteforce_not_exists(self):
+        """containment_dedup must drop exactly the docs a brute-force
+        NOT-EXISTS (contained ≥ t in a larger / equal-smaller-id doc)
+        drops — the asymmetric prefix filter is lossless."""
+        from recipys_ray.ops.jaccard import containment_dedup
+
+        pdf = docs_with_containment()
+        thr = 0.7
+        expect = _brute_containment_survivors(pdf, thr)
+        out = containment_dedup(
+            rd.from_pandas(pdf), threshold=thr
+        ).to_pandas()
+        assert sorted(out["doc_id"]) == expect
+        # the strict subset doc is dropped, its superset survives
+        assert 100 not in out["doc_id"].values
+        assert 101 in out["doc_id"].values
+        # exact copies: smaller id survives per tie-break
+        assert 0 in out["doc_id"].values
+        assert {1, 2}.isdisjoint(set(out["doc_id"]))
+
+    def test_broadcast_equals_join_path(self):
+        """broadcast_bytes=0 forces the co-partitioned verification route;
+        survivors must match the broadcast fast path."""
+        from recipys_ray.ops.jaccard import containment_dedup
+
+        pdf = docs_with_containment()
+        ds = rd.from_pandas(pdf)
+        a = containment_dedup(ds, threshold=0.7).to_pandas()
+        b = containment_dedup(
+            ds, threshold=0.7, broadcast_bytes=0
+        ).to_pandas()
+        assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+
+    def test_demotion_and_partitions_invariant(self):
+        from recipys_ray.ops.jaccard import containment_dedup
+
+        pdf = docs_with_containment()
+        ds = rd.from_pandas(pdf)
+        base = sorted(
+            containment_dedup(ds, threshold=0.7).to_pandas()["doc_id"]
+        )
+        no_demote = sorted(
+            containment_dedup(ds, threshold=0.7, top_m=0)
+            .to_pandas()["doc_id"]
+        )
+        parts64 = sorted(
+            containment_dedup(ds, threshold=0.7, num_partitions=64)
+            .to_pandas()["doc_id"]
+        )
+        assert base == no_demote == parts64
+
+    def test_float_boundary_prefix_is_exact(self):
+        """Set sizes where t·|S| lands on/near an integer (the ceil-ulp
+        trap): survivors must still match brute force."""
+        from recipys_ray.ops.jaccard import containment_dedup
+
+        # doc sizes 10 and 20 with t=0.7 → m exactly 7 and 14
+        words = [f"w{i}" for i in range(40)]
+        rows = []
+        # contained: first 12 words (10 shingles); container: 22 words
+        rows.append({"doc_id": 0, "text": " ".join(words[:22])})
+        rows.append({"doc_id": 1, "text": " ".join(words[:12])})
+        # an unrelated doc
+        rows.append({"doc_id": 2, "text": " ".join(words[25:40][::-1])})
+        pdf = pd.DataFrame(rows)
+        for thr in (0.5, 0.7, 0.8, 1.0):
+            expect = _brute_containment_survivors(pdf, thr)
+            out = containment_dedup(
+                rd.from_pandas(pdf), threshold=thr
+            ).to_pandas()
+            assert sorted(out["doc_id"]) == expect, thr
+
+
+class TestOverlapDedup:
+    def test_matches_bruteforce_components(self):
+        """overlap_dedup must keep exactly the min-id component survivors
+        of the brute-force overlap-coefficient graph."""
+        import re
+
+        from recipys_ray.ops.jaccard import overlap_dedup
+
+        pdf = docs_with_containment()
+        thr = 0.8
+
+        def shingles(t):
+            ws = re.findall(r"\w+", t.lower())
+            if len(ws) < 3:
+                return {" ".join(ws)}
+            return {" ".join(ws[i: i + 3]) for i in range(len(ws) - 2)}
+
+        sets = {r.doc_id: shingles(r.text) for r in pdf.itertuples()}
+        parent = {d: d for d in sets}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        ids = sorted(sets)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                mn = min(len(sets[a]), len(sets[b]))
+                if mn and len(sets[a] & sets[b]) / mn >= thr:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        expect = sorted(d for d in ids if find(d) == d)
+
+        out = overlap_dedup(rd.from_pandas(pdf), threshold=thr).to_pandas()
+        assert sorted(out["doc_id"]) == expect
+        # the subset doc's overlap with its superset is 1.0 → same
+        # component; min-id (100) survives, 101 is dropped
+        assert 100 in out["doc_id"].values
+        assert 101 not in out["doc_id"].values
+
+    def test_route_and_partition_invariance(self):
+        from recipys_ray.ops.jaccard import overlap_dedup
+
+        pdf = docs_with_containment()
+        ds = rd.from_pandas(pdf)
+        a = sorted(overlap_dedup(ds, threshold=0.8).to_pandas()["doc_id"])
+        b = sorted(
+            overlap_dedup(ds, threshold=0.8, broadcast_bytes=0)
+            .to_pandas()["doc_id"]
+        )
+        c = sorted(
+            overlap_dedup(ds, threshold=0.8, num_partitions=64)
+            .to_pandas()["doc_id"]
+        )
+        assert a == b == c
+
+
 class TestWebDataset:
     def test_read_webdataset_tar_shards(self, tmp_path):
         """Two tar shards in the WebDataset layout round-trip into samples
@@ -1534,6 +1705,80 @@ class TestArrowTokenization:
             verify_pairs_jaccard(
                 rd.from_pandas(docs), pairs, k=3, max_candidates=2
             )
+
+
+class TestSkewJoin:
+    def _data(self, seed=7):
+        rng = np.random.default_rng(seed)
+        # one key owns half the fact rows; the rest are near-uniform
+        hot = np.full(500, 42, dtype=np.int64)
+        cold = rng.integers(0, 100, size=500).astype(np.int64)
+        k = np.r_[hot, cold]
+        left = pd.DataFrame({
+            "k": k,
+            "v": np.arange(len(k), dtype=np.int32),
+        })
+        right = pd.DataFrame({
+            "rk": np.arange(0, 90, dtype=np.int64),  # 42 matches; >89 don't
+            "w": [f"dim{i}" for i in range(90)],
+            "z": np.arange(0, 90, dtype=np.int64) * 10,
+        })
+        return left, right
+
+    @pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+    def test_matches_single_plan(self, ray_session, how):
+        """skew_join must be row-identical (and dtype-identical) to the
+        plain shuffle join, whatever the routing."""
+        import ray.data as rd
+
+        from recipys_ray.ops.join import hash_join, skew_join
+
+        left, right = self._data()
+        ref = (
+            hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                      on="k", right_on="rk", how=how, strategy="shuffle")
+            .to_pandas()
+        )
+        cols = list(ref.columns)
+        ref = ref.sort_values(cols, ignore_index=True)
+        # factor low → hot branch takes the 42s; huge → everything cold;
+        # tiny threshold with max_hot_keys → everything hot
+        for factor, max_hot in [(4.0, 10_000), (1e9, 10_000), (1e-9, 10_000)]:
+            out = (
+                skew_join(rd.from_pandas(left), rd.from_pandas(right),
+                          on="k", right_on="rk", how=how,
+                          hot_key_factor=factor, max_hot_keys=max_hot)
+                .to_pandas()
+            )
+            out = out[cols].sort_values(cols, ignore_index=True)
+            pd.testing.assert_frame_equal(out, ref), (how, factor)
+
+    def test_hot_branch_actually_routes(self, ray_session):
+        """With the planted 50%-hot key and a low factor, the cold shuffle
+        side must see none of the hot key's rows (routing sanity)."""
+        import ray.data as rd
+
+        from recipys_ray.ops.join import skew_join
+
+        left, right = self._data()
+        out = skew_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            on="k", right_on="rk", hot_key_factor=0.5,
+        ).to_pandas()
+        # every row of the hot key present exactly once (dim key unique)
+        n_hot_left = int((left["k"] == 42).sum())
+        assert n_hot_left >= 500
+        assert int((out["k"] == 42).sum()) == n_hot_left
+
+    def test_rejects_outer(self, ray_session):
+        import ray.data as rd
+
+        from recipys_ray.ops.join import skew_join
+
+        left, right = self._data()
+        with pytest.raises(ValueError, match="inner/left/semi/anti"):
+            skew_join(rd.from_pandas(left), rd.from_pandas(right),
+                      on="k", right_on="rk", how="outer")
 
 
 class TestSemiAntiJoin:
