@@ -27,6 +27,7 @@ from recipys_ray.ops.distinct import (
 )
 from recipys_ray.ops.jaccard import (
     containment_dedup,
+    fuzzy_decontaminate,
     jaccard_dedup,
     overlap_dedup,
 )
@@ -140,7 +141,7 @@ __all__ = [
     "minhash_candidate_pairs", "minhash_dedup", "ngram_jaccard",
     "simhash_dedup", "verify_pairs_jaccard", "distinct_per_group",
     "distinct_per_group_approx", "jaccard_dedup", "containment_dedup",
-    "overlap_dedup", "hash_join", "skew_join",
+    "overlap_dedup", "fuzzy_decontaminate", "hash_join", "skew_join",
     "ByteHistogramFeatures", "DecodeImage", "DecodeWav", "SampleFrames",
     "decode_images", "read_webdataset", "extract_json_int", "funnel", "cohort_retention", "pack_sequences", "profile", "benford_counts",
     "exact_quantiles", "exact_quantiles_cont", "group_quantiles",

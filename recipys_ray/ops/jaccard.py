@@ -571,21 +571,29 @@ def overlap_dedup(
 
 
 def _asymmetric_candidates(
-    sets, id_col: str, threshold: float, top_m: int, num_partitions: int
+    sets, id_col: str, threshold: float, top_m: int, num_partitions: int,
+    side_col: str | None = None,
 ):
     """Exact probe-prefix × full-index candidate pairs for predicates that
     lower-bound the intersection by ``⌈t·|S_a|⌉`` of the smaller/contained
     side ``a`` (set containment, overlap coefficient).
 
-    Emits each candidate as ``(a, b)`` with ``|S_b| > |S_a|``, or
-    ``|S_b| = |S_a|`` and ``b < a`` — one orientation per unordered pair.
-    Exactness argument and the hot-shingle demotion are documented on
-    :func:`containment_dedup`.
+    Self-join mode (``side_col=None``): every doc emits both streams;
+    candidates are ``(a, b)`` with ``|S_b| > |S_a|``, or ``|S_b| = |S_a|``
+    and ``b < a`` — one orientation per unordered pair.
+
+    Cross-corpus mode (``side_col`` names an int8 column on ``sets``):
+    side-0 docs emit ONLY probe prefixes, side-1 docs emit ONLY index
+    tokens, and candidates are every probe×index bucket pair with no size
+    filter — the containment-in-any-benchmark-doc shape
+    (:func:`fuzzy_decontaminate`). Exactness argument and the hot-shingle
+    demotion are documented on :func:`containment_dedup`.
     """
     import ray
 
     common = _top_common(sets, id_col, top_m) if top_m > 0 else {}
     common_ref = ray.put(common)
+    cross = side_col is not None
 
     def emit_tokens(tbl: pa.Table) -> pa.Table:
         """One pass: every token as an index row (role=1) plus the probe
@@ -594,6 +602,10 @@ def _asymmetric_candidates(
 
         cm = ray.get(common_ref)
         ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        side = (
+            tbl.column(side_col).to_numpy(zero_copy_only=False)
+            if cross else None
+        )
         col = tbl.column("shset")
         flat = pac.list_flatten(col).to_numpy(zero_copy_only=False)
         lens = pac.list_value_length(col).to_numpy(zero_copy_only=False)
@@ -633,13 +645,21 @@ def _asymmetric_candidates(
         tok_o = flat[order]
         id_o = np.repeat(ids, lens).astype(np.int64)
         len_o = np.repeat(lens, lens)
+        if cross:
+            # side-0 docs probe, side-1 docs index — nothing else
+            side_tok = np.repeat(side, lens)
+            index_m = side_tok == 1
+            probe &= side_tok == 0
+        else:
+            index_m = np.ones(total, dtype=bool)
+        n_idx = int(index_m.sum())
         return pa.table(
             {
-                "tok": pa.array(np.r_[tok_o, tok_o[probe]]),
-                id_col: pa.array(np.r_[id_o, id_o[probe]]),
-                "len": pa.array(np.r_[len_o, len_o[probe]]),
+                "tok": pa.array(np.r_[tok_o[index_m], tok_o[probe]]),
+                id_col: pa.array(np.r_[id_o[index_m], id_o[probe]]),
+                "len": pa.array(np.r_[len_o[index_m], len_o[probe]]),
                 "role": pa.array(
-                    np.r_[np.ones(total, dtype=np.int8),
+                    np.r_[np.ones(n_idx, dtype=np.int8),
                           np.zeros(int(probe.sum()), dtype=np.int8)]
                 ),
             }
@@ -680,7 +700,10 @@ def _asymmetric_candidates(
         b_idx = np.repeat(istart[pb], rep) + ramp
         a, b = v[a_idx], v[b_idx]
         la, lb = ln[a_idx], ln[b_idx]
-        ok = (a != b) & ((lb > la) | ((lb == la) & (b < a)))
+        if cross:
+            ok = a != b          # sides are id-disjoint; no size filter
+        else:
+            ok = (a != b) & ((lb > la) | ((lb == la) & (b < a)))
         return pd.DataFrame(
             {"a": a[ok], "b": b[ok]}
         ).drop_duplicates(ignore_index=True)
@@ -688,3 +711,92 @@ def _asymmetric_candidates(
     return partitioned_groupby_map(
         exploded, ["tok"], emit_pairs_cont, num_partitions
     )
+
+
+def fuzzy_decontaminate(
+    train,
+    bench,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    k: int = 3,
+    top_m: int = 20_000,
+    num_partitions: int | None = None,
+    max_driver_losers: int = 50_000_000,
+    broadcast_bytes: int = 500_000_000,
+):
+    """Fuzzy benchmark decontamination: drop a TRAINING document whose
+    shingle set is ≥ ``threshold`` contained in ANY single benchmark
+    document — the fraction-overlap ("dirty document") protocol, vs
+    :func:`recipys_ray.ops.decontaminate.decontaminate`'s any-one-n-gram-
+    collision rule. A paraphrased eval answer embedded in a longer page
+    trips this; one unlucky shared n-gram does not.
+
+    Distributed shape — the cross-corpus mode of
+    :func:`_asymmetric_candidates`: train docs emit only their float-exact
+    containment prefixes (probes), benchmark docs emit their full token
+    stream (index); probe×index bucket pairs verify exactly via
+    :func:`_verified_pairs` with ``inter/|S_train| ≥ t``. Benchmark ids
+    are mapped to the negative range so both corpora share one id space —
+    requires non-negative input ids on both sides (raises otherwise).
+    Benchmark sets never broadcast as a whole and the train corpus never
+    shuffles its text: only skinny token/pair columns move.
+    """
+    sets_t = train.map_batches(
+        _ShingleSets(text_col, id_col, k), batch_format="pyarrow"
+    )
+    sets_b = bench.map_batches(
+        _ShingleSets(text_col, id_col, k), batch_format="pyarrow"
+    )
+
+    def tag(side: int):
+        def fn(tbl: pa.Table) -> pa.Table:
+            ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+            if len(ids) and int(ids.min()) < 0:
+                raise ValueError(
+                    "fuzzy_decontaminate requires non-negative ids on "
+                    "both sides (benchmark ids are mapped to the negative "
+                    "range internally)"
+                )
+            if side == 1:
+                idx = tbl.schema.get_field_index(id_col)
+                tbl = tbl.set_column(
+                    idx, id_col,
+                    pa.array((-ids.astype(np.int64) - 1)),
+                )
+            return tbl.append_column(
+                "__side__", pa.array(np.full(len(tbl), side, np.int8))
+            )
+
+        return fn
+
+    sets = (
+        sets_t.map_batches(tag(0), batch_format="pyarrow")
+        .union(sets_b.map_batches(tag(1), batch_format="pyarrow"))
+        .materialize()
+    )
+    if num_partitions is None:
+        from recipys_ray.kernels.grouped import choose_partitions
+
+        num_partitions = choose_partitions(sets)
+    cand = _asymmetric_candidates(
+        sets, id_col, threshold, top_m, num_partitions, side_col="__side__"
+    )
+
+    def keep_containment(inter, la, lb):
+        return (la > 0) & (inter / np.maximum(la, 1) >= threshold)
+
+    pairs_ds = _verified_pairs(
+        sets, cand, id_col, keep_containment, num_partitions,
+        broadcast_bytes,
+    )
+    if pairs_ds.count() > max_driver_losers:
+        losers_ds = pairs_ds.map_batches(
+            lambda t: t.select(["a"]).rename_columns(["node"]),
+            batch_format="pyarrow",
+        )
+        return drop_ids(train, id_col, losers_ds)
+    arr = np.unique(
+        pairs_ds.to_pandas()["a"].to_numpy().astype(np.int64)
+    )
+    return drop_ids(train, id_col, arr)

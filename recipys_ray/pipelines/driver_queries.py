@@ -946,6 +946,34 @@ def q_dedup_overlap(sf_dir):
     return _select(out, ["doc_id"])
 
 
+def q_fuzzy_decontaminate(sf_dir):
+    """Fuzzy benchmark decontamination (ops/jaccard.py
+    fuzzy_decontaminate): docs with source='src0' act as the benchmark;
+    the remaining docs are the training corpus and are dropped when their
+    shingle set is ≥ 0.5 contained in any single benchmark doc. Oracle:
+    per-doc NOT EXISTS over true string shingle sets."""
+    import pyarrow.compute as pc
+
+    from recipys_ray.ops.jaccard import fuzzy_decontaminate
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+
+    def side(is_bench):
+        def fn(tbl):
+            m = pc.equal(tbl.column("source"), "src0")
+            keep = m if is_bench else pc.invert(m)
+            return tbl.filter(keep).select(["doc_id", "text"])
+
+        return fn
+
+    train = docs.map_batches(side(False), batch_format="pyarrow")
+    bench = docs.map_batches(side(True), batch_format="pyarrow")
+    out = fuzzy_decontaminate(train, bench, threshold=0.5)
+    return _select(out, ["doc_id"])
+
+
 def q_vocab_top100(sf_dir):
     """Exact top-100 vocabulary (term + document frequencies) via the
     combiner → hash-partition → local-top-K plan; oracle is one SQL
@@ -4458,6 +4486,30 @@ ORACLES: dict[str, str] = {
         SELECT node AS doc_id FROM reach
         GROUP BY node HAVING node = min(root)
     """,
+    "fuzzy_decontaminate": r"""
+        WITH t AS (
+          SELECT doc_id, source,
+                 regexp_extract_all(lower(coalesce(text, '')), '\w+') AS ws
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id, source,
+                 list_distinct(
+                   CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                        ELSE list_transform(generate_series(1, len(ws) - 2),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                   END) AS s
+          FROM t
+        )
+        SELECT x.doc_id FROM sh x
+        WHERE x.source <> 'src0'
+          AND NOT EXISTS (
+            SELECT 1 FROM sh y
+            WHERE y.source = 'src0'
+              AND CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(x.s)
+                  >= 0.5
+          )
+    """,
     "dedup_overlap": r"""
         WITH RECURSIVE t AS (
           SELECT doc_id,
@@ -5593,6 +5645,7 @@ QUERIES = {
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_containment": q_dedup_containment,
     "dedup_overlap": q_dedup_overlap,
+    "fuzzy_decontaminate": q_fuzzy_decontaminate,
     "dedup_semantic": q_dedup_semantic,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,

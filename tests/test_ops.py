@@ -750,6 +750,91 @@ class TestContainmentDedup:
             assert sorted(out["doc_id"]) == expect, thr
 
 
+class TestFuzzyDecontaminate:
+    def _corpora(self):
+        bench = pd.DataFrame({
+            "doc_id": [0, 1],
+            "text": [
+                "what is the capital of france the answer is paris of course",
+                "solve for x in two x plus three equals seven",
+            ],
+        })
+        train = pd.DataFrame({
+            "doc_id": [10, 11, 12, 13],
+            "text": [
+                # embeds bench 0 almost verbatim inside a longer page
+                "quiz night recap what is the capital of france the answer "
+                "is paris of course said nobody surprised",
+                # shares only one stray trigram with bench 1
+                "two x plus five is a different equation entirely about "
+                "nothing in particular today",
+                "entirely unrelated document about ray data pipelines",
+                "solve for x in two x plus three equals seven",  # verbatim
+            ],
+        })
+        return train, bench
+
+    def _brute(self, train, bench, thr):
+        import re
+
+        def shingles(t):
+            ws = re.findall(r"\w+", t.lower())
+            if len(ws) < 3:
+                return {" ".join(ws)}
+            return {" ".join(ws[i: i + 3]) for i in range(len(ws) - 2)}
+
+        bs = [shingles(t) for t in bench["text"]]
+        keep = []
+        for r in train.itertuples():
+            sd = shingles(r.text)
+            if not any(len(sd & sb) / len(sd) >= thr for sb in bs):
+                keep.append(r.doc_id)
+        return sorted(keep)
+
+    def test_matches_bruteforce(self, ray_session):
+        import ray.data as rd
+
+        from recipys_ray.ops.jaccard import fuzzy_decontaminate
+
+        train, bench = self._corpora()
+        for thr in (0.3, 0.5, 0.9):
+            expect = self._brute(train, bench, thr)
+            out = fuzzy_decontaminate(
+                rd.from_pandas(train), rd.from_pandas(bench), threshold=thr
+            ).to_pandas()
+            assert sorted(out["doc_id"]) == expect, thr
+        # at 0.5: the embedded-answer doc and the verbatim copy are dropped,
+        # the one-stray-trigram doc survives
+        out = fuzzy_decontaminate(
+            rd.from_pandas(train), rd.from_pandas(bench), threshold=0.5
+        ).to_pandas()
+        assert set(out["doc_id"]) == {11, 12}
+
+    def test_route_invariance_and_negative_ids(self, ray_session):
+        import ray.data as rd
+
+        from recipys_ray.ops.jaccard import fuzzy_decontaminate
+
+        train, bench = self._corpora()
+        a = sorted(
+            fuzzy_decontaminate(
+                rd.from_pandas(train), rd.from_pandas(bench), threshold=0.5
+            ).to_pandas()["doc_id"]
+        )
+        b = sorted(
+            fuzzy_decontaminate(
+                rd.from_pandas(train), rd.from_pandas(bench), threshold=0.5,
+                broadcast_bytes=0,
+            ).to_pandas()["doc_id"]
+        )
+        assert a == b
+        bad = bench.assign(doc_id=[-1, 1])
+        with pytest.raises(Exception, match="non-negative"):
+            fuzzy_decontaminate(
+                rd.from_pandas(train), rd.from_pandas(bad), threshold=0.5
+            ).to_pandas()
+
+
 class TestOverlapDedup:
     def test_matches_bruteforce_components(self):
         """overlap_dedup must keep exactly the min-id component survivors
