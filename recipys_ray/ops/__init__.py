@@ -52,11 +52,12 @@ from recipys_ray.ops.quantiles import (
     histogram,
     kbins_quantile_exact,
     grouped_robust_zscore,
+    grouped_winsorize,
     robust_zscore,
     winsorize,
 )
 from recipys_ray.ops.rank import add_global_rank, add_ntile, value_ranks
-from recipys_ray.ops.intervals import merge_intervals
+from recipys_ray.ops.intervals import merge_intervals, scd2_intervals
 from recipys_ray.ops.pca import fit_pca, pca_project
 from recipys_ray.ops.drift import (
     chi_square,
@@ -91,6 +92,7 @@ from recipys_ray.ops.groupstats import (
     transition_counts,
 )
 from recipys_ray.ops.timeseries import (
+    budget_prefix,
     grouped_autocorr,
     grouped_cusum,
     ohlc_bars,
@@ -146,6 +148,7 @@ __all__ = [
     "decode_images", "read_webdataset", "extract_json_int", "funnel", "cohort_retention", "pack_sequences", "profile", "benford_counts",
     "exact_quantiles", "exact_quantiles_cont", "group_quantiles",
     "winsorize", "robust_zscore", "grouped_robust_zscore",
+    "grouped_winsorize",
     "kbins_quantile_exact",
     "histogram",
     "rollup_aggregate", "add_global_rank", "add_ntile", "value_ranks",
@@ -159,8 +162,9 @@ __all__ = [
     "grouped_regression", "grouped_moments", "grouped_first_last",
     "grouped_weighted_stats", "grouped_autocorr", "ohlc_bars",
     "except_distinct", "intersect_distinct", "table_diff",
-    "grouped_cusum", "sequence_integrity",
-    "merge_intervals", "transition_counts", "state_run_stats",
+    "grouped_cusum", "sequence_integrity", "budget_prefix",
+    "merge_intervals", "scd2_intervals", "transition_counts",
+    "state_run_stats",
     "grouped_minmax", "pmi_bigrams",
     "cumulative_distinct", "grouped_auc", "decayed_sum",
     "fit_pca", "pca_project", "target_encode", "feature_hash",

@@ -77,3 +77,75 @@ def merge_intervals(
         ds.select_columns(cols), gcols, coalesce,
         num_partitions=num_partitions,
     )
+
+
+def scd2_intervals(
+    ds,
+    group_cols: list[str],
+    order_cols: list[str],
+    state_col: str,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    num_partitions: int | None = None,
+):
+    """Slowly-changing-dimension (SCD type 2) validity intervals: collapse
+    each entity's ordered state sequence into one row per maximal run of an
+    unchanged state, stamped ``[from_col, to_col)`` — ``from_col`` is the
+    run's first order value, ``to_col`` the NEXT run's first order value
+    (NULL for the current/open run). The classic point-in-time dimension
+    build that feeds the as-of join (ops/asof.py): ``dim AS OF ts`` becomes
+    ``valid_from <= ts < valid_to``.
+
+    Semantics match the SQL formulation (change points via ``lag``, close
+    via ``lead`` over change points only)::
+
+        marks = rows where lag(state) OVER w IS DISTINCT FROM state
+        out   = SELECT g, state, ord AS valid_from,
+                       lead(ord) OVER (PARTITION BY g ORDER BY ord)
+                       AS valid_to
+                FROM marks
+
+    States should be non-null: a null state compares unequal to everything
+    (pandas ``ne``), so null-state rows each open their own run — whereas
+    SQL ``lag(x) <> x`` is NULL-ambiguous there. Order values must be
+    unique per group (they are event keys).
+
+    Motion: ONE skinny exchange (group + order + state) on the group key,
+    then per partition one stable sort + grouped shift compare + grouped
+    shift(-1), all pandas C kernels across every group at once. Same
+    partitioning contract as every grouped kernel here: one group's rows
+    fit one partition task.
+    """
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    gcols = list(group_cols)
+    ocols = list(order_cols)
+    cols = gcols + ocols + [state_col]
+    ord0 = ocols[0]
+
+    def per_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[cols]
+        if not len(pdf):
+            out = pdf[gcols + [state_col]].copy()
+            out[from_col] = pdf[ord0]
+            out[to_col] = pdf[ord0]
+            return out
+        pdf = pdf.sort_values(gcols + ocols, kind="stable",
+                              ignore_index=True)
+        grp = pdf.groupby(gcols, sort=False, dropna=False, observed=True)
+        first = grp.cumcount().to_numpy() == 0
+        prev = grp[state_col].shift(1)
+        # ne: NaN != NaN -> True, so null states always break (docstring)
+        change = first | pdf[state_col].ne(prev).to_numpy()
+        m = pdf.loc[change, gcols + [state_col, ord0]].copy()
+        g2 = m.groupby(gcols, sort=False, dropna=False, observed=True)
+        m[to_col] = g2[ord0].shift(-1)
+        m = m.rename(columns={ord0: from_col})
+        return m[gcols + [state_col, from_col, to_col]].reset_index(
+            drop=True
+        )
+
+    return partitioned_groupby_map(
+        ds.select_columns(cols), gcols, per_partition,
+        num_partitions=num_partitions,
+    )

@@ -599,3 +599,82 @@ def kbins_quantile_exact(
         return tbl.append_column(out_col, out)
 
     return ds.map_batches(stamp, batch_format="pyarrow")
+
+
+def grouped_winsorize(
+    ds,
+    group_cols,
+    value_col: str,
+    id_cols: Sequence[str],
+    lower_q: float = 0.05,
+    upper_q: float = 0.95,
+    out_col: str = "w_value",
+    num_partitions: int | None = None,
+):
+    """Per-GROUP winsorization at exact ``quantile_disc`` order statistics
+    — the grouped twin of :func:`winsorize` (per-entity outlier capping:
+    per-user spend, per-SKU price, per-conversation turn length).
+
+    Both bounds are DISCRETE order statistics: the group's sorted non-null
+    values at index ``ceil(q·n) - 1`` — probed ≡ DuckDB ``quantile_disc``
+    for all (n, q). No interpolation arithmetic, so each bound is an input
+    element and the clip is single IEEE ``min``/``max`` ops — bit-equal to
+    a SQL ``least(greatest(x, lo), hi)`` against the joined bounds. Null
+    values stay NULL (and never enter the bounds); an all-null group has
+    no bounds and yields NULLs.
+
+    Motion: ONE skinny exchange (group + id + value) on the group key;
+    per partition one stable sort locates every group's two order
+    statistics simultaneously (sizes → cumsum offsets → fancy-index), then
+    a broadcast-free vectorized clip. Output: ``id_cols + [out_col]``.
+    Same partitioning contract as every grouped kernel here: one group's
+    rows fit one partition task.
+    """
+    if not (0 < lower_q <= upper_q <= 1):
+        raise ValueError(
+            f"need 0 < lower_q <= upper_q <= 1, got {lower_q}, {upper_q}"
+        )
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    icols = list(id_cols)
+    cols = gcols + icols + [value_col]
+
+    def per_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            out = pdf[icols].copy()
+            out[out_col] = pd.array([], dtype="Float64")
+            return out
+        nn = pdf[pdf[value_col].notna()]
+        if len(nn):
+            s = nn.sort_values(gcols + [value_col], kind="stable",
+                               ignore_index=True)
+            sizes = s.groupby(gcols, sort=False, dropna=False,
+                              observed=True).size()
+            n = sizes.to_numpy(np.int64)
+            start = np.r_[0, np.cumsum(n)[:-1]]
+            vals = s[value_col].to_numpy(np.float64)
+            # quantile_disc index: ceil(q*n)-1, clamped for q -> 0
+            ilo = np.maximum(np.ceil(lower_q * n).astype(np.int64) - 1, 0)
+            ihi = np.maximum(np.ceil(upper_q * n).astype(np.int64) - 1, 0)
+            bounds = pd.DataFrame(
+                {"__lo__": vals[start + ilo], "__hi__": vals[start + ihi]},
+                index=sizes.index,
+            )
+            pdf = pdf.join(bounds, on=gcols)
+        else:
+            pdf = pdf.assign(__lo__=np.nan, __hi__=np.nan)
+        v = pdf[value_col].to_numpy(np.float64)
+        isnull = np.isnan(v)  # null value OR all-null group (no bounds)
+        c = np.minimum(
+            np.maximum(v, pdf["__lo__"].to_numpy(np.float64)),
+            pdf["__hi__"].to_numpy(np.float64),
+        )
+        out = pdf[icols].copy()
+        out[out_col] = pd.arrays.FloatingArray(c, isnull | np.isnan(c))
+        return out.reset_index(drop=True)
+
+    return partitioned_groupby_map(
+        ds.select_columns(cols), gcols, per_partition,
+        num_partitions=num_partitions,
+    )

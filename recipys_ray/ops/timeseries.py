@@ -325,3 +325,54 @@ def sequence_integrity(
         ds.select_columns(cols), gcols, finish,
         num_partitions=num_partitions,
     )
+
+
+def budget_prefix(
+    ds,
+    group_cols: list[str],
+    order_cols: list[str],
+    weight_col: str,
+    budget: int,
+    cum_col: str = "cum_weight",
+    num_partitions: int | None = None,
+):
+    """Token-budget prefix truncation: per group, keep the rows whose
+    INCLUSIVE running sum of ``weight_col`` (in ``order_cols`` order) stays
+    ≤ ``budget``, stamping that running sum as ``cum_col``. With
+    non-negative weights the running sum is monotone, so the kept set is
+    exactly the group's maximal ordered PREFIX under the budget — the
+    standard context-window truncation that keeps whole turns and never
+    looks ahead (zero temporal leakage). Identical to the SQL filter
+    ``sum(w) OVER (PARTITION BY g ORDER BY o ROWS UNBOUNDED PRECEDING)
+    <= budget`` for ANY weights (negative weights make both a sieve, not a
+    prefix). Integer weights keep the cumsum exact — prefer token/char
+    counts or fixed-point cents over raw floats.
+
+    Motion: ONE payload exchange on the group key (rows must co-locate to
+    order within the group), then per partition one stable sort + grouped
+    cumsum + boolean take — pandas C kernels across all groups at once.
+    Null weights propagate through the cumsum (SQL SUM skips them; pass
+    pre-filled weights if the distinction matters). Same partitioning
+    contract as every grouped kernel here: one group's rows fit one
+    partition task.
+    """
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    gcols = list(group_cols)
+    ocols = list(order_cols)
+
+    def per_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            out = pdf.copy()
+            out[cum_col] = pdf[weight_col]
+            return out
+        pdf = pdf.sort_values(gcols + ocols, kind="stable",
+                              ignore_index=True)
+        cw = pdf.groupby(gcols, sort=False, dropna=False,
+                         observed=True)[weight_col].cumsum()
+        pdf[cum_col] = cw
+        return pdf[cw.to_numpy() <= budget].reset_index(drop=True)
+
+    return partitioned_groupby_map(
+        ds, gcols, per_partition, num_partitions=num_partitions
+    )

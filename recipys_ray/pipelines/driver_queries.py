@@ -3288,6 +3288,62 @@ def q_sequence_integrity(sf_dir):
     )
 
 
+def q_scd2_intervals(sf_dir):
+    """SCD2 validity intervals over each user's event_type state sequence
+    (ops/intervals.scd2_intervals): one row per maximal unchanged run,
+    ``[valid_from, valid_to)`` with ``valid_to`` = the next run's first ts
+    (NULL for the open run) — the point-in-time dimension build that feeds
+    the as-of join. ONE skinny exchange; epoch-us timestamps exact."""
+    from recipys_ray.ops.intervals import scd2_intervals
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    out = scd2_intervals(ds, ["user_id"], ["ts", "event_id"], "event_type")
+    return _select(out, ["user_id", "event_type", "valid_from", "valid_to"])
+
+
+def q_budget_prefix(sf_dir):
+    """Token-budget prefix truncation per user (ops/timeseries.
+    budget_prefix): keep each user's ordered event prefix while the
+    running spend stays ≤ 100 000 cents — context-window truncation that
+    keeps whole turns, zero leakage. Integer-cents weights (the
+    q_grouped_corr trick: 2-decimal values ×100 never land on an exact
+    binary .5, so round() agrees across engines) keep the cumsum exact."""
+    from recipys_ray.ops.timeseries import budget_prefix
+
+    ds = _events(sf_dir)
+
+    def cents(tbl: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.round(pc.multiply(tbl.column("value"), 100.0)), pa.int64()
+        )
+        return tbl.append_column("cents", c)
+
+    ds = ds.map_batches(cents, batch_format="pyarrow")
+    out = budget_prefix(
+        ds, ["user_id"], ["ts", "event_id"], "cents",
+        budget=100_000, cum_col="cum_cents",
+    )
+    return _select(out, ["event_id", "user_id", "cum_cents"])
+
+
+def q_grouped_winsorize(sf_dir):
+    """Per-user winsorization of valn at exact quantile_disc order
+    statistics (ops/quantiles.grouped_winsorize). Bounds are input
+    elements (selection only), the clip is single IEEE min/max — bit-equal
+    to the SQL least/greatest form; nulls stay NULL."""
+    from recipys_ray.ops.quantiles import grouped_winsorize
+
+    ds = _with_valn(_events(sf_dir))
+    out = grouped_winsorize(
+        ds, "user_id", "valn", ["event_id"], lower_q=0.1, upper_q=0.9,
+        out_col="w_value",
+    )
+    return _select(out, ["event_id", "w_value"])
+
+
 ORACLES: dict[str, str] = {
     "impute_zero": f"""
         SELECT event_id, coalesce({_VALN_SQL}, 0) AS valn FROM events
@@ -5542,6 +5598,50 @@ ORACLES: dict[str, str] = {
                  AS cos_centroid
         FROM d
     """,
+    "scd2_intervals": """
+        WITH o AS (
+          SELECT user_id, ts, event_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+          FROM events
+        ), marks AS (
+          SELECT user_id, ts, event_id, event_type FROM o
+          WHERE prev IS NULL OR prev <> event_type
+        )
+        SELECT user_id, event_type, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS valid_to
+        FROM marks
+    """,
+    "budget_prefix": """
+        WITH w AS (
+          SELECT event_id, user_id, ts,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events
+        ), c AS (
+          SELECT event_id, user_id,
+                 CAST(sum(cents) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cum_cents
+          FROM w
+        )
+        SELECT event_id, user_id, cum_cents FROM c
+        WHERE cum_cents <= 100000
+    """,
+    "grouped_winsorize": f"""
+        WITH v AS (
+          SELECT event_id, user_id, {_VALN_SQL} AS valn FROM events
+        ), b AS (
+          SELECT user_id, quantile_disc(valn, 0.1) AS lo,
+                 quantile_disc(valn, 0.9) AS hi
+          FROM v GROUP BY user_id
+        )
+        SELECT v.event_id,
+               CASE WHEN v.valn IS NULL THEN NULL
+                    ELSE least(greatest(v.valn, b.lo), b.hi) END AS w_value
+        FROM v JOIN b USING (user_id)
+    """,
 }
 
 
@@ -5698,4 +5798,7 @@ QUERIES = {
     "sequence_integrity": q_sequence_integrity,
     "embed_centroids": q_embed_centroids,
     "centroid_cosine": q_centroid_cosine,
+    "scd2_intervals": q_scd2_intervals,
+    "budget_prefix": q_budget_prefix,
+    "grouped_winsorize": q_grouped_winsorize,
 }

@@ -5274,3 +5274,190 @@ class TestBenfordCounts:
                                           dtype="Int64")})
         got = benford_counts(rd.from_pandas(pdf), "x").to_pandas()
         assert int(got["cnt"].sum()) == 2
+
+
+class TestScd2Intervals:
+    _SQL = """
+        WITH o AS (
+          SELECT g, o AS ord, st,
+                 lag(st) OVER (PARTITION BY g ORDER BY o) AS prev
+          FROM t
+        ), marks AS (
+          SELECT g, ord, st FROM o WHERE prev IS NULL OR prev <> st
+        )
+        SELECT g, st, ord AS valid_from,
+               lead(ord) OVER (PARTITION BY g ORDER BY ord) AS valid_to
+        FROM marks ORDER BY g, valid_from
+    """
+
+    def _run(self, pdf, num_partitions=None):
+        from recipys_ray.ops.intervals import scd2_intervals
+
+        return (
+            scd2_intervals(rd.from_pandas(pdf), ["g"], ["o"], "st",
+                           num_partitions=num_partitions)
+            .to_pandas().sort_values(["g", "valid_from"])
+            .reset_index(drop=True)
+        )
+
+    def test_matches_duckdb_random(self, ray_session):
+        import duckdb
+
+        rng = np.random.default_rng(91)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 12, 500),
+            "o": np.arange(500, dtype=np.int64),
+            "st": rng.choice(list("abc"), 500),
+        })
+        got = self._run(pdf)
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute(self._SQL).df().rename(columns={"st": "st"})
+        exp = exp.reset_index(drop=True)
+        got = got[["g", "st", "valid_from", "valid_to"]]
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_run_boundaries_and_open_run(self, ray_session):
+        pdf = pd.DataFrame({
+            "g": [0, 0, 0, 0, 1],
+            "o": [1, 2, 3, 4, 1],
+            "st": ["a", "a", "b", "a", "x"],
+        })
+        got = self._run(pdf)
+        assert got["st"].tolist() == ["a", "b", "a", "x"]
+        assert got["valid_from"].tolist() == [1, 3, 4, 1]
+        # valid_to = next run's start; open runs are NULL
+        assert got["valid_to"].tolist()[:2] == [3, 4]
+        assert pd.isna(got["valid_to"].iloc[2]) and pd.isna(
+            got["valid_to"].iloc[3]
+        )
+
+    def test_partition_invariance(self, ray_session):
+        rng = np.random.default_rng(92)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 9, 400),
+            "o": np.arange(400, dtype=np.int64),
+            "st": rng.choice(list("pq"), 400),
+        })
+        a = self._run(pdf, num_partitions=1)
+        b = self._run(pdf, num_partitions=7)
+        pd.testing.assert_frame_equal(a, b)
+
+
+class TestBudgetPrefix:
+    def _run(self, pdf, budget, num_partitions=None):
+        from recipys_ray.ops.timeseries import budget_prefix
+
+        return (
+            budget_prefix(rd.from_pandas(pdf), ["g"], ["o"], "w", budget,
+                          num_partitions=num_partitions)
+            .to_pandas().sort_values(["g", "o"]).reset_index(drop=True)
+        )
+
+    def test_matches_duckdb_window_filter(self, ray_session):
+        import duckdb
+
+        rng = np.random.default_rng(93)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 20, 600),
+            "o": np.arange(600, dtype=np.int64),
+            "w": rng.integers(0, 50, 600),
+        })
+        got = self._run(pdf, 120)
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute("""
+            SELECT g, o, w, CAST(cw AS BIGINT) AS cum_weight FROM (
+              SELECT g, o, w,
+                     sum(w) OVER (PARTITION BY g ORDER BY o
+                                  ROWS UNBOUNDED PRECEDING) AS cw
+              FROM t
+            ) WHERE cw <= 120 ORDER BY g, o
+        """).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_prefix_semantics(self, ray_session):
+        # non-negative weights: kept set IS the maximal ordered prefix
+        pdf = pd.DataFrame({
+            "g": [0] * 5, "o": [1, 2, 3, 4, 5],
+            "w": [4, 4, 4, 100, 1],
+        })
+        got = self._run(pdf, 12)
+        assert got["o"].tolist() == [1, 2, 3]  # row 5 fits numerically
+        # only via a non-prefix sieve; monotone cumsum excludes it
+        assert got["cum_weight"].tolist() == [4, 8, 12]
+
+    def test_partition_invariance(self, ray_session):
+        rng = np.random.default_rng(94)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 11, 500),
+            "o": np.arange(500, dtype=np.int64),
+            "w": rng.integers(1, 30, 500),
+        })
+        a = self._run(pdf, 200, num_partitions=1)
+        b = self._run(pdf, 200, num_partitions=6)
+        pd.testing.assert_frame_equal(a, b)
+
+
+class TestGroupedWinsorize:
+    def _run(self, pdf, lq, uq, num_partitions=None):
+        from recipys_ray.ops.quantiles import grouped_winsorize
+
+        return (
+            grouped_winsorize(rd.from_pandas(pdf), "g", "v", ["i"],
+                              lower_q=lq, upper_q=uq,
+                              num_partitions=num_partitions)
+            .to_pandas().sort_values("i").reset_index(drop=True)
+        )
+
+    def test_matches_duckdb_quantile_disc(self, ray_session):
+        import duckdb
+
+        rng = np.random.default_rng(95)
+        v = rng.normal(0, 10, 800)
+        v[rng.random(800) < 0.1] = np.nan
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 15, 800),
+            "i": np.arange(800, dtype=np.int64),
+            "v": v,
+        })
+        got = self._run(pdf, 0.1, 0.9)
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute("""
+            WITH b AS (
+              SELECT g, quantile_disc(v, 0.1) AS lo,
+                     quantile_disc(v, 0.9) AS hi
+              FROM t GROUP BY g
+            )
+            SELECT i, CASE WHEN v IS NULL THEN NULL
+                           ELSE least(greatest(v, b.lo), b.hi) END AS w_value
+            FROM t JOIN b USING (g) ORDER BY i
+        """).df().reset_index(drop=True)
+        # bit-exact: bounds are order statistics, clip is IEEE min/max
+        gv = got["w_value"].to_numpy(dtype=np.float64, na_value=np.nan)
+        ev = exp["w_value"].to_numpy(dtype=np.float64, na_value=np.nan)
+        assert np.array_equal(gv, ev, equal_nan=True)
+        assert got["i"].tolist() == exp["i"].tolist()
+
+    def test_all_null_group_and_edge_qs(self, ray_session):
+        pdf = pd.DataFrame({
+            "g": [0, 0, 0, 1, 1],
+            "i": [1, 2, 3, 4, 5],
+            "v": [1.0, 5.0, 9.0, np.nan, np.nan],
+        })
+        got = self._run(pdf, 0.5, 0.5)
+        # q=0.5 both sides: everything clips to the group median
+        assert got["w_value"].tolist()[:3] == [5.0, 5.0, 5.0]
+        assert got["w_value"].iloc[3:].isna().all()
+
+    def test_partition_invariance(self, ray_session):
+        rng = np.random.default_rng(96)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 8, 400),
+            "i": np.arange(400, dtype=np.int64),
+            "v": rng.normal(0, 5, 400),
+        })
+        a = self._run(pdf, 0.25, 0.75, num_partitions=1)
+        b = self._run(pdf, 0.25, 0.75, num_partitions=5)
+        pd.testing.assert_frame_equal(a, b)
