@@ -86,6 +86,7 @@ from recipys_ray.ops.groupstats import (
     grouped_regression,
     grouped_value_counts,
     grouped_weighted_stats,
+    grouped_welch_ttest,
     grouped_minmax,
     grouped_zscore,
     state_run_stats,
@@ -123,7 +124,9 @@ from recipys_ray.ops.text import (
     TextFeaturizer,
     bigram_lm_score,
     build_vocab,
+    doc_term_counts,
     normalize_text,
+    remove_boilerplate_tokens,
     pmi_bigrams,
     gopher_quality_filter,
     redact_pii,
@@ -160,7 +163,8 @@ __all__ = [
     "grouped_value_counts", "grouped_mode", "grouped_entropy", "grouped_corr",
     "grouped_zscore",
     "grouped_regression", "grouped_moments", "grouped_first_last",
-    "grouped_weighted_stats", "grouped_autocorr", "ohlc_bars",
+    "grouped_weighted_stats", "grouped_welch_ttest", "grouped_autocorr",
+    "ohlc_bars",
     "except_distinct", "intersect_distinct", "table_diff",
     "grouped_cusum", "sequence_integrity", "budget_prefix",
     "merge_intervals", "scd2_intervals", "transition_counts",
@@ -173,7 +177,8 @@ __all__ = [
     "weighted_sample", "time_split",
     "pivot", "melt", "group_concat", "frequent_items", "cms_counts", "semantic_dedup", "knn_brute_force",
     "knn_ivf", "duplicate_spans", "RepetitionStats", "TextFeaturizer",
-    "build_vocab", "normalize_text", "redact_pii", "text_features",
+    "build_vocab", "doc_term_counts", "normalize_text",
+    "remove_boilerplate_tokens", "redact_pii", "text_features",
     "gopher_quality_filter",
     "tfidf_top_terms", "unigram_lm_score", "bigram_lm_score",
     "top_k_per_group",

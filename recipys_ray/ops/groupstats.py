@@ -1292,3 +1292,133 @@ def grouped_minmax(
         return tbl.append_column(out_col, pa.array(z, pa.float64()))
 
     return ds.map_batches(stamp, batch_format="pyarrow")
+
+
+def grouped_welch_ttest(
+    ds,
+    group_cols: list[str],
+    value_col: str,
+    side_col: str,
+    side_a,
+    side_b,
+    num_partitions: int | None = None,
+):
+    """Per-group Welch two-sample t statistic between the ``side_a`` and
+    ``side_b`` populations of ``value_col`` — the unequal-variance A/B
+    comparison (treatment-vs-control per segment, drift-vs-baseline per
+    entity) that never assumes pooled variance.
+
+    Combiner shape (the :func:`grouped_corr` plan): each block emits one
+    exact integer sufficient-statistic row ``(n, Σx, Σx²)`` per
+    (group, side) — values are cast to int64, so sums are EXACT and
+    order-free — then ONE tiny partial-row exchange totals per group and
+    the vectorized finish evaluates, term-for-term with the SQL oracle::
+
+        mean  = Σx/n                    var = (Σx² − (Σx·Σx)/n)/(n−1)
+        t     = (mean_a − mean_b) / sqrt(var_a/n_a + var_b/n_b)
+        df    = (var_a/n_a + var_b/n_b)²
+                / ((var_a/n_a)²/(n_a−1) + (var_b/n_b)²/(n_b−1))
+
+    (squares written as products — no pow, matching SQL ``x*x``). The
+    int64 products stay exact below 2⁶³ and convert to float64 with the
+    same rounding as SQL's BIGINT→DOUBLE cast, so for Σx·Σx < 2⁶³ the
+    statistic is bit-equal across engines. Groups missing either side or
+    with n < 2 on a side are dropped (SQL HAVING). Null values are
+    ignored; rows whose side is neither a nor b are ignored.
+
+    Output per group: group_cols + [n_a, n_b, t_welch, df_welch].
+    """
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    gcols = list(group_cols)
+    sides = {side_a: "a", side_b: "b"}
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        key_types = {c: tbl.schema.field(c).type for c in gcols}
+        pdf = tbl.select(gcols + [side_col, value_col]).to_pandas()
+        pdf = pdf[pdf[side_col].isin(sides) & pdf[value_col].notna()]
+        v = pdf[value_col].to_numpy(np.float64).astype(np.int64)
+        stats = pd.DataFrame({c: pdf[c].to_numpy() for c in gcols})
+        stats["__side__"] = pdf[side_col].map(sides).to_numpy(object)
+        stats["__n__"] = np.int64(1)
+        stats["__sx__"] = v
+        stats["__sx2__"] = v * v
+        agg = (
+            stats.groupby(gcols + ["__side__"], sort=False, dropna=False,
+                          observed=True)
+            .sum()
+            .reset_index()
+        )
+        arrs: dict = {
+            c: pa.Array.from_pandas(agg[c], type=key_types[c]) for c in gcols
+        }
+        arrs["__side__"] = pa.array(
+            agg["__side__"].to_numpy(object), pa.string()
+        )
+        for c in ("__n__", "__sx__", "__sx2__"):
+            arrs[c] = pa.array(agg[c].to_numpy(np.int64), pa.int64())
+        return pa.table(arrs)
+
+    parts = ds.select_columns(gcols + [side_col, value_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            pdf.groupby(gcols + ["__side__"], sort=False, dropna=False,
+                        observed=True)[["__n__", "__sx__", "__sx2__"]]
+            .sum()
+            .reset_index()
+        )
+        wide = agg.pivot_table(
+            index=gcols, columns="__side__",
+            values=["__n__", "__sx__", "__sx2__"], aggfunc="sum",
+        )
+        need = [("__n__", "a"), ("__n__", "b"), ("__sx__", "a"),
+                ("__sx__", "b"), ("__sx2__", "a"), ("__sx2__", "b")]
+        for c in need:
+            if c not in wide.columns:
+                wide[c] = np.nan
+        wide = wide[need].dropna()
+        if not len(wide):
+            out = pd.DataFrame(columns=gcols + ["n_a", "n_b", "t_welch",
+                                                "df_welch"])
+            return out.astype({"n_a": np.int64, "n_b": np.int64,
+                               "t_welch": np.float64,
+                               "df_welch": np.float64})
+        na = wide[("__n__", "a")].to_numpy(np.int64)
+        nb = wide[("__n__", "b")].to_numpy(np.int64)
+        ok = (na >= 2) & (nb >= 2)
+        wide = wide[ok]
+        na, nb = na[ok], nb[ok]
+        sxa = wide[("__sx__", "a")].to_numpy(np.int64)
+        sxb = wide[("__sx__", "b")].to_numpy(np.int64)
+        s2a = wide[("__sx2__", "a")].to_numpy(np.int64)
+        s2b = wide[("__sx2__", "b")].to_numpy(np.int64)
+        naf, nbf = na.astype(np.float64), nb.astype(np.float64)
+        mean_a = sxa.astype(np.float64) / naf
+        mean_b = sxb.astype(np.float64) / nbf
+        # (Σx·Σx) as an exact int64 product, THEN the BIGINT→DOUBLE cast
+        var_a = (s2a.astype(np.float64)
+                 - (sxa * sxa).astype(np.float64) / naf) / (naf - 1.0)
+        var_b = (s2b.astype(np.float64)
+                 - (sxb * sxb).astype(np.float64) / nbf) / (nbf - 1.0)
+        sea = var_a / naf
+        seb = var_b / nbf
+        se2 = sea + seb
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (mean_a - mean_b) / np.sqrt(se2)
+            df = (se2 * se2) / (
+                sea * sea / (naf - 1.0) + seb * seb / (nbf - 1.0)
+            )
+        out = wide.index.to_frame(index=False)
+        out.columns = gcols
+        out["n_a"] = na
+        out["n_b"] = nb
+        out["t_welch"] = t
+        out["df_welch"] = df
+        return out
+
+    return partitioned_groupby_map(
+        parts, gcols, finish, num_partitions=num_partitions
+    )

@@ -1148,3 +1148,149 @@ def gopher_quality_filter(
         return tbl.filter(pa.array(keep))
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def remove_boilerplate_tokens(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_fraction: float = 0.05,
+    sep: str = " ",
+    out_col: str = "text_clean",
+    removed_col: str = "n_removed",
+):
+    """CCNet-style boilerplate removal, token-unit variant: drop every
+    token whose corpus-wide occurrence count is ≥ ``ceil(min_fraction ·
+    total_tokens)`` and reassemble the document (lossless ``sep``
+    split/join — the same transform CCNet applies per LINE; the unit here
+    is the ``sep``-delimited token so it composes with any upstream
+    segmentation).
+
+    Plan (both sides driver-bounded, NO shuffle):
+
+    1. Frequent-token discovery via :func:`~recipys_ray.ops.frequent.
+       frequent_items` — per-block Misra-Gries sketches over the streamed
+       token explosion (the exploded column is never materialized as a
+       whole; blocks flow straight into the sketch), then one exact
+       verify pass. The candidate set is ≤ ``ceil(1/min_fraction)``
+       items by the MG guarantee, so the broadcast is always tiny.
+    2. ``ray.put`` the frequent set once; ONE streaming clean pass —
+       Arrow split / ``is_in`` / filter / ``binary_join`` kernels rebuild
+       every document of a batch in C++ (no per-row Python).
+
+    Output appends ``out_col`` (NULL when the input text is NULL or every
+    token was removed — mirroring SQL ``string_agg`` over an empty group)
+    and ``removed_col`` (int64; NULL for NULL input). Empty-string tokens
+    from repeated separators participate in counts like any token, so the
+    split/join round-trip stays lossless.
+    """
+    import ray
+
+    from recipys_ray.ops.frequent import frequent_items
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        arr = tbl.column(text_col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        flat = pc.list_flatten(
+            pc.split_pattern(pc.fill_null(arr, ""), sep)
+        )
+        return pa.table({"token": flat})
+
+    tok_ds = ds.select_columns([text_col]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+    freq = frequent_items(tok_ds, "token", min_fraction)
+    stop = pa.array(
+        np.asarray(freq["item"], dtype=object), pa.string()
+    )
+    stop_ref = ray.put(stop)
+
+    def clean(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        stop_local = ray.get(stop_ref)  # zero-copy plasma read per task
+        arr = tbl.column(text_col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        isnull = pc.is_null(arr).to_numpy(zero_copy_only=False)
+        parts = pc.split_pattern(pc.fill_null(arr, ""), sep)
+        flat = pc.list_flatten(parts)
+        parent = pc.list_parent_indices(parts).to_numpy()
+        keep = pc.invert(pc.is_in(flat, value_set=stop_local))
+        knp = keep.to_numpy(zero_copy_only=False)
+        n = len(tbl)
+        total = pc.list_value_length(parts).to_numpy().astype(np.int64)
+        kept_n = np.bincount(parent[knp], minlength=n).astype(np.int64)
+        offsets = np.r_[0, np.cumsum(kept_n)]
+        la = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), flat.filter(keep)
+        )
+        joined = pc.binary_join(la, sep)
+        out_null = isnull | (kept_n == 0)
+        res = pc.if_else(
+            pa.array(out_null), pa.scalar(None, pa.string()), joined
+        )
+        removed = pa.array(total - kept_n, pa.int64(), mask=isnull)
+        tbl = tbl.append_column(out_col, res)
+        return tbl.append_column(removed_col, removed)
+
+    return ds.map_batches(clean, batch_format="pyarrow")
+
+
+def doc_term_counts(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 1000,
+    num_partitions: int | None = None,
+):
+    """Bounded-vocabulary document-term matrix in LONG form: one
+    ``(id, token, n)`` row per (document, vocabulary term) occurrence
+    count — the CountVectorizer-over-a-capped-vocabulary featurizer
+    (pair with :func:`~recipys_ray.ops.encode.feature_hash` for the
+    unbounded hashing-trick variant).
+
+    Plan mirrors :func:`tfidf_top_terms`: EXACT top-``vocab_size``
+    vocabulary via :func:`build_vocab`'s combiner (ties broken count
+    desc, token asc — deterministic), broadcast once with ``ray.put``,
+    then ONE streaming counting pass (tokenize via the Arrow RE2
+    ``word_stream``, restrict to the vocabulary, one vectorized
+    groupby-size per batch). Each document lives in one row, so counts
+    never cross batches and the stage needs no exchange.
+    """
+    import ray
+
+    vocab = build_vocab(
+        ds, text_col=text_col, top_k=vocab_size,
+        num_partitions=num_partitions,
+    )
+    vref = ray.put(set(vocab["token"]))
+
+    def count(tbl: pa.Table) -> pa.Table:
+        vs = ray.get(vref)
+        words, counts = word_stream(tbl.column(text_col))
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        pdf = pd.DataFrame({
+            "__id__": np.repeat(ids, counts),
+            "token": words.to_numpy(zero_copy_only=False),
+        })
+        pdf = pdf[pdf["token"].isin(vs)]
+        grp = (
+            pdf.groupby(["__id__", "token"], sort=False, observed=True)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table({
+            id_col: pa.array(grp["__id__"].to_numpy()),
+            "token": pa.array(
+                grp["token"].to_numpy(object), pa.string()
+            ),
+            "n": pa.array(grp["n"].to_numpy(np.int64), pa.int64()),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        count, batch_format="pyarrow"
+    )

@@ -3344,6 +3344,54 @@ def q_grouped_winsorize(sf_dir):
     return _select(out, ["event_id", "w_value"])
 
 
+def q_remove_boilerplate(sf_dir):
+    """CCNet-style boilerplate removal at the token unit (ops/text.
+    remove_boilerplate_tokens): Misra-Gries frequent-token discovery +
+    exact verify (driver-bounded candidate set), broadcast stop set, ONE
+    Arrow-kernel clean pass. min_fraction=0.034 strips the handful of
+    highest-frequency tokens; exact integer counts make the threshold
+    decision identical across engines."""
+    from recipys_ray.ops.text import remove_boilerplate_tokens
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = remove_boilerplate_tokens(ds, min_fraction=0.034)
+    return _select(out, ["doc_id", "text_clean", "n_removed"])
+
+
+def q_doc_term_counts(sf_dir):
+    """Bounded-vocabulary document-term matrix in long form (ops/text.
+    doc_term_counts): exact top-20 vocabulary (count desc, token asc)
+    broadcast once, ONE streaming counting pass, no exchange. Exact int64
+    counts."""
+    from recipys_ray.ops.text import doc_term_counts
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return doc_term_counts(ds, vocab_size=20)
+
+
+def q_welch_ttest(sf_dir):
+    """Per-returnflag Welch two-sample t between F and O linestatus
+    quantities (ops/groupstats.grouped_welch_ttest): integer sufficient
+    stats (exact, order-free), finish mirrored term-for-term by the SQL
+    oracle — bit-equal."""
+    from recipys_ray.ops.groupstats import grouped_welch_ttest
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+    out = grouped_welch_ttest(
+        ds, ["l_returnflag"], "l_quantity", "l_linestatus", "F", "O"
+    )
+    return _select(
+        out, ["l_returnflag", "n_a", "n_b", "t_welch", "df_welch"]
+    )
+
+
 ORACLES: dict[str, str] = {
     "impute_zero": f"""
         SELECT event_id, coalesce({_VALN_SQL}, 0) AS valn FROM events
@@ -5642,6 +5690,76 @@ ORACLES: dict[str, str] = {
                     ELSE least(greatest(v.valn, b.lo), b.hi) END AS w_value
         FROM v JOIN b USING (user_id)
     """,
+    "remove_boilerplate": """
+        WITH parts AS (
+          SELECT doc_id, string_split(coalesce(text, ''), ' ') AS p
+          FROM documents
+        ), tok AS (
+          SELECT doc_id, unnest(p) AS tok,
+                 generate_subscripts(p, 1) AS idx
+          FROM parts
+        ), tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS n FROM tok
+        ), freq AS (
+          SELECT tok FROM tok GROUP BY tok
+          HAVING count(*) >= ceil(0.034 * (SELECT n FROM tot))
+        ), kept AS (
+          SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS text_clean,
+                 CAST(count(*) AS BIGINT) AS n_kept
+          FROM tok WHERE tok NOT IN (SELECT tok FROM freq)
+          GROUP BY doc_id
+        )
+        SELECT d.doc_id, k.text_clean,
+               CAST(len(string_split(coalesce(d.text, ''), ' '))
+                    AS BIGINT) - coalesce(k.n_kept, 0) AS n_removed
+        FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+    """,
+    "doc_term_counts": r"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                           '\w+')) AS token
+          FROM documents
+        ), vocab AS (
+          SELECT token FROM (
+            SELECT token, count(*) AS c FROM tok GROUP BY token
+            ORDER BY c DESC, token ASC LIMIT 20
+          )
+        )
+        SELECT t.doc_id, t.token, CAST(count(*) AS BIGINT) AS n
+        FROM tok t JOIN vocab USING (token)
+        GROUP BY t.doc_id, t.token
+    """,
+    "welch_ttest": """
+        WITH s AS (
+          SELECT l_returnflag, l_linestatus AS side,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+                 CAST(sum(CAST(l_quantity AS BIGINT)
+                          * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx2
+          FROM lineitem
+          WHERE l_linestatus IN ('F', 'O') AND l_quantity IS NOT NULL
+          GROUP BY 1, 2
+        ), w AS (
+          SELECT a.l_returnflag,
+                 a.n AS n_a, b.n AS n_b,
+                 a.sx / a.n AS mean_a, b.sx / b.n AS mean_b,
+                 (a.sx2 - (a.sx * a.sx) / a.n) / (a.n - 1) AS var_a,
+                 (b.sx2 - (b.sx * b.sx) / b.n) / (b.n - 1) AS var_b
+          FROM (SELECT * FROM s WHERE side = 'F') a
+          JOIN (SELECT * FROM s WHERE side = 'O') b USING (l_returnflag)
+          WHERE a.n >= 2 AND b.n >= 2
+        )
+        SELECT l_returnflag, n_a, n_b,
+               (mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b)
+                 AS t_welch,
+               ((var_a / n_a + var_b / n_b)
+                * (var_a / n_a + var_b / n_b))
+               / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+                  + (var_b / n_b) * (var_b / n_b) / (n_b - 1))
+                 AS df_welch
+        FROM w
+    """,
 }
 
 
@@ -5801,4 +5919,7 @@ QUERIES = {
     "scd2_intervals": q_scd2_intervals,
     "budget_prefix": q_budget_prefix,
     "grouped_winsorize": q_grouped_winsorize,
+    "remove_boilerplate": q_remove_boilerplate,
+    "doc_term_counts": q_doc_term_counts,
+    "welch_ttest": q_welch_ttest,
 }

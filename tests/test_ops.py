@@ -5461,3 +5461,208 @@ class TestGroupedWinsorize:
         a = self._run(pdf, 0.25, 0.75, num_partitions=1)
         b = self._run(pdf, 0.25, 0.75, num_partitions=5)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestRemoveBoilerplateTokens:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+        from recipys_ray.ops.text import remove_boilerplate_tokens
+
+        rng = np.random.default_rng(97)
+        vocab = ["the", "of", "rare1", "rare2", "x", "y", "z"]
+        # heavily skew "the"/"of" so the threshold separates
+        probs = np.array([0.3, 0.25, 0.08, 0.08, 0.1, 0.1, 0.09])
+        texts = [
+            " ".join(rng.choice(vocab, rng.integers(3, 12), p=probs))
+            for _ in range(120)
+        ]
+        pdf = pd.DataFrame({"doc_id": np.arange(120, dtype=np.int64),
+                            "text": texts})
+        got = (
+            remove_boilerplate_tokens(
+                rd.from_pandas(pdf), min_fraction=0.2
+            )
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        exp = con.execute("""
+            WITH parts AS (
+              SELECT doc_id, string_split(coalesce(text,''), ' ') AS p
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, unnest(p) AS tok,
+                     generate_subscripts(p, 1) AS idx FROM parts
+            ), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+            freq AS (
+              SELECT tok FROM tok GROUP BY tok
+              HAVING count(*) >= ceil(0.2 * (SELECT n FROM tot))
+            ), kept AS (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY idx)
+                       AS text_clean,
+                     CAST(count(*) AS BIGINT) AS n_kept
+              FROM tok WHERE tok NOT IN (SELECT tok FROM freq)
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id, k.text_clean,
+                   CAST(len(string_split(coalesce(d.text,''),' '))
+                        AS BIGINT) - coalesce(k.n_kept, 0) AS n_removed
+            FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+            ORDER BY d.doc_id
+        """).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["doc_id", "text_clean", "n_removed"]], exp,
+            check_dtype=False,
+        )
+
+    def test_roundtrip_and_nulls(self, ray_session):
+        from recipys_ray.ops.text import remove_boilerplate_tokens
+
+        pdf = pd.DataFrame({
+            "doc_id": [0, 1, 2, 3],
+            "text": ["a b a b a", "c d", None, "a a a"],
+        })
+        got = (
+            remove_boilerplate_tokens(
+                rd.from_pandas(pdf), min_fraction=0.4
+            )
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        # "a" appears 6/10 >= ceil(0.4*10)=4 -> removed; others kept
+        assert got["text_clean"].tolist()[:2] == ["b b", "c d"]
+        assert pd.isna(got["text_clean"].iloc[2])  # null input
+        assert pd.isna(got["text_clean"].iloc[3])  # all tokens removed
+        assert got["n_removed"].tolist()[:2] == [3, 0]
+        assert pd.isna(got["n_removed"].iloc[2])
+        assert got["n_removed"].iloc[3] == 3
+
+
+class TestDocTermCounts:
+    def test_matches_duckdb_vocab_restriction(self, ray_session):
+        import duckdb
+        from recipys_ray.ops.text import doc_term_counts
+
+        rng = np.random.default_rng(98)
+        vocab = [f"w{i}" for i in range(12)]
+        probs = np.linspace(5, 1, 12)
+        probs = probs / probs.sum()
+        texts = [
+            " ".join(rng.choice(vocab, rng.integers(2, 20), p=probs))
+            for _ in range(150)
+        ]
+        pdf = pd.DataFrame({"doc_id": np.arange(150, dtype=np.int64),
+                            "text": texts})
+        got = (
+            doc_term_counts(rd.from_pandas(pdf), vocab_size=5)
+            .to_pandas().sort_values(["doc_id", "token"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        exp = con.execute(r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(coalesce(text,'')),
+                                               '\w+')) AS token
+              FROM documents
+            ), vocab AS (
+              SELECT token FROM (
+                SELECT token, count(*) AS c FROM tok GROUP BY token
+                ORDER BY c DESC, token ASC LIMIT 5
+              )
+            )
+            SELECT t.doc_id, t.token, CAST(count(*) AS BIGINT) AS n
+            FROM tok t JOIN vocab USING (token)
+            GROUP BY t.doc_id, t.token ORDER BY t.doc_id, t.token
+        """).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+class TestGroupedWelchTtest:
+    def test_matches_scipy_and_duckdb_form(self, ray_session):
+        import duckdb
+        from recipys_ray.ops.groupstats import grouped_welch_ttest
+
+        rng = np.random.default_rng(99)
+        n = 900
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 6, n),
+            "side": rng.choice(["A", "B", "C"], n),
+            "v": rng.integers(0, 100, n).astype(np.float64),
+        })
+        got = (
+            grouped_welch_ttest(rd.from_pandas(pdf), ["g"], "v", "side",
+                                "A", "B")
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute("""
+            WITH s AS (
+              SELECT g, side, CAST(count(*) AS BIGINT) n,
+                     CAST(sum(CAST(v AS BIGINT)) AS BIGINT) sx,
+                     CAST(sum(CAST(v AS BIGINT)*CAST(v AS BIGINT))
+                          AS BIGINT) sx2
+              FROM t WHERE side IN ('A','B') GROUP BY 1,2
+            ), w AS (
+              SELECT a.g, a.n n_a, b.n n_b,
+                     a.sx/a.n mean_a, b.sx/b.n mean_b,
+                     (a.sx2 - (a.sx*a.sx)/a.n)/(a.n-1) var_a,
+                     (b.sx2 - (b.sx*b.sx)/b.n)/(b.n-1) var_b
+              FROM (SELECT * FROM s WHERE side='A') a
+              JOIN (SELECT * FROM s WHERE side='B') b USING (g)
+              WHERE a.n >= 2 AND b.n >= 2
+            )
+            SELECT g, n_a, n_b,
+                   (mean_a-mean_b)/sqrt(var_a/n_a + var_b/n_b) t_welch,
+                   ((var_a/n_a + var_b/n_b)*(var_a/n_a + var_b/n_b))
+                   / ((var_a/n_a)*(var_a/n_a)/(n_a-1)
+                      + (var_b/n_b)*(var_b/n_b)/(n_b-1)) df_welch
+            FROM w ORDER BY g
+        """).df().reset_index(drop=True)
+        # bit-equal: integer sufficient stats + mirrored op order
+        assert got["n_a"].tolist() == exp["n_a"].tolist()
+        assert np.array_equal(got["t_welch"].to_numpy(),
+                              exp["t_welch"].to_numpy())
+        assert np.array_equal(got["df_welch"].to_numpy(),
+                              exp["df_welch"].to_numpy())
+        # sanity vs the textbook formula (scipy unavailable: direct calc)
+        sub = pdf[(pdf["g"] == 0) & pdf["side"].isin(["A", "B"])]
+        a = sub.loc[sub["side"] == "A", "v"].to_numpy()
+        b = sub.loc[sub["side"] == "B", "v"].to_numpy()
+        va, vb = a.var(ddof=1), b.var(ddof=1)
+        t_ref = (a.mean() - b.mean()) / np.sqrt(va / len(a) + vb / len(b))
+        assert abs(got.loc[got["g"] == 0, "t_welch"].iloc[0] - t_ref) < 1e-9
+
+    def test_missing_side_and_small_groups_dropped(self, ray_session):
+        from recipys_ray.ops.groupstats import grouped_welch_ttest
+
+        pdf = pd.DataFrame({
+            "g": [0, 0, 0, 0, 1, 1, 2, 2, 2],
+            "side": ["A", "A", "B", "B", "A", "A", "A", "A", "B"],
+            "v": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0],
+        })
+        got = (
+            grouped_welch_ttest(rd.from_pandas(pdf), ["g"], "v", "side",
+                                "A", "B")
+            .to_pandas()
+        )
+        # g=1 has no B side; g=2 has n_b=1 < 2 -> both dropped
+        assert got["g"].tolist() == [0]
+
+    def test_partition_invariance(self, ray_session):
+        from recipys_ray.ops.groupstats import grouped_welch_ttest
+
+        rng = np.random.default_rng(100)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 5, 400),
+            "side": rng.choice(["A", "B"], 400),
+            "v": rng.integers(0, 50, 400).astype(np.float64),
+        })
+        outs = [
+            grouped_welch_ttest(rd.from_pandas(pdf), ["g"], "v", "side",
+                                "A", "B", num_partitions=p)
+            .to_pandas().sort_values("g").reset_index(drop=True)
+            for p in (1, 5)
+        ]
+        pd.testing.assert_frame_equal(outs[0], outs[1])
