@@ -77,6 +77,8 @@ from recipys_ray.ops.groupstats import (
     cooccurrence_counts,
     cumulative_distinct,
     decayed_sum,
+    expanding_mean_exclusive,
+    grouped_argmax,
     grouped_auc,
     grouped_corr,
     grouped_entropy,
@@ -94,6 +96,7 @@ from recipys_ray.ops.groupstats import (
 )
 from recipys_ray.ops.timeseries import (
     budget_prefix,
+    debounce_events,
     grouped_autocorr,
     grouped_cusum,
     ohlc_bars,
@@ -126,6 +129,7 @@ from recipys_ray.ops.text import (
     build_vocab,
     doc_term_counts,
     normalize_text,
+    pattern_counts,
     remove_boilerplate_tokens,
     pmi_bigrams,
     gopher_quality_filter,
@@ -167,10 +171,12 @@ __all__ = [
     "ohlc_bars",
     "except_distinct", "intersect_distinct", "table_diff",
     "grouped_cusum", "sequence_integrity", "budget_prefix",
+    "debounce_events",
     "merge_intervals", "scd2_intervals", "transition_counts",
     "state_run_stats",
     "grouped_minmax", "pmi_bigrams",
     "cumulative_distinct", "grouped_auc", "decayed_sum",
+    "expanding_mean_exclusive", "grouped_argmax",
     "fit_pca", "pca_project", "target_encode", "feature_hash",
     "hash_sample", "hash_split",
     "mix_sources", "mix_temperature", "sample_per_group",
@@ -178,7 +184,8 @@ __all__ = [
     "pivot", "melt", "group_concat", "frequent_items", "cms_counts", "semantic_dedup", "knn_brute_force",
     "knn_ivf", "duplicate_spans", "RepetitionStats", "TextFeaturizer",
     "build_vocab", "doc_term_counts", "normalize_text",
-    "remove_boilerplate_tokens", "redact_pii", "text_features",
+    "pattern_counts", "remove_boilerplate_tokens", "redact_pii",
+    "text_features",
     "gopher_quality_filter",
     "tfidf_top_terms", "unigram_lm_score", "bigram_lm_score",
     "top_k_per_group",

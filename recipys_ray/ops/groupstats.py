@@ -1422,3 +1422,126 @@ def grouped_welch_ttest(
     return partitioned_groupby_map(
         parts, gcols, finish, num_partitions=num_partitions
     )
+
+
+def expanding_mean_exclusive(
+    ds,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    id_cols: list[str],
+    out_col: str = "prior_mean",
+    num_partitions: int | None = None,
+):
+    """Leakage-FREE expanding mean: for each row, the mean of the group's
+    STRICTLY PRIOR values in sequence order (SQL ``ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING``) — the classic time-safe target-encoding /
+    prior-CTR feature. The first row of a group (and rows whose every
+    prior value is null) gets NULL, exactly like SQL ``avg`` over an
+    empty frame. StepHistorical's windows are INCLUSIVE (features at turn
+    t use turns ≤ t); this is the ≤ t−1 variant used when ``value_col``
+    IS the label.
+
+    Determinism contract: integer values (cents / token counts) make the
+    prefix sums exact and order-free, so the single final division is
+    bit-equal to DuckDB's windowed ``avg`` (its segment-tree accumulation
+    of integers is exact too). Null values are skipped (SQL AVG).
+
+    Motion: ONE skinny exchange (group + order + id + value) on the
+    group key; per partition one stable sort + two grouped cumsums
+    (value and not-null count), both shifted to exclusive by subtracting
+    the current row — pandas C kernels across all groups at once.
+    """
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    gcols = list(group_cols)
+    ocols = list(order_cols)
+    icols = list(id_cols)
+    cols = list(dict.fromkeys(gcols + ocols + icols + [value_col]))
+
+    def per_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            out = pdf[icols].copy()
+            out[out_col] = pd.array([], dtype="Float64")
+            return out
+        pdf = pdf.sort_values(gcols + ocols, kind="stable",
+                              ignore_index=True)
+        notna = pdf[value_col].notna().to_numpy()
+        tmp = pd.DataFrame({
+            "__v__": pdf[value_col].fillna(0).to_numpy(),
+            "__c__": notna.astype(np.int64),
+        })
+        tmp[gcols] = pdf[gcols]
+        g2 = tmp.groupby(gcols, sort=False, dropna=False, observed=True)
+        incl_sum = g2["__v__"].cumsum().to_numpy()
+        incl_cnt = g2["__c__"].cumsum().to_numpy()
+        prior_sum = incl_sum - tmp["__v__"].to_numpy()
+        prior_cnt = incl_cnt - tmp["__c__"].to_numpy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean = prior_sum.astype(np.float64) / prior_cnt.astype(
+                np.float64
+            )
+        out = pdf[icols].copy()
+        out[out_col] = pd.arrays.FloatingArray(mean, prior_cnt == 0)
+        return out.reset_index(drop=True)
+
+    return partitioned_groupby_map(
+        ds.select_columns(cols), gcols, per_partition,
+        num_partitions=num_partitions,
+    )
+
+
+def grouped_argmax(
+    ds,
+    group_cols: list[str],
+    value_col: str,
+    tie_cols: list[str],
+    keep_cols: list[str] | None = None,
+    num_partitions: int | None = None,
+):
+    """The full row achieving the group's MAXIMUM ``value_col``, ties
+    broken by ascending ``tie_cols`` (SQL ``row_number() OVER (PARTITION
+    BY g ORDER BY v DESC, tie ASC) = 1``) — "keep the best duplicate"
+    curation (longest doc per key, highest-score candidate per query).
+
+    Arg-max is ASSOCIATIVE, so the plan is a combiner: every block keeps
+    only ITS best row per group (one vectorized sort +
+    ``drop_duplicates`` per batch), the ≤ #groups-per-block survivors
+    take ONE tiny exchange, and the finish repeats the same reduction.
+    No payload shuffle of the full table, ever. Null values lose to any
+    non-null (SQL ``ORDER BY v DESC NULLS LAST``); all-null groups are
+    dropped (no arg exists).
+    """
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    gcols = list(group_cols)
+    tcols = list(tie_cols)
+    kcols = (keep_cols if keep_cols is not None
+             else [value_col] + tcols)
+    out_cols = gcols + [c for c in kcols if c not in gcols]
+    need = list(dict.fromkeys(gcols + [value_col] + tcols + kcols))
+
+    def best(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[pdf[value_col].notna()]
+        if not len(pdf):
+            return pdf[need].copy()
+        pdf = pdf.sort_values(
+            gcols + [value_col] + tcols, kind="stable",
+            ascending=[True] * len(gcols) + [False] + [True] * len(tcols),
+        )
+        return pdf.drop_duplicates(subset=gcols, keep="first")[need]
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        return best(pdf)
+
+    parts = (
+        ds.select_columns(need)
+        .map_batches(partial, batch_format="pandas")
+    )
+
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        return best(pdf)[out_cols].reset_index(drop=True)
+
+    return partitioned_groupby_map(
+        parts, gcols, finish, num_partitions=num_partitions
+    )

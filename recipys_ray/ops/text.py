@@ -1294,3 +1294,42 @@ def doc_term_counts(
     return ds.select_columns([id_col, text_col]).map_batches(
         count, batch_format="pyarrow"
     )
+
+
+def pattern_counts(
+    ds,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+):
+    """Multi-regex count features: for each named pattern, append an int64
+    column with the number of NON-OVERLAPPING matches per document (the
+    signal family behind URL/email/digit-density quality filters). One
+    Arrow RE2 ``count_substring_regex`` C++ kernel per pattern per batch
+    — stateless streaming, no Python per row, no exchange. NULL text
+    yields NULL counts (SQL ``len(regexp_extract_all(NULL, p))``).
+
+    RE2 on both sides (Arrow and DuckDB) finds leftmost non-overlapping
+    matches identically, so counts are exact integers in any engine.
+    """
+    import pyarrow.compute as pc
+
+    if not patterns:
+        raise ValueError("patterns must be a non-empty {name: regex} dict")
+    items = list(patterns.items())
+
+    def count(tbl: pa.Table) -> pa.Table:
+        arr = tbl.column(text_col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        isnull = pc.is_null(arr).to_numpy(zero_copy_only=False)
+        filled = pc.fill_null(arr, "")
+        for name, pat in items:
+            c = pc.count_substring_regex(filled, pat)
+            c64 = pa.array(
+                c.to_numpy(zero_copy_only=False).astype(np.int64),
+                pa.int64(), mask=isnull,
+            )
+            tbl = tbl.append_column(name, c64)
+        return tbl
+
+    return ds.map_batches(count, batch_format="pyarrow")

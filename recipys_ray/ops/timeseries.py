@@ -376,3 +376,50 @@ def budget_prefix(
     return partitioned_groupby_map(
         ds, gcols, per_partition, num_partitions=num_partitions
     )
+
+
+def debounce_events(
+    ds,
+    group_cols: list[str],
+    ts_col: str,
+    order_cols: list[str],
+    period_us: int,
+    bucket_col: str = "bucket",
+    num_partitions: int | None = None,
+):
+    """Fixed-bucket debounce / throttle: keep only the FIRST event (by
+    ``order_cols``) of each ``(group, floor(epoch_us(ts) / period_us))``
+    bucket — collapsing retry storms, duplicate webhooks and bot bursts
+    to one representative before feature extraction. Identical to SQL
+    ``row_number() OVER (PARTITION BY g, epoch_us(ts) // period
+    ORDER BY o) = 1`` (DuckDB ``//`` floor division; pure int64 — exact).
+    Rows with a null timestamp are dropped (their bucket is undefined).
+
+    Motion: ONE payload exchange on the group key, then per partition a
+    vectorized bucket stamp + stable sort + ``drop_duplicates`` across
+    all groups at once. The kept row keeps every input column plus the
+    int64 ``bucket_col``.
+    """
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    gcols = list(group_cols)
+    ocols = list(order_cols)
+    period = int(period_us)
+    if period <= 0:
+        raise ValueError(f"period_us must be positive, got {period_us}")
+
+    def per_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[pdf[ts_col].notna()]
+        epoch = pdf[ts_col].astype("datetime64[us]").astype(np.int64)
+        # floor division (SQL //) — correct for pre-epoch timestamps too
+        bucket = np.floor_divide(epoch, period)
+        pdf = pdf.assign(**{bucket_col: bucket})
+        pdf = pdf.sort_values(gcols + [bucket_col] + ocols, kind="stable",
+                              ignore_index=True)
+        return pdf.drop_duplicates(
+            subset=gcols + [bucket_col], keep="first"
+        ).reset_index(drop=True)
+
+    return partitioned_groupby_map(
+        ds, gcols, per_partition, num_partitions=num_partitions
+    )

@@ -3392,6 +3392,81 @@ def q_welch_ttest(sf_dir):
     )
 
 
+def q_prior_mean(sf_dir):
+    """Leakage-free expanding mean of STRICTLY PRIOR spend per user
+    (ops/groupstats.expanding_mean_exclusive) — the time-safe
+    target-encoding feature (StepHistorical is inclusive; this is the
+    ≤ t−1 variant for when the value IS the label). Integer-cents input
+    → exact prefix sums → the single division is bit-equal to DuckDB's
+    windowed avg."""
+    from recipys_ray.ops.groupstats import expanding_mean_exclusive
+
+    ds = _events(sf_dir)
+
+    def cents(tbl: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.round(pc.multiply(tbl.column("value"), 100.0)), pa.int64()
+        )
+        return tbl.append_column("cents", c)
+
+    ds = ds.map_batches(cents, batch_format="pyarrow")
+    out = expanding_mean_exclusive(
+        ds, ["user_id"], ["ts", "event_id"], "cents", ["event_id"],
+        out_col="prior_mean",
+    )
+    return _select(out, ["event_id", "prior_mean"])
+
+
+def q_argmax_doc(sf_dir):
+    """Best-duplicate selection: the longest document per (lang, source),
+    ties to the smallest doc_id (ops/groupstats.grouped_argmax). Arg-max
+    is associative — per-block combiner keeps each group's best row, ONE
+    tiny candidate exchange, no payload shuffle."""
+    from recipys_ray.ops.groupstats import grouped_argmax
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "source", "n_chars"],
+    )
+    out = grouped_argmax(
+        ds, ["lang", "source"], "n_chars", ["doc_id"],
+        keep_cols=["doc_id", "n_chars"],
+    )
+    return _select(out, ["lang", "source", "doc_id", "n_chars"])
+
+
+def q_pattern_counts(sf_dir):
+    """Multi-regex count features per document (ops/text.pattern_counts):
+    one Arrow RE2 count kernel per pattern per batch, stateless streaming,
+    exact int64 — the URL/email/digit-density quality-filter family."""
+    from recipys_ray.ops.text import pattern_counts
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = pattern_counts(ds, patterns={
+        "n_vowel_runs": "[aeiou]+",
+        "n_tbl": "table|row",
+        "n_spaces": " ",
+    })
+    return _select(out, ["doc_id", "n_vowel_runs", "n_tbl", "n_spaces"])
+
+
+def q_debounce(sf_dir):
+    """Fixed-bucket debounce: first event per (user, hour bucket)
+    (ops/timeseries.debounce_events) — retry-storm / duplicate-webhook
+    collapse before feature extraction. Pure int64 epoch floor division,
+    exact."""
+    from recipys_ray.ops.timeseries import debounce_events
+
+    ds = _events(sf_dir)
+    out = debounce_events(
+        ds, ["user_id"], "ts", ["ts", "event_id"],
+        period_us=3_600_000_000,
+    )
+    return _select(out, ["event_id", "user_id", "bucket"])
+
+
 ORACLES: dict[str, str] = {
     "impute_zero": f"""
         SELECT event_id, coalesce({_VALN_SQL}, 0) AS valn FROM events
@@ -5760,6 +5835,47 @@ ORACLES: dict[str, str] = {
                  AS df_welch
         FROM w
     """,
+    "prior_mean": """
+        WITH w AS (
+          SELECT event_id, user_id, ts,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events
+        )
+        SELECT event_id,
+               avg(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS prior_mean
+        FROM w
+    """,
+    "argmax_doc": """
+        SELECT lang, source, doc_id, n_chars FROM (
+          SELECT lang, source, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY lang, source
+                                    ORDER BY n_chars DESC, doc_id ASC)
+                   AS rn
+          FROM documents
+        ) WHERE rn = 1
+    """,
+    "pattern_counts": """
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT)
+                 AS n_vowel_runs,
+               CAST(len(regexp_extract_all(text, 'table|row')) AS BIGINT)
+                 AS n_tbl,
+               CAST(len(regexp_extract_all(text, ' ')) AS BIGINT)
+                 AS n_spaces
+        FROM documents
+    """,
+    "debounce": """
+        SELECT event_id, user_id, bucket FROM (
+          SELECT event_id, user_id,
+                 epoch_us(ts) // 3600000000 AS bucket,
+                 row_number() OVER (
+                   PARTITION BY user_id, epoch_us(ts) // 3600000000
+                   ORDER BY ts, event_id) AS rn
+          FROM events WHERE ts IS NOT NULL
+        ) WHERE rn = 1
+    """,
 }
 
 
@@ -5922,4 +6038,8 @@ QUERIES = {
     "remove_boilerplate": q_remove_boilerplate,
     "doc_term_counts": q_doc_term_counts,
     "welch_ttest": q_welch_ttest,
+    "prior_mean": q_prior_mean,
+    "argmax_doc": q_argmax_doc,
+    "pattern_counts": q_pattern_counts,
+    "debounce": q_debounce,
 }

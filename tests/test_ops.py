@@ -5666,3 +5666,209 @@ class TestGroupedWelchTtest:
             for p in (1, 5)
         ]
         pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+class TestExpandingMeanExclusive:
+    def _run(self, pdf, num_partitions=None):
+        from recipys_ray.ops.groupstats import expanding_mean_exclusive
+
+        return (
+            expanding_mean_exclusive(
+                rd.from_pandas(pdf), ["g"], ["o"], "v", ["o"],
+                num_partitions=num_partitions,
+            )
+            .to_pandas().sort_values("o").reset_index(drop=True)
+        )
+
+    def test_matches_duckdb_exclusive_window(self, ray_session):
+        import duckdb
+
+        rng = np.random.default_rng(101)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 10, 500),
+            "o": np.arange(500, dtype=np.int64),
+            "v": rng.integers(0, 1000, 500),
+        })
+        pdf.loc[rng.random(500) < 0.1, "v"] = pd.NA
+        pdf["v"] = pdf["v"].astype("Int64")
+        got = self._run(pdf)
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute("""
+            SELECT o, avg(v) OVER (PARTITION BY g ORDER BY o
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS prior_mean
+            FROM t ORDER BY o
+        """).df().reset_index(drop=True)
+        gv = got["prior_mean"].to_numpy(np.float64, na_value=np.nan)
+        ev = exp["prior_mean"].to_numpy(np.float64, na_value=np.nan)
+        # bit-equal: exact integer prefix sums, one final division
+        assert np.array_equal(gv, ev, equal_nan=True)
+
+    def test_no_leakage_first_row_null(self, ray_session):
+        pdf = pd.DataFrame({
+            "g": [0, 0, 0], "o": [1, 2, 3], "v": [10, 20, 40],
+        })
+        got = self._run(pdf)
+        assert pd.isna(got["prior_mean"].iloc[0])
+        assert got["prior_mean"].tolist()[1:] == [10.0, 15.0]
+
+    def test_partition_invariance(self, ray_session):
+        rng = np.random.default_rng(102)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 7, 300),
+            "o": np.arange(300, dtype=np.int64),
+            "v": rng.integers(0, 100, 300),
+        })
+        a = self._run(pdf, num_partitions=1)
+        b = self._run(pdf, num_partitions=5)
+        pd.testing.assert_frame_equal(a, b)
+
+
+class TestGroupedArgmax:
+    def test_matches_duckdb_rownumber(self, ray_session):
+        import duckdb
+        from recipys_ray.ops.groupstats import grouped_argmax
+
+        rng = np.random.default_rng(103)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 12, 600),
+            "id": np.arange(600, dtype=np.int64),
+            "v": rng.integers(0, 40, 600),  # many ties
+        })
+        got = (
+            grouped_argmax(rd.from_pandas(pdf), ["g"], "v", ["id"],
+                           keep_cols=["id", "v"])
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute("""
+            SELECT g, id, v FROM (
+              SELECT g, id, v, row_number() OVER (
+                PARTITION BY g ORDER BY v DESC, id ASC) rn FROM t
+            ) WHERE rn = 1 ORDER BY g
+        """).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["g", "id", "v"]], exp, check_dtype=False
+        )
+
+    def test_nulls_lose_and_all_null_dropped(self, ray_session):
+        from recipys_ray.ops.groupstats import grouped_argmax
+
+        pdf = pd.DataFrame({
+            "g": [0, 0, 1, 1],
+            "id": [1, 2, 3, 4],
+            "v": [np.nan, 5.0, np.nan, np.nan],
+        })
+        got = (
+            grouped_argmax(rd.from_pandas(pdf), ["g"], "v", ["id"])
+            .to_pandas()
+        )
+        assert got["g"].tolist() == [0]
+        assert got["id"].tolist() == [2]
+
+    def test_partition_invariance(self, ray_session):
+        from recipys_ray.ops.groupstats import grouped_argmax
+
+        rng = np.random.default_rng(104)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 9, 400),
+            "id": np.arange(400, dtype=np.int64),
+            "v": rng.integers(0, 25, 400),
+        })
+        outs = [
+            grouped_argmax(rd.from_pandas(pdf), ["g"], "v", ["id"],
+                           num_partitions=p)
+            .to_pandas().sort_values("g").reset_index(drop=True)
+            for p in (1, 6)
+        ]
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+class TestPatternCounts:
+    def test_matches_duckdb_regexp_counts(self, ray_session):
+        import duckdb
+        from recipys_ray.ops.text import pattern_counts
+
+        pdf = pd.DataFrame({
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": ["the table rows", "aequous ooze", "", None,
+                     "x tablerow row table", "no matches here"],
+        })
+        got = (
+            pattern_counts(rd.from_pandas(pdf), patterns={
+                "n_vowels": "[aeiou]+", "n_tbl": "table|row",
+            })
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute("""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[aeiou]+'))
+                        AS BIGINT) AS n_vowels,
+                   CAST(len(regexp_extract_all(text, 'table|row'))
+                        AS BIGINT) AS n_tbl
+            FROM t ORDER BY doc_id
+        """).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["doc_id", "n_vowels", "n_tbl"]], exp, check_dtype=False
+        )
+
+    def test_empty_patterns_rejected(self, ray_session):
+        from recipys_ray.ops.text import pattern_counts
+
+        with pytest.raises(ValueError):
+            pattern_counts(None, patterns={})
+
+
+class TestDebounceEvents:
+    def _pdf(self, seed=105, n=400):
+        rng = np.random.default_rng(seed)
+        return pd.DataFrame({
+            "g": rng.integers(0, 8, n),
+            "id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime("2026-01-01")
+            + pd.to_timedelta(rng.integers(0, 72 * 3600, n), unit="s"),
+        })
+
+    def test_matches_duckdb_bucket_first(self, ray_session):
+        import duckdb
+        from recipys_ray.ops.timeseries import debounce_events
+
+        pdf = self._pdf()
+        got = (
+            debounce_events(rd.from_pandas(pdf), ["g"], "ts",
+                            ["ts", "id"], period_us=3_600_000_000)
+            .to_pandas().sort_values(["g", "bucket"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute("""
+            SELECT g, id, bucket FROM (
+              SELECT g, id, epoch_us(ts) // 3600000000 AS bucket,
+                     row_number() OVER (
+                       PARTITION BY g, epoch_us(ts) // 3600000000
+                       ORDER BY ts, id) rn
+              FROM t
+            ) WHERE rn = 1 ORDER BY g, bucket
+        """).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["g", "id", "bucket"]], exp, check_dtype=False
+        )
+
+    def test_partition_invariance(self, ray_session):
+        from recipys_ray.ops.timeseries import debounce_events
+
+        pdf = self._pdf(seed=106)
+        outs = [
+            debounce_events(rd.from_pandas(pdf), ["g"], "ts",
+                            ["ts", "id"], period_us=7_200_000_000,
+                            num_partitions=p)
+            .to_pandas().sort_values(["g", "bucket"])
+            .reset_index(drop=True)
+            for p in (1, 5)
+        ]
+        pd.testing.assert_frame_equal(outs[0], outs[1])
