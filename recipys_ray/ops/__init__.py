@@ -78,6 +78,8 @@ from recipys_ray.ops.groupstats import (
     cumulative_distinct,
     decayed_sum,
     expanding_mean_exclusive,
+    group_seq_index,
+    group_share,
     grouped_argmax,
     grouped_auc,
     grouped_corr,
@@ -127,10 +129,12 @@ from recipys_ray.ops.text import (
     TextFeaturizer,
     bigram_lm_score,
     build_vocab,
+    compression_ratio,
     doc_term_counts,
     normalize_text,
     pattern_counts,
     remove_boilerplate_tokens,
+    source_similarity,
     pmi_bigrams,
     gopher_quality_filter,
     redact_pii,
@@ -176,16 +180,17 @@ __all__ = [
     "state_run_stats",
     "grouped_minmax", "pmi_bigrams",
     "cumulative_distinct", "grouped_auc", "decayed_sum",
-    "expanding_mean_exclusive", "grouped_argmax",
+    "expanding_mean_exclusive", "grouped_argmax", "group_share",
+    "group_seq_index",
     "fit_pca", "pca_project", "target_encode", "feature_hash",
     "hash_sample", "hash_split",
     "mix_sources", "mix_temperature", "sample_per_group",
     "weighted_sample", "time_split",
     "pivot", "melt", "group_concat", "frequent_items", "cms_counts", "semantic_dedup", "knn_brute_force",
     "knn_ivf", "duplicate_spans", "RepetitionStats", "TextFeaturizer",
-    "build_vocab", "doc_term_counts", "normalize_text",
-    "pattern_counts", "remove_boilerplate_tokens", "redact_pii",
-    "text_features",
+    "build_vocab", "compression_ratio", "doc_term_counts",
+    "normalize_text", "pattern_counts", "remove_boilerplate_tokens",
+    "redact_pii", "source_similarity", "text_features",
     "gopher_quality_filter",
     "tfidf_top_terms", "unigram_lm_score", "bigram_lm_score",
     "top_k_per_group",

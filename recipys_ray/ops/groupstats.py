@@ -1545,3 +1545,103 @@ def grouped_argmax(
     return partitioned_groupby_map(
         parts, gcols, finish, num_partitions=num_partitions
     )
+
+
+def group_share(
+    ds,
+    group_cols: list[str],
+    value_col: str,
+    id_cols: list[str],
+    out_col: str = "share",
+    num_partitions: int | None = None,
+):
+    """Share-of-group feature: each row's value divided by its group's
+    total (SQL ``v / sum(v) OVER (PARTITION BY g)``) — share-of-wallet,
+    share-of-session, token share-of-document.
+
+    Integer values keep the group sums exact and order-free, so the
+    single IEEE division is bit-equal across engines (use cents/counts,
+    not raw floats). Null values yield NULL shares and don't contribute
+    to the total (SQL SUM); an all-zero group divides by zero → NULL
+    (DuckDB ``x/0.0``).
+
+    Motion: ONE skinny exchange (group + id + value) on the group key,
+    then one grouped ``transform('sum')`` C kernel + one vectorized
+    division per partition.
+    """
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    gcols = list(group_cols)
+    icols = list(id_cols)
+    cols = list(dict.fromkeys(gcols + icols + [value_col]))
+
+    def per_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            out = pdf[icols].copy()
+            out[out_col] = pd.array([], dtype="Float64")
+            return out
+        tot = (
+            pdf.groupby(gcols, sort=False, dropna=False, observed=True)[
+                value_col
+            ]
+            .transform("sum")
+            .to_numpy(np.float64)
+        )
+        v = pdf[value_col].to_numpy(np.float64)
+        isnull = np.isnan(v) | (tot == 0.0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            share = v / tot
+        out = pdf[icols].copy()
+        out[out_col] = pd.arrays.FloatingArray(share, isnull)
+        return out.reset_index(drop=True)
+
+    return partitioned_groupby_map(
+        ds.select_columns(cols), gcols, per_partition,
+        num_partitions=num_partitions,
+    )
+
+
+def group_seq_index(
+    ds,
+    group_cols: list[str],
+    order_cols: list[str],
+    id_cols: list[str],
+    out_col: str = "seq_idx",
+    start: int = 1,
+):
+    """Deterministic within-group sequence index (SQL ``row_number() OVER
+    (PARTITION BY g ORDER BY o)``) — turn-index reconstruction for
+    transcripts whose ordering key is (ts, id) but whose stored index is
+    missing or unreliable. ONE skinny exchange + one stable sort + one
+    grouped ``cumcount`` C kernel; exact int64.
+
+    Order values must be unique per group for a deterministic result
+    (they are event keys throughout this repo).
+    """
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    gcols = list(group_cols)
+    ocols = list(order_cols)
+    icols = list(id_cols)
+    cols = list(dict.fromkeys(gcols + ocols + icols))
+
+    def per_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            out = pdf[icols].copy()
+            out[out_col] = pd.Series([], dtype=np.int64)
+            return out
+        pdf = pdf.sort_values(gcols + ocols, kind="stable",
+                              ignore_index=True)
+        idx = (
+            pdf.groupby(gcols, sort=False, dropna=False, observed=True)
+            .cumcount()
+            .to_numpy(np.int64)
+            + np.int64(start)
+        )
+        out = pdf[icols].copy()
+        out[out_col] = idx
+        return out.reset_index(drop=True)
+
+    return partitioned_groupby_map(
+        ds.select_columns(cols), gcols, per_partition,
+    )

@@ -1333,3 +1333,159 @@ def pattern_counts(
         return tbl
 
     return ds.map_batches(count, batch_format="pyarrow")
+
+
+def compression_ratio(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+    bytes_col: str = "n_bytes",
+    comp_col: str = "n_comp",
+    ratio_col: str = "comp_ratio",
+):
+    """zlib compression-ratio quality proxy (the RedPajama/Dolma-family
+    "compressibility" signal): highly repetitive machine-generated text
+    compresses far below natural prose, so a low ratio flags boilerplate
+    and a ratio near 1 flags high-entropy noise.
+
+    Appends ``bytes_col`` (UTF-8 byte length), ``comp_col``
+    (``len(zlib.compress(utf8, level))``) and ``ratio_col``
+    (``comp/bytes`` as one IEEE division; NULL for NULL or empty text).
+    zlib is called once per document — a C call on the document bytes,
+    the legitimate per-row exception (like model inference); everything
+    around it is array-level. Stateless streaming, no exchange.
+
+    Determinism: stdlib zlib at a fixed level is deterministic for a
+    given zlib build; the golden oracle (scripts/gen_expected.py) is
+    regenerated in the same environment, mirroring the repo's other
+    environment-tied goldens.
+    """
+    import zlib
+
+    import pyarrow.compute as pc
+
+    def score(tbl: pa.Table) -> pa.Table:
+        arr = tbl.column(text_col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        isnull = pc.is_null(arr).to_numpy(zero_copy_only=False)
+        texts = pc.fill_null(arr, "").to_pylist()
+        nb = np.empty(len(texts), dtype=np.int64)
+        nc = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            raw = t.encode("utf-8")
+            nb[i] = len(raw)
+            nc[i] = len(zlib.compress(raw, level))
+        empty = isnull | (nb == 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = nc.astype(np.float64) / nb.astype(np.float64)
+        tbl = tbl.append_column(
+            bytes_col, pa.array(nb, pa.int64(), mask=isnull)
+        )
+        tbl = tbl.append_column(
+            comp_col, pa.array(nc, pa.int64(), mask=isnull)
+        )
+        return tbl.append_column(
+            ratio_col, pa.array(ratio, pa.float64(), mask=empty)
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def source_similarity(
+    ds,
+    group_col: str = "source",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> pd.DataFrame:
+    """Pairwise vocabulary Jaccard between corpus segments (sources,
+    languages, snapshots): ``|vocab_a ∩ vocab_b| / |vocab_a ∪ vocab_b|``
+    over the \\w+ lowercase token sets — the corpus-composition audit
+    that flags near-identical sources before mixing weights are chosen.
+
+    Plan: each block emits its DISTINCT ``(group, token)`` pairs (one
+    vectorized drop_duplicates — never raw tokens); pairs hash-partition
+    by TOKEN, so each partition sees every group of its tokens and emits
+    exact partial rows: per-token group-pair co-occurrence counts and
+    per-group distinct-token counts. The driver folds ≤ partitions·k²
+    partial rows (k = #groups — segments, not documents, so tiny by
+    construction). Exact integer counts; Jaccard is one division.
+
+    Returns a driver DataFrame (k² rows): group_a, group_b (group_a <
+    group_b, only pairs sharing ≥ 1 token — SQL inner join), n_common,
+    jaccard.
+    """
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    def pairs(tbl: pa.Table) -> pa.Table:
+        words, counts = word_stream(tbl.column(text_col))
+        grp = tbl.column(group_col).to_numpy(zero_copy_only=False)
+        pdf = pd.DataFrame({
+            "g": np.repeat(grp, counts),
+            "token": words.to_numpy(zero_copy_only=False),
+        }).drop_duplicates()
+        # null groups can't order within a pair (SQL a.g < b.g drops them)
+        pdf = pdf.dropna(subset=["g"])
+        return pa.table({
+            "g": pa.array(pdf["g"].to_numpy(object), pa.string()),
+            "token": pa.array(pdf["token"].to_numpy(object), pa.string()),
+        })
+
+    parts = ds.select_columns([group_col, text_col]).map_batches(
+        pairs, batch_format="pyarrow"
+    )
+
+    def per_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.drop_duplicates()  # cross-block duplicates
+        if not len(pdf):
+            return pd.DataFrame({
+                "g_a": pd.Series([], dtype=object),
+                "g_b": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype=np.int64),
+            })
+        m = pdf.merge(pdf, on="token")
+        m = m[m["g_x"] < m["g_y"]]
+        pair = (
+            m.groupby(["g_x", "g_y"], sort=False, observed=True)
+            .size()
+            .reset_index(name="n")
+            .rename(columns={"g_x": "g_a", "g_y": "g_b"})
+        )
+        sizes = (
+            pdf.groupby("g", sort=False, observed=True)
+            .size()
+            .reset_index(name="n")
+            .rename(columns={"g": "g_a"})
+        )
+        sizes["g_b"] = None
+        out = pd.concat(
+            [pair, sizes[["g_a", "g_b", "n"]]], ignore_index=True
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    partial = partitioned_groupby_map(
+        parts, ["token"], per_partition,
+        num_partitions=num_partitions,
+    ).to_pandas()
+    sizes = (
+        partial[partial["g_b"].isna()]
+        .groupby("g_a")["n"].sum()
+    )
+    pair = (
+        partial[partial["g_b"].notna()]
+        .groupby(["g_a", "g_b"])["n"].sum()
+        .reset_index(name="n_common")
+    )
+    na = pair["g_a"].map(sizes).to_numpy(np.int64)
+    nb = pair["g_b"].map(sizes).to_numpy(np.int64)
+    common = pair["n_common"].to_numpy(np.int64)
+    pair["jaccard"] = common.astype(np.float64) / (
+        na + nb - common
+    ).astype(np.float64)
+    pair = pair.rename(columns={"g_a": "group_a", "g_b": "group_b"})
+    return (
+        pair.sort_values(["group_a", "group_b"], kind="stable")
+        .reset_index(drop=True)
+    )

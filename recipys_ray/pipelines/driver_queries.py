@@ -3467,6 +3467,64 @@ def q_debounce(sf_dir):
     return _select(out, ["event_id", "user_id", "bucket"])
 
 
+def q_group_share(sf_dir):
+    """Share-of-group spend per event (ops/groupstats.group_share):
+    integer-cents totals are exact and order-free, so the single division
+    is bit-equal to SQL v / sum(v) OVER (PARTITION BY g)."""
+    from recipys_ray.ops.groupstats import group_share
+
+    ds = _events(sf_dir)
+
+    def cents(tbl: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.round(pc.multiply(tbl.column("value"), 100.0)), pa.int64()
+        )
+        return tbl.append_column("cents", c)
+
+    ds = ds.map_batches(cents, batch_format="pyarrow")
+    out = group_share(ds, ["user_id"], "cents", ["event_id"])
+    return _select(out, ["event_id", "share"])
+
+
+def q_seq_index(sf_dir):
+    """Within-user sequence index (ops/groupstats.group_seq_index) —
+    turn-index reconstruction; SQL row_number parity, exact int64."""
+    from recipys_ray.ops.groupstats import group_seq_index
+
+    ds = _events(sf_dir)
+    out = group_seq_index(
+        ds, ["user_id"], ["ts", "event_id"], ["event_id"]
+    )
+    return _select(out, ["event_id", "seq_idx"])
+
+
+def q_source_vocab_sim(sf_dir):
+    """Pairwise vocabulary Jaccard between sources (ops/text.
+    source_similarity): distinct (source, token) combiner → token-hash
+    exchange → per-token pair counts; driver folds k² rows. Exact int
+    counts, one division."""
+    from recipys_ray.ops.text import source_similarity
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    return source_similarity(ds, group_col="source")
+
+
+def q_compress_ratio(sf_dir):
+    """zlib compression-ratio quality proxy (ops/text.compression_ratio)
+    — golden oracle (scripts/gen_expected.compression_expected, the
+    independent sequential implementation; keyed by corpus so one SQL
+    string serves every sf)."""
+    from recipys_ray.ops.text import compression_ratio
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = compression_ratio(ds)
+    return _select(out, ["doc_id", "n_bytes", "n_comp", "comp_ratio"])
+
+
 ORACLES: dict[str, str] = {
     "impute_zero": f"""
         SELECT event_id, coalesce({_VALN_SQL}, 0) AS valn FROM events
@@ -5876,6 +5934,54 @@ ORACLES: dict[str, str] = {
           FROM events WHERE ts IS NOT NULL
         ) WHERE rn = 1
     """,
+    "group_share": """
+        WITH w AS (
+          SELECT event_id, user_id,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events
+        )
+        SELECT event_id,
+               cents / CAST(sum(cents) OVER (PARTITION BY user_id)
+                            AS BIGINT) AS share
+        FROM w
+    """,
+    "seq_index": """
+        SELECT event_id,
+               CAST(row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id)
+                    AS BIGINT) AS seq_idx
+        FROM events
+    """,
+    "source_vocab_sim": r"""
+        WITH st AS (
+          SELECT DISTINCT source, token FROM (
+            SELECT source,
+                   unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                             '\w+')) AS token
+            FROM documents
+          )
+        ), sz AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n FROM st
+          GROUP BY source
+        ), pairs AS (
+          SELECT a.source AS group_a, b.source AS group_b,
+                 CAST(count(*) AS BIGINT) AS n_common
+          FROM st a JOIN st b
+            ON a.token = b.token AND a.source < b.source
+          GROUP BY 1, 2
+        )
+        SELECT group_a, group_b, n_common,
+               n_common / (za.n + zb.n - n_common) AS jaccard
+        FROM pairs
+        JOIN sz za ON za.source = group_a
+        JOIN sz zb ON zb.source = group_b
+    """,
+    "compress_ratio": """
+        SELECT doc_id, n_bytes, n_comp, comp_ratio
+        FROM read_parquet('/root/repo/expected/compress_ratio_*.parquet')
+        WHERE corpus_key = (SELECT count(*) || '_' ||
+                            CAST(sum(n_chars) AS BIGINT) FROM documents)
+    """,
 }
 
 
@@ -6042,4 +6148,8 @@ QUERIES = {
     "argmax_doc": q_argmax_doc,
     "pattern_counts": q_pattern_counts,
     "debounce": q_debounce,
+    "group_share": q_group_share,
+    "seq_index": q_seq_index,
+    "source_vocab_sim": q_source_vocab_sim,
+    "compress_ratio": q_compress_ratio,
 }

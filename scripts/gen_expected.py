@@ -423,6 +423,28 @@ def hll_expected(ev: pd.DataFrame, p: int = 12) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["event_type", "n_distinct_approx"])
 
 
+def compression_expected(docs: pd.DataFrame, level: int = 6) -> pd.DataFrame:
+    """Sequential zlib compression-ratio reference (ops/text.
+    compression_ratio): per-doc UTF-8 byte length, compressed length at
+    the fixed level, and the single-division ratio (NULL for empty)."""
+    import zlib
+
+    ids = docs["doc_id"].to_numpy()
+    nb = np.empty(len(docs), dtype=np.int64)
+    nc = np.empty(len(docs), dtype=np.int64)
+    for i, t in enumerate(docs["text"].fillna("")):
+        raw = t.encode("utf-8")
+        nb[i] = len(raw)
+        nc[i] = len(zlib.compress(raw, level))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = nc.astype(np.float64) / nb.astype(np.float64)
+    out = pd.DataFrame({
+        "doc_id": ids, "n_bytes": nb, "n_comp": nc, "comp_ratio": ratio,
+    })
+    out.loc[nb == 0, "comp_ratio"] = np.nan
+    return out
+
+
 def main():
     np.seterr(over="ignore")  # uint64 wraparound is the hash arithmetic
     os.makedirs(OUT_DIR, exist_ok=True)
@@ -487,6 +509,12 @@ def main():
         out.to_parquet(path, index=False)
         print(f"{path}: {len(out)} rows, "
               f"{(out['root'] != out['doc_id']).sum()} non-roots")
+        out = compression_expected(docs)
+        out["corpus_key"] = corpus_key
+        path = os.path.join(OUT_DIR, f"compress_ratio_{corpus_key}.parquet")
+        out.to_parquet(path, index=False)
+        print(f"{path}: {len(out)} rows")
+
 
 
 if __name__ == "__main__":

@@ -5872,3 +5872,149 @@ class TestDebounceEvents:
             for p in (1, 5)
         ]
         pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+class TestGroupShare:
+    def test_matches_duckdb_window_share(self, ray_session):
+        import duckdb
+        from recipys_ray.ops.groupstats import group_share
+
+        rng = np.random.default_rng(107)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 10, 400),
+            "id": np.arange(400, dtype=np.int64),
+            "v": rng.integers(1, 500, 400),
+        })
+        got = (
+            group_share(rd.from_pandas(pdf), ["g"], "v", ["id"])
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute("""
+            SELECT id, v / CAST(sum(v) OVER (PARTITION BY g) AS BIGINT)
+                     AS share
+            FROM t ORDER BY id
+        """).df().reset_index(drop=True)
+        gv = got["share"].to_numpy(np.float64, na_value=np.nan)
+        assert np.array_equal(gv, exp["share"].to_numpy())  # bit-equal
+
+    def test_zero_group_and_nulls(self, ray_session):
+        from recipys_ray.ops.groupstats import group_share
+
+        pdf = pd.DataFrame({
+            "g": [0, 0, 1, 1],
+            "id": [1, 2, 3, 4],
+            "v": pd.array([3, 1, 0, 0], dtype="Int64"),
+        })
+        pdf.loc[1, "v"] = pd.NA
+        got = (
+            group_share(rd.from_pandas(pdf), ["g"], "v", ["id"])
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        assert got["share"].iloc[0] == 1.0  # null excluded from total
+        assert pd.isna(got["share"].iloc[1])  # null value
+        assert got["share"].iloc[2:].isna().all()  # all-zero group
+
+
+class TestGroupSeqIndex:
+    def test_matches_duckdb_rownumber(self, ray_session):
+        import duckdb
+        from recipys_ray.ops.groupstats import group_seq_index
+
+        rng = np.random.default_rng(108)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 8, 300),
+            "o": rng.permutation(300).astype(np.int64),
+            "id": np.arange(300, dtype=np.int64),
+        })
+        got = (
+            group_seq_index(rd.from_pandas(pdf), ["g"], ["o"], ["id"])
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute("""
+            SELECT id, CAST(row_number() OVER (PARTITION BY g ORDER BY o)
+                            AS BIGINT) AS seq_idx
+            FROM t ORDER BY id
+        """).df().reset_index(drop=True)
+        assert got["seq_idx"].tolist() == exp["seq_idx"].tolist()
+
+
+class TestSourceSimilarity:
+    def test_matches_duckdb_vocab_jaccard(self, ray_session):
+        import duckdb
+        from recipys_ray.ops.text import source_similarity
+
+        rng = np.random.default_rng(109)
+        vocab = [f"tok{i}" for i in range(30)]
+        srcs = ["s1", "s2", "s3"]
+        texts, src_col = [], []
+        for _ in range(200):
+            src = rng.choice(srcs)
+            # give each source a biased vocabulary slice
+            lo = {"s1": 0, "s2": 8, "s3": 16}[src]
+            words = rng.choice(vocab[lo:lo + 14], rng.integers(2, 10))
+            texts.append(" ".join(words))
+            src_col.append(src)
+        pdf = pd.DataFrame({"source": src_col, "text": texts})
+        got = source_similarity(rd.from_pandas(pdf)).reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        exp = con.execute(r"""
+            WITH st AS (
+              SELECT DISTINCT source, token FROM (
+                SELECT source,
+                       unnest(regexp_extract_all(lower(coalesce(text,'')),
+                                                 '\w+')) AS token
+                FROM documents
+              )
+            ), sz AS (
+              SELECT source, CAST(count(*) AS BIGINT) n FROM st
+              GROUP BY source
+            ), pairs AS (
+              SELECT a.source group_a, b.source group_b,
+                     CAST(count(*) AS BIGINT) n_common
+              FROM st a JOIN st b
+                ON a.token = b.token AND a.source < b.source
+              GROUP BY 1, 2
+            )
+            SELECT group_a, group_b, n_common,
+                   n_common / (za.n + zb.n - n_common) AS jaccard
+            FROM pairs JOIN sz za ON za.source = group_a
+            JOIN sz zb ON zb.source = group_b
+            ORDER BY group_a, group_b
+        """).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+class TestCompressionRatio:
+    def test_matches_sequential_zlib(self, ray_session):
+        import zlib
+        from recipys_ray.ops.text import compression_ratio
+
+        pdf = pd.DataFrame({
+            "doc_id": np.arange(5, dtype=np.int64),
+            "text": ["abc " * 50, "x", "", None, "zyx kw pq 889"],
+        })
+        got = (
+            compression_ratio(rd.from_pandas(pdf))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        for i, t in enumerate(pdf["text"]):
+            if t is None:
+                assert pd.isna(got["n_bytes"].iloc[i])
+                assert pd.isna(got["comp_ratio"].iloc[i])
+                continue
+            raw = t.encode("utf-8")
+            assert got["n_bytes"].iloc[i] == len(raw)
+            assert got["n_comp"].iloc[i] == len(zlib.compress(raw, 6))
+            if len(raw) == 0:
+                assert pd.isna(got["comp_ratio"].iloc[i])
+            else:
+                assert got["comp_ratio"].iloc[i] == np.float64(
+                    len(zlib.compress(raw, 6))
+                ) / np.float64(len(raw))
+        # repetitive text compresses below short high-entropy text
+        assert got["comp_ratio"].iloc[0] < got["comp_ratio"].iloc[4]
