@@ -51,6 +51,7 @@ from recipys_ray.ops.quantiles import (
     group_quantiles,
     histogram,
     kbins_quantile_exact,
+    grouped_histogram,
     grouped_robust_zscore,
     grouped_winsorize,
     robust_zscore,
@@ -113,6 +114,7 @@ from recipys_ray.ops.rollup import rollup_aggregate
 from recipys_ray.ops.frequent import cms_counts, frequent_items
 from recipys_ray.ops.reshape import group_concat, melt, pivot
 from recipys_ray.ops.sampling import (
+    balanced_sample,
     hash_sample,
     weighted_sample,
     hash_split,
@@ -135,6 +137,7 @@ from recipys_ray.ops.text import (
     pattern_counts,
     remove_boilerplate_tokens,
     source_similarity,
+    top_tokens_per_source,
     pmi_bigrams,
     gopher_quality_filter,
     redact_pii,
@@ -159,7 +162,7 @@ __all__ = [
     "decode_images", "read_webdataset", "extract_json_int", "funnel", "cohort_retention", "pack_sequences", "profile", "benford_counts",
     "exact_quantiles", "exact_quantiles_cont", "group_quantiles",
     "winsorize", "robust_zscore", "grouped_robust_zscore",
-    "grouped_winsorize",
+    "grouped_winsorize", "grouped_histogram",
     "kbins_quantile_exact",
     "histogram",
     "rollup_aggregate", "add_global_rank", "add_ntile", "value_ranks",
@@ -183,7 +186,7 @@ __all__ = [
     "expanding_mean_exclusive", "grouped_argmax", "group_share",
     "group_seq_index",
     "fit_pca", "pca_project", "target_encode", "feature_hash",
-    "hash_sample", "hash_split",
+    "balanced_sample", "hash_sample", "hash_split",
     "mix_sources", "mix_temperature", "sample_per_group",
     "weighted_sample", "time_split",
     "pivot", "melt", "group_concat", "frequent_items", "cms_counts", "semantic_dedup", "knn_brute_force",
@@ -191,6 +194,7 @@ __all__ = [
     "build_vocab", "compression_ratio", "doc_term_counts",
     "normalize_text", "pattern_counts", "remove_boilerplate_tokens",
     "redact_pii", "source_similarity", "text_features",
+    "top_tokens_per_source",
     "gopher_quality_filter",
     "tfidf_top_terms", "unigram_lm_score", "bigram_lm_score",
     "top_k_per_group",

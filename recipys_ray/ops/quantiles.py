@@ -678,3 +678,76 @@ def grouped_winsorize(
         ds.select_columns(cols), gcols, per_partition,
         num_partitions=num_partitions,
     )
+
+
+def grouped_histogram(
+    ds,
+    group_cols,
+    col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+    bucket_col: str = "bucket",
+    edge_col: str = "lo_edge",
+    cnt_col: str = "cnt",
+    num_partitions: int | None = None,
+):
+    """Per-GROUP fixed-range equal-width histogram — :func:`histogram`
+    keyed by segment (per-source length profiles, per-class score
+    distributions). Same float contract: bucket ids ``floor((v-lo)/w)``
+    and edges ``lo + bucket*w`` are single IEEE ops mirrored by a SQL
+    oracle stating the identical expressions; out-of-range values and
+    nulls are dropped; ``v == hi`` clips into the last bucket; only
+    non-empty (group, bucket) cells are emitted (SQL GROUP BY shape).
+
+    Motion: each block shrinks to ≤ (groups-in-block · nbins) partial
+    rows via one vectorized keyed bincount (pandas groupby-size C
+    kernel); ONE tiny exchange on the group key folds cells — the data
+    column itself never shuffles. Output: group_cols + [bucket_col,
+    edge_col, cnt_col].
+    """
+    if nbins < 1:
+        raise ValueError(f"nbins must be >= 1, got {nbins}")
+    lo = float(lo)
+    hi = float(hi)
+    w = (hi - lo) / nbins
+    gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        pdf = tbl.select(gcols + [col]).to_pandas()
+        v = pdf[col].to_numpy(np.float64)
+        m = (v >= lo) & (v <= hi)  # NaN fails both -> dropped
+        pdf = pdf[m]
+        b = np.floor((v[m] - lo) / w).astype(np.int64)
+        np.minimum(b, nbins - 1, out=b)
+        pdf = pdf.assign(**{bucket_col: b})
+        cells = (
+            pdf.groupby(gcols + [bucket_col], sort=False, dropna=False,
+                        observed=True)
+            .size()
+            .reset_index(name=cnt_col)
+        )
+        cells[cnt_col] = cells[cnt_col].astype(np.int64)
+        return pa.Table.from_pandas(cells, preserve_index=False)
+
+    parts = ds.select_columns(gcols + [col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            pdf.groupby(gcols + [bucket_col], sort=False, dropna=False,
+                        observed=True)[cnt_col]
+            .sum()
+            .reset_index()
+        )
+        b = out[bucket_col].to_numpy(np.int64)
+        out[edge_col] = lo + b.astype(np.float64) * w
+        out[cnt_col] = out[cnt_col].astype(np.int64)
+        return out[gcols + [bucket_col, edge_col, cnt_col]]
+
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    return partitioned_groupby_map(
+        parts, gcols, finish, num_partitions=num_partitions
+    )

@@ -336,3 +336,136 @@ def time_split(
         return tbl.append_column(label_col, lab)
 
     return ds.map_batches(stamp, batch_format="pyarrow")
+
+
+def balanced_sample(
+    ds,
+    class_col: str,
+    id_col: str,
+    boundary_cap: int = 2_000_000,
+    _bucket_bits: int = 12,
+):
+    """Exact class rebalancing: downsample every class to the SMALLEST
+    class's row count, keeping each class's ``n_min`` rows with the
+    lowest ``(murmurhash64(id), id)`` — deterministic, order- and
+    partition-independent, engine-reproducible (DuckDB: ``row_number()
+    OVER (PARTITION BY class ORDER BY hash(id), id) <= n_min``).
+
+    NO payload shuffle at any class size — per-class counting selection
+    over the hash domain instead of a sort:
+
+    1. one combiner pass folds (class, hash-top-bits bucket) counts —
+       ≤ classes · 2^bits tiny rows on the driver;
+    2. each class's cutoff bucket is located by cumulative count; ONLY
+       that bucket's members (expected n_class / 2^bits rows, capped by
+       ``boundary_cap``) are collected to rank the exact cutoff
+       ``(hash, id)`` pair — classes already at ``n_min`` skip straight
+       to keep-all;
+    3. one streaming stamp filter keeps rows strictly below the cutoff
+       (ties broken by id, mirroring the SQL ORDER BY).
+
+    Rows with a null class or id are dropped. Returns the kept rows with
+    all input columns.
+    """
+    from recipys_ray.kernels.duckdb_parity import murmurhash64
+
+    shift = np.uint64(64 - _bucket_bits)
+
+    def bucket_counts(tbl: pa.Table) -> pa.Table:
+        cls = tbl.column(class_col).to_pandas()
+        ids = tbl.column(id_col).to_pandas()
+        ok = cls.notna() & ids.notna()
+        h = murmurhash64(ids[ok].to_numpy())
+        pdf = pd.DataFrame({
+            "cls": cls[ok].to_numpy(),
+            "b": (h >> shift).astype(np.int64),
+        })
+        out = (
+            pdf.groupby(["cls", "b"], sort=False, observed=True)
+            .size()
+            .reset_index(name="n")
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = (
+        ds.select_columns([class_col, id_col])
+        .map_batches(bucket_counts, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["cls", "b"], sort=True)["n"]
+        .sum()
+        .reset_index()
+    )
+    if not len(parts):
+        return ds.limit(0)
+    totals = parts.groupby("cls")["n"].sum()
+    n_min = int(totals.min())
+
+    # locate each class's cutoff bucket: first bucket where cum >= n_min
+    boundary: dict = {}  # cls -> (bucket, rank_within_bucket)
+    keep_all = set()
+    for cls, grp in parts.groupby("cls", sort=False):
+        if int(totals[cls]) == n_min:
+            keep_all.add(cls)
+            continue
+        cum = grp["n"].cumsum()
+        i = int(np.searchsorted(cum.to_numpy(), n_min, side="left"))
+        before = int(cum.iloc[i - 1]) if i else 0
+        boundary[cls] = (int(grp["b"].iloc[i]), n_min - before)
+
+    def collect_boundary(tbl: pa.Table) -> pa.Table:
+        cls = tbl.column(class_col).to_pandas()
+        ids = tbl.column(id_col).to_pandas()
+        ok = cls.notna() & ids.notna()
+        idv = ids[ok].to_numpy()
+        clv = cls[ok].to_numpy()
+        h = murmurhash64(idv)
+        b = (h >> shift).astype(np.int64)
+        bmap = pd.Series({c: v[0] for c, v in boundary.items()})
+        wantb = pd.Series(clv).map(bmap).to_numpy(np.float64)
+        want = wantb == b.astype(np.float64)  # NaN (keep-all cls) -> False
+        return pa.table({
+            "cls": pa.array(clv[want]),
+            "h": pa.array(h[want], pa.uint64()),
+            "id": pa.array(idv[want]),
+        })
+
+    if boundary:
+        bdf = (
+            ds.select_columns([class_col, id_col])
+            .map_batches(collect_boundary, batch_format="pyarrow")
+            .to_pandas()
+        )
+        if len(bdf) > boundary_cap:
+            raise ValueError(
+                f"boundary buckets hold {len(bdf)} rows > boundary_cap="
+                f"{boundary_cap}; raise _bucket_bits"
+            )
+        cuts: dict = {}
+        for cls, grp in bdf.groupby("cls", sort=False):
+            grp = grp.sort_values(["h", "id"], kind="stable")
+            _, rank = boundary[cls]
+            row = grp.iloc[rank - 1]
+            cuts[cls] = (np.uint64(row["h"]), row["id"])
+    else:
+        cuts = {}
+
+    def stamp(tbl: pa.Table) -> pa.Table:
+        cls = tbl.column(class_col).to_pandas()
+        ids = tbl.column(id_col).to_pandas()
+        ok = (cls.notna() & ids.notna()).to_numpy()
+        idv = ids.to_numpy()
+        clv = cls.to_numpy()
+        h = murmurhash64(idv)
+        keep = np.zeros(len(tbl), dtype=bool)
+        for c in np.unique(clv[ok]):
+            m = ok & (clv == c)
+            if c in keep_all:
+                keep[m] = True
+                continue
+            cut_h, cut_id = cuts[c]
+            hm = h[m]
+            keep[m] = (hm < cut_h) | ((hm == cut_h) & (idv[m] <= cut_id))
+        return tbl.filter(pa.array(keep))
+
+    return ds.map_batches(stamp, batch_format="pyarrow")

@@ -1489,3 +1489,72 @@ def source_similarity(
         pair.sort_values(["group_a", "group_b"], kind="stable")
         .reset_index(drop=True)
     )
+
+
+def top_tokens_per_source(
+    ds,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 10,
+    num_partitions: int | None = None,
+):
+    """Exact top-``k`` tokens per corpus segment by term frequency (ties
+    broken token-ascending) — the per-source vocabulary profile behind
+    mixture audits and source-specific stopword lists.
+
+    Combiner shape: each block shrinks to its distinct ``(group, token,
+    count)`` partial rows (one vectorized groupby-size over the Arrow RE2
+    word stream — never raw tokens); partials hash-partition by GROUP, so
+    one partition totals a segment's whole vocabulary and ranks it in one
+    vectorized sort. Exact because every (group, token) pair lives in
+    exactly one partition. Output: group_col, token, cnt (int64), rnk
+    (1-based int64).
+    """
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        words, counts = word_stream(tbl.column(text_col))
+        grp = tbl.column(group_col).to_numpy(zero_copy_only=False)
+        pdf = pd.DataFrame({
+            group_col: np.repeat(grp, counts),
+            "token": words.to_numpy(zero_copy_only=False),
+        })
+        out = (
+            pdf.groupby([group_col, "token"], sort=False, dropna=False,
+                        observed=True)
+            .size()
+            .reset_index(name="cnt")
+        )
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.select_columns([group_col, text_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        tot = (
+            pdf.groupby([group_col, "token"], sort=False, dropna=False,
+                        observed=True)["cnt"]
+            .sum()
+            .reset_index()
+        )
+        tot = tot.sort_values(
+            [group_col, "cnt", "token"], kind="stable",
+            ascending=[True, False, True],
+        )
+        rnk = (
+            tot.groupby(group_col, sort=False, dropna=False,
+                        observed=True)
+            .cumcount()
+            .to_numpy(np.int64)
+            + 1
+        )
+        tot["rnk"] = rnk
+        tot = tot[tot["rnk"] <= k]
+        tot["cnt"] = tot["cnt"].astype(np.int64)
+        return tot.reset_index(drop=True)
+
+    return partitioned_groupby_map(
+        parts, [group_col], finish, num_partitions=num_partitions
+    )

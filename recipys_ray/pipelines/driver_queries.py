@@ -3525,6 +3525,50 @@ def q_compress_ratio(sf_dir):
     return _select(out, ["doc_id", "n_bytes", "n_comp", "comp_ratio"])
 
 
+def q_balanced_sample(sf_dir):
+    """Exact class rebalancing to the smallest event_type's count
+    (ops/sampling.balanced_sample): per-class counting selection over the
+    murmur hash domain (≡ DuckDB hash()) — no payload shuffle at any
+    class size; deterministic (hash, id) cutoff mirrors the SQL
+    row_number ORDER BY hash(id), id."""
+    from recipys_ray.ops.sampling import balanced_sample
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type"]
+    )
+    out = balanced_sample(ds, "event_type", "event_id")
+    return _select(out, ["event_id", "event_type"])
+
+
+def q_grouped_histogram(sf_dir):
+    """Per-event-type equal-width histogram of value
+    (ops/quantiles.grouped_histogram): keyed bincount combiner, ONE tiny
+    cell exchange; bucket ids/edges are single IEEE ops mirrored by the
+    oracle."""
+    from recipys_ray.ops.quantiles import grouped_histogram
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    out = grouped_histogram(
+        ds, ["event_type"], "value", lo=0.0, hi=500.0, nbins=20
+    )
+    return _select(out, ["event_type", "bucket", "lo_edge", "cnt"])
+
+
+def q_top_tokens_per_source(sf_dir):
+    """Exact per-source top-5 tokens (ops/text.top_tokens_per_source):
+    distinct (source, token, count) block combiner → group-hash exchange
+    → one vectorized rank. Exact int64 counts; ties token-ascending."""
+    from recipys_ray.ops.text import top_tokens_per_source
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    out = top_tokens_per_source(ds, k=5)
+    return _select(out, ["source", "token", "cnt", "rnk"])
+
+
 ORACLES: dict[str, str] = {
     "impute_zero": f"""
         SELECT event_id, coalesce({_VALN_SQL}, 0) AS valn FROM events
@@ -5982,6 +6026,52 @@ ORACLES: dict[str, str] = {
         WHERE corpus_key = (SELECT count(*) || '_' ||
                             CAST(sum(n_chars) AS BIGINT) FROM documents)
     """,
+    "balanced_sample": """
+        WITH c AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events
+          GROUP BY 1
+        ), m AS (SELECT min(n) AS n_min FROM c),
+        r AS (
+          SELECT event_id, event_type,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY hash(event_id), event_id)
+                   AS rn
+          FROM events
+        )
+        SELECT event_id, event_type FROM r
+        WHERE rn <= (SELECT n_min FROM m)
+    """,
+    "grouped_histogram": """
+        WITH b AS (
+          SELECT event_type,
+                 CAST(least(floor((value - 0.0) / ((500.0 - 0.0) / 20)),
+                            19) AS BIGINT) AS bucket
+          FROM events
+          WHERE value >= 0.0 AND value <= 500.0
+        )
+        SELECT event_type, bucket,
+               0.0 + bucket * ((500.0 - 0.0) / 20) AS lo_edge,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM b GROUP BY event_type, bucket
+    """,
+    "top_tokens_per_source": r"""
+        WITH tok AS (
+          SELECT source,
+                 unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                           '\w+')) AS token
+          FROM documents
+        ), c AS (
+          SELECT source, token, CAST(count(*) AS BIGINT) AS cnt
+          FROM tok GROUP BY 1, 2
+        )
+        SELECT source, token, cnt, rnk FROM (
+          SELECT source, token, cnt,
+                 CAST(row_number() OVER (PARTITION BY source
+                                         ORDER BY cnt DESC, token ASC)
+                      AS BIGINT) AS rnk
+          FROM c
+        ) WHERE rnk <= 5
+    """,
 }
 
 
@@ -6152,4 +6242,7 @@ QUERIES = {
     "seq_index": q_seq_index,
     "source_vocab_sim": q_source_vocab_sim,
     "compress_ratio": q_compress_ratio,
+    "balanced_sample": q_balanced_sample,
+    "grouped_histogram": q_grouped_histogram,
+    "top_tokens_per_source": q_top_tokens_per_source,
 }

@@ -6018,3 +6018,142 @@ class TestCompressionRatio:
                 ) / np.float64(len(raw))
         # repetitive text compresses below short high-entropy text
         assert got["comp_ratio"].iloc[0] < got["comp_ratio"].iloc[4]
+
+
+class TestBalancedSample:
+    def test_matches_duckdb_hash_rownumber(self, ray_session):
+        import duckdb
+        from recipys_ray.ops.sampling import balanced_sample
+
+        rng = np.random.default_rng(110)
+        pdf = pd.DataFrame({
+            "id": np.arange(700, dtype=np.int64),
+            "cls": rng.choice(["a", "b", "c"], 700, p=[0.6, 0.3, 0.1]),
+        })
+        got = (
+            balanced_sample(rd.from_pandas(pdf), "cls", "id")
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute("""
+            WITH c AS (SELECT cls, CAST(count(*) AS BIGINT) n FROM t
+                       GROUP BY 1),
+            m AS (SELECT min(n) n_min FROM c),
+            r AS (SELECT id, cls, row_number() OVER (
+                    PARTITION BY cls ORDER BY hash(id), id) rn FROM t)
+            SELECT id, cls FROM r WHERE rn <= (SELECT n_min FROM m)
+            ORDER BY id
+        """).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["id", "cls"]], exp, check_dtype=False
+        )
+        # every class downsampled to exactly the smallest class count
+        vc = got["cls"].value_counts()
+        assert (vc == vc.min()).all()
+
+    def test_partition_invariance(self, ray_session):
+        from recipys_ray.ops.sampling import balanced_sample
+
+        rng = np.random.default_rng(111)
+        pdf = pd.DataFrame({
+            "id": np.arange(500, dtype=np.int64),
+            "cls": rng.choice(["x", "y"], 500, p=[0.8, 0.2]),
+        })
+        outs = [
+            balanced_sample(rd.from_pandas(pdf).repartition(p),
+                            "cls", "id")
+            .to_pandas().sort_values("id").reset_index(drop=True)
+            for p in (1, 6)
+        ]
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+class TestGroupedHistogram:
+    def test_matches_duckdb_cells(self, ray_session):
+        import duckdb
+        from recipys_ray.ops.quantiles import grouped_histogram
+
+        rng = np.random.default_rng(112)
+        pdf = pd.DataFrame({
+            "g": rng.choice(["p", "q", "r"], 800),
+            "v": rng.uniform(-10, 110, 800),
+        })
+        pdf.loc[rng.random(800) < 0.05, "v"] = np.nan
+        got = (
+            grouped_histogram(rd.from_pandas(pdf), ["g"], "v",
+                              lo=0.0, hi=100.0, nbins=10)
+            .to_pandas().sort_values(["g", "bucket"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute("""
+            WITH b AS (
+              SELECT g, CAST(least(floor((v - 0.0) / ((100.0-0.0)/10)),
+                                   9) AS BIGINT) AS bucket
+              FROM t WHERE v >= 0.0 AND v <= 100.0
+            )
+            SELECT g, bucket, 0.0 + bucket * ((100.0-0.0)/10) AS lo_edge,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM b GROUP BY g, bucket ORDER BY g, bucket
+        """).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_partition_invariance(self, ray_session):
+        from recipys_ray.ops.quantiles import grouped_histogram
+
+        rng = np.random.default_rng(113)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 4, 400),
+            "v": rng.uniform(0, 50, 400),
+        })
+        outs = [
+            grouped_histogram(rd.from_pandas(pdf).repartition(p),
+                              ["g"], "v", lo=0.0, hi=50.0, nbins=8,
+                              num_partitions=np_)
+            .to_pandas().sort_values(["g", "bucket"])
+            .reset_index(drop=True)
+            for p, np_ in ((1, 1), (5, 4))
+        ]
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+class TestTopTokensPerSource:
+    def test_matches_duckdb_rank(self, ray_session):
+        import duckdb
+        from recipys_ray.ops.text import top_tokens_per_source
+
+        rng = np.random.default_rng(114)
+        vocab = [f"t{i}" for i in range(15)]
+        srcs = rng.choice(["s1", "s2"], 150)
+        texts = [
+            " ".join(rng.choice(vocab, rng.integers(3, 12)))
+            for _ in range(150)
+        ]
+        pdf = pd.DataFrame({"source": srcs, "text": texts})
+        got = (
+            top_tokens_per_source(rd.from_pandas(pdf), k=4)
+            .to_pandas().sort_values(["source", "rnk"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        exp = con.execute(r"""
+            WITH tok AS (
+              SELECT source,
+                     unnest(regexp_extract_all(lower(coalesce(text,'')),
+                                               '\w+')) AS token
+              FROM documents
+            ), c AS (
+              SELECT source, token, CAST(count(*) AS BIGINT) cnt
+              FROM tok GROUP BY 1, 2
+            )
+            SELECT source, token, cnt, rnk FROM (
+              SELECT source, token, cnt,
+                     CAST(row_number() OVER (PARTITION BY source
+                          ORDER BY cnt DESC, token ASC) AS BIGINT) rnk
+              FROM c
+            ) WHERE rnk <= 4 ORDER BY source, rnk
+        """).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
