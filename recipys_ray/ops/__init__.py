@@ -110,6 +110,7 @@ from recipys_ray.ops.setops import (
     intersect_distinct,
     table_diff,
 )
+from recipys_ray.ops.quality import quality_checks
 from recipys_ray.ops.rollup import rollup_aggregate
 from recipys_ray.ops.frequent import cms_counts, frequent_items
 from recipys_ray.ops.reshape import group_concat, melt, pivot
@@ -189,7 +190,8 @@ __all__ = [
     "balanced_sample", "hash_sample", "hash_split",
     "mix_sources", "mix_temperature", "sample_per_group",
     "weighted_sample", "time_split",
-    "pivot", "melt", "group_concat", "frequent_items", "cms_counts", "semantic_dedup", "knn_brute_force",
+    "pivot", "melt", "group_concat", "frequent_items", "cms_counts",
+    "quality_checks", "semantic_dedup", "knn_brute_force",
     "knn_ivf", "duplicate_spans", "RepetitionStats", "TextFeaturizer",
     "build_vocab", "compression_ratio", "doc_term_counts",
     "normalize_text", "pattern_counts", "remove_boilerplate_tokens",

@@ -3569,6 +3569,30 @@ def q_top_tokens_per_source(sf_dir):
     return _select(out, ["source", "token", "cnt", "rnk"])
 
 
+def q_quality_checks(sf_dir):
+    """Declarative data-quality gate (ops/quality.quality_checks): one
+    streaming pass for the stateless rules + the distinct-combiner pass
+    for uniqueness; exact integer report, bit-equal to the SQL scalar
+    UNION."""
+    from recipys_ray.ops.quality import quality_checks
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value", "ts"],
+    )
+    return quality_checks(ds, [
+        {"name": "value_range", "kind": "range", "col": "value",
+         "lo": 0.0, "hi": 400.0},
+        {"name": "ts_not_null", "kind": "not_null", "col": "ts"},
+        {"name": "type_regex", "kind": "regex", "col": "event_type",
+         "pattern": "[a-z_]+"},
+        {"name": "type_accepted", "kind": "accepted_values",
+         "col": "event_type",
+         "values": ["view", "click", "purchase", "signup"]},
+        {"name": "event_id_unique", "kind": "unique", "col": "event_id"},
+    ])
+
+
 ORACLES: dict[str, str] = {
     "impute_zero": f"""
         SELECT event_id, coalesce({_VALN_SQL}, 0) AS valn FROM events
@@ -6072,6 +6096,37 @@ ORACLES: dict[str, str] = {
           FROM c
         ) WHERE rnk <= 5
     """,
+    "quality_checks": """
+        SELECT 'value_range' AS "check",
+               CAST(count(*) AS BIGINT) AS n_checked,
+               CAST(sum(CASE WHEN value IS NOT NULL
+                             AND (value < 0.0 OR value > 400.0)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        FROM events
+        UNION ALL
+        SELECT 'ts_not_null', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM events
+        UNION ALL
+        SELECT 'type_regex', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN event_type IS NOT NULL
+                             AND NOT regexp_full_match(event_type,
+                                                       '[a-z_]+')
+                        THEN 1 ELSE 0 END) AS BIGINT)
+        FROM events
+        UNION ALL
+        SELECT 'type_accepted', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN event_type IS NOT NULL
+                             AND event_type NOT IN
+                                 ('view', 'click', 'purchase', 'signup')
+                        THEN 1 ELSE 0 END) AS BIGINT)
+        FROM events
+        UNION ALL
+        SELECT 'event_id_unique', CAST(count(*) AS BIGINT),
+               CAST(count(*) - count(DISTINCT event_id) AS BIGINT)
+        FROM events
+    """,
 }
 
 
@@ -6245,4 +6300,5 @@ QUERIES = {
     "balanced_sample": q_balanced_sample,
     "grouped_histogram": q_grouped_histogram,
     "top_tokens_per_source": q_top_tokens_per_source,
+    "quality_checks": q_quality_checks,
 }

@@ -6157,3 +6157,60 @@ class TestTopTokensPerSource:
             ) WHERE rnk <= 4 ORDER BY source, rnk
         """).df().reset_index(drop=True)
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+class TestQualityChecks:
+    def test_matches_duckdb_scalars(self, ray_session):
+        import duckdb
+        from recipys_ray.ops.quality import quality_checks
+
+        rng = np.random.default_rng(115)
+        n = 500
+        pdf = pd.DataFrame({
+            "id": np.r_[np.arange(n - 2), [7, 7]].astype(np.int64),
+            "v": rng.uniform(-5, 105, n),
+            "s": rng.choice(["ok", "bad!", None], n, p=[0.8, 0.1, 0.1]),
+        })
+        pdf.loc[rng.random(n) < 0.05, "v"] = np.nan
+        got = quality_checks(rd.from_pandas(pdf), [
+            {"name": "v_range", "kind": "range", "col": "v",
+             "lo": 0.0, "hi": 100.0},
+            {"name": "s_not_null", "kind": "not_null", "col": "s"},
+            {"name": "s_regex", "kind": "regex", "col": "s",
+             "pattern": "[a-z]+"},
+            {"name": "s_accepted", "kind": "accepted_values", "col": "s",
+             "values": ["ok"]},
+            {"name": "id_unique", "kind": "unique", "col": "id"},
+        ])
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute("""
+            SELECT 'v_range' AS "check", CAST(count(*) AS BIGINT) n_checked,
+                   CAST(sum(CASE WHEN v IS NOT NULL AND (v < 0.0 OR v > 100.0)
+                            THEN 1 ELSE 0 END) AS BIGINT) n_violations FROM t
+            UNION ALL SELECT 's_not_null', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN s IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM t
+            UNION ALL SELECT 's_regex', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN s IS NOT NULL
+                            AND NOT regexp_full_match(s, '[a-z]+')
+                            THEN 1 ELSE 0 END) AS BIGINT) FROM t
+            UNION ALL SELECT 's_accepted', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN s IS NOT NULL AND s NOT IN ('ok')
+                            THEN 1 ELSE 0 END) AS BIGINT) FROM t
+            UNION ALL SELECT 'id_unique', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(DISTINCT id) AS BIGINT) FROM t
+        """).df()
+        g = got.sort_values("check").reset_index(drop=True)
+        e = exp.sort_values("check").reset_index(drop=True)
+        pd.testing.assert_frame_equal(g, e, check_dtype=False)
+        assert got.loc[got["check"] == "id_unique",
+                       "n_violations"].iloc[0] == 2
+
+    def test_bad_rules_rejected(self, ray_session):
+        from recipys_ray.ops.quality import quality_checks
+
+        with pytest.raises(ValueError):
+            quality_checks(None, [])
+        with pytest.raises(ValueError):
+            quality_checks(None, [{"name": "x", "kind": "nope",
+                                   "col": "c"}])
