@@ -203,6 +203,24 @@ def bench_queries() -> dict:
         "dup_clusters",
         "outer_join_counts",
         "kbins_quantile",
+        "scd2_intervals",
+        "budget_prefix",
+        "grouped_winsorize",
+        "remove_boilerplate",
+        "doc_term_counts",
+        "welch_ttest",
+        "prior_mean",
+        "argmax_doc",
+        "pattern_counts",
+        "debounce",
+        "group_share",
+        "seq_index",
+        "source_vocab_sim",
+        "compress_ratio",
+        "balanced_sample",
+        "grouped_histogram",
+        "top_tokens_per_source",
+        "quality_checks",
         "historical_salted",
     ]
     import gc
