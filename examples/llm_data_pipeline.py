@@ -36,6 +36,18 @@ def main(sf_dir: str = "/root/testdata/sf0.001",
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
+    # 0. data-quality gate: fail fast BEFORE any expensive pass if the
+    #    ingest is malformed (exact integer report, one streaming pass)
+    from recipys_ray.ops.quality import quality_checks
+
+    report = quality_checks(docs, [
+        {"name": "doc_id_unique", "kind": "unique", "col": "doc_id"},
+        {"name": "text_not_null", "kind": "not_null", "col": "text"},
+    ])
+    bad = int(report["n_violations"].sum())
+    if bad:
+        raise SystemExit(f"quality gate failed:\n{report}")
+
     # 1. curation: one shuffle, full SQL-oracled composition
     splits = curate_corpus(docs)
 
@@ -76,8 +88,18 @@ def main(sf_dir: str = "/root/testdata/sf0.001",
     # sources keep proportionally more
     train = mix_temperature(train, "source", "doc_id", alpha=0.5)
 
-    # 3b. near-dedup (MinHash+LSH) and feature enrichment
+    # 3b. near-dedup (MinHash+LSH), boilerplate strip, then enrichment
     train = minhash_dedup(train, text_col="text", id_col="doc_id")
+    # CCNet-style frequent-unit removal: Misra-Gries discovery bounds the
+    # broadcast stop set; the clean pass is pure Arrow kernels
+    from recipys_ray.ops.text import (
+        compression_ratio,
+        remove_boilerplate_tokens,
+    )
+
+    train = remove_boilerplate_tokens(train, min_fraction=0.05)
+    # compressibility quality signal rides along as a column
+    train = compression_ratio(train)
     enriched = text_features(train, text_col="text")
     keywords = tfidf_top_terms(train, vocab_size=500, top_n=3)
 
