@@ -117,6 +117,7 @@ from recipys_ray.ops.reshape import group_concat, melt, pivot
 from recipys_ray.ops.sampling import (
     balanced_sample,
     hash_sample,
+    negative_samples,
     weighted_sample,
     hash_split,
     mix_sources,
@@ -187,7 +188,7 @@ __all__ = [
     "expanding_mean_exclusive", "grouped_argmax", "group_share",
     "group_seq_index",
     "fit_pca", "pca_project", "target_encode", "feature_hash",
-    "balanced_sample", "hash_sample", "hash_split",
+    "balanced_sample", "hash_sample", "hash_split", "negative_samples",
     "mix_sources", "mix_temperature", "sample_per_group",
     "weighted_sample", "time_split",
     "pivot", "melt", "group_concat", "frequent_items", "cms_counts",

@@ -469,3 +469,75 @@ def balanced_sample(
         return tbl.filter(pa.array(keep))
 
     return ds.map_batches(stamp, batch_format="pyarrow")
+
+
+def negative_samples(
+    ds,
+    key_col: str,
+    items,
+    k: int = 1,
+    out_col: str = "neg_item",
+    j_col: str = "neg_j",
+    max_items: int = 50_000_000,
+):
+    """Deterministic negative sampling for contrastive / ranking training
+    data: for every input row, emit ``k`` rows whose ``out_col`` is a
+    pseudo-random pick from the item universe — reproducible across runs,
+    engines and partitionings because the pick is a pure function of the
+    row key: ``items_sorted[murmurhash64(key·k + j) mod n_items]``
+    (murmur ≡ DuckDB ``hash()``, so a SQL oracle states the same pick).
+
+    ``items``: the item universe — a sequence/array, or a Dataset with a
+    single column to collect (driver-bounded by ``max_items``; a product
+    catalog / vocab fits by construction — this op is NOT for sampling
+    from the event stream itself). The universe is sorted ascending and
+    broadcast once with ``ray.put``; sampling is one vectorized
+    hash+gather per batch, no shuffle, no RNG state.
+
+    Standard caveat (documented, not hidden): a negative can collide with
+    the row's positive — at realistic universe sizes the collision rate
+    is k/n and downstream losses either tolerate or filter it.
+
+    ``key_col`` must be int64 (row keys). Output: input columns + j_col
+    (0..k-1, int64) + out_col — k rows per input row.
+    """
+    import ray
+
+    from recipys_ray.kernels.duckdb_parity import murmurhash64
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if hasattr(items, "to_pandas"):
+        icol = items.schema().names[0]
+        idf = items.to_pandas()
+        vals = idf[icol].dropna().unique()
+    else:
+        vals = pd.Series(list(items)).dropna().unique()
+    if len(vals) > max_items:
+        raise ValueError(
+            f"item universe {len(vals)} > max_items={max_items}; "
+            "negative sampling broadcasts the universe — use a bounded "
+            "catalog/vocab"
+        )
+    if len(vals) == 0:
+        raise ValueError("item universe is empty")
+    universe = np.sort(vals)
+    n_items = np.uint64(len(universe))
+    uref = ray.put(universe)
+    kk = np.int64(k)
+
+    def sample(tbl: pa.Table) -> pa.Table:
+        uni = ray.get(uref)  # zero-copy plasma read per task
+        keys = tbl.column(key_col).to_numpy(zero_copy_only=False)
+        n = len(keys)
+        # k rows per input row, j fastest-varying (mirrors the SQL
+        # CROSS JOIN range(k) expansion)
+        rep = np.repeat(np.arange(n, dtype=np.int64), k)
+        j = np.tile(np.arange(k, dtype=np.int64), n)
+        h = murmurhash64(keys[rep] * kk + j)
+        idx = (h % n_items).astype(np.int64)
+        out = tbl.take(pa.array(rep))
+        out = out.append_column(j_col, pa.array(j, pa.int64()))
+        return out.append_column(out_col, pa.array(uni[idx]))
+
+    return ds.map_batches(sample, batch_format="pyarrow")

@@ -3593,6 +3593,76 @@ def q_quality_checks(sf_dir):
     ])
 
 
+def q_asof_nearest(sf_dir):
+    """NEAREST-direction point-in-time join: each event gets the user's
+    closest purchase in either direction, ties to the earlier one
+    (pandas merge_asof 'nearest' semantics, probed; the oracle states
+    the backward/forward pick with the same tie rule)."""
+    from recipys_ray.ops.asof import asof_join
+
+    left = _events(sf_dir, columns=["event_id", "user_id", "ts"])
+    ev = _events(
+        sf_dir, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+
+    def purchases(tbl: pa.Table) -> pa.Table:
+        mask = pc.equal(tbl.column("event_type"), "purchase")
+        sub = tbl.filter(mask)
+        return pa.table({
+            "user_id": sub.column("user_id"),
+            "ts": sub.column("ts"),
+            "event_id": sub.column("event_id"),
+            "purch_value": sub.column("value"),
+        })
+
+    right = ev.map_batches(purchases, batch_format="pyarrow")
+    out = asof_join(
+        left, right, on="ts", by="user_id", direction="nearest",
+        right_dedup_cols=["event_id"],
+    )
+
+    # the union pad nulls left-only columns on right rows, so the joined
+    # event_id rides through pandas as float64 — restore the planned
+    # int64 (exact: ids < 2^53), same as q_asof_purchase's finish
+    def finish(tbl: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": tbl.column("event_id").cast(pa.int64()),
+            "purch_value": tbl.column("purch_value"),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def q_negative_samples(sf_dir):
+    """Deterministic negative sampling for ranking data
+    (ops/sampling.negative_samples): 2 hash-derived picks per lineitem
+    from the part-key universe — murmur ≡ DuckDB hash(), so the SQL
+    oracle restates the exact pick."""
+    from recipys_ray.ops.sampling import negative_samples
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber"],
+    )
+
+    def key(tbl: pa.Table) -> pa.Table:
+        k = pc.add(
+            pc.multiply(tbl.column("l_orderkey"), pa.scalar(8, pa.int64())),
+            pc.cast(tbl.column("l_linenumber"), pa.int64()),
+        )
+        return tbl.append_column("key", pc.cast(k, pa.int64()))
+
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"]
+    )
+    out = negative_samples(
+        li.map_batches(key, batch_format="pyarrow"), "key", part, k=2
+    )
+    return _select(
+        out, ["l_orderkey", "l_linenumber", "neg_j", "neg_item"]
+    )
+
+
 ORACLES: dict[str, str] = {
     "impute_zero": f"""
         SELECT event_id, coalesce({_VALN_SQL}, 0) AS valn FROM events
@@ -6127,6 +6197,52 @@ ORACLES: dict[str, str] = {
                CAST(count(*) - count(DISTINCT event_id) AS BIGINT)
         FROM events
     """,
+    "asof_nearest": """
+        WITH p AS (
+          SELECT user_id, ts, value AS purch_value FROM events
+          WHERE event_type = 'purchase'
+          QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                     ORDER BY event_id) = 1
+        ), b AS (
+          SELECT e.event_id, p.ts AS bts, p.purch_value AS bval
+          FROM events e ASOF LEFT JOIN p
+            ON e.user_id = p.user_id AND e.ts >= p.ts
+        ), f AS (
+          SELECT e.event_id, p.ts AS fts, p.purch_value AS fval
+          FROM events e ASOF LEFT JOIN p
+            ON e.user_id = p.user_id AND e.ts <= p.ts
+        )
+        SELECT e.event_id,
+               CASE WHEN bts IS NULL THEN fval
+                    WHEN fts IS NULL THEN bval
+                    WHEN (e.ts - bts) <= (fts - e.ts) THEN bval
+                    ELSE fval END AS purch_value
+        FROM events e
+        JOIN b ON b.event_id = e.event_id
+        JOIN f ON f.event_id = e.event_id
+    """,
+    "negative_samples": """
+        WITH distinct_items AS (SELECT DISTINCT p_partkey FROM part),
+        items AS (
+          SELECT p_partkey,
+                 row_number() OVER (ORDER BY p_partkey) - 1 AS idx
+          FROM distinct_items
+        ), keys AS (
+          SELECT l_orderkey, l_linenumber,
+                 CAST(l_orderkey * 8 + l_linenumber AS BIGINT) AS key
+          FROM lineitem
+        ), expand AS (
+          SELECT k.l_orderkey, k.l_linenumber,
+                 CAST(j.j AS BIGINT) AS neg_j,
+                 CAST(hash(k.key * 2 + j.j)
+                      % (SELECT count(*) FROM distinct_items)
+                      AS BIGINT) AS idx
+          FROM keys k CROSS JOIN (SELECT unnest([0, 1]) AS j) j
+        )
+        SELECT e.l_orderkey, e.l_linenumber, e.neg_j,
+               i.p_partkey AS neg_item
+        FROM expand e JOIN items i USING (idx)
+    """,
 }
 
 
@@ -6301,4 +6417,6 @@ QUERIES = {
     "grouped_histogram": q_grouped_histogram,
     "top_tokens_per_source": q_top_tokens_per_source,
     "quality_checks": q_quality_checks,
+    "asof_nearest": q_asof_nearest,
+    "negative_samples": q_negative_samples,
 }

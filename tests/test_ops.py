@@ -6214,3 +6214,117 @@ class TestQualityChecks:
         with pytest.raises(ValueError):
             quality_checks(None, [{"name": "x", "kind": "nope",
                                    "col": "c"}])
+
+
+class TestAsofNearest:
+    def test_matches_duckdb_two_sided(self, ray_session):
+        import duckdb
+        from recipys_ray.ops.asof import asof_join
+
+        rng = np.random.default_rng(116)
+        n = 400
+        lf = pd.DataFrame({
+            "id": np.arange(n, dtype=np.int64),
+            "g": rng.integers(0, 8, n),
+            "t": rng.integers(0, 1000, n).astype(np.int64),
+        })
+        rf = pd.DataFrame({
+            "g": rng.integers(0, 8, 120),
+            "t": rng.integers(0, 1000, 120).astype(np.int64),
+            "rid": np.arange(120, dtype=np.int64),
+            "v": rng.integers(0, 100, 120).astype(np.float64),
+        })
+        out = (
+            asof_join(rd.from_pandas(lf), rd.from_pandas(rf), on="t",
+                      by="g", direction="nearest",
+                      right_dedup_cols=["rid"])
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("lf", lf)
+        con.register("rf", rf)
+        exp = con.execute("""
+            WITH p AS (
+              SELECT g, t, v FROM rf
+              QUALIFY row_number() OVER (PARTITION BY g, t
+                                         ORDER BY rid) = 1
+            ), b AS (
+              SELECT l.id, p.t AS bt, p.v AS bv
+              FROM lf l ASOF LEFT JOIN p ON l.g = p.g AND l.t >= p.t
+            ), f AS (
+              SELECT l.id, p.t AS ft, p.v AS fv
+              FROM lf l ASOF LEFT JOIN p ON l.g = p.g AND l.t <= p.t
+            )
+            SELECT l.id,
+                   CASE WHEN bt IS NULL THEN fv
+                        WHEN ft IS NULL THEN bv
+                        WHEN (l.t - bt) <= (ft - l.t) THEN bv
+                        ELSE fv END AS v
+            FROM lf l JOIN b ON b.id = l.id JOIN f ON f.id = l.id
+            ORDER BY l.id
+        """).df().reset_index(drop=True)
+        gv = out["v"].to_numpy(np.float64, na_value=np.nan)
+        ev = exp["v"].to_numpy(np.float64, na_value=np.nan)
+        assert np.array_equal(gv, ev, equal_nan=True)
+
+    def test_tie_goes_backward(self, ray_session):
+        from recipys_ray.ops.asof import asof_join
+
+        lf = pd.DataFrame({"id": [0], "g": [1], "t": [10]})
+        rf = pd.DataFrame({"g": [1, 1], "t": [5, 15],
+                           "rid": [0, 1], "v": [1.0, 2.0]})
+        out = asof_join(
+            rd.from_pandas(lf), rd.from_pandas(rf), on="t", by="g",
+            direction="nearest", right_dedup_cols=["rid"],
+        ).to_pandas()
+        assert out["v"].iloc[0] == 1.0  # equidistant -> earlier row
+
+
+class TestNegativeSamples:
+    def test_matches_duckdb_hash_pick(self, ray_session):
+        import duckdb
+        from recipys_ray.ops.sampling import negative_samples
+
+        rng = np.random.default_rng(117)
+        pdf = pd.DataFrame({"key": np.arange(300, dtype=np.int64)})
+        items = np.sort(rng.choice(100000, 50, replace=False)).astype(
+            np.int64
+        )
+        got = (
+            negative_samples(rd.from_pandas(pdf), "key", items, k=3)
+            .to_pandas().sort_values(["key", "neg_j"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        con.register("it", pd.DataFrame({"item": items}))
+        exp = con.execute("""
+            WITH items AS (
+              SELECT item, row_number() OVER (ORDER BY item) - 1 AS idx
+              FROM (SELECT DISTINCT item FROM it)
+            ), e AS (
+              SELECT t.key, CAST(j.j AS BIGINT) AS neg_j,
+                     CAST(hash(t.key * 3 + j.j)
+                          % (SELECT count(*) FROM items) AS BIGINT) AS idx
+              FROM t CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) j
+            )
+            SELECT e.key, e.neg_j, i.item AS neg_item
+            FROM e JOIN items i USING (idx) ORDER BY e.key, e.neg_j
+        """).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["key", "neg_j", "neg_item"]], exp, check_dtype=False
+        )
+
+    def test_k_rows_per_input_and_validation(self, ray_session):
+        from recipys_ray.ops.sampling import negative_samples
+
+        pdf = pd.DataFrame({"key": np.arange(10, dtype=np.int64)})
+        got = negative_samples(
+            rd.from_pandas(pdf), "key", [5, 9, 13], k=4
+        ).to_pandas()
+        assert len(got) == 40
+        assert set(got["neg_item"]).issubset({5, 9, 13})
+        with pytest.raises(ValueError):
+            negative_samples(rd.from_pandas(pdf), "key", [], k=1)
+        with pytest.raises(ValueError):
+            negative_samples(rd.from_pandas(pdf), "key", [1], k=0)
