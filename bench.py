@@ -221,6 +221,9 @@ def bench_queries() -> dict:
         "grouped_histogram",
         "top_tokens_per_source",
         "quality_checks",
+        "asof_nearest",
+        "negative_samples",
+        "windowed_distinct",
         "historical_salted",
     ]
     import gc

@@ -96,6 +96,7 @@ from recipys_ray.ops.groupstats import (
     grouped_zscore,
     state_run_stats,
     transition_counts,
+    windowed_distinct,
 )
 from recipys_ray.ops.timeseries import (
     budget_prefix,
@@ -185,6 +186,7 @@ __all__ = [
     "state_run_stats",
     "grouped_minmax", "pmi_bigrams",
     "cumulative_distinct", "grouped_auc", "decayed_sum",
+    "windowed_distinct",
     "expanding_mean_exclusive", "grouped_argmax", "group_share",
     "group_seq_index",
     "fit_pca", "pca_project", "target_encode", "feature_hash",

@@ -1645,3 +1645,89 @@ def group_seq_index(
     return partitioned_groupby_map(
         ds.select_columns(cols), gcols, per_partition,
     )
+
+
+def windowed_distinct(
+    ds,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    window: int,
+    id_cols: list[str],
+    out_col: str = "w_distinct",
+    num_partitions: int | None = None,
+):
+    """Rolling novelty: per row, the number of DISTINCT values among the
+    group's last ``window`` rows inclusive (SQL ``count(DISTINCT v) OVER
+    (PARTITION BY g ORDER BY o ROWS BETWEEN window-1 PRECEDING AND
+    CURRENT ROW)``) — the windowed twin of :func:`cumulative_distinct`
+    (bot-loop detection: novelty collapsing to 1-2 flags a stuck agent).
+
+    O(n) per partition, no per-window scan: a row at in-group position p
+    with the value's next occurrence at position nxt is "the counted
+    occurrence" of its value exactly for window-end positions
+    ``[p, min(p + window - 1, nxt - 1, group_end)]`` — one +1/−1
+    difference array over those intervals, then a cumsum, answers every
+    window at once (all grouped shifts and cumsums are pandas/numpy C
+    kernels). Null values are skipped (SQL DISTINCT) but still occupy
+    window positions (ROWS frame counts all rows). Exact int64.
+
+    Motion: ONE skinny exchange (group + order + id + value) on the
+    group key; same partitioning contract as every grouped kernel here.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    gcols = list(group_cols)
+    ocols = list(order_cols)
+    icols = list(id_cols)
+    cols = list(dict.fromkeys(gcols + ocols + icols + [value_col]))
+    W = int(window)
+
+    def per_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            out = pdf[icols].copy()
+            out[out_col] = pd.Series([], dtype=np.int64)
+            return out
+        pdf = pdf.sort_values(gcols + ocols, kind="stable",
+                              ignore_index=True)
+        n = len(pdf)
+        idx = np.arange(n, dtype=np.int64)
+        grp = pdf.groupby(gcols, sort=False, dropna=False, observed=True)
+        # last global index of each row's group (contiguous after sort)
+        gsize = grp[value_col].transform("size").to_numpy(np.int64)
+        first = idx - grp.cumcount().to_numpy(np.int64)
+        gend = first + gsize - 1
+        # next occurrence of the same (group, value) — null values never
+        # contribute an interval; grouped shift(-1) of the global index
+        # within (group, value)
+        notna = pdf[value_col].notna().to_numpy()
+        nv = pd.DataFrame({"__i__": idx})
+        nv[gcols] = pdf[gcols]
+        nv["__v__"] = pdf[value_col]
+        nxt_col = (
+            nv[nv["__v__"].notna()]
+            .groupby(gcols + ["__v__"], sort=False, observed=True)["__i__"]
+            .shift(-1)
+        )
+        nxt_full = pd.Series(np.float64(np.inf), index=nv.index)
+        nxt_full.loc[nxt_col.index] = nxt_col.fillna(np.inf)
+        hi = np.minimum(idx + W - 1, gend).astype(np.float64)
+        hi = np.minimum(hi, nxt_full.to_numpy() - 1.0)
+        lo = idx
+        valid = notna & (hi >= lo)
+        hii = hi[valid].astype(np.int64)
+        loi = lo[valid]
+        diff = np.zeros(n + 1, dtype=np.int64)
+        np.add.at(diff, loi, 1)
+        np.add.at(diff, hii + 1, -1)
+        counts = np.cumsum(diff[:-1])
+        out = pdf[icols].copy()
+        out[out_col] = counts.astype(np.int64)
+        return out.reset_index(drop=True)
+
+    return partitioned_groupby_map(
+        ds.select_columns(cols), gcols, per_partition,
+        num_partitions=num_partitions,
+    )

@@ -3663,6 +3663,23 @@ def q_negative_samples(sf_dir):
     )
 
 
+def q_windowed_distinct(sf_dir):
+    """Rolling novelty: distinct event types among each user's last 7
+    events (ops/groupstats.windowed_distinct) — O(n) difference-array
+    kernel, exact int64; the bot-loop detector's windowed form."""
+    from recipys_ray.ops.groupstats import windowed_distinct
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    out = windowed_distinct(
+        ds, ["user_id"], ["ts", "event_id"], "event_type",
+        window=7, id_cols=["event_id"],
+    )
+    return _select(out, ["event_id", "w_distinct"])
+
+
 ORACLES: dict[str, str] = {
     "impute_zero": f"""
         SELECT event_id, coalesce({_VALN_SQL}, 0) AS valn FROM events
@@ -6243,6 +6260,14 @@ ORACLES: dict[str, str] = {
                i.p_partkey AS neg_item
         FROM expand e JOIN items i USING (idx)
     """,
+    "windowed_distinct": """
+        SELECT event_id,
+               CAST(count(DISTINCT event_type) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS w_distinct
+        FROM events
+    """,
 }
 
 
@@ -6419,4 +6444,5 @@ QUERIES = {
     "quality_checks": q_quality_checks,
     "asof_nearest": q_asof_nearest,
     "negative_samples": q_negative_samples,
+    "windowed_distinct": q_windowed_distinct,
 }

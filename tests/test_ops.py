@@ -6328,3 +6328,58 @@ class TestNegativeSamples:
             negative_samples(rd.from_pandas(pdf), "key", [], k=1)
         with pytest.raises(ValueError):
             negative_samples(rd.from_pandas(pdf), "key", [1], k=0)
+
+
+class TestWindowedDistinct:
+    def _run(self, pdf, window, num_partitions=None):
+        from recipys_ray.ops.groupstats import windowed_distinct
+
+        return (
+            windowed_distinct(rd.from_pandas(pdf), ["g"], ["o"], "v",
+                              window=window, id_cols=["o"],
+                              num_partitions=num_partitions)
+            .to_pandas().sort_values("o").reset_index(drop=True)
+        )
+
+    def test_matches_duckdb_windowed_count_distinct(self, ray_session):
+        import duckdb
+
+        rng = np.random.default_rng(118)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 6, 500),
+            "o": np.arange(500, dtype=np.int64),
+            "v": rng.choice(["a", "b", "c", "d", None], 500,
+                            p=[0.3, 0.25, 0.2, 0.15, 0.1]),
+        })
+        got = self._run(pdf, 5)
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute("""
+            SELECT o, CAST(count(DISTINCT v) OVER (
+                     PARTITION BY g ORDER BY o
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS w_distinct
+            FROM t ORDER BY o
+        """).df().reset_index(drop=True)
+        assert got["w_distinct"].tolist() == exp["w_distinct"].tolist()
+
+    def test_window_one_and_saturation(self, ray_session):
+        pdf = pd.DataFrame({
+            "g": [0] * 5, "o": [1, 2, 3, 4, 5],
+            "v": ["x", "x", "y", "x", "y"],
+        })
+        got1 = self._run(pdf, 1)
+        assert got1["w_distinct"].tolist() == [1, 1, 1, 1, 1]
+        gbig = self._run(pdf, 100)  # window > group: expanding distinct
+        assert gbig["w_distinct"].tolist() == [1, 1, 2, 2, 2]
+
+    def test_partition_invariance(self, ray_session):
+        rng = np.random.default_rng(119)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 7, 400),
+            "o": np.arange(400, dtype=np.int64),
+            "v": rng.choice(list("pqrs"), 400),
+        })
+        a = self._run(pdf, 6, num_partitions=1)
+        b = self._run(pdf, 6, num_partitions=5)
+        pd.testing.assert_frame_equal(a, b)
