@@ -224,6 +224,8 @@ def bench_queries() -> dict:
         "asof_nearest",
         "negative_samples",
         "windowed_distinct",
+        "rolling_corr",
+        "null_patterns",
         "historical_salted",
     ]
     import gc

@@ -44,7 +44,7 @@ from recipys_ray.ops.multimodal import (
     read_webdataset,
 )
 from recipys_ray.ops.packing import pack_sequences
-from recipys_ray.ops.profile import benford_counts, profile
+from recipys_ray.ops.profile import benford_counts, null_patterns, profile
 from recipys_ray.ops.quantiles import (
     exact_quantiles,
     exact_quantiles_cont,
@@ -95,6 +95,7 @@ from recipys_ray.ops.groupstats import (
     grouped_minmax,
     grouped_zscore,
     state_run_stats,
+    rolling_corr,
     transition_counts,
     windowed_distinct,
 )
@@ -186,7 +187,7 @@ __all__ = [
     "state_run_stats",
     "grouped_minmax", "pmi_bigrams",
     "cumulative_distinct", "grouped_auc", "decayed_sum",
-    "windowed_distinct",
+    "windowed_distinct", "rolling_corr", "null_patterns",
     "expanding_mean_exclusive", "grouped_argmax", "group_share",
     "group_seq_index",
     "fit_pca", "pca_project", "target_encode", "feature_hash",

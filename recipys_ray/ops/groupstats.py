@@ -1731,3 +1731,90 @@ def windowed_distinct(
         ds.select_columns(cols), gcols, per_partition,
         num_partitions=num_partitions,
     )
+
+
+def rolling_corr(
+    ds,
+    group_cols: list[str],
+    order_cols: list[str],
+    x: str,
+    y: str,
+    window: int,
+    id_cols: list[str],
+    out_col: str = "r_corr",
+    num_partitions: int | None = None,
+):
+    """Rolling Pearson correlation of ``x`` vs ``y`` over each group's
+    last ``window`` rows (trend/co-movement detection per entity). The
+    windowed sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy over
+    pairwise-non-null rows) come from grouped prefix sums minus their
+    ``shift(window)`` — O(n), no per-window scan — and the finish is
+    :func:`grouped_corr`'s closed form term-for-term. INTEGER-valued
+    inputs keep every windowed Σ exact, so the result is bit-equal to a
+    SQL oracle stating windowed ``sum(...)`` + the same expression.
+
+    Null handling: a row where either x or y is null contributes nothing
+    to the sums but still occupies a frame position (SQL ``sum(CASE WHEN
+    both NOT NULL THEN ...) OVER frame``). Windows with n < 2 or zero
+    variance yield NULL (SQL x/0.0). Output: id_cols + [out_col].
+
+    Motion: ONE skinny exchange on the group key; grouped cumsum/shift C
+    kernels across all groups at once.
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    gcols = list(group_cols)
+    ocols = list(order_cols)
+    icols = list(id_cols)
+    cols = list(dict.fromkeys(gcols + ocols + icols + [x, y]))
+    W = int(window)
+
+    def per_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            out = pdf[icols].copy()
+            out[out_col] = pd.array([], dtype="Float64")
+            return out
+        pdf = pdf.sort_values(gcols + ocols, kind="stable",
+                              ignore_index=True)
+        ok = (pdf[x].notna() & pdf[y].notna()).to_numpy()
+        xv = np.where(ok, pdf[x].to_numpy(np.float64), 0.0)
+        yv = np.where(ok, pdf[y].to_numpy(np.float64), 0.0)
+        stats = pd.DataFrame({
+            "__n__": ok.astype(np.int64),
+            "__sx__": xv, "__sy__": yv,
+            "__sxx__": xv * xv, "__syy__": yv * yv, "__sxy__": xv * yv,
+        })
+        stats[gcols] = pdf[gcols]
+        g = stats.groupby(gcols, sort=False, dropna=False, observed=True)
+        scols = ["__n__", "__sx__", "__sy__", "__sxx__", "__syy__",
+                 "__sxy__"]
+        cum = g[scols].cumsum()
+        cum[gcols] = pdf[gcols]
+        prev = (
+            cum.groupby(gcols, sort=False, dropna=False,
+                        observed=True)[scols]
+            .shift(W)
+            .fillna(0.0)
+        )
+        wins = {c: cum[c].to_numpy(np.float64)
+                - prev[c].to_numpy(np.float64) for c in scols}
+        n = wins["__n__"]
+        sx, sy = wins["__sx__"], wins["__sy__"]
+        sxx, syy, sxy = wins["__sxx__"], wins["__syy__"], wins["__sxy__"]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cov = (sxy - sx * sy / n) / (n - 1.0)
+            varx = (sxx - sx * sx / n) / (n - 1.0)
+            vary = (syy - sy * sy / n) / (n - 1.0)
+            denom = np.sqrt(varx) * np.sqrt(vary)
+            r = cov / denom
+        bad = (n < 2) | (denom == 0.0) | ~np.isfinite(r)
+        out = pdf[icols].copy()
+        out[out_col] = pd.arrays.FloatingArray(r, bad)
+        return out.reset_index(drop=True)
+
+    return partitioned_groupby_map(
+        ds.select_columns(cols), gcols, per_partition,
+        num_partitions=num_partitions,
+    )

@@ -112,3 +112,60 @@ def benford_counts(
     from recipys_ray.ops.dedup import partitioned_groupby_map
 
     return partitioned_groupby_map(parts, [digit_col], finish)
+
+
+def null_patterns(
+    ds,
+    cols: list[str],
+    cnt_col: str = "n",
+    num_partitions: int | None = None,
+):
+    """Missingness-pattern profile: one row per distinct null/not-null
+    combination over ``cols`` with its row count — the fingerprint that
+    tells an imputation plan whether nulls co-occur (sensor outage: whole
+    rows) or scatter (independent drops). Output: one boolean column
+    ``{col}_null`` per input column + ``cnt_col`` (int64), SQL ``GROUP BY
+    (c1 IS NULL), (c2 IS NULL), ...`` shape.
+
+    Motion: each block shrinks to ≤ 2^len(cols) partial rows via one
+    vectorized groupby-size over the is-null mask frame; ONE tiny
+    exchange on the pattern folds them. Exact integer counts.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    flags = [f"{c}_null" for c in cols]
+
+    def partial(tbl):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        data = {
+            f: pc.is_null(tbl.column(c)).to_numpy(zero_copy_only=False)
+            for c, f in zip(cols, flags)
+        }
+        pdf = pd.DataFrame(data)
+        out = (
+            pdf.groupby(flags, sort=False, observed=True)
+            .size()
+            .reset_index(name=cnt_col)
+        )
+        out[cnt_col] = out[cnt_col].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.select_columns(list(cols)).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            pdf.groupby(flags, sort=False, observed=True)[cnt_col]
+            .sum()
+            .reset_index()
+        )
+        out[cnt_col] = out[cnt_col].astype(np.int64)
+        return out
+    return partitioned_groupby_map(
+        parts, flags, finish, num_partitions=num_partitions
+    )

@@ -3680,6 +3680,62 @@ def q_windowed_distinct(sf_dir):
     return _select(out, ["event_id", "w_distinct"])
 
 
+def q_rolling_corr(sf_dir):
+    """Rolling 10-event Pearson correlation per user of (nullable) spend
+    cents vs position-in-hour (ops/groupstats.rolling_corr): windowed
+    exact-integer sufficient stats from grouped prefix-sum differences;
+    closed form mirrored term-for-term — bit-equal."""
+    from recipys_ray.ops.groupstats import rolling_corr
+
+    ds = _with_valn(_events(sf_dir))
+
+    # epoch // 1e6 % 3600 must be EXACT integer floor division — numpy
+    # int64 // mirrors DuckDB's BIGINT // for the positive epochs here
+    def derive_int(tbl: pa.Table) -> pa.Table:
+        import numpy as np
+
+        xc = pc.cast(
+            pc.round(pc.multiply(tbl.column("valn"), 100.0)), pa.int64()
+        )
+        epoch = tbl.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        y = (epoch // 1_000_000) % 3600
+        return tbl.append_column("x", xc).append_column(
+            "y", pa.array(y, pa.int64())
+        )
+
+    ds = ds.map_batches(derive_int, batch_format="pyarrow")
+    out = rolling_corr(
+        ds, ["user_id"], ["ts", "event_id"], "x", "y",
+        window=10, id_cols=["event_id"],
+    )
+    return _select(out, ["event_id", "r_corr"])
+
+
+def q_null_patterns(sf_dir):
+    """Missingness-pattern profile over two derived nullable columns
+    (ops/profile.null_patterns): per-block mask groupby combiner, ONE
+    tiny exchange; exact counts."""
+    from recipys_ray.ops.profile import null_patterns
+
+    ds = _events(sf_dir)
+
+    def derive(tbl: pa.Table) -> pa.Table:
+        eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+        v = tbl.column("value")
+        valn = pc.if_else(pa.array(eid % 7 == 0),
+                          pa.scalar(None, pa.float64()), v)
+        valn2 = pc.if_else(pa.array(eid % 11 == 0),
+                           pa.scalar(None, pa.float64()), v)
+        return tbl.append_column("valn", valn).append_column(
+            "valn2", valn2
+        )
+
+    ds = ds.map_batches(derive, batch_format="pyarrow")
+    return null_patterns(ds, ["valn", "valn2"])
+
+
 ORACLES: dict[str, str] = {
     "impute_zero": f"""
         SELECT event_id, coalesce({_VALN_SQL}, 0) AS valn FROM events
@@ -6268,6 +6324,51 @@ ORACLES: dict[str, str] = {
                     AS BIGINT) AS w_distinct
         FROM events
     """,
+    "rolling_corr": f"""
+        WITH w AS (
+          SELECT event_id, user_id, ts,
+                 CAST(round(({_VALN_SQL}) * 100) AS BIGINT) AS x,
+                 epoch_us(ts) // 1000000 % 3600 AS y
+          FROM events
+        ), s AS (
+          SELECT event_id,
+                 CAST(sum(CASE WHEN x IS NOT NULL THEN 1 ELSE 0 END)
+                      OVER fr AS DOUBLE) AS n,
+                 CAST(coalesce(sum(x) OVER fr, 0) AS DOUBLE) AS sx,
+                 CAST(coalesce(sum(CASE WHEN x IS NOT NULL THEN y END)
+                      OVER fr, 0) AS DOUBLE) AS sy,
+                 CAST(coalesce(sum(x * x) OVER fr, 0) AS DOUBLE) AS sxx,
+                 CAST(coalesce(sum(CASE WHEN x IS NOT NULL
+                                   THEN y * y END) OVER fr, 0)
+                      AS DOUBLE) AS syy,
+                 CAST(coalesce(sum(x * y) OVER fr, 0) AS DOUBLE) AS sxy
+          FROM w
+          WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_id,
+               CASE WHEN n < 2 THEN NULL
+                    WHEN sqrt((sxx - (sx * sx) / n) / (n - 1))
+                         * sqrt((syy - (sy * sy) / n) / (n - 1)) = 0
+                      THEN NULL
+                    ELSE ((sxy - (sx * sy) / n) / (n - 1))
+                         / (sqrt((sxx - (sx * sx) / n) / (n - 1))
+                            * sqrt((syy - (sy * sy) / n) / (n - 1)))
+               END AS r_corr
+        FROM s
+    """,
+    "null_patterns": """
+        WITH d AS (
+          SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END
+                   AS valn,
+                 CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END
+                   AS valn2
+          FROM events
+        )
+        SELECT valn IS NULL AS valn_null, valn2 IS NULL AS valn2_null,
+               CAST(count(*) AS BIGINT) AS n
+        FROM d GROUP BY 1, 2
+    """,
 }
 
 
@@ -6445,4 +6546,6 @@ QUERIES = {
     "asof_nearest": q_asof_nearest,
     "negative_samples": q_negative_samples,
     "windowed_distinct": q_windowed_distinct,
+    "rolling_corr": q_rolling_corr,
+    "null_patterns": q_null_patterns,
 }

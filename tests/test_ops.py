@@ -6383,3 +6383,128 @@ class TestWindowedDistinct:
         a = self._run(pdf, 6, num_partitions=1)
         b = self._run(pdf, 6, num_partitions=5)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestRollingCorr:
+    def test_matches_duckdb_windowed_form(self, ray_session):
+        import duckdb
+        from recipys_ray.ops.groupstats import rolling_corr
+
+        rng = np.random.default_rng(120)
+        n = 500
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 6, n),
+            "o": np.arange(n, dtype=np.int64),
+            "x": rng.integers(0, 200, n).astype(np.float64),
+            "y": rng.integers(0, 50, n).astype(np.float64),
+        })
+        pdf.loc[rng.random(n) < 0.1, "x"] = np.nan
+        got = (
+            rolling_corr(rd.from_pandas(pdf), ["g"], ["o"], "x", "y",
+                         window=8, id_cols=["o"])
+            .to_pandas().sort_values("o").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute("""
+            WITH s AS (
+              SELECT o,
+                CAST(sum(CASE WHEN x IS NOT NULL THEN 1 ELSE 0 END)
+                     OVER fr AS DOUBLE) n,
+                CAST(coalesce(sum(CASE WHEN x IS NOT NULL
+                                  THEN CAST(x AS BIGINT) END)
+                     OVER fr, 0) AS DOUBLE) sx,
+                CAST(coalesce(sum(CASE WHEN x IS NOT NULL
+                                  THEN CAST(y AS BIGINT) END)
+                     OVER fr, 0) AS DOUBLE) sy,
+                CAST(coalesce(sum(CASE WHEN x IS NOT NULL
+                     THEN CAST(x AS BIGINT)*CAST(x AS BIGINT) END)
+                     OVER fr, 0) AS DOUBLE) sxx,
+                CAST(coalesce(sum(CASE WHEN x IS NOT NULL
+                     THEN CAST(y AS BIGINT)*CAST(y AS BIGINT) END)
+                     OVER fr, 0) AS DOUBLE) syy,
+                CAST(coalesce(sum(CASE WHEN x IS NOT NULL
+                     THEN CAST(x AS BIGINT)*CAST(y AS BIGINT) END)
+                     OVER fr, 0) AS DOUBLE) sxy
+              FROM t
+              WINDOW fr AS (PARTITION BY g ORDER BY o
+                            ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+            )
+            SELECT o,
+              CASE WHEN n < 2 THEN NULL
+                   WHEN sqrt((sxx - (sx*sx)/n)/(n-1))
+                        * sqrt((syy - (sy*sy)/n)/(n-1)) = 0 THEN NULL
+                   ELSE ((sxy - (sx*sy)/n)/(n-1))
+                        / (sqrt((sxx - (sx*sx)/n)/(n-1))
+                           * sqrt((syy - (sy*sy)/n)/(n-1)))
+              END AS r_corr
+            FROM s ORDER BY o
+        """).df().reset_index(drop=True)
+        gv = got["r_corr"].to_numpy(np.float64, na_value=np.nan)
+        ev = exp["r_corr"].to_numpy(np.float64, na_value=np.nan)
+        assert np.array_equal(gv, ev, equal_nan=True)  # bit-equal
+
+    def test_constant_window_null_and_validation(self, ray_session):
+        from recipys_ray.ops.groupstats import rolling_corr
+
+        pdf = pd.DataFrame({
+            "g": [0] * 4, "o": [1, 2, 3, 4],
+            "x": [5.0, 5.0, 5.0, 5.0],  # zero variance
+            "y": [1.0, 2.0, 3.0, 4.0],
+        })
+        got = (
+            rolling_corr(rd.from_pandas(pdf), ["g"], ["o"], "x", "y",
+                         window=3, id_cols=["o"])
+            .to_pandas()
+        )
+        assert got["r_corr"].isna().all()
+        with pytest.raises(ValueError):
+            rolling_corr(rd.from_pandas(pdf), ["g"], ["o"], "x", "y",
+                         window=1, id_cols=["o"])
+
+    def test_partition_invariance(self, ray_session):
+        from recipys_ray.ops.groupstats import rolling_corr
+
+        rng = np.random.default_rng(121)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 5, 300),
+            "o": np.arange(300, dtype=np.int64),
+            "x": rng.integers(0, 100, 300).astype(np.float64),
+            "y": rng.integers(0, 100, 300).astype(np.float64),
+        })
+        outs = [
+            rolling_corr(rd.from_pandas(pdf), ["g"], ["o"], "x", "y",
+                         window=5, id_cols=["o"], num_partitions=p)
+            .to_pandas().sort_values("o").reset_index(drop=True)
+            for p in (1, 5)
+        ]
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+class TestNullPatterns:
+    def test_matches_duckdb_groupby(self, ray_session):
+        import duckdb
+        from recipys_ray.ops.profile import null_patterns
+
+        rng = np.random.default_rng(122)
+        n = 400
+        pdf = pd.DataFrame({
+            "a": rng.uniform(0, 1, n),
+            "b": rng.uniform(0, 1, n),
+        })
+        pdf.loc[rng.random(n) < 0.3, "a"] = np.nan
+        pdf.loc[rng.random(n) < 0.2, "b"] = np.nan
+        got = (
+            null_patterns(rd.from_pandas(pdf), ["a", "b"])
+            .to_pandas().sort_values(["a_null", "b_null"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute("""
+            SELECT a IS NULL AS a_null, b IS NULL AS b_null,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM t GROUP BY 1, 2 ORDER BY a_null, b_null
+        """).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        assert got["n"].sum() == n
