@@ -638,7 +638,7 @@ def grouped_winsorize(
 
     gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     icols = list(id_cols)
-    cols = gcols + icols + [value_col]
+    cols = list(dict.fromkeys(gcols + icols + [value_col]))
 
     def per_partition(pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(pdf):

@@ -3736,6 +3736,86 @@ def q_null_patterns(sf_dir):
     return null_patterns(ds, ["valn", "valn2"])
 
 
+def q_user_trend(sf_dir):
+    """Per-user spend trend: OLS slope of (nullable) cents on epoch day
+    number — composition of the grouped_regression combiner over pure
+    per-row derivations (no extra exchange); integer inputs → bit-exact
+    like grouped_regr."""
+    from recipys_ray.ops.groupstats import grouped_regression
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "user_id", "value"],
+    )
+
+    def to_int(tbl: pa.Table) -> pa.Table:
+        import numpy as np
+
+        v100 = pc.round(pc.multiply(tbl.column("value"), 100.0))
+        epoch = tbl.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        day = epoch // 86_400_000_000
+        return pa.table({
+            "user_id": tbl.column("user_id"),
+            "day": pa.array(day, pa.int64()),
+            "cents": pc.cast(v100, pa.int64()),
+        })
+
+    ints = ds.map_batches(to_int, batch_format="pyarrow")
+    out = grouped_regression(ints, ["user_id"], "day", "cents")
+    return _select(out, ["user_id", "n", "slope", "intercept", "r2"])
+
+
+def q_winsorized_mean(sf_dir):
+    """Robust per-user mean: average of integer cents clipped at the
+    user's exact [0.1, 0.9] quantile_disc bounds — grouped_winsorize
+    (selection-only) feeding an exact-int combiner mean; the single
+    final division is bit-equal to the SQL avg of the clipped ints."""
+    from recipys_ray.ops.quantiles import grouped_winsorize
+
+    ds = _events(sf_dir)
+
+    def cents(tbl: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.round(pc.multiply(tbl.column("value"), 100.0)), pa.int64()
+        )
+        return tbl.append_column("cents", c)
+
+    ds = ds.map_batches(cents, batch_format="pyarrow")
+    clipped = grouped_winsorize(
+        ds, "user_id", "cents", ["event_id", "user_id"],
+        lower_q=0.1, upper_q=0.9, out_col="wc",
+    )
+
+    # clipped values are exact integers in float64 (selection of ints),
+    # so the per-user sum is order-free and avg = one division
+    def partial(tbl: pa.Table) -> pa.Table:
+        pdf = tbl.select(["user_id", "wc"]).to_pandas()
+        agg = pdf.groupby("user_id", sort=False)["wc"].agg(
+            ["sum", "count"]
+        ).reset_index()
+        return pa.table({
+            "user_id": pa.array(agg["user_id"].to_numpy()),
+            "s": pa.array(agg["sum"].to_numpy(np.float64), pa.float64()),
+            "c": pa.array(agg["count"].to_numpy(np.int64), pa.int64()),
+        })
+
+    parts = clipped.map_batches(partial, batch_format="pyarrow")
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        agg = pdf.groupby("user_id", sort=False)[["s", "c"]].sum()
+        out = agg.reset_index()
+        out["wmean"] = out["s"].to_numpy(np.float64) / out[
+            "c"
+        ].to_numpy(np.float64)
+        return out[["user_id", "wmean"]]
+
+    out = partitioned_groupby_map(parts, ["user_id"], finish)
+    return _select(out, ["user_id", "wmean"])
+
+
 ORACLES: dict[str, str] = {
     "impute_zero": f"""
         SELECT event_id, coalesce({_VALN_SQL}, 0) AS valn FROM events
@@ -6369,6 +6449,55 @@ ORACLES: dict[str, str] = {
                CAST(count(*) AS BIGINT) AS n
         FROM d GROUP BY 1, 2
     """,
+    "user_trend": """
+        WITH i AS (
+          SELECT user_id, epoch_us(ts) // 86400000000 AS x,
+                 CAST(round(value * 100) AS BIGINT) AS y
+          FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        ), s AS (
+          SELECT user_id, count(*) AS n,
+                 CAST(sum(x) AS DOUBLE) AS sx,
+                 CAST(sum(y) AS DOUBLE) AS sy,
+                 CAST(sum(x*x) AS DOUBLE) AS sxx,
+                 CAST(sum(y*y) AS DOUBLE) AS syy,
+                 CAST(sum(x*y) AS DOUBLE) AS sxy
+          FROM i GROUP BY user_id
+        ), m AS (
+          SELECT user_id, n,
+                 sxy - sx*sy/n AS cxy,
+                 sxx - sx*sx/n AS vxx,
+                 syy - sy*sy/n AS vyy,
+                 sx, sy
+          FROM s
+        ), sl AS (
+          SELECT user_id, n, cxy, vxx, vyy, sx, sy,
+                 cxy / vxx AS slope
+          FROM m
+        )
+        SELECT user_id, CAST(n AS BIGINT) AS n, slope,
+               sy/n - slope*(sx/n) AS intercept,
+               (cxy * cxy) / (vxx * vyy) AS r2
+        FROM sl
+    """,
+    "winsorized_mean": """
+        WITH w AS (
+          SELECT event_id, user_id,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events
+        ), b AS (
+          SELECT user_id, quantile_disc(cents, 0.1) AS lo,
+                 quantile_disc(cents, 0.9) AS hi
+          FROM w GROUP BY user_id
+        ), c AS (
+          SELECT w.user_id,
+                 least(greatest(w.cents, b.lo), b.hi) AS wc
+          FROM w JOIN b USING (user_id)
+        )
+        SELECT user_id,
+               CAST(sum(wc) AS DOUBLE) / CAST(count(wc) AS DOUBLE)
+                 AS wmean
+        FROM c GROUP BY user_id
+    """,
 }
 
 
@@ -6548,4 +6677,6 @@ QUERIES = {
     "windowed_distinct": q_windowed_distinct,
     "rolling_corr": q_rolling_corr,
     "null_patterns": q_null_patterns,
+    "user_trend": q_user_trend,
+    "winsorized_mean": q_winsorized_mean,
 }
