@@ -3816,6 +3816,30 @@ def q_winsorized_mean(sf_dir):
     return _select(out, ["user_id", "wmean"])
 
 
+def q_fk_orphans(sf_dir):
+    """Referential-integrity audit: orphan counts in both directions of
+    the lineitem→orders foreign key (ops/join anti plan with NULL-safe
+    NOT EXISTS semantics). Two skinny anti-joins, exact int64 scalars."""
+    from recipys_ray.ops.join import hash_join
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]
+    )
+    od = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+    )
+    n_li = hash_join(
+        li, od, on="l_orderkey", right_on="o_orderkey", how="anti"
+    ).count()
+    n_od = hash_join(
+        od, li, on="o_orderkey", right_on="l_orderkey", how="anti"
+    ).count()
+    return pd.DataFrame({
+        "relation": ["lineitem_without_order", "order_without_lineitem"],
+        "n_orphans": np.array([n_li, n_od], dtype=np.int64),
+    })
+
+
 ORACLES: dict[str, str] = {
     "impute_zero": f"""
         SELECT event_id, coalesce({_VALN_SQL}, 0) AS valn FROM events
@@ -6498,6 +6522,19 @@ ORACLES: dict[str, str] = {
                  AS wmean
         FROM c GROUP BY user_id
     """,
+    "fk_orphans": """
+        SELECT 'lineitem_without_order' AS relation,
+               CAST(count(*) AS BIGINT) AS n_orphans
+        FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)
+        UNION ALL
+        SELECT 'order_without_lineitem',
+               CAST(count(*) AS BIGINT)
+        FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey)
+    """,
 }
 
 
@@ -6679,4 +6716,5 @@ QUERIES = {
     "null_patterns": q_null_patterns,
     "user_trend": q_user_trend,
     "winsorized_mean": q_winsorized_mean,
+    "fk_orphans": q_fk_orphans,
 }
