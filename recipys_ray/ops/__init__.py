@@ -25,6 +25,7 @@ from recipys_ray.ops.distinct import (
     distinct_per_group,
     distinct_per_group_approx,
 )
+from recipys_ray.ops.segdedup import segment_dedup
 from recipys_ray.ops.jaccard import (
     containment_dedup,
     fuzzy_decontaminate,
@@ -159,7 +160,8 @@ __all__ = [
     "dedup_against", "connected_components", "cluster_labels",
     "calendar_features", "k_anonymize",
     "minhash_candidate_pairs", "minhash_dedup", "ngram_jaccard",
-    "simhash_dedup", "verify_pairs_jaccard", "distinct_per_group",
+    "simhash_dedup", "segment_dedup", "verify_pairs_jaccard",
+    "distinct_per_group",
     "distinct_per_group_approx", "jaccard_dedup", "containment_dedup",
     "overlap_dedup", "fuzzy_decontaminate", "hash_join", "skew_join",
     "ByteHistogramFeatures", "DecodeImage", "DecodeWav", "SampleFrames",

@@ -3840,6 +3840,21 @@ def q_fk_orphans(sf_dir):
     })
 
 
+def q_segment_dedup(sf_dir):
+    """CCNet-style intra-corpus segment dedup (ops/segdedup.segment_dedup,
+    cf. Wenzek 2020 paragraph dedup): 8-token windows, keep each distinct
+    segment only at its globally-first (doc_id, seg_idx) occurrence,
+    reassemble surviving docs. Two payload exchanges (segment hash, then
+    doc_id); winner stamping + reassembly vectorized across all groups."""
+    from recipys_ray.ops.segdedup import segment_dedup
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = segment_dedup(ds, window=8)
+    return _select(out, ["doc_id", "text_dedup", "n_kept"])
+
+
 ORACLES: dict[str, str] = {
     "impute_zero": f"""
         SELECT event_id, coalesce({_VALN_SQL}, 0) AS valn FROM events
@@ -6535,6 +6550,28 @@ ORACLES: dict[str, str] = {
         WHERE NOT EXISTS (SELECT 1 FROM lineitem l
                           WHERE l.l_orderkey = o.o_orderkey)
     """,
+    "segment_dedup": """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS tok,
+                 unnest(range(len(string_split(text, ' ')))) AS ti
+          FROM documents
+        ), segs AS (
+          SELECT doc_id, ti // 8 AS seg_idx,
+                 string_agg(tok, ' ' ORDER BY ti) AS segment
+          FROM toks GROUP BY doc_id, ti // 8
+        ), kept AS (
+          SELECT doc_id, seg_idx, segment,
+                 row_number() OVER (PARTITION BY segment
+                                    ORDER BY doc_id, seg_idx) AS rn
+          FROM segs
+        )
+        SELECT doc_id,
+               string_agg(segment, ' ' ORDER BY seg_idx) AS text_dedup,
+               CAST(count(*) AS BIGINT) AS n_kept
+        FROM kept WHERE rn = 1
+        GROUP BY doc_id
+    """,
 }
 
 
@@ -6717,4 +6754,5 @@ QUERIES = {
     "user_trend": q_user_trend,
     "winsorized_mean": q_winsorized_mean,
     "fk_orphans": q_fk_orphans,
+    "segment_dedup": q_segment_dedup,
 }

@@ -6508,3 +6508,101 @@ class TestNullPatterns:
         """).df().reset_index(drop=True)
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
         assert got["n"].sum() == n
+
+
+class TestSegmentDedup:
+    @staticmethod
+    def _run(pdf, window):
+        from recipys_ray.ops.segdedup import segment_dedup
+
+        out = segment_dedup(
+            rd.from_pandas(pdf), window=window
+        ).to_pandas()
+        return out.sort_values("doc_id", ignore_index=True)
+
+    @staticmethod
+    def _oracle(pdf, window):
+        import duckdb
+
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        return con.execute(f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split(text, ' ')) AS tok,
+                     unnest(range(len(string_split(text, ' ')))) AS ti
+              FROM documents
+            ), segs AS (
+              SELECT doc_id, ti // {window} AS seg_idx,
+                     string_agg(tok, ' ' ORDER BY ti) AS segment
+              FROM toks GROUP BY doc_id, ti // {window}
+            ), kept AS (
+              SELECT doc_id, seg_idx, segment,
+                     row_number() OVER (PARTITION BY segment
+                                        ORDER BY doc_id, seg_idx) AS rn
+              FROM segs
+            )
+            SELECT doc_id,
+                   string_agg(segment, ' ' ORDER BY seg_idx) AS text_dedup,
+                   CAST(count(*) AS BIGINT) AS n_kept
+            FROM kept WHERE rn = 1
+            GROUP BY doc_id ORDER BY doc_id
+        """).df().reset_index(drop=True)
+
+    def test_matches_duckdb_keep_first(self, ray_session):
+        rng = np.random.default_rng(121)
+        vocab = list("abcdefgh")
+        texts = [
+            " ".join(rng.choice(vocab, int(rng.integers(1, 30))))
+            for _ in range(80)
+        ]
+        # force cross-document duplicate segments: repeat a shared run
+        shared = "x y z w x y z w"
+        for i in range(0, 80, 7):
+            texts[i] = shared + " " + texts[i]
+        pdf = pd.DataFrame(
+            {"doc_id": np.arange(80, dtype=np.int64), "text": texts}
+        )
+        got = self._run(pdf, 4)
+        exp = self._oracle(pdf, 4)
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_exact_duplicate_docs_collapse(self, ray_session):
+        pdf = pd.DataFrame({
+            "doc_id": np.array([3, 1, 2], dtype=np.int64),
+            "text": ["a b c d", "a b c d", "e f g h"],
+        })
+        got = self._run(pdf, 4)
+        # doc 1 wins the shared segment; doc 3 loses everything
+        assert got["doc_id"].tolist() == [1, 2]
+        assert got["text_dedup"].tolist() == ["a b c d", "e f g h"]
+        assert got["n_kept"].tolist() == [1, 1]
+
+    def test_window_edges_and_empty_text(self, ray_session):
+        pdf = pd.DataFrame({
+            "doc_id": np.array([0, 1, 2], dtype=np.int64),
+            "text": ["a b c", "", "a b c d e"],  # partial tail windows
+        })
+        got = self._run(pdf, 2)
+        exp = self._oracle(pdf, 2)
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_partition_invariance(self, ray_session):
+        rng = np.random.default_rng(122)
+        texts = [
+            " ".join(rng.choice(list("mnop"), 12)) for _ in range(60)
+        ]
+        pdf = pd.DataFrame(
+            {"doc_id": np.arange(60, dtype=np.int64), "text": texts}
+        )
+        from recipys_ray.ops.segdedup import segment_dedup
+
+        a = (
+            segment_dedup(rd.from_pandas(pdf).repartition(1), window=3)
+            .to_pandas().sort_values("doc_id", ignore_index=True)
+        )
+        b = (
+            segment_dedup(rd.from_pandas(pdf).repartition(7), window=3)
+            .to_pandas().sort_values("doc_id", ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
