@@ -84,6 +84,9 @@ from recipys_ray.ops.groupstats import (
     group_share,
     grouped_argmax,
     grouped_auc,
+    grouped_bitops,
+    grouped_gini,
+    two_proportion_ztest,
     grouped_corr,
     grouped_entropy,
     grouped_first_last,
@@ -187,7 +190,8 @@ __all__ = [
     "debounce_events",
     "merge_intervals", "scd2_intervals", "transition_counts",
     "state_run_stats",
-    "grouped_minmax", "pmi_bigrams",
+    "grouped_minmax", "pmi_bigrams", "grouped_gini",
+    "grouped_bitops", "two_proportion_ztest",
     "cumulative_distinct", "grouped_auc", "decayed_sum",
     "windowed_distinct", "rolling_corr", "null_patterns",
     "expanding_mean_exclusive", "grouped_argmax", "group_share",

@@ -1294,6 +1294,264 @@ def grouped_minmax(
     return ds.map_batches(stamp, batch_format="pyarrow")
 
 
+def grouped_gini(
+    ds,
+    group_cols: list[str],
+    value_col: str,
+    out_col: str = "gini",
+    num_partitions: int | None = None,
+):
+    """Per-group Gini inequality coefficient over a NON-NEGATIVE
+    integer-valued column (e.g. spend cents):
+
+        G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n      (x sorted asc, i = 1..n)
+
+    Exactness contract: with integer inputs every Σ is exact, so both
+    engines evaluate the identical closed form on identical doubles —
+    ``(2.0·ixi) / double(n·sx) − double(n+1)/double(n)`` term for term,
+    bit-equal to the SQL ``row_number`` restatement. The rank sum is
+    computed WITHOUT any payload sort: ties make Σ i·x₍ᵢ₎ reducible to
+    value counts — for each distinct value v with count c and preceding
+    cumulative count F, the tie block contributes v·(c·F + c(c+1)/2).
+
+    Distributed shape: the shared (group, value) counts combiner shrinks
+    blocks to partial rows, ONE skinny exchange on the group key, then a
+    vectorized finish (grouped cumsum + segment sums — pandas C kernels).
+    Null values are dropped; an all-null group emits no row; ``n·Σx = 0``
+    yields NULL (SQL x/0.0). Overflow bound: n·Σx and Σ i·x must stay
+    < 2⁶³ (int64 accumulation) — at larger per-group mass, rescale units.
+    """
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    gcols = list(group_cols)
+    parts = _counts_partial(ds, gcols, value_col)
+
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        tot = (
+            pdf.groupby(gcols + [value_col], sort=False, dropna=False,
+                        observed=True)["cnt"]
+            .sum()
+            .reset_index()
+        )
+        tot = tot.sort_values(
+            gcols + [value_col], kind="stable", ignore_index=True
+        )
+        c = tot["cnt"].to_numpy(np.int64)
+        v = tot[value_col].to_numpy(np.int64)
+        # preceding cumulative count within group (ranks below the tie)
+        prev = (
+            tot.groupby(gcols, sort=False, dropna=False, observed=True)[
+                "cnt"
+            ]
+            .cumsum()
+            .to_numpy(np.int64)
+            - c
+        )
+        tot["__ixi__"] = v * (c * prev + c * (c + 1) // 2)
+        tot["__sx__"] = v * c
+        agg = (
+            tot.groupby(gcols, sort=False, dropna=False, observed=True)[
+                ["__ixi__", "__sx__", "cnt"]
+            ]
+            .sum()
+            .reset_index()
+        )
+        ixi = agg["__ixi__"].to_numpy(np.int64)
+        sx = agg["__sx__"].to_numpy(np.int64)
+        n = agg["cnt"].to_numpy(np.int64)
+        den = (n * sx).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            gini = (2.0 * ixi.astype(np.float64)) / den - (
+                (n + 1).astype(np.float64) / n.astype(np.float64)
+            )
+        gini[den == 0.0] = np.nan  # SQL x/0.0 → NULL
+        out = agg[gcols].copy()
+        out[out_col] = gini
+        return out
+
+    return partitioned_groupby_map(
+        parts, gcols, finish, num_partitions=num_partitions
+    )
+
+
+def grouped_bitops(
+    ds,
+    group_cols: list[str],
+    value_col: str,
+    num_partitions: int | None = None,
+):
+    """Per-group bitwise AND / OR / XOR of an int64 column (SQL
+    ``bit_and`` / ``bit_or`` / ``bit_xor``) — feature-mask folding for
+    bitset-encoded attributes (capability flags, bloom fragments).
+
+    All three folds are associative AND commutative, so the per-block
+    partial (pandas ``groupby.agg`` with numpy's C ufunc reductions via
+    ``np.bitwise_*.reduce``) composes exactly under any block layout —
+    integer ops, no float anywhere. One skinny exchange of partial rows.
+    The grouped folds run as ONE ``np.bitwise_*.reduceat`` C call per
+    partition over group-sorted values — never a per-group Python call.
+    Null values are ignored (SQL aggregate semantics); an all-null group
+    emits no row (the combiner drops nulls before folding)."""
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    gcols = list(group_cols)
+
+    def fold(pdf: pd.DataFrame, bcols) -> pd.DataFrame:
+        # group-sort once, then each fold is a single segmented C kernel
+        pdf = pdf.sort_values(gcols, kind="stable", ignore_index=True)
+        keys = pdf[gcols]
+        if len(gcols) == 1:
+            kv = keys[gcols[0]].to_numpy()
+            change = kv[1:] != kv[:-1]
+        else:
+            change = (
+                keys.iloc[1:].to_numpy() != keys.iloc[:-1].to_numpy()
+            ).any(axis=1)
+        starts = np.concatenate(([0], np.flatnonzero(change) + 1))
+        out = keys.iloc[starts].reset_index(drop=True)
+        for src, dst, ufunc in bcols:
+            v = pdf[src].to_numpy(np.int64)
+            out[dst] = ufunc.reduceat(v, starts).astype(np.int64)
+        return out
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        pdf = tbl.select(gcols + [value_col]).to_pandas()
+        pdf = pdf[pdf[value_col].notna()]
+        if len(pdf) == 0:
+            empty = {c: pdf[c] for c in gcols}
+            for c in ("band", "bor", "bxor"):
+                empty[c] = pd.Series([], dtype=np.int64)
+            return pa.Table.from_pandas(
+                pd.DataFrame(empty), preserve_index=False
+            )
+        agg = fold(
+            pdf,
+            [
+                (value_col, "band", np.bitwise_and),
+                (value_col, "bor", np.bitwise_or),
+                (value_col, "bxor", np.bitwise_xor),
+            ],
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts = ds.select_columns(gcols + [value_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pdf
+        return fold(
+            pdf,
+            [
+                ("band", "band", np.bitwise_and),
+                ("bor", "bor", np.bitwise_or),
+                ("bxor", "bxor", np.bitwise_xor),
+            ],
+        )
+
+    return partitioned_groupby_map(
+        parts, gcols, finish, num_partitions=num_partitions
+    )
+
+
+def two_proportion_ztest(
+    ds,
+    group_cols: list[str],
+    variant_col: str,
+    success_col: str,
+    num_partitions: int | None = None,
+):
+    """Pooled two-proportion z-test per group — the conversion-rate A/B
+    companion to :func:`grouped_welch_ttest` (means) and grouped_auc
+    (ranks). ``variant_col`` must be 0/1 (control/treatment),
+    ``success_col`` 0/1.
+
+        p̂ᵥ = xᵥ/nᵥ,  p̂ = (x₀+x₁)/(n₀+n₁)
+        z = (p̂₁ − p̂₀) / sqrt(p̂·(1−p̂)·(1/n₁ + 1/n₀))
+
+    Everything upstream of the closed form is exact integer counting
+    (x's and n's), so both engines evaluate the identical expression tree
+    on identical doubles — bit-equal to the SQL restatement. Groups
+    missing a variant, or with a degenerate pooled rate (p̂ ∈ {0, 1} ⇒
+    zero denominator), emit NULL z (SQL x/0.0). Output per group:
+    (n0, x0, n1, x1 : int64, z : float64).
+
+    Distributed shape: one 4-counter combiner pass, ONE skinny exchange
+    on the group key, vectorized finish."""
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    gcols = list(group_cols)
+    cols = gcols + [variant_col, success_col]
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        key_types = {c: tbl.schema.field(c).type for c in gcols}
+        pdf = tbl.select(cols).to_pandas()
+        pdf = pdf[pdf[variant_col].notna() & pdf[success_col].notna()]
+        v = pdf[variant_col].to_numpy(np.int64)
+        s = pdf[success_col].to_numpy(np.int64)
+        if not ((v == 0) | (v == 1)).all():
+            raise ValueError(f"{variant_col} must be 0/1")
+        stats = pd.DataFrame({c: pdf[c].to_numpy() for c in gcols})
+        stats["n0"] = 1 - v
+        stats["x0"] = (1 - v) * s
+        stats["n1"] = v
+        stats["x1"] = v * s
+        agg = (
+            stats.groupby(gcols, sort=False, dropna=False, observed=True)
+            .sum()
+            .reset_index()
+        )
+        arrs: dict = {
+            c: pa.Array.from_pandas(agg[c], type=key_types[c])
+            for c in gcols
+        }
+        for c in ("n0", "x0", "n1", "x1"):
+            arrs[c] = pa.array(agg[c].to_numpy(np.int64), pa.int64())
+        return pa.table(arrs)
+
+    parts = ds.select_columns(cols).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            out = pdf.copy()
+            out["z"] = pd.Series([], dtype=np.float64)
+            return out
+        agg = (
+            pdf.groupby(gcols, sort=False, dropna=False, observed=True)[
+                ["n0", "x0", "n1", "x1"]
+            ]
+            .sum()
+            .reset_index()
+        )
+        n0 = agg["n0"].to_numpy(np.int64)
+        x0 = agg["x0"].to_numpy(np.int64)
+        n1 = agg["n1"].to_numpy(np.int64)
+        x1 = agg["x1"].to_numpy(np.int64)
+        n0f = n0.astype(np.float64)
+        n1f = n1.astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            p1 = x1.astype(np.float64) / n1f
+            p0 = x0.astype(np.float64) / n0f
+            pool = (x0 + x1).astype(np.float64) / (n0 + n1).astype(
+                np.float64
+            )
+            den = np.sqrt(pool * (1.0 - pool) * (1.0 / n1f + 1.0 / n0f))
+            z = (p1 - p0) / den
+        z[~np.isfinite(z)] = np.nan  # missing variant / degenerate p̂
+        out = agg.copy()
+        for c in ("n0", "x0", "n1", "x1"):
+            out[c] = out[c].astype(np.int64)
+        out["z"] = z
+        return out
+
+    return partitioned_groupby_map(
+        parts, gcols, finish, num_partitions=num_partitions
+    )
+
+
 def grouped_welch_ttest(
     ds,
     group_cols: list[str],

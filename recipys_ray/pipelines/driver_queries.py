@@ -3855,6 +3855,96 @@ def q_segment_dedup(sf_dir):
     return _select(out, ["doc_id", "text_dedup", "n_kept"])
 
 
+def q_gini_spend(sf_dir):
+    """Per-customer Gini inequality of order spend
+    (ops/groupstats.grouped_gini): counts combiner → ONE skinny exchange;
+    the rank sum Σ i·x₍ᵢ₎ is derived from value counts (no payload sort).
+    Integer cents keep every Σ exact → the closed form is bit-equal to
+    the SQL row_number restatement."""
+    from recipys_ray.ops.groupstats import grouped_gini
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def cents(tbl: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.round(pc.multiply(tbl.column("o_totalprice"), 100.0)),
+            pa.int64(),
+        )
+        return pa.table(
+            {"o_custkey": tbl.column("o_custkey"), "cents": c}
+        )
+
+    out = grouped_gini(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        ["o_custkey"],
+        "cents",
+        out_col="spend_gini",
+    )
+    return _select(out, ["o_custkey", "spend_gini"])
+
+
+def q_bitops_flags(sf_dir):
+    """Per-user bitwise AND/OR/XOR folds of a bitset-encoded attribute
+    (ops/groupstats.grouped_bitops): segmented np.bitwise_*.reduceat —
+    one C call per partition — and a skinny partial-row exchange.
+    Pure integer ops, bit-equal by construction."""
+    from recipys_ray.ops.groupstats import grouped_bitops
+
+    ds = _events(sf_dir, ["event_id", "user_id", "value"])
+
+    def flags(tbl: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.round(pc.multiply(tbl.column("value"), 100.0)), pa.int64()
+        )
+        return pa.table(
+            {"user_id": tbl.column("user_id"), "flags": c}
+        )
+
+    out = grouped_bitops(
+        ds.map_batches(flags, batch_format="pyarrow"), ["user_id"], "flags"
+    )
+    return _select(out, ["user_id", "band", "bor", "bxor"])
+
+
+def q_ab_ztest(sf_dir):
+    """Pooled two-proportion z-test per event type
+    (ops/groupstats.two_proportion_ztest): variant = user parity,
+    success = value > 50. Exact integer counting everywhere; both
+    engines evaluate the identical closed form — bit-equal. One
+    4-counter combiner pass + ONE skinny exchange."""
+    from recipys_ray.ops.groupstats import two_proportion_ztest
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "value"],
+    )
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        val = tbl.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": tbl.column("event_type"),
+                "variant": pa.array(
+                    (uid % 2).astype(np.int64), pa.int64()
+                ),
+                "success": pa.array(
+                    (val > 50.0).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    out = two_proportion_ztest(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type"],
+        "variant",
+        "success",
+    )
+    return _select(out, ["event_type", "n0", "x0", "n1", "x1", "z"])
+
+
 ORACLES: dict[str, str] = {
     "impute_zero": f"""
         SELECT event_id, coalesce({_VALN_SQL}, 0) AS valn FROM events
@@ -6572,6 +6662,55 @@ ORACLES: dict[str, str] = {
         FROM kept WHERE rn = 1
         GROUP BY doc_id
     """,
+    "gini_spend": """
+        WITH w AS (
+          SELECT o_custkey,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders
+        ), r AS (
+          SELECT o_custkey, cents,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY cents) AS i
+          FROM w
+        ), s AS (
+          SELECT o_custkey, sum(i * cents) AS ixi, sum(cents) AS sx,
+                 count(*) AS n
+          FROM r GROUP BY o_custkey
+        )
+        SELECT o_custkey,
+               (2.0 * ixi) / CAST(n * sx AS DOUBLE)
+                 - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) AS spend_gini
+        FROM s
+    """,
+    "bitops_flags": """
+        WITH w AS (
+          SELECT user_id, CAST(round(value * 100) AS BIGINT) AS flags
+          FROM events
+        )
+        SELECT user_id, bit_and(flags) AS band, bit_or(flags) AS bor,
+               bit_xor(flags) AS bxor
+        FROM w GROUP BY user_id
+    """,
+    "ab_ztest": """
+        WITH c AS (
+          SELECT event_type,
+                 sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n0,
+                 sum(CASE WHEN user_id % 2 = 0 AND value > 50
+                          THEN 1 ELSE 0 END) AS x0,
+                 sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n1,
+                 sum(CASE WHEN user_id % 2 = 1 AND value > 50
+                          THEN 1 ELSE 0 END) AS x1
+          FROM events GROUP BY event_type
+        )
+        SELECT event_type,
+               CAST(n0 AS BIGINT) AS n0, CAST(x0 AS BIGINT) AS x0,
+               CAST(n1 AS BIGINT) AS n1, CAST(x1 AS BIGINT) AS x1,
+               (CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0)
+                 / sqrt((CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+                        * (1.0 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+                        * (1.0 / n1 + 1.0 / n0)) AS z
+        FROM c
+    """,
 }
 
 
@@ -6755,4 +6894,7 @@ QUERIES = {
     "winsorized_mean": q_winsorized_mean,
     "fk_orphans": q_fk_orphans,
     "segment_dedup": q_segment_dedup,
+    "gini_spend": q_gini_spend,
+    "bitops_flags": q_bitops_flags,
+    "ab_ztest": q_ab_ztest,
 }

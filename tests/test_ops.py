@@ -6606,3 +6606,170 @@ class TestSegmentDedup:
             .to_pandas().sort_values("doc_id", ignore_index=True)
         )
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestGroupedGini:
+    @staticmethod
+    def _oracle(pdf):
+        import duckdb
+
+        con = duckdb.connect()
+        con.register("t", pdf)
+        return con.execute("""
+            WITH r AS (
+              SELECT g, x,
+                     row_number() OVER (PARTITION BY g ORDER BY x) AS i
+              FROM t
+            ), s AS (
+              SELECT g, sum(i*x) AS ixi, sum(x) AS sx, count(*) AS n
+              FROM r GROUP BY g
+            )
+            SELECT g, (2.0*ixi)/CAST(n*sx AS DOUBLE)
+                     - CAST(n+1 AS DOUBLE)/CAST(n AS DOUBLE) AS gini
+            FROM s ORDER BY g
+        """).df().reset_index(drop=True)
+
+    def test_bitexact_vs_duckdb(self, ray_session):
+        from recipys_ray.ops.groupstats import grouped_gini
+
+        rng = np.random.default_rng(130)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 40, 3000),
+            "x": rng.integers(0, 100_000, 3000),
+        })
+        got = (
+            grouped_gini(rd.from_pandas(pdf).repartition(8), ["g"], "x",
+                         out_col="gini")
+            .to_pandas().sort_values("g", ignore_index=True)
+        )
+        exp = self._oracle(pdf)
+        assert got["gini"].to_numpy().tolist() == exp["gini"].to_numpy().tolist()
+
+    def test_edge_semantics(self, ray_session):
+        from recipys_ray.ops.groupstats import grouped_gini
+
+        pdf = pd.DataFrame({
+            "g": [1, 1, 2, 3, 3, 4],
+            "x": [0.0, 0.0, 5.0, 2.0, 2.0, np.nan],
+        })
+        got = (
+            grouped_gini(rd.from_pandas(pdf), ["g"], "x")
+            .to_pandas().sort_values("g", ignore_index=True)
+        )
+        # zero-mass group -> NULL; singleton and all-equal -> 0;
+        # all-null group emits no row
+        assert got["g"].tolist() == [1, 2, 3]
+        assert np.isnan(got["gini"].iloc[0])
+        assert got["gini"].iloc[1] == 0.0 and got["gini"].iloc[2] == 0.0
+
+
+class TestGroupedBitops:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+        from recipys_ray.ops.groupstats import grouped_bitops
+
+        rng = np.random.default_rng(131)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 25, 4000),
+            "x": rng.integers(-(1 << 30), 1 << 40, 4000).astype(
+                np.float64
+            ),
+        })
+        pdf.loc[rng.choice(4000, 50, replace=False), "x"] = np.nan
+        got = (
+            grouped_bitops(rd.from_pandas(pdf).repartition(9), ["g"], "x")
+            .to_pandas().sort_values("g", ignore_index=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute("""
+            SELECT g, bit_and(CAST(x AS BIGINT)) AS band,
+                   bit_or(CAST(x AS BIGINT)) AS bor,
+                   bit_xor(CAST(x AS BIGINT)) AS bxor
+            FROM t WHERE x IS NOT NULL GROUP BY g ORDER BY g
+        """).df().reset_index(drop=True)
+        for c in ("band", "bor", "bxor"):
+            assert got[c].tolist() == exp[c].astype(np.int64).tolist()
+
+    def test_partition_invariance(self, ray_session):
+        from recipys_ray.ops.groupstats import grouped_bitops
+
+        rng = np.random.default_rng(132)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 12, 500),
+            "x": rng.integers(0, 1 << 20, 500),
+        })
+        a = (
+            grouped_bitops(rd.from_pandas(pdf).repartition(1), ["g"], "x")
+            .to_pandas().sort_values("g", ignore_index=True)
+        )
+        b = (
+            grouped_bitops(rd.from_pandas(pdf).repartition(11), ["g"], "x")
+            .to_pandas().sort_values("g", ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+
+class TestTwoProportionZtest:
+    def test_bitexact_vs_duckdb(self, ray_session):
+        import duckdb
+        from recipys_ray.ops.groupstats import two_proportion_ztest
+
+        rng = np.random.default_rng(133)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 8, 6000),
+            "v": rng.integers(0, 2, 6000),
+            "s": rng.integers(0, 2, 6000),
+        })
+        got = (
+            two_proportion_ztest(
+                rd.from_pandas(pdf).repartition(7), ["g"], "v", "s"
+            )
+            .to_pandas().sort_values("g", ignore_index=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute("""
+            WITH c AS (
+              SELECT g,
+                     sum(CASE WHEN v=0 THEN 1 ELSE 0 END) AS n0,
+                     sum(CASE WHEN v=0 THEN s ELSE 0 END) AS x0,
+                     sum(v) AS n1, sum(v*s) AS x1
+              FROM t GROUP BY g
+            )
+            SELECT g, CAST(n0 AS BIGINT) AS n0, CAST(x0 AS BIGINT) AS x0,
+                   CAST(n1 AS BIGINT) AS n1, CAST(x1 AS BIGINT) AS x1,
+                   (CAST(x1 AS DOUBLE)/n1 - CAST(x0 AS DOUBLE)/n0)
+                     / sqrt((CAST(x0+x1 AS DOUBLE)/(n0+n1))
+                            * (1.0 - CAST(x0+x1 AS DOUBLE)/(n0+n1))
+                            * (1.0/n1 + 1.0/n0)) AS z
+            FROM c ORDER BY g
+        """).df().reset_index(drop=True)
+        for c in ("n0", "x0", "n1", "x1"):
+            assert got[c].tolist() == exp[c].tolist()
+        assert got["z"].to_numpy().tolist() == exp["z"].to_numpy().tolist()
+
+    def test_degenerate_groups_null(self, ray_session):
+        from recipys_ray.ops.groupstats import two_proportion_ztest
+
+        pdf = pd.DataFrame({
+            "g": [1, 1, 2, 2, 3, 3, 3],
+            "v": [0, 0, 0, 1, 0, 1, 1],
+            "s": [1, 0, 0, 0, 1, 1, 1],
+        })
+        got = (
+            two_proportion_ztest(rd.from_pandas(pdf), ["g"], "v", "s")
+            .to_pandas().sort_values("g", ignore_index=True)
+        )
+        # g=1: no treatment arm -> NULL; g=2: pooled p=0 -> NULL
+        assert np.isnan(got["z"].iloc[0])
+        assert np.isnan(got["z"].iloc[1])
+
+    def test_bad_variant_rejected(self, ray_session):
+        from recipys_ray.ops.groupstats import two_proportion_ztest
+
+        pdf = pd.DataFrame({"g": [1], "v": [2], "s": [1]})
+        with pytest.raises(Exception):
+            two_proportion_ztest(
+                rd.from_pandas(pdf), ["g"], "v", "s"
+            ).to_pandas()
