@@ -122,6 +122,7 @@ from recipys_ray.ops.frequent import cms_counts, frequent_items
 from recipys_ray.ops.reshape import group_concat, melt, pivot
 from recipys_ray.ops.sampling import (
     balanced_sample,
+    stratified_split,
     hash_sample,
     negative_samples,
     weighted_sample,
@@ -144,6 +145,7 @@ from recipys_ray.ops.text import (
     normalize_text,
     pattern_counts,
     remove_boilerplate_tokens,
+    readability_scores,
     source_similarity,
     top_tokens_per_source,
     pmi_bigrams,
@@ -199,12 +201,13 @@ __all__ = [
     "fit_pca", "pca_project", "target_encode", "feature_hash",
     "balanced_sample", "hash_sample", "hash_split", "negative_samples",
     "mix_sources", "mix_temperature", "sample_per_group",
-    "weighted_sample", "time_split",
+    "weighted_sample", "time_split", "stratified_split",
     "pivot", "melt", "group_concat", "frequent_items", "cms_counts",
     "quality_checks", "semantic_dedup", "knn_brute_force",
     "knn_ivf", "duplicate_spans", "RepetitionStats", "TextFeaturizer",
     "build_vocab", "compression_ratio", "doc_term_counts",
     "normalize_text", "pattern_counts", "remove_boilerplate_tokens",
+    "readability_scores",
     "redact_pii", "source_similarity", "text_features",
     "top_tokens_per_source",
     "gopher_quality_filter",

@@ -471,6 +471,160 @@ def balanced_sample(
     return ds.map_batches(stamp, batch_format="pyarrow")
 
 
+def stratified_split(
+    ds,
+    strata_col: str,
+    id_col: str,
+    test_frac: float,
+    label_col: str = "split",
+    boundary_cap: int = 2_000_000,
+    _bucket_bits: int = 12,
+):
+    """Deterministic stratified train/test split: within every stratum,
+    EXACTLY ``floor(test_frac · n)`` rows are labeled ``'test'`` — the
+    rows with the lowest ``(murmurhash64(id), id)`` — and the rest
+    ``'train'``. Order-, partition- and engine-reproducible (DuckDB:
+    ``row_number() OVER (PARTITION BY s ORDER BY hash(id), id) <=
+    floor(test_frac · count(*) OVER (PARTITION BY s))``).
+
+    Same counting-selection protocol as :func:`balanced_sample` — NO
+    payload shuffle at any stratum size: one (stratum, hash-bucket)
+    count combiner to the driver, only each stratum's single cutoff
+    bucket is collected to rank the exact boundary pair, then one
+    streaming stamp. Per-stratum targets use one double multiply +
+    floor, matching the SQL expression bit-for-bit. Rows with a null
+    stratum or id are labeled ``'train'`` (they never enter the hash
+    ranking)."""
+    from recipys_ray.kernels.duckdb_parity import murmurhash64
+
+    if not (0.0 <= test_frac <= 1.0):
+        raise ValueError(f"test_frac must be in [0, 1], got {test_frac}")
+    shift = np.uint64(64 - _bucket_bits)
+
+    def bucket_counts(tbl: pa.Table) -> pa.Table:
+        cls = tbl.column(strata_col).to_pandas()
+        ids = tbl.column(id_col).to_pandas()
+        ok = cls.notna() & ids.notna()
+        h = murmurhash64(ids[ok].to_numpy())
+        pdf = pd.DataFrame({
+            "cls": cls[ok].to_numpy(),
+            "b": (h >> shift).astype(np.int64),
+        })
+        out = (
+            pdf.groupby(["cls", "b"], sort=False, observed=True)
+            .size()
+            .reset_index(name="n")
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = (
+        ds.select_columns([strata_col, id_col])
+        .map_batches(bucket_counts, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["cls", "b"], sort=True)["n"]
+        .sum()
+        .reset_index()
+    )
+
+    def add_label(tbl: pa.Table, labels: np.ndarray) -> pa.Table:
+        return tbl.append_column(
+            label_col, pa.array(labels, pa.string())
+        )
+
+    if not len(parts):
+        return ds.map_batches(
+            lambda t: add_label(
+                t, np.full(t.num_rows, "train", dtype=object)
+            ),
+            batch_format="pyarrow",
+        )
+
+    totals = parts.groupby("cls")["n"].sum()
+    # n_test per stratum: ONE double multiply + floor — the SQL
+    # floor(test_frac * n) expression verbatim
+    n_test = {
+        c: int(np.floor(test_frac * np.float64(int(n))))
+        for c, n in totals.items()
+    }
+
+    boundary: dict = {}  # cls -> (bucket, rank_within_bucket)
+    all_test = set()
+    all_train = set()
+    for cls, grp in parts.groupby("cls", sort=False):
+        t = n_test[cls]
+        if t == 0:
+            all_train.add(cls)
+            continue
+        if t == int(totals[cls]):
+            all_test.add(cls)
+            continue
+        cum = grp["n"].cumsum()
+        i = int(np.searchsorted(cum.to_numpy(), t, side="left"))
+        before = int(cum.iloc[i - 1]) if i else 0
+        boundary[cls] = (int(grp["b"].iloc[i]), t - before)
+
+    def collect_boundary(tbl: pa.Table) -> pa.Table:
+        cls = tbl.column(strata_col).to_pandas()
+        ids = tbl.column(id_col).to_pandas()
+        ok = cls.notna() & ids.notna()
+        idv = ids[ok].to_numpy()
+        clv = cls[ok].to_numpy()
+        h = murmurhash64(idv)
+        b = (h >> shift).astype(np.int64)
+        bmap = pd.Series({c: v[0] for c, v in boundary.items()})
+        wantb = pd.Series(clv).map(bmap).to_numpy(np.float64)
+        want = wantb == b.astype(np.float64)
+        return pa.table({
+            "cls": pa.array(clv[want]),
+            "h": pa.array(h[want], pa.uint64()),
+            "id": pa.array(idv[want]),
+        })
+
+    cuts: dict = {}
+    if boundary:
+        bdf = (
+            ds.select_columns([strata_col, id_col])
+            .map_batches(collect_boundary, batch_format="pyarrow")
+            .to_pandas()
+        )
+        if len(bdf) > boundary_cap:
+            raise ValueError(
+                f"boundary buckets hold {len(bdf)} rows > boundary_cap="
+                f"{boundary_cap}; raise _bucket_bits"
+            )
+        for cls, grp in bdf.groupby("cls", sort=False):
+            grp = grp.sort_values(["h", "id"], kind="stable")
+            _, rank = boundary[cls]
+            row = grp.iloc[rank - 1]
+            cuts[cls] = (np.uint64(row["h"]), row["id"])
+
+    def stamp(tbl: pa.Table) -> pa.Table:
+        cls = tbl.column(strata_col).to_pandas()
+        ids = tbl.column(id_col).to_pandas()
+        ok = (cls.notna() & ids.notna()).to_numpy()
+        idv = ids.to_numpy()
+        clv = cls.to_numpy()
+        h = murmurhash64(idv)
+        is_test = np.zeros(len(tbl), dtype=bool)
+        for c in np.unique(clv[ok]):
+            m = ok & (clv == c)
+            if c in all_test:
+                is_test[m] = True
+            elif c in all_train:
+                continue
+            else:
+                cut_h, cut_id = cuts[c]
+                hm = h[m]
+                is_test[m] = (hm < cut_h) | (
+                    (hm == cut_h) & (idv[m] <= cut_id)
+                )
+        labels = np.where(is_test, "test", "train").astype(object)
+        return add_label(tbl, labels)
+
+    return ds.map_batches(stamp, batch_format="pyarrow")
+
+
 def negative_samples(
     ds,
     key_col: str,

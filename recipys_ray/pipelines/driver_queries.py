@@ -3945,6 +3945,38 @@ def q_ab_ztest(sf_dir):
     return _select(out, ["event_type", "n0", "x0", "n1", "x1", "z"])
 
 
+def q_readability(sf_dir):
+    """Flesch–Kincaid readability grade per document
+    (ops/text.readability_scores): RE2 count kernels (words, vowel-group
+    syllables, sentence boundaries) + the stated formula tree over exact
+    integer counts — bit-equal to the SQL expression. Stateless
+    vectorized map, no shuffle."""
+    from recipys_ray.ops.text import readability_scores
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return _select(
+        readability_scores(ds),
+        ["doc_id", "n_words", "n_syllables", "n_sentences", "fk_grade"],
+    )
+
+
+def q_stratified_split(sf_dir):
+    """Deterministic stratified train/test split over documents by lang
+    (ops/sampling.stratified_split): exactly floor(0.2·n) docs per lang
+    labeled test via per-stratum counting selection on the
+    murmur ≡ DuckDB-hash domain — NO payload shuffle; one streaming
+    label stamp."""
+    from recipys_ray.ops.sampling import stratified_split
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    out = stratified_split(ds, "lang", "doc_id", test_frac=0.2)
+    return _select(out, ["doc_id", "lang", "split"])
+
+
 ORACLES: dict[str, str] = {
     "impute_zero": f"""
         SELECT event_id, coalesce({_VALN_SQL}, 0) AS valn FROM events
@@ -6711,6 +6743,36 @@ ORACLES: dict[str, str] = {
                         * (1.0 / n1 + 1.0 / n0)) AS z
         FROM c
     """,
+    "readability": """
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                    AS BIGINT) AS n_syllables,
+               CAST(len(regexp_extract_all(text, '[.!?]+[ ]')) + 1
+                    AS BIGINT) AS n_sentences,
+               (0.39 * (CAST(len(string_split(text, ' ')) AS DOUBLE)
+                        / (len(regexp_extract_all(text, '[.!?]+[ ]'))
+                           + 1))
+                + 11.8 * (CAST(len(regexp_extract_all(lower(text),
+                                                      '[aeiouy]+'))
+                               AS DOUBLE)
+                          / len(string_split(text, ' '))))
+               - 15.59 AS fk_grade
+        FROM documents
+    """,
+    "stratified_split": """
+        WITH r AS (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY hash(doc_id), doc_id) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS n
+          FROM documents
+        )
+        SELECT doc_id, lang,
+               CASE WHEN rn <= CAST(floor(0.2 * n) AS BIGINT)
+                    THEN 'test' ELSE 'train' END AS split
+        FROM r
+    """,
 }
 
 
@@ -6897,4 +6959,6 @@ QUERIES = {
     "gini_spend": q_gini_spend,
     "bitops_flags": q_bitops_flags,
     "ab_ztest": q_ab_ztest,
+    "readability": q_readability,
+    "stratified_split": q_stratified_split,
 }

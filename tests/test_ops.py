@@ -6773,3 +6773,125 @@ class TestTwoProportionZtest:
             two_proportion_ztest(
                 rd.from_pandas(pdf), ["g"], "v", "s"
             ).to_pandas()
+
+
+class TestReadabilityScores:
+    def test_bitexact_vs_duckdb(self, ray_session):
+        import duckdb
+        from recipys_ray.ops.text import readability_scores
+
+        pdf = pd.DataFrame({
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [
+                "the quick brown fox. it jumps! over? lazy dogs",
+                "aaa eee iii ooo uuu yyy",
+                "bcd fgh",
+                "",
+                "queueing oooooh my",
+                "mixed CASE Vowels AEIOU and y",
+            ],
+        })
+        got = (
+            readability_scores(rd.from_pandas(pdf))
+            .to_pandas().sort_values("doc_id", ignore_index=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        exp = con.execute("""
+            SELECT doc_id,
+                   CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+                   CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                        AS BIGINT) AS n_syllables,
+                   CAST(len(regexp_extract_all(text, '[.!?]+[ ]')) + 1
+                        AS BIGINT) AS n_sentences,
+                   (0.39 * (CAST(len(string_split(text,' ')) AS DOUBLE)
+                            / (len(regexp_extract_all(text, '[.!?]+[ ]')) + 1))
+                    + 11.8 * (CAST(len(regexp_extract_all(lower(text),
+                                                          '[aeiouy]+'))
+                                   AS DOUBLE)
+                              / len(string_split(text,' '))))
+                   - 15.59 AS fk_grade
+            FROM documents ORDER BY doc_id
+        """).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp)
+        # bit-exact on the float column
+        assert got["fk_grade"].to_numpy().tolist() == \
+            exp["fk_grade"].to_numpy().tolist()
+
+
+class TestStratifiedSplit:
+    def test_matches_duckdb_window(self, ray_session):
+        import duckdb
+        from recipys_ray.ops.sampling import stratified_split
+
+        rng = np.random.default_rng(140)
+        pdf = pd.DataFrame({
+            "id": np.arange(2000, dtype=np.int64),
+            "s": rng.choice(["a", "b", "c", "d"], 2000,
+                            p=[0.5, 0.3, 0.15, 0.05]),
+        })
+        got = (
+            stratified_split(
+                rd.from_pandas(pdf).repartition(7), "s", "id", 0.25
+            )
+            .to_pandas().sort_values("id", ignore_index=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute("""
+            WITH r AS (
+              SELECT id, s,
+                     row_number() OVER (PARTITION BY s
+                                        ORDER BY hash(id), id) AS rn,
+                     count(*) OVER (PARTITION BY s) AS n
+              FROM t
+            )
+            SELECT id, s, CASE WHEN rn <= CAST(floor(0.25 * n) AS BIGINT)
+                               THEN 'test' ELSE 'train' END AS split
+            FROM r ORDER BY id
+        """).df().reset_index(drop=True)
+        assert got["split"].tolist() == exp["split"].tolist()
+        # exact per-stratum counts
+        cnt = got[got["split"] == "test"].groupby("s").size()
+        tot = got.groupby("s").size()
+        for s in tot.index:
+            assert cnt.get(s, 0) == int(np.floor(0.25 * np.float64(tot[s])))
+
+    def test_extremes_and_nulls(self, ray_session):
+        from recipys_ray.ops.sampling import stratified_split
+
+        pdf = pd.DataFrame({
+            "id": [1, 2, 3, 4, None],
+            "s": ["a", "a", "a", "a", "a"],
+        })
+        all_tr = stratified_split(
+            rd.from_pandas(pdf), "s", "id", 0.0
+        ).to_pandas()
+        assert (all_tr["split"] == "train").all()
+        all_te = stratified_split(
+            rd.from_pandas(pdf), "s", "id", 1.0
+        ).to_pandas()
+        # null id row stays train even at frac=1.0
+        assert sorted(all_te["split"]) == ["test"] * 4 + ["train"]
+        with pytest.raises(ValueError):
+            stratified_split(rd.from_pandas(pdf), "s", "id", 1.5)
+
+    def test_partition_invariance(self, ray_session):
+        from recipys_ray.ops.sampling import stratified_split
+
+        rng = np.random.default_rng(141)
+        pdf = pd.DataFrame({
+            "id": rng.permutation(600).astype(np.int64),
+            "s": rng.choice(["x", "y"], 600),
+        })
+        a = (
+            stratified_split(rd.from_pandas(pdf).repartition(1),
+                             "s", "id", 0.4)
+            .to_pandas().sort_values("id", ignore_index=True)
+        )
+        b = (
+            stratified_split(rd.from_pandas(pdf).repartition(9),
+                             "s", "id", 0.4)
+            .to_pandas().sort_values("id", ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
