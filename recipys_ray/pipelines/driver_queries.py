@@ -3977,6 +3977,66 @@ def q_stratified_split(sf_dir):
     return _select(out, ["doc_id", "lang", "split"])
 
 
+def q_rfm_scores(sf_dir):
+    """RFM (recency/frequency/monetary) customer scoring — the classic
+    feature-eng composition: one exact per-user sufficient-stats combiner
+    (ONE skinny exchange), then three NTILE(4) stampings over the small
+    aggregate via the global-rank machinery (ops/rank.add_ntile), score =
+    r·100 + f·10 + m. All-integer pipeline — bit-free of float entirely."""
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+    from recipys_ray.ops.rank import add_ntile
+
+    ds = _events(sf_dir)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        pdf = tbl.select(["user_id", "ts", "value"]).to_pandas()
+        cents = np.round(pdf["value"].to_numpy(np.float64) * 100.0).astype(
+            np.int64
+        )
+        stats = pd.DataFrame({
+            "user_id": pdf["user_id"].to_numpy(),
+            "r": pdf["ts"].to_numpy().astype("datetime64[us]").astype(
+                np.int64
+            ),
+            "f": np.ones(len(pdf), dtype=np.int64),
+            "m": cents,
+        })
+        agg = stats.groupby("user_id", sort=False).agg(
+            r=("r", "max"), f=("f", "sum"), m=("m", "sum")
+        ).reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.groupby("user_id", sort=False).agg(
+            r=("r", "max"), f=("f", "sum"), m=("m", "sum")
+        ).reset_index()
+        for c in ("r", "f", "m"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    agg = partitioned_groupby_map(parts, ["user_id"], finish)
+    agg = add_ntile(agg, "r", k=4, tie_cols=["user_id"],
+                    bucket_col="r_bucket", num_partitions=8)
+    agg = add_ntile(agg, "f", k=4, tie_cols=["user_id"],
+                    bucket_col="f_bucket", num_partitions=8)
+    agg = add_ntile(agg, "m", k=4, tie_cols=["user_id"],
+                    bucket_col="m_bucket", num_partitions=8)
+
+    def score(tbl: pa.Table) -> pa.Table:
+        rb = tbl.column("r_bucket").to_numpy(zero_copy_only=False)
+        fb = tbl.column("f_bucket").to_numpy(zero_copy_only=False)
+        mb = tbl.column("m_bucket").to_numpy(zero_copy_only=False)
+        rfm = (rb * 100 + fb * 10 + mb).astype(np.int64)
+        return tbl.append_column("rfm", pa.array(rfm, pa.int64()))
+
+    out = agg.map_batches(score, batch_format="pyarrow")
+    return _select(
+        out, ["user_id", "r_bucket", "f_bucket", "m_bucket", "rfm"]
+    )
+
+
 ORACLES: dict[str, str] = {
     "impute_zero": f"""
         SELECT event_id, coalesce({_VALN_SQL}, 0) AS valn FROM events
@@ -6773,6 +6833,25 @@ ORACLES: dict[str, str] = {
                     THEN 'test' ELSE 'train' END AS split
         FROM r
     """,
+    "rfm_scores": """
+        WITH a AS (
+          SELECT user_id,
+                 max(epoch_us(ts)) AS r,
+                 CAST(count(*) AS BIGINT) AS f,
+                 sum(CAST(round(value * 100) AS BIGINT)) AS m
+          FROM events GROUP BY user_id
+        ), b AS (
+          SELECT user_id,
+                 NTILE(4) OVER (ORDER BY r, user_id) AS rb,
+                 NTILE(4) OVER (ORDER BY f, user_id) AS fb,
+                 NTILE(4) OVER (ORDER BY m, user_id) AS mb
+          FROM a
+        )
+        SELECT user_id,
+               rb AS r_bucket, fb AS f_bucket, mb AS m_bucket,
+               rb * 100 + fb * 10 + mb AS rfm
+        FROM b
+    """,
 }
 
 
@@ -6961,4 +7040,5 @@ QUERIES = {
     "ab_ztest": q_ab_ztest,
     "readability": q_readability,
     "stratified_split": q_stratified_split,
+    "rfm_scores": q_rfm_scores,
 }
