@@ -26,6 +26,7 @@ from recipys_ray.ops.distinct import (
     distinct_per_group_approx,
 )
 from recipys_ray.ops.segdedup import segment_dedup
+from recipys_ray.ops.graph import pagerank
 from recipys_ray.ops.jaccard import (
     containment_dedup,
     fuzzy_decontaminate,
@@ -94,6 +95,7 @@ from recipys_ray.ops.groupstats import (
     grouped_moments,
     grouped_regression,
     grouped_value_counts,
+    grouped_weighted_median,
     grouped_weighted_stats,
     grouped_welch_ttest,
     grouped_minmax,
@@ -193,7 +195,8 @@ __all__ = [
     "merge_intervals", "scd2_intervals", "transition_counts",
     "state_run_stats",
     "grouped_minmax", "pmi_bigrams", "grouped_gini",
-    "grouped_bitops", "two_proportion_ztest",
+    "grouped_bitops", "two_proportion_ztest", "pagerank",
+    "grouped_weighted_median",
     "cumulative_distinct", "grouped_auc", "decayed_sum",
     "windowed_distinct", "rolling_corr", "null_patterns",
     "expanding_mean_exclusive", "grouped_argmax", "group_share",

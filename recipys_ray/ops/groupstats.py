@@ -1552,6 +1552,81 @@ def two_proportion_ztest(
     )
 
 
+def grouped_weighted_median(
+    ds,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    out_col: str = "wmedian",
+    num_partitions: int | None = None,
+):
+    """Per-group weighted median — the smallest value v whose cumulative
+    weight (ascending by value) satisfies ``2·cumw(v) ≥ totw``. A pure
+    SELECTION: no float arithmetic anywhere, so results are exact for any
+    engine (SQL restatement: windowed cumsum + ``min(v) FILTER``).
+
+    Distributed shape: a per-block (group, value) weight-sum combiner
+    shrinks blocks to partial rows, ONE skinny exchange on the group key,
+    then a vectorized finish (grouped cumsum + keep-first — pandas C
+    kernels). Weights must be non-negative integers; null values or
+    weights are dropped. Overflow bound: per-group Σw < 2⁶³."""
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    gcols = list(group_cols)
+    keys = gcols + [value_col]
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        key_types = {c: tbl.schema.field(c).type for c in keys}
+        pdf = tbl.select(keys + [weight_col]).to_pandas()
+        pdf = pdf[pdf[value_col].notna() & pdf[weight_col].notna()]
+        pdf["__w__"] = pdf[weight_col].astype(np.int64)
+        agg = (
+            pdf.groupby(keys, sort=False, dropna=False, observed=True)[
+                "__w__"
+            ]
+            .sum()
+            .reset_index()
+        )
+        arrs: dict = {
+            c: pa.Array.from_pandas(agg[c], type=key_types[c])
+            for c in keys
+        }
+        arrs["__w__"] = pa.array(agg["__w__"].to_numpy(np.int64),
+                                 pa.int64())
+        return pa.table(arrs)
+
+    parts = ds.select_columns(keys + [weight_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            out = pdf[gcols].copy()
+            out[out_col] = pdf[value_col]
+            return out
+        tot = (
+            pdf.groupby(keys, sort=False, dropna=False, observed=True)[
+                "__w__"
+            ]
+            .sum()
+            .reset_index()
+        )
+        tot = tot.sort_values(keys, kind="stable", ignore_index=True)
+        g = tot.groupby(gcols, sort=False, dropna=False, observed=True)
+        cum = g["__w__"].cumsum().to_numpy(np.int64)
+        total = g["__w__"].transform("sum").to_numpy(np.int64)
+        hit = 2 * cum >= total
+        out = tot.loc[hit].drop_duplicates(subset=gcols, keep="first")
+        out = out[gcols + [value_col]].rename(
+            columns={value_col: out_col}
+        )
+        return out.reset_index(drop=True)
+
+    return partitioned_groupby_map(
+        parts, gcols, finish, num_partitions=num_partitions
+    )
+
+
 def grouped_welch_ttest(
     ds,
     group_cols: list[str],

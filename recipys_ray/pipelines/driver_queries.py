@@ -4037,6 +4037,71 @@ def q_rfm_scores(sf_dir):
     )
 
 
+def q_weighted_median(sf_dir):
+    """Quantity-weighted median line price per return flag
+    (ops/groupstats.grouped_weighted_median): selection-only — no float
+    math — via a (group, value) weight-sum combiner + ONE skinny
+    exchange + grouped-cumsum keep-first finish."""
+    from recipys_ray.ops.groupstats import grouped_weighted_median
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+    )
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(tbl.column("l_extendedprice"), 100.0)),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "l_returnflag": tbl.column("l_returnflag"),
+                "cents": cents,
+                "qty": pc.cast(tbl.column("l_quantity"), pa.int64()),
+            }
+        )
+
+    out = grouped_weighted_median(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag"],
+        "cents",
+        "qty",
+        out_col="wmedian_cents",
+    )
+    return _select(out, ["l_returnflag", "wmedian_cents"])
+
+
+def q_pagerank(sf_dir):
+    """Fixed-point integer PageRank (ops/graph.pagerank) over the
+    supplier↔part co-purchase graph (both directions; namespaced node
+    ids). 2 damped sweeps; every step is integer arithmetic, so the
+    result is exact under any partitioning and bit-equal to the unrolled
+    SQL CTE chain. Edges stay distributed (parallel-edge combiner, pinned
+    once); only per-node state hits the driver."""
+    from recipys_ray.ops.graph import pagerank
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
+    )
+
+    def both_dirs(tbl: pa.Table) -> pa.Table:
+        supp = tbl.column("l_suppkey").to_numpy(zero_copy_only=False)
+        part = tbl.column("l_partkey").to_numpy(zero_copy_only=False)
+        s2 = supp * 2
+        p2 = part * 2 + 1
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([s2, p2]), pa.int64()),
+                "dst": pa.array(np.concatenate([p2, s2]), pa.int64()),
+            }
+        )
+
+    edges = ds.map_batches(both_dirs, batch_format="pyarrow")
+    out = pagerank(edges, "src", "dst", iters=2)
+    return _select(out, ["node", "rank"])
+
+
 ORACLES: dict[str, str] = {
     "impute_zero": f"""
         SELECT event_id, coalesce({_VALN_SQL}, 0) AS valn FROM events
@@ -6852,6 +6917,59 @@ ORACLES: dict[str, str] = {
                rb * 100 + fb * 10 + mb AS rfm
         FROM b
     """,
+    "weighted_median": """
+        WITH w AS (
+          SELECT l_returnflag,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                 CAST(l_quantity AS BIGINT) AS qty
+          FROM lineitem
+        ), a AS (
+          SELECT l_returnflag, cents, sum(qty) AS wv
+          FROM w GROUP BY l_returnflag, cents
+        ), c AS (
+          SELECT l_returnflag, cents,
+                 sum(wv) OVER (PARTITION BY l_returnflag
+                               ORDER BY cents) AS cum,
+                 sum(wv) OVER (PARTITION BY l_returnflag) AS tot
+          FROM a
+        )
+        SELECT l_returnflag,
+               min(cents) FILTER (WHERE 2 * cum >= tot)
+                 AS wmedian_cents
+        FROM c GROUP BY l_returnflag
+    """,
+    "pagerank": """
+        WITH e AS (
+          SELECT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
+          FROM lineitem
+          UNION ALL
+          SELECT l_partkey * 2 + 1, l_suppkey * 2 FROM lineitem
+        ),
+        nn AS (SELECT DISTINCT node FROM
+                 (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+        p AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nn),
+        deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d
+                FROM e GROUP BY src),
+        r0 AS (SELECT node, 1000000000000 // (SELECT n FROM p) AS r
+               FROM nn),
+        c1 AS (SELECT e.dst AS node, sum(r0.r // deg.d) AS s
+               FROM e JOIN r0 ON r0.node = e.src
+                      JOIN deg ON deg.src = e.src
+               GROUP BY e.dst),
+        r1 AS (SELECT nn.node,
+                      ((1000000000000 * 15) // 100) // (SELECT n FROM p)
+                        + (85 * coalesce(c1.s, 0)) // 100 AS r
+               FROM nn LEFT JOIN c1 USING (node)),
+        c2 AS (SELECT e.dst AS node, sum(r1.r // deg.d) AS s
+               FROM e JOIN r1 ON r1.node = e.src
+                      JOIN deg ON deg.src = e.src
+               GROUP BY e.dst),
+        r2 AS (SELECT nn.node,
+                      ((1000000000000 * 15) // 100) // (SELECT n FROM p)
+                        + (85 * coalesce(c2.s, 0)) // 100 AS r
+               FROM nn LEFT JOIN c2 USING (node))
+        SELECT node, CAST(r AS BIGINT) AS rank FROM r2
+    """,
 }
 
 
@@ -7041,4 +7159,6 @@ QUERIES = {
     "readability": q_readability,
     "stratified_split": q_stratified_split,
     "rfm_scores": q_rfm_scores,
+    "weighted_median": q_weighted_median,
+    "pagerank": q_pagerank,
 }

@@ -6895,3 +6895,155 @@ class TestStratifiedSplit:
             .to_pandas().sort_values("id", ignore_index=True)
         )
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestGroupedWeightedMedian:
+    def test_matches_duckdb_filter_min(self, ray_session):
+        import duckdb
+        from recipys_ray.ops.groupstats import grouped_weighted_median
+
+        rng = np.random.default_rng(150)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 15, 4000),
+            "v": rng.integers(-500, 500, 4000),
+            "w": rng.integers(0, 9, 4000),
+        })
+        pdf.loc[rng.choice(4000, 60, replace=False), "v"] = np.nan
+        got = (
+            grouped_weighted_median(
+                rd.from_pandas(pdf).repartition(8), ["g"], "v", "w"
+            )
+            .to_pandas().sort_values("g", ignore_index=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute("""
+            WITH a AS (
+              SELECT g, CAST(v AS BIGINT) AS v, sum(CAST(w AS BIGINT)) AS wv
+              FROM t WHERE v IS NOT NULL GROUP BY g, v
+            ), c AS (
+              SELECT g, v,
+                     sum(wv) OVER (PARTITION BY g ORDER BY v) AS cum,
+                     sum(wv) OVER (PARTITION BY g) AS tot
+              FROM a
+            )
+            SELECT g, min(v) FILTER (WHERE 2*cum >= tot) AS wmedian
+            FROM c GROUP BY g ORDER BY g
+        """).df().reset_index(drop=True)
+        assert got["wmedian"].tolist() == exp["wmedian"].astype(np.int64).tolist()
+
+    def test_degenerate_weights_and_invariance(self, ray_session):
+        from recipys_ray.ops.groupstats import grouped_weighted_median
+
+        # all-zero weights -> smallest value (2*0 >= 0)
+        pdf = pd.DataFrame({"g": [1, 1, 2], "v": [7, 3, 9],
+                            "w": [0, 0, 4]})
+        got = (
+            grouped_weighted_median(rd.from_pandas(pdf), ["g"], "v", "w")
+            .to_pandas().sort_values("g", ignore_index=True)
+        )
+        assert got["wmedian"].tolist() == [3, 9]
+        rng = np.random.default_rng(151)
+        pdf2 = pd.DataFrame({
+            "g": rng.integers(0, 6, 800),
+            "v": rng.integers(0, 40, 800),
+            "w": rng.integers(1, 5, 800),
+        })
+        a = (
+            grouped_weighted_median(
+                rd.from_pandas(pdf2).repartition(1), ["g"], "v", "w"
+            ).to_pandas().sort_values("g", ignore_index=True)
+        )
+        b = (
+            grouped_weighted_median(
+                rd.from_pandas(pdf2).repartition(9), ["g"], "v", "w"
+            ).to_pandas().sort_values("g", ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+
+class TestPagerank:
+    @staticmethod
+    def _oracle(pdf, scale=1000000000000):
+        import duckdb
+
+        con = duckdb.connect()
+        con.register("t", pdf)
+        return con.execute(f"""
+            WITH e AS (SELECT src, dst FROM t),
+            nn AS (SELECT DISTINCT node FROM
+                     (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+            p AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nn),
+            deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d
+                    FROM e GROUP BY src),
+            r0 AS (SELECT node, {scale} // (SELECT n FROM p) AS r FROM nn),
+            c1 AS (SELECT e.dst AS node, sum(r0.r // deg.d) AS s
+                   FROM e JOIN r0 ON r0.node = e.src
+                          JOIN deg ON deg.src = e.src GROUP BY e.dst),
+            r1 AS (SELECT nn.node, (({scale} * 15) // 100) // (SELECT n FROM p)
+                          + (85 * coalesce(c1.s, 0)) // 100 AS r
+                   FROM nn LEFT JOIN c1 USING (node)),
+            c2 AS (SELECT e.dst AS node, sum(r1.r // deg.d) AS s
+                   FROM e JOIN r1 ON r1.node = e.src
+                          JOIN deg ON deg.src = e.src GROUP BY e.dst),
+            r2 AS (SELECT nn.node, (({scale} * 15) // 100) // (SELECT n FROM p)
+                          + (85 * coalesce(c2.s, 0)) // 100 AS r
+                   FROM nn LEFT JOIN c2 USING (node))
+            SELECT node, CAST(r AS BIGINT) AS rank FROM r2 ORDER BY node
+        """).df().reset_index(drop=True)
+
+    def test_bitexact_vs_duckdb(self, ray_session):
+        from recipys_ray.ops.graph import pagerank
+
+        rng = np.random.default_rng(160)
+        pdf = pd.DataFrame({
+            "src": rng.integers(0, 70, 3000),
+            "dst": rng.integers(0, 90, 3000),
+        })
+        got = (
+            pagerank(rd.from_pandas(pdf).repartition(8), "src", "dst",
+                     iters=2)
+            .to_pandas().sort_values("node", ignore_index=True)
+        )
+        exp = self._oracle(pdf)
+        assert got["node"].tolist() == exp["node"].tolist()
+        assert got["rank"].tolist() == exp["rank"].tolist()
+
+    def test_dangling_and_parallel_edges(self, ray_session):
+        from recipys_ray.ops.graph import pagerank
+
+        # node 3 is dangling (dst only); parallel 1->2 edges count twice
+        pdf = pd.DataFrame({"src": [1, 1, 1, 2], "dst": [2, 2, 3, 1]})
+        got = (
+            pagerank(rd.from_pandas(pdf), "src", "dst", iters=2)
+            .to_pandas().sort_values("node", ignore_index=True)
+        )
+        exp = self._oracle(pdf)
+        assert got["rank"].tolist() == exp["rank"].tolist()
+        # dangling node got only base + damped inflow, never divides
+        assert got["node"].tolist() == [1, 2, 3]
+
+    def test_partition_invariance(self, ray_session):
+        from recipys_ray.ops.graph import pagerank
+
+        rng = np.random.default_rng(161)
+        pdf = pd.DataFrame({
+            "src": rng.integers(0, 30, 1000),
+            "dst": rng.integers(0, 30, 1000),
+        })
+        a = (
+            pagerank(rd.from_pandas(pdf).repartition(1), "src", "dst")
+            .to_pandas().sort_values("node", ignore_index=True)
+        )
+        b = (
+            pagerank(rd.from_pandas(pdf).repartition(11), "src", "dst")
+            .to_pandas().sort_values("node", ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_validation(self, ray_session):
+        from recipys_ray.ops.graph import pagerank
+
+        pdf = pd.DataFrame({"src": [1], "dst": [2]})
+        with pytest.raises(ValueError):
+            pagerank(rd.from_pandas(pdf), iters=0)
