@@ -124,6 +124,7 @@ from recipys_ray.ops.frequent import cms_counts, frequent_items
 from recipys_ray.ops.reshape import group_concat, melt, pivot
 from recipys_ray.ops.sampling import (
     balanced_sample,
+    budget_sample,
     stratified_split,
     hash_sample,
     negative_samples,
@@ -205,6 +206,7 @@ __all__ = [
     "balanced_sample", "hash_sample", "hash_split", "negative_samples",
     "mix_sources", "mix_temperature", "sample_per_group",
     "weighted_sample", "time_split", "stratified_split",
+    "budget_sample",
     "pivot", "melt", "group_concat", "frequent_items", "cms_counts",
     "quality_checks", "semantic_dedup", "knn_brute_force",
     "knn_ivf", "duplicate_spans", "RepetitionStats", "TextFeaturizer",

@@ -625,6 +625,158 @@ def stratified_split(
     return ds.map_batches(stamp, batch_format="pyarrow")
 
 
+def budget_sample(
+    ds,
+    strata_col: str,
+    id_col: str,
+    weight_col: str,
+    budget: int,
+    boundary_cap: int = 2_000_000,
+    _bucket_bits: int = 12,
+):
+    """Per-stratum TOKEN-BUDGET selection — the data-mixing primitive
+    "keep documents from each source until its token budget is spent":
+    within every stratum, walk rows in ``(murmurhash64(id), id)`` order
+    and keep each row while the running weight total (inclusive) stays
+    ≤ ``budget``. Deterministic, order/partition/engine-reproducible
+    (DuckDB: ``sum(w) OVER (PARTITION BY s ORDER BY hash(id), id) <=
+    budget``).
+
+    Same counting-selection shape as :func:`stratified_split`, folded
+    over WEIGHTS instead of row counts — NO payload shuffle at any
+    stratum size: one (stratum, hash-bucket) weight-sum combiner to the
+    driver, only each stratum's cutoff bucket is collected to locate the
+    exact last-kept ``(hash, id)`` pair by prefix sum, then one
+    streaming filter. Weights must be non-negative integers (null
+    weight/stratum/id rows are dropped). Per-stratum Σw must stay
+    < 2⁶³."""
+    from recipys_ray.kernels.duckdb_parity import murmurhash64
+
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    shift = np.uint64(64 - _bucket_bits)
+
+    def bucket_weights(tbl: pa.Table) -> pa.Table:
+        cls = tbl.column(strata_col).to_pandas()
+        ids = tbl.column(id_col).to_pandas()
+        w = tbl.column(weight_col).to_pandas()
+        ok = cls.notna() & ids.notna() & w.notna()
+        h = murmurhash64(ids[ok].to_numpy())
+        pdf = pd.DataFrame({
+            "cls": cls[ok].to_numpy(),
+            "b": (h >> shift).astype(np.int64),
+            "w": w[ok].to_numpy().astype(np.int64),
+        })
+        out = (
+            pdf.groupby(["cls", "b"], sort=False, observed=True)["w"]
+            .sum()
+            .reset_index(name="w")
+        )
+        out["w"] = out["w"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = (
+        ds.select_columns([strata_col, id_col, weight_col])
+        .map_batches(bucket_weights, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["cls", "b"], sort=True)["w"]
+        .sum()
+        .reset_index()
+    )
+    if not len(parts):
+        return ds.limit(0)
+
+    totals = parts.groupby("cls")["w"].sum()
+    keep_all = set()
+    boundary: dict = {}  # cls -> (bucket, weight_before_bucket)
+    for cls, grp in parts.groupby("cls", sort=False):
+        if int(totals[cls]) <= budget:
+            keep_all.add(cls)
+            continue
+        cum = grp["w"].cumsum().to_numpy()
+        # first bucket whose inclusive weight total exceeds the budget
+        i = int(np.searchsorted(cum, budget, side="right"))
+        before = int(cum[i - 1]) if i else 0
+        boundary[cls] = (int(grp["b"].iloc[i]), before)
+
+    def collect_boundary(tbl: pa.Table) -> pa.Table:
+        cls = tbl.column(strata_col).to_pandas()
+        ids = tbl.column(id_col).to_pandas()
+        w = tbl.column(weight_col).to_pandas()
+        ok = cls.notna() & ids.notna() & w.notna()
+        idv = ids[ok].to_numpy()
+        clv = cls[ok].to_numpy()
+        wv = w[ok].to_numpy().astype(np.int64)
+        h = murmurhash64(idv)
+        b = (h >> shift).astype(np.int64)
+        bmap = pd.Series({c: v[0] for c, v in boundary.items()})
+        wantb = pd.Series(clv).map(bmap).to_numpy(np.float64)
+        want = wantb == b.astype(np.float64)
+        return pa.table({
+            "cls": pa.array(
+                clv[want], type=tbl.schema.field(strata_col).type
+            ),
+            "h": pa.array(h[want], pa.uint64()),
+            "id": pa.array(
+                idv[want], type=tbl.schema.field(id_col).type
+            ),
+            "w": pa.array(wv[want], pa.int64()),
+        })
+
+    # cls -> (cut_bucket, cut_h, cut_id) — rows of the cut bucket at or
+    # below the pair are kept; earlier buckets are kept wholesale. A
+    # boundary bucket whose very first row busts the budget keeps
+    # nothing from that bucket (cutpair None).
+    cuts: dict = {}
+    if boundary:
+        bdf = (
+            ds.select_columns([strata_col, id_col, weight_col])
+            .map_batches(collect_boundary, batch_format="pyarrow")
+            .to_pandas()
+        )
+        if len(bdf) > boundary_cap:
+            raise ValueError(
+                f"boundary buckets hold {len(bdf)} rows > boundary_cap="
+                f"{boundary_cap}; raise _bucket_bits"
+            )
+        for cls, grp in bdf.groupby("cls", sort=False):
+            grp = grp.sort_values(["h", "id"], kind="stable")
+            bkt, before = boundary[cls]
+            cw = before + grp["w"].cumsum().to_numpy()
+            n_keep = int(np.searchsorted(cw, budget, side="right"))
+            if n_keep == 0:
+                cuts[cls] = (bkt, None, None)
+            else:
+                row = grp.iloc[n_keep - 1]
+                cuts[cls] = (bkt, np.uint64(row["h"]), row["id"])
+
+    def stamp(tbl: pa.Table) -> pa.Table:
+        cls = tbl.column(strata_col).to_pandas()
+        ids = tbl.column(id_col).to_pandas()
+        w = tbl.column(weight_col).to_pandas()
+        ok = (cls.notna() & ids.notna() & w.notna()).to_numpy()
+        idv = ids.to_numpy()
+        clv = cls.to_numpy()
+        h = murmurhash64(idv)
+        b = (h >> shift).astype(np.int64)
+        keep = np.zeros(len(tbl), dtype=bool)
+        for c in np.unique(clv[ok]):
+            m = ok & (clv == c)
+            if c in keep_all:
+                keep[m] = True
+                continue
+            bkt, cut_h, cut_id = cuts[c]
+            keep[m] = b[m] < bkt
+            if cut_h is not None:
+                hm = h[m]
+                keep[m] |= (b[m] == bkt) & (
+                    (hm < cut_h) | ((hm == cut_h) & (idv[m] <= cut_id))
+                )
+        return tbl.filter(pa.array(keep))
+
+    return ds.map_batches(stamp, batch_format="pyarrow")
+
+
 def negative_samples(
     ds,
     key_col: str,

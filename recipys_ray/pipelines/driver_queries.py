@@ -4102,6 +4102,23 @@ def q_pagerank(sf_dir):
     return _select(out, ["node", "rank"])
 
 
+def q_budget_sample(sf_dir):
+    """Per-source token-budget document selection
+    (ops/sampling.budget_sample): keep docs from each source in
+    deterministic (hash, id) order while the running n_chars total stays
+    ≤ 4000 — the data-mixing 'spend each source's token budget'
+    primitive. Weighted counting selection over the murmur ≡ DuckDB-hash
+    domain; NO payload shuffle, one streaming filter."""
+    from recipys_ray.ops.sampling import budget_sample
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "n_chars"],
+    )
+    out = budget_sample(ds, "source", "doc_id", "n_chars", budget=4_000)
+    return _select(out, ["doc_id", "source", "n_chars"])
+
+
 ORACLES: dict[str, str] = {
     "impute_zero": f"""
         SELECT event_id, coalesce({_VALN_SQL}, 0) AS valn FROM events
@@ -6970,6 +6987,16 @@ ORACLES: dict[str, str] = {
                FROM nn LEFT JOIN c2 USING (node))
         SELECT node, CAST(r AS BIGINT) AS rank FROM r2
     """,
+    "budget_sample": """
+        WITH r AS (
+          SELECT doc_id, source, n_chars,
+                 sum(n_chars) OVER (PARTITION BY source
+                                    ORDER BY hash(doc_id), doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cw
+          FROM documents
+        )
+        SELECT doc_id, source, n_chars FROM r WHERE cw <= 4000
+    """,
 }
 
 
@@ -7161,4 +7188,5 @@ QUERIES = {
     "rfm_scores": q_rfm_scores,
     "weighted_median": q_weighted_median,
     "pagerank": q_pagerank,
+    "budget_sample": q_budget_sample,
 }

@@ -7047,3 +7047,71 @@ class TestPagerank:
         pdf = pd.DataFrame({"src": [1], "dst": [2]})
         with pytest.raises(ValueError):
             pagerank(rd.from_pandas(pdf), iters=0)
+
+
+class TestBudgetSample:
+    @staticmethod
+    def _run(pdf, budget, parts=7):
+        from recipys_ray.ops.sampling import budget_sample
+
+        out = budget_sample(
+            rd.from_pandas(pdf).repartition(parts), "s", "id", "w", budget
+        ).to_pandas()
+        return out.sort_values("id", ignore_index=True) if len(out) \
+            else out
+
+    @staticmethod
+    def _oracle(pdf, budget):
+        import duckdb
+
+        con = duckdb.connect()
+        con.register("t", pdf)
+        return con.execute(f"""
+            WITH r AS (
+              SELECT id, s, w,
+                     sum(w) OVER (PARTITION BY s ORDER BY hash(id), id
+                                  ROWS UNBOUNDED PRECEDING) AS cw
+              FROM t)
+            SELECT id, s, w FROM r WHERE cw <= {budget} ORDER BY id
+        """).df().reset_index(drop=True)
+
+    def test_matches_duckdb_across_budgets(self, ray_session):
+        rng = np.random.default_rng(170)
+        pdf = pd.DataFrame({
+            "id": np.arange(3000, dtype=np.int64),
+            "s": rng.choice(["a", "b", "c"], 3000, p=[0.6, 0.3, 0.1]),
+            "w": rng.integers(1, 400, 3000),
+        })
+        for budget in (0, 50, 5000, 10_000_000):
+            got = self._run(pdf, budget)
+            exp = self._oracle(pdf, budget)
+            assert len(got) == len(exp), budget
+            if len(exp):
+                assert got["id"].tolist() == exp["id"].tolist(), budget
+
+    def test_budget_exactness_and_validation(self, ray_session):
+        rng = np.random.default_rng(171)
+        pdf = pd.DataFrame({
+            "id": np.arange(500, dtype=np.int64),
+            "s": np.repeat(["x", "y"], 250),
+            "w": rng.integers(10, 50, 500),
+        })
+        got = self._run(pdf, 700)
+        # kept weight per stratum <= budget, and adding the next doc in
+        # hash order would exceed it (checked against the oracle anyway)
+        assert (got.groupby("s")["w"].sum() <= 700).all()
+        exp = self._oracle(pdf, 700)
+        assert got["id"].tolist() == exp["id"].tolist()
+        with pytest.raises(ValueError):
+            self._run(pdf, -1)
+
+    def test_partition_invariance(self, ray_session):
+        rng = np.random.default_rng(172)
+        pdf = pd.DataFrame({
+            "id": rng.permutation(800).astype(np.int64),
+            "s": rng.choice(["p", "q"], 800),
+            "w": rng.integers(1, 30, 800),
+        })
+        a = self._run(pdf, 1500, parts=1)
+        b = self._run(pdf, 1500, parts=11)
+        pd.testing.assert_frame_equal(a, b)
