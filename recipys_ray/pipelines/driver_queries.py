@@ -3977,66 +3977,6 @@ def q_stratified_split(sf_dir):
     return _select(out, ["doc_id", "lang", "split"])
 
 
-def q_rfm_scores(sf_dir):
-    """RFM (recency/frequency/monetary) customer scoring — the classic
-    feature-eng composition: one exact per-user sufficient-stats combiner
-    (ONE skinny exchange), then three NTILE(4) stampings over the small
-    aggregate via the global-rank machinery (ops/rank.add_ntile), score =
-    r·100 + f·10 + m. All-integer pipeline — bit-free of float entirely."""
-    from recipys_ray.ops.dedup import partitioned_groupby_map
-    from recipys_ray.ops.rank import add_ntile
-
-    ds = _events(sf_dir)
-
-    def partial(tbl: pa.Table) -> pa.Table:
-        pdf = tbl.select(["user_id", "ts", "value"]).to_pandas()
-        cents = np.round(pdf["value"].to_numpy(np.float64) * 100.0).astype(
-            np.int64
-        )
-        stats = pd.DataFrame({
-            "user_id": pdf["user_id"].to_numpy(),
-            "r": pdf["ts"].to_numpy().astype("datetime64[us]").astype(
-                np.int64
-            ),
-            "f": np.ones(len(pdf), dtype=np.int64),
-            "m": cents,
-        })
-        agg = stats.groupby("user_id", sort=False).agg(
-            r=("r", "max"), f=("f", "sum"), m=("m", "sum")
-        ).reset_index()
-        return pa.Table.from_pandas(agg, preserve_index=False)
-
-    parts = ds.map_batches(partial, batch_format="pyarrow")
-
-    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = pdf.groupby("user_id", sort=False).agg(
-            r=("r", "max"), f=("f", "sum"), m=("m", "sum")
-        ).reset_index()
-        for c in ("r", "f", "m"):
-            out[c] = out[c].astype(np.int64)
-        return out
-
-    agg = partitioned_groupby_map(parts, ["user_id"], finish)
-    agg = add_ntile(agg, "r", k=4, tie_cols=["user_id"],
-                    bucket_col="r_bucket", num_partitions=8)
-    agg = add_ntile(agg, "f", k=4, tie_cols=["user_id"],
-                    bucket_col="f_bucket", num_partitions=8)
-    agg = add_ntile(agg, "m", k=4, tie_cols=["user_id"],
-                    bucket_col="m_bucket", num_partitions=8)
-
-    def score(tbl: pa.Table) -> pa.Table:
-        rb = tbl.column("r_bucket").to_numpy(zero_copy_only=False)
-        fb = tbl.column("f_bucket").to_numpy(zero_copy_only=False)
-        mb = tbl.column("m_bucket").to_numpy(zero_copy_only=False)
-        rfm = (rb * 100 + fb * 10 + mb).astype(np.int64)
-        return tbl.append_column("rfm", pa.array(rfm, pa.int64()))
-
-    out = agg.map_batches(score, batch_format="pyarrow")
-    return _select(
-        out, ["user_id", "r_bucket", "f_bucket", "m_bucket", "rfm"]
-    )
-
-
 def q_weighted_median(sf_dir):
     """Quantity-weighted median line price per return flag
     (ops/groupstats.grouped_weighted_median): selection-only — no float
@@ -4117,6 +4057,71 @@ def q_budget_sample(sf_dir):
     )
     out = budget_sample(ds, "source", "doc_id", "n_chars", budget=4_000)
     return _select(out, ["doc_id", "source", "n_chars"])
+
+
+def q_pit_state(sf_dir):
+    """Point-in-time dimension enrichment — the SCD2 build feeding the
+    as-of join (the north-star composition): each event is stamped with
+    the user's state AS OF one hour earlier. scd2_intervals (ONE skinny
+    exchange) → asof backward join co-partitioned by user; same-ts marks
+    dedup inside the join (QUALIFY mirror)."""
+    from recipys_ray.ops.asof import asof_join
+    from recipys_ray.ops.intervals import scd2_intervals
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    dim = scd2_intervals(
+        ev, ["user_id"], ["ts", "event_id"], "event_type"
+    )
+
+    def dim_side(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": tbl.column("user_id"),
+                "ts_lag": tbl.column("valid_from"),
+                "prior_state": tbl.column("event_type"),
+                "state_key": tbl.column("event_type"),
+            }
+        )
+
+    # multi-pass consumer: asof_join probes right.schema() (full upstream
+    # execution for a post-shuffle plan) before the join itself — pin the
+    # derived dim ONCE (the materialize-pin policy, ROUND5_NOTES.md)
+    right = dim.map_batches(dim_side, batch_format="pyarrow").materialize()
+
+    def probe(tbl: pa.Table) -> pa.Table:
+        lag = pc.cast(
+            pc.subtract(
+                pc.cast(tbl.column("ts"), pa.int64()),
+                pa.scalar(3_600_000_000, pa.int64()),
+            ),
+            pa.timestamp("us"),
+        )
+        return pa.table(
+            {
+                "event_id": tbl.column("event_id"),
+                "user_id": tbl.column("user_id"),
+                "ts_lag": lag,
+            }
+        )
+
+    left = ev.map_batches(probe, batch_format="pyarrow")
+    out = asof_join(
+        left, right, on="ts_lag", by="user_id",
+        right_dedup_cols=["state_key"],
+    )
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": tbl.column("event_id").cast(pa.int64()),
+                "prior_state": tbl.column("prior_state"),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 ORACLES: dict[str, str] = {
@@ -6915,25 +6920,6 @@ ORACLES: dict[str, str] = {
                     THEN 'test' ELSE 'train' END AS split
         FROM r
     """,
-    "rfm_scores": """
-        WITH a AS (
-          SELECT user_id,
-                 max(epoch_us(ts)) AS r,
-                 CAST(count(*) AS BIGINT) AS f,
-                 sum(CAST(round(value * 100) AS BIGINT)) AS m
-          FROM events GROUP BY user_id
-        ), b AS (
-          SELECT user_id,
-                 NTILE(4) OVER (ORDER BY r, user_id) AS rb,
-                 NTILE(4) OVER (ORDER BY f, user_id) AS fb,
-                 NTILE(4) OVER (ORDER BY m, user_id) AS mb
-          FROM a
-        )
-        SELECT user_id,
-               rb AS r_bucket, fb AS f_bucket, mb AS m_bucket,
-               rb * 100 + fb * 10 + mb AS rfm
-        FROM b
-    """,
     "weighted_median": """
         WITH w AS (
           SELECT l_returnflag,
@@ -6996,6 +6982,28 @@ ORACLES: dict[str, str] = {
           FROM documents
         )
         SELECT doc_id, source, n_chars FROM r WHERE cw <= 4000
+    """,
+    "pit_state": """
+        WITH o AS (
+          SELECT user_id, ts, event_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+          FROM events
+        ), marks AS (
+          SELECT user_id, ts, event_type FROM o
+          WHERE prev IS NULL OR prev <> event_type
+        ), d AS (
+          SELECT user_id, event_type AS prior_state, ts AS valid_from
+          FROM marks
+          QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                     ORDER BY event_type) = 1
+        ), p AS (
+          SELECT event_id, user_id, ts - INTERVAL 1 HOUR AS ts_lag
+          FROM events
+        )
+        SELECT p.event_id, d.prior_state
+        FROM p ASOF LEFT JOIN d
+          ON p.user_id = d.user_id AND p.ts_lag >= d.valid_from
     """,
 }
 
@@ -7185,8 +7193,8 @@ QUERIES = {
     "ab_ztest": q_ab_ztest,
     "readability": q_readability,
     "stratified_split": q_stratified_split,
-    "rfm_scores": q_rfm_scores,
     "weighted_median": q_weighted_median,
     "pagerank": q_pagerank,
     "budget_sample": q_budget_sample,
+    "pit_state": q_pit_state,
 }
