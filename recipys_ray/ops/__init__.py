@@ -112,6 +112,7 @@ from recipys_ray.ops.timeseries import (
     grouped_cusum,
     ohlc_bars,
     sequence_integrity,
+    time_weighted_avg,
 )
 from recipys_ray.ops.setops import (
     except_distinct,
@@ -192,6 +193,7 @@ __all__ = [
     "ohlc_bars",
     "except_distinct", "intersect_distinct", "table_diff",
     "grouped_cusum", "sequence_integrity", "budget_prefix",
+    "time_weighted_avg",
     "debounce_events",
     "merge_intervals", "scd2_intervals", "transition_counts",
     "state_run_stats",

@@ -423,3 +423,79 @@ def debounce_events(
     return partitioned_groupby_map(
         ds, gcols, per_partition, num_partitions=num_partitions
     )
+
+
+def time_weighted_avg(
+    ds,
+    group_cols: list[str],
+    ts_col: str,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "twap",
+    num_partitions: int | None = None,
+):
+    """Per-group step-function time-weighted average (TWAP): each value
+    holds from its own timestamp until the NEXT observation, so
+
+        twap = Σ vᵢ·(tᵢ₊₁ − tᵢ) / (t_n − t_0)
+
+    — the standard position/price/state time-integral feature. The last
+    observation has no holding interval and contributes nothing (SQL:
+    the ``lead``-formed duration is NULL and drops from both sums).
+
+    Exactness contract: feed an INTEGER value column (cents) — durations
+    are exact epoch-µs int64, each Σ is an exact int64 sum, and the
+    single closed-form division is bit-equal to the SQL
+    ``CAST(sum(v·dur) AS DOUBLE)/CAST(sum(dur) AS DOUBLE)``. A group with
+    zero total duration (single event, or all events simultaneous)
+    yields NULL (SQL x/0.0). Overflow bound: per-group Σ v·Δµs < 2⁶³.
+
+    Motion: ONE skinny exchange ((group, ts, order, value)) co-locates
+    each entity's history; per partition one stable sort + grouped
+    ``shift(-1)`` + segment sums — pandas C kernels across all groups."""
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    gcols = list(group_cols)
+    ocols = list(order_cols)
+    cols = gcols + ocols + [value_col]
+    if ts_col not in cols:
+        cols = gcols + [ts_col] + ocols + [value_col]
+
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            out = pdf[gcols].copy()
+            out[out_col] = pd.Series([], dtype=np.float64)
+            return out
+        pdf = pdf[cols].sort_values(
+            gcols + ocols, kind="stable", ignore_index=True
+        )
+        grp = pdf.groupby(gcols, sort=False, dropna=False, observed=True)
+        us = (
+            pdf[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        )
+        nxt = grp[ts_col].shift(-1)
+        nxt_us = nxt.to_numpy().astype("datetime64[us]").astype(np.int64)
+        has_next = nxt.notna().to_numpy()
+        dur = np.where(has_next, nxt_us - us, 0).astype(np.int64)
+        v = pdf[value_col].to_numpy(np.int64)
+        stats = pd.DataFrame({c: pdf[c].to_numpy() for c in gcols})
+        stats["__vd__"] = v * dur
+        stats["__d__"] = dur
+        agg = (
+            stats.groupby(gcols, sort=False, dropna=False, observed=True)
+            .sum()
+            .reset_index()
+        )
+        num = agg["__vd__"].to_numpy(np.int64).astype(np.float64)
+        den = agg["__d__"].to_numpy(np.int64).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            tw = num / den
+        tw[den == 0.0] = np.nan  # SQL x/0.0 → NULL
+        out = agg[gcols].copy()
+        out[out_col] = tw
+        return out
+
+    return partitioned_groupby_map(
+        ds.select_columns(cols), gcols, finish,
+        num_partitions=num_partitions,
+    )

@@ -4124,6 +4124,38 @@ def q_pit_state(sf_dir):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def q_twap(sf_dir):
+    """Per-user step-function time-weighted average spend
+    (ops/timeseries.time_weighted_avg): each value holds until the next
+    event; exact int64 cents·µs sums → one bit-equal division. ONE
+    skinny exchange on user_id."""
+    from recipys_ray.ops.timeseries import time_weighted_avg
+
+    ds = _events(sf_dir)
+
+    def cents(tbl: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.round(pc.multiply(tbl.column("value"), 100.0)), pa.int64()
+        )
+        return pa.table(
+            {
+                "user_id": tbl.column("user_id"),
+                "ts": tbl.column("ts"),
+                "event_id": tbl.column("event_id"),
+                "cents": c,
+            }
+        )
+
+    out = time_weighted_avg(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        ["user_id"],
+        "ts",
+        ["ts", "event_id"],
+        "cents",
+    )
+    return _select(out, ["user_id", "twap"])
+
+
 ORACLES: dict[str, str] = {
     "impute_zero": f"""
         SELECT event_id, coalesce({_VALN_SQL}, 0) AS valn FROM events
@@ -7005,6 +7037,23 @@ ORACLES: dict[str, str] = {
         FROM p ASOF LEFT JOIN d
           ON p.user_id = d.user_id AND p.ts_lag >= d.valid_from
     """,
+    "twap": """
+        WITH w AS (
+          SELECT user_id, ts, event_id,
+                 CAST(round(value * 100) AS BIGINT) AS cents,
+                 epoch_us(ts) AS us
+          FROM events
+        ), d AS (
+          SELECT user_id, cents,
+                 lead(us) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) - us AS dur
+          FROM w
+        )
+        SELECT user_id,
+               CAST(sum(cents * dur) AS DOUBLE)
+                 / CAST(sum(dur) AS DOUBLE) AS twap
+        FROM d GROUP BY user_id
+    """,
 }
 
 
@@ -7197,4 +7246,5 @@ QUERIES = {
     "pagerank": q_pagerank,
     "budget_sample": q_budget_sample,
     "pit_state": q_pit_state,
+    "twap": q_twap,
 }

@@ -7115,3 +7115,98 @@ class TestBudgetSample:
         a = self._run(pdf, 1500, parts=1)
         b = self._run(pdf, 1500, parts=11)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestTimeWeightedAvg:
+    def test_bitexact_vs_duckdb(self, ray_session):
+        import duckdb
+        from recipys_ray.ops.timeseries import time_weighted_avg
+
+        rng = np.random.default_rng(180)
+        n = 2000
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 12, n),
+            "ts": pd.to_datetime(
+                rng.integers(0, 10**7, n), unit="s"
+            ).astype("datetime64[us]"),
+            "eid": np.arange(n, dtype=np.int64),
+            "v": rng.integers(-1000, 1000, n),
+        })
+        # duplicate-timestamp pairs exercise the (ts, eid) tie order
+        pdf.loc[1::50, "ts"] = pdf.loc[0::50, "ts"].to_numpy()[: len(
+            pdf.loc[1::50]
+        )]
+        got = (
+            time_weighted_avg(
+                rd.from_pandas(pdf).repartition(7), ["g"], "ts",
+                ["ts", "eid"], "v",
+            )
+            .to_pandas().sort_values("g", ignore_index=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute("""
+            WITH w AS (
+              SELECT g, ts, eid, CAST(v AS BIGINT) AS v,
+                     epoch_us(ts) AS us
+              FROM t
+            ), d AS (
+              SELECT g, v,
+                     lead(us) OVER (PARTITION BY g
+                                    ORDER BY ts, eid) - us AS dur
+              FROM w
+            )
+            SELECT g, CAST(sum(v * dur) AS DOUBLE)
+                        / CAST(sum(dur) AS DOUBLE) AS twap
+            FROM d GROUP BY g ORDER BY g
+        """).df().reset_index(drop=True)
+        assert got["twap"].to_numpy().tolist() == \
+            exp["twap"].to_numpy().tolist()
+
+    def test_single_event_and_simultaneous(self, ray_session):
+        from recipys_ray.ops.timeseries import time_weighted_avg
+
+        ts0 = pd.Timestamp("2024-01-01")
+        pdf = pd.DataFrame({
+            "g": [1, 2, 2, 3, 3],
+            "ts": [ts0, ts0, ts0, ts0, ts0 + pd.Timedelta("10s")],
+            "eid": [1, 2, 3, 4, 5],
+            "v": [5, 10, 20, 30, 99],
+        })
+        got = (
+            time_weighted_avg(
+                rd.from_pandas(pdf), ["g"], "ts", ["ts", "eid"], "v"
+            )
+            .to_pandas().sort_values("g", ignore_index=True)
+        )
+        # g=1 single event, g=2 simultaneous pair -> zero duration -> NULL;
+        # g=3 holds v=30 for the whole window
+        assert np.isnan(got["twap"].iloc[0])
+        assert np.isnan(got["twap"].iloc[1])
+        assert got["twap"].iloc[2] == 30.0
+
+    def test_partition_invariance(self, ray_session):
+        from recipys_ray.ops.timeseries import time_weighted_avg
+
+        rng = np.random.default_rng(181)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 5, 600),
+            "ts": pd.to_datetime(
+                rng.integers(0, 10**6, 600), unit="s"
+            ).astype("datetime64[us]"),
+            "eid": np.arange(600, dtype=np.int64),
+            "v": rng.integers(0, 100, 600),
+        })
+        a = (
+            time_weighted_avg(
+                rd.from_pandas(pdf).repartition(1), ["g"], "ts",
+                ["ts", "eid"], "v",
+            ).to_pandas().sort_values("g", ignore_index=True)
+        )
+        b = (
+            time_weighted_avg(
+                rd.from_pandas(pdf).repartition(9), ["g"], "ts",
+                ["ts", "eid"], "v",
+            ).to_pandas().sort_values("g", ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
