@@ -72,6 +72,7 @@ from recipys_ray.ops.editdist import (
     banded_levenshtein,
     dedup_jaro_winkler,
     dedup_levenshtein,
+    fuzzy_link,
     pairwise_jaro_winkler,
     sorted_neighborhood_dedup,
 )
@@ -182,7 +183,7 @@ __all__ = [
     "histogram",
     "rollup_aggregate", "add_global_rank", "add_ntile", "value_ranks",
     "banded_levenshtein", "dedup_levenshtein",
-    "pairwise_jaro_winkler", "dedup_jaro_winkler",
+    "pairwise_jaro_winkler", "dedup_jaro_winkler", "fuzzy_link",
     "sorted_neighborhood_dedup",
     "population_stability", "ks_statistic", "segment_psi", "chi_square",
     "cooccurrence_counts",

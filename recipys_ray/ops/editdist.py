@@ -652,3 +652,158 @@ def sorted_neighborhood_dedup(
         .map_groups(survivors, batch_format="pandas")
     )
     return out.select_columns([id_col, text_col])
+
+
+def fuzzy_link(
+    left,
+    right,
+    left_id: str,
+    left_col: str,
+    right_id: str,
+    right_col: str,
+    threshold: float = 0.85,
+    block_chars: int = 3,
+    sim_col: str = "sim",
+    num_partitions: int | None = None,
+    max_block_rows: int = 100_000,
+):
+    """Cross-table fuzzy record linkage: emit every (left, right) pair
+    whose strings share the same ``block_chars``-character SUFFIX block
+    and have ``jaro_winkler_similarity ≥ threshold`` — the standard
+    blocked entity-matching join (customer↔supplier, catalog↔feed).
+    Suffix blocking (vs the dedup ops' prefix) because formulaic entity
+    names share long constant prefixes; the SQL restatement is
+    ``ON right(a, k) = right(b, k) AND jw(a, b) >= t``.
+
+    Output: one row per qualifying pair ``(left_id, right_id,
+    sim_col:float64)`` — sims bit-parity with DuckDB
+    (:func:`pairwise_jaro_winkler`). NULL strings never match (SQL
+    NULL comparison; jw('', x) = 0 so empties can only match when
+    ``threshold == 0`` is disallowed anyway).
+
+    Motion: BOTH sides exchange once as skinny (id, text) rows
+    co-partitioned on the hash of the REVERSED-prefix block key
+    (equality-equivalent to suffix equality); per partition one
+    vectorized cross-pair emit per block (repeat/tile index arithmetic,
+    no Python pair loop) + the bit-parallel jw kernel. The lossless
+    length-ratio prefilter of :func:`dedup_jaro_winkler` applies when
+    ``threshold > 0.8``. Strings must be ≤ 64 bytes (kernel contract);
+    a block holding > ``max_block_rows`` rows on either side raises
+    (raise the block width for hot blocks)."""
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    thr = float(threshold)
+    if not 0.0 < thr <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {thr}")
+    blk = "__blk__"
+
+    def stamp(id_c, txt_c, tag):
+        def fn(tbl: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            key = pc.utf8_slice_codeunits(
+                pc.utf8_reverse(pc.fill_null(tbl.column(txt_c), "")),
+                0, block_chars,
+            )
+            n = len(tbl)
+            return pa.table(
+                {
+                    "rid": tbl.column(id_c).cast(pa.int64()),
+                    "txt": tbl.column(txt_c),
+                    "side": pa.array(
+                        np.full(n, tag, np.int8), pa.int8()
+                    ),
+                    blk: key,
+                }
+            )
+
+        return fn
+
+    combined = left.map_batches(
+        stamp(left_id, left_col, 0), batch_format="pyarrow"
+    ).union(
+        right.map_batches(stamp(right_id, right_col, 1),
+                          batch_format="pyarrow")
+    )
+
+    def link(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[pdf["txt"].notna() & (pdf["txt"] != "")]
+        # block-sort with sides contiguous inside each block
+        pdf = pdf.sort_values(
+            [blk, "side", "rid"], kind="stable", ignore_index=True
+        )
+        empty = pd.DataFrame({
+            left_id: pd.Series([], dtype=np.int64),
+            right_id: pd.Series([], dtype=np.int64),
+            sim_col: pd.Series([], dtype=np.float64),
+        })
+        if len(pdf) == 0:
+            return empty
+        side = pdf["side"].to_numpy()
+        bvals = pdf[blk].to_numpy(object)
+        # per (block, side) run boundaries
+        change = np.flatnonzero(
+            (bvals[1:] != bvals[:-1]) | (side[1:] != side[:-1])
+        ) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(pdf)]))
+        run_side = side[starts]
+        run_blk = bvals[starts]
+        # pair each left run with the right run of the SAME block (runs
+        # are block-sorted, so a matching right run directly follows) —
+        # cross products built with offset arithmetic, one vectorized
+        # pass over ALL blocks, never a per-block Python loop
+        if len(starts) < 2:
+            return empty
+        k = np.flatnonzero(
+            (run_side[:-1] == 0)
+            & (run_side[1:] == 1)
+            & (run_blk[:-1] == run_blk[1:])
+        )
+        if len(k) == 0:
+            return empty
+        ls, le = starts[k], ends[k]
+        rs, re = starts[k + 1], ends[k + 1]
+        nl = le - ls
+        nr = re - rs
+        biggest = max(int(nl.max()), int(nr.max()))
+        if biggest > max_block_rows:
+            raise ValueError(
+                f"fuzzy_link: a block holds {biggest} rows > "
+                f"max_block_rows={max_block_rows}; widen block_chars"
+            )
+        counts = (nl * nr).astype(np.int64)
+        total = int(counts.sum())
+        offs = np.cumsum(counts) - counts
+        bop = np.repeat(np.arange(len(k), dtype=np.int64), counts)
+        within = np.arange(total, dtype=np.int64) - offs[bop]
+        nr_b = nr[bop]
+        ia = ls[bop] + within // nr_b
+        ib = rs[bop] + within % nr_b
+        strings = pdf["txt"].tolist()
+        mat, lens = _byte_matrix(strings)
+        if lens.max(initial=0) > _JW_MAXLEN:
+            raise ValueError(
+                f"fuzzy_link: a text exceeds {_JW_MAXLEN} bytes; the "
+                "bit-parallel kernel is for short entity strings"
+            )
+        if thr > 0.8:
+            shorter = np.minimum(lens[ia], lens[ib]).astype(np.float64)
+            longer = np.maximum(lens[ia], lens[ib]).astype(np.float64)
+            keep = shorter >= longer * (5.0 * thr - 4.0) - 1.0
+            ia, ib = ia[keep], ib[keep]
+        if len(ia) == 0:
+            return empty
+        sims = pairwise_jaro_winkler(ia, ib, mat, lens)
+        hit = sims >= thr
+        ia, ib, sims = ia[hit], ib[hit], sims[hit]
+        rid = pdf["rid"].to_numpy(np.int64)
+        return pd.DataFrame({
+            left_id: rid[ia],
+            right_id: rid[ib],
+            sim_col: sims,
+        })
+
+    return partitioned_groupby_map(
+        combined, [blk], link, num_partitions=num_partitions
+    ).select_columns([left_id, right_id, sim_col])

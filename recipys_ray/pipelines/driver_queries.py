@@ -4156,6 +4156,27 @@ def q_twap(sf_dir):
     return _select(out, ["user_id", "twap"])
 
 
+def q_fuzzy_link(sf_dir):
+    """Cross-table fuzzy record linkage (ops/editdist.fuzzy_link):
+    customer↔supplier pairs sharing a 3-char name SUFFIX block with
+    Jaro-Winkler ≥ 0.8 (bit-parity kernel). Both sides exchange once as
+    skinny (id, text) rows on the block key; cross pairs built by offset
+    arithmetic, one vectorized jw kernel call per partition."""
+    from recipys_ray.ops.editdist import fuzzy_link
+
+    c = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    s = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    out = fuzzy_link(
+        c, s, "c_custkey", "c_name", "s_suppkey", "s_name",
+        threshold=0.8, block_chars=3,
+    )
+    return _select(out, ["c_custkey", "s_suppkey", "sim"])
+
+
 ORACLES: dict[str, str] = {
     "impute_zero": f"""
         SELECT event_id, coalesce({_VALN_SQL}, 0) AS valn FROM events
@@ -7054,6 +7075,13 @@ ORACLES: dict[str, str] = {
                  / CAST(sum(dur) AS DOUBLE) AS twap
         FROM d GROUP BY user_id
     """,
+    "fuzzy_link": """
+        SELECT c_custkey, s_suppkey,
+               jaro_winkler_similarity(c_name, s_name) AS sim
+        FROM customer JOIN supplier
+          ON right(c_name, 3) = right(s_name, 3)
+        WHERE jaro_winkler_similarity(c_name, s_name) >= 0.8
+    """,
 }
 
 
@@ -7247,4 +7275,5 @@ QUERIES = {
     "budget_sample": q_budget_sample,
     "pit_state": q_pit_state,
     "twap": q_twap,
+    "fuzzy_link": q_fuzzy_link,
 }

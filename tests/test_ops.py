@@ -7210,3 +7210,95 @@ class TestTimeWeightedAvg:
             ).to_pandas().sort_values("g", ignore_index=True)
         )
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestFuzzyLink:
+    def test_bitexact_vs_duckdb(self, ray_session):
+        import duckdb
+        from recipys_ray.ops.editdist import fuzzy_link
+
+        rng = np.random.default_rng(190)
+        mk = lambda p, n: [f"{p}#{rng.integers(0, 200):06d}" for _ in
+                           range(n)]
+        left = pd.DataFrame({
+            "lid": np.arange(300, dtype=np.int64),
+            "lname": mk("Customer", 300),
+        })
+        right = pd.DataFrame({
+            "rid": np.arange(120, dtype=np.int64),
+            "rname": mk("Supplier", 120),
+        })
+        got = (
+            fuzzy_link(
+                rd.from_pandas(left).repartition(5),
+                rd.from_pandas(right).repartition(4),
+                "lid", "lname", "rid", "rname",
+                threshold=0.75, block_chars=3,
+            )
+            .to_pandas().sort_values(["lid", "rid"], ignore_index=True)
+        )
+        con = duckdb.connect()
+        con.register("l", left)
+        con.register("r", right)
+        exp = con.execute("""
+            SELECT lid, rid, jaro_winkler_similarity(lname, rname) AS sim
+            FROM l JOIN r ON right(lname, 3) = right(rname, 3)
+            WHERE jaro_winkler_similarity(lname, rname) >= 0.75
+            ORDER BY lid, rid
+        """).df().reset_index(drop=True)
+        assert len(exp) > 0  # the fixture must actually produce links
+        assert got["lid"].tolist() == exp["lid"].tolist()
+        assert got["rid"].tolist() == exp["rid"].tolist()
+        assert got["sim"].to_numpy().tolist() == \
+            exp["sim"].to_numpy().tolist()
+
+    def test_null_empty_and_validation(self, ray_session):
+        from recipys_ray.ops.editdist import fuzzy_link
+
+        left = pd.DataFrame({
+            "lid": np.array([1, 2, 3], np.int64),
+            "lname": ["abc", None, ""],
+        })
+        right = pd.DataFrame({
+            "rid": np.array([1, 2], np.int64),
+            "rname": ["abc", None],
+        })
+        got = fuzzy_link(
+            rd.from_pandas(left), rd.from_pandas(right),
+            "lid", "lname", "rid", "rname",
+            threshold=0.9, block_chars=2,
+        ).to_pandas()
+        # only the non-null exact pair links; nulls/empties never match
+        assert got[["lid", "rid"]].to_numpy().tolist() == [[1, 1]]
+        with pytest.raises(ValueError):
+            fuzzy_link(
+                rd.from_pandas(left), rd.from_pandas(right),
+                "lid", "lname", "rid", "rname", threshold=0.0,
+            )
+
+    def test_partition_invariance(self, ray_session):
+        from recipys_ray.ops.editdist import fuzzy_link
+
+        rng = np.random.default_rng(191)
+        left = pd.DataFrame({
+            "lid": np.arange(200, dtype=np.int64),
+            "lname": [f"Entity#{rng.integers(0, 99):04d}" for _ in
+                      range(200)],
+        })
+        right = pd.DataFrame({
+            "rid": np.arange(80, dtype=np.int64),
+            "rname": [f"Entity#{rng.integers(0, 99):04d}" for _ in
+                      range(80)],
+        })
+        kw = dict(threshold=0.75, block_chars=2)
+        a = fuzzy_link(
+            rd.from_pandas(left).repartition(1),
+            rd.from_pandas(right).repartition(1),
+            "lid", "lname", "rid", "rname", **kw,
+        ).to_pandas().sort_values(["lid", "rid"], ignore_index=True)
+        b = fuzzy_link(
+            rd.from_pandas(left).repartition(9),
+            rd.from_pandas(right).repartition(7),
+            "lid", "lname", "rid", "rname", **kw,
+        ).to_pandas().sort_values(["lid", "rid"], ignore_index=True)
+        pd.testing.assert_frame_equal(a, b)
