@@ -53,6 +53,7 @@ from recipys_ray.ops.quantiles import (
     group_quantiles,
     histogram,
     kbins_quantile_exact,
+    quantile_normalize,
     grouped_histogram,
     grouped_robust_zscore,
     grouped_winsorize,
@@ -179,7 +180,7 @@ __all__ = [
     "exact_quantiles", "exact_quantiles_cont", "group_quantiles",
     "winsorize", "robust_zscore", "grouped_robust_zscore",
     "grouped_winsorize", "grouped_histogram",
-    "kbins_quantile_exact",
+    "kbins_quantile_exact", "quantile_normalize",
     "histogram",
     "rollup_aggregate", "add_global_rank", "add_ntile", "value_ranks",
     "banded_levenshtein", "dedup_levenshtein",

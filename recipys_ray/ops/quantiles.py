@@ -751,3 +751,82 @@ def grouped_histogram(
     return partitioned_groupby_map(
         parts, gcols, finish, num_partitions=num_partitions
     )
+
+
+def quantile_normalize(
+    ds,
+    group_cols: list[str],
+    id_col: str,
+    value_col: str,
+    out_col: str = "vq",
+    num_partitions: int | None = None,
+):
+    """Map every group's value distribution onto the GLOBAL distribution
+    (quantile normalization, the microarray/feature-calibration classic):
+    a row at within-group rank i of n is replaced by the global value at
+    rank ``ceil(i·N/n)`` over all N rows — groups become exchangeable
+    while each group's internal ordering is preserved.
+
+    Pure SELECTION with an all-INTEGER index mapping (``(i·N + n − 1)
+    // n``), so results are exact and engine-identical; orderings are the
+    deterministic ``(value, id)`` total order on both sides.
+
+    Distributed shape — three bounded motions, nothing on the driver:
+
+    1. per-group ranks: ONE skinny (group, id, value) exchange, ranks by
+       stable sort + grouped cumcount (pandas C kernels);
+    2. global ranks: ``add_global_rank`` over (value, id) — sampled range
+       boundaries, one payload-skinny shuffle (module docstring);
+    3. one hash join (probe j ↔ mapping rank) — the join plan picks
+       broadcast vs co-partitioned by size.
+
+    Output: ``(id_col, out_col)`` with ``out_col`` the mapped global
+    value. Null values rank last (inherited from both rank kernels) —
+    feed non-null integer values (cents) for the exactness contract.
+    Overflow bound: i·N < 2⁶³."""
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+    from recipys_ray.ops.join import hash_join
+    from recipys_ray.ops.rank import add_global_rank
+
+    gcols = list(group_cols)
+    n_total = int(ds.count())
+
+    def group_ranks(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype=np.int64),
+                "__j__": pd.Series([], dtype=np.int64),
+            })
+        pdf = pdf.sort_values(
+            gcols + [value_col, id_col], kind="stable",
+            ignore_index=True,
+        )
+        g = pdf.groupby(gcols, sort=False, dropna=False, observed=True)
+        i = g.cumcount().to_numpy(np.int64) + 1
+        n = g[value_col].transform("size").to_numpy(np.int64)
+        j = (i * n_total + n - 1) // n
+        return pd.DataFrame({
+            id_col: pdf[id_col].to_numpy(),
+            "__j__": j,
+        })
+
+    probe = partitioned_groupby_map(
+        ds.select_columns(gcols + [id_col, value_col]),
+        gcols, group_ranks, num_partitions=num_partitions,
+    )
+
+    ranked = add_global_rank(
+        ds.select_columns([value_col, id_col]), value_col,
+        tie_cols=[id_col], num_partitions=num_partitions,
+    )
+
+    def mapping(tbl: pa.Table) -> pa.Table:
+        r = tbl.column("rank").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "__j__": pa.array(r.astype(np.int64) + 1, pa.int64()),
+            out_col: tbl.column(value_col),
+        })
+
+    lut = ranked.map_batches(mapping, batch_format="pyarrow")
+    joined = hash_join(probe, lut, on="__j__", how="inner")
+    return joined.select_columns([id_col, out_col])

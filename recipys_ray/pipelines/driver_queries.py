@@ -4177,6 +4177,38 @@ def q_fuzzy_link(sf_dir):
     return _select(out, ["c_custkey", "s_suppkey", "sim"])
 
 
+def q_quantile_normalize(sf_dir):
+    """Quantile normalization of per-event-type spend onto the global
+    distribution (ops/quantiles.quantile_normalize): all-integer index
+    mapping ceil(i·N/n), deterministic (value, id) order — exact. Three
+    bounded motions: grouped skinny exchange, global-rank shuffle, one
+    hash join."""
+    from recipys_ray.ops.quantiles import quantile_normalize
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    )
+
+    def cents(tbl: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.round(pc.multiply(tbl.column("value"), 100.0)), pa.int64()
+        )
+        return pa.table(
+            {
+                "event_id": tbl.column("event_id"),
+                "event_type": tbl.column("event_type"),
+                "cents": c,
+            }
+        )
+
+    out = quantile_normalize(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        ["event_type"], "event_id", "cents", out_col="vq",
+    )
+    return _select(out, ["event_id", "vq"])
+
+
 ORACLES: dict[str, str] = {
     "impute_zero": f"""
         SELECT event_id, coalesce({_VALN_SQL}, 0) AS valn FROM events
@@ -7082,6 +7114,26 @@ ORACLES: dict[str, str] = {
           ON right(c_name, 3) = right(s_name, 3)
         WHERE jaro_winkler_similarity(c_name, s_name) >= 0.8
     """,
+    "quantile_normalize": """
+        WITH w AS (
+          SELECT event_id, event_type,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events
+        ), g AS (
+          SELECT event_id, cents,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY cents, event_id) AS i,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM w
+        ), s AS (
+          SELECT cents AS vq,
+                 row_number() OVER (ORDER BY cents, event_id) AS j
+          FROM w
+        ), p AS (SELECT count(*) AS nn FROM w)
+        SELECT g.event_id, s.vq
+        FROM g JOIN s
+          ON s.j = (g.i * (SELECT nn FROM p) + g.n - 1) // g.n
+    """,
 }
 
 
@@ -7276,4 +7328,5 @@ QUERIES = {
     "pit_state": q_pit_state,
     "twap": q_twap,
     "fuzzy_link": q_fuzzy_link,
+    "quantile_normalize": q_quantile_normalize,
 }

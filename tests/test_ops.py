@@ -7302,3 +7302,86 @@ class TestFuzzyLink:
             "lid", "lname", "rid", "rname", **kw,
         ).to_pandas().sort_values(["lid", "rid"], ignore_index=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestQuantileNormalize:
+    @staticmethod
+    def _oracle(pdf):
+        import duckdb
+
+        con = duckdb.connect()
+        con.register("t", pdf)
+        return con.execute("""
+            WITH g AS (
+              SELECT id, v,
+                     row_number() OVER (PARTITION BY g
+                                        ORDER BY v, id) AS i,
+                     count(*) OVER (PARTITION BY g) AS n
+              FROM t
+            ), s AS (
+              SELECT CAST(v AS BIGINT) AS vq,
+                     row_number() OVER (ORDER BY v, id) AS j
+              FROM t
+            ), p AS (SELECT count(*) AS nn FROM t)
+            SELECT g.id, s.vq
+            FROM g JOIN s
+              ON s.j = (g.i * (SELECT nn FROM p) + g.n - 1) // g.n
+            ORDER BY id
+        """).df().reset_index(drop=True)
+
+    def test_matches_duckdb_mapping(self, ray_session):
+        from recipys_ray.ops.quantiles import quantile_normalize
+
+        rng = np.random.default_rng(200)
+        pdf = pd.DataFrame({
+            "id": np.arange(3000, dtype=np.int64),
+            "g": rng.choice(["a", "b", "c"], 3000, p=[0.5, 0.35, 0.15]),
+            "v": rng.integers(-200, 200, 3000),
+        })
+        got = (
+            quantile_normalize(
+                rd.from_pandas(pdf).repartition(8), ["g"], "id", "v"
+            )
+            .to_pandas().sort_values("id", ignore_index=True)
+        )
+        exp = self._oracle(pdf)
+        assert got["id"].tolist() == exp["id"].tolist()
+        assert got["vq"].tolist() == exp["vq"].astype(np.int64).tolist()
+
+    def test_normalized_groups_share_distribution(self, ray_session):
+        from recipys_ray.ops.quantiles import quantile_normalize
+
+        # two groups with disjoint ranges map onto the SAME global values
+        pdf = pd.DataFrame({
+            "id": np.arange(40, dtype=np.int64),
+            "g": np.repeat(["lo", "hi"], 20),
+            "v": np.r_[np.arange(20), 1000 + np.arange(20)],
+        })
+        got = quantile_normalize(
+            rd.from_pandas(pdf), ["g"], "id", "v"
+        ).to_pandas()
+        merged = got.merge(pdf, on="id")
+        lo = np.sort(merged[merged["g"] == "lo"]["vq"].to_numpy())
+        hi = np.sort(merged[merged["g"] == "hi"]["vq"].to_numpy())
+        assert lo.tolist() == hi.tolist()  # exchangeable after mapping
+
+    def test_partition_invariance(self, ray_session):
+        from recipys_ray.ops.quantiles import quantile_normalize
+
+        rng = np.random.default_rng(201)
+        pdf = pd.DataFrame({
+            "id": rng.permutation(900).astype(np.int64),
+            "g": rng.choice(["x", "y"], 900),
+            "v": rng.integers(0, 50, 900),
+        })
+        a = (
+            quantile_normalize(
+                rd.from_pandas(pdf).repartition(1), ["g"], "id", "v"
+            ).to_pandas().sort_values("id", ignore_index=True)
+        )
+        b = (
+            quantile_normalize(
+                rd.from_pandas(pdf).repartition(9), ["g"], "id", "v"
+            ).to_pandas().sort_values("id", ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
