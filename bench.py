@@ -226,6 +226,18 @@ def bench_queries() -> dict:
         "windowed_distinct",
         "rolling_corr",
         "null_patterns",
+        # sixth-session op families
+        "segment_dedup",
+        "budget_sample",
+        "stratified_split",
+        "pagerank",
+        "fuzzy_link",
+        "quantile_normalize",
+        "gini_spend",
+        "weighted_median",
+        "twap",
+        "pit_state",
+        "readability",
         "historical_salted",
     ]
     import gc
