@@ -139,6 +139,7 @@ from recipys_ray.ops.sampling import (
     time_split,
 )
 from recipys_ray.ops.semdedup import semantic_dedup
+from recipys_ray.ops.vector import quantize_embeddings
 from recipys_ray.ops.similarity import knn_brute_force, knn_ivf
 from recipys_ray.ops.spans import duplicate_spans
 from recipys_ray.ops.text import (
@@ -213,6 +214,7 @@ __all__ = [
     "budget_sample",
     "pivot", "melt", "group_concat", "frequent_items", "cms_counts",
     "quality_checks", "semantic_dedup", "knn_brute_force",
+    "quantize_embeddings",
     "knn_ivf", "duplicate_spans", "RepetitionStats", "TextFeaturizer",
     "build_vocab", "compression_ratio", "doc_term_counts",
     "normalize_text", "pattern_counts", "remove_boilerplate_tokens",

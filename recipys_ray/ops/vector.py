@@ -242,3 +242,67 @@ def centroid_cosine(
         _CosineStamp(centroids, group_cols, vec_col, scale, out_col),
         batch_format="pyarrow",
     )
+
+
+def quantize_embeddings(
+    ds,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits_max: int = 127,
+):
+    """Symmetric int8-style embedding quantization — the memory-scale
+    path for ANN indexes (a 4× smaller corpus per replica): per vector,
+    scale s = max|x| (exact selection over the float32 elements widened
+    to double), each element q = trunc(double(x)/s·bits_max).
+
+    trunc (toward zero) instead of round on purpose: DuckDB ``round``
+    is half-away-from-zero while numpy rounds half-to-even, and the
+    float-dust cases where ``floor(v+0.5)`` diverges from ``std::round``
+    make a bit-stable mirror impossible — ``trunc`` is the identical
+    single IEEE operation in both engines. An all-zero vector (s = 0)
+    quantizes to all zeros (the SQL restatement guards the division with
+    CASE).
+
+    Output LONG FORM — ``(id_col, j:int64, q:int64, s:float64)`` one row
+    per element — so the driver's scalar value hash covers every
+    component (list columns hash opaquely). Stateless vectorized map:
+    one flatten + one division per batch, no shuffle."""
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        arr = tbl.column(vec_col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if arr.null_count:
+            raise ValueError(f"{vec_col}: null vectors are not supported")
+        lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        if len(lens) == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "j": pa.array([], pa.int64()),
+                "q": pa.array([], pa.int64()),
+                "s": pa.array([], pa.float64()),
+            })
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        total = int(lens.sum())
+        j = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(lens) - lens, lens
+        )
+        starts = np.cumsum(lens) - lens
+        absf = np.abs(flat)
+        s = np.maximum.reduceat(absf, starts)
+        s[lens == 0] = 0.0
+        s_rep = np.repeat(s, lens)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            q = np.trunc(flat / s_rep * float(bits_max))
+        q[s_rep == 0.0] = 0.0  # all-zero vector → zeros (CASE mirror)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, lens)),
+            "j": pa.array(j, pa.int64()),
+            "q": pa.array(q.astype(np.int64), pa.int64()),
+            "s": pa.array(s_rep, pa.float64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -4209,6 +4209,20 @@ def q_quantile_normalize(sf_dir):
     return _select(out, ["event_id", "vq"])
 
 
+def q_quantize_embeddings(sf_dir):
+    """Symmetric int8-style embedding quantization
+    (ops/vector.quantize_embeddings): per-vector max-|x| scale, trunc
+    quantization (trunc, not round — the only bit-stable mirror; see op
+    docstring). Long-form output so the value hash covers every element.
+    Stateless vectorized map, no shuffle."""
+    from recipys_ray.ops.vector import quantize_embeddings
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return _select(quantize_embeddings(ds), ["vec_id", "j", "q", "s"])
+
+
 ORACLES: dict[str, str] = {
     "impute_zero": f"""
         SELECT event_id, coalesce({_VALN_SQL}, 0) AS valn FROM events
@@ -7134,6 +7148,23 @@ ORACLES: dict[str, str] = {
         FROM g JOIN s
           ON s.j = (g.i * (SELECT nn FROM p) + g.n - 1) // g.n
     """,
+    "quantize_embeddings": """
+        WITH e AS (
+          SELECT vec_id, embedding,
+                 list_max(list_transform(embedding,
+                                         x -> abs(CAST(x AS DOUBLE))))
+                   AS s
+          FROM embeddings
+        )
+        SELECT vec_id,
+               unnest(range(len(embedding))) AS j,
+               CAST(CASE WHEN s = 0 THEN 0
+                         ELSE trunc(CAST(unnest(embedding) AS DOUBLE)
+                                    / s * 127.0)
+                    END AS BIGINT) AS q,
+               s
+        FROM e
+    """,
 }
 
 
@@ -7329,4 +7360,5 @@ QUERIES = {
     "twap": q_twap,
     "fuzzy_link": q_fuzzy_link,
     "quantile_normalize": q_quantile_normalize,
+    "quantize_embeddings": q_quantize_embeddings,
 }

@@ -7385,3 +7385,63 @@ class TestQuantileNormalize:
             ).to_pandas().sort_values("id", ignore_index=True)
         )
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestQuantizeEmbeddings:
+    def test_matches_duckdb_trunc(self, ray_session):
+        import duckdb
+        from recipys_ray.ops.vector import quantize_embeddings
+
+        rng = np.random.default_rng(210)
+        vecs = [rng.normal(size=8).astype(np.float32) for _ in range(50)]
+        vecs[3] = np.zeros(8, np.float32)  # all-zero vector edge
+        pdf = pd.DataFrame({
+            "vec_id": np.arange(50, dtype=np.int64),
+            "embedding": [v.tolist() for v in vecs],
+        })
+        tbl = pa.table({
+            "vec_id": pa.array(pdf["vec_id"]),
+            "embedding": pa.array(
+                pdf["embedding"], pa.list_(pa.float32())
+            ),
+        })
+        got = (
+            quantize_embeddings(rd.from_arrow(tbl).repartition(5))
+            .to_pandas().sort_values(["vec_id", "j"], ignore_index=True)
+        )
+        con = duckdb.connect()
+        con.register("embeddings", tbl)
+        exp = con.execute("""
+            WITH e AS (
+              SELECT vec_id, embedding,
+                     list_max(list_transform(embedding,
+                                             x -> abs(CAST(x AS DOUBLE))))
+                       AS s
+              FROM embeddings
+            )
+            SELECT vec_id, unnest(range(len(embedding))) AS j,
+                   CAST(CASE WHEN s = 0 THEN 0
+                             ELSE trunc(CAST(unnest(embedding) AS DOUBLE)
+                                        / s * 127.0)
+                        END AS BIGINT) AS q,
+                   s
+            FROM e ORDER BY vec_id, j
+        """).df().reset_index(drop=True)
+        assert got["q"].tolist() == exp["q"].tolist()
+        assert got["s"].to_numpy().tolist() == exp["s"].to_numpy().tolist()
+        # zero vector quantizes to zeros with zero scale
+        z = got[got["vec_id"] == 3]
+        assert (z["q"] == 0).all() and (z["s"] == 0.0).all()
+        # every quantized magnitude is within the bit budget
+        assert got["q"].abs().max() <= 127
+
+    def test_null_vector_rejected(self, ray_session):
+        from recipys_ray.ops.vector import quantize_embeddings
+
+        tbl = pa.table({
+            "vec_id": pa.array([1, 2], pa.int64()),
+            "embedding": pa.array([[1.0, 2.0], None],
+                                  pa.list_(pa.float32())),
+        })
+        with pytest.raises(Exception):
+            quantize_embeddings(rd.from_arrow(tbl)).to_pandas()
