@@ -4223,6 +4223,65 @@ def q_quantize_embeddings(sf_dir):
     return _select(quantize_embeddings(ds), ["vec_id", "j", "q", "s"])
 
 
+def q_attribution(sf_dir):
+    """Last-touch attribution with a window: each purchase is credited
+    to the user's most recent prior-or-simultaneous click IF it happened
+    within 30 minutes (ops/asof.asof_join ``tolerance`` path — the
+    windowed point-in-time join). Same-ts click ties dedup to min
+    event_id inside the join (QUALIFY mirror)."""
+    from recipys_ray.ops.asof import asof_join
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+
+    def side(etype, id_name):
+        def fn(tbl: pa.Table) -> pa.Table:
+            sub = tbl.filter(pc.equal(tbl.column("event_type"), etype))
+            return pa.table(
+                {
+                    id_name: sub.column("event_id"),
+                    "user_id": sub.column("user_id"),
+                    "ts": sub.column("ts"),
+                }
+            )
+
+        return fn
+
+    purchases = ev.map_batches(side("purchase", "event_id"),
+                               batch_format="pyarrow")
+
+    def clicks_side(tbl: pa.Table) -> pa.Table:
+        sub = tbl.filter(pc.equal(tbl.column("event_type"), "click"))
+        return pa.table(
+            {
+                "user_id": sub.column("user_id"),
+                "ts": sub.column("ts"),
+                "click_id": sub.column("event_id"),
+                # dedup sort key copy — right_dedup_cols are dropped
+                # from the output, the payload column survives
+                "click_key": sub.column("event_id"),
+            }
+        )
+
+    clicks = ev.map_batches(clicks_side, batch_format="pyarrow")
+    out = asof_join(
+        purchases, clicks, on="ts", by="user_id",
+        tolerance=pd.Timedelta("30m"), right_dedup_cols=["click_key"],
+    )
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": tbl.column("event_id").cast(pa.int64()),
+                "click_id": tbl.column("click_id").cast(pa.float64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 ORACLES: dict[str, str] = {
     "impute_zero": f"""
         SELECT event_id, coalesce({_VALN_SQL}, 0) AS valn FROM events
@@ -7165,6 +7224,22 @@ ORACLES: dict[str, str] = {
                s
         FROM e
     """,
+    "attribution": """
+        WITH p AS (
+          SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase'
+        ), c AS (
+          SELECT user_id, ts, event_id AS click_id FROM events
+          WHERE event_type = 'click'
+          QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                     ORDER BY event_id) = 1
+        )
+        SELECT p.event_id,
+               CASE WHEN p.ts - c.ts <= INTERVAL 30 MINUTE
+                    THEN CAST(c.click_id AS DOUBLE) END AS click_id
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
 }
 
 
@@ -7361,4 +7436,5 @@ QUERIES = {
     "fuzzy_link": q_fuzzy_link,
     "quantile_normalize": q_quantile_normalize,
     "quantize_embeddings": q_quantize_embeddings,
+    "attribution": q_attribution,
 }
