@@ -572,6 +572,231 @@ def transition_counts(
     return partitioned_groupby_map(local, [from_col, to_col], fold)
 
 
+def state_ngram_counts(
+    ds,
+    group_cols: list[str],
+    order_cols: list[str],
+    state_col: str,
+    k: int = 3,
+    state_cols: list[str] | None = None,
+    cnt_col: str = "cnt",
+    num_partitions: int | None = None,
+):
+    """k-step sequential-pattern counts: for each group's state sequence
+    (ordered by ``order_cols``), count every window of k CONSECUTIVE
+    states, summed across all groups — the order-k generalization of
+    :func:`transition_counts` (k=2 is exactly that op). SQL equivalent is
+    a chain of k-1 ``lead()`` windows followed by a GROUP BY over the k
+    state columns, dropping rows where any LEAD is NULL (which removes
+    both end-of-sequence windows and windows whose later states are null
+    — SQL cannot tell the two apart, so neither do we; a null FIRST state
+    is a legal window head, mirroring transition_counts).
+
+    Motion identical to transition_counts: ONE skinny hash exchange
+    (group + order + state) co-locates each sequence; inside a partition
+    a single stable sort + k-1 vectorized ``shift(-i)`` calls form every
+    window for ALL groups at once (a reverse-cumcount guard masks windows
+    that would cross a group boundary); per-partition window counts fold
+    through a second, tiny exchange (≤ #states^k rows per partition).
+
+    The session-mining workhorse (frequent path / clickstream trigram
+    extraction, bot-loop detection beyond first-order Markov)."""
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    if k < 2:
+        raise ValueError("state_ngram_counts requires k >= 2")
+    gcols = list(group_cols)
+    ocols = list(order_cols)
+    scols = (
+        list(state_cols) if state_cols is not None
+        else [f"s{i + 1}" for i in range(k)]
+    )
+    if len(scols) != k:
+        raise ValueError("state_cols must have exactly k names")
+    cols = gcols + ocols + [state_col]
+
+    def windows(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[cols].sort_values(
+            gcols + ocols, kind="stable", ignore_index=True
+        )
+        grp = pdf.groupby(gcols, sort=False, dropna=False, observed=True)
+        # rows whose window of k would run past the end of their group
+        tail = grp.cumcount(ascending=False).to_numpy() < (k - 1)
+        parts = {scols[0]: pdf[state_col]}
+        keep = ~tail
+        for i in range(1, k):
+            s = pdf[state_col].shift(-i)
+            parts[scols[i]] = s
+            # SQL's WHERE lead_i IS NOT NULL: drops null later states
+            keep &= s.notna().to_numpy()
+        out = (
+            pd.DataFrame(parts)[keep]
+            .groupby(scols, sort=False, dropna=False, observed=True)
+            .size()
+            .rename(cnt_col)
+            .reset_index()
+        )
+        out[cnt_col] = out[cnt_col].astype(np.int64)
+        return out
+
+    local = partitioned_groupby_map(
+        ds.select_columns(cols), gcols, windows,
+        num_partitions=num_partitions,
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            pdf.groupby(scols, sort=False, dropna=False, observed=True)[
+                cnt_col
+            ]
+            .sum()
+            .reset_index()
+        )
+        out[cnt_col] = out[cnt_col].astype(np.int64)
+        return out
+
+    return partitioned_groupby_map(local, scols, fold)
+
+
+def mann_kendall(
+    ds,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    s_col: str = "s",
+    pairs_col: str = "n_pairs",
+    pre_sum: bool = False,
+    num_partitions: int | None = None,
+    max_group_rows: int = 100_000,
+):
+    """Per-group Mann–Kendall trend statistic — the nonparametric
+    monotone-trend test used for drift detection on entity time series.
+    For each group, over its (order, value) points,
+
+        S = Σ_{i<j, o_j > o_i} sign(v_j − v_i)
+
+    plus ``n_pairs`` (the number of strictly-order-increasing pairs).
+    With INTEGER values every comparison is exact, so S is bit-equal to
+    the SQL self-join oracle::
+
+        SELECT g, SUM(CASE WHEN b.v > a.v THEN 1
+                           WHEN b.v < a.v THEN -1 ELSE 0 END) AS s,
+               count(*) AS n_pairs
+        FROM d a JOIN d b ON a.g = b.g AND b.o > a.o GROUP BY g
+
+    (groups with no qualifying pair emit no row, mirroring the empty
+    join). Same-order pairs contribute to neither S nor n_pairs.
+
+    Motion: with ``pre_sum=True`` a per-block combiner first sums values
+    per (group, order) — fusing the usual "aggregate to daily grain"
+    step into the exchange so only partial rows move; then ONE hash
+    exchange on the group key co-locates each series and the pair sweep
+    runs VECTORIZED ACROSS ALL GROUPS in the partition: all i<j index
+    pairs are materialized at once by offset arithmetic
+    (repeat/cumsum — no per-group Python), sign sums fold per group via
+    bincount. Pair count is O(Σ n_g²), so the order grain must be
+    bounded (that is the point of ``pre_sum``); a group exceeding
+    ``max_group_rows`` raises with guidance rather than silently
+    quadrupling task memory at scale."""
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    gcols = list(group_cols)
+    cols = gcols + [order_col, value_col]
+
+    if pre_sum:
+        keys = gcols + [order_col]
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            key_types = {c: tbl.schema.field(c).type for c in keys}
+            pdf = tbl.select(cols).to_pandas()
+            pdf = pdf[pdf[value_col].notna()]
+            agg = (
+                pdf.groupby(keys, sort=False, dropna=False, observed=True)[
+                    value_col
+                ]
+                .sum()
+                .reset_index()
+            )
+            arrs: dict = {
+                c: pa.Array.from_pandas(agg[c], type=key_types[c])
+                for c in keys
+            }
+            arrs[value_col] = pa.array(
+                agg[value_col].to_numpy(np.int64), pa.int64()
+            )
+            return pa.table(arrs)
+
+        src = ds.select_columns(cols).map_batches(
+            partial, batch_format="pyarrow"
+        )
+    else:
+        src = ds.select_columns(cols)
+
+    def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                **{c: pdf[c].iloc[:0] for c in gcols},
+                s_col: pd.Series(dtype=np.int64),
+                pairs_col: pd.Series(dtype=np.int64),
+            }
+        )
+        pdf = pdf[pdf[value_col].notna()]
+        if not len(pdf):
+            return empty
+        if pre_sum:
+            # finish the cross-block partial sums at the daily grain
+            pdf = (
+                pdf.groupby(gcols + [order_col], sort=False, dropna=False,
+                            observed=True)[value_col]
+                .sum()
+                .reset_index()
+            )
+        pdf = pdf.sort_values(
+            gcols + [order_col], kind="stable", ignore_index=True
+        )
+        ids = (
+            pdf.groupby(gcols, sort=False, dropna=False, observed=True)
+            .ngroup()
+            .to_numpy()
+        )
+        n = len(pdf)
+        n_groups = int(ids[-1]) + 1
+        sizes = np.bincount(ids, minlength=n_groups)
+        if sizes.max() > max_group_rows:
+            raise ValueError(
+                f"mann_kendall: a group has {int(sizes.max())} rows "
+                f"(> max_group_rows={max_group_rows}); the pair sweep is "
+                "O(n²) per group — aggregate to a coarser order grain "
+                "(pre_sum=True over e.g. days) or raise max_group_rows"
+            )
+        starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+        local = np.arange(n) - starts[ids]
+        reps = sizes[ids] - local - 1
+        total = int(reps.sum())
+        if total == 0:
+            return empty
+        left = np.repeat(np.arange(n), reps)
+        cum = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        right = np.arange(total) - np.repeat(cum, reps) + left + 1
+        v = pdf[value_col].to_numpy()
+        o = pdf[order_col].to_numpy()
+        strict = (o[right] != o[left]).astype(np.int64)
+        sgn = np.sign(v[right] - v[left]).astype(np.int64) * strict
+        gp = ids[left]
+        # |S| ≤ n² << 2^53 — float bincount accumulation is exact
+        s = np.bincount(gp, weights=sgn, minlength=n_groups)
+        np_pairs = np.bincount(gp, weights=strict, minlength=n_groups)
+        keep = np_pairs > 0
+        out = pdf.iloc[starts[keep]][gcols].reset_index(drop=True)
+        out[s_col] = s[keep].astype(np.int64)
+        out[pairs_col] = np_pairs[keep].astype(np.int64)
+        return out
+
+    return partitioned_groupby_map(
+        src, gcols, sweep, num_partitions=num_partitions
+    )
+
+
 def cumulative_distinct(
     ds,
     group_cols: list[str],

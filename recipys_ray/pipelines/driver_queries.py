@@ -4282,7 +4282,84 @@ def q_attribution(sf_dir):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def q_event_trigrams(sf_dir):
+    """Third-order sequential-pattern counts over per-user event
+    sequences (ops/groupstats.state_ngram_counts, k=3): SQL = two
+    chained lead() windows + GROUP BY (s1, s2, s3). Same motion as
+    event_transitions — one skinny exchange, vectorized shift windows
+    across all groups, tiny pair-count fold."""
+    from recipys_ray.ops.groupstats import state_ngram_counts
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    out = state_ngram_counts(
+        ds, ["user_id"], ["ts", "event_id"], "event_type", k=3,
+        state_cols=["ev1", "ev2", "ev3"],
+    )
+    return _select(out, ["ev1", "ev2", "ev3", "cnt"])
+
+
+def q_trend_test(sf_dir):
+    """Per-user Mann–Kendall monotone-trend statistic over daily spend
+    (ops/groupstats.mann_kendall): values are exact cents, the daily
+    grain is fused into the exchange combiner (pre_sum=True), and the
+    pair sweep is vectorized across all users via offset arithmetic.
+    SQL oracle = the self-join definition of S."""
+    from recipys_ray.ops.groupstats import mann_kendall
+
+    ds = _events(sf_dir, columns=["user_id", "ts", "value"])
+
+    def day_cents(tbl: pa.Table) -> pa.Table:
+        ts = pc.cast(tbl.column("ts"), pa.int64())  # epoch micros
+        day = pc.divide(ts, 86_400_000_000)
+        cents = pc.cast(
+            pc.round(pc.multiply(tbl.column("value"), 100.0)), pa.int64()
+        )
+        return pa.table({
+            "user_id": tbl.column("user_id"),
+            "day": day,
+            "cents": cents,
+        })
+
+    out = mann_kendall(
+        ds.map_batches(day_cents, batch_format="pyarrow"),
+        ["user_id"], "day", "cents", pre_sum=True,
+    )
+    return _select(out, ["user_id", "s", "n_pairs"])
+
+
 ORACLES: dict[str, str] = {
+    "trend_test": """
+        WITH d AS (
+          SELECT user_id,
+                 epoch_us(ts) // 86400000000 AS day,
+                 SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+          FROM events WHERE value IS NOT NULL
+          GROUP BY user_id, epoch_us(ts) // 86400000000
+        )
+        SELECT a.user_id,
+               CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+                             WHEN b.cents < a.cents THEN -1
+                             ELSE 0 END) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM d a JOIN d b
+          ON a.user_id = b.user_id AND b.day > a.day
+        GROUP BY a.user_id
+    """,
+    "event_trigrams": """
+        SELECT ev1, ev2, ev3, CAST(count(*) AS BIGINT) AS cnt
+        FROM (
+          SELECT event_type AS ev1,
+                 lead(event_type, 1) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS ev2,
+                 lead(event_type, 2) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS ev3
+          FROM events
+        ) WHERE ev2 IS NOT NULL AND ev3 IS NOT NULL
+        GROUP BY ev1, ev2, ev3
+    """,
     "impute_zero": f"""
         SELECT event_id, coalesce({_VALN_SQL}, 0) AS valn FROM events
     """,
@@ -7302,6 +7379,8 @@ QUERIES = {
     "value_ranks": q_value_ranks,
     "merge_intervals": q_merge_intervals,
     "event_transitions": q_event_transitions,
+    "event_trigrams": q_event_trigrams,
+    "trend_test": q_trend_test,
     "benford": q_benford,
     "grouped_minmax": q_grouped_minmax,
     "state_runs": q_state_runs,

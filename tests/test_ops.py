@@ -3074,6 +3074,160 @@ class TestTransitionCounts:
         assert len(got) == 0
 
 
+class TestStateNgramCounts:
+    def test_matches_duckdb_k3(self, ray_session):
+        import duckdb
+
+        from recipys_ray.ops.groupstats import state_ngram_counts
+
+        rng = np.random.default_rng(43)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 25, 900),
+            "o": np.arange(900),
+            "v": rng.choice(["a", "b", "c", None], 900,
+                            p=[0.4, 0.35, 0.2, 0.05]),
+        })
+        got = (
+            state_ngram_counts(rd.from_pandas(pdf), ["g"], ["o"], "v",
+                               k=3)
+            .to_pandas()
+            .sort_values(["s1", "s2", "s3"], na_position="last")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute("""
+            SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS cnt FROM (
+              SELECT v AS s1,
+                     lead(v, 1) OVER (PARTITION BY g ORDER BY o) AS s2,
+                     lead(v, 2) OVER (PARTITION BY g ORDER BY o) AS s3
+              FROM t
+            ) WHERE s2 IS NOT NULL AND s3 IS NOT NULL
+            GROUP BY s1, s2, s3
+            ORDER BY s1 NULLS LAST, s2 NULLS LAST, s3 NULLS LAST
+        """).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_k2_equals_transition_counts(self, ray_session):
+        from recipys_ray.ops.groupstats import (
+            state_ngram_counts,
+            transition_counts,
+        )
+
+        rng = np.random.default_rng(44)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 10, 300),
+            "o": np.arange(300),
+            "v": rng.choice(["x", "y", "z"], 300),
+        })
+        a = (
+            state_ngram_counts(rd.from_pandas(pdf), ["g"], ["o"], "v",
+                               k=2, state_cols=["f", "t2"])
+            .to_pandas().sort_values(["f", "t2"]).reset_index(drop=True)
+        )
+        b = (
+            transition_counts(rd.from_pandas(pdf), ["g"], ["o"], "v",
+                              from_col="f", to_col="t2")
+            .to_pandas().sort_values(["f", "t2"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_short_groups_emit_nothing(self, ray_session):
+        from recipys_ray.ops.groupstats import state_ngram_counts
+
+        pdf = pd.DataFrame({"g": [1, 1, 2], "o": [0, 1, 0],
+                            "v": ["a", "b", "c"]})
+        got = state_ngram_counts(
+            rd.from_pandas(pdf), ["g"], ["o"], "v", k=3
+        ).to_pandas()
+        assert len(got) == 0
+
+
+class TestMannKendall:
+    SQL = """
+        SELECT a.g AS g,
+               CAST(SUM(CASE WHEN b.v > a.v THEN 1
+                             WHEN b.v < a.v THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM t a JOIN t b ON a.g = b.g AND b.o > a.o
+        GROUP BY a.g ORDER BY a.g
+    """
+
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from recipys_ray.ops.groupstats import mann_kendall
+
+        rng = np.random.default_rng(53)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 30, 1000),
+            # duplicate order keys exercise the strict-inequality mask
+            "o": rng.integers(0, 40, 1000),
+            "v": rng.integers(-50, 50, 1000),
+        })
+        got = (
+            mann_kendall(rd.from_pandas(pdf), ["g"], "o", "v")
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute(self.SQL).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_pre_sum_equals_pre_aggregated(self, ray_session):
+        from recipys_ray.ops.groupstats import mann_kendall
+
+        rng = np.random.default_rng(54)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 12, 600),
+            "o": rng.integers(0, 15, 600),
+            "v": rng.integers(0, 100, 600),
+        })
+        agg = pdf.groupby(["g", "o"], as_index=False)["v"].sum()
+        a = (
+            mann_kendall(rd.from_pandas(pdf), ["g"], "o", "v",
+                         pre_sum=True)
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        b = (
+            mann_kendall(rd.from_pandas(agg), ["g"], "o", "v")
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_single_point_and_all_tied_groups_emit_nothing(
+        self, ray_session
+    ):
+        from recipys_ray.ops.groupstats import mann_kendall
+
+        pdf = pd.DataFrame({
+            "g": [1, 2, 2, 3, 3],
+            "o": [0, 5, 5, 1, 2],
+            "v": [9, 1, 2, 3, 4],
+        })
+        got = (
+            mann_kendall(rd.from_pandas(pdf), ["g"], "o", "v")
+            .to_pandas()
+        )
+        # g=1 has one point, g=2 only tied order keys → only g=3 emits
+        assert sorted(got["g"].tolist()) == [3]
+        assert got["s"].tolist() == [1]
+
+    def test_group_size_guard(self, ray_session):
+        from recipys_ray.ops.groupstats import mann_kendall
+
+        pdf = pd.DataFrame({
+            "g": np.zeros(50, np.int64),
+            "o": np.arange(50),
+            "v": np.arange(50),
+        })
+        with pytest.raises(Exception, match="max_group_rows"):
+            mann_kendall(
+                rd.from_pandas(pdf), ["g"], "o", "v", max_group_rows=10
+            ).to_pandas()
+
+
 class TestCumulativeDistinct:
     def test_matches_duckdb(self, ray_session):
         import duckdb
