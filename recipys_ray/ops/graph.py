@@ -177,3 +177,186 @@ def pagerank(
     return rd.from_pandas(
         pd.DataFrame({"node": nodes, rank_col: r.to_numpy(np.int64)})
     )
+
+
+def triangle_counts(
+    ds,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    out_col: str = "tri_count",
+    num_partitions: int | None = None,
+    driver_cap: int = 50_000_000,
+    max_out_degree: int = 100_000,
+):
+    """Per-node triangle participation counts over an UNDIRECTED edge
+    Dataset (duplicates, self-loops and either orientation tolerated) —
+    the classic graph-feature / community-density signal. Returns
+    ``(node:int64, out_col:int64)``, one row per node in ≥1 triangle
+    (nodes in none emit no row, mirroring the SQL oracle's join).
+
+    Algorithm — the degree-ordered "forward" method (Schank & Wagner
+    2005; the MapReduce form is Suri & Vassilvitskii, WWW'11):
+
+    1. canonicalize (min,max), ONE hash exchange → distinct edges,
+       pinned once (multi-pass consumer: degrees, orientation, closure).
+    2. per-node degrees fold to the driver (≤ ``driver_cap`` nodes of
+       skinny int state — same bounded-node-state policy as
+       :func:`pagerank`); the (degree, node) total order is broadcast.
+    3. orient every edge low-rank → high-rank: out-degrees are then
+       O(√m), so wedge generation is O(m^1.5) TOTAL regardless of hub
+       skew — the hot-bucket-quadratic fix by construction.
+    4. wedges: exchange oriented edges on source; per partition the
+       out-neighbor pair expansion runs vectorized across ALL sources
+       (the shared repeat/cumsum offset arithmetic). Each wedge (a;b,c)
+       is emitted with b,c in rank order, so it closes iff oriented
+       edge (b→c) exists.
+    5. closure = SEMI join of wedges against oriented edges
+       (:func:`~recipys_ray.ops.join.hash_join` — broadcasts the edge
+       set when it fits, else co-partitioned shuffle), then a per-block
+       corner-count combiner + ONE skinny exchange sums per node.
+
+    Every triangle a<b<c in rank order is generated exactly once (as
+    the wedge at its lowest-rank corner), so counts are bit-equal to
+    the three-way self-join SQL oracle and partition-count invariant."""
+    import ray
+    import ray.data as rd
+
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+    from recipys_ray.ops.join import hash_join
+
+    def canon(tbl: pa.Table) -> pa.Table:
+        pdf = tbl.select([src_col, dst_col]).to_pandas()
+        pdf = pdf[pdf[src_col].notna() & pdf[dst_col].notna()]
+        s = pdf[src_col].to_numpy(np.int64)
+        d = pdf[dst_col].to_numpy(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        u = np.minimum(s, d)
+        v = np.maximum(s, d)
+        out = pd.DataFrame({"u": u, "v": v}).drop_duplicates()
+        return pa.table({
+            "u": pa.array(out["u"].to_numpy(np.int64), pa.int64()),
+            "v": pa.array(out["v"].to_numpy(np.int64), pa.int64()),
+        })
+
+    def dedup_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.drop_duplicates()
+
+    raw = ds.select_columns([src_col, dst_col]).map_batches(
+        canon, batch_format="pyarrow"
+    )
+    edges = partitioned_groupby_map(
+        raw, ["u"], dedup_part, num_partitions=num_partitions
+    ).materialize()
+
+    # distinct-edge degrees: skinny per-block bincount partials folded on
+    # the driver (bounded per-node state, like pagerank's degree vector)
+    def deg_partial(tbl: pa.Table) -> pa.Table:
+        both = np.concatenate([
+            tbl.column("u").to_numpy(zero_copy_only=False),
+            tbl.column("v").to_numpy(zero_copy_only=False),
+        ])
+        nodes, cnt = np.unique(both, return_counts=True)
+        return pa.table({
+            "node": pa.array(nodes.astype(np.int64), pa.int64()),
+            "deg": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    ddf = edges.map_batches(deg_partial, batch_format="pyarrow").to_pandas()
+    if not len(ddf):
+        return rd.from_pandas(pd.DataFrame({
+            node_col: np.array([], np.int64),
+            out_col: np.array([], np.int64),
+        }))
+    deg = ddf.groupby("node")["deg"].sum()
+    if len(deg) > driver_cap:
+        raise ValueError(
+            f"{len(deg)} nodes exceeds driver_cap={driver_cap}; switch "
+            "the rank map to a co-partitioned degree join"
+        )
+    deg_ref = ray.put(deg)
+
+    def orient(tbl: pa.Table) -> pa.Table:
+        dg = ray.get(deg_ref)
+        u = tbl.column("u").to_numpy(zero_copy_only=False)
+        v = tbl.column("v").to_numpy(zero_copy_only=False)
+        du = dg.loc[u].to_numpy(np.int64)
+        dv = dg.loc[v].to_numpy(np.int64)
+        # total order (deg, node): u first iff (du,u) < (dv,v)
+        fwd = (du < dv) | ((du == dv) & (u < v))
+        a = np.where(fwd, u, v)
+        b = np.where(fwd, v, u)
+        return pa.table({
+            "a": pa.array(a, pa.int64()),
+            "b": pa.array(b, pa.int64()),
+            # rank key of the head, for the in-partition wedge ordering
+            "db": pa.array(np.where(fwd, dv, du), pa.int64()),
+        })
+
+    oriented = edges.map_batches(orient, batch_format="pyarrow")
+
+    def wedges_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "a": pd.Series(dtype=np.int64),
+            "b": pd.Series(dtype=np.int64),
+            "c": pd.Series(dtype=np.int64),
+        })
+        if not len(pdf):
+            return empty
+        pdf = pdf.sort_values(["a", "db", "b"], kind="stable",
+                              ignore_index=True)
+        ids = pdf.groupby("a", sort=False).ngroup().to_numpy()
+        n = len(pdf)
+        sizes = np.bincount(ids, minlength=int(ids[-1]) + 1)
+        if sizes.max() > max_out_degree:
+            raise ValueError(
+                f"a node has oriented out-degree {int(sizes.max())} "
+                f"(> max_out_degree={max_out_degree}) — wedge expansion "
+                "would be quadratic in it; raise the cap knowingly"
+            )
+        starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+        local = np.arange(n) - starts[ids]
+        reps = sizes[ids] - local - 1
+        total = int(reps.sum())
+        if total == 0:
+            return empty
+        left = np.repeat(np.arange(n), reps)
+        cum = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        right = np.arange(total) - np.repeat(cum, reps) + left + 1
+        nbr = pdf["b"].to_numpy()
+        return pd.DataFrame({
+            "a": pdf["a"].to_numpy()[left],
+            "b": nbr[left],   # rank(b) < rank(c) by the sort
+            "c": nbr[right],
+        })
+
+    wedges = partitioned_groupby_map(
+        oriented, ["a"], wedges_part, num_partitions=num_partitions
+    )
+    closed = hash_join(
+        wedges, oriented.select_columns(["a", "b"]),
+        on=["b", "c"], right_on=["a", "b"], how="semi",
+    )
+
+    def corner_partial(tbl: pa.Table) -> pa.Table:
+        allv = np.concatenate([
+            tbl.column("a").to_numpy(zero_copy_only=False),
+            tbl.column("b").to_numpy(zero_copy_only=False),
+            tbl.column("c").to_numpy(zero_copy_only=False),
+        ])
+        nodes, cnt = np.unique(allv, return_counts=True)
+        return pa.table({
+            node_col: pa.array(nodes.astype(np.int64), pa.int64()),
+            out_col: pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    def corner_finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.groupby(node_col, sort=False)[out_col].sum().reset_index()
+        out[out_col] = out[out_col].astype(np.int64)
+        return out
+
+    parts = closed.map_batches(corner_partial, batch_format="pyarrow")
+    return partitioned_groupby_map(
+        parts, [node_col], corner_finish, num_partitions=num_partitions
+    )

@@ -658,6 +658,88 @@ def state_ngram_counts(
     return partitioned_groupby_map(local, scols, fold)
 
 
+def _presum_src(ds, gcols, order_col, value_col):
+    """Shared per-block combiner for the pairwise-sweep family
+    (:func:`mann_kendall`, :func:`theil_sen`): sum ``value_col`` per
+    (group, order) INSIDE each block before the hash exchange, so only
+    the coarse-grain partial rows move. Values become exact int64."""
+    cols = gcols + [order_col, value_col]
+    keys = gcols + [order_col]
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        key_types = {c: tbl.schema.field(c).type for c in keys}
+        pdf = tbl.select(cols).to_pandas()
+        pdf = pdf[pdf[value_col].notna()]
+        agg = (
+            pdf.groupby(keys, sort=False, dropna=False, observed=True)[
+                value_col
+            ]
+            .sum()
+            .reset_index()
+        )
+        arrs: dict = {
+            c: pa.Array.from_pandas(agg[c], type=key_types[c])
+            for c in keys
+        }
+        arrs[value_col] = pa.array(
+            agg[value_col].to_numpy(np.int64), pa.int64()
+        )
+        return pa.table(arrs)
+
+    return ds.select_columns(cols).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+
+def _group_pairs(pdf, gcols, order_col, value_col, pre_sum,
+                 max_group_rows, opname):
+    """Prepare the all-(i<j)-pairs view of a co-located partition for the
+    pairwise-sweep family: sort by (group, order), finish any cross-block
+    partial sums at the order grain, then materialize every within-group
+    index pair at once by offset arithmetic (repeat/cumsum — vectorized
+    across ALL groups, no per-group Python). Returns
+    ``(pdf, ids, n_groups, starts, left, right)`` or ``None`` when the
+    partition holds no qualifying pair."""
+    pdf = pdf[pdf[value_col].notna()]
+    if not len(pdf):
+        return None
+    if pre_sum:
+        pdf = (
+            pdf.groupby(gcols + [order_col], sort=False, dropna=False,
+                        observed=True)[value_col]
+            .sum()
+            .reset_index()
+        )
+    pdf = pdf.sort_values(
+        gcols + [order_col], kind="stable", ignore_index=True
+    )
+    ids = (
+        pdf.groupby(gcols, sort=False, dropna=False, observed=True)
+        .ngroup()
+        .to_numpy()
+    )
+    n = len(pdf)
+    n_groups = int(ids[-1]) + 1
+    sizes = np.bincount(ids, minlength=n_groups)
+    if sizes.max() > max_group_rows:
+        raise ValueError(
+            f"{opname}: a group has {int(sizes.max())} rows "
+            f"(> max_group_rows={max_group_rows}); the pair sweep is "
+            "O(n²) per group — aggregate to a coarser order grain "
+            "(pre_sum=True over e.g. days) or raise max_group_rows"
+        )
+    starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+    local = np.arange(n) - starts[ids]
+    reps = sizes[ids] - local - 1
+    total = int(reps.sum())
+    if total == 0:
+        return None
+    left = np.repeat(np.arange(n), reps)
+    cum = np.concatenate(([0], np.cumsum(reps)[:-1]))
+    right = np.arange(total) - np.repeat(cum, reps) + left + 1
+    return pdf, ids, n_groups, starts, left, right
+
+
 def mann_kendall(
     ds,
     group_cols: list[str],
@@ -701,36 +783,11 @@ def mann_kendall(
     from recipys_ray.ops.dedup import partitioned_groupby_map
 
     gcols = list(group_cols)
-    cols = gcols + [order_col, value_col]
-
-    if pre_sum:
-        keys = gcols + [order_col]
-
-        def partial(tbl: pa.Table) -> pa.Table:
-            key_types = {c: tbl.schema.field(c).type for c in keys}
-            pdf = tbl.select(cols).to_pandas()
-            pdf = pdf[pdf[value_col].notna()]
-            agg = (
-                pdf.groupby(keys, sort=False, dropna=False, observed=True)[
-                    value_col
-                ]
-                .sum()
-                .reset_index()
-            )
-            arrs: dict = {
-                c: pa.Array.from_pandas(agg[c], type=key_types[c])
-                for c in keys
-            }
-            arrs[value_col] = pa.array(
-                agg[value_col].to_numpy(np.int64), pa.int64()
-            )
-            return pa.table(arrs)
-
-        src = ds.select_columns(cols).map_batches(
-            partial, batch_format="pyarrow"
-        )
-    else:
-        src = ds.select_columns(cols)
+    src = (
+        _presum_src(ds, gcols, order_col, value_col)
+        if pre_sum
+        else ds.select_columns(gcols + [order_col, value_col])
+    )
 
     def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -740,44 +797,11 @@ def mann_kendall(
                 pairs_col: pd.Series(dtype=np.int64),
             }
         )
-        pdf = pdf[pdf[value_col].notna()]
-        if not len(pdf):
+        got = _group_pairs(pdf, gcols, order_col, value_col, pre_sum,
+                           max_group_rows, "mann_kendall")
+        if got is None:
             return empty
-        if pre_sum:
-            # finish the cross-block partial sums at the daily grain
-            pdf = (
-                pdf.groupby(gcols + [order_col], sort=False, dropna=False,
-                            observed=True)[value_col]
-                .sum()
-                .reset_index()
-            )
-        pdf = pdf.sort_values(
-            gcols + [order_col], kind="stable", ignore_index=True
-        )
-        ids = (
-            pdf.groupby(gcols, sort=False, dropna=False, observed=True)
-            .ngroup()
-            .to_numpy()
-        )
-        n = len(pdf)
-        n_groups = int(ids[-1]) + 1
-        sizes = np.bincount(ids, minlength=n_groups)
-        if sizes.max() > max_group_rows:
-            raise ValueError(
-                f"mann_kendall: a group has {int(sizes.max())} rows "
-                f"(> max_group_rows={max_group_rows}); the pair sweep is "
-                "O(n²) per group — aggregate to a coarser order grain "
-                "(pre_sum=True over e.g. days) or raise max_group_rows"
-            )
-        starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
-        local = np.arange(n) - starts[ids]
-        reps = sizes[ids] - local - 1
-        total = int(reps.sum())
-        if total == 0:
-            return empty
-        left = np.repeat(np.arange(n), reps)
-        cum = np.concatenate(([0], np.cumsum(reps)[:-1]))
-        right = np.arange(total) - np.repeat(cum, reps) + left + 1
+        pdf, ids, n_groups, starts, left, right = got
         v = pdf[value_col].to_numpy()
         o = pdf[order_col].to_numpy()
         strict = (o[right] != o[left]).astype(np.int64)
@@ -790,6 +814,102 @@ def mann_kendall(
         out = pdf.iloc[starts[keep]][gcols].reset_index(drop=True)
         out[s_col] = s[keep].astype(np.int64)
         out[pairs_col] = np_pairs[keep].astype(np.int64)
+        return out
+
+    return partitioned_groupby_map(
+        src, gcols, sweep, num_partitions=num_partitions
+    )
+
+
+def theil_sen(
+    ds,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    slope_col: str = "theil_sen",
+    pairs_col: str = "n_pairs",
+    pre_sum: bool = False,
+    num_partitions: int | None = None,
+    max_group_rows: int = 100_000,
+):
+    """Per-group Theil–Sen slope — the robust (median-of-pairwise-slopes)
+    trend estimator that pairs with :func:`mann_kendall`'s significance
+    statistic. For each group, over its (order, value) points,
+
+        theil_sen = lower median of { (v_j − v_i) / (o_j − o_i) : o_j > o_i }
+
+    plus ``n_pairs``. The LOWER median is the ``quantile_disc(0.5)``
+    order statistic ``sorted[ceil(n/2) − 1]`` — an actual slope element,
+    never an interpolation, so with INTEGER orders/values the result is
+    bit-equal to the SQL self-join oracle::
+
+        WITH s AS (SELECT a.g,
+                          CAST(b.v - a.v AS DOUBLE) /
+                          CAST(b.o - a.o AS DOUBLE) AS slope
+                   FROM d a JOIN d b ON a.g = b.g AND b.o > a.o)
+        SELECT g, quantile_disc(slope, 0.5) AS theil_sen,
+               count(*) AS n_pairs FROM s GROUP BY g
+
+    (each slope is ONE division of exact int64 differences → the same
+    double in both engines; selecting an order statistic from identical
+    multisets is order-free, unlike ``median``'s interpolated midpoint
+    which drifts at the ulp under DuckDB's FMA). Groups with no
+    order-increasing pair emit no row, mirroring the empty join.
+
+    Motion is identical to :func:`mann_kendall`: optional per-block
+    (group, order) pre-sum combiner, ONE hash exchange on the group key,
+    then a pair sweep vectorized across all groups in the partition
+    (offset arithmetic + one lexsort; per-group medians picked by offset
+    indexing, no per-group Python). Same O(Σ n_g²) bound and
+    ``max_group_rows`` guard — coarsen the order grain via ``pre_sum``
+    at scale."""
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    gcols = list(group_cols)
+    src = (
+        _presum_src(ds, gcols, order_col, value_col)
+        if pre_sum
+        else ds.select_columns(gcols + [order_col, value_col])
+    )
+
+    def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                **{c: pdf[c].iloc[:0] for c in gcols},
+                slope_col: pd.Series(dtype=np.float64),
+                pairs_col: pd.Series(dtype=np.int64),
+            }
+        )
+        got = _group_pairs(pdf, gcols, order_col, value_col, pre_sum,
+                           max_group_rows, "theil_sen")
+        if got is None:
+            return empty
+        pdf, ids, n_groups, starts, left, right = got
+        v = pdf[value_col].to_numpy()
+        o = pdf[order_col].to_numpy()
+        # slope only exists for strictly order-increasing pairs (the sort
+        # guarantees o[right] >= o[left]; equal-order pairs are dropped)
+        mask = o[right] != o[left]
+        lft, rgt = left[mask], right[mask]
+        if not len(lft):
+            return empty
+        # int64 differences are exact; ONE float64 division per pair —
+        # the identical double the SQL oracle computes
+        slope = (v[rgt] - v[lft]).astype(np.float64) / (
+            o[rgt] - o[lft]
+        ).astype(np.float64)
+        gp = ids[lft]
+        order = np.lexsort((slope, gp))
+        gp_s = gp[order]
+        slope_s = slope[order]
+        cnt = np.bincount(gp_s, minlength=n_groups)
+        keep = cnt > 0
+        gstart = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        # lower median = sorted[ceil(n/2) - 1] = sorted[(n-1)//2]
+        med_idx = gstart[keep] + (cnt[keep] - 1) // 2
+        out = pdf.iloc[starts[keep]][gcols].reset_index(drop=True)
+        out[slope_col] = slope_s[med_idx]
+        out[pairs_col] = cnt[keep].astype(np.int64)
         return out
 
     return partitioned_groupby_map(

@@ -4042,6 +4042,49 @@ def q_pagerank(sf_dir):
     return _select(out, ["node", "rank"])
 
 
+def q_triangle_parts(sf_dir):
+    """Per-part triangle participation in the co-purchase graph
+    (ops/graph.triangle_counts — degree-ordered forward algorithm, so
+    wedge work is O(m^1.5) under any hub skew): parts are linked when
+    they appear in the same order; triangles measure neighborhood
+    density. Read-pruned to l_partkey % 5 == 0 to keep the cubic SQL
+    oracle cheap; co-order pair edges come from ONE exchange on the
+    order key with the shared vectorized pair expansion. Exact integer
+    counts end-to-end."""
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+    from recipys_ray.ops.graph import triangle_counts
+    from recipys_ray.ops.groupstats import _group_pairs
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+
+    def pre(tbl: pa.Table) -> pa.Table:
+        p = tbl.column("l_partkey").to_numpy(zero_copy_only=False)
+        return tbl.filter(pa.array((p % 5) == 0))
+
+    def pairs_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "src": pd.Series(dtype=np.int64),
+            "dst": pd.Series(dtype=np.int64),
+        })
+        pdf = pdf.drop_duplicates()
+        got = _group_pairs(pdf, ["l_orderkey"], "l_partkey", "l_partkey",
+                           False, 100_000, "co_order_pairs")
+        if got is None:
+            return empty
+        pdf2, _ids, _ng, _starts, left, right = got
+        p = pdf2["l_partkey"].to_numpy()
+        return pd.DataFrame({"src": p[left], "dst": p[right]})
+
+    edges = partitioned_groupby_map(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["l_orderkey"], pairs_part,
+    )
+    out = triangle_counts(edges, "src", "dst")
+    return _select(out, ["node", "tri_count"])
+
+
 def q_budget_sample(sf_dir):
     """Per-source token-budget document selection
     (ops/sampling.budget_sample): keep docs from each source in
@@ -4330,6 +4373,37 @@ def q_trend_test(sf_dir):
     return _select(out, ["user_id", "s", "n_pairs"])
 
 
+def q_theil_sen(sf_dir):
+    """Per-user Theil–Sen robust slope of daily spend
+    (ops/groupstats.theil_sen) — the magnitude companion to
+    trend_test's Mann–Kendall S, same pre-summed exchange. Each pairwise
+    slope is ONE division of exact int64 differences (identical double
+    in both engines); the estimate is the LOWER median
+    (quantile_disc(0.5) order statistic — a real element, no
+    interpolation), so the result is bit-equal, not merely allclose."""
+    from recipys_ray.ops.groupstats import theil_sen
+
+    ds = _events(sf_dir, columns=["user_id", "ts", "value"])
+
+    def day_cents(tbl: pa.Table) -> pa.Table:
+        ts = pc.cast(tbl.column("ts"), pa.int64())  # epoch micros
+        day = pc.divide(ts, 86_400_000_000)
+        cents = pc.cast(
+            pc.round(pc.multiply(tbl.column("value"), 100.0)), pa.int64()
+        )
+        return pa.table({
+            "user_id": tbl.column("user_id"),
+            "day": day,
+            "cents": cents,
+        })
+
+    out = theil_sen(
+        ds.map_batches(day_cents, batch_format="pyarrow"),
+        ["user_id"], "day", "cents", pre_sum=True,
+    )
+    return _select(out, ["user_id", "theil_sen", "n_pairs"])
+
+
 ORACLES: dict[str, str] = {
     "trend_test": """
         WITH d AS (
@@ -4347,6 +4421,44 @@ ORACLES: dict[str, str] = {
         FROM d a JOIN d b
           ON a.user_id = b.user_id AND b.day > a.day
         GROUP BY a.user_id
+    """,
+    "triangle_parts": """
+        WITH b AS (
+          SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+          FROM lineitem WHERE l_partkey % 5 = 0
+        ), e AS (
+          SELECT DISTINCT x.p AS u, y.p AS v
+          FROM b x JOIN b y ON x.o = y.o AND x.p < y.p
+        ), t AS (
+          SELECT e1.u AS a, e1.v AS bb, e2.v AS cc
+          FROM e e1 JOIN e e2 ON e2.u = e1.v
+                    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        ), n AS (
+          SELECT a AS node FROM t
+          UNION ALL SELECT bb FROM t
+          UNION ALL SELECT cc FROM t
+        )
+        SELECT node, CAST(count(*) AS BIGINT) AS tri_count
+        FROM n GROUP BY node
+    """,
+    "theil_sen": """
+        WITH d AS (
+          SELECT user_id,
+                 epoch_us(ts) // 86400000000 AS day,
+                 SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+          FROM events WHERE value IS NOT NULL
+          GROUP BY user_id, epoch_us(ts) // 86400000000
+        ), s AS (
+          SELECT a.user_id,
+                 CAST(b.cents - a.cents AS DOUBLE)
+                   / CAST(b.day - a.day AS DOUBLE) AS slope
+          FROM d a JOIN d b
+            ON a.user_id = b.user_id AND b.day > a.day
+        )
+        SELECT user_id,
+               quantile_disc(slope, 0.5) AS theil_sen,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM s GROUP BY user_id
     """,
     "event_trigrams": """
         SELECT ev1, ev2, ev3, CAST(count(*) AS BIGINT) AS cnt
@@ -7381,6 +7493,7 @@ QUERIES = {
     "event_transitions": q_event_transitions,
     "event_trigrams": q_event_trigrams,
     "trend_test": q_trend_test,
+    "theil_sen": q_theil_sen,
     "benford": q_benford,
     "grouped_minmax": q_grouped_minmax,
     "state_runs": q_state_runs,
@@ -7509,6 +7622,7 @@ QUERIES = {
     "stratified_split": q_stratified_split,
     "weighted_median": q_weighted_median,
     "pagerank": q_pagerank,
+    "triangle_parts": q_triangle_parts,
     "budget_sample": q_budget_sample,
     "pit_state": q_pit_state,
     "twap": q_twap,

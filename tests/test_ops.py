@@ -3228,6 +3228,80 @@ class TestMannKendall:
             ).to_pandas()
 
 
+class TestTheilSen:
+    SQL = """
+        WITH s AS (
+          SELECT a.g,
+                 CAST(b.v - a.v AS DOUBLE) / CAST(b.o - a.o AS DOUBLE)
+                   AS slope
+          FROM t a JOIN t b ON a.g = b.g AND b.o > a.o
+        )
+        SELECT g, quantile_disc(slope, 0.5) AS theil_sen,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM s GROUP BY g ORDER BY g
+    """
+
+    def test_matches_duckdb_bit_exact(self, ray_session):
+        import duckdb
+
+        from recipys_ray.ops.groupstats import theil_sen
+
+        rng = np.random.default_rng(61)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 30, 1000),
+            # duplicate order keys exercise the undefined-slope mask
+            "o": rng.integers(0, 40, 1000),
+            "v": rng.integers(-50, 50, 1000),
+        })
+        got = (
+            theil_sen(rd.from_pandas(pdf), ["g"], "o", "v")
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute(self.SQL).df().reset_index(drop=True)
+        # the lower-median contract is BIT equality, not allclose
+        assert got["theil_sen"].to_numpy().tobytes() == \
+            exp["theil_sen"].to_numpy().tobytes()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_partition_count_invariance(self, ray_session):
+        from recipys_ray.ops.groupstats import theil_sen
+
+        rng = np.random.default_rng(62)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 8, 400),
+            "o": rng.integers(0, 25, 400),
+            "v": rng.integers(0, 9, 400),
+        })
+        outs = [
+            theil_sen(
+                rd.from_pandas(pdf).repartition(p), ["g"], "o", "v",
+                num_partitions=np_,
+            ).to_pandas().sort_values("g").reset_index(drop=True)
+            for p, np_ in [(1, 3), (7, 5), (16, 2)]
+        ]
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        pd.testing.assert_frame_equal(outs[0], outs[2])
+
+    def test_known_slope_and_empty_groups(self, ray_session):
+        from recipys_ray.ops.groupstats import theil_sen
+
+        pdf = pd.DataFrame({
+            # g=1: perfect line slope 3; g=2 single point; g=3 tied order
+            "g": [1, 1, 1, 2, 3, 3],
+            "o": [0, 1, 2, 0, 4, 4],
+            "v": [10, 13, 16, 5, 1, 2],
+        })
+        got = (
+            theil_sen(rd.from_pandas(pdf), ["g"], "o", "v")
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        assert got["g"].tolist() == [1]
+        assert got["theil_sen"].tolist() == [3.0]
+        assert got["n_pairs"].tolist() == [3]
+
+
 class TestCumulativeDistinct:
     def test_matches_duckdb(self, ray_session):
         import duckdb
@@ -7201,6 +7275,91 @@ class TestPagerank:
         pdf = pd.DataFrame({"src": [1], "dst": [2]})
         with pytest.raises(ValueError):
             pagerank(rd.from_pandas(pdf), iters=0)
+
+
+class TestTriangleCounts:
+    SQL = """
+        WITH c AS (
+          SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+          FROM t WHERE src <> dst
+        ), tr AS (
+          SELECT e1.u AS a, e1.v AS b, e2.v AS c
+          FROM c e1 JOIN c e2 ON e2.u = e1.v
+                    JOIN c e3 ON e3.u = e1.u AND e3.v = e2.v
+        ), n AS (
+          SELECT a AS node FROM tr
+          UNION ALL SELECT b FROM tr UNION ALL SELECT c FROM tr
+        )
+        SELECT node, CAST(count(*) AS BIGINT) AS tri_count
+        FROM n GROUP BY node ORDER BY node
+    """
+
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from recipys_ray.ops.graph import triangle_counts
+
+        rng = np.random.default_rng(71)
+        # dense-ish random graph with duplicates, self-loops and both
+        # orientations present
+        pdf = pd.DataFrame({
+            "src": rng.integers(0, 40, 1500),
+            "dst": rng.integers(0, 40, 1500),
+        })
+        got = (
+            triangle_counts(rd.from_pandas(pdf).repartition(6),
+                            "src", "dst")
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute(self.SQL).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_clique_and_star(self, ray_session):
+        from recipys_ray.ops.graph import triangle_counts
+
+        # K5 (every node in C(4,2)=6 triangles) + a 6-leaf star
+        # (no triangles) + an isolated edge
+        k5 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+        star = [(100, 200 + i) for i in range(6)]
+        pdf = pd.DataFrame(
+            k5 + star + [(300, 301)], columns=["src", "dst"]
+        )
+        got = (
+            triangle_counts(rd.from_pandas(pdf), "src", "dst")
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        assert got["node"].tolist() == [0, 1, 2, 3, 4]
+        assert got["tri_count"].tolist() == [6] * 5
+
+    def test_partition_count_invariance(self, ray_session):
+        from recipys_ray.ops.graph import triangle_counts
+
+        rng = np.random.default_rng(72)
+        pdf = pd.DataFrame({
+            "src": rng.integers(0, 25, 800),
+            "dst": rng.integers(0, 25, 800),
+        })
+        outs = [
+            triangle_counts(
+                rd.from_pandas(pdf).repartition(p), "src", "dst",
+                num_partitions=np_,
+            ).to_pandas().sort_values("node").reset_index(drop=True)
+            for p, np_ in [(1, 3), (9, 5), (16, 2)]
+        ]
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        pd.testing.assert_frame_equal(outs[0], outs[2])
+
+    def test_empty_and_triangle_free(self, ray_session):
+        from recipys_ray.ops.graph import triangle_counts
+
+        empty = pd.DataFrame({
+            "src": np.array([], np.int64), "dst": np.array([], np.int64)
+        })
+        assert len(triangle_counts(rd.from_pandas(empty)).to_pandas()) == 0
+        path = pd.DataFrame({"src": [1, 2, 3], "dst": [2, 3, 4]})
+        assert len(triangle_counts(rd.from_pandas(path)).to_pandas()) == 0
 
 
 class TestBudgetSample:
