@@ -461,6 +461,14 @@ def build_vocab(
     cand = partitioned_groupby_map(
         partials, ["token"], local_topk, num_partitions
     ).to_pandas()
+    if not len(cand) and "count" not in cand.columns:
+        # all-empty partitions yield a COLUMN-LESS frame (the zero-row
+        # map_groups quirk) — restore the planned schema
+        cand = pd.DataFrame({
+            "token": pd.Series(dtype=object),
+            "count": pd.Series(dtype=np.int64),
+            "doc_freq": pd.Series(dtype=np.int64),
+        })
     total = 0
     if _return_total:
         sentinel = cand["token"] == ""
@@ -472,6 +480,121 @@ def build_vocab(
     ).head(top_k)
     out["rank"] = np.arange(len(out), dtype=np.int64)
     return (out, total) if _return_total else out
+
+
+def bpe_merges(
+    ds,
+    text_col: str = "text",
+    k: int = 30,
+    vocab_cap: int = 1_000_000,
+    num_partitions: int | None = None,
+):
+    """Learn the first ``k`` byte-pair-encoding merge rules from a corpus
+    (Sennrich et al. 2016, ACL — ``learn_bpe``): start from characters,
+    repeatedly merge the most frequent adjacent symbol pair. Returns a
+    Dataset of ``(rank:int64, lhs:str, rhs:str, pair_count:int64)`` —
+    merge ``rank`` is 0-based; ``pair_count`` is the pair's corpus
+    frequency at the time it was chosen. Stops early if pairs run out.
+
+    Exactly like reference BPE trainers, the corpus is touched ONCE: the
+    :func:`build_vocab` combiner folds it to an exact (word, count)
+    table (ASCII ``\\w+`` lowercase words — the shared tokenizer), and
+    the merge loop runs on that bounded table only — never on documents.
+    Pair frequencies are weighted by word count, adjacent occurrences
+    count WITH overlap ("aaa" holds (a,a) twice), and a merge rewrites
+    occurrences left-to-right non-overlapping ("aaa" → ("aa", "a")) —
+    the reference semantics. Ties break deterministically by
+    (count desc, lhs asc, rhs asc), so the rule sequence is unique
+    and the result is bit-equal to any faithful sequential
+    implementation (golden oracle: scripts/gen_expected.bpe_expected).
+
+    Scale contract: driver state is the distinct-word table (≤
+    ``vocab_cap`` rows of short strings — the same bounded-driver-state
+    policy as :func:`unigram_lm_score`'s broadcast model); each
+    iteration's pair count is one vectorized pandas groupby over the
+    flattened symbol stream, and only words containing the chosen pair
+    are rewritten."""
+    import ray.data as rd
+
+    vocab = build_vocab(
+        ds, text_col, top_k=vocab_cap + 1, num_partitions=num_partitions
+    )
+    if len(vocab) > vocab_cap:
+        raise ValueError(
+            f"corpus has > vocab_cap={vocab_cap} distinct words; raise "
+            "the cap knowingly or pre-filter the corpus"
+        )
+
+    empty = pd.DataFrame({
+        "rank": pd.Series(dtype=np.int64),
+        "lhs": pd.Series(dtype=object),
+        "rhs": pd.Series(dtype=object),
+        "pair_count": pd.Series(dtype=np.int64),
+    })
+    if not len(vocab):
+        return rd.from_pandas(empty)
+
+    words = [tuple(w) for w in vocab["token"].tolist()]
+    wcnt = vocab["count"].to_numpy(np.int64)
+
+    rules = []
+    for rank in range(k):
+        # flatten symbols once per iteration; adjacent pairs by offsets
+        lens = np.fromiter((len(w) for w in words), np.int64, len(words))
+        if not len(lens) or lens.max() < 2:
+            break
+        syms = np.empty(int(lens.sum()), dtype=object)
+        pos = 0
+        for w in words:
+            syms[pos : pos + len(w)] = w
+            pos += len(w)
+        ends = np.cumsum(lens)
+        # pair starts at j iff j+1 is still inside the same word, i.e. j
+        # is not a word's last symbol (the final word's last symbol is
+        # already outside the 0..len-2 range)
+        within = np.ones(len(syms) - 1, dtype=bool)
+        last = ends - 1
+        within[last[last < len(syms) - 1]] = False
+        j = np.nonzero(within)[0]
+        if not len(j):
+            break
+        wid = np.searchsorted(ends, j, side="right")
+        pdf = pd.DataFrame({
+            "l": syms[j], "r": syms[j + 1], "w": wcnt[wid]
+        })
+        agg = pdf.groupby(["l", "r"], sort=False)["w"].sum().reset_index()
+        agg = agg.sort_values(
+            ["w", "l", "r"], ascending=[False, True, True], kind="stable"
+        )
+        best_l, best_r = str(agg.iloc[0]["l"]), str(agg.iloc[0]["r"])
+        best_c = int(agg.iloc[0]["w"])
+        rules.append((rank, best_l, best_r, best_c))
+        merged = best_l + best_r
+        # rewrite only affected words, left-to-right non-overlapping
+        hit_words = np.unique(
+            wid[(syms[j] == best_l) & (syms[j + 1] == best_r)]
+        )
+        for wi in hit_words:
+            w = words[wi]
+            out, i = [], 0
+            while i < len(w):
+                if (i + 1 < len(w) and w[i] == best_l
+                        and w[i + 1] == best_r):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(w[i])
+                    i += 1
+            words[wi] = tuple(out)
+
+    if not rules:
+        return rd.from_pandas(empty)
+    return rd.from_pandas(pd.DataFrame({
+        "rank": pd.Series([r[0] for r in rules], dtype=np.int64),
+        "lhs": [r[1] for r in rules],
+        "rhs": [r[2] for r in rules],
+        "pair_count": pd.Series([r[3] for r in rules], dtype=np.int64),
+    }))
 
 
 class _UnigramScorer:

@@ -3525,6 +3525,23 @@ def q_compress_ratio(sf_dir):
     return _select(out, ["doc_id", "n_bytes", "n_comp", "comp_ratio"])
 
 
+def q_bpe_merges(sf_dir):
+    """First 30 BPE merge rules learned from the document corpus
+    (ops/text.bpe_merges — Sennrich-2016 learn_bpe): ONE corpus pass
+    folds exact word counts via the build_vocab combiner; the merge loop
+    runs on that bounded table with a deterministic (count desc, lhs,
+    rhs) tie-break, so the rule sequence is unique. Golden oracle
+    (scripts/gen_expected.bpe_expected — the independent pure-python
+    sequential trainer)."""
+    from recipys_ray.ops.text import bpe_merges
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    out = bpe_merges(ds, "text", k=30)
+    return _select(out, ["rank", "lhs", "rhs", "pair_count"])
+
+
 def q_balanced_sample(sf_dir):
     """Exact class rebalancing to the smallest event_type's count
     (ops/sampling.balanced_sample): per-class counting selection over the
@@ -6928,6 +6945,12 @@ ORACLES: dict[str, str] = {
         WHERE corpus_key = (SELECT count(*) || '_' ||
                             CAST(sum(n_chars) AS BIGINT) FROM documents)
     """,
+    "bpe_merges": """
+        SELECT rank, lhs, rhs, pair_count
+        FROM read_parquet('/root/repo/expected/bpe_merges_*.parquet')
+        WHERE corpus_key = (SELECT count(*) || '_' ||
+                            CAST(sum(n_chars) AS BIGINT) FROM documents)
+    """,
     "balanced_sample": """
         WITH c AS (
           SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events
@@ -7602,6 +7625,7 @@ QUERIES = {
     "seq_index": q_seq_index,
     "source_vocab_sim": q_source_vocab_sim,
     "compress_ratio": q_compress_ratio,
+    "bpe_merges": q_bpe_merges,
     "balanced_sample": q_balanced_sample,
     "grouped_histogram": q_grouped_histogram,
     "top_tokens_per_source": q_top_tokens_per_source,

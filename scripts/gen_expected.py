@@ -445,6 +445,55 @@ def compression_expected(docs: pd.DataFrame, level: int = 6) -> pd.DataFrame:
     return out
 
 
+def bpe_expected(docs: pd.DataFrame, k: int = 30) -> pd.DataFrame:
+    """Sequential BPE merge-rule reference (ops/text.bpe_merges):
+    Sennrich-2016 learn_bpe over the exact \\w+ lowercase word counts —
+    pure-python Counters and per-word scans, no shared code with the
+    distributed op. Pair occurrences count WITH overlap; merges rewrite
+    left-to-right non-overlapping; ties break (count desc, lhs asc,
+    rhs asc)."""
+    import re
+    from collections import Counter
+
+    wc: Counter = Counter()
+    for t in docs["text"].fillna(""):
+        wc.update(re.findall(r"\w+", t.lower()))
+    symbols = {w: list(w) for w in wc}
+    rules = []
+    for rank in range(k):
+        pairs: Counter = Counter()
+        for w, cnt in wc.items():
+            s = symbols[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += cnt
+        if not pairs:
+            break
+        (lhs, rhs), c = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        rules.append((rank, lhs, rhs, c))
+        merged = lhs + rhs
+        for w, s in symbols.items():
+            out, i = [], 0
+            changed = False
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == lhs and s[i + 1] == rhs:
+                    out.append(merged)
+                    i += 2
+                    changed = True
+                else:
+                    out.append(s[i])
+                    i += 1
+            if changed:
+                symbols[w] = out
+    return pd.DataFrame({
+        "rank": pd.Series([r[0] for r in rules], dtype=np.int64),
+        "lhs": [r[1] for r in rules],
+        "rhs": [r[2] for r in rules],
+        "pair_count": pd.Series([r[3] for r in rules], dtype=np.int64),
+    })
+
+
 def main():
     np.seterr(over="ignore")  # uint64 wraparound is the hash arithmetic
     os.makedirs(OUT_DIR, exist_ok=True)
@@ -514,6 +563,11 @@ def main():
         path = os.path.join(OUT_DIR, f"compress_ratio_{corpus_key}.parquet")
         out.to_parquet(path, index=False)
         print(f"{path}: {len(out)} rows")
+        out = bpe_expected(docs)
+        out["corpus_key"] = corpus_key
+        path = os.path.join(OUT_DIR, f"bpe_merges_{corpus_key}.parquet")
+        out.to_parquet(path, index=False)
+        print(f"{path}: {len(out)} merge rules")
 
 
 

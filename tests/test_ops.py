@@ -6217,6 +6217,72 @@ class TestSourceSimilarity:
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
+class TestBpeMerges:
+    def test_hand_computed_merges(self, ray_session):
+        from recipys_ray.ops.text import bpe_merges
+
+        # "low low low lower" (Sennrich's running example, shrunk):
+        # counts low=3 lower=1 → pair (l,o)=4, (o,w)=4, (w,e)=1, (e,r)=1
+        # tie on 4 → (l,o) wins lexicographically; then (lo,w)=4 wins.
+        pdf = pd.DataFrame({"text": ["low low low", "lower"]})
+        got = (
+            bpe_merges(rd.from_pandas(pdf), "text", k=2)
+            .to_pandas().sort_values("rank").reset_index(drop=True)
+        )
+        assert got["lhs"].tolist() == ["l", "lo"]
+        assert got["rhs"].tolist() == ["o", "w"]
+        assert got["pair_count"].tolist() == [4, 4]
+
+    def test_overlap_counting_and_nonoverlap_rewrite(self, ray_session):
+        from recipys_ray.ops.text import bpe_merges
+
+        # "aaa": pair (a,a) counts twice (overlap), but the merge
+        # rewrites left-to-right → ("aa","a"), so rank-1 pair (aa,a)
+        # has count 1, not 2
+        pdf = pd.DataFrame({"text": ["aaa"]})
+        got = (
+            bpe_merges(rd.from_pandas(pdf), "text", k=3)
+            .to_pandas().sort_values("rank").reset_index(drop=True)
+        )
+        assert got["lhs"].tolist() == ["a", "aa"]
+        assert got["rhs"].tolist() == ["a", "a"]
+        assert got["pair_count"].tolist() == [2, 1]
+
+    def test_matches_sequential_reference(self, ray_session):
+        import sys
+
+        sys.path.insert(0, "scripts")
+        try:
+            from gen_expected import bpe_expected
+        finally:
+            sys.path.pop(0)
+        from recipys_ray.ops.text import bpe_merges
+
+        rng = np.random.default_rng(81)
+        vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+                 "eta", "theta", "iota", "kappa"]
+        texts = [
+            " ".join(rng.choice(vocab, rng.integers(3, 30)))
+            for _ in range(60)
+        ]
+        pdf = pd.DataFrame({"text": texts})
+        got = (
+            bpe_merges(rd.from_pandas(pdf).repartition(5), "text", k=25)
+            .to_pandas().sort_values("rank").reset_index(drop=True)
+        )
+        exp = bpe_expected(pdf, k=25)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_early_stop_and_empty(self, ray_session):
+        from recipys_ray.ops.text import bpe_merges
+
+        # single-char words only → no pairs, zero rules
+        pdf = pd.DataFrame({"text": ["a b c", "d e"]})
+        assert len(bpe_merges(rd.from_pandas(pdf), k=5).to_pandas()) == 0
+        empty = pd.DataFrame({"text": pd.Series(dtype=object)})
+        assert len(bpe_merges(rd.from_pandas(empty), k=5).to_pandas()) == 0
+
+
 class TestCompressionRatio:
     def test_matches_sequential_zlib(self, ray_session):
         import zlib
