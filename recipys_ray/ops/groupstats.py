@@ -278,6 +278,121 @@ def grouped_corr(
     )
 
 
+def grouped_ols2(
+    ds,
+    group_cols: list[str],
+    x1: str,
+    x2: str,
+    y: str,
+    num_partitions: int | None = None,
+):
+    """Per-group TWO-regressor OLS ``y ~ b0 + b1·x1 + b2·x2`` — the
+    multivariate step up from :func:`grouped_regression`, solved in
+    closed form from the 3×3 normal equations. Same motion: one
+    vectorized per-block sufficient-statistic partial
+    (n, Σx1, Σx2, Σy, Σx1², Σx2², Σx1x2, Σx1y, Σx2y), ONE exchange of
+    partial rows, vectorized finish. Rows with a null in any of the
+    three columns are excluded (SQL ``regr_*`` pairwise semantics).
+
+    The finish evaluates exactly (centered sums, Cramer's rule)::
+
+        S11 = sx1x1 - sx1*sx1/n        S12 = sx1x2 - sx1*sx2/n
+        S22 = sx2x2 - sx2*sx2/n
+        S1y = sx1y  - sx1*sy/n         S2y = sx2y  - sx2*sy/n
+        det = S11*S22 - S12*S12
+        b1  = (S22*S1y - S12*S2y) / det
+        b2  = (S11*S2y - S12*S1y) / det
+        b0  = sy/n - b1*(sx1/n) - b2*(sx2/n)
+        r2  = (b1*S1y + b2*S2y) / (syy - sy*sy/n)
+
+    term-for-term the SQL oracle's form: with INTEGER-valued inputs the
+    Σ's are exact (< 2^53) and every downstream double op is a single
+    IEEE kernel in both engines, so outputs are bit-equal. Collinear /
+    degenerate groups yield IEEE ±inf/nan consistently."""
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    gcols = list(group_cols)
+    stat_cols = ["__n__", "__s1__", "__s2__", "__sy__", "__s11__",
+                 "__s22__", "__s12__", "__s1y__", "__s2y__", "__syy__"]
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        key_types = {c: tbl.schema.field(c).type for c in gcols}
+        pdf = tbl.select(gcols + [x1, x2, y]).to_pandas()
+        pdf = pdf[pdf[x1].notna() & pdf[x2].notna() & pdf[y].notna()]
+        a = pdf[x1].to_numpy(np.float64)
+        b = pdf[x2].to_numpy(np.float64)
+        yv = pdf[y].to_numpy(np.float64)
+        stats = pd.DataFrame({c: pdf[c].to_numpy() for c in gcols})
+        stats["__n__"] = np.int64(1)
+        stats["__s1__"] = a
+        stats["__s2__"] = b
+        stats["__sy__"] = yv
+        stats["__s11__"] = a * a
+        stats["__s22__"] = b * b
+        stats["__s12__"] = a * b
+        stats["__s1y__"] = a * yv
+        stats["__s2y__"] = b * yv
+        stats["__syy__"] = yv * yv
+        agg = (
+            stats.groupby(gcols, sort=False, dropna=False, observed=True)
+            .sum()
+            .reset_index()
+        )
+        arrs: dict = {
+            c: pa.Array.from_pandas(agg[c], type=key_types[c]) for c in gcols
+        }
+        arrs["__n__"] = pa.array(agg["__n__"].to_numpy(np.int64), pa.int64())
+        for c in stat_cols[1:]:
+            arrs[c] = pa.array(agg[c].to_numpy(np.float64), pa.float64())
+        return pa.table(arrs)
+
+    parts = ds.select_columns(gcols + [x1, x2, y]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            pdf.groupby(gcols, sort=False, dropna=False, observed=True)[
+                stat_cols
+            ]
+            .sum()
+            .reset_index()
+        )
+        n = agg["__n__"].to_numpy(np.int64)
+        nf = n.astype(np.float64)
+        s1 = agg["__s1__"].to_numpy(np.float64)
+        s2 = agg["__s2__"].to_numpy(np.float64)
+        sy = agg["__sy__"].to_numpy(np.float64)
+        s11 = agg["__s11__"].to_numpy(np.float64)
+        s22 = agg["__s22__"].to_numpy(np.float64)
+        s12 = agg["__s12__"].to_numpy(np.float64)
+        s1y = agg["__s1y__"].to_numpy(np.float64)
+        s2y = agg["__s2y__"].to_numpy(np.float64)
+        syy = agg["__syy__"].to_numpy(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c11 = s11 - s1 * s1 / nf
+            c22 = s22 - s2 * s2 / nf
+            c12 = s12 - s1 * s2 / nf
+            c1y = s1y - s1 * sy / nf
+            c2y = s2y - s2 * sy / nf
+            det = c11 * c22 - c12 * c12
+            b1 = (c22 * c1y - c12 * c2y) / det
+            b2 = (c11 * c2y - c12 * c1y) / det
+            b0 = sy / nf - b1 * (s1 / nf) - b2 * (s2 / nf)
+            r2 = (b1 * c1y + b2 * c2y) / (syy - sy * sy / nf)
+        out = agg[gcols].copy()
+        out["b0"] = b0
+        out["b1"] = b1
+        out["b2"] = b2
+        out["r2"] = r2
+        out["n"] = n
+        return out
+
+    return partitioned_groupby_map(
+        parts, gcols, finish, num_partitions=num_partitions
+    )
+
+
 def grouped_regression(
     ds,
     group_cols: list[str],
@@ -1485,6 +1600,139 @@ def cooccurrence_counts(
         return out
 
     return partitioned_groupby_map(local, [a_col, b_col], fold)
+
+
+def association_rules(
+    ds,
+    group_col: str,
+    item_col: str,
+    min_pair_count: int = 1,
+    max_items: int = 10_000,
+    driver_cap: int = 5_000_000,
+    num_partitions: int | None = None,
+):
+    """Directed market-basket association rules over distinct
+    (basket, item) pairs — for every ordered item pair (ante → cons)
+    co-occurring in ≥ ``min_pair_count`` baskets:
+
+        n_both      baskets containing both (exact)
+        n_ante/cons baskets containing each item (exact)
+        support     = n_both / N                 (N = distinct baskets)
+        confidence  = n_both / n_ante
+        lift        = (n_both · N) / (n_ante · n_cons)
+
+    Every ratio is ONE double division of exactly-representable integer
+    products (counts ≤ N, products ≪ 2^53), so values are bit-equal to
+    the SQL self-join oracle under any partitioning.
+
+    Motion: pair counts ride :func:`cooccurrence_counts` (distinct-pair
+    dedupe, one skinny exchange, vectorized self-merge); per-item basket
+    counts and the basket total fold through the same exchange to the
+    driver (≤ ``driver_cap`` items of skinny int state — items are
+    already bounded by the pair output's k² construction); the metric
+    stamp is a broadcast map over the pair dataset, two directed rows
+    per unordered pair."""
+    import ray
+    import ray.data as rd
+
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    pairs = cooccurrence_counts(
+        ds, group_col, item_col, max_items=max_items,
+        num_partitions=num_partitions,
+    )
+
+    def gi_partial(tbl: pa.Table) -> pa.Table:
+        gt = tbl.schema.field(group_col).type
+        it = tbl.schema.field(item_col).type
+        pdf = tbl.select([group_col, item_col]).to_pandas()
+        pdf = pdf[pdf[item_col].notna() & pdf[group_col].notna()]
+        pdf = pdf.drop_duplicates([group_col, item_col])
+        return pa.table({
+            group_col: pa.Array.from_pandas(pdf[group_col], type=gt),
+            item_col: pa.Array.from_pandas(pdf[item_col], type=it),
+        })
+
+    gi = ds.select_columns([group_col, item_col]).map_batches(
+        gi_partial, batch_format="pyarrow"
+    )
+
+    # a basket lives in exactly ONE partition of the group-key exchange,
+    # so per-partition distinct counts sum exactly
+    def count_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.drop_duplicates([group_col, item_col])
+        per_item = (
+            pdf.groupby(item_col, sort=False, observed=True)[group_col]
+            .size()
+            .reset_index(name="n_item")
+        )
+        per_item["nb"] = np.int64(0)
+        total = pd.DataFrame({
+            item_col: pd.Series([None], dtype=per_item[item_col].dtype),
+            "n_item": pd.Series([0], dtype=np.int64),
+            "nb": pd.Series([pdf[group_col].nunique()], dtype=np.int64),
+        })
+        out = pd.concat([per_item, total], ignore_index=True)
+        out["n_item"] = out["n_item"].astype(np.int64)
+        return out
+
+    cdf = partitioned_groupby_map(
+        gi, [group_col], count_part, num_partitions=num_partitions
+    ).to_pandas()
+    if not len(cdf) or item_col not in cdf.columns:
+        return rd.from_pandas(pd.DataFrame({
+            "ante": pd.Series(dtype=object),
+            "cons": pd.Series(dtype=object),
+            "n_both": pd.Series(dtype=np.int64),
+            "n_ante": pd.Series(dtype=np.int64),
+            "n_cons": pd.Series(dtype=np.int64),
+            "support": pd.Series(dtype=np.float64),
+            "confidence": pd.Series(dtype=np.float64),
+            "lift": pd.Series(dtype=np.float64),
+        }))
+    n_baskets = int(cdf["nb"].sum())
+    items = (
+        cdf[cdf[item_col].notna()]
+        .groupby(item_col, sort=False, observed=True)["n_item"]
+        .sum()
+    )
+    if len(items) > driver_cap:
+        raise ValueError(
+            f"{len(items)} items exceeds driver_cap={driver_cap}; join "
+            "the item counts co-partitioned instead of broadcasting"
+        )
+    ref = ray.put((items, n_baskets))
+
+    def stamp(tbl: pa.Table) -> pa.Table:
+        ic, nb = ray.get(ref)
+        it = tbl.schema.field("item_a").type
+        a = tbl.column("item_a").to_numpy(zero_copy_only=False)
+        b = tbl.column("item_b").to_numpy(zero_copy_only=False)
+        cnt = tbl.column("cnt").to_numpy(zero_copy_only=False)
+        keep = cnt >= min_pair_count
+        a, b, cnt = a[keep], b[keep], cnt[keep]
+        ante = np.concatenate([a, b])
+        cons = np.concatenate([b, a])
+        n_both = np.concatenate([cnt, cnt]).astype(np.int64)
+        n_ante = ic.loc[ante].to_numpy(np.int64)
+        n_cons = ic.loc[cons].to_numpy(np.int64)
+        support = n_both.astype(np.float64) / np.float64(nb)
+        confidence = n_both.astype(np.float64) / n_ante.astype(np.float64)
+        lift = (n_both * nb).astype(np.float64) / (
+            n_ante * n_cons
+        ).astype(np.float64)
+        return pa.table({
+            "ante": pa.array(ante, type=it),
+            "cons": pa.array(cons, type=it),
+            "n_both": pa.array(n_both, pa.int64()),
+            "n_ante": pa.array(n_ante, pa.int64()),
+            "n_cons": pa.array(n_cons, pa.int64()),
+            "support": pa.array(support, pa.float64()),
+            "confidence": pa.array(confidence, pa.float64()),
+            "lift": pa.array(lift, pa.float64()),
+        })
+
+    return pairs.map_batches(stamp, batch_format="pyarrow")
 
 
 def state_run_stats(

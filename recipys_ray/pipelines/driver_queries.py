@@ -3146,6 +3146,61 @@ def q_cooccurrence(sf_dir):
     return cooccurrence_counts(ds, "user_id", "event_type")
 
 
+def q_grouped_ols2(sf_dir):
+    """Two-regressor OLS of tax% on (quantity, discount%) per
+    (returnflag, linestatus) via exact int64 sufficient statistics
+    (ops/groupstats.grouped_ols2): one combiner pass, one exchange of
+    partial rows, Cramer's-rule finish mirrored term-for-term in the
+    SQL oracle — bit-equal because every Σ is an exact integer and
+    every downstream double op is a single IEEE kernel in both
+    engines."""
+    from recipys_ray.ops.groupstats import grouped_ols2
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_discount", "l_tax"],
+    )
+
+    def ints(tbl: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": tbl.column("l_returnflag"),
+            "l_linestatus": tbl.column("l_linestatus"),
+            "x1": pc.cast(tbl.column("l_quantity"), pa.int64()),
+            "x2": pc.cast(
+                pc.round(pc.multiply(tbl.column("l_discount"), 100.0)),
+                pa.int64(),
+            ),
+            "y": pc.cast(
+                pc.round(pc.multiply(tbl.column("l_tax"), 100.0)),
+                pa.int64(),
+            ),
+        })
+
+    out = grouped_ols2(
+        ds.map_batches(ints, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"], "x1", "x2", "y",
+    )
+    return _select(out, ["l_returnflag", "l_linestatus", "b0", "b1",
+                         "b2", "r2", "n"])
+
+
+def q_association_rules(sf_dir):
+    """Directed event-type association rules within user baskets
+    (ops/groupstats.association_rules): exact co-occurrence counts ride
+    the cooccurrence exchange; support/confidence/lift are single
+    divisions of exactly-representable integer products — bit-equal to
+    the SQL self-join oracle."""
+    from recipys_ray.ops.groupstats import association_rules
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    out = association_rules(ds, "user_id", "event_type")
+    return _select(out, ["ante", "cons", "n_both", "n_ante", "n_cons",
+                         "support", "confidence", "lift"])
+
+
 def q_cusum(sf_dir):
     """Per-user CUSUM mean-shift statistic (ops/timeseries.
     grouped_cusum): max_t |n·S_t − t·S_n| over the value×100 int64
@@ -4438,6 +4493,80 @@ ORACLES: dict[str, str] = {
         FROM d a JOIN d b
           ON a.user_id = b.user_id AND b.day > a.day
         GROUP BY a.user_id
+    """,
+    "grouped_ols2": """
+        WITH i AS (
+          SELECT l_returnflag, l_linestatus,
+                 CAST(l_quantity AS BIGINT) AS x1,
+                 CAST(round(l_discount * 100) AS BIGINT) AS x2,
+                 CAST(round(l_tax * 100) AS BIGINT) AS y
+          FROM lineitem
+          WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+            AND l_tax IS NOT NULL
+        ), s AS (
+          SELECT l_returnflag, l_linestatus, count(*) AS n,
+                 CAST(count(*) AS DOUBLE) AS nf,
+                 CAST(sum(x1) AS DOUBLE) AS s1,
+                 CAST(sum(x2) AS DOUBLE) AS s2,
+                 CAST(sum(y) AS DOUBLE) AS sy,
+                 CAST(sum(x1*x1) AS DOUBLE) AS s11,
+                 CAST(sum(x2*x2) AS DOUBLE) AS s22,
+                 CAST(sum(x1*x2) AS DOUBLE) AS s12,
+                 CAST(sum(x1*y) AS DOUBLE) AS s1y,
+                 CAST(sum(x2*y) AS DOUBLE) AS s2y,
+                 CAST(sum(y*y) AS DOUBLE) AS syy
+          FROM i GROUP BY l_returnflag, l_linestatus
+        ), c AS (
+          SELECT *,
+                 s11 - s1*s1/nf AS c11,
+                 s22 - s2*s2/nf AS c22,
+                 s12 - s1*s2/nf AS c12,
+                 s1y - s1*sy/nf AS c1y,
+                 s2y - s2*sy/nf AS c2y
+          FROM s
+        ), d AS (
+          SELECT *,
+                 (c22*c1y - c12*c2y) / (c11*c22 - c12*c12) AS b1,
+                 (c11*c2y - c12*c1y) / (c11*c22 - c12*c12) AS b2
+          FROM c
+        )
+        SELECT l_returnflag, l_linestatus,
+               sy/nf - b1*(s1/nf) - b2*(s2/nf) AS b0,
+               b1, b2,
+               (b1*c1y + b2*c2y) / (syy - sy*sy/nf) AS r2,
+               CAST(n AS BIGINT) AS n
+        FROM d
+    """,
+    "association_rules": """
+        WITH di AS (
+          SELECT DISTINCT user_id AS g, event_type AS it
+          FROM events
+          WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        ), nb AS (SELECT count(DISTINCT g) AS n FROM di),
+        ic AS (
+          SELECT it, CAST(count(*) AS BIGINT) AS n_item
+          FROM di GROUP BY it
+        ), pc AS (
+          SELECT a.it AS ia, b.it AS ib,
+                 CAST(count(*) AS BIGINT) AS n_both
+          FROM di a JOIN di b ON a.g = b.g AND a.it < b.it
+          GROUP BY a.it, b.it
+        ), dr AS (
+          SELECT ia AS ante, ib AS cons, n_both FROM pc
+          UNION ALL SELECT ib, ia, n_both FROM pc
+        )
+        SELECT d.ante, d.cons, d.n_both,
+               x.n_item AS n_ante, y.n_item AS n_cons,
+               CAST(d.n_both AS DOUBLE) / CAST(nb.n AS DOUBLE)
+                 AS support,
+               CAST(d.n_both AS DOUBLE) / CAST(x.n_item AS DOUBLE)
+                 AS confidence,
+               CAST(d.n_both * nb.n AS DOUBLE) /
+                 CAST(x.n_item * y.n_item AS DOUBLE) AS lift
+        FROM dr d
+        JOIN ic x ON x.it = d.ante
+        JOIN ic y ON y.it = d.cons
+        CROSS JOIN nb
     """,
     "triangle_parts": """
         WITH b AS (
@@ -7606,6 +7735,8 @@ QUERIES = {
     "table_diff": q_table_diff,
     "chi_square": q_chi_square,
     "cooccurrence": q_cooccurrence,
+    "association_rules": q_association_rules,
+    "grouped_ols2": q_grouped_ols2,
     "cusum": q_cusum,
     "decile_lift": q_decile_lift,
     "sequence_integrity": q_sequence_integrity,

@@ -5049,6 +5049,140 @@ class TestChiSquare:
         assert stat > 1_000.0
 
 
+class TestGroupedOls2:
+    def test_matches_numpy_lstsq(self, ray_session):
+        from recipys_ray.ops.groupstats import grouped_ols2
+
+        rng = np.random.default_rng(91)
+        n = 900
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 5, n),
+            "x1": rng.integers(0, 50, n),
+            "x2": rng.integers(0, 10, n),
+        })
+        pdf["y"] = (
+            3 * pdf["x1"] - 2 * pdf["x2"]
+            + rng.integers(-5, 6, n) + 7
+        )
+        got = (
+            grouped_ols2(rd.from_pandas(pdf).repartition(6),
+                         ["g"], "x1", "x2", "y")
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        for _, row in got.iterrows():
+            sub = pdf[pdf["g"] == row["g"]]
+            X = np.column_stack([
+                np.ones(len(sub)), sub["x1"].to_numpy(np.float64),
+                sub["x2"].to_numpy(np.float64),
+            ])
+            beta, *_ = np.linalg.lstsq(X, sub["y"].to_numpy(np.float64),
+                                       rcond=None)
+            np.testing.assert_allclose(
+                [row["b0"], row["b1"], row["b2"]], beta, rtol=1e-9
+            )
+            assert 0.9 <= row["r2"] <= 1.0
+            assert row["n"] == len(sub)
+
+    def test_partition_bit_invariance(self, ray_session):
+        from recipys_ray.ops.groupstats import grouped_ols2
+
+        rng = np.random.default_rng(92)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 4, 500),
+            "x1": rng.integers(0, 30, 500),
+            "x2": rng.integers(0, 30, 500),
+            "y": rng.integers(0, 100, 500),
+        })
+        outs = [
+            grouped_ols2(rd.from_pandas(pdf).repartition(p), ["g"],
+                         "x1", "x2", "y", num_partitions=np_)
+            .to_pandas().sort_values("g").reset_index(drop=True)
+            for p, np_ in [(1, 2), (8, 5), (13, 3)]
+        ]
+        for col in ["b0", "b1", "b2", "r2"]:
+            assert outs[0][col].to_numpy().tobytes() == \
+                outs[1][col].to_numpy().tobytes()
+            assert outs[0][col].to_numpy().tobytes() == \
+                outs[2][col].to_numpy().tobytes()
+
+
+class TestAssociationRules:
+    SQL = """
+        WITH di AS (
+          SELECT DISTINCT g, it FROM t
+          WHERE it IS NOT NULL AND g IS NOT NULL
+        ), nb AS (SELECT count(DISTINCT g) AS n FROM di),
+        ic AS (SELECT it, CAST(count(*) AS BIGINT) AS n_item
+               FROM di GROUP BY it),
+        pc AS (
+          SELECT a.it AS ia, b.it AS ib,
+                 CAST(count(*) AS BIGINT) AS n_both
+          FROM di a JOIN di b ON a.g = b.g AND a.it < b.it
+          GROUP BY a.it, b.it
+        ), dr AS (
+          SELECT ia AS ante, ib AS cons, n_both FROM pc
+          UNION ALL SELECT ib, ia, n_both FROM pc
+        )
+        SELECT d.ante, d.cons, d.n_both,
+               x.n_item AS n_ante, y.n_item AS n_cons,
+               CAST(d.n_both AS DOUBLE) / CAST(nb.n AS DOUBLE)
+                 AS support,
+               CAST(d.n_both AS DOUBLE) / CAST(x.n_item AS DOUBLE)
+                 AS confidence,
+               CAST(d.n_both * nb.n AS DOUBLE) /
+                 CAST(x.n_item * y.n_item AS DOUBLE) AS lift
+        FROM dr d JOIN ic x ON x.it = d.ante
+        JOIN ic y ON y.it = d.cons CROSS JOIN nb
+        ORDER BY ante, cons
+    """
+
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from recipys_ray.ops.groupstats import association_rules
+
+        rng = np.random.default_rng(93)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 60, 800),
+            "it": rng.choice(list("abcdefg"), 800),
+        })
+        got = (
+            association_rules(rd.from_pandas(pdf).repartition(5),
+                              "g", "it")
+            .to_pandas().sort_values(["ante", "cons"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute(self.SQL).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_min_pair_count_and_empty(self, ray_session):
+        from recipys_ray.ops.groupstats import association_rules
+
+        pdf = pd.DataFrame({
+            "g": [1, 1, 2, 2, 3],
+            "it": ["a", "b", "a", "b", "a"],
+        })
+        got = (
+            association_rules(rd.from_pandas(pdf), "g", "it",
+                              min_pair_count=3).to_pandas()
+        )
+        assert len(got) == 0  # (a,b) co-occurs in only 2 baskets
+        got2 = (
+            association_rules(rd.from_pandas(pdf), "g", "it")
+            .to_pandas().sort_values("ante").reset_index(drop=True)
+        )
+        # a→b: conf 2/3; b→a: conf 2/2; lift = 2*3/(3*2) = 1.0
+        assert got2["confidence"].tolist() == [2 / 3, 1.0]
+        assert got2["lift"].tolist() == [1.0, 1.0]
+        empty = pd.DataFrame({"g": pd.Series(dtype=np.int64),
+                              "it": pd.Series(dtype=object)})
+        assert len(
+            association_rules(rd.from_pandas(empty), "g", "it").to_pandas()
+        ) == 0
+
+
 class TestCooccurrence:
     def test_matches_duckdb_self_join(self, ray_session):
         import duckdb
