@@ -94,6 +94,61 @@ def grouped_value_counts(
     )
 
 
+def simpson_diversity(
+    ds,
+    group_cols: list[str],
+    value_col: str,
+    d_col: str = "simpson",
+    n_col: str = "n",
+    num_partitions: int | None = None,
+):
+    """Per-group Simpson diversity index of a categorical column — the
+    probability that two draws WITHOUT replacement share a category::
+
+        D = Σ_i c_i·(c_i − 1)  /  (N·(N − 1))
+
+    (ecology's λ; 1−D is the Gini–Simpson diversity). Unlike Shannon
+    entropy this needs NO logarithm: both Σ's are exact int64 and the
+    result is ONE double division — bit-equal to SQL, not merely
+    allclose, so it can be a primary hash column. Groups with N < 2
+    yield NaN (0/0) identically in both engines.
+
+    Motion: the shared exact (group, value) count combiner
+    (:func:`_counts_partial`), ONE exchange of partial rows, vectorized
+    finish. Output: group_cols + [d_col, n_col]."""
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    gcols = list(group_cols)
+    parts = _counts_partial(ds, gcols, value_col)
+
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        tot = (
+            pdf.groupby(gcols + [value_col], sort=False, dropna=False,
+                        observed=True)["cnt"]
+            .sum()
+            .reset_index()
+        )
+        c = tot["cnt"].to_numpy(np.int64)
+        tot["__s__"] = c * (c - 1)
+        agg = (
+            tot.groupby(gcols, sort=False, dropna=False, observed=True)
+            .agg(__s__=("__s__", "sum"), __n__=("cnt", "sum"))
+            .reset_index()
+        )
+        s = agg["__s__"].to_numpy(np.int64)
+        n = agg["__n__"].to_numpy(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            d = s.astype(np.float64) / (n * (n - 1)).astype(np.float64)
+        out = agg[gcols].copy()
+        out[d_col] = d
+        out[n_col] = n
+        return out
+
+    return partitioned_groupby_map(
+        parts, gcols, finish, num_partitions=num_partitions
+    )
+
+
 def grouped_mode(
     ds,
     group_cols: list[str],

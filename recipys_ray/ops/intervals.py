@@ -79,6 +79,82 @@ def merge_intervals(
     )
 
 
+def peak_concurrency(
+    ds,
+    group_cols: list[str],
+    start_col: str,
+    end_col: str,
+    out_col: str = "peak",
+    num_partitions: int | None = None,
+):
+    """Per-group maximum number of simultaneously-open half-open
+    ``[start, end)`` intervals — the classic sweep-line: every interval
+    contributes a +1 event at its start and a −1 at its end, events sort
+    by ``(t, delta)`` so an end at t closes BEFORE a start at t opens
+    (half-open boundary semantics), and the peak is the max prefix sum.
+    Mirrors the SQL window form exactly::
+
+        SUM(d) OVER (PARTITION BY g ORDER BY t, d
+                     ROWS UNBOUNDED PRECEDING)   →   MAX(...) per group
+
+    (the (t, d) ordering makes the running sum well-defined under ties —
+    every −1 at a tied instant folds first — so the result is exact-int
+    deterministic under any partitioning). Degenerate intervals with
+    ``end <= start`` and null bounds are dropped, mirroring the oracle's
+    WHERE. ONE hash exchange of the skinny (group, start, end)
+    projection; the sweep runs vectorized across ALL groups in a
+    partition (one sort + grouped cumsum/max C kernels)."""
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    gcols = list(group_cols)
+    cols = gcols + [start_col, end_col]
+
+    def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[cols]
+        pdf = pdf[
+            pdf[start_col].notna() & pdf[end_col].notna()
+            & (pdf[end_col] > pdf[start_col])
+        ]
+        if not len(pdf):
+            out = pdf[gcols].copy()
+            out[out_col] = pd.Series([], dtype=np.int64)
+            return out
+        ev = pd.concat(
+            [
+                pdf[gcols].assign(
+                    __t__=pdf[start_col].to_numpy(),
+                    __d__=np.int64(1),
+                ),
+                pdf[gcols].assign(
+                    __t__=pdf[end_col].to_numpy(),
+                    __d__=np.int64(-1),
+                ),
+            ],
+            ignore_index=True,
+        )
+        ev = ev.sort_values(
+            gcols + ["__t__", "__d__"], kind="stable", ignore_index=True
+        )
+        grp = ev.groupby(gcols, sort=False, dropna=False, observed=True)
+        conc = grp["__d__"].cumsum()
+        ev["__c__"] = conc
+        out = (
+            ev.groupby(gcols, sort=False, dropna=False, observed=True)[
+                "__c__"
+            ]
+            .max()
+            .reset_index()
+            .rename(columns={"__c__": out_col})
+        )
+        out[out_col] = out[out_col].astype(np.int64)
+        return out
+
+    return partitioned_groupby_map(
+        ds.select_columns(cols), gcols, sweep,
+        num_partitions=num_partitions,
+    )
+
+
 def scd2_intervals(
     ds,
     group_cols: list[str],

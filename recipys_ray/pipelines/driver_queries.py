@@ -3146,6 +3146,47 @@ def q_cooccurrence(sf_dir):
     return cooccurrence_counts(ds, "user_id", "event_type")
 
 
+def q_peak_concurrency(sf_dir):
+    """Per-user peak number of concurrently-open 1-hour event windows
+    (ops/intervals.peak_concurrency — sweep-line over ±1 boundary
+    events, ends-before-starts tie order ≡ the SQL ORDER BY t, d
+    running sum): the max-concurrency feature for rate limiting /
+    burstiness scoring. Exact integers end-to-end."""
+    from recipys_ray.ops.intervals import peak_concurrency
+
+    ds = _events(sf_dir, columns=["user_id", "ts"])
+
+    def win(tbl: pa.Table) -> pa.Table:
+        ts = tbl.column("ts")
+        end = pc.cast(
+            pc.add(pc.cast(ts, pa.int64()), 3_600_000_000),
+            pa.timestamp("us"),
+        )
+        return pa.table({
+            "user_id": tbl.column("user_id"), "s": ts, "e": end,
+        })
+
+    out = peak_concurrency(
+        ds.map_batches(win, batch_format="pyarrow"), ["user_id"],
+        "s", "e",
+    )
+    return _select(out, ["user_id", "peak"])
+
+
+def q_simpson_diversity(sf_dir):
+    """Per-source Simpson diversity of document languages
+    (ops/groupstats.simpson_diversity): log-free diversity index — both
+    Σ's are exact int64 and the index is ONE double division, so unlike
+    the entropy queries it is bit-equal and hash-primary-safe."""
+    from recipys_ray.ops.groupstats import simpson_diversity
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang"]
+    )
+    out = simpson_diversity(ds, ["source"], "lang")
+    return _select(out, ["source", "simpson", "n"])
+
+
 def q_grouped_ols2(sf_dir):
     """Two-regressor OLS of tax% on (quantity, discount%) per
     (returnflag, linestatus) via exact int64 sufficient statistics
@@ -4493,6 +4534,38 @@ ORACLES: dict[str, str] = {
         FROM d a JOIN d b
           ON a.user_id = b.user_id AND b.day > a.day
         GROUP BY a.user_id
+    """,
+    "peak_concurrency": """
+        WITH iv AS (
+          SELECT user_id, ts AS s, ts + INTERVAL 1 HOUR AS e
+          FROM events WHERE ts IS NOT NULL
+        ), ev AS (
+          SELECT user_id, s AS t, 1 AS d FROM iv
+          UNION ALL SELECT user_id, e, -1 FROM iv
+        ), c AS (
+          SELECT user_id,
+                 SUM(d) OVER (PARTITION BY user_id ORDER BY t, d
+                              ROWS UNBOUNDED PRECEDING) AS conc
+          FROM ev
+        )
+        SELECT user_id, CAST(max(conc) AS BIGINT) AS peak
+        FROM c GROUP BY user_id
+    """,
+    "simpson_diversity": """
+        WITH c AS (
+          SELECT source, lang, CAST(count(*) AS BIGINT) AS cnt
+          FROM documents WHERE lang IS NOT NULL
+          GROUP BY source, lang
+        ), a AS (
+          SELECT source,
+                 CAST(SUM(cnt*(cnt-1)) AS BIGINT) AS s,
+                 CAST(SUM(cnt) AS BIGINT) AS n
+          FROM c GROUP BY source
+        )
+        SELECT source,
+               CAST(s AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) AS simpson,
+               n
+        FROM a
     """,
     "grouped_ols2": """
         WITH i AS (
@@ -7737,6 +7810,8 @@ QUERIES = {
     "cooccurrence": q_cooccurrence,
     "association_rules": q_association_rules,
     "grouped_ols2": q_grouped_ols2,
+    "peak_concurrency": q_peak_concurrency,
+    "simpson_diversity": q_simpson_diversity,
     "cusum": q_cusum,
     "decile_lift": q_decile_lift,
     "sequence_integrity": q_sequence_integrity,

@@ -5049,6 +5049,117 @@ class TestChiSquare:
         assert stat > 1_000.0
 
 
+class TestPeakConcurrency:
+    SQL = """
+        WITH iv AS (
+          SELECT g, s, e FROM t
+          WHERE s IS NOT NULL AND e IS NOT NULL AND e > s
+        ), ev AS (
+          SELECT g, s AS tm, 1 AS d FROM iv
+          UNION ALL SELECT g, e, -1 FROM iv
+        ), c AS (
+          SELECT g, SUM(d) OVER (PARTITION BY g ORDER BY tm, d
+                                 ROWS UNBOUNDED PRECEDING) AS conc
+          FROM ev
+        )
+        SELECT g, CAST(max(conc) AS BIGINT) AS peak
+        FROM c GROUP BY g ORDER BY g
+    """
+
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from recipys_ray.ops.intervals import peak_concurrency
+
+        rng = np.random.default_rng(95)
+        s = rng.integers(0, 100, 600)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 12, 600),
+            "s": s,
+            # includes degenerate (e <= s) intervals that must drop
+            "e": s + rng.integers(-2, 20, 600),
+        })
+        got = (
+            peak_concurrency(rd.from_pandas(pdf).repartition(5),
+                             ["g"], "s", "e")
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute(self.SQL).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_half_open_boundaries(self, ray_session):
+        from recipys_ray.ops.intervals import peak_concurrency
+
+        # [0,5) and [5,10) touch but never overlap → peak 1;
+        # [0,5) and [4,10) overlap → peak 2
+        pdf = pd.DataFrame({
+            "g": [1, 1, 2, 2],
+            "s": [0, 5, 0, 4],
+            "e": [5, 10, 5, 10],
+        })
+        got = (
+            peak_concurrency(rd.from_pandas(pdf), ["g"], "s", "e")
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        assert got["peak"].tolist() == [1, 2]
+
+
+class TestSimpsonDiversity:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from recipys_ray.ops.groupstats import simpson_diversity
+
+        rng = np.random.default_rng(96)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 10, 700),
+            "v": rng.choice(list("abcde"), 700),
+        })
+        # one singleton group (N=1 → NaN) and nulls
+        pdf.loc[len(pdf)] = [99, "z"]
+        pdf.loc[10, "v"] = None
+        got = (
+            simpson_diversity(rd.from_pandas(pdf).repartition(6),
+                              ["g"], "v")
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute("""
+            WITH c AS (
+              SELECT g, v, CAST(count(*) AS BIGINT) AS cnt FROM t
+              WHERE v IS NOT NULL GROUP BY g, v
+            ), a AS (
+              SELECT g, CAST(SUM(cnt*(cnt-1)) AS BIGINT) AS s,
+                     CAST(SUM(cnt) AS BIGINT) AS n
+              FROM c GROUP BY g
+            )
+            SELECT g, CAST(s AS DOUBLE)/CAST(n*(n-1) AS DOUBLE)
+                     AS simpson, n
+            FROM a ORDER BY g
+        """).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        lone = got[got["g"] == 99]
+        assert np.isnan(lone["simpson"].iloc[0]) and \
+            lone["n"].iloc[0] == 1
+
+    def test_pure_and_uniform_groups(self, ray_session):
+        from recipys_ray.ops.groupstats import simpson_diversity
+
+        pdf = pd.DataFrame({
+            "g": [1] * 4 + [2] * 4,
+            "v": ["a"] * 4 + list("abcd"),
+        })
+        got = (
+            simpson_diversity(rd.from_pandas(pdf), ["g"], "v")
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        # all-same → D=1; all-distinct → D=0
+        assert got["simpson"].tolist() == [1.0, 0.0]
+
+
 class TestGroupedOls2:
     def test_matches_numpy_lstsq(self, ray_session):
         from recipys_ray.ops.groupstats import grouped_ols2
