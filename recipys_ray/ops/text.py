@@ -597,6 +597,106 @@ def bpe_merges(
     }))
 
 
+class _BpeEncoder:
+    """Actor-pool stage: the merge-rule table is resolved ONCE per actor
+    in ``__init__`` (plasma shared read) and a word → token-count memo
+    persists across batches, so the per-word merge scan runs once per
+    DISTINCT word per actor (bounded vocab), never per row."""
+
+    def __init__(self, text_col, id_col, rules_ref):
+        import ray
+
+        self.text_col = text_col
+        self.id_col = id_col
+        rules = ray.get(rules_ref) if not isinstance(rules_ref, list) \
+            else rules_ref
+        self.rules = rules  # [(lhs, rhs), ...] in rank order
+        self.memo: dict = {}
+
+    def _tok_count(self, w: str) -> int:
+        got = self.memo.get(w)
+        if got is not None:
+            return got
+        s = list(w)
+        # applying rules sequentially in rank order equals Sennrich's
+        # min-rank iteration: a merge can never create a pair an
+        # EARLIER rule matches (that symbol did not exist when the
+        # earlier rule was learned)
+        for lhs, rhs in self.rules:
+            if lhs not in s:
+                continue
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == lhs and s[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            s = out
+        n = len(s)
+        self.memo[w] = n
+        return n
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        words, n_words = word_stream(tbl.column(self.text_col))
+        w_np = words.to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(w_np, return_inverse=True)
+        per_uniq = np.fromiter(
+            (self._tok_count(w) for w in uniq), np.int64, len(uniq)
+        )
+        per_word = per_uniq[inv]
+        ends = np.cumsum(n_words)
+        starts = ends - n_words
+        tok = np.zeros(len(n_words), dtype=np.int64)
+        nz = n_words > 0
+        if per_word.size:
+            csum = np.concatenate(([0], np.cumsum(per_word)))
+            tok[nz] = csum[ends[nz]] - csum[starts[nz]]
+        return pa.table({
+            self.id_col: tbl.column(self.id_col),
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_tokens": pa.array(tok, pa.int64()),
+        })
+
+
+def bpe_encode(
+    ds,
+    merges,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency=(1, 8),
+    batch_size: int = 4096,
+):
+    """Tokenize documents with a learned BPE merge table
+    (:func:`bpe_merges` output — a Dataset or DataFrame of rank-ordered
+    (lhs, rhs) rules) and emit per-document ``n_words`` / ``n_tokens``
+    — the token-budget accounting a training-data pipeline runs before
+    packing. Shuffle-free: the (tiny) rule table broadcasts via
+    ``ray.put``; encoding is an actor pool whose word→count memo makes
+    the merge scan O(distinct words), with per-document totals via one
+    vectorized segmented sum. Exact integers; golden oracle
+    (scripts/gen_expected.bpe_encode_expected)."""
+    import ray
+
+    if hasattr(merges, "to_pandas"):
+        merges = merges.to_pandas()
+    merges = merges.sort_values("rank", ignore_index=True)
+    rules = list(zip(merges["lhs"].tolist(), merges["rhs"].tolist()))
+    rules_ref = ray.put(rules)
+    return ds.map_batches(
+        _BpeEncoder,
+        fn_constructor_kwargs={
+            "text_col": text_col,
+            "id_col": id_col,
+            "rules_ref": rules_ref,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+
+
 class _UnigramScorer:
     """Actor-pool stage: broadcast unigram LM resolved once per actor; per
     batch, vectorized word→count mapping + segmented sums."""

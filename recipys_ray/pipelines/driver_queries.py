@@ -3638,6 +3638,22 @@ def q_bpe_merges(sf_dir):
     return _select(out, ["rank", "lhs", "rhs", "pair_count"])
 
 
+def q_bpe_encode(sf_dir):
+    """Per-document token counts under the corpus's own learned BPE
+    (ops/text.bpe_encode over ops/text.bpe_merges, k=30): the
+    token-budget accounting pass. The rule table broadcasts via
+    ray.put; the encode pool memoizes per distinct word. Golden oracle
+    (scripts/gen_expected.bpe_encode_expected)."""
+    from recipys_ray.ops.text import bpe_encode, bpe_merges
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    rules = bpe_merges(ds, "text", k=30)
+    out = bpe_encode(ds, rules, "text", "doc_id")
+    return _select(out, ["doc_id", "n_words", "n_tokens"])
+
+
 def q_balanced_sample(sf_dir):
     """Exact class rebalancing to the smallest event_type's count
     (ops/sampling.balanced_sample): per-class counting selection over the
@@ -7153,6 +7169,12 @@ ORACLES: dict[str, str] = {
         WHERE corpus_key = (SELECT count(*) || '_' ||
                             CAST(sum(n_chars) AS BIGINT) FROM documents)
     """,
+    "bpe_encode": """
+        SELECT doc_id, n_words, n_tokens
+        FROM read_parquet('/root/repo/expected/bpe_encode_*.parquet')
+        WHERE corpus_key = (SELECT count(*) || '_' ||
+                            CAST(sum(n_chars) AS BIGINT) FROM documents)
+    """,
     "balanced_sample": """
         WITH c AS (
           SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events
@@ -7832,6 +7854,7 @@ QUERIES = {
     "source_vocab_sim": q_source_vocab_sim,
     "compress_ratio": q_compress_ratio,
     "bpe_merges": q_bpe_merges,
+    "bpe_encode": q_bpe_encode,
     "balanced_sample": q_balanced_sample,
     "grouped_histogram": q_grouped_histogram,
     "top_tokens_per_source": q_top_tokens_per_source,

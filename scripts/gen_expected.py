@@ -494,6 +494,46 @@ def bpe_expected(docs: pd.DataFrame, k: int = 30) -> pd.DataFrame:
     })
 
 
+def bpe_encode_expected(docs: pd.DataFrame, k: int = 30) -> pd.DataFrame:
+    """Sequential BPE tokenization reference (ops/text.bpe_encode):
+    train the first k merges via bpe_expected, then encode every
+    document word-by-word applying the rules in rank order. Emits
+    per-doc word and token counts."""
+    import re
+
+    rules = bpe_expected(docs, k)
+    rule_list = list(zip(rules["lhs"], rules["rhs"]))
+    ids, n_words, n_tokens = [], [], []
+    memo: dict = {}
+    for did, t in zip(docs["doc_id"], docs["text"].fillna("")):
+        words = re.findall(r"\w+", t.lower())
+        total = 0
+        for w in words:
+            if w not in memo:
+                s = list(w)
+                for lhs, rhs in rule_list:
+                    out, i = [], 0
+                    while i < len(s):
+                        if (i + 1 < len(s) and s[i] == lhs
+                                and s[i + 1] == rhs):
+                            out.append(lhs + rhs)
+                            i += 2
+                        else:
+                            out.append(s[i])
+                            i += 1
+                    s = out
+                memo[w] = len(s)
+            total += memo[w]
+        ids.append(did)
+        n_words.append(len(words))
+        n_tokens.append(total)
+    return pd.DataFrame({
+        "doc_id": np.asarray(ids, np.int64),
+        "n_words": np.asarray(n_words, np.int64),
+        "n_tokens": np.asarray(n_tokens, np.int64),
+    })
+
+
 def main():
     np.seterr(over="ignore")  # uint64 wraparound is the hash arithmetic
     os.makedirs(OUT_DIR, exist_ok=True)
@@ -568,6 +608,11 @@ def main():
         path = os.path.join(OUT_DIR, f"bpe_merges_{corpus_key}.parquet")
         out.to_parquet(path, index=False)
         print(f"{path}: {len(out)} merge rules")
+        out = bpe_encode_expected(docs)
+        out["corpus_key"] = corpus_key
+        path = os.path.join(OUT_DIR, f"bpe_encode_{corpus_key}.parquet")
+        out.to_parquet(path, index=False)
+        print(f"{path}: {len(out)} encoded docs")
 
 
 

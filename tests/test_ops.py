@@ -6518,6 +6518,52 @@ class TestBpeMerges:
         exp = bpe_expected(pdf, k=25)
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
+    def test_encode_hand_computed(self, ray_session):
+        from recipys_ray.ops.text import bpe_encode, bpe_merges
+
+        # merges learned on "low low low lower": rank0 (l,o), rank1
+        # (lo,w) → "low"→1 token, "lower"→3 (low,e,r), "slow"→2 (s,low)
+        train = pd.DataFrame({"text": ["low low low", "lower"]})
+        rules = bpe_merges(rd.from_pandas(train), "text", k=2)
+        docs = pd.DataFrame({
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": ["low", "lower", "slow slow", ""],
+        })
+        got = (
+            bpe_encode(rd.from_pandas(docs), rules, "text", "doc_id")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert got["n_words"].tolist() == [1, 1, 2, 0]
+        assert got["n_tokens"].tolist() == [1, 3, 4, 0]
+
+    def test_encode_matches_sequential_reference(self, ray_session):
+        import sys
+
+        sys.path.insert(0, "scripts")
+        try:
+            from gen_expected import bpe_encode_expected
+        finally:
+            sys.path.pop(0)
+        from recipys_ray.ops.text import bpe_encode, bpe_merges
+
+        rng = np.random.default_rng(82)
+        vocab = ["stream", "stress", "tree", "strut", "master", "steam"]
+        pdf = pd.DataFrame({
+            "doc_id": np.arange(50, dtype=np.int64),
+            "text": [
+                " ".join(rng.choice(vocab, rng.integers(1, 15)))
+                for _ in range(50)
+            ],
+        })
+        rules = bpe_merges(rd.from_pandas(pdf), "text", k=10)
+        got = (
+            bpe_encode(rd.from_pandas(pdf).repartition(4), rules,
+                       "text", "doc_id")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        exp = bpe_encode_expected(pdf, k=10)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
     def test_early_stop_and_empty(self, ray_session):
         from recipys_ray.ops.text import bpe_merges
 
