@@ -742,6 +742,189 @@ def transition_counts(
     return partitioned_groupby_map(local, [from_col, to_col], fold)
 
 
+def transition_latency(
+    ds,
+    group_cols: list[str],
+    order_cols: list[str],
+    state_col: str,
+    time_col: str,
+    from_col: str = "from_state",
+    to_col: str = "to_state",
+    num_partitions: int | None = None,
+):
+    """Response-latency statistics per state transition: for every
+    consecutive (from → to) pair across all groups' ordered sequences,
+    the pair count plus the total / mean / max time gap — the
+    role-pair response-time feature for conversation and session
+    modeling (e.g. how long an `assistant` turn takes after a `user`
+    turn, per transition type). Output: from/to state, ``n``,
+    ``total_gap_us``, ``mean_gap_us``, ``max_gap_us``.
+
+    Gaps are exact int64 microseconds (datetime64 or integer
+    ``time_col``); ``mean_gap_us`` is ONE double division of exact
+    integers — bit-equal to the SQL ``lag() OVER`` oracle. Within-group
+    ordering must be made total by ``order_cols`` (include a tiebreak
+    id), exactly as the oracle's window ORDER BY.
+
+    Motion mirrors :func:`transition_counts`: ONE skinny hash exchange
+    on the group key, a vectorized sort + shift forms pairs for every
+    group in the partition, per-partition (from,to) partials
+    (count/sum/max) fold through a second, tiny exchange."""
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    gcols = list(group_cols)
+    ocols = list(order_cols)
+    # time_col commonly doubles as an order col — project it once
+    cols = list(dict.fromkeys(gcols + ocols + [state_col, time_col]))
+    stat_cols = ["__n__", "__tot__", "__max__"]
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[cols].sort_values(
+            gcols + ocols, kind="stable", ignore_index=True
+        )
+        frm = pdf[state_col]
+        to = frm.shift(-1)
+        t = pdf[time_col].to_numpy()
+        if np.issubdtype(t.dtype, np.datetime64):
+            t = t.astype("datetime64[us]").astype(np.int64)
+        else:
+            t = t.astype(np.int64)
+        gap = np.empty(len(t), dtype=np.int64)
+        if len(t):
+            gap[:-1] = t[1:] - t[:-1]
+            gap[-1] = 0
+        grp = pdf.groupby(gcols, sort=False, dropna=False, observed=True)
+        last = grp.cumcount(ascending=False).to_numpy() == 0
+        keep_mask = ~last & to.notna().to_numpy()
+        keep = pd.DataFrame({
+            from_col: frm.to_numpy()[keep_mask],
+            to_col: to.to_numpy()[keep_mask],
+            "__gap__": gap[keep_mask],
+        })
+        out = (
+            keep.groupby([from_col, to_col], sort=False, dropna=False,
+                         observed=True)["__gap__"]
+            .agg(__n__="size", __tot__="sum", __max__="max")
+            .reset_index()
+        )
+        for c in stat_cols:
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    local = partitioned_groupby_map(
+        ds.select_columns(cols), gcols, pairs,
+        num_partitions=num_partitions,
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            pdf.groupby([from_col, to_col], sort=False, dropna=False,
+                        observed=True)
+            .agg(__n__=("__n__", "sum"), __tot__=("__tot__", "sum"),
+                 __max__=("__max__", "max"))
+            .reset_index()
+        )
+        n = agg["__n__"].to_numpy(np.int64)
+        tot = agg["__tot__"].to_numpy(np.int64)
+        out = agg[[from_col, to_col]].copy()
+        out["n"] = n
+        out["total_gap_us"] = tot
+        out["mean_gap_us"] = tot.astype(np.float64) / n.astype(np.float64)
+        out["max_gap_us"] = agg["__max__"].to_numpy(np.int64)
+        return out
+
+    return partitioned_groupby_map(local, [from_col, to_col], fold)
+
+
+def grouped_rate_ci(
+    ds,
+    group_cols: list[str],
+    flag_col: str,
+    z: float = 1.959963984540054,
+    num_partitions: int | None = None,
+):
+    """Per-group Wilson score confidence interval for a binary rate —
+    the interval that behaves at small n and p near 0/1 (Wilson 1927;
+    the recommended default over the Wald interval, Brown-Cai-DasGupta
+    2001). For successes k of n::
+
+        p      = k / n
+        d      = 1 + (z*z)/n
+        center = (p + (z*z)/(2*n)) / d
+        half   = z * sqrt(p*(1-p)/n + (z*z)/(4*n*n)) / d
+
+    Output: group_cols + [k, n, rate, ci_lo, ci_hi]. k and n fold
+    through one exact-int combiner exchange; every downstream double op
+    (including the correctly-rounded IEEE sqrt) is mirrored
+    term-for-term by the SQL oracle, so the interval is bit-equal —
+    cast the z literal to DOUBLE in SQL (DuckDB parses bare decimal
+    literals as DECIMAL, which would change the products).
+
+    ``flag_col`` must be integer 0/1 (or boolean); null flags are
+    excluded from both k and n."""
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    gcols = list(group_cols)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        key_types = {c: tbl.schema.field(c).type for c in gcols}
+        pdf = tbl.select(gcols + [flag_col]).to_pandas()
+        pdf = pdf[pdf[flag_col].notna()]
+        f = pdf[flag_col].to_numpy()
+        stats = pd.DataFrame({c: pdf[c].to_numpy() for c in gcols})
+        stats["__k__"] = f.astype(np.int64)
+        stats["__n__"] = np.int64(1)
+        agg = (
+            stats.groupby(gcols, sort=False, dropna=False, observed=True)
+            .sum()
+            .reset_index()
+        )
+        arrs: dict = {
+            c: pa.Array.from_pandas(agg[c], type=key_types[c]) for c in gcols
+        }
+        arrs["__k__"] = pa.array(agg["__k__"].to_numpy(np.int64), pa.int64())
+        arrs["__n__"] = pa.array(agg["__n__"].to_numpy(np.int64), pa.int64())
+        return pa.table(arrs)
+
+    parts = ds.select_columns(gcols + [flag_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            pdf.groupby(gcols, sort=False, dropna=False, observed=True)[
+                ["__k__", "__n__"]
+            ]
+            .sum()
+            .reset_index()
+        )
+        k = agg["__k__"].to_numpy(np.int64)
+        n = agg["__n__"].to_numpy(np.int64)
+        kf = k.astype(np.float64)
+        nf = n.astype(np.float64)
+        zf = np.float64(z)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            p = kf / nf
+            d = 1.0 + (zf * zf) / nf
+            center = (p + (zf * zf) / (2.0 * nf)) / d
+            half = zf * np.sqrt(
+                p * (1.0 - p) / nf + (zf * zf) / (4.0 * nf * nf)
+            ) / d
+            lo = center - half
+            hi = center + half
+        out = agg[gcols].copy()
+        out["k"] = k
+        out["n"] = n
+        out["rate"] = p
+        out["ci_lo"] = lo
+        out["ci_hi"] = hi
+        return out
+
+    return partitioned_groupby_map(
+        parts, gcols, finish, num_partitions=num_partitions
+    )
+
+
 def state_ngram_counts(
     ds,
     group_cols: list[str],

@@ -267,6 +267,72 @@ def grouped_cusum(
     )
 
 
+def max_drawdown(
+    ds,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    out_col: str = "max_dd",
+    num_partitions: int | None = None,
+):
+    """Per-group maximum drawdown — the largest drop from a running peak
+    over the ordered value series::
+
+        max_dd = max_t ( max_{s ≤ t} v_s  −  v_t )
+
+    the classic risk / burst-decay feature. With INTEGER values the
+    result is an exact int64, bit-equal to the SQL windowed oracle. The
+    running peak uses RANGE (peer-inclusive) semantics — ``max(v) OVER
+    (PARTITION BY g ORDER BY o RANGE UNBOUNDED PRECEDING)`` — so rows
+    tied on ``order_col`` see each other's values and the result does
+    not depend on tie order (ROWS framing would). Groups emit one row
+    each; null values/orders are dropped.
+
+    ONE hash exchange of the skinny projection; the peak scan is a
+    grouped transform('max') + cummax + max — vectorized across all
+    groups in the partition."""
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    gcols = list(group_cols)
+    cols = gcols + [order_col, value_col]
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[cols]
+        pdf = pdf[pdf[value_col].notna() & pdf[order_col].notna()]
+        if not len(pdf):
+            out = pdf[gcols].copy()
+            out[out_col] = pd.Series([], dtype=np.int64)
+            return out
+        pdf = pdf.sort_values(
+            gcols + [order_col], kind="stable", ignore_index=True
+        )
+        # RANGE framing: peers at the same order key share one max
+        peer_max = pdf.groupby(gcols + [order_col], sort=False,
+                               dropna=False, observed=True)[
+            value_col
+        ].transform("max")
+        pdf["__pk__"] = peer_max
+        run_peak = pdf.groupby(gcols, sort=False, dropna=False,
+                               observed=True)["__pk__"].cummax()
+        dd = run_peak.to_numpy() - pdf[value_col].to_numpy()
+        pdf["__dd__"] = dd
+        out = (
+            pdf.groupby(gcols, sort=False, dropna=False, observed=True)[
+                "__dd__"
+            ]
+            .max()
+            .reset_index()
+            .rename(columns={"__dd__": out_col})
+        )
+        out[out_col] = out[out_col].astype(np.int64)
+        return out
+
+    return partitioned_groupby_map(
+        ds.select_columns(cols), gcols, scan,
+        num_partitions=num_partitions,
+    )
+
+
 def sequence_integrity(
     ds,
     group_cols: list[str],

@@ -3146,6 +3146,76 @@ def q_cooccurrence(sf_dir):
     return cooccurrence_counts(ds, "user_id", "event_type")
 
 
+def q_transition_latency(sf_dir):
+    """Response-latency stats per event-type transition
+    (ops/groupstats.transition_latency — the role-pair response-time
+    feature): one skinny exchange on user, vectorized lag, tiny pair
+    fold. Gaps are exact int64 micros; mean is one double division —
+    bit-equal to the SQL lead() oracle."""
+    from recipys_ray.ops.groupstats import transition_latency
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts",
+                                  "event_type"])
+    out = transition_latency(
+        ds, ["user_id"], ["ts", "event_id"], "event_type", "ts",
+    )
+    return _select(out, ["from_state", "to_state", "n", "total_gap_us",
+                         "mean_gap_us", "max_gap_us"])
+
+
+def q_max_drawdown(sf_dir):
+    """Per-user maximum drawdown of the spend-cents series ordered by
+    time (ops/timeseries.max_drawdown): RANGE-framed running peak so
+    timestamp ties are order-free; exact integers end-to-end."""
+    from recipys_ray.ops.timeseries import max_drawdown
+
+    ds = _events(sf_dir, columns=["user_id", "ts", "value"])
+
+    def cents(tbl: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": tbl.column("user_id"),
+            "ts": tbl.column("ts"),
+            "cents": pc.cast(
+                pc.round(pc.multiply(tbl.column("value"), 100.0)),
+                pa.int64(),
+            ),
+        })
+
+    out = max_drawdown(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        ["user_id"], "ts", "cents",
+    )
+    return _select(out, ["user_id", "max_dd"])
+
+
+def q_rate_ci(sf_dir):
+    """Wilson 95% confidence interval of the high-value rate
+    (value > 100) per event type (ops/groupstats.grouped_rate_ci):
+    exact-int (k, n) combiner; the interval formula — including the
+    correctly-rounded IEEE sqrt — is mirrored term-for-term by the SQL
+    oracle, so lo/hi are bit-equal. The z literal is CAST to DOUBLE in
+    SQL because DuckDB parses bare decimal literals as DECIMAL."""
+    from recipys_ray.ops.groupstats import grouped_rate_ci
+
+    ds = _events(sf_dir, columns=["event_type", "value"])
+
+    def flag(tbl: pa.Table) -> pa.Table:
+        v = tbl.column("value")
+        keep = pc.is_valid(v)
+        f = pc.cast(pc.greater(v, 100.0), pa.int64())
+        return pa.table({
+            "event_type": tbl.column("event_type").filter(keep),
+            "fl": f.filter(keep),
+        })
+
+    out = grouped_rate_ci(
+        ds.map_batches(flag, batch_format="pyarrow"),
+        ["event_type"], "fl",
+    )
+    return _select(out, ["event_type", "k", "n", "rate", "ci_lo",
+                         "ci_hi"])
+
+
 def q_peak_concurrency(sf_dir):
     """Per-user peak number of concurrently-open 1-hour event windows
     (ops/intervals.peak_concurrency — sweep-line over ±1 boundary
@@ -4550,6 +4620,66 @@ ORACLES: dict[str, str] = {
         FROM d a JOIN d b
           ON a.user_id = b.user_id AND b.day > a.day
         GROUP BY a.user_id
+    """,
+    "transition_latency": """
+        WITH s AS (
+          SELECT user_id, event_type, ts,
+                 lead(event_type) OVER w AS to_state,
+                 lead(ts) OVER w AS to_ts
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT event_type AS from_state, to_state,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(epoch_us(to_ts) - epoch_us(ts)) AS BIGINT)
+                 AS total_gap_us,
+               CAST(sum(epoch_us(to_ts) - epoch_us(ts)) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS mean_gap_us,
+               CAST(max(epoch_us(to_ts) - epoch_us(ts)) AS BIGINT)
+                 AS max_gap_us
+        FROM s WHERE to_state IS NOT NULL
+        GROUP BY 1, 2
+    """,
+    "max_drawdown": """
+        WITH i AS (
+          SELECT user_id, ts,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+        ), w AS (
+          SELECT user_id, cents,
+                 max(cents) OVER (PARTITION BY user_id ORDER BY ts)
+                   AS pk
+          FROM i
+        )
+        SELECT user_id, CAST(max(pk - cents) AS BIGINT) AS max_dd
+        FROM w GROUP BY user_id
+    """,
+    "rate_ci": """
+        WITH f AS (
+          SELECT event_type,
+                 CASE WHEN value > 100 THEN 1 ELSE 0 END AS fl
+          FROM events WHERE value IS NOT NULL
+        ), a AS (
+          SELECT event_type, CAST(sum(fl) AS BIGINT) AS k,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM f GROUP BY event_type
+        ), b AS (
+          SELECT event_type, k, n,
+                 CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+                 CAST(n AS DOUBLE) AS nf,
+                 CAST(1.959963984540054 AS DOUBLE) AS z
+          FROM a
+        ), c AS (
+          SELECT *, 1.0 + (z*z)/nf AS d FROM b
+        ), e AS (
+          SELECT *,
+                 (p + (z*z)/(2.0*nf)) / d AS center,
+                 z * sqrt(p*(1.0-p)/nf + (z*z)/(4.0*nf*nf)) / d AS half
+          FROM c
+        )
+        SELECT event_type, k, n, p AS rate,
+               center - half AS ci_lo, center + half AS ci_hi
+        FROM e
     """,
     "peak_concurrency": """
         WITH iv AS (
@@ -7834,6 +7964,9 @@ QUERIES = {
     "grouped_ols2": q_grouped_ols2,
     "peak_concurrency": q_peak_concurrency,
     "simpson_diversity": q_simpson_diversity,
+    "transition_latency": q_transition_latency,
+    "max_drawdown": q_max_drawdown,
+    "rate_ci": q_rate_ci,
     "cusum": q_cusum,
     "decile_lift": q_decile_lift,
     "sequence_integrity": q_sequence_integrity,

@@ -5049,6 +5049,169 @@ class TestChiSquare:
         assert stat > 1_000.0
 
 
+class TestTransitionLatency:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from recipys_ray.ops.groupstats import transition_latency
+
+        rng = np.random.default_rng(101)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 20, 500),
+            "i": np.arange(500, dtype=np.int64),
+            "t": pd.to_datetime(
+                rng.integers(0, 10**9, 500) * 1000, unit="us"
+            ),
+            "s": rng.choice(list("abc"), 500),
+        })
+        got = (
+            transition_latency(
+                rd.from_pandas(pdf).repartition(5), ["g"], ["t", "i"],
+                "s", "t",
+            )
+            .to_pandas().sort_values(["from_state", "to_state"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("e", pdf)
+        exp = con.execute("""
+            WITH s AS (
+              SELECT g, s, t, lead(s) OVER w AS to_state,
+                     lead(t) OVER w AS to_t
+              FROM e WINDOW w AS (PARTITION BY g ORDER BY t, i)
+            )
+            SELECT s AS from_state, to_state,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(epoch_us(to_t) - epoch_us(t)) AS BIGINT)
+                     AS total_gap_us,
+                   CAST(sum(epoch_us(to_t) - epoch_us(t)) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS mean_gap_us,
+                   CAST(max(epoch_us(to_t) - epoch_us(t)) AS BIGINT)
+                     AS max_gap_us
+            FROM s WHERE to_state IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_partition_count_invariance(self, ray_session):
+        from recipys_ray.ops.groupstats import transition_latency
+
+        rng = np.random.default_rng(102)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 6, 300),
+            "i": np.arange(300, dtype=np.int64),
+            "t": rng.integers(0, 10**6, 300),
+            "s": rng.choice(list("ab"), 300),
+        })
+        outs = [
+            transition_latency(
+                rd.from_pandas(pdf).repartition(p), ["g"], ["t", "i"],
+                "s", "t", num_partitions=np_,
+            ).to_pandas().sort_values(["from_state", "to_state"])
+            .reset_index(drop=True)
+            for p, np_ in [(1, 2), (7, 4)]
+        ]
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+class TestMaxDrawdown:
+    def test_matches_duckdb_with_ties(self, ray_session):
+        import duckdb
+
+        from recipys_ray.ops.timeseries import max_drawdown
+
+        rng = np.random.default_rng(103)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 15, 600),
+            # coarse order keys force timestamp ties → RANGE framing
+            "o": rng.integers(0, 25, 600),
+            "v": rng.integers(-100, 100, 600),
+        })
+        got = (
+            max_drawdown(rd.from_pandas(pdf).repartition(6),
+                         ["g"], "o", "v")
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute("""
+            WITH w AS (
+              SELECT g, v,
+                     max(v) OVER (PARTITION BY g ORDER BY o) AS pk
+              FROM t WHERE v IS NOT NULL AND o IS NOT NULL
+            )
+            SELECT g, CAST(max(pk - v) AS BIGINT) AS max_dd
+            FROM w GROUP BY g ORDER BY g
+        """).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_monotone_series_has_zero_drawdown(self, ray_session):
+        from recipys_ray.ops.timeseries import max_drawdown
+
+        pdf = pd.DataFrame({
+            "g": [1] * 5 + [2] * 4,
+            "o": list(range(5)) + list(range(4)),
+            "v": [1, 2, 3, 4, 5] + [10, 4, 8, 1],
+        })
+        got = (
+            max_drawdown(rd.from_pandas(pdf), ["g"], "o", "v")
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        assert got["max_dd"].tolist() == [0, 9]  # 10 → 1
+
+
+class TestGroupedRateCi:
+    def test_matches_duckdb_bit_exact(self, ray_session):
+        import duckdb
+
+        from recipys_ray.ops.groupstats import grouped_rate_ci
+
+        rng = np.random.default_rng(104)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 8, 900),
+            "fl": rng.integers(0, 2, 900),
+        })
+        # group with k=0 and a singleton group exercise the boundary
+        pdf.loc[len(pdf)] = [50, 0]
+        got = (
+            grouped_rate_ci(rd.from_pandas(pdf).repartition(5),
+                            ["g"], "fl")
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute("""
+            WITH a AS (
+              SELECT g, CAST(sum(fl) AS BIGINT) AS k,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM t WHERE fl IS NOT NULL GROUP BY g
+            ), b AS (
+              SELECT g, k, n,
+                     CAST(k AS DOUBLE)/CAST(n AS DOUBLE) AS p,
+                     CAST(n AS DOUBLE) AS nf,
+                     CAST(1.959963984540054 AS DOUBLE) AS z
+              FROM a
+            ), c AS (SELECT *, 1.0 + (z*z)/nf AS d FROM b),
+            e AS (
+              SELECT *, (p + (z*z)/(2.0*nf))/d AS center,
+                     z * sqrt(p*(1.0-p)/nf + (z*z)/(4.0*nf*nf)) / d
+                       AS half
+              FROM c
+            )
+            SELECT g, k, n, p AS rate,
+                   center - half AS ci_lo, center + half AS ci_hi
+            FROM e ORDER BY g
+        """).df().reset_index(drop=True)
+        for col in ["rate", "ci_lo", "ci_hi"]:
+            assert got[col].to_numpy().tobytes() == \
+                exp[col].to_numpy().tobytes(), col
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        # interval sanity: 0 ≤ lo ≤ rate' ≤ hi ≤ 1 (center shrinks
+        # toward 1/2, so rate itself may sit outside only at k=0/k=n)
+        assert (got["ci_lo"] >= 0).all() and (got["ci_hi"] <= 1).all()
+        assert (got["ci_lo"] <= got["ci_hi"]).all()
+
+
 class TestPeakConcurrency:
     SQL = """
         WITH iv AS (
