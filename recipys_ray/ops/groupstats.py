@@ -333,6 +333,92 @@ def grouped_corr(
     )
 
 
+def grouped_spearman(
+    ds,
+    group_cols: list[str],
+    x: str,
+    y: str,
+    out_col: str = "spearman",
+    n_col: str = "n",
+    num_partitions: int | None = None,
+    max_group_rows: int = 100_000,
+):
+    """Per-group Spearman rank correlation — Pearson over DOUBLED
+    average ranks, which are exact INTEGERS (avg rank is k or k+½; 2×
+    either is an int), so the sufficient sums are exact and the closed
+    form is bit-equal to the SQL oracle::
+
+        rx2 = 2·rank() + count(*) OVER (PARTITION BY g, x) − 1
+        rho = (Σrxry − Σrx·Σry/n) /
+              (sqrt(Σrx² − Σrx·Σrx/n) · sqrt(Σry² − Σry·Σry/n))
+
+    (doubling cancels in rho, so this IS Spearman's ρ with the standard
+    average-rank tie treatment). Rows with a null in x or y are
+    excluded pairwise BEFORE ranking, matching the oracle's WHERE.
+
+    Unlike :func:`grouped_corr`, ranks need the whole group — so the
+    motion is ONE hash exchange of the skinny (g, x, y) payload, then
+    ranking + sums + finish all run vectorized across the partition's
+    groups (pandas rank/groupby C kernels). Exactness bound: Σr² ≤ 4n³
+    must stay under 2^53, i.e. n ≤ ~130k rows per group — the
+    ``max_group_rows`` guard raises past 100k (pre-aggregate or sample
+    the series first)."""
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    gcols = list(group_cols)
+    cols = gcols + [x, y]
+
+    def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[cols]
+        pdf = pdf[pdf[x].notna() & pdf[y].notna()]
+        if not len(pdf):
+            out = pdf[gcols].copy()
+            out[out_col] = pd.Series([], dtype=np.float64)
+            out[n_col] = pd.Series([], dtype=np.int64)
+            return out
+        grp = pdf.groupby(gcols, sort=False, dropna=False, observed=True)
+        if grp.size().max() > max_group_rows:
+            raise ValueError(
+                f"grouped_spearman: a group exceeds "
+                f"max_group_rows={max_group_rows}; rank sums would lose "
+                "integer exactness (4n^3 > 2^53) — pre-aggregate first"
+            )
+        rx = grp[x].rank(method="average").to_numpy() * 2.0
+        ry = grp[y].rank(method="average").to_numpy() * 2.0
+        stats = pdf[gcols].copy()
+        stats["__n__"] = np.int64(1)
+        stats["__sx__"] = rx
+        stats["__sy__"] = ry
+        stats["__sxx__"] = rx * rx
+        stats["__syy__"] = ry * ry
+        stats["__sxy__"] = rx * ry
+        agg = (
+            stats.groupby(gcols, sort=False, dropna=False, observed=True)
+            .sum()
+            .reset_index()
+        )
+        n = agg["__n__"].to_numpy(np.int64)
+        nf = n.astype(np.float64)
+        sx = agg["__sx__"].to_numpy(np.float64)
+        sy = agg["__sy__"].to_numpy(np.float64)
+        sxx = agg["__sxx__"].to_numpy(np.float64)
+        syy = agg["__syy__"].to_numpy(np.float64)
+        sxy = agg["__sxy__"].to_numpy(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rho = (sxy - sx * sy / nf) / (
+                np.sqrt(sxx - sx * sx / nf) * np.sqrt(syy - sy * sy / nf)
+            )
+        out = agg[gcols].copy()
+        out[out_col] = rho
+        out[n_col] = n
+        return out
+
+    return partitioned_groupby_map(
+        ds.select_columns(cols), gcols, sweep,
+        num_partitions=num_partitions,
+    )
+
+
 def grouped_ols2(
     ds,
     group_cols: list[str],

@@ -3146,6 +3146,33 @@ def q_cooccurrence(sf_dir):
     return cooccurrence_counts(ds, "user_id", "event_type")
 
 
+def q_spearman(sf_dir):
+    """Per-user Spearman rank correlation of spend-cents vs time
+    (ops/groupstats.grouped_spearman) — monotone-association strength,
+    the robust counterpart to grouped_corr. Doubled average ranks are
+    exact integers, so the closed form is bit-equal to the SQL
+    rank-window oracle."""
+    from recipys_ray.ops.groupstats import grouped_spearman
+
+    ds = _events(sf_dir, columns=["user_id", "ts", "value"])
+
+    def ints(tbl: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": tbl.column("user_id"),
+            "t": pc.cast(tbl.column("ts"), pa.int64()),
+            "cents": pc.cast(
+                pc.round(pc.multiply(tbl.column("value"), 100.0)),
+                pa.int64(),
+            ),
+        })
+
+    out = grouped_spearman(
+        ds.map_batches(ints, batch_format="pyarrow"),
+        ["user_id"], "t", "cents",
+    )
+    return _select(out, ["user_id", "spearman", "n"])
+
+
 def q_transition_latency(sf_dir):
     """Response-latency stats per event-type transition
     (ops/groupstats.transition_latency — the role-pair response-time
@@ -4620,6 +4647,36 @@ ORACLES: dict[str, str] = {
         FROM d a JOIN d b
           ON a.user_id = b.user_id AND b.day > a.day
         GROUP BY a.user_id
+    """,
+    "spearman": """
+        WITH i AS (
+          SELECT user_id, epoch_us(ts) AS t,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+        ), r AS (
+          SELECT user_id,
+                 2*rank() OVER (PARTITION BY user_id ORDER BY t)
+                   + count(*) OVER (PARTITION BY user_id, t) - 1 AS rx,
+                 2*rank() OVER (PARTITION BY user_id ORDER BY cents)
+                   + count(*) OVER (PARTITION BY user_id, cents) - 1
+                   AS ry
+          FROM i
+        ), s AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                 CAST(count(*) AS DOUBLE) AS nf,
+                 CAST(sum(rx) AS DOUBLE) AS sx,
+                 CAST(sum(ry) AS DOUBLE) AS sy,
+                 CAST(sum(rx*rx) AS DOUBLE) AS sxx,
+                 CAST(sum(ry*ry) AS DOUBLE) AS syy,
+                 CAST(sum(rx*ry) AS DOUBLE) AS sxy
+          FROM r GROUP BY user_id
+        )
+        SELECT user_id,
+               (sxy - sx*sy/nf) /
+                 (sqrt(sxx - sx*sx/nf) * sqrt(syy - sy*sy/nf))
+                 AS spearman,
+               n
+        FROM s
     """,
     "transition_latency": """
         WITH s AS (
@@ -7965,6 +8022,7 @@ QUERIES = {
     "peak_concurrency": q_peak_concurrency,
     "simpson_diversity": q_simpson_diversity,
     "transition_latency": q_transition_latency,
+    "spearman": q_spearman,
     "max_drawdown": q_max_drawdown,
     "rate_ci": q_rate_ci,
     "cusum": q_cusum,

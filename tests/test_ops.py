@@ -5049,6 +5049,61 @@ class TestChiSquare:
         assert stat > 1_000.0
 
 
+class TestGroupedSpearman:
+    def test_matches_pandas_spearman(self, ray_session):
+        from recipys_ray.ops.groupstats import grouped_spearman
+
+        rng = np.random.default_rng(111)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 10, 800),
+            # integer values force heavy ties — the avg-rank path
+            "x": rng.integers(0, 15, 800),
+            "y": rng.integers(0, 15, 800),
+        })
+        got = (
+            grouped_spearman(rd.from_pandas(pdf).repartition(6),
+                             ["g"], "x", "y")
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        for _, row in got.iterrows():
+            sub = pdf[pdf["g"] == row["g"]]
+            rx = sub["x"].rank(method="average")
+            ry = sub["y"].rank(method="average")
+            exp = np.corrcoef(rx, ry)[0, 1]
+            np.testing.assert_allclose(row["spearman"], exp, rtol=1e-12)
+            assert row["n"] == len(sub)
+
+    def test_perfect_monotone_and_ties(self, ray_session):
+        from recipys_ray.ops.groupstats import grouped_spearman
+
+        pdf = pd.DataFrame({
+            "g": [1] * 5 + [2] * 5,
+            "x": [1, 2, 3, 4, 5] * 2,
+            # g=1: strictly decreasing nonlinear → rho exactly −1
+            "y": [100, 50, 20, 5, 1] + [1, 4, 2, 8, 5],
+        })
+        got = (
+            grouped_spearman(rd.from_pandas(pdf), ["g"], "x", "y")
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        # algebraically −1; the mirrored closed form rounds within ulps
+        np.testing.assert_allclose(got.loc[0, "spearman"], -1.0,
+                                   rtol=1e-12)
+        assert -1.0 <= got.loc[1, "spearman"] <= 1.0
+
+    def test_group_size_guard(self, ray_session):
+        from recipys_ray.ops.groupstats import grouped_spearman
+
+        pdf = pd.DataFrame({
+            "g": np.zeros(60, np.int64),
+            "x": np.arange(60),
+            "y": np.arange(60),
+        })
+        with pytest.raises(Exception, match="max_group_rows"):
+            grouped_spearman(rd.from_pandas(pdf), ["g"], "x", "y",
+                             max_group_rows=50).to_pandas()
+
+
 class TestTransitionLatency:
     def test_matches_duckdb(self, ray_session):
         import duckdb
