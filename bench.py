@@ -239,6 +239,17 @@ def bench_queries() -> dict:
         "pit_state",
         "readability",
         "historical_salted",
+        # seventh-session op families
+        "theil_sen",
+        "triangle_parts",
+        "bpe_merges",
+        "bpe_encode",
+        "association_rules",
+        "grouped_ols2",
+        "peak_concurrency",
+        "transition_latency",
+        "max_drawdown",
+        "spearman",
     ]
     import gc
 
