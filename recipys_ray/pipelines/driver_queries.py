@@ -1416,6 +1416,25 @@ def q_rollup_doc_stats(sf_dir):
     return _select(out, ["gid", "source", "lang", "cnt", "sum_n_chars"])
 
 
+def q_cube_doc_stats(sf_dir):
+    """GROUP BY CUBE(source, lang) — the full 2^k grouping-set lattice
+    in the SAME single combiner scan as rollup_doc_stats
+    (ops/rollup.rollup_aggregate with explicit grouping_sets): the
+    exchange moves one partial row per (set × key combo × block), never
+    data rows. gid is the SQL GROUPING() bitmask."""
+    from recipys_ray.ops.rollup import rollup_aggregate
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["source", "lang", "n_chars"],
+    )
+    out = rollup_aggregate(
+        ds, ["source", "lang"], sum_cols=["n_chars"],
+        grouping_sets=[["source", "lang"], ["source"], ["lang"], []],
+    )
+    return _select(out, ["gid", "source", "lang", "cnt", "sum_n_chars"])
+
+
 def q_frequent_tokens(sf_dir):
     """Exact heavy-hitter tokens WITHOUT a groupby shuffle (ops/frequent.py:
     Misra-Gries combiner pass → broadcast candidates → exact verify pass);
@@ -5532,6 +5551,14 @@ ORACLES: dict[str, str] = {
         FROM documents
         GROUP BY ROLLUP(source, lang)
     """,
+    "cube_doc_stats": """
+        SELECT CAST(grouping(source, lang) AS BIGINT) AS gid,
+               source, lang,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+        FROM documents
+        GROUP BY CUBE(source, lang)
+    """,
     "frequent_tokens": r"""
         WITH tok AS (
           SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
@@ -7948,6 +7975,7 @@ QUERIES = {
     "distinct_users_hll": q_distinct_users_hll,
     "robust_outliers": q_robust_outliers,
     "rollup_doc_stats": q_rollup_doc_stats,
+    "cube_doc_stats": q_cube_doc_stats,
     "sample_per_source": q_sample_per_source,
     "weighted_sample": q_weighted_sample,
     "pivot_event_counts": q_pivot_event_counts,
