@@ -267,6 +267,75 @@ def grouped_cusum(
     )
 
 
+def longest_streak(
+    ds,
+    group_cols: list[str],
+    day_col: str,
+    out_col: str = "streak",
+    num_partitions: int | None = None,
+):
+    """Per-group longest run of CONSECUTIVE integer periods (e.g. active
+    days) — the engagement-streak feature, solved with the classic SQL
+    gaps-and-islands identity: over each group's DISTINCT sorted days,
+    ``day − row_number()`` is constant exactly within a consecutive run,
+    so the longest streak is the max island size. Exact integers,
+    bit-equal to the windowed oracle, order/partition invariant.
+
+    ONE hash exchange of the distinct-collapsed skinny (group, day)
+    projection (per-block dedupe first, so the exchange moves at most
+    one row per (group, day) per block); sort + cumcount + groupby-size
+    run vectorized across all groups in the partition."""
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    gcols = list(group_cols)
+    cols = gcols + [day_col]
+
+    def dedup_block(tbl: pa.Table) -> pa.Table:
+        types = {c: tbl.schema.field(c).type for c in cols}
+        pdf = tbl.select(cols).to_pandas()
+        pdf = pdf[pdf[day_col].notna()].drop_duplicates(cols)
+        return pa.table({
+            c: pa.Array.from_pandas(pdf[c], type=types[c]) for c in cols
+        })
+
+    skinny = ds.select_columns(cols).map_batches(
+        dedup_block, batch_format="pyarrow"
+    )
+
+    def islands(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.drop_duplicates(cols)
+        if not len(pdf):
+            out = pdf[gcols].copy()
+            out[out_col] = pd.Series([], dtype=np.int64)
+            return out
+        pdf = pdf.sort_values(
+            gcols + [day_col], kind="stable", ignore_index=True
+        )
+        rn = pdf.groupby(gcols, sort=False, dropna=False,
+                         observed=True).cumcount()
+        pdf["__isl__"] = pdf[day_col].to_numpy(np.int64) - rn.to_numpy()
+        sizes = (
+            pdf.groupby(gcols + ["__isl__"], sort=False, dropna=False,
+                        observed=True)
+            .size()
+            .reset_index(name="__len__")
+        )
+        out = (
+            sizes.groupby(gcols, sort=False, dropna=False, observed=True)[
+                "__len__"
+            ]
+            .max()
+            .reset_index()
+            .rename(columns={"__len__": out_col})
+        )
+        out[out_col] = out[out_col].astype(np.int64)
+        return out
+
+    return partitioned_groupby_map(
+        skinny, gcols, islands, num_partitions=num_partitions
+    )
+
+
 def max_drawdown(
     ds,
     group_cols: list[str],

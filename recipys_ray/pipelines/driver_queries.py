@@ -1017,6 +1017,56 @@ def q_funnel(sf_dir):
     )
 
 
+def q_funnel_latency(sf_dir):
+    """Per-converted-user funnel transition delays (view→click,
+    click→purchase in µs) — the conversion-velocity companion to
+    q_funnel, composed over the same ops/funnel.py pass (stage-3 users
+    only). Exact int64 differences of the funnel's first-qualifying
+    timestamps."""
+    from recipys_ray.ops.funnel import funnel
+
+    ds = _events(sf_dir, columns=["user_id", "ts", "event_type"])
+    out = funnel(ds, steps=["view", "click", "purchase"])
+
+    def gaps(tbl: pa.Table) -> pa.Table:
+        stage = tbl.column("stage")
+        tbl = tbl.filter(pc.equal(stage, 3))
+        tv = pc.cast(tbl.column("ts_view"), pa.int64())
+        tc = pc.cast(tbl.column("ts_click"), pa.int64())
+        tp = pc.cast(tbl.column("ts_purchase"), pa.int64())
+        return pa.table({
+            "user_id": tbl.column("user_id"),
+            "v2c_us": pc.subtract(tc, tv),
+            "c2p_us": pc.subtract(tp, tc),
+        })
+
+    out = out.map_batches(gaps, batch_format="pyarrow")
+    return _select(out, ["user_id", "v2c_us", "c2p_us"])
+
+
+def q_longest_streak(sf_dir):
+    """Per-user longest consecutive-active-day streak
+    (ops/timeseries.longest_streak — the gaps-and-islands
+    day − row_number() identity over distinct epoch days). Exact
+    integers; the exchange moves at most one row per (user, day) per
+    block."""
+    from recipys_ray.ops.timeseries import longest_streak
+
+    ds = _events(sf_dir, columns=["user_id", "ts"])
+
+    def days(tbl: pa.Table) -> pa.Table:
+        ts = pc.cast(tbl.column("ts"), pa.int64())
+        return pa.table({
+            "user_id": tbl.column("user_id"),
+            "day": pc.divide(ts, 86_400_000_000),
+        })
+
+    out = longest_streak(
+        ds.map_batches(days, batch_format="pyarrow"), ["user_id"], "day",
+    )
+    return _select(out, ["user_id", "streak"])
+
+
 def q_active_users(sf_dir):
     """DAU + trailing-7-day active users: each event contributes its user
     to 7 window-end days (one vectorized expansion batch op), then ONE
@@ -5551,6 +5601,47 @@ ORACLES: dict[str, str] = {
         FROM documents
         GROUP BY ROLLUP(source, lang)
     """,
+    "funnel_latency": """
+        WITH v AS (
+          SELECT user_id, min(ts) AS ts_view FROM events
+          WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+          SELECT e.user_id, min(e.ts) AS ts_click
+          FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.ts_view
+          GROUP BY e.user_id
+        ),
+        p AS (
+          SELECT e.user_id, min(e.ts) AS ts_purchase
+          FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.ts_click
+          GROUP BY e.user_id
+        )
+        SELECT p.user_id,
+               CAST(epoch_us(c.ts_click) - epoch_us(v.ts_view)
+                    AS BIGINT) AS v2c_us,
+               CAST(epoch_us(p.ts_purchase) - epoch_us(c.ts_click)
+                    AS BIGINT) AS c2p_us
+        FROM p JOIN c USING (user_id) JOIN v USING (user_id)
+    """,
+    "longest_streak": """
+        WITH d AS (
+          SELECT DISTINCT user_id,
+                 epoch_us(ts) // 86400000000 AS day
+          FROM events WHERE ts IS NOT NULL
+        ), i AS (
+          SELECT user_id,
+                 day - row_number() OVER (PARTITION BY user_id
+                                          ORDER BY day) AS isl
+          FROM d
+        ), s AS (
+          SELECT user_id, isl, count(*) AS len
+          FROM i GROUP BY user_id, isl
+        )
+        SELECT user_id, CAST(max(len) AS BIGINT) AS streak
+        FROM s GROUP BY user_id
+    """,
     "cube_doc_stats": """
         SELECT CAST(grouping(source, lang) AS BIGINT) AS gid,
                source, lang,
@@ -7976,6 +8067,8 @@ QUERIES = {
     "robust_outliers": q_robust_outliers,
     "rollup_doc_stats": q_rollup_doc_stats,
     "cube_doc_stats": q_cube_doc_stats,
+    "funnel_latency": q_funnel_latency,
+    "longest_streak": q_longest_streak,
     "sample_per_source": q_sample_per_source,
     "weighted_sample": q_weighted_sample,
     "pivot_event_counts": q_pivot_event_counts,

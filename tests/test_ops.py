@@ -5169,6 +5169,51 @@ class TestTransitionLatency:
         pd.testing.assert_frame_equal(outs[0], outs[1])
 
 
+class TestLongestStreak:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from recipys_ray.ops.timeseries import longest_streak
+
+        rng = np.random.default_rng(121)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 25, 900),
+            # duplicates per (g, day) exercise the distinct collapse
+            "day": rng.integers(0, 40, 900),
+        })
+        got = (
+            longest_streak(rd.from_pandas(pdf).repartition(6),
+                           ["g"], "day")
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute("""
+            WITH d AS (SELECT DISTINCT g, day FROM t),
+            i AS (SELECT g, day - row_number() OVER (
+                    PARTITION BY g ORDER BY day) AS isl FROM d),
+            s AS (SELECT g, isl, count(*) AS len
+                  FROM i GROUP BY g, isl)
+            SELECT g, CAST(max(len) AS BIGINT) AS streak
+            FROM s GROUP BY g ORDER BY g
+        """).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_hand_computed_runs(self, ray_session):
+        from recipys_ray.ops.timeseries import longest_streak
+
+        pdf = pd.DataFrame({
+            "g": [1] * 6 + [2] * 3,
+            # g=1: runs {1,2,3}, {7,8} (dup 2 collapses) → 3
+            "day": [1, 2, 2, 3, 7, 8, 10, 20, 30],
+        })
+        got = (
+            longest_streak(rd.from_pandas(pdf), ["g"], "day")
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        assert got["streak"].tolist() == [3, 1]
+
+
 class TestMaxDrawdown:
     def test_matches_duckdb_with_ties(self, ray_session):
         import duckdb
