@@ -333,6 +333,75 @@ def grouped_corr(
     )
 
 
+def last_value_percentile(
+    ds,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    num_partitions: int | None = None,
+):
+    """Where does each entity's MOST RECENT value sit against its own
+    history? — the feature-store "current percentile" signal. Per group
+    (ordered by ``order_cols``, which must make the order total):
+
+        v_last = value of the last row
+        r      = #{ v_i < v_last }  over ALL of the group's rows
+        pct    = r / (n − 1)        (NULL when n == 1)
+
+    r and n are exact ints; pct is ONE double division — bit-equal to
+    the SQL ``last_value() OVER`` oracle. Null values are excluded from
+    both the history and the last-row choice, mirroring the oracle's
+    WHERE. ONE hash exchange of the skinny projection; last-row pick,
+    comparison and fold run vectorized across all groups (offset
+    indexing + bincount)."""
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    gcols = list(group_cols)
+    ocols = list(order_cols)
+    cols = list(dict.fromkeys(gcols + ocols + [value_col]))
+
+    def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[cols]
+        pdf = pdf[pdf[value_col].notna()]
+        if not len(pdf):
+            out = pdf[gcols].copy()
+            out["v_last"] = pd.Series([], dtype=np.int64)
+            out["n"] = pd.Series([], dtype=np.int64)
+            out["pct"] = pd.Series([], dtype=np.float64)
+            return out
+        pdf = pdf.sort_values(
+            gcols + ocols, kind="stable", ignore_index=True
+        )
+        ids = (
+            pdf.groupby(gcols, sort=False, dropna=False, observed=True)
+            .ngroup()
+            .to_numpy()
+        )
+        n_groups = int(ids[-1]) + 1
+        sizes = np.bincount(ids, minlength=n_groups)
+        ends = np.cumsum(sizes)
+        v = pdf[value_col].to_numpy(np.int64)
+        v_last = v[ends - 1]
+        below = (v < v_last[ids]).astype(np.float64)
+        r = np.bincount(ids, weights=below, minlength=n_groups)
+        n = sizes.astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            pct = np.where(
+                n > 1, r / (n - 1).astype(np.float64), np.nan
+            )
+        starts = ends - sizes
+        out = pdf.iloc[starts][gcols].reset_index(drop=True)
+        out["v_last"] = v_last
+        out["n"] = n
+        out["pct"] = pct
+        return out
+
+    return partitioned_groupby_map(
+        ds.select_columns(cols), gcols, sweep,
+        num_partitions=num_partitions,
+    )
+
+
 def grouped_spearman(
     ds,
     group_cols: list[str],

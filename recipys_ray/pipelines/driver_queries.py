@@ -2665,34 +2665,44 @@ def q_outer_join_counts(sf_dir):
     """FULL OUTER join (ops/join.py, shuffle plan only — a broadcast
     would duplicate unmatched right rows per batch): per-custkey order
     counts × per-user event counts. Both sides are tiny pre-aggregates
-    (combiner counts), unmatched keys on EACH side survive with int64
-    nulls preserved by the planned Arrow schema."""
+    (combiner counts folded through the house hash exchange — Ray's
+    native groupby().sum() is a full SORT shuffle and cost 4× the wall
+    here), unmatched keys on EACH side survive with int64 nulls
+    preserved by the planned Arrow schema."""
+    from recipys_ray.ops.dedup import partitioned_groupby_map
     from recipys_ray.ops.join import hash_join
 
     def counts(path, key, ncol, rename_to):
         ds = rd.read_parquet(path, columns=[key])
 
         def partial(tbl: pa.Table) -> pa.Table:
-            return tbl.group_by([key]).aggregate([([], "count_all")])
+            agg = tbl.group_by([key]).aggregate([([], "count_all")])
+            return pa.table({
+                rename_to: agg.column(key),
+                ncol: agg.column("count_all").cast(pa.int64()),
+            })
 
-        agg = (
-            ds.map_batches(partial, batch_format="pyarrow")
-            .groupby(key)
-            .sum("count_all")
+        def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = (
+                pdf.groupby(rename_to, sort=False)[ncol]
+                .sum()
+                .reset_index()
+            )
+            out[ncol] = out[ncol].astype(np.int64)
+            return out
+
+        return partitioned_groupby_map(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            [rename_to], fold,
         )
 
-        def rename(tbl: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    rename_to: tbl.column(key),
-                    ncol: tbl.column("sum(count_all)").cast(pa.int64()),
-                }
-            )
-
-        return agg.map_batches(rename, batch_format="pyarrow")
-
-    oc = counts(f"{sf_dir}/orders.parquet", "o_custkey", "n_orders", "ckey")
-    ec = counts(f"{sf_dir}/events.parquet", "user_id", "n_events", "ukey")
+    # pin the tiny aggregates: the outer join's schema probe would
+    # otherwise re-execute each count pipeline (the materialize-pin
+    # lesson, ROUND5_NOTES.md)
+    oc = counts(f"{sf_dir}/orders.parquet", "o_custkey", "n_orders",
+                "ckey").materialize()
+    ec = counts(f"{sf_dir}/events.parquet", "user_id", "n_events",
+                "ukey").materialize()
     out = hash_join(oc, ec, on="ckey", right_on="ukey", how="outer")
     return _select(out, ["ckey", "n_orders", "n_events"])
 
@@ -3213,6 +3223,33 @@ def q_cooccurrence(sf_dir):
         f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
     )
     return cooccurrence_counts(ds, "user_id", "event_type")
+
+
+def q_last_value_pct(sf_dir):
+    """Percentile of each user's most recent spend against their own
+    history (ops/groupstats.last_value_percentile) — the feature-store
+    "current vs history" signal. Exact ints + one division, bit-equal
+    to the last_value() window oracle."""
+    from recipys_ray.ops.groupstats import last_value_percentile
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts", "value"])
+
+    def cents(tbl: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": tbl.column("user_id"),
+            "event_id": tbl.column("event_id"),
+            "ts": tbl.column("ts"),
+            "cents": pc.cast(
+                pc.round(pc.multiply(tbl.column("value"), 100.0)),
+                pa.int64(),
+            ),
+        })
+
+    out = last_value_percentile(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        ["user_id"], ["ts", "event_id"], "cents",
+    )
+    return _select(out, ["user_id", "v_last", "n", "pct"])
 
 
 def q_spearman(sf_dir):
@@ -4716,6 +4753,26 @@ ORACLES: dict[str, str] = {
         FROM d a JOIN d b
           ON a.user_id = b.user_id AND b.day > a.day
         GROUP BY a.user_id
+    """,
+    "last_value_pct": """
+        WITH i AS (
+          SELECT user_id, event_id, ts,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events WHERE value IS NOT NULL
+        ), s AS (
+          SELECT user_id, cents,
+                 last_value(cents) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING) AS vl
+          FROM i
+        )
+        SELECT user_id, CAST(max(vl) AS BIGINT) AS v_last,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN cents < vl THEN 1 ELSE 0 END)
+                    AS DOUBLE)
+                 / CAST(NULLIF(count(*) - 1, 0) AS DOUBLE) AS pct
+        FROM s GROUP BY user_id
     """,
     "spearman": """
         WITH i AS (
@@ -8144,6 +8201,7 @@ QUERIES = {
     "simpson_diversity": q_simpson_diversity,
     "transition_latency": q_transition_latency,
     "spearman": q_spearman,
+    "last_value_pct": q_last_value_pct,
     "max_drawdown": q_max_drawdown,
     "rate_ci": q_rate_ci,
     "cusum": q_cusum,

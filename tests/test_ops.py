@@ -5049,6 +5049,62 @@ class TestChiSquare:
         assert stat > 1_000.0
 
 
+class TestLastValuePercentile:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from recipys_ray.ops.groupstats import last_value_percentile
+
+        rng = np.random.default_rng(131)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 20, 700),
+            "o": rng.permutation(700),
+            "v": rng.integers(-50, 50, 700),
+        })
+        # singleton group → NULL pct
+        pdf.loc[len(pdf)] = [99, 10**6, 7]
+        got = (
+            last_value_percentile(rd.from_pandas(pdf).repartition(6),
+                                  ["g"], ["o"], "v")
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute("""
+            WITH s AS (
+              SELECT g, v, last_value(v) OVER (
+                PARTITION BY g ORDER BY o
+                ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING) AS vl
+              FROM t
+            )
+            SELECT g, CAST(max(vl) AS BIGINT) AS v_last,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN v < vl THEN 1 ELSE 0 END)
+                        AS DOUBLE)
+                     / CAST(NULLIF(count(*) - 1, 0) AS DOUBLE) AS pct
+            FROM s GROUP BY g ORDER BY g
+        """).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        assert np.isnan(got.loc[got["g"] == 99, "pct"]).all()
+
+    def test_extremes(self, ray_session):
+        from recipys_ray.ops.groupstats import last_value_percentile
+
+        pdf = pd.DataFrame({
+            # g=1 ends at its max → pct 1.0; g=2 ends at its min → 0.0
+            "g": [1, 1, 1, 2, 2, 2],
+            "o": [0, 1, 2, 0, 1, 2],
+            "v": [3, 5, 9, 9, 5, 3],
+        })
+        got = (
+            last_value_percentile(rd.from_pandas(pdf), ["g"], ["o"], "v")
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        assert got["pct"].tolist() == [1.0, 0.0]
+        assert got["v_last"].tolist() == [9, 3]
+
+
 class TestGroupedSpearman:
     def test_matches_pandas_spearman(self, ray_session):
         from recipys_ray.ops.groupstats import grouped_spearman
