@@ -120,6 +120,94 @@ def target_encode(
     return ds.map_batches(stamp, batch_format="pyarrow")
 
 
+def collapse_rare_categories(
+    ds,
+    cat_col: str,
+    min_count: int = 10,
+    other_label: str = "__other__",
+    out_col: str | None = None,
+    driver_cap: int = 5_000_000,
+):
+    """Collapse infrequent categories to a single ``other_label`` — the
+    R-recipes ``step_other`` analog, the standard pre-encoding guard
+    against long-tail categorical explosion. A category survives iff its
+    exact corpus count ≥ ``min_count``; null categories stay null
+    (nulls are missing, not rare — SQL semantics).
+
+    Motion is the encoder-family standard: one vectorized per-block
+    (category, count) combiner pass, partials fold per category through
+    ONE skinny exchange to ≤ ``driver_cap`` driver rows, the surviving
+    set broadcasts via ``ray.put``, and the stamp is a zero-shuffle
+    per-batch Arrow ``is_in``. Exact integers end-to-end — bit-equal to
+    the SQL windowed-count oracle."""
+    import pyarrow.compute as pc
+    import ray
+
+    from recipys_ray.kernels.grouped import _lazy_size_bytes
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    out_col = out_col or f"{cat_col}_collapsed"
+    if _lazy_size_bytes(ds) is None:
+        ds = ds.materialize()
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        cat_t = tbl.schema.field(cat_col).type
+        pdf = tbl.select([cat_col]).to_pandas()
+        pdf = pdf[pdf[cat_col].notna()]
+        agg = (
+            pdf.groupby(cat_col, sort=False, observed=True)
+            .size()
+            .rename("cnt")
+            .reset_index()
+        )
+        return pa.table({
+            cat_col: pa.Array.from_pandas(agg[cat_col], type=cat_t),
+            "cnt": pa.array(agg["cnt"].to_numpy(np.int64), pa.int64()),
+        })
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            pdf.groupby(cat_col, sort=False, observed=True)["cnt"]
+            .sum()
+            .reset_index()
+        )
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out
+
+    counts = partitioned_groupby_map(
+        ds.select_columns([cat_col]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        [cat_col], fold,
+    ).to_pandas()
+    if len(counts) > driver_cap:
+        raise ValueError(
+            f"{len(counts)} categories exceeds driver_cap={driver_cap}; "
+            "raise the cap knowingly or pre-hash the column"
+        )
+    keep = (
+        counts[counts["cnt"] >= min_count][cat_col].tolist()
+        if len(counts) else []
+    )
+    keep_ref = ray.put(keep)
+
+    def stamp(tbl: pa.Table) -> pa.Table:
+        kept = ray.get(keep_ref)
+        col = tbl.column(cat_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ok = pc.is_in(col, value_set=pa.array(kept, col.type)) \
+            if kept else pa.array([False] * len(col), pa.bool_())
+        collapsed = pc.if_else(
+            pc.is_valid(col),
+            pc.if_else(ok, col, pa.scalar(other_label, col.type)),
+            col,
+        )
+        return tbl.append_column(out_col, collapsed)
+
+    return ds.map_batches(stamp, batch_format="pyarrow")
+
+
 def feature_hash(
     ds,
     id_col: str,

@@ -267,6 +267,84 @@ def grouped_cusum(
     )
 
 
+def burst_counts(
+    ds,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    window: int = 5,
+    k: int = 3,
+    out_col: str = "n_bursts",
+    num_partitions: int | None = None,
+):
+    """Per-group count of BURST rows — rows whose integer value exceeds
+    ``k``× the mean of the strictly-prior ``window`` values. The test is
+    integer CROSS-MULTIPLIED (``v·cnt > k·sum`` — no division, no float
+    anywhere), so flags and counts are exact under any partitioning and
+    bit-equal to the SQL windowed oracle::
+
+        sum = SUM(v) OVER (... ROWS BETWEEN window PRECEDING
+                                        AND 1 PRECEDING)
+        cnt = COUNT(v) OVER (same frame)
+        burst ⇔ cnt > 0 AND v*cnt > k*sum
+
+    (rows with no prior history never flag — leakage-free by
+    construction, same contract as the expanding-exclusive prior_mean).
+    ``order_cols`` must make the within-group order total. ONE hash
+    exchange of the skinny projection; the windowed sums come from
+    grouped prefix-sum differences — vectorized across all groups."""
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    gcols = list(group_cols)
+    ocols = list(order_cols)
+    cols = list(dict.fromkeys(gcols + ocols + [value_col]))
+
+    def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[cols]
+        pdf = pdf[pdf[value_col].notna()]
+        if not len(pdf):
+            out = pdf[gcols].copy()
+            out[out_col] = pd.Series([], dtype=np.int64)
+            return out
+        pdf = pdf.sort_values(
+            gcols + ocols, kind="stable", ignore_index=True
+        )
+        ids = (
+            pdf.groupby(gcols, sort=False, dropna=False, observed=True)
+            .ngroup()
+            .to_numpy()
+        )
+        n = len(pdf)
+        n_groups = int(ids[-1]) + 1
+        sizes = np.bincount(ids, minlength=n_groups)
+        starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+        local = np.arange(n) - starts[ids]
+        v = pdf[value_col].to_numpy(np.int64)
+        # grouped prefix sums: P[i] = Σ of the group's first `local`
+        # values (exclusive); windowed trailing sum via P[i] − P[lo]
+        csum = np.cumsum(v)
+        pref = csum - v  # exclusive prefix including earlier groups
+        base = np.concatenate(([0], csum))[starts][ids]  # group offset
+        P = pref - base  # exclusive within-group prefix
+        lo = np.maximum(local - window, 0)
+        # within-group prefix at index lo: P_at_lo = P[row where local=lo]
+        P_lo = P[starts[ids] + lo]
+        wsum = P - P_lo
+        cnt = local - lo
+        burst = (cnt > 0) & (v * cnt > k * wsum)
+        counts = np.bincount(
+            ids, weights=burst.astype(np.float64), minlength=n_groups
+        )
+        out = pdf.iloc[starts][gcols].reset_index(drop=True)
+        out[out_col] = counts.astype(np.int64)
+        return out
+
+    return partitioned_groupby_map(
+        ds.select_columns(cols), gcols, sweep,
+        num_partitions=num_partitions,
+    )
+
+
 def longest_streak(
     ds,
     group_cols: list[str],

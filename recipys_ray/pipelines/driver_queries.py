@@ -3225,6 +3225,60 @@ def q_cooccurrence(sf_dir):
     return cooccurrence_counts(ds, "user_id", "event_type")
 
 
+def q_burst_counts(sf_dir):
+    """Per-user count of spend bursts — rows whose cents exceed 3× the
+    mean of the strictly-prior 5 values (ops/timeseries.burst_counts):
+    the test is integer CROSS-MULTIPLIED (v·cnt > k·sum — no division,
+    no float), so counts are exact and leakage-free by construction."""
+    from recipys_ray.ops.timeseries import burst_counts
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts", "value"])
+
+    def cents(tbl: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": tbl.column("user_id"),
+            "event_id": tbl.column("event_id"),
+            "ts": tbl.column("ts"),
+            "cents": pc.cast(
+                pc.round(pc.multiply(tbl.column("value"), 100.0)),
+                pa.int64(),
+            ),
+        })
+
+    out = burst_counts(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        ["user_id"], ["ts", "event_id"], "cents", window=5, k=3,
+    )
+    return _select(out, ["user_id", "n_bursts"])
+
+
+def q_collapse_rare(sf_dir):
+    """step_other analog (ops/encode.collapse_rare_categories) over the
+    zipf-distributed leading word of each document: categories with
+    corpus count < 5 collapse to __other__, nulls stay null. One
+    combiner pass + broadcast keep-set + zero-shuffle Arrow is_in stamp;
+    exact integers, RE2 extraction ≡ the oracle's regexp_extract."""
+    from recipys_ray.ops.encode import collapse_rare_categories
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def first_word(tbl: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(pc.fill_null(tbl.column("text"), ""))
+        m = pc.extract_regex(low, pattern=r"(?P<w>\w+)")
+        return pa.table({
+            "doc_id": tbl.column("doc_id"),
+            "cat": pc.struct_field(m, "w"),
+        })
+
+    out = collapse_rare_categories(
+        ds.map_batches(first_word, batch_format="pyarrow"),
+        "cat", min_count=5,
+    )
+    return _select(out, ["doc_id", "cat", "cat_collapsed"])
+
+
 def q_last_value_pct(sf_dir):
     """Percentile of each user's most recent spend against their own
     history (ops/groupstats.last_value_percentile) — the feature-store
@@ -4753,6 +4807,44 @@ ORACLES: dict[str, str] = {
         FROM d a JOIN d b
           ON a.user_id = b.user_id AND b.day > a.day
         GROUP BY a.user_id
+    """,
+    "burst_counts": """
+        WITH i AS (
+          SELECT user_id, event_id, ts,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events WHERE value IS NOT NULL
+        ), w AS (
+          SELECT user_id, cents,
+                 SUM(cents) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN 5 PRECEDING
+                                           AND 1 PRECEDING) AS s,
+                 COUNT(cents) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS BETWEEN 5 PRECEDING
+                                             AND 1 PRECEDING) AS c
+          FROM i
+        )
+        SELECT user_id,
+               CAST(SUM(CASE WHEN c > 0 AND cents * c > 3 * s
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_bursts
+        FROM w GROUP BY user_id
+    """,
+    "collapse_rare": r"""
+        WITH c AS (
+          SELECT doc_id,
+                 NULLIF(regexp_extract(lower(coalesce(text, '')),
+                                       '\w+'), '') AS cat
+          FROM documents
+        ), k AS (
+          SELECT cat, count(*) AS cnt FROM c
+          WHERE cat IS NOT NULL GROUP BY cat
+        )
+        SELECT c.doc_id, c.cat,
+               CASE WHEN c.cat IS NULL THEN NULL
+                    WHEN k.cnt >= 5 THEN c.cat
+                    ELSE '__other__' END AS cat_collapsed
+        FROM c LEFT JOIN k ON k.cat = c.cat
     """,
     "last_value_pct": """
         WITH i AS (
@@ -8202,6 +8294,8 @@ QUERIES = {
     "transition_latency": q_transition_latency,
     "spearman": q_spearman,
     "last_value_pct": q_last_value_pct,
+    "burst_counts": q_burst_counts,
+    "collapse_rare": q_collapse_rare,
     "max_drawdown": q_max_drawdown,
     "rate_ci": q_rate_ci,
     "cusum": q_cusum,

@@ -5225,6 +5225,92 @@ class TestTransitionLatency:
         pd.testing.assert_frame_equal(outs[0], outs[1])
 
 
+class TestBurstCounts:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from recipys_ray.ops.timeseries import burst_counts
+
+        rng = np.random.default_rng(141)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 15, 800),
+            "o": rng.permutation(800),
+            "v": rng.integers(0, 200, 800),
+        })
+        got = (
+            burst_counts(rd.from_pandas(pdf).repartition(6),
+                         ["g"], ["o"], "v", window=4, k=2)
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute("""
+            WITH w AS (
+              SELECT g, v,
+                     SUM(v) OVER (PARTITION BY g ORDER BY o
+                       ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS s,
+                     COUNT(v) OVER (PARTITION BY g ORDER BY o
+                       ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS c
+              FROM t WHERE v IS NOT NULL
+            )
+            SELECT g, CAST(SUM(CASE WHEN c > 0 AND v*c > 2*s
+                                    THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_bursts
+            FROM w GROUP BY g ORDER BY g
+        """).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_hand_computed(self, ray_session):
+        from recipys_ray.ops.timeseries import burst_counts
+
+        # prior means: [—, 1, 1, 1, 25.75] → bursts at v=100 (100>3·1)
+        # only; first row never flags
+        pdf = pd.DataFrame({
+            "g": [1] * 5,
+            "o": [0, 1, 2, 3, 4],
+            "v": [1, 1, 1, 100, 2],
+        })
+        got = burst_counts(rd.from_pandas(pdf), ["g"], ["o"], "v",
+                           window=5, k=3).to_pandas()
+        assert got["n_bursts"].tolist() == [1]
+
+
+class TestCollapseRare:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from recipys_ray.ops.encode import collapse_rare_categories
+
+        rng = np.random.default_rng(142)
+        cats = ["common"] * 50 + ["mid"] * 8 + ["rare1", "rare2"] * 2 \
+            + [None] * 5
+        pdf = pd.DataFrame({
+            "id": np.arange(len(cats), dtype=np.int64),
+            "cat": rng.permutation(np.array(cats, dtype=object)),
+        })
+        got = (
+            collapse_rare_categories(
+                rd.from_pandas(pdf).repartition(4), "cat", min_count=5,
+            )
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute("""
+            WITH k AS (SELECT cat, count(*) AS cnt FROM t
+                       WHERE cat IS NOT NULL GROUP BY cat)
+            SELECT t.id, t.cat,
+                   CASE WHEN t.cat IS NULL THEN NULL
+                        WHEN k.cnt >= 5 THEN t.cat
+                        ELSE '__other__' END AS cat_collapsed
+            FROM t LEFT JOIN k ON k.cat = t.cat ORDER BY t.id
+        """).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        assert (got.loc[got["cat"].isin(["rare1", "rare2"]),
+                        "cat_collapsed"] == "__other__").all()
+        assert got.loc[got["cat"].isna(), "cat_collapsed"].isna().all()
+
+
 class TestLongestStreak:
     def test_matches_duckdb(self, ray_session):
         import duckdb
