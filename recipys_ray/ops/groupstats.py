@@ -488,6 +488,177 @@ def grouped_spearman(
     )
 
 
+def corr_matrix(
+    ds,
+    cols: list[str],
+):
+    """All-pairs Pearson correlation of k numeric columns in ONE
+    combiner pass — the statistic behind the recipes ``step_corr``
+    predictor filter. Returns the long-form upper triangle
+    ``(col_a, col_b, corr, n)``, cols paired in the given order.
+
+    Listwise-complete rows only (a row with a null in ANY of the cols is
+    excluded — the convention a correlation-filter fit uses, and the
+    oracle's WHERE). The per-block partial is one k×k Gram
+    (``X.T @ X``) plus column sums; with INTEGER-valued inputs every Σ
+    is exact and the closed form (same tree as :func:`grouped_corr`) is
+    bit-equal to SQL."""
+    cols = list(cols)
+    k = len(cols)
+    if k < 2:
+        raise ValueError("corr_matrix needs at least two columns")
+    sum_names = [f"__s_{i}__" for i in range(k)]
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        pdf = tbl.select(cols).to_pandas()
+        pdf = pdf.dropna()
+        X = pdf.to_numpy(np.float64)
+        g = X.T @ X if len(X) else np.zeros((k, k))
+        s = X.sum(axis=0) if len(X) else np.zeros(k)
+        out = {"__n__": pa.array([len(X)], pa.int64())}
+        for i in range(k):
+            out[f"__s_{i}__"] = pa.array([s[i]], pa.float64())
+            for j in range(i, k):
+                out[f"__g_{i}_{j}__"] = pa.array([g[i, j]], pa.float64())
+        return pa.table(out)
+
+    # the fold state is ONE row of k(k+3)/2 doubles per block — a
+    # bounded driver reduction, never data rows (same policy as the
+    # transformer fits)
+    pdf = (
+        ds.select_columns(cols)
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    n = np.int64(pdf["__n__"].sum()) if len(pdf) else np.int64(0)
+    nf = np.float64(n)
+    s = np.array(
+        [pdf[c].sum() if len(pdf) else 0.0 for c in sum_names],
+        np.float64,
+    )
+    rows = []
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for i in range(k):
+            for j in range(i + 1, k):
+                sxy = np.float64(pdf[f"__g_{i}_{j}__"].sum()) \
+                    if len(pdf) else 0.0
+                sxx = np.float64(pdf[f"__g_{i}_{i}__"].sum()) \
+                    if len(pdf) else 0.0
+                syy = np.float64(pdf[f"__g_{j}_{j}__"].sum()) \
+                    if len(pdf) else 0.0
+                corr = (sxy - s[i] * s[j] / nf) / (
+                    np.sqrt(sxx - s[i] * s[i] / nf)
+                    * np.sqrt(syy - s[j] * s[j] / nf)
+                )
+                rows.append((cols[i], cols[j], corr, n))
+    import ray.data as rd
+
+    return rd.from_pandas(pd.DataFrame(
+        rows, columns=["col_a", "col_b", "corr", "n"]
+    ).astype({"corr": np.float64, "n": np.int64}))
+
+
+def nzv_report(
+    ds,
+    cols: list[str],
+    freq_ratio_cut: int = 19,
+    unique_cut_pct: int = 10,
+    num_partitions: int | None = None,
+):
+    """Near-zero-variance predictor report — the recipes ``step_nzv``
+    screening statistic, one row per column::
+
+        top_cnt / second_cnt   the two largest value frequencies
+        freq_ratio             top/second (NULL if a column is constant)
+        pct_unique             100·n_distinct/n_rows
+        nzv                    1 iff constant, OR freq_ratio >
+                               freq_ratio_cut AND pct_unique <
+                               unique_cut_pct
+
+    The nzv flag is decided by INTEGER cross-multiplication
+    (``top > cut·second``, ``100·distinct < pct·n``) — no float in any
+    comparison, so flags are exact; the reported ratios are single
+    divisions of exact ints (bit-equal to SQL). Values are compared as
+    strings (int/string columns only — float repr is not portable).
+
+    Motion: per-block (column, value, count) combiner partials, ONE
+    skinny exchange on the column name co-locates each column's value
+    counts, per-partition top-2/distinct/total fold — the exchange is
+    bounded by value cardinality, never rows."""
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    cols = list(cols)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        names, vals, cnts = [], [], []
+        pdf = tbl.select(cols).to_pandas()
+        for c in cols:
+            col = pdf[c].dropna()
+            vc = col.astype(str).value_counts()
+            names.extend([c] * len(vc))
+            vals.extend(vc.index.tolist())
+            cnts.extend(vc.to_numpy(np.int64).tolist())
+        return pa.table({
+            "col_name": pa.array(names, pa.string()),
+            "val": pa.array(vals, pa.string()),
+            "cnt": pa.array(np.asarray(cnts, np.int64), pa.int64()),
+        })
+
+    parts = ds.select_columns(cols).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "col_name": pd.Series(dtype=object),
+            "n_rows": pd.Series(dtype=np.int64),
+            "n_distinct": pd.Series(dtype=np.int64),
+            "top_cnt": pd.Series(dtype=np.int64),
+            "second_cnt": pd.Series(dtype=np.int64),
+            "freq_ratio": pd.Series(dtype=np.float64),
+            "pct_unique": pd.Series(dtype=np.float64),
+            "nzv": pd.Series(dtype=np.int64),
+        })
+        if not len(pdf):
+            return empty
+        tot = (
+            pdf.groupby(["col_name", "val"], sort=False, observed=True)[
+                "cnt"
+            ]
+            .sum()
+            .reset_index()
+        )
+        rows = []
+        for c, grp in tot.groupby("col_name", sort=False):
+            cnts = np.sort(grp["cnt"].to_numpy(np.int64))[::-1]
+            n = np.int64(cnts.sum())
+            nd = np.int64(len(cnts))
+            top = np.int64(cnts[0])
+            second = np.int64(cnts[1]) if len(cnts) > 1 else np.int64(0)
+            ratio = (
+                np.float64(top) / np.float64(second)
+                if second > 0 else np.nan
+            )
+            pct = np.float64(100 * nd) / np.float64(n)
+            nzv = int(
+                second == 0
+                or (top > freq_ratio_cut * second
+                    and 100 * nd < unique_cut_pct * n)
+            )
+            rows.append((c, n, nd, top, second, ratio, pct, nzv))
+        out = pd.DataFrame(rows, columns=list(empty.columns))
+        return out.astype({
+            "n_rows": np.int64, "n_distinct": np.int64,
+            "top_cnt": np.int64, "second_cnt": np.int64,
+            "freq_ratio": np.float64, "pct_unique": np.float64,
+            "nzv": np.int64,
+        })
+
+    return partitioned_groupby_map(
+        parts, ["col_name"], fold, num_partitions=num_partitions
+    )
+
+
 def grouped_ols2(
     ds,
     group_cols: list[str],

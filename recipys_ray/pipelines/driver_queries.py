@@ -3444,6 +3444,75 @@ def q_simpson_diversity(sf_dir):
     return _select(out, ["source", "simpson", "n"])
 
 
+def q_corr_matrix(sf_dir):
+    """All-pairs Pearson matrix of (quantity, discount%, tax%) in ONE
+    combiner pass (ops/groupstats.corr_matrix — per-block k×k Gram, a
+    bounded driver fold of one row per block): the recipes step_corr
+    screening statistic. Integer-valued inputs keep every Σ exact, so
+    the mirrored closed form is bit-equal."""
+    from recipys_ray.ops.groupstats import corr_matrix
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_discount", "l_tax"],
+    )
+
+    def ints(tbl: pa.Table) -> pa.Table:
+        return pa.table({
+            "qty": pc.cast(tbl.column("l_quantity"), pa.int64()),
+            "disc": pc.cast(
+                pc.round(pc.multiply(tbl.column("l_discount"), 100.0)),
+                pa.int64(),
+            ),
+            "tax": pc.cast(
+                pc.round(pc.multiply(tbl.column("l_tax"), 100.0)),
+                pa.int64(),
+            ),
+        })
+
+    out = corr_matrix(
+        ds.map_batches(ints, batch_format="pyarrow"),
+        ["qty", "disc", "tax"],
+    )
+    return _select(out, ["col_a", "col_b", "corr", "n"])
+
+
+def q_nzv_report(sf_dir):
+    """Near-zero-variance screening report (ops/groupstats.nzv_report —
+    the recipes step_nzv statistic) over five lineitem-derived columns
+    including a planted constant: value counts fold through ONE skinny
+    exchange on the column name; flags decided by integer
+    cross-multiplication, ratios single exact divisions."""
+    from recipys_ray.ops.groupstats import nzv_report
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_discount"],
+    )
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        return pa.table({
+            "rflag": tbl.column("l_returnflag"),
+            "lstat": tbl.column("l_linestatus"),
+            "qty": pc.cast(tbl.column("l_quantity"), pa.int64()),
+            "disc": pc.cast(
+                pc.round(pc.multiply(tbl.column("l_discount"), 100.0)),
+                pa.int64(),
+            ),
+            "const": pa.array(["1"] * n, pa.string()),
+        })
+
+    out = nzv_report(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["rflag", "lstat", "qty", "disc", "const"],
+    )
+    return _select(out, ["col_name", "n_rows", "n_distinct", "top_cnt",
+                         "second_cnt", "freq_ratio", "pct_unique",
+                         "nzv"])
+
+
 def q_grouped_ols2(sf_dir):
     """Two-regressor OLS of tax% on (quantity, discount%) per
     (returnflag, linestatus) via exact int64 sufficient statistics
@@ -4987,6 +5056,91 @@ ORACLES: dict[str, str] = {
                CAST(s AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) AS simpson,
                n
         FROM a
+    """,
+    "corr_matrix": """
+        WITH i AS (
+          SELECT CAST(l_quantity AS BIGINT) AS q,
+                 CAST(round(l_discount * 100) AS BIGINT) AS d,
+                 CAST(round(l_tax * 100) AS BIGINT) AS t
+          FROM lineitem
+          WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+            AND l_tax IS NOT NULL
+        ), s AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(count(*) AS DOUBLE) AS nf,
+                 CAST(sum(q) AS DOUBLE) AS sq,
+                 CAST(sum(d) AS DOUBLE) AS sd,
+                 CAST(sum(t) AS DOUBLE) AS st,
+                 CAST(sum(q*q) AS DOUBLE) AS sqq,
+                 CAST(sum(d*d) AS DOUBLE) AS sdd,
+                 CAST(sum(t*t) AS DOUBLE) AS stt,
+                 CAST(sum(q*d) AS DOUBLE) AS sqd,
+                 CAST(sum(q*t) AS DOUBLE) AS sqt,
+                 CAST(sum(d*t) AS DOUBLE) AS sdt
+          FROM i
+        )
+        SELECT 'qty' AS col_a, 'disc' AS col_b,
+               (sqd - sq*sd/nf) /
+                 (sqrt(sqq - sq*sq/nf) * sqrt(sdd - sd*sd/nf)) AS corr,
+               n FROM s
+        UNION ALL
+        SELECT 'qty', 'tax',
+               (sqt - sq*st/nf) /
+                 (sqrt(sqq - sq*sq/nf) * sqrt(stt - st*st/nf)), n
+        FROM s
+        UNION ALL
+        SELECT 'disc', 'tax',
+               (sdt - sd*st/nf) /
+                 (sqrt(sdd - sd*sd/nf) * sqrt(stt - st*st/nf)), n
+        FROM s
+    """,
+    "nzv_report": """
+        WITH u AS (
+          SELECT 'rflag' AS col_name,
+                 CAST(l_returnflag AS VARCHAR) AS val
+          FROM lineitem WHERE l_returnflag IS NOT NULL
+          UNION ALL
+          SELECT 'lstat', CAST(l_linestatus AS VARCHAR)
+          FROM lineitem WHERE l_linestatus IS NOT NULL
+          UNION ALL
+          SELECT 'qty', CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+          FROM lineitem WHERE l_quantity IS NOT NULL
+          UNION ALL
+          SELECT 'disc',
+                 CAST(CAST(round(l_discount*100) AS BIGINT) AS VARCHAR)
+          FROM lineitem WHERE l_discount IS NOT NULL
+          UNION ALL
+          SELECT 'const', '1' FROM lineitem
+        ), a AS (
+          SELECT col_name, val, CAST(count(*) AS BIGINT) AS cnt
+          FROM u GROUP BY 1, 2
+        ), r AS (
+          SELECT col_name, cnt,
+                 row_number() OVER (PARTITION BY col_name
+                                    ORDER BY cnt DESC) AS rn,
+                 SUM(cnt) OVER (PARTITION BY col_name) AS n,
+                 COUNT(*) OVER (PARTITION BY col_name) AS nd
+          FROM a
+        ), x AS (
+          SELECT col_name,
+                 CAST(max(n) AS BIGINT) AS n_rows,
+                 CAST(max(nd) AS BIGINT) AS n_distinct,
+                 CAST(max(CASE WHEN rn = 1 THEN cnt END) AS BIGINT)
+                   AS top_cnt,
+                 CAST(coalesce(max(CASE WHEN rn = 2 THEN cnt END), 0)
+                      AS BIGINT) AS second_cnt
+          FROM r GROUP BY col_name
+        )
+        SELECT col_name, n_rows, n_distinct, top_cnt, second_cnt,
+               CAST(top_cnt AS DOUBLE)
+                 / CAST(NULLIF(second_cnt, 0) AS DOUBLE) AS freq_ratio,
+               CAST(100 * n_distinct AS DOUBLE)
+                 / CAST(n_rows AS DOUBLE) AS pct_unique,
+               CAST(CASE WHEN second_cnt = 0
+                          OR (top_cnt > 19 * second_cnt
+                              AND 100 * n_distinct < 10 * n_rows)
+                         THEN 1 ELSE 0 END AS BIGINT) AS nzv
+        FROM x
     """,
     "grouped_ols2": """
         WITH i AS (
@@ -8289,6 +8443,8 @@ QUERIES = {
     "cooccurrence": q_cooccurrence,
     "association_rules": q_association_rules,
     "grouped_ols2": q_grouped_ols2,
+    "corr_matrix": q_corr_matrix,
+    "nzv_report": q_nzv_report,
     "peak_concurrency": q_peak_concurrency,
     "simpson_diversity": q_simpson_diversity,
     "transition_latency": q_transition_latency,

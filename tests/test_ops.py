@@ -5565,6 +5565,108 @@ class TestSimpsonDiversity:
         assert got["simpson"].tolist() == [1.0, 0.0]
 
 
+class TestCorrMatrix:
+    def test_matches_numpy_corrcoef(self, ray_session):
+        from recipys_ray.ops.groupstats import corr_matrix
+
+        rng = np.random.default_rng(151)
+        pdf = pd.DataFrame({
+            "a": rng.integers(0, 40, 600),
+            "b": rng.integers(0, 40, 600),
+            "c": rng.integers(0, 40, 600),
+        })
+        pdf["b"] += pdf["a"] // 2  # induce correlation
+        got = (
+            corr_matrix(rd.from_pandas(pdf).repartition(5),
+                        ["a", "b", "c"])
+            .to_pandas().sort_values(["col_a", "col_b"])
+            .reset_index(drop=True)
+        )
+        R = np.corrcoef(pdf.to_numpy(np.float64).T)
+        exp = {("a", "b"): R[0, 1], ("a", "c"): R[0, 2],
+               ("b", "c"): R[1, 2]}
+        assert len(got) == 3
+        for _, row in got.iterrows():
+            np.testing.assert_allclose(
+                row["corr"], exp[(row["col_a"], row["col_b"])],
+                rtol=1e-12,
+            )
+            assert row["n"] == len(pdf)
+
+    def test_listwise_nulls_and_validation(self, ray_session):
+        from recipys_ray.ops.groupstats import corr_matrix
+
+        pdf = pd.DataFrame({
+            "a": [1.0, 2, 3, None, 5],
+            "b": [2.0, 4, 6, 8, None],
+        })
+        got = corr_matrix(rd.from_pandas(pdf), ["a", "b"]).to_pandas()
+        assert got["n"].tolist() == [3]  # listwise-complete rows only
+        np.testing.assert_allclose(got["corr"].iloc[0], 1.0, rtol=1e-12)
+        with pytest.raises(ValueError):
+            corr_matrix(rd.from_pandas(pdf), ["a"])
+
+
+class TestNzvReport:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from recipys_ray.ops.groupstats import nzv_report
+
+        rng = np.random.default_rng(152)
+        pdf = pd.DataFrame({
+            "skewed": np.where(rng.random(500) < 0.97, "big", "small"),
+            "flat": rng.choice(list("abcd"), 500),
+            "const": ["k"] * 500,
+        })
+        got = (
+            nzv_report(rd.from_pandas(pdf).repartition(4),
+                       ["skewed", "flat", "const"])
+            .to_pandas().sort_values("col_name").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute("""
+            WITH u AS (
+              SELECT 'skewed' AS col_name, skewed AS val FROM t
+              UNION ALL SELECT 'flat', flat FROM t
+              UNION ALL SELECT 'const', "const" FROM t
+            ), a AS (
+              SELECT col_name, val, CAST(count(*) AS BIGINT) AS cnt
+              FROM u GROUP BY 1, 2
+            ), r AS (
+              SELECT col_name, cnt,
+                     row_number() OVER (PARTITION BY col_name
+                                        ORDER BY cnt DESC) AS rn,
+                     SUM(cnt) OVER (PARTITION BY col_name) AS n,
+                     COUNT(*) OVER (PARTITION BY col_name) AS nd
+              FROM a
+            ), x AS (
+              SELECT col_name, CAST(max(n) AS BIGINT) AS n_rows,
+                     CAST(max(nd) AS BIGINT) AS n_distinct,
+                     CAST(max(CASE WHEN rn=1 THEN cnt END) AS BIGINT)
+                       AS top_cnt,
+                     CAST(coalesce(max(CASE WHEN rn=2 THEN cnt END), 0)
+                          AS BIGINT) AS second_cnt
+              FROM r GROUP BY col_name
+            )
+            SELECT col_name, n_rows, n_distinct, top_cnt, second_cnt,
+                   CAST(top_cnt AS DOUBLE)
+                     / CAST(NULLIF(second_cnt,0) AS DOUBLE)
+                     AS freq_ratio,
+                   CAST(100*n_distinct AS DOUBLE)/CAST(n_rows AS DOUBLE)
+                     AS pct_unique,
+                   CAST(CASE WHEN second_cnt = 0
+                              OR (top_cnt > 19*second_cnt
+                                  AND 100*n_distinct < 10*n_rows)
+                             THEN 1 ELSE 0 END AS BIGINT) AS nzv
+            FROM x ORDER BY col_name
+        """).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        flags = dict(zip(got["col_name"], got["nzv"]))
+        assert flags == {"const": 1, "flat": 0, "skewed": 1}
+
+
 class TestGroupedOls2:
     def test_matches_numpy_lstsq(self, ray_session):
         from recipys_ray.ops.groupstats import grouped_ols2
