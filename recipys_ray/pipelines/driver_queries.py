@@ -3225,6 +3225,54 @@ def q_cooccurrence(sf_dir):
     return cooccurrence_counts(ds, "user_id", "event_type")
 
 
+def q_user_features(sf_dir):
+    """Composed per-user behavioral feature vector — trend (theil_sen),
+    burstiness (burst_counts), risk (max_drawdown) and engagement
+    (longest_streak) — demonstrating op composability: ONE pinned
+    read+prep feeds all four ops, the tiny per-user outputs are pinned
+    and broadcast-joined. Every feature is the already-oracled exact
+    kernel; the SQL oracle is the four CTEs inner-joined."""
+    from recipys_ray.ops.groupstats import theil_sen
+    from recipys_ray.ops.join import hash_join
+    from recipys_ray.ops.timeseries import (
+        burst_counts, longest_streak, max_drawdown,
+    )
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts", "value"])
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        # the oracle's CTE i filters value IS NOT NULL once for ALL
+        # four features — mirror that here, not per-op
+        tbl = tbl.filter(pc.is_valid(tbl.column("value")))
+        ts = pc.cast(tbl.column("ts"), pa.int64())
+        return pa.table({
+            "user_id": tbl.column("user_id"),
+            "event_id": tbl.column("event_id"),
+            "ts": tbl.column("ts"),
+            "day": pc.divide(ts, 86_400_000_000),
+            "cents": pc.cast(
+                pc.round(pc.multiply(tbl.column("value"), 100.0)),
+                pa.int64(),
+            ),
+        })
+
+    # one read+prep pinned; four ops consume it (multi-pass policy)
+    base = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    trend = theil_sen(base, ["user_id"], "day", "cents",
+                      pre_sum=True).materialize()
+    bursts = burst_counts(base, ["user_id"], ["ts", "event_id"],
+                          "cents", window=5, k=3).materialize()
+    dd = max_drawdown(base, ["user_id"], "ts", "cents").materialize()
+    streak = longest_streak(base, ["user_id"], "day").materialize()
+    out = hash_join(
+        hash_join(hash_join(trend, bursts, on="user_id"), dd,
+                  on="user_id"),
+        streak, on="user_id",
+    )
+    return _select(out, ["user_id", "theil_sen", "n_pairs", "n_bursts",
+                         "max_dd", "streak"])
+
+
 def q_burst_counts(sf_dir):
     """Per-user count of spend bursts — rows whose cents exceed 3× the
     mean of the strictly-prior 5 values (ops/timeseries.burst_counts):
@@ -4876,6 +4924,71 @@ ORACLES: dict[str, str] = {
         FROM d a JOIN d b
           ON a.user_id = b.user_id AND b.day > a.day
         GROUP BY a.user_id
+    """,
+    "user_features": """
+        WITH i AS (
+          SELECT user_id, event_id, ts,
+                 epoch_us(ts) // 86400000000 AS day,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events WHERE value IS NOT NULL
+        ), dgrain AS (
+          SELECT user_id, day, SUM(cents) AS cents
+          FROM i GROUP BY user_id, day
+        ), slopes AS (
+          SELECT a.user_id,
+                 CAST(b.cents - a.cents AS DOUBLE)
+                   / CAST(b.day - a.day AS DOUBLE) AS slope
+          FROM dgrain a JOIN dgrain b
+            ON a.user_id = b.user_id AND b.day > a.day
+        ), trend AS (
+          SELECT user_id, quantile_disc(slope, 0.5) AS theil_sen,
+                 CAST(count(*) AS BIGINT) AS n_pairs
+          FROM slopes GROUP BY user_id
+        ), bw AS (
+          SELECT user_id, cents,
+                 SUM(cents) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN 5 PRECEDING
+                                           AND 1 PRECEDING) AS s,
+                 COUNT(cents) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS BETWEEN 5 PRECEDING
+                                             AND 1 PRECEDING) AS c
+          FROM i
+        ), bursts AS (
+          SELECT user_id,
+                 CAST(SUM(CASE WHEN c > 0 AND cents * c > 3 * s
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_bursts
+          FROM bw GROUP BY user_id
+        ), dw AS (
+          SELECT user_id, cents,
+                 max(cents) OVER (PARTITION BY user_id ORDER BY ts)
+                   AS pk
+          FROM i
+        ), dd AS (
+          SELECT user_id, CAST(max(pk - cents) AS BIGINT) AS max_dd
+          FROM dw GROUP BY user_id
+        ), sd AS (
+          SELECT DISTINCT user_id, day FROM i
+        ), si AS (
+          SELECT user_id,
+                 day - row_number() OVER (PARTITION BY user_id
+                                          ORDER BY day) AS isl
+          FROM sd
+        ), sl AS (
+          SELECT user_id, isl, count(*) AS len
+          FROM si GROUP BY user_id, isl
+        ), streaks AS (
+          SELECT user_id, CAST(max(len) AS BIGINT) AS streak
+          FROM sl GROUP BY user_id
+        )
+        SELECT t.user_id, t.theil_sen, t.n_pairs, b.n_bursts,
+               d.max_dd, s.streak
+        FROM trend t
+        JOIN bursts b USING (user_id)
+        JOIN dd d USING (user_id)
+        JOIN streaks s USING (user_id)
     """,
     "burst_counts": """
         WITH i AS (
@@ -8451,6 +8564,7 @@ QUERIES = {
     "spearman": q_spearman,
     "last_value_pct": q_last_value_pct,
     "burst_counts": q_burst_counts,
+    "user_features": q_user_features,
     "collapse_rare": q_collapse_rare,
     "max_drawdown": q_max_drawdown,
     "rate_ci": q_rate_ci,
