@@ -471,6 +471,142 @@ def balanced_sample(
     return ds.map_batches(stamp, batch_format="pyarrow")
 
 
+def oversample_minority(
+    ds,
+    class_col: str,
+    id_col: str,
+    copy_col: str = "copy_idx",
+    boundary_cap: int = 2_000_000,
+    _bucket_bits: int = 12,
+):
+    """Exact minority OVERSAMPLING to the largest class's row count —
+    the step_upsample analog and :func:`balanced_sample`'s mirror. Every
+    class ends with exactly ``T = max(n_c)`` rows: each row replicates
+    ``base = T // n_c`` times, and the ``rem = T mod n_c`` rows with the
+    lowest ``(murmurhash64(id), id)`` get one extra copy — deterministic,
+    order/partition independent, engine-reproducible (DuckDB:
+    ``rn <= rem`` over ``row_number() ... ORDER BY hash(id), id``).
+    ``copy_col`` numbers each row's copies 1..k, mirroring the oracle's
+    ``unnest(generate_series(...))``.
+
+    NO payload shuffle at any class size: the remainder cutoff per class
+    comes from the same hash-domain counting selection as
+    :func:`balanced_sample` (bucket-count combiner → one boundary-bucket
+    collection ≤ ``boundary_cap`` → streaming replicate stamp). Rows
+    with a null class or id are dropped."""
+    from recipys_ray.kernels.duckdb_parity import murmurhash64
+
+    shift = np.uint64(64 - _bucket_bits)
+
+    def bucket_counts(tbl: pa.Table) -> pa.Table:
+        cls = tbl.column(class_col).to_pandas()
+        ids = tbl.column(id_col).to_pandas()
+        ok = cls.notna() & ids.notna()
+        h = murmurhash64(ids[ok].to_numpy())
+        pdf = pd.DataFrame({
+            "cls": cls[ok].to_numpy(),
+            "b": (h >> shift).astype(np.int64),
+        })
+        out = (
+            pdf.groupby(["cls", "b"], sort=False, observed=True)
+            .size()
+            .reset_index(name="n")
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = (
+        ds.select_columns([class_col, id_col])
+        .map_batches(bucket_counts, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["cls", "b"], sort=True)["n"]
+        .sum()
+        .reset_index()
+    )
+    if not len(parts):
+        return ds.limit(0)
+    totals = parts.groupby("cls")["n"].sum()
+    target = int(totals.max())
+
+    base: dict = {}
+    boundary: dict = {}  # cls -> (bucket, rank_within_bucket) for rem
+    for cls, grp in parts.groupby("cls", sort=False):
+        n_c = int(totals[cls])
+        base[cls] = target // n_c
+        rem = target % n_c
+        if rem == 0:
+            continue
+        cum = grp["n"].cumsum()
+        i = int(np.searchsorted(cum.to_numpy(), rem, side="left"))
+        before = int(cum.iloc[i - 1]) if i else 0
+        boundary[cls] = (int(grp["b"].iloc[i]), rem - before)
+
+    def collect_boundary(tbl: pa.Table) -> pa.Table:
+        cls = tbl.column(class_col).to_pandas()
+        ids = tbl.column(id_col).to_pandas()
+        ok = cls.notna() & ids.notna()
+        idv = ids[ok].to_numpy()
+        clv = cls[ok].to_numpy()
+        h = murmurhash64(idv)
+        b = (h >> shift).astype(np.int64)
+        bmap = pd.Series({c: v[0] for c, v in boundary.items()})
+        wantb = pd.Series(clv).map(bmap).to_numpy(np.float64)
+        want = wantb == b.astype(np.float64)
+        return pa.table({
+            "cls": pa.array(clv[want]),
+            "h": pa.array(h[want], pa.uint64()),
+            "id": pa.array(idv[want]),
+        })
+
+    cuts: dict = {}
+    if boundary:
+        bdf = (
+            ds.select_columns([class_col, id_col])
+            .map_batches(collect_boundary, batch_format="pyarrow")
+            .to_pandas()
+        )
+        if len(bdf) > boundary_cap:
+            raise ValueError(
+                f"boundary buckets hold {len(bdf)} rows > boundary_cap="
+                f"{boundary_cap}; raise _bucket_bits"
+            )
+        for cls, grp in bdf.groupby("cls", sort=False):
+            grp = grp.sort_values(["h", "id"], kind="stable")
+            _, rank = boundary[cls]
+            row = grp.iloc[rank - 1]
+            cuts[cls] = (np.uint64(row["h"]), row["id"])
+
+    def stamp(tbl: pa.Table) -> pa.Table:
+        cls = tbl.column(class_col).to_pandas()
+        ids = tbl.column(id_col).to_pandas()
+        ok = (cls.notna() & ids.notna()).to_numpy()
+        idv = ids.to_numpy()
+        clv = cls.to_numpy()
+        h = murmurhash64(idv)
+        copies = np.zeros(len(tbl), dtype=np.int64)
+        for c in np.unique(clv[ok]):
+            m = ok & (clv == c)
+            k = base[c]
+            if c in cuts:
+                cut_h, cut_id = cuts[c]
+                hm = h[m]
+                extra = (hm < cut_h) | (
+                    (hm == cut_h) & (idv[m] <= cut_id)
+                )
+                copies[m] = k + extra.astype(np.int64)
+            else:
+                copies[m] = k
+        idx = np.repeat(np.arange(len(tbl)), copies)
+        out = tbl.take(pa.array(idx, pa.int64()))
+        # copy index 1..k per source row via offset arithmetic
+        ends = np.cumsum(copies)
+        starts = ends - copies
+        ci = np.arange(len(idx), dtype=np.int64) - starts[idx] + 1
+        return out.append_column(copy_col, pa.array(ci, pa.int64()))
+
+    return ds.map_batches(stamp, batch_format="pyarrow")
+
+
 def stratified_split(
     ds,
     strata_col: str,

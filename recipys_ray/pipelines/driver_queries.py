@@ -3300,6 +3300,22 @@ def q_burst_counts(sf_dir):
     return _select(out, ["user_id", "n_bursts"])
 
 
+def q_oversample(sf_dir):
+    """Exact minority oversampling to the largest event class
+    (ops/sampling.oversample_minority — step_upsample analog): every
+    class ends at exactly max(n_c) rows, extra copies going to the
+    lowest (hash,id) rows; the remainder cutoff is the usual hash-domain
+    counting selection, NO payload shuffle. copy_idx mirrors the
+    oracle's generate_series."""
+    from recipys_ray.ops.sampling import oversample_minority
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type"]
+    )
+    out = oversample_minority(ds, "event_type", "event_id")
+    return _select(out, ["event_id", "event_type", "copy_idx"])
+
+
 def q_collapse_rare(sf_dir):
     """step_other analog (ops/encode.collapse_rare_categories) over the
     zipf-distributed leading word of each document: categories with
@@ -5011,6 +5027,28 @@ ORACLES: dict[str, str] = {
                CAST(SUM(CASE WHEN c > 0 AND cents * c > 3 * s
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_bursts
         FROM w GROUP BY user_id
+    """,
+    "oversample": """
+        WITH t AS (
+          SELECT event_id, event_type FROM events
+          WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+        ), c AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n
+          FROM t GROUP BY 1
+        ), m AS (SELECT max(n) AS tgt FROM c),
+        r AS (
+          SELECT t.event_id, t.event_type,
+                 row_number() OVER (
+                   PARTITION BY t.event_type
+                   ORDER BY hash(t.event_id), t.event_id) AS rn,
+                 c.n, m.tgt
+          FROM t JOIN c USING (event_type) CROSS JOIN m
+        )
+        SELECT event_id, event_type,
+               unnest(generate_series(
+                 1, tgt // n + CASE WHEN rn <= tgt % n
+                                    THEN 1 ELSE 0 END)) AS copy_idx
+        FROM r
     """,
     "collapse_rare": r"""
         WITH c AS (
@@ -8566,6 +8604,7 @@ QUERIES = {
     "burst_counts": q_burst_counts,
     "user_features": q_user_features,
     "collapse_rare": q_collapse_rare,
+    "oversample": q_oversample,
     "max_drawdown": q_max_drawdown,
     "rate_ci": q_rate_ci,
     "cusum": q_cusum,

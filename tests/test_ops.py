@@ -7112,6 +7112,65 @@ class TestCompressionRatio:
         assert got["comp_ratio"].iloc[0] < got["comp_ratio"].iloc[4]
 
 
+class TestOversampleMinority:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from recipys_ray.ops.sampling import oversample_minority
+
+        rng = np.random.default_rng(161)
+        pdf = pd.DataFrame({
+            "id": np.arange(600, dtype=np.int64),
+            "cls": rng.choice(["big"] * 8 + ["mid"] * 3 + ["rare"], 600),
+        })
+        got = (
+            oversample_minority(rd.from_pandas(pdf).repartition(5),
+                                "cls", "id")
+            .to_pandas().sort_values(["id", "copy_idx"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute("""
+            WITH c AS (SELECT cls, CAST(count(*) AS BIGINT) AS n
+                       FROM t GROUP BY 1),
+            m AS (SELECT max(n) AS tgt FROM c),
+            r AS (SELECT t.id, t.cls,
+                    row_number() OVER (PARTITION BY t.cls
+                      ORDER BY hash(t.id), t.id) AS rn, c.n, m.tgt
+                  FROM t JOIN c USING (cls) CROSS JOIN m)
+            SELECT id, cls,
+                   unnest(generate_series(1,
+                     tgt // n + CASE WHEN rn <= tgt % n
+                                     THEN 1 ELSE 0 END)) AS copy_idx
+            FROM r ORDER BY id, copy_idx
+        """).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[["id", "cls", "copy_idx"]],
+                                      exp, check_dtype=False)
+        # every class lands at exactly the majority count
+        sizes = got.groupby("cls").size()
+        assert (sizes == sizes.max()).all()
+
+    def test_partition_invariance_and_balanced_input(self, ray_session):
+        from recipys_ray.ops.sampling import oversample_minority
+
+        pdf = pd.DataFrame({
+            "id": np.arange(40, dtype=np.int64),
+            "cls": ["a", "b"] * 20,
+        })
+        outs = [
+            oversample_minority(rd.from_pandas(pdf).repartition(p),
+                                "cls", "id")
+            .to_pandas().sort_values(["id", "copy_idx"])
+            .reset_index(drop=True)
+            for p in (1, 7)
+        ]
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        # already balanced → exactly one copy per row
+        assert len(outs[0]) == len(pdf)
+        assert (outs[0]["copy_idx"] == 1).all()
+
+
 class TestBalancedSample:
     def test_matches_duckdb_hash_rownumber(self, ray_session):
         import duckdb
