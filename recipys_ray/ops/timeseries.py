@@ -267,6 +267,67 @@ def grouped_cusum(
     )
 
 
+def churn_labels(
+    ds,
+    group_cols: list[str],
+    day_col: str,
+    horizon: int = 7,
+    label_col: str = "churned",
+    num_partitions: int | None = None,
+):
+    """Per (entity, active-day) churn label — 1 iff the entity has NO
+    activity in the next ``horizon`` periods (the look-ahead label a
+    retention model trains on; the mirror of the backward-looking
+    features, generated once so the model never recomputes the future).
+    Over each group's DISTINCT sorted days::
+
+        churned(day) = next_day IS NULL OR next_day − day > horizon
+
+    Exact integers, bit-equal to the SQL ``lead()`` oracle; the final
+    active day always labels 1 (right-censoring is the caller's
+    modeling decision to mask). Block-local distinct collapse, ONE
+    skinny exchange on the group key, vectorized shift across all
+    groups."""
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    gcols = list(group_cols)
+    cols = gcols + [day_col]
+
+    def dedup_block(tbl: pa.Table) -> pa.Table:
+        types = {c: tbl.schema.field(c).type for c in cols}
+        pdf = tbl.select(cols).to_pandas()
+        pdf = pdf[pdf[day_col].notna()].drop_duplicates(cols)
+        return pa.table({
+            c: pa.Array.from_pandas(pdf[c], type=types[c]) for c in cols
+        })
+
+    skinny = ds.select_columns(cols).map_batches(
+        dedup_block, batch_format="pyarrow"
+    )
+
+    def label(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.drop_duplicates(cols)
+        if not len(pdf):
+            out = pdf[cols].copy()
+            out[label_col] = pd.Series([], dtype=np.int64)
+            return out
+        pdf = pdf.sort_values(
+            gcols + [day_col], kind="stable", ignore_index=True
+        )
+        grp = pdf.groupby(gcols, sort=False, dropna=False, observed=True)
+        nxt = grp[day_col].shift(-1)
+        day = pdf[day_col].to_numpy(np.int64)
+        gap_over = (nxt.to_numpy(np.float64) - day) > horizon
+        churned = (nxt.isna().to_numpy() | gap_over).astype(np.int64)
+        out = pdf[cols].copy()
+        out[label_col] = churned
+        return out
+
+    return partitioned_groupby_map(
+        skinny, gcols, label, num_partitions=num_partitions
+    )
+
+
 def burst_counts(
     ds,
     group_cols: list[str],

@@ -1044,6 +1044,29 @@ def q_funnel_latency(sf_dir):
     return _select(out, ["user_id", "v2c_us", "c2p_us"])
 
 
+def q_churn_labels(sf_dir):
+    """Per (user, active-day) 7-day churn label
+    (ops/timeseries.churn_labels) — the look-ahead retention label,
+    generated once as data rather than recomputed by the model. Exact
+    integers; bit-equal to the lead() oracle."""
+    from recipys_ray.ops.timeseries import churn_labels
+
+    ds = _events(sf_dir, columns=["user_id", "ts"])
+
+    def days(tbl: pa.Table) -> pa.Table:
+        ts = pc.cast(tbl.column("ts"), pa.int64())
+        return pa.table({
+            "user_id": tbl.column("user_id"),
+            "day": pc.divide(ts, 86_400_000_000),
+        })
+
+    out = churn_labels(
+        ds.map_batches(days, batch_format="pyarrow"),
+        ["user_id"], "day", horizon=7,
+    )
+    return _select(out, ["user_id", "day", "churned"])
+
+
 def q_longest_streak(sf_dir):
     """Per-user longest consecutive-active-day streak
     (ops/timeseries.longest_streak — the gaps-and-islands
@@ -6079,6 +6102,20 @@ ORACLES: dict[str, str] = {
                     AS BIGINT) AS c2p_us
         FROM p JOIN c USING (user_id) JOIN v USING (user_id)
     """,
+    "churn_labels": """
+        WITH d AS (
+          SELECT DISTINCT user_id,
+                 epoch_us(ts) // 86400000000 AS day
+          FROM events WHERE ts IS NOT NULL
+        )
+        SELECT user_id, day,
+               CAST(CASE WHEN lead(day) OVER (PARTITION BY user_id
+                                              ORDER BY day) IS NULL
+                          OR lead(day) OVER (PARTITION BY user_id
+                                             ORDER BY day) - day > 7
+                         THEN 1 ELSE 0 END AS BIGINT) AS churned
+        FROM d
+    """,
     "longest_streak": """
         WITH d AS (
           SELECT DISTINCT user_id,
@@ -8523,6 +8560,7 @@ QUERIES = {
     "cube_doc_stats": q_cube_doc_stats,
     "funnel_latency": q_funnel_latency,
     "longest_streak": q_longest_streak,
+    "churn_labels": q_churn_labels,
     "sample_per_source": q_sample_per_source,
     "weighted_sample": q_weighted_sample,
     "pivot_event_counts": q_pivot_event_counts,

@@ -5225,6 +5225,48 @@ class TestTransitionLatency:
         pd.testing.assert_frame_equal(outs[0], outs[1])
 
 
+class TestChurnLabels:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from recipys_ray.ops.timeseries import churn_labels
+
+        rng = np.random.default_rng(171)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 20, 700),
+            "day": rng.integers(0, 60, 700),
+        })
+        got = (
+            churn_labels(rd.from_pandas(pdf).repartition(5),
+                         ["g"], "day", horizon=5)
+            .to_pandas().sort_values(["g", "day"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute("""
+            WITH d AS (SELECT DISTINCT g, day FROM t)
+            SELECT g, day,
+                   CAST(CASE WHEN lead(day) OVER w IS NULL
+                              OR lead(day) OVER w - day > 5
+                             THEN 1 ELSE 0 END AS BIGINT) AS churned
+            FROM d WINDOW w AS (PARTITION BY g ORDER BY day)
+            ORDER BY g, day
+        """).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_hand_computed(self, ray_session):
+        from recipys_ray.ops.timeseries import churn_labels
+
+        # gaps: 1→2 (ok), 2→10 (>7 → churn at 2), 10 last → churn
+        pdf = pd.DataFrame({"g": [1, 1, 1], "day": [1, 2, 10]})
+        got = (
+            churn_labels(rd.from_pandas(pdf), ["g"], "day", horizon=7)
+            .to_pandas().sort_values("day").reset_index(drop=True)
+        )
+        assert got["churned"].tolist() == [0, 1, 1]
+
+
 class TestBurstCounts:
     def test_matches_duckdb(self, ray_session):
         import duckdb
