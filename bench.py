@@ -250,6 +250,19 @@ def bench_queries() -> dict:
         "transition_latency",
         "max_drawdown",
         "spearman",
+        "last_value_pct",
+        "burst_counts",
+        "collapse_rare",
+        "longest_streak",
+        "funnel_latency",
+        "user_features",
+        "corr_matrix",
+        "nzv_report",
+        "oversample",
+        "churn_labels",
+        "simpson_diversity",
+        "rate_ci",
+        "cube_doc_stats",
     ]
     import gc
 
