@@ -106,14 +106,21 @@ def main(sf_dir: str = "/root/testdata/sf0.001",
     # 4. unigram-LM quality scoring (CCNet-style perplexity filter):
     #    fit vocab + total count on the deduped train split, broadcast,
     #    score shuffle-free — filter downstream on oov_rate / perplexity
-    from recipys_ray.ops.text import unigram_lm_score
+    from recipys_ray.ops.text import bpe_encode, bpe_merges, unigram_lm_score
 
     scored = unigram_lm_score(train, text_col="text", top_k=500)
+
+    # 4b. token-budget accounting: learn the corpus's own BPE merges
+    #     (one corpus pass — the vocab combiner) and count tokens per doc
+    #     with the broadcast rule table + memoized actor encode
+    rules = bpe_merges(train, "text", k=30)
+    token_counts = bpe_encode(train, rules, "text", "doc_id")
 
     # 5. resumable partitioned sinks
     enriched.write_parquet(f"{out_dir}/train_features")
     keywords.write_parquet(f"{out_dir}/train_keywords")
     scored.write_parquet(f"{out_dir}/train_lm_scores")
+    token_counts.write_parquet(f"{out_dir}/train_token_counts")
     n = enriched.count()
     print({"train_docs": n, "out": out_dir})
     return n

@@ -203,3 +203,11 @@ def test_llm_data_pipeline_example_runs(ray_session, tmp_path):
         f"SELECT count(*) FROM read_parquet('{tmp_path}/out/train_features/*.parquet')"
     ).fetchone()[0]
     assert got == n
+    # the token-accounting stage covers the surviving docs, and every
+    # word is at least one BPE token
+    toks = duckdb.execute(
+        f"""SELECT count(*), min(n_tokens >= n_words)
+            FROM read_parquet('{tmp_path}/out/train_token_counts/*.parquet')
+            WHERE n_words > 0"""
+    ).fetchone()
+    assert toks[0] > 0 and bool(toks[1])
