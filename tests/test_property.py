@@ -241,3 +241,106 @@ class TestFunnelProperty:
                     assert got == times[step]
                 else:
                     assert pd.isna(got)
+
+
+class TestSeventhSessionOpsProperty:
+    """Brute-force scalar references for the seventh-session kernels on
+    arbitrary small random frames (seeded via hypothesis integers, the
+    funnel-test pattern)."""
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(st.integers(min_value=0, max_value=10_000))
+    def test_theil_sen_matches_scalar(self, seed):
+        from recipys_ray.ops.groupstats import theil_sen
+
+        rng = np.random.RandomState(seed)
+        n = rng.randint(4, 100)
+        pdf = pd.DataFrame({
+            "g": rng.randint(0, 5, n).astype(np.int64),
+            "o": rng.randint(0, 20, n).astype(np.int64),
+            "v": rng.randint(-30, 30, n).astype(np.int64),
+        })
+        out = (
+            theil_sen(rd.from_pandas(pdf).repartition(3), ["g"], "o", "v")
+            .to_pandas().set_index("g").sort_index()
+        )
+        for gid, grp in pdf.groupby("g"):
+            slopes = []
+            rows = list(grp.itertuples())
+            for i, a in enumerate(rows):
+                for b in rows[i + 1:]:
+                    lo, hi = (a, b) if a.o <= b.o else (b, a)
+                    if hi.o > lo.o:
+                        slopes.append((hi.v - lo.v) / float(hi.o - lo.o))
+            if not slopes:
+                assert gid not in out.index
+                continue
+            slopes.sort()
+            expect = slopes[(len(slopes) - 1) // 2]  # lower median
+            assert out.loc[gid, "theil_sen"] == expect
+            assert out.loc[gid, "n_pairs"] == len(slopes)
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(st.integers(min_value=0, max_value=10_000))
+    def test_triangle_counts_match_bruteforce(self, seed):
+        from itertools import combinations
+
+        from recipys_ray.ops.graph import triangle_counts
+
+        rng = np.random.RandomState(seed)
+        n_nodes = rng.randint(3, 18)
+        m = rng.randint(1, 60)
+        pdf = pd.DataFrame({
+            "src": rng.randint(0, n_nodes, m).astype(np.int64),
+            "dst": rng.randint(0, n_nodes, m).astype(np.int64),
+        })
+        df = triangle_counts(
+            rd.from_pandas(pdf).repartition(3), "src", "dst"
+        ).to_pandas()
+        # all-empty partitions yield a column-less frame (the zero-row
+        # map_groups quirk, ROUND5_NOTES.md) — guard like fuzzy_link
+        out = (
+            df.set_index("node")["tri_count"].to_dict() if len(df) else {}
+        )
+        edges = {
+            (min(a, b), max(a, b))
+            for a, b in zip(pdf["src"], pdf["dst"]) if a != b
+        }
+        expect: dict = {}
+        for a, b, c in combinations(sorted({v for e in edges for v in e}),
+                                    3):
+            if ((a, b) in edges and (b, c) in edges and (a, c) in edges):
+                for v in (a, b, c):
+                    expect[v] = expect.get(v, 0) + 1
+        assert out == expect
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(st.integers(min_value=0, max_value=10_000))
+    def test_burst_counts_match_scalar(self, seed):
+        from recipys_ray.ops.timeseries import burst_counts
+
+        rng = np.random.RandomState(seed)
+        n = rng.randint(2, 120)
+        w = rng.randint(1, 6)
+        k = rng.randint(1, 4)
+        pdf = pd.DataFrame({
+            "g": rng.randint(0, 4, n).astype(np.int64),
+            "o": rng.permutation(n).astype(np.int64),
+            "v": rng.randint(0, 50, n).astype(np.int64),
+        })
+        out = (
+            burst_counts(rd.from_pandas(pdf).repartition(3),
+                         ["g"], ["o"], "v", window=w, k=k)
+            .to_pandas().set_index("g")["n_bursts"].to_dict()
+        )
+        for gid, grp in pdf.groupby("g"):
+            vs = grp.sort_values("o")["v"].tolist()
+            cnt = 0
+            for i, v in enumerate(vs):
+                prior = vs[max(0, i - w):i]
+                if prior and v * len(prior) > k * sum(prior):
+                    cnt += 1
+            assert out[gid] == cnt
