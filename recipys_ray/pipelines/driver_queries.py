@@ -5973,10 +5973,14 @@ ORACLES: dict[str, str] = {
           FROM events e CROSS JOIN seeds s GROUP BY s.j, b
         ),
         q AS (SELECT unnest(range(0, 50)) AS user_id)
-        SELECT q.user_id, CAST(min(bk.tot) AS BIGINT) AS est
+        -- LEFT join: a queried key hashing into an EMPTY bucket
+        -- estimates 0 (the sketch grid is zero-initialized); an inner
+        -- join silently dropped such keys at tiny scales where most of
+        -- the 4x512 grid is empty
+        SELECT q.user_id, CAST(min(coalesce(bk.tot, 0)) AS BIGINT) AS est
         FROM q
         JOIN seeds s ON true
-        JOIN buckets bk
+        LEFT JOIN buckets bk
           ON bk.j = s.j
          AND bk.b = hash(xor(q.user_id, s.j * 1099511628211)) % 512
         GROUP BY q.user_id
