@@ -94,6 +94,87 @@ def grouped_value_counts(
     )
 
 
+def top_share(
+    ds,
+    group_cols: list[str],
+    weight_col: str,
+    id_col: str,
+    top_frac: float = 0.1,
+    num_partitions: int | None = None,
+):
+    """Per-group weight concentration: the share of the group's total
+    integer weight held by its top ``ceil(n·top_frac)`` rows (ordered by
+    weight desc, id asc — the id tiebreak makes the top SET
+    deterministic). The curation diagnostic for content concentration
+    (is 10% of a source 90% of its characters?). Output per group:
+    ``n_docs``, ``total_w``, ``top_w``, ``top_share``.
+
+    The cutoff rank is the INTEGER ``(n + ceil_num) // denom`` identity
+    — for the default 0.1, ``k = (n + 9) // 10`` ≡ SQL ``(n + 9) // 10``
+    — so membership is integer-exact; sums are exact int64 and the share
+    is ONE double division, bit-equal to the windowed SQL oracle. Null
+    weights/ids are dropped. ONE hash exchange of the skinny
+    projection; sort + cumcount + masked sums run vectorized across all
+    groups in the partition."""
+    from fractions import Fraction
+
+    from recipys_ray.ops.dedup import partitioned_groupby_map
+
+    frac = Fraction(top_frac).limit_denominator(1_000_000)
+    num, den = frac.numerator, frac.denominator
+    if not (0 < top_frac <= 1):
+        raise ValueError(f"top_frac must be in (0, 1], got {top_frac}")
+
+    gcols = list(group_cols)
+    cols = gcols + [weight_col, id_col]
+
+    def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[cols]
+        pdf = pdf[pdf[weight_col].notna() & pdf[id_col].notna()]
+        if not len(pdf):
+            out = pdf[gcols].copy()
+            out["n_docs"] = pd.Series([], dtype=np.int64)
+            out["total_w"] = pd.Series([], dtype=np.int64)
+            out["top_w"] = pd.Series([], dtype=np.int64)
+            out["top_share"] = pd.Series([], dtype=np.float64)
+            return out
+        pdf = pdf.sort_values(
+            gcols + [weight_col, id_col],
+            ascending=[True] * len(gcols) + [False, True],
+            kind="stable", ignore_index=True,
+        )
+        ids = (
+            pdf.groupby(gcols, sort=False, dropna=False, observed=True)
+            .ngroup()
+            .to_numpy()
+        )
+        n_groups = int(ids[-1]) + 1
+        sizes = np.bincount(ids, minlength=n_groups)
+        starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+        local = np.arange(len(pdf)) - starts[ids]
+        w = pdf[weight_col].to_numpy(np.int64)
+        # k = ceil(n·num/den) = (n·num + den − 1) // den, exact ints
+        k = (sizes * num + den - 1) // den
+        in_top = local < k[ids]
+        total = np.bincount(ids, weights=w.astype(np.float64),
+                            minlength=n_groups).astype(np.int64)
+        top = np.bincount(ids, weights=(w * in_top).astype(np.float64),
+                          minlength=n_groups).astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            share = top.astype(np.float64) / total.astype(np.float64)
+        out = pdf.iloc[starts][gcols].reset_index(drop=True)
+        out["n_docs"] = sizes.astype(np.int64)
+        out["total_w"] = total
+        out["top_w"] = top
+        out["top_share"] = share
+        return out
+
+    return partitioned_groupby_map(
+        ds.select_columns(cols), gcols, sweep,
+        num_partitions=num_partitions,
+    )
+
+
 def simpson_diversity(
     ds,
     group_cols: list[str],

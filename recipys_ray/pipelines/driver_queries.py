@@ -3517,6 +3517,23 @@ def q_peak_concurrency(sf_dir):
     return _select(out, ["user_id", "peak"])
 
 
+def q_top_share(sf_dir):
+    """Per-source content concentration: the share of each source's
+    characters held by its top-decile documents
+    (ops/groupstats.top_share) — integer-exact cutoff rank
+    k = (n+9)//10, exact sums, one division. Bit-equal to the windowed
+    SQL oracle."""
+    from recipys_ray.ops.groupstats import top_share
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["source", "n_chars", "doc_id"],
+    )
+    out = top_share(ds, ["source"], "n_chars", "doc_id", top_frac=0.1)
+    return _select(out, ["source", "n_docs", "total_w", "top_w",
+                         "top_share"])
+
+
 def q_simpson_diversity(sf_dir):
     """Per-source Simpson diversity of document languages
     (ops/groupstats.simpson_diversity): log-free diversity index — both
@@ -5214,6 +5231,27 @@ ORACLES: dict[str, str] = {
         )
         SELECT user_id, CAST(max(conc) AS BIGINT) AS peak
         FROM c GROUP BY user_id
+    """,
+    "top_share": """
+        WITH r AS (
+          SELECT source, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC, doc_id)
+                   AS rn,
+                 count(*) OVER (PARTITION BY source) AS n
+          FROM documents
+          WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL
+        )
+        SELECT source,
+               CAST(max(n) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_w,
+               CAST(sum(CASE WHEN rn <= (n + 9) // 10
+                             THEN n_chars ELSE 0 END) AS BIGINT)
+                 AS top_w,
+               CAST(sum(CASE WHEN rn <= (n + 9) // 10
+                             THEN n_chars ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(n_chars) AS DOUBLE) AS top_share
+        FROM r GROUP BY source
     """,
     "simpson_diversity": """
         WITH c AS (
@@ -8640,6 +8678,7 @@ QUERIES = {
     "nzv_report": q_nzv_report,
     "peak_concurrency": q_peak_concurrency,
     "simpson_diversity": q_simpson_diversity,
+    "top_share": q_top_share,
     "transition_latency": q_transition_latency,
     "spearman": q_spearman,
     "last_value_pct": q_last_value_pct,

@@ -5553,6 +5553,63 @@ class TestPeakConcurrency:
         assert got["peak"].tolist() == [1, 2]
 
 
+class TestTopShare:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from recipys_ray.ops.groupstats import top_share
+
+        rng = np.random.default_rng(181)
+        pdf = pd.DataFrame({
+            "g": rng.integers(0, 12, 700),
+            "w": rng.integers(0, 500, 700),
+            "id": np.arange(700, dtype=np.int64),
+        })
+        got = (
+            top_share(rd.from_pandas(pdf).repartition(5),
+                      ["g"], "w", "id", top_frac=0.1)
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        exp = con.execute("""
+            WITH r AS (
+              SELECT g, w, row_number() OVER (PARTITION BY g
+                       ORDER BY w DESC, id) AS rn,
+                     count(*) OVER (PARTITION BY g) AS n
+              FROM t
+            )
+            SELECT g, CAST(max(n) AS BIGINT) AS n_docs,
+                   CAST(sum(w) AS BIGINT) AS total_w,
+                   CAST(sum(CASE WHEN rn <= (n+9)//10
+                                 THEN w ELSE 0 END) AS BIGINT)
+                     AS top_w,
+                   CAST(sum(CASE WHEN rn <= (n+9)//10
+                                 THEN w ELSE 0 END) AS DOUBLE)
+                     / CAST(sum(w) AS DOUBLE) AS top_share
+            FROM r GROUP BY g ORDER BY g
+        """).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_uniform_and_concentrated(self, ray_session):
+        from recipys_ray.ops.groupstats import top_share
+
+        pdf = pd.DataFrame({
+            # g=1: 10 equal docs → top-1 holds exactly 10%;
+            # g=2: one giant doc dominates → near 1.0
+            "g": [1] * 10 + [2] * 10,
+            "w": [5] * 10 + [1000] + [1] * 9,
+            "id": np.arange(20, dtype=np.int64),
+        })
+        got = (
+            top_share(rd.from_pandas(pdf), ["g"], "w", "id",
+                      top_frac=0.1)
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        assert got["top_share"].tolist() == [0.1, 1000 / 1009]
+        assert got["n_docs"].tolist() == [10, 10]
+
+
 class TestSimpsonDiversity:
     def test_matches_duckdb(self, ray_session):
         import duckdb
