@@ -263,6 +263,7 @@ def bench_queries() -> dict:
         "simpson_diversity",
         "rate_ci",
         "cube_doc_stats",
+        "top_share",
     ]
     import gc
 
